@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the reference's busiest-
+locations computation, SURVEY.md §7 M1) at sf0.001; ``queries()`` /
+``oracle_sql()`` expose the full declared registry from
+``esgi_4iabd2_sparkstreaming_groupe13_spark.plans.queries`` — one entry per
+implemented operator family of SURVEY.md §2 + M4 extensions, each
+DuckDB-oracle-checked where SQL-expressible.
 """
 
 from __future__ import annotations
@@ -13,26 +14,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.ordering import busiest_keys
+from esgi_4iabd2_sparkstreaming_groupe13_spark.plans.queries import (
+    oracle_sql_map,
+    query_map,
+)
+from esgi_4iabd2_sparkstreaming_groupe13_spark.sources.batch import load_table
+
+SF_SMOKE_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: count-by-key + top-k desc — the reference's
+    busiest-locations query shape (``StreamProcessor.scala:44-55`` +
+    ``taxi_dashboard.py:174``) on the lineitem stand-in."""
+    lineitem = load_table(spark, SF_SMOKE_DIR, "lineitem")
+    return busiest_keys(lineitem, "l_suppkey", 20)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return query_map()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return oracle_sql_map()

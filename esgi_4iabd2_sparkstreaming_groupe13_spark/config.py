@@ -1,0 +1,42 @@
+"""Engine configuration.
+
+Mirrors the knobs of the reference's ``application.conf`` (producer
+source/batching at :2-32, consumer stream/output at :44-92) as plain
+dataclasses — no Typesafe-config dependency, no hidden defaults.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ProducerConfig:
+    """Replay-producer knobs (reference ``taxi.producer``)."""
+
+    source_file: str = "data/yellow_tripdata_preview.csv"
+    output_dir: str = "data/streaming"
+    batch_size: int = 10
+    interval_seconds: float = 10.0
+    max_batches: int | None = None  # None = drain the whole source
+    file_prefix: str = "taxi-batch"
+
+
+@dataclass(frozen=True)
+class ConsumerConfig:
+    """Streaming-consumer knobs (reference ``taxi.consumer``)."""
+
+    input_dir: str = "data/streaming"
+    input_format: str = "json"  # NDJSON batch files
+    max_files_per_trigger: int = 1
+    trigger_seconds: float = 10.0
+    output_dir: str = "data/processed"
+    output_format: str = "json"
+    checkpoint_dir: str = "data/processed/checkpoints/raw"
+    enable_console: bool = False
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    producer: ProducerConfig = field(default_factory=ProducerConfig)
+    consumer: ConsumerConfig = field(default_factory=ConsumerConfig)

@@ -1,0 +1,93 @@
+"""Aggregations (reference A1-A4 + the §7/M4 extended aggregate set).
+
+Every aggregation here compiles to partial+final HashAggregate — the
+map-side combine halves shuffle volume, which is the difference between
+"works" and "works at 100 TB". Skewed grouping keys are handled by AQE
+(skew-join/partition splitting enabled in the session factory).
+
+Monetary aggregates go through DECIMAL accumulation
+(``sum(cast(x as decimal(18,2)))``) then cast back to double: exact,
+order-independent arithmetic, so results are bit-identical across
+engines and across partitionings — double-sum results would depend on
+reduction order and break both the DuckDB oracle and re-run
+reproducibility at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def count_by_key(
+    df: DataFrame,
+    key: str,
+    batch_col: str | None = None,
+    tag_value: str | None = None,
+    count_name: str = "trip_count",
+) -> DataFrame:
+    """A1/A2 generalized (``StreamProcessor.scala:44-71``): hash-agg
+    count by a zone/key column, optionally per batch, optionally tagged
+    with an ``aggregation_type`` literal (P7)."""
+    keys = [key] + ([batch_col] if batch_col else [])
+    out = df.groupBy(*keys).agg(F.count("*").alias(count_name))
+    if tag_value is not None:
+        out = out.withColumn("aggregation_type", F.lit(tag_value))
+    return out
+
+
+def total_count(df: DataFrame) -> DataFrame:
+    """A3 as a query (count action expressed relationally)."""
+    return df.agg(F.count("*").alias("n_rows"))
+
+
+def is_empty(df: DataFrame) -> bool:
+    """A4 (``StreamProcessor.scala:151``): cheap emptiness probe."""
+    return df.isEmpty()
+
+
+def decimal_sum(col: str | Column, scale: int = 2, precision: int = 18) -> Column:
+    """Exact (order-independent) monetary sum, surfaced as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def decimal_avg(col: str | Column, scale: int = 2, precision: int = 18) -> Column:
+    """Exact-accumulation average: decimal sum / count, as double.
+
+    A single final division on an exact sum is deterministic; a naive
+    double ``avg`` depends on partition reduction order.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double") / F.count(c)
+
+
+def amount_stats(df: DataFrame, key: str, amount: str) -> DataFrame:
+    """M4(a): the sum/avg/min/max the taxi schema begs for
+    (SURVEY §2.4 notes the reference computes counts only)."""
+    return df.groupBy(key).agg(
+        F.count("*").alias("n_rows"),
+        decimal_sum(amount).alias("sum_amount"),
+        decimal_avg(amount).alias("avg_amount"),
+        F.min(amount).alias("min_amount"),
+        F.max(amount).alias("max_amount"),
+    )
+
+
+def rollup_counts(df: DataFrame, keys: list[str], amount: str) -> DataFrame:
+    """M4(a): grouping-sets/rollup aggregate (subtotals + grand total).
+
+    Catalyst expands the rollup into a single Expand+HashAggregate —
+    one shuffle for all grouping sets, not one per level.
+    """
+    return df.rollup(*keys).agg(
+        F.count("*").alias("n_rows"),
+        decimal_sum(amount).alias("sum_amount"),
+    )
+
+
+def approx_distinct(df: DataFrame, key: str, rsd: float = 0.01) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the scale path for cardinality
+    (exact distinct of a 100 TB key column is a full shuffle; HLL is a
+    mergeable sketch computed map-side)."""
+    return df.agg(F.approx_count_distinct(key, rsd).alias("approx_distinct"))

@@ -1,0 +1,337 @@
+"""Deduplication operators (M4(d) + training-data-pipeline set).
+
+Five families, each chosen for a different scale/fidelity point:
+
+* exact            — hash groupBy on content (one shuffle, fully exact)
+* n-gram Jaccard   — exact pairwise similarity via shingle inverted
+                     index (explode → self-join → count); the join is
+                     bounded by shingle document-frequency capping
+* MinHash + LSH    — near-dup at scale: O(docs × bands) candidate
+                     generation instead of O(docs²); candidates are
+                     verified with exact Jaccard so output precision
+                     is 1.0 (recall is the banding probability)
+* SimHash          — 48-bit fingerprint; the 4-block pigeonhole join
+                     gives EXACT recall for hamming distance ≤ 3
+* embedding cosine — near-dup over vectors (delegates to similarity)
+
+All hashing goes through functions/hashing.py (md5-based, engine-
+portable) so every step is reproducible in the DuckDB oracle.
+No Python UDFs anywhere — higher-order array functions keep the
+per-document work JVM-side and narrow; only candidate generation
+shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    md5_int,
+    minhash_permutation_cols,
+    shingle_chars,
+    token_array,
+)
+
+SIMHASH_BITS = 48  # md5_int yields 60 usable bits; 48 keeps 2^47 in long
+SIMHASH_BLOCKS = 4  # pigeonhole: ≤3 differing bits → ≥1 identical block
+
+
+def dedup_exact(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: one representative (min id) per distinct content.
+
+    groupBy-min rather than ``dropDuplicates`` because the latter keeps
+    an *arbitrary* row per key — nondeterministic across runs and
+    partitionings, which is unacceptable for a reproducible pipeline.
+    """
+    return df.groupBy(*content_cols).agg(F.min(id_col).alias(id_col))
+
+
+def with_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, max_chars: int = 512
+) -> DataFrame:
+    """Attach the distinct character-n-gram shingle set (narrow op)."""
+    return df.select(
+        F.col(id_col), shingle_chars(F.col(text_col), n, max_chars).alias("shingles")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    n: int = 3,
+    max_chars: int = 512,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard via an inverted shingle index.
+
+    explode(shingles) → self-join on shingle → per-pair intersection
+    count → Jaccard = |∩| / (|A| + |B| − |∩|). At scale the self-join
+    is dominated by high-document-frequency shingles; cap them with
+    ``max_shingle_df`` (drops shingles appearing in more than that many
+    docs — standard stopword-shingle pruning; leave None for exact
+    oracle parity).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
+    6 dp for cross-engine stability.
+    """
+    sh = with_shingles(df, text_col, id_col, n, max_chars)
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
+    inv = sh.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    if max_shingle_df is not None:
+        rare = (
+            inv.groupBy("sh")
+            .agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") <= max_shingle_df)
+            .select("sh")
+        )
+        inv = inv.join(rare, "sh")
+
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 64,
+    n: int = 3,
+    max_chars: int = 512,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-doc MinHash signature as ``array<long>`` — one narrow pass,
+    no shuffle. Shingles are md5-hashed ONCE into an int array, then
+    each signature element is a cheap affine permutation + array_min
+    over it (engine-portable md5-based hashing)."""
+    sh = with_shingles(df, text_col, id_col, n, max_chars)
+    hashed = sh.select(
+        F.col(id_col), F.transform("shingles", md5_int).alias("hs")
+    )
+    sig_cols = minhash_permutation_cols(F.col("hs"), n_hashes, seed)
+    return hashed.select(F.col(id_col), F.array(*sig_cols).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    n_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    max_chars: int = 512,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
+
+    1. signatures (narrow) → 2. band keys: hash of each r-row slice,
+    exploded to (band_idx, band_key, id) → 3. self-join per bucket →
+    candidate pairs (the ONLY shuffle-heavy step, and it is linear in
+    docs × bands, not quadratic in docs) → 4. exact-Jaccard
+    verification on the candidates only.
+
+    Output (id_a, id_b, jaccard) has precision 1.0 w.r.t. the
+    threshold; recall is the standard banding S-curve
+    ``1 - (1 - j^r)^b``.
+    """
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+    # persist: consumed by banding AND by the signature-estimate
+    # prefilter; without it the md5-over-every-shingle pipeline
+    # recomputes once per consumer
+    sigs = minhash_signatures(
+        df, text_col, id_col, n_hashes, n, max_chars, seed
+    ).persist()
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.md5(
+                    F.concat_ws("_", *[F.col("signature")[i * r + j] for j in range(r)])
+                ).alias("bkey"),
+            )
+            for i in range(bands)
+        ]
+    )
+    buckets = sigs.withColumn("b", F.explode(band_structs)).select(
+        F.col(id_col), F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+    # Prefilter: estimated Jaccard = fraction of agreeing signature
+    # elements. Cheap int comparisons on 64-wide arrays vs the exact
+    # array_intersect on hundreds of shingles — on high-collision
+    # corpora (many bucket hits at true j≈0.5) this is the difference
+    # between verifying ~100× the survivors and verifying everything.
+    # Margin: est-j sampling std at n=64 is ≈0.06, so a 0.15 slack
+    # below the target threshold keeps recall ~1 (>2.5σ).
+    est_threshold = max(threshold - 0.15, 0.0)
+    sig_a = sigs.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")
+    )
+    sig_b = sigs.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")
+    )
+    prefiltered = (
+        candidates.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn(
+            "est_j",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda v: v,
+                )
+            )
+            / F.lit(n_hashes),
+        )
+        .filter(F.col("est_j") >= est_threshold)
+        .select("id_a", "id_b")
+    )
+
+    # shingles consumed twice (a/b side of verification) — persist
+    sh = with_shingles(df, text_col, id_col, n, max_chars).persist()
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        prefiltered.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_expr(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash fingerprint of a text as a ``bits``-wide long.
+
+    Token multiset → md5-based 60-bit token hashes → per-bit majority
+    vote. Entirely higher-order functions: the token-hash array is
+    materialized once per row, then each bit is a filtered count.
+    """
+    hs = F.transform(token_array(text), md5_int)
+    n = F.size(hs)
+
+    def _bit_test(mask: int):
+        # closure factory — a default-arg lambda would be misread as a
+        # (value, index) two-param higher-order lambda by PySpark
+        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
+
+    terms = []
+    for b in range(bits):
+        mask = 1 << b
+        ones = F.size(F.filter(hs, _bit_test(mask)))
+        terms.append(F.when(ones * 2 > n, F.lit(mask)).otherwise(F.lit(0)))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col), simhash_expr(F.col(text_col)).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, EXACTLY.
+
+    The fingerprint is split into ``SIMHASH_BLOCKS`` blocks; pairs
+    within hamming ≤ blocks−1 must share ≥1 identical block
+    (pigeonhole), so an equi-join per block finds every such pair —
+    no quadratic scan, recall 1.0. Requires ``max_hamming <
+    SIMHASH_BLOCKS`` (default 3 < 4).
+    """
+    assert max_hamming < SIMHASH_BLOCKS
+    block_bits = SIMHASH_BITS // SIMHASH_BLOCKS
+    fp = simhash_fingerprints(df, text_col, id_col)
+
+    blocks = fp.withColumn(
+        "blk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk_idx"),
+                        F.shiftright(F.col("simhash"), i * block_bits)
+                        .bitwiseAND(F.lit((1 << block_bits) - 1))
+                        .alias("blk_val"),
+                    )
+                    for i in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ),
+    ).select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.col("blk.blk_idx").alias("blk_idx"),
+        F.col("blk.blk_val").alias("blk_val"),
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk_idx") == F.col("b.blk_idx"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,93 @@
+"""Projections, filters, enrichment (reference P1-P8, F1-F9).
+
+All built-in column expressions — zero UDFs, everything stays inside
+whole-stage codegen and is Catalyst-prunable/pushable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import RAW_OUTPUT_COLUMNS
+
+#: The consumer's SQL projection (P1, ``StreamProcessor.scala:107-121``)
+#: as a SQL string over the registered view. Kept in SQL form on purpose:
+#: the reference's one "catalog" usage is this temp-view + spark.sql pair
+#: (X3/P1) and both APIs compile to the same Catalyst plan.
+TRIP_PROJECTION_SQL = """
+SELECT
+  batch_id,
+  VendorID,
+  tpep_pickup_datetime,
+  tpep_dropoff_datetime,
+  PULocationID,
+  DOLocationID,
+  passenger_count,
+  trip_distance,
+  fare_amount,
+  total_amount,
+  payment_type
+FROM taxi_trips
+"""
+
+
+def add_processing_metadata(df: DataFrame, batch_id: Column | str | int) -> DataFrame:
+    """P2, intent-correct form.
+
+    The reference freezes ``processing_time``/``batch_id`` at plan-build
+    time (``StreamProcessor.scala:33-39`` — the §1.3 quirk: every
+    micro-batch carries the same constants). The intended semantics is
+    per-micro-batch identity, so the rebuild takes the ``foreachBatch``
+    ``batchId`` (or any per-batch column) and a per-batch evaluated
+    ``current_timestamp()``.
+    """
+    batch_col = (
+        F.lit(str(batch_id)) if isinstance(batch_id, (str, int)) else batch_id
+    )
+    return df.withColumn("processing_time", F.current_timestamp()).withColumn(
+        "batch_id", batch_col.cast("string")
+    )
+
+
+def repair_null_timestamps(
+    df: DataFrame, cols: tuple[str, ...] = ("tpep_pickup_datetime", "tpep_dropoff_datetime")
+) -> DataFrame:
+    """P3 (``StreamProcessor.scala:95-101``): null event times fall back
+    to processing time. ``coalesce`` == the reference's when/isNull."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.current_timestamp()))
+    return out
+
+
+def select_trip_output(df: DataFrame) -> DataFrame:
+    """P1 applied directly to a DataFrame (no temp view needed)."""
+    return df.select(*RAW_OUTPUT_COLUMNS)
+
+
+def filter_range(df: DataFrame, col: str, lo, hi) -> DataFrame:
+    """P4/F5 (``ProducerOperations.scala:142``): inclusive range filter."""
+    return df.filter(F.col(col).between(lo, hi))
+
+
+def drop_columns(df: DataFrame, *cols: str) -> DataFrame:
+    """P5: drop transient columns."""
+    return df.drop(*cols)
+
+
+def rename_to(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """P6: column renames (pre-union key alignment)."""
+    return df.withColumnsRenamed(mapping)
+
+
+def tag(df: DataFrame, name: str, value: str) -> DataFrame:
+    """P7: literal tag column (``aggregation_type``)."""
+    return df.withColumn(name, F.lit(value))
+
+
+def project_existing(df: DataFrame, wanted: list[str]) -> DataFrame:
+    """P8 (``taxi_dashboard.py:143-152``): defensive projection — keep
+    only the desired columns that actually exist."""
+    present = [c for c in wanted if c in df.columns]
+    return df.select(*present)

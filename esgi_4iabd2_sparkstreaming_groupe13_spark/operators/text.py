@@ -1,0 +1,111 @@
+"""Text analysis for training-data pipelines (M4(f); cf. PAPERS.md
+Twitter-sentiment EDBT'16 for the lexicon-scoring pattern).
+
+Everything is built-in string/array expressions — per-row narrow work
+that scales embarrassingly (no shuffle, no UDF, stays in codegen).
+Scores are integer counts or single double divisions so results are
+bit-identical across engines (oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import token_array
+
+#: Tiny per-language stopword lexicons for the n-gram/stopword
+#: language-ID heuristic. Deliberately small and frozen: the driver's
+#: synthetic corpus is English-ish word soup; what matters is that the
+#:  classifier is deterministic and identically computable in SQL.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "que", "pour", "dans"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "que", "por", "en"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "zu", "mit", "von", "ist"],
+}
+
+#: BPE-ish tokenizer regex: word pieces, numbers, or single
+#: non-space symbols — a public-domain approximation of byte-pair
+#: pretokenization (split BEFORE merges). No backslash classes: the
+#: pattern is embedded in BOTH Spark SQL and DuckDB string literals,
+#: whose escaping rules differ ('\s' survives in DuckDB, becomes 's'
+#: in Spark SQL).
+BPE_TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r]"
+
+
+def stopword_hits(tokens: Column, words: list[str]) -> Column:
+    """How many tokens are in the lexicon (multiset count, integer)."""
+    lex = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(lex, t)))
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hits,
+    deterministic tie-break by language code; 'und' when nothing hits."""
+    toks = token_array(F.col(text_col))
+    out = df.select(F.col(id_col), toks.alias("_toks"))
+    for lang, words in LANG_STOPWORDS.items():
+        out = out.withColumn(f"score_{lang}", stopword_hits(F.col("_toks"), words))
+    langs = sorted(LANG_STOPWORDS)  # asc code order = tiebreak order
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred: Column = F.lit("und")
+    for lg in reversed(langs):  # earlier langs win ties → apply last
+        pred = F.when(
+            (best > 0) & (F.col(f"score_{lg}") == best), F.lit(lg)
+        ).otherwise(pred)
+    return out.select(
+        id_col, *[f"score_{lg}" for lg in langs], pred.alias("pred_lang")
+    )
+
+
+def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Document quality features: length, token counts, punctuation /
+    stopword / alpha ratios, mean token length — the classic cheap
+    quality filters for LLM corpus curation. All ratios are a single
+    int/int division in double → bit-stable."""
+    t = F.col(text_col)
+    toks = token_array(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_alpha = n_chars - F.length(F.regexp_replace(t, r"[A-Za-z]", ""))
+    # punct = chars that are neither alphanumeric nor space (portable)
+    n_punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9 ]", ""))
+    sw = stopword_hits(toks, LANG_STOPWORDS["en"])
+    token_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    nz = F.greatest(n_tokens, F.lit(1))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
+        F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(sw.cast("double") / nz, 6).alias("stopword_ratio"),
+        F.round(token_chars.cast("double") / nz, 6).alias("mean_token_len"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens per document."""
+    t = F.col(text_col)
+    ws = F.size(F.filter(F.split(t, r"\s+"), lambda x: F.length(x) > 0))
+    bpe = F.size(F.expr(f"regexp_extract_all({text_col}, '{BPE_TOKEN_REGEX}', 0)"))
+    return df.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Content fingerprint: md5 of the whitespace-normalized lowercase
+    text (stable under reformatting), plus a 64-hex SHA-2 for
+    collision-averse exact dedup keys at corpus scale."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("md5_fp"),
+        F.sha2(norm, 256).alias("sha256_fp"),
+    )

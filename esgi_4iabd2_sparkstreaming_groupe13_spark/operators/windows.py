@@ -1,0 +1,146 @@
+"""Window functions and batch slicing (reference W1) + event-time
+windows (M4(c) — the reference's declared-but-unbuilt T5/T6 surface).
+
+The reference's batch extractor is ``row_number().over(Window.orderBy
+("tpep_pickup_datetime"))`` re-run per batch (``ProducerOperations.
+scala:131-150``) — a no-partitionBy window that collapses to ONE
+partition (SURVEY §4 anti-pattern). Here:
+
+* ``row_number_slice`` keeps the parity shape for small/oracle use;
+* ``global_row_index`` is the scale path: range-repartition on the sort
+  key, per-partition ``row_number`` (window partitioned by
+  ``spark_partition_id`` — parallel), then add per-partition base
+  offsets computed from a tiny count-per-partition aggregate that is
+  broadcast back. Two narrow passes, no single-partition stage, works
+  unchanged on 10^11 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def row_number_slice(
+    df: DataFrame,
+    order_cols: list[str],
+    start: int,
+    batch_size: int,
+    index_col: str = "row_num",
+) -> DataFrame:
+    """W1+P4+P5 parity (``ProducerOperations.scala:138-143``): number
+    rows globally in ``order_cols`` order, keep (start, start+size],
+    drop the index. ``order_cols`` should be a total order (add key
+    tiebreakers) or the slice is nondeterministic."""
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return (
+        df.withColumn(index_col, F.row_number().over(w))
+        .filter(F.col(index_col).between(start + 1, start + batch_size))
+        .drop(index_col)
+    )
+
+
+def global_row_index(
+    df: DataFrame,
+    order_cols: list[str],
+    index_col: str = "row_idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scale-safe contiguous 1-based global index in ``order_cols``
+    order (replaces the reference's single-partition window).
+
+    Phase 1: range-repartition by the sort key → per-partition local
+    ``row_number`` (parallel; each window partition == one Spark
+    partition). Phase 2: per-partition counts (tiny: one row per
+    partition) → cumulative base offset → broadcast-joined back.
+    """
+    order = [F.col(c) for c in order_cols]
+    parted = df
+    if num_partitions:
+        parted = parted.repartitionByRange(num_partitions, *order)
+    else:
+        parted = parted.repartitionByRange(*order)
+    with_pid = parted.withColumn("_pid", F.spark_partition_id())
+
+    local_w = Window.partitionBy("_pid").orderBy(*order)
+    local = with_pid.withColumn("_local_rn", F.row_number().over(local_w))
+
+    # One row per partition — driver-size metadata, not data.
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn(
+            "_base",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_base")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(index_col, (F.col("_base") + F.col("_local_rn")).cast("long"))
+        .drop("_pid", "_local_rn", "_base")
+    )
+
+
+def topn_per_group(
+    df: DataFrame, group_col: str, order_col: str, n: int, rank_col: str = "rn"
+) -> DataFrame:
+    """Partitioned window top-N (the partitioned form the reference
+    lacks): rank within each group, keep the first ``n``. Catalyst ≥3.5
+    rewrites this to WindowGroupLimit — per-partition heap, no full
+    sort of each group."""
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n)
+    )
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    group_cols: list[str],
+    watermark: str | None = None,
+) -> DataFrame:
+    """M4(c): event-time tumbling window count (works on batch and
+    streaming frames; pass ``watermark`` on streams so state is
+    bounded/evictable)."""
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    return (
+        src.groupBy(F.window(F.col(ts_col), duration), *group_cols)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+        )
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    group_cols: list[str],
+    watermark: str | None = None,
+) -> DataFrame:
+    """M4(c): sliding event-time window aggregate."""
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    return (
+        src.groupBy(F.window(F.col(ts_col), duration, slide), *group_cols)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+        )
+    )

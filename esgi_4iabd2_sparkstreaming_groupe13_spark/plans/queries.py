@@ -1,0 +1,818 @@
+"""The declared query registry — the driver/bench/judge contract.
+
+Every operator family from SURVEY.md §2 (and the M4 extensions) is
+surfaced here as a named query: a Spark callable ``(spark, sf_dir) →
+DataFrame`` plus, where SQL-expressible, the equivalent DuckDB oracle
+SQL over the same parquet tables. Column names/aliases are identical on
+both sides (the driver's compare sorts columns by name and hashes
+values).
+
+Determinism rules applied throughout (why the oracles can hash-match):
+* monetary aggregates accumulate in DECIMAL (order-independent) and
+  surface as double;
+* every integer-valued computed column is cast to long on the Spark
+  side (DuckDB counts/lens are BIGINT);
+* all sketch hashing is md5-based (bit-identical in both engines —
+  functions/hashing.py);
+* top-k and slices always rank on a total order (explicit tiebreakers);
+* similarity scores are rounded to 6 dp BEFORE ranking.
+
+SURVEY §2 traceability: q_scan_project(S1/P1), q_filter_range(P4/F5),
+q_null_coalesce(P3/F3/F4), q_count_by_key(A1/A2), q_union_tagged
+(P6/P7/U1), q_row_number_slice(W1/P4/P5), q_orderby_ts(O1),
+q_topk_desc(O4), q_total_count(A3), q_json_extract(F8/F9),
+q_global_index(W1 scale-safe form). The rest are the M4 extension
+surface (joins, rollup, event-time windows, dedup/similarity/text).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    md5_int_sql,
+    minhash_sql_elems,
+    shingle_chars_sql,
+    token_array_sql,
+)
+from ..operators import (
+    aggregations as agg,
+    dedup,
+    joins,
+    ordering,
+    projections as proj,
+    sets,
+    similarity,
+    text,
+    windows,
+)
+from ..operators.dedup import SIMHASH_BITS
+from ..sources.batch import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → rows-only check
+    headline: bool = False  # included in bench.py
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------
+# Parity core (reference §2 operator checklist)
+# --------------------------------------------------------------------
+
+PROJ_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_shipdate",
+]
+
+
+def q_scan_project(spark, sf_dir):
+    """S1/P1: explicit-schema scan + column projection (pruned read)."""
+    return _t(spark, sf_dir, "lineitem").select(*PROJ_COLS)
+
+
+def q_filter_range(spark, sf_dir):
+    """P4/F5: inclusive range predicate, pushed to the parquet scan."""
+    return proj.filter_range(
+        _t(spark, sf_dir, "lineitem").select(*PROJ_COLS), "l_quantity", 10, 20
+    )
+
+
+def q_null_coalesce(spark, sf_dir):
+    """P3/F3/F4: null repair via coalesce (when/isNull equivalent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(
+            F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("repaired")
+        ).alias("flag_repaired"),
+    )
+
+
+def q_count_by_key(spark, sf_dir):
+    """A1/A2: hash-agg count by key (partial+final HashAggregate)."""
+    return agg.count_by_key(_t(spark, sf_dir, "lineitem"), "l_suppkey")
+
+
+def q_union_tagged(spark, sf_dir):
+    """P6+P7+U1: two tagged count aggregates unioned by name."""
+    li = _t(spark, sf_dir, "lineitem")
+    pickup = agg.count_by_key(li, "l_suppkey", tag_value="pickup_location")
+    dropoff = agg.count_by_key(li, "l_partkey", tag_value="dropoff_location")
+    return sets.union_tagged(
+        [
+            proj.rename_to(pickup, {"l_suppkey": "location_id"}),
+            proj.rename_to(dropoff, {"l_partkey": "location_id"}),
+        ]
+    )
+
+
+def q_row_number_slice(spark, sf_dir):
+    """W1+P4+P5: global row_number slice (parity shape; total order)."""
+    li = _t(spark, sf_dir, "lineitem").select(*PROJ_COLS, "l_linenumber")
+    return windows.row_number_slice(
+        li, ["l_shipdate", "l_orderkey", "l_linenumber"], start=1000, batch_size=100
+    )
+
+
+def q_orderby_ts(spark, sf_dir):
+    """O1: global event-time sort (range-partitioned sort at scale)."""
+    return ordering.order_by(
+        _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type"),
+        "ts",
+        "event_id",
+    )
+
+
+def q_topk_desc(spark, sf_dir):
+    """O4+limit: busiest-keys top-k → TakeOrderedAndProject."""
+    return ordering.busiest_keys(_t(spark, sf_dir, "lineitem"), "l_suppkey", 10)
+
+
+def q_total_count(spark, sf_dir):
+    """A3: full-table count as a relational result."""
+    return agg.total_count(_t(spark, sf_dir, "lineitem"))
+
+
+def q_json_extract(spark, sf_dir):
+    """F8/F9: JSON wire-format parse (props is an NDJSON-style payload)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k_val"),
+    )
+
+
+def q_global_index(spark, sf_dir):
+    """W1, scale-safe: two-pass contiguous global index == row_number."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    return windows.global_row_index(ev, ["ts", "event_id"]).select(
+        "event_id", "row_idx"
+    )
+
+
+# --------------------------------------------------------------------
+# M4(a): richer aggregates
+# --------------------------------------------------------------------
+
+
+def q_amount_stats(spark, sf_dir):
+    return agg.amount_stats(
+        _t(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
+def q_rollup(spark, sf_dir):
+    return agg.rollup_counts(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        "l_extendedprice",
+    )
+
+
+def q_pivot_status(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("o_count"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("f_count"),
+    )
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog++ sketch — engine-specific estimate, rows-only check."""
+    return agg.approx_distinct(_t(spark, sf_dir, "events"), "user_id")
+
+
+# --------------------------------------------------------------------
+# M4(b): joins
+# --------------------------------------------------------------------
+
+def revenue_expr():
+    """Exact decimal revenue term (lazy: Columns need a live session)."""
+    return (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
+    )
+
+
+REVENUE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(6,4))"
+)
+
+
+def q_join_fact_dim(spark, sf_dir):
+    """Broadcast fact×dim join + exact revenue aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    joined = joins.dim_join(
+        li, orders, li.l_orderkey == orders.o_orderkey
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(revenue_expr()).cast("double").alias("revenue"),
+    )
+
+
+def q_join_multiway(spark, sf_dir):
+    """Fact × two broadcast dims (supplier → nation) revenue rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    joined = joins.dim_join(
+        joins.dim_join(li, supp, li.l_suppkey == supp.s_suppkey),
+        nation,
+        F.col("s_nationkey") == nation.n_nationkey,
+    )
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n_items"),
+        F.sum(revenue_expr()).cast("double").alias("revenue"),
+    )
+
+
+def q_semi_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    big = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return joins.semi_join(
+        orders, big, orders.o_orderkey == big.l_orderkey
+    ).select("o_orderkey", "o_totalprice")
+
+
+def q_anti_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return joins.anti_join(
+        cust, orders, cust.c_custkey == orders.o_custkey
+    ).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------
+# Windows: partitioned top-N, event-time buckets
+# --------------------------------------------------------------------
+
+
+def q_topn_per_group(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    # total order inside each group → deterministic top-3
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def q_event_window(spark, sf_dir):
+    """Event-time tumbling hour bucket (batch form of T6 extension)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        agg.decimal_sum("value").alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------
+# M4(d): dedup family
+# --------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: representative min-id + multiplicity per key."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.min("event_id").alias("event_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return text.fingerprints(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+N_JACCARD_DOCS = 300  # bound the exact O(Σ df²) inverted-index join
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < N_JACCARD_DOCS)
+    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+
+
+def q_minhash_sig(spark, sf_dir):
+    """MinHash signature head (8 md5-affine permutations), flattened."""
+    sigs = dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n_hashes=8
+    )
+    return sigs.select(
+        "doc_id", *[F.col("signature")[i].alias(f"mh{i}") for i in range(8)]
+    )
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """LSH-banded near-dup pairs, exact-Jaccard-verified (t=0.9).
+
+    Oracle = exact all-pairs Jaccard ≥ t; they agree because banding
+    recall at j≥0.9 with 16×4 bands is 1 − (1−0.9⁴)¹⁶ ≈ 1 − 4e−8.
+    """
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.9
+    )
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash_fingerprints(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """Blocked SimHash near-dup pairs — exact for hamming ≤ 3 by the
+    4-block pigeonhole; oracle is the brute-force quadratic scan."""
+    return dedup.simhash_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+    )
+
+
+# --------------------------------------------------------------------
+# M4(e): similarity search
+# --------------------------------------------------------------------
+
+QUERY_VEC_IDS = [0, 1, 2, 3, 4]
+
+
+def q_cosine_topk(spark, sf_dir):
+    return similarity.brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=5
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_cosine_pairs(spark, sf_dir):
+    return similarity.cosine_threshold_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, max_ids=200
+    )
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-probed ANN top-k (approximate — rows-only check; the exact
+    tier q_cosine_topk is the oracle-checked baseline)."""
+    return similarity.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=5
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+# --------------------------------------------------------------------
+# M4(f): text analysis
+# --------------------------------------------------------------------
+
+
+def q_lang_id(spark, sf_dir):
+    out = text.lang_id(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    score_cols = [c for c in out.columns if c.startswith("score_")]
+    return out.select(
+        "doc_id", *[F.col(c).cast("long").alias(c) for c in score_cols], "pred_lang"
+    )
+
+
+def q_quality(spark, sf_dir):
+    out = text.quality_features(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return out.withColumn("n_chars", F.col("n_chars").cast("long"))
+
+
+def q_token_counts(spark, sf_dir):
+    return text.token_counts(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# --------------------------------------------------------------------
+# Streaming (batch-equivalence form — the streaming engine really runs)
+# --------------------------------------------------------------------
+
+
+def q_stream_batch_agg(spark, sf_dir):
+    """T1-T4/K2 end to end: replay events as NDJSON files, consume with
+    Structured Streaming (availableNow, maxFilesPerTrigger throttled),
+    aggregate per micro-batch via foreachBatch, then re-aggregate the
+    per-batch partials. Equals the one-shot batch groupBy — which is
+    exactly the DuckDB oracle.
+    """
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    workdir = tempfile.mkdtemp(prefix="stream_batch_agg_")
+    src = f"{workdir}/src"
+    sink = f"{workdir}/sink"
+    ckpt = f"{workdir}/ckpt"
+    # 4 NDJSON files → 4 micro-batches at maxFilesPerTrigger=1
+    ev.repartition(4).write.mode("overwrite").json(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            agg.count_by_key(batch_df, "event_type", count_name="n_events")
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    partials = spark.read.parquet(sink)
+    return partials.groupBy("event_type").agg(
+        F.sum("n_events").alias("n_events")
+    )
+
+
+# ====================================================================
+# DuckDB oracle SQL
+# ====================================================================
+
+_TOKS = token_array_sql("text")
+_SHINGLES = shingle_chars_sql("text")
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(text.LANG_STOPWORDS)
+    score_exprs = ",\n    ".join(
+        "len(list_filter({toks}, t -> list_contains([{lex}], t))) AS score_{lg}".format(
+            toks=_TOKS,
+            lex=", ".join(f"'{w}'" for w in text.LANG_STOPWORDS[lg]),
+            lg=lg,
+        )
+        for lg in langs
+    )
+    best = "greatest({})".format(", ".join(f"score_{lg}" for lg in langs))
+    cases = " ".join(
+        f"WHEN score_{lg} = best THEN '{lg}'" for lg in langs
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {score_exprs}
+  FROM documents
+), b AS (
+  SELECT *, {best} AS best FROM scored
+)
+SELECT doc_id, {", ".join(f"score_{lg}" for lg in langs)},
+       CASE WHEN best > 0 THEN (CASE {cases} END) ELSE 'und' END AS pred_lang
+FROM b
+"""
+
+
+def _simhash_terms_sql(hs: str = "hs", n: str = "n") -> str:
+    terms = []
+    for b in range(SIMHASH_BITS):
+        mask = 1 << b
+        terms.append(
+            f"(CASE WHEN 2 * len(list_filter({hs}, h -> (h & {mask}) != 0)) > {n} "
+            f"THEN CAST({mask} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    return " + ".join(terms)
+
+
+def _simhash_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_transform({_TOKS}, s -> {md5_int_sql('s')}) AS hs
+  FROM documents
+)
+SELECT doc_id, ({_simhash_terms_sql('hs', 'len(hs)')}) AS simhash FROM toks
+"""
+
+
+def _simhash_pairs_oracle(max_hamming: int = 3) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_transform({_TOKS}, s -> {md5_int_sql('s')}) AS hs
+  FROM documents
+), fp AS (
+  SELECT doc_id, ({_simhash_terms_sql('hs', 'len(hs)')}) AS simhash FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+def _jaccard_pairs_oracle(threshold: float, id_filter: str = "TRUE") -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_SHINGLES} AS shingles FROM documents WHERE {id_filter}
+), sh AS (
+  SELECT doc_id, unnest(shingles) AS s FROM d
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM d
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}
+"""
+
+
+def _minhash_sig_oracle() -> str:
+    elems = minhash_sql_elems("hs", 8)
+    cols = ",\n       ".join(f"{e} AS mh{i}" for i, e in enumerate(elems))
+    return f"""
+WITH d AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+h AS (SELECT doc_id, list_transform(shingles, s -> {md5_int_sql('s')}) AS hs FROM d)
+SELECT doc_id, {cols} FROM h
+"""
+
+
+_COS = (
+    "round(list_sum(list_transform(generate_series(1, len(qvec)), "
+    "i -> qvec[i]::DOUBLE * cvec[i]::DOUBLE)) / "
+    "(sqrt(list_sum(list_transform(generate_series(1, len(qvec)), "
+    "i -> qvec[i]::DOUBLE * qvec[i]::DOUBLE))) * "
+    "sqrt(list_sum(list_transform(generate_series(1, len(cvec)), "
+    "i -> cvec[i]::DOUBLE * cvec[i]::DOUBLE)))), 6)"
+)
+
+
+def _cosine_topk_oracle(k: int = 5) -> str:
+    ids = ", ".join(str(i) for i in QUERY_VEC_IDS)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id IN ({ids})
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {_COS.replace('cvec', 'e.embedding')} AS cosine
+  FROM q, embeddings e
+  WHERE e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+def _cosine_pairs_oracle(threshold: float, max_ids: int) -> str:
+    cos = _COS.replace("qvec", "a.embedding").replace("cvec", "b.embedding")
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {max_ids})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+"""
+
+
+ORACLES: dict[str, str] = {
+    "q_scan_project": f"SELECT {', '.join(PROJ_COLS)} FROM lineitem",
+    "q_filter_range": (
+        f"SELECT {', '.join(PROJ_COLS)} FROM lineitem "
+        "WHERE l_quantity BETWEEN 10 AND 20"
+    ),
+    "q_null_coalesce": (
+        "SELECT l_orderkey, l_linenumber, "
+        "coalesce(nullif(l_returnflag, 'N'), 'repaired') AS flag_repaired "
+        "FROM lineitem"
+    ),
+    "q_count_by_key": (
+        "SELECT l_suppkey, count(*) AS trip_count FROM lineitem GROUP BY 1"
+    ),
+    "q_union_tagged": """
+SELECT l_suppkey AS location_id, count(*) AS trip_count,
+       'pickup_location' AS aggregation_type
+FROM lineitem GROUP BY 1
+UNION ALL
+SELECT l_partkey AS location_id, count(*) AS trip_count,
+       'dropoff_location' AS aggregation_type
+FROM lineitem GROUP BY 1
+""",
+    "q_row_number_slice": f"""
+SELECT {', '.join(PROJ_COLS)}, l_linenumber FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+) WHERE rn BETWEEN 1001 AND 1100
+""",
+    "q_orderby_ts": (
+        "SELECT event_id, ts, user_id, event_type FROM events "
+        "ORDER BY ts, event_id"
+    ),
+    "q_topk_desc": """
+SELECT l_suppkey, count(*) AS trip_count FROM lineitem
+GROUP BY 1 ORDER BY trip_count DESC, l_suppkey ASC LIMIT 10
+""",
+    "q_total_count": "SELECT count(*) AS n_rows FROM lineitem",
+    "q_json_extract": (
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) "
+        "AS k_val FROM events"
+    ),
+    "q_global_index": """
+SELECT event_id, CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT)
+       AS row_idx
+FROM events
+""",
+    "q_amount_stats": """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(l_extendedprice) AS avg_amount,
+       MIN(l_extendedprice) AS min_amount,
+       MAX(l_extendedprice) AS max_amount
+FROM lineitem GROUP BY 1
+""",
+    "q_rollup": """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "q_pivot_status": """
+SELECT l_returnflag,
+       CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS o_count,
+       CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS f_count
+FROM lineitem GROUP BY 1
+""",
+    "q_join_fact_dim": f"""
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+""",
+    "q_join_multiway": f"""
+SELECT n_name, count(*) AS n_items,
+       CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1
+""",
+    "q_semi_join": """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+""",
+    "q_anti_join": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    "q_topn_per_group": """
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+       CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+) WHERE rn <= 3
+""",
+    "q_event_window": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    "q_dedup_exact": """
+SELECT user_id, event_type, min(event_id) AS event_id,
+       count(*) AS n_copies
+FROM events GROUP BY 1, 2
+""",
+    "q_fingerprint": """
+SELECT doc_id,
+       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS md5_fp,
+       sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS sha256_fp
+FROM documents
+""",
+    "q_ngram_jaccard": _jaccard_pairs_oracle(0.8, f"doc_id < {N_JACCARD_DOCS}"),
+    "q_minhash_sig": _minhash_sig_oracle(),
+    "q_minhash_lsh": _jaccard_pairs_oracle(0.9),
+    "q_simhash": _simhash_oracle(),
+    "q_simhash_pairs": _simhash_pairs_oracle(3),
+    "q_cosine_topk": _cosine_topk_oracle(5),
+    "q_cosine_pairs": _cosine_pairs_oracle(0.35, 200),
+    "q_lang_id": _lang_id_oracle(),
+    "q_quality": f"""
+SELECT doc_id,
+       CAST(len(text) AS BIGINT) AS n_chars,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       round(CAST(len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g'))
+             AS DOUBLE) / greatest(len(text), 1), 6) AS alpha_ratio,
+       round(CAST(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+             AS DOUBLE) / greatest(len(text), 1), 6) AS punct_ratio,
+       round(CAST(len(list_filter({_TOKS},
+             t -> list_contains([{', '.join(f"'{w}'" for w in text.LANG_STOPWORDS['en'])}], t)))
+             AS DOUBLE) / greatest(len({_TOKS}), 1), 6) AS stopword_ratio,
+       round(CAST(coalesce(list_sum(list_transform({_TOKS}, t -> len(t))), 0)
+             AS DOUBLE) / greatest(len({_TOKS}), 1), 6) AS mean_token_len
+FROM documents
+""",
+    "q_token_counts": f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'),
+            x -> len(x) > 0)) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{text.BPE_TOKEN_REGEX}')) AS BIGINT)
+            AS bpe_tokens
+FROM documents
+""",
+    "q_stream_batch_agg": (
+        "SELECT event_type, count(*) AS n_events FROM events GROUP BY 1"
+    ),
+}
+
+
+QUERIES: list[QuerySpec] = [
+    QuerySpec("q_scan_project", q_scan_project, ORACLES["q_scan_project"]),
+    QuerySpec("q_filter_range", q_filter_range, ORACLES["q_filter_range"], True),
+    QuerySpec("q_null_coalesce", q_null_coalesce, ORACLES["q_null_coalesce"]),
+    QuerySpec("q_count_by_key", q_count_by_key, ORACLES["q_count_by_key"], True),
+    QuerySpec("q_union_tagged", q_union_tagged, ORACLES["q_union_tagged"], True),
+    QuerySpec(
+        "q_row_number_slice", q_row_number_slice, ORACLES["q_row_number_slice"]
+    ),
+    QuerySpec("q_orderby_ts", q_orderby_ts, ORACLES["q_orderby_ts"]),
+    QuerySpec("q_topk_desc", q_topk_desc, ORACLES["q_topk_desc"], True),
+    QuerySpec("q_total_count", q_total_count, ORACLES["q_total_count"]),
+    QuerySpec("q_json_extract", q_json_extract, ORACLES["q_json_extract"]),
+    QuerySpec("q_global_index", q_global_index, ORACLES["q_global_index"], True),
+    QuerySpec("q_amount_stats", q_amount_stats, ORACLES["q_amount_stats"], True),
+    QuerySpec("q_rollup", q_rollup, ORACLES["q_rollup"], True),
+    QuerySpec("q_pivot_status", q_pivot_status, ORACLES["q_pivot_status"]),
+    QuerySpec("q_hll_distinct", q_hll_distinct, None),
+    QuerySpec("q_join_fact_dim", q_join_fact_dim, ORACLES["q_join_fact_dim"], True),
+    QuerySpec("q_join_multiway", q_join_multiway, ORACLES["q_join_multiway"], True),
+    QuerySpec("q_semi_join", q_semi_join, ORACLES["q_semi_join"]),
+    QuerySpec("q_anti_join", q_anti_join, ORACLES["q_anti_join"]),
+    QuerySpec(
+        "q_topn_per_group", q_topn_per_group, ORACLES["q_topn_per_group"], True
+    ),
+    QuerySpec("q_event_window", q_event_window, ORACLES["q_event_window"], True),
+    QuerySpec("q_dedup_exact", q_dedup_exact, ORACLES["q_dedup_exact"]),
+    QuerySpec("q_fingerprint", q_fingerprint, ORACLES["q_fingerprint"]),
+    QuerySpec("q_ngram_jaccard", q_ngram_jaccard, ORACLES["q_ngram_jaccard"]),
+    QuerySpec("q_minhash_sig", q_minhash_sig, ORACLES["q_minhash_sig"]),
+    QuerySpec("q_minhash_lsh", q_minhash_lsh, ORACLES["q_minhash_lsh"], True),
+    QuerySpec("q_simhash", q_simhash, ORACLES["q_simhash"], True),
+    QuerySpec("q_simhash_pairs", q_simhash_pairs, ORACLES["q_simhash_pairs"]),
+    QuerySpec("q_cosine_topk", q_cosine_topk, ORACLES["q_cosine_topk"], True),
+    QuerySpec("q_cosine_pairs", q_cosine_pairs, ORACLES["q_cosine_pairs"]),
+    QuerySpec("q_ann_ivf", q_ann_ivf, None),
+    QuerySpec("q_lang_id", q_lang_id, ORACLES["q_lang_id"], True),
+    QuerySpec("q_quality", q_quality, ORACLES["q_quality"]),
+    QuerySpec("q_token_counts", q_token_counts, ORACLES["q_token_counts"], True),
+    QuerySpec(
+        "q_stream_batch_agg", q_stream_batch_agg, ORACLES["q_stream_batch_agg"]
+    ),
+]
+
+HEADLINE_QUERIES = [q.name for q in QUERIES if q.headline]
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {q.name: q.fn for q in QUERIES}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {q.name: q.oracle for q in QUERIES if q.oracle is not None}

@@ -1,0 +1,67 @@
+"""Batch sources.
+
+S1 — trip CSV scan with the reference's exact reader contract
+(``ProducerOperations.scala:75-85``): explicit schema (no inference),
+PERMISSIVE parse (malformed → nulls, never failures), empty string as
+NULL, ``yyyy-MM-dd HH:mm:ss`` timestamps.
+
+S3 / testdata — parquet scans. At 100 TB the parquet reader is the
+workhorse: explicit-schema'd, filter-pushdown and column-pruning
+friendly; callers must select/filter on the returned DataFrame so
+Catalyst prunes the scan (verified in tests via the physical plan's
+ReadSchema/PushedFilters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TESTDATA_TABLES, TRIP_SCHEMA
+
+#: Parquet TIMESTAMP(NANOS) columns (Spark reads them as long nanos via
+#: ``spark.sql.legacy.parquet.nanosAsLong``); converted to µs
+#: timestamps by truncation — bit-identical to DuckDB's ns→µs read.
+TS_NANO_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def load_trip_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S1: load a trip CSV exactly as the reference producer does."""
+    return (
+        spark.read.options(
+            header=True,
+            sep=",",
+            quote='"',
+            escape='"',
+            mode="PERMISSIVE",
+            nullValue="",
+            dateFormat="yyyy-MM-dd",
+            timestampFormat="yyyy-MM-dd HH:mm:ss",
+        )
+        .schema(TRIP_SCHEMA)
+        .csv(path)
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md) as a DataFrame."""
+    if name in TS_NANO_COLUMNS:
+        # runtime-settable; needed when the caller's session didn't go
+        # through our factory (e.g. the driver's own SparkSession)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in TS_NANO_COLUMNS.get(name, []):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every testdata table; also registers each as a temp view so
+    SQL-form operators can reference them by name."""
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

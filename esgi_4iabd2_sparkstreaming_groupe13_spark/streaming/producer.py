@@ -1,0 +1,111 @@
+"""Replay producer — Spark-native rebuild of the reference's batch
+emitter (``MainProducer.scala:77-124`` + ``FileSender.scala:75-140``).
+
+The reference collects every batch to the driver and writes rows with
+a PrintWriter, re-running a single-partition global ``row_number``
+window per batch — O(n·batches) work, driver-memory bound (SURVEY §4
+anti-patterns). The rebuild:
+
+1. sorts ONCE by event time (O1) and assigns each row a batch number
+   with the scale-safe two-pass global index (windows.global_row_index
+   — range partition + local row_number + broadcast offsets; no
+   single-partition stage);
+2. writes ALL batches in ONE executor-side job, partitioned by
+   ``batch_no`` (`partitionBy` → one directory per batch, written in
+   parallel);
+3. paces the *visibility* of batches, not their computation: files are
+   moved into the consumer's watched directory on the emission
+   schedule. Moving a file is O(1) metadata work — the driver never
+   touches row data.
+
+At demo scale each batch is additionally coalesced to one file to
+match the reference's one-file-per-batch NDJSON contract
+(``taxi-batch-batch{N}-{ts}.json``, ``FileSender.scala:117-119``).
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.windows import global_row_index
+
+
+def stage_batches(
+    df: DataFrame,
+    stage_dir: str,
+    batch_size: int,
+    order_cols: list[str] | None = None,
+) -> int:
+    """Phase 1+2: batch assignment + one parallel partitioned write.
+    Returns the number of batches staged."""
+    order_cols = order_cols or ["tpep_pickup_datetime"]
+    indexed = global_row_index(df, order_cols, index_col="_idx")
+    batched = indexed.withColumn(
+        "batch_no", ((F.col("_idx") - 1) / batch_size).cast("long")
+    ).drop("_idx")
+    # Demo-scale contract: one NDJSON file per batch → coalesce within
+    # each partition dir. At real scale drop the repartition and let
+    # each batch be many files.
+    (
+        batched.repartition("batch_no")
+        .write.mode("overwrite")
+        .partitionBy("batch_no")
+        .json(stage_dir)
+    )
+    n = batched.select(F.max("batch_no")).first()[0]
+    return int(n) + 1 if n is not None else 0
+
+
+def publish_batches(
+    stage_dir: str,
+    output_dir: str,
+    interval_seconds: float = 0.0,
+    file_prefix: str = "taxi-batch",
+    max_batches: int | None = None,
+) -> list[str]:
+    """Phase 3: move staged batch files into the consumer's watched
+    directory on the pacing schedule (driver-side metadata ops only).
+    Returns the published file paths in emission order."""
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    published: list[str] = []
+    batch_dirs = sorted(
+        Path(stage_dir).glob("batch_no=*"),
+        key=lambda p: int(p.name.split("=")[1]),
+    )
+    if max_batches is not None:
+        batch_dirs = batch_dirs[:max_batches]
+    for bdir in batch_dirs:
+        n = int(bdir.name.split("=")[1])
+        stamp = time.strftime("%Y%m%d_%H%M%S")
+        parts = sorted(bdir.glob("part-*.json")) or sorted(bdir.glob("part-*"))
+        for i, part in enumerate(parts):
+            suffix = f"-{i}" if len(parts) > 1 else ""
+            dest = out / f"{file_prefix}-batch{n}{suffix}-{stamp}.json"
+            shutil.copy2(part, dest)
+            published.append(str(dest))
+        if interval_seconds > 0:
+            time.sleep(interval_seconds)
+    return published
+
+
+def replay_to_ndjson(
+    df: DataFrame,
+    stage_dir: str,
+    output_dir: str,
+    batch_size: int = 10,
+    interval_seconds: float = 0.0,
+    order_cols: list[str] | None = None,
+    max_batches: int | None = None,
+) -> list[str]:
+    """End-to-end replay: stage once, publish paced. The streaming
+    consumer (processor.start_consumer) tails ``output_dir``."""
+    stage_batches(df, stage_dir, batch_size, order_cols)
+    return publish_batches(
+        stage_dir, output_dir, interval_seconds, max_batches=max_batches
+    )

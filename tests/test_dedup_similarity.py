@@ -1,0 +1,114 @@
+"""Dedup + similarity operator tests: planted near-duplicates must be
+found; LSH candidates must verify exactly; ANN recall sanity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import dedup, similarity
+from esgi_4iabd2_sparkstreaming_groupe13_spark.sources.batch import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest to hide from all the hunters"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("quick", "swift")),  # near dup of 0
+        (3, "completely different content about spark query engines"),
+        (4, "another unrelated short text with its own words entirely"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    out = dedup.dedup_exact(docs, ["text"], "doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 0 in ids and 1 not in ids
+    assert out.count() == 4
+
+
+def test_ngram_jaccard_finds_planted_pairs(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got  # exact dup → jaccard 1.0
+    assert (0, 2) in got and (1, 2) in got  # near dup
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_minhash_lsh_matches_exact_pairs(docs):
+    lsh = dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8)
+    exact = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+    lsh_pairs = {(r["id_a"], r["id_b"], r["jaccard"]) for r in lsh.collect()}
+    exact_pairs = {(r["id_a"], r["id_b"], r["jaccard"]) for r in exact.collect()}
+    assert lsh_pairs == exact_pairs  # full recall on planted dups
+
+
+def test_simhash_identical_for_dup_and_close_for_neardup(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in
+          dedup.simhash_fingerprints(docs, "text", "doc_id").collect()}
+    assert fp[0] == fp[1]
+    ham_near = bin(fp[0] ^ fp[2]).count("1")
+    ham_far = bin(fp[0] ^ fp[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_simhash_pairs_blocked_equals_bruteforce(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    blocked = dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+    fps = dedup.simhash_fingerprints(docs, "text", "doc_id")
+    a = fps.selectExpr("doc_id AS id_a", "simhash AS fa")
+    b = fps.selectExpr("doc_id AS id_b", "simhash AS fb")
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+    assert {tuple(r) for r in blocked.collect()} == {
+        tuple(r) for r in brute.collect()
+    }
+
+
+def test_brute_force_topk_self_excluded_and_ranked(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(emb, [0, 1], k=3).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        cosines = [r["cosine"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.brute_force_topk(emb, [0, 1, 2], k=5)
+    approx = similarity.ivf_topk(emb, [0, 1, 2], k=5, centroid_stride=25, nprobe=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4  # ANN trade: probing 8/20 cells on random data
+
+
+def test_cosine_expr_unit_norm(spark):
+    df = spark.createDataFrame([(1,)], ["id"]).select(
+        F.array(F.lit(1.0), F.lit(0.0)).alias("a"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("b"),
+        F.array(F.lit(0.0), F.lit(1.0)).alias("c"),
+    )
+    row = df.select(
+        similarity.cosine_expr(F.col("a"), F.col("b")).alias("same"),
+        similarity.cosine_expr(F.col("a"), F.col("c")).alias("orth"),
+    ).collect()[0]
+    assert row["same"] == 1.0
+    assert row["orth"] == 0.0

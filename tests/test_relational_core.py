@@ -1,0 +1,143 @@
+"""Unit tests for the parity relational core (SURVEY §2 operator IDs),
+on tiny in-memory frames + the testdata tables."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import (
+    aggregations as agg,
+    ordering,
+    projections as proj,
+    sets,
+    windows,
+)
+from esgi_4iabd2_sparkstreaming_groupe13_spark.schemas import TRIP_SCHEMA
+from esgi_4iabd2_sparkstreaming_groupe13_spark.sources.batch import load_table
+
+
+@pytest.fixture(scope="module")
+def trips(spark):
+    rows = []
+    for i in range(20):
+        rows.append(
+            Row(
+                VendorID=1 + i % 2,
+                tpep_pickup_datetime=(
+                    None if i % 7 == 3 else datetime(2024, 1, 1, 8, i)
+                ),
+                tpep_dropoff_datetime=datetime(2024, 1, 1, 9, i),
+                passenger_count=float(1 + i % 3),
+                trip_distance=1.5 * i,
+                RatecodeID=1.0,
+                store_and_fwd_flag="N",
+                PULocationID=100 + i % 3,
+                DOLocationID=200 + i % 2,
+                payment_type=1,
+                fare_amount=10.0 + i,
+                extra=0.5,
+                mta_tax=0.5,
+                tip_amount=2.0,
+                tolls_amount=0.0,
+                improvement_surcharge=1.0,
+                total_amount=14.0 + i,
+                congestion_surcharge=2.5,
+                Airport_fee=0.0,
+            )
+        )
+    return spark.createDataFrame(rows, TRIP_SCHEMA)
+
+
+def test_trip_schema_shape(trips):
+    assert len(trips.schema.fields) == 19
+    assert trips.schema.fields[-1].name == "Airport_fee"
+
+
+def test_p3_null_repair(trips):
+    repaired = proj.repair_null_timestamps(trips)
+    assert (
+        repaired.filter(F.col("tpep_pickup_datetime").isNull()).count() == 0
+    )
+    # untouched rows keep their original value
+    kept = repaired.filter(F.col("tpep_pickup_datetime") < datetime(2025, 1, 1))
+    assert kept.count() >= 17
+
+
+def test_p2_metadata_and_p1_projection(spark, trips):
+    enriched = proj.repair_null_timestamps(
+        proj.add_processing_metadata(trips, 7)
+    )
+    enriched.createOrReplaceTempView("taxi_trips")
+    out = spark.sql(proj.TRIP_PROJECTION_SQL)
+    assert out.columns[0] == "batch_id"
+    assert len(out.columns) == 11
+    assert out.select("batch_id").distinct().collect()[0][0] == "7"
+
+
+def test_a1_count_by_key_sums_to_input(trips):
+    counted = agg.count_by_key(trips, "PULocationID", tag_value="pickup_location")
+    total = counted.agg(F.sum("trip_count")).collect()[0][0]
+    assert total == trips.count()
+    tags = counted.select("aggregation_type").distinct().collect()
+    assert [t[0] for t in tags] == ["pickup_location"]
+
+
+def test_u1_union_tagged_schema_stable(trips):
+    p = agg.count_by_key(trips, "PULocationID", tag_value="pickup_location")
+    d = agg.count_by_key(trips, "DOLocationID", tag_value="dropoff_location")
+    u = sets.union_tagged(
+        [
+            p.withColumnRenamed("PULocationID", "location_id"),
+            d.withColumnRenamed("DOLocationID", "location_id"),
+        ]
+    )
+    assert set(u.columns) == {"location_id", "trip_count", "aggregation_type"}
+    assert u.count() == p.count() + d.count()
+
+
+def test_w1_row_number_slice(trips):
+    s = windows.row_number_slice(
+        trips, ["tpep_dropoff_datetime"], start=5, batch_size=5
+    )
+    assert s.count() == 5
+    assert "row_num" not in s.columns
+
+
+def test_global_row_index_matches_window(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    fast = windows.global_row_index(ev, ["ts", "event_id"])
+    from pyspark.sql import Window
+
+    slow = ev.withColumn(
+        "row_idx_ref",
+        F.row_number().over(Window.orderBy("ts", "event_id")).cast("long"),
+    )
+    joined = fast.join(slow, ["event_id", "ts"])
+    assert joined.filter(F.col("row_idx") != F.col("row_idx_ref")).count() == 0
+
+
+def test_o4_topk_deterministic(trips):
+    top = ordering.busiest_keys(trips, "PULocationID", 2).collect()
+    assert len(top) == 2
+    assert top[0]["trip_count"] >= top[1]["trip_count"]
+
+
+def test_decimal_sum_exactness(spark):
+    # 0.1 + 0.2 style accumulation: decimal path must be exact
+    df = spark.createDataFrame([(0.1,)] * 1000, ["x"])
+    out = df.agg(agg.decimal_sum("x").alias("s")).collect()[0]["s"]
+    assert out == 100.0
+
+
+def test_rollup_has_grand_total(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    r = agg.rollup_counts(li, ["l_returnflag", "l_linestatus"], "l_extendedprice")
+    grand = r.filter(
+        F.col("l_returnflag").isNull() & F.col("l_linestatus").isNull()
+    ).collect()
+    assert len(grand) == 1
+    assert grand[0]["n_rows"] == li.count()

@@ -1,0 +1,93 @@
+"""Text-analysis + multimodal-plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import multimodal, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat and the dog sat in the house for a while"),
+        (1, "le chat et le chien dans la maison pour un moment"),
+        (2, "el gato y el perro en la casa por un momento"),
+        (3, "der Hund und die Katze in dem Haus mit der Zeit"),
+        (4, "xyzzy plugh 12345 !!!"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_lang_id_classifies_stopworded_text(docs):
+    out = {r["doc_id"]: r["pred_lang"] for r in
+           text.lang_id(docs, "text", "doc_id").collect()}
+    assert out[0] == "en"
+    assert out[1] == "fr"
+    assert out[3] == "de"
+    assert out[4] == "und"
+
+
+def test_quality_features_ranges(docs):
+    for r in text.quality_features(docs, "text", "doc_id").collect():
+        assert r["n_chars"] > 0
+        assert 0.0 <= r["alpha_ratio"] <= 1.0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+        assert r["mean_token_len"] > 0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(0, "hello world, it's 42 degrees!")], ["doc_id", "text"])
+    r = text.token_counts(df, "text", "doc_id").collect()[0]
+    assert r["ws_tokens"] == 5
+    # hello | world | , | it | ' | s | 42 | degrees | !
+    assert r["bpe_tokens"] == 9
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, "different")],
+        ["doc_id", "text"],
+    )
+    fps = {r["doc_id"]: r["md5_fp"] for r in
+           text.fingerprints(df, "text", "doc_id").collect()}
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_media_feature_extraction_shape(spark):
+    media = multimodal.synth_media(spark, n=12)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-6
+        assert r["n_bytes"] > 0
+
+
+def test_media_real_decode_is_stubbed(spark):
+    media = multimodal.synth_media(spark, n=2)
+    with pytest.raises(Exception):  # NotImplementedError inside executor
+        multimodal.extract_features(media, real_decode=True).collect()
+
+
+def test_frame_sampling_plan(spark):
+    media = multimodal.synth_media(spark, n=9)
+    frames = multimodal.sample_frames(media, every_ms=1000)
+    pdf = frames.toPandas()
+    assert (pdf.groupby("media_id").size() > 0).all()
+    # video ids are 2, 5, 8 (id % 3 == 2 → kind 'video')
+    assert set(pdf["media_id"].unique()) == {2, 5, 8}
+
+
+def test_queries_registry_complete():
+    """Every declared query has a callable; oracle coverage is high."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.plans.queries import QUERIES
+
+    names = [q.name for q in QUERIES]
+    assert len(names) == len(set(names))
+    with_oracle = [q for q in QUERIES if q.oracle is not None]
+    assert len(with_oracle) >= 30
