@@ -22,7 +22,10 @@ from esgi_4iabd2_sparkstreaming_groupe13_spark.session import get_spark
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="bench")
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
 
     # Warm the JVM/session so the first measured query doesn't pay
     # session startup (~seconds) that has nothing to do with the plan.

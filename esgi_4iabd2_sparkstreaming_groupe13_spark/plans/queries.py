@@ -471,7 +471,7 @@ def q_stream_batch_agg(spark, sf_dir):
 # ====================================================================
 
 _TOKS = token_array_sql("text")
-_SHINGLES = shingle_chars_sql("text")
+_SHINGLES = shingle_chars_sql("text", n=dedup.DEFAULT_SHINGLE_N)
 
 
 def _lang_id_oracle() -> str:
