@@ -287,6 +287,19 @@ def q_topn_per_group(spark, sf_dir):
     )
 
 
+SESSION_GAP_S = 6 * 3600
+
+
+def q_sessionize(spark, sf_dir):
+    """T7 extension, batch-equivalence form: gaps-and-islands user
+    sessionization — the oracle the streaming applyInPandasWithState
+    operator (streaming/stateful.py) is tested against."""
+    from ..streaming.stateful import sessionize_batch_oracle
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_batch_oracle(ev, gap_seconds=SESSION_GAP_S)
+
+
 def q_event_window(spark, sf_dir):
     """Event-time tumbling hour bucket (batch form of T6 extension)."""
     ev = _t(spark, sf_dir, "events")
@@ -296,6 +309,51 @@ def q_event_window(spark, sf_dir):
     ).agg(
         F.count("*").alias("n_events"),
         agg.decimal_sum("value").alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------
+# Scalar-function breadth (F6/F7 timestamp formatting + string/case
+# surface beyond the reference's minimal set)
+# --------------------------------------------------------------------
+
+
+def q_date_parts(spark, sf_dir):
+    """F7: event-time decomposition + string formatting."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_ym"),
+    )
+
+
+def q_string_funcs(spark, sf_dir):
+    """String surface: case, substring, concat, pad, trim, length."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.length("c_name").cast("long").alias("name_len"),
+    )
+
+
+def q_case_buckets(spark, sf_dir):
+    """F3 generalized: CASE bucketing + per-bucket aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = (
+        F.when(F.col("l_quantity") < 10, F.lit("low"))
+        .when(F.col("l_quantity") < 30, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    return li.groupBy(bucket.alias("qty_bucket")).agg(
+        F.count("*").alias("n_rows"),
+        agg.decimal_sum("l_extendedprice").alias("sum_price"),
     )
 
 
@@ -709,11 +767,59 @@ FROM (
   FROM lineitem
 ) WHERE rn <= 3
 """,
+    "q_sessionize": f"""
+WITH lagged AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_S * 1_000_000}
+              THEN 1 ELSE 0 END AS new_session
+  FROM lagged
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+         AS BIGINT) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY 1, 2
+""",
     "q_event_window": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+    "q_date_parts": """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+       CAST(day(o_orderdate) AS BIGINT) AS o_day,
+       strftime(o_orderdate, '%Y-%m') AS o_ym
+FROM orders
+""",
+    "q_string_funcs": """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       substr(c_name, 1, 8) AS name_prefix,
+       concat_ws('|', c_mktsegment, c_name) AS seg_name,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+       CAST(len(c_name) AS BIGINT) AS name_len
+FROM customer
+""",
+    "q_case_buckets": """
+SELECT CASE WHEN l_quantity < 10 THEN 'low'
+            WHEN l_quantity < 30 THEN 'mid'
+            ELSE 'high' END AS qty_bucket,
+       count(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem GROUP BY 1
 """,
     "q_dedup_exact": """
 SELECT user_id, event_type, min(event_id) AS event_id,
@@ -788,7 +894,11 @@ QUERIES: list[QuerySpec] = [
     QuerySpec(
         "q_topn_per_group", q_topn_per_group, ORACLES["q_topn_per_group"], True
     ),
+    QuerySpec("q_sessionize", q_sessionize, ORACLES["q_sessionize"], True),
     QuerySpec("q_event_window", q_event_window, ORACLES["q_event_window"], True),
+    QuerySpec("q_date_parts", q_date_parts, ORACLES["q_date_parts"]),
+    QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
+    QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),
     QuerySpec("q_dedup_exact", q_dedup_exact, ORACLES["q_dedup_exact"]),
     QuerySpec("q_fingerprint", q_fingerprint, ORACLES["q_fingerprint"]),
     QuerySpec("q_ngram_jaccard", q_ngram_jaccard, ORACLES["q_ngram_jaccard"]),

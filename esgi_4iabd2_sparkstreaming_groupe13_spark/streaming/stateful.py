@@ -1,0 +1,182 @@
+"""Custom stateful streaming operators (T7 upgrade — the reference has
+no cross-batch state; SURVEY §2.9 T7).
+
+``sessionize`` implements user sessionization — the canonical custom
+stateful operator Spark's built-ins don't directly express — with
+``applyInPandasWithState``. Design: the operator BUFFERS each user's
+event times in state and only emits a session once the event-time
+watermark has passed ``session_end + gap`` — the session can no longer
+change. This makes the operator correct under bounded disorder
+(events may arrive out of order across micro-batches up to the
+watermark delay), which a naive carry-forward-last-timestamp design
+is not.
+
+Scale notes: state is partitioned by the groupBy key (user_id) in the
+state store — executors shard it linearly. Per-user state is bounded
+by (watermark delay + gap) worth of events, evicted on emission. Arrow
+batches keep the Python-side work vectorized; a processing-time
+timeout flushes abandoned buffers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_start", T.TimestampType(), True),
+        T.StructField("session_end", T.TimestampType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("final", T.BooleanType(), True),
+    ]
+)
+
+#: buffered event times (µs since epoch), bounded by watermark + gap
+STATE_SCHEMA = "buf array<bigint>"
+
+
+def _split_sessions(buf: list[int], gap_us: int) -> list[tuple[int, int, int]]:
+    """Gaps-and-islands over a sorted timestamp list →
+    (start, end, n) per session."""
+    sessions = []
+    start = prev = buf[0]
+    n = 0
+    for t in buf:
+        if t - prev > gap_us:
+            sessions.append((start, prev, n))
+            start, n = t, 0
+        prev = t
+        n += 1
+    sessions.append((start, prev, n))
+    return sessions
+
+
+def _emit(user_id: int, rows: list[tuple[int, int, int]], final: bool) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id] * len(rows),
+            "session_start": [pd.Timestamp(r[0], unit="us") for r in rows],
+            "session_end": [pd.Timestamp(r[1], unit="us") for r in rows],
+            "n_events": [r[2] for r in rows],
+            "final": [final] * len(rows),
+        }
+    )
+
+
+def _sessionize_fn(gap_seconds: int, flush_timeout_ms: int):
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(
+        key: tuple,
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+
+        if state.hasTimedOut:
+            # stream went quiet: flush whatever is buffered (best
+            # effort — marked final=False since wm never confirmed it)
+            (buf,) = state.get
+            state.remove()
+            if buf:
+                yield _emit(user_id, _split_sessions(sorted(buf), gap_us), False)
+            return
+
+        buf: list[int] = list(state.get[0]) if state.exists else []
+        for pdf in batches:
+            buf.extend(
+                int(v.value // 1000) for v in pd.to_datetime(pdf["ts"])
+            )
+        if not buf:
+            return
+        buf.sort()
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        sessions = _split_sessions(buf, gap_us)
+        # a session is immutable once no future event can extend or
+        # merge it: watermark has passed its end by more than the gap
+        closed = [s for s in sessions if s[1] + gap_us < wm_us]
+        open_ = [s for s in sessions if s[1] + gap_us >= wm_us]
+
+        remaining = [t for t in buf if not any(s[0] <= t <= s[1] for s in closed)]
+        if remaining:
+            state.update((remaining,))
+            state.setTimeoutDuration(flush_timeout_ms)
+        else:
+            state.remove()
+
+        if closed:
+            yield _emit(user_id, closed, True)
+
+    return fn
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+    flush_timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Sessionize a streaming events frame by ``user_id`` with an
+    inactivity gap.
+
+    Emits ``final=True`` rows exactly once per session, when the
+    watermark guarantees the session can no longer change; quiet-stream
+    buffers are flushed as ``final=False`` after ``flush_timeout_ms``
+    of processing-time silence.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn(gap_seconds, flush_timeout_ms),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch_oracle(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Batch-mode session computation (classic gaps-and-islands via
+    window functions) — the equivalence oracle for the stateful
+    streaming operator: ``final=True`` streaming sessions must be a
+    subset of (and at steady state equal to) these."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # gap test in integer microseconds — exact, and identical to the
+    # streaming operator's µs arithmetic and the DuckDB oracle
+    gapped = (
+        events.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros("prev_ts")
+                    > gap_seconds * 1_000_000
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_no",
+            F.sum("new_session")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+    )
+    return gapped.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )

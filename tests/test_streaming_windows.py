@@ -1,0 +1,128 @@
+"""Event-time windows + watermark on REAL streams (T5/T6 upgrade), and
+the custom stateful sessionization operator (T7 upgrade)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.windows import (
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+from esgi_4iabd2_sparkstreaming_groupe13_spark.sources.batch import load_table
+from esgi_4iabd2_sparkstreaming_groupe13_spark.streaming.stateful import (
+    sessionize,
+    sessionize_batch_oracle,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_dir, tmp_path_factory):
+    """Stage the events table as NDJSON files for streaming reads."""
+    d = tmp_path_factory.mktemp("events_stream")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # Range-partition by ts so file order ≈ event-time order (a real
+    # stream's arrival pattern; disorder stays within the watermark).
+    (
+        ev.repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .json(str(d / "src"))
+    )
+    # Spark's JSON writer emits millisecond timestamps — read the
+    # staged files back so batch oracles see EXACTLY what streams see.
+    ev_json = spark.read.schema(ev.schema).json(str(d / "src"))
+    return {"dir": str(d), "events": ev_json}
+
+
+def _run_stream_to_memory(spark, stream_df, name, ckpt):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+def test_streaming_tumbling_window_equals_batch(spark, events_stream_dir):
+    """Windowed agg over a watermarked stream (availableNow) must equal
+    the batch computation of the same windows."""
+    ev = events_stream_dir["events"]
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .json(events_stream_dir["dir"] + "/src")
+    )
+    windowed = tumbling_window_agg(
+        stream, "ts", "1 hour", ["event_type"], watermark="2 hours"
+    )
+    got = _run_stream_to_memory(
+        spark, windowed, "tumbling_mem", events_stream_dir["dir"] + "/ckpt_t"
+    )
+    batch = tumbling_window_agg(ev, "ts", "1 hour", ["event_type"])
+
+    g = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in got.collect()
+    }
+    b = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in batch.collect()
+    }
+    # append-mode only emits windows the watermark has closed; every
+    # emitted window must match batch exactly, and most windows close
+    assert len(g) > 0
+    for k, v in g.items():
+        assert b[k] == v
+    closed_fraction = len(g) / len(b)
+    assert closed_fraction > 0.9
+
+
+def test_sliding_window_batch_shape(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = sliding_window_agg(ev, "ts", "2 hours", "1 hour", ["event_type"])
+    rows = out.limit(5).collect()
+    assert rows
+    for r in rows:
+        delta = (r["window_end"] - r["window_start"]).total_seconds()
+        assert delta == 7200
+
+
+def test_sessionize_stream_matches_batch_oracle(spark, events_stream_dir):
+    """Custom stateful operator: closed streaming sessions == batch
+    gaps-and-islands sessions (for users whose sessions closed)."""
+    ev = events_stream_dir["events"]
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .json(events_stream_dir["dir"] + "/src")
+    )
+    GAP = 6 * 3600  # 6h inactivity gap → several sessions per user
+    sessions = sessionize(stream, gap_seconds=GAP, watermark="12 hours")
+    got = _run_stream_to_memory(
+        spark, sessions, "sessions_mem", events_stream_dir["dir"] + "/ckpt_s"
+    )
+    oracle = sessionize_batch_oracle(ev, gap_seconds=GAP)
+
+    got_final = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in got.filter(F.col("final")).collect()
+    }
+    oracle_all = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in oracle.collect()
+    }
+    # every watermark-finalized streaming session is a true batch
+    # session — exactly-once and immutable
+    assert got_final, "no sessions finalized during the run"
+    assert got_final <= oracle_all
+    # and finalized sessions account for most batch sessions (the tail
+    # within watermark+gap of stream end legitimately stays open)
+    assert len(got_final) / len(oracle_all) > 0.5
