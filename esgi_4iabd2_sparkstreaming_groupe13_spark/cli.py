@@ -1,0 +1,118 @@
+"""Service entry points — the reference's three Docker services
+(``docker-compose.yml:3-50``) as subcommands of one CLI:
+
+  python -m esgi_4iabd2_sparkstreaming_groupe13_spark producer  --source trips.csv --out data/streaming
+  python -m esgi_4iabd2_sparkstreaming_groupe13_spark consumer  --in data/streaming --out data/processed
+  python -m esgi_4iabd2_sparkstreaming_groupe13_spark dashboard --in data/processed
+
+producer  ≙ MainProducer.scala (paced NDJSON replay, Spark-native)
+consumer  ≙ MainConsumer.scala (Structured Streaming, 4 sinks)
+dashboard ≙ taxi_dashboard.py (polling read path, text rendering)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _producer(args: argparse.Namespace) -> int:
+    from .session import get_spark
+    from .sources.batch import load_trip_csv
+    from .streaming.producer import replay_to_ndjson
+
+    spark = get_spark(app_name="taxi-producer")
+    trips = load_trip_csv(spark, args.source)
+    n = trips.count()
+    if n == 0:
+        print("ERROR_NO_DATA_FOUND: source has no rows", file=sys.stderr)
+        return 1
+    print(f"loaded {n} trips from {args.source}")
+    published = replay_to_ndjson(
+        trips,
+        stage_dir=args.stage,
+        output_dir=args.out,
+        batch_size=args.batch_size,
+        interval_seconds=args.interval,
+        max_batches=args.max_batches,
+    )
+    print(f"published {len(published)} batch files to {args.out}")
+    return 0
+
+
+def _consumer(args: argparse.Namespace) -> int:
+    from .config import ConsumerConfig
+    from .session import get_spark
+    from .streaming.processor import start_consumer
+
+    spark = get_spark(app_name="taxi-consumer")
+    cfg = ConsumerConfig(
+        input_dir=args.input,
+        output_dir=args.out,
+        checkpoint_dir=args.checkpoint or f"{args.out}/checkpoints/raw",
+        max_files_per_trigger=args.max_files_per_trigger,
+        trigger_seconds=args.trigger,
+        enable_console=args.console,
+    )
+    query = start_consumer(spark, cfg, available_now=args.available_now)
+    print(f"consumer started: {args.input} -> {args.out}")
+    query.awaitTermination()
+    return 0
+
+
+def _dashboard(args: argparse.Namespace) -> int:
+    from .dashboard import render_text, snapshot
+
+    while True:
+        snap = snapshot(args.input, max_batches=args.max_batches)
+        print("\033[2J\033[H" if args.watch else "", end="")
+        print(render_text(snap))
+        if not args.watch:
+            return 0
+        time.sleep(args.refresh)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="esgi_4iabd2_sparkstreaming_groupe13_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("producer", help="replay a trip CSV as paced NDJSON batches")
+    pr.add_argument("--source", required=True, help="trip CSV path")
+    pr.add_argument("--out", required=True, help="watched streaming directory")
+    pr.add_argument("--stage", default="data/stage", help="staging directory")
+    pr.add_argument("--batch-size", type=int, default=10)
+    pr.add_argument("--interval", type=float, default=10.0, help="seconds between batches")
+    pr.add_argument("--max-batches", type=int, default=None)
+    pr.set_defaults(fn=_producer)
+
+    co = sub.add_parser("consumer", help="consume NDJSON batches, write 4 output dirs")
+    co.add_argument("--input", required=True, help="watched streaming directory")
+    co.add_argument("--out", required=True, help="processed output directory")
+    co.add_argument("--checkpoint", default=None)
+    co.add_argument("--max-files-per-trigger", type=int, default=1)
+    co.add_argument("--trigger", type=float, default=10.0)
+    co.add_argument("--console", action="store_true", help="console sink debug mode")
+    co.add_argument(
+        "--available-now",
+        action="store_true",
+        help="drain existing files then exit (test/batch mode)",
+    )
+    co.set_defaults(fn=_consumer)
+
+    da = sub.add_parser("dashboard", help="poll processed outputs, render top-locations")
+    da.add_argument("--input", required=True, help="processed output directory")
+    da.add_argument("--max-batches", type=int, default=2)
+    da.add_argument("--refresh", type=float, default=5.0)
+    da.add_argument("--watch", action="store_true", help="poll forever (like the reference)")
+    da.set_defaults(fn=_dashboard)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,73 @@
+"""CLI + dashboard read-path tests (reference service parity)."""
+
+from __future__ import annotations
+
+import json
+
+from esgi_4iabd2_sparkstreaming_groupe13_spark import dashboard
+from esgi_4iabd2_sparkstreaming_groupe13_spark.cli import build_parser
+
+
+def test_cli_parser_covers_three_services():
+    p = build_parser()
+    for argv, fn_name in [
+        (["producer", "--source", "s.csv", "--out", "o"], "_producer"),
+        (["consumer", "--input", "i", "--out", "o"], "_consumer"),
+        (["dashboard", "--input", "i"], "_dashboard"),
+    ]:
+        args = p.parse_args(argv)
+        assert args.fn.__name__ == fn_name
+
+
+def _write_ndjson(path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_dashboard_snapshot_latest_two_and_topk(tmp_path):
+    agg_dir = tmp_path / "pickup_agg"
+    import os
+    import time
+
+    for i in range(4):  # 4 batch files; only newest 2 must load
+        _write_ndjson(
+            agg_dir / f"batch{i}.json",
+            [
+                {
+                    "PULocationID": 100 + i,
+                    "batch_id": str(i),
+                    "trip_count": 10 + i,
+                    "aggregation_type": "pickup_location",
+                }
+            ],
+        )
+        mtime = time.time() - (10 - i)
+        os.utime(agg_dir / f"batch{i}.json", (mtime, mtime))
+
+    snap = dashboard.snapshot(str(tmp_path), max_batches=2)
+    entry = snap["dirs"]["pickup_agg"]
+    assert entry["rows"] == 2  # O5: newest two files only
+    assert set(entry["files"]) == {"batch2.json", "batch3.json"}
+    top = entry["top_locations"]
+    # O4: sorted by count desc
+    assert list(top["trip_count"]) == sorted(top["trip_count"], reverse=True)
+
+
+def test_dashboard_defensive_projection(tmp_path):
+    """P8: missing columns don't break the view."""
+    _write_ndjson(
+        tmp_path / "raw" / "b0.json",
+        [{"batch_id": "0", "unexpected_col": 1, "fare_amount": 12.5}],
+    )
+    snap = dashboard.snapshot(str(tmp_path))
+    data = snap["dirs"]["raw"]["data"]
+    assert "unexpected_col" not in data.columns
+    assert "fare_amount" in data.columns
+
+
+def test_dashboard_empty_dirs_ok(tmp_path):
+    snap = dashboard.snapshot(str(tmp_path))
+    assert all(e["rows"] == 0 for e in snap["dirs"].values())
+    assert dashboard.render_text(snap)  # renders without error
