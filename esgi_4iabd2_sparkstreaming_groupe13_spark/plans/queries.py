@@ -312,6 +312,62 @@ def q_event_window(spark, sf_dir):
     )
 
 
+def q_except_keys(spark, sf_dir):
+    """Set difference: parts that appear in lineitem but never with
+    quantity > 45 (EXCEPT via DataFrame subtract of key sets)."""
+    li = _t(spark, sf_dir, "lineitem")
+    all_parts = li.select("l_partkey").distinct()
+    big_parts = li.filter(F.col("l_quantity") > 45).select("l_partkey").distinct()
+    return all_parts.exceptAll(big_parts)
+
+
+def q_intersect_keys(spark, sf_dir):
+    """Set intersection: customers present in both order-priority
+    classes (INTERSECT)."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.intersect(low)
+
+
+def q_median_exact(spark, sf_dir):
+    """Exact median without interpolation (deterministic element pick
+    — engines interpolate differently, so rank-based selection is the
+    cross-engine-safe form): lower-middle l_extendedprice per flag."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_returnflag"
+    )
+    ranked = li.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("l_returnflag"))
+    )
+    # explicit floor: DuckDB CAST(double AS BIGINT) rounds half-away
+    # while Spark's cast truncates — floor() agrees everywhere
+    return (
+        ranked.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long"))
+        .select("l_returnflag", F.col("l_extendedprice").alias("median_price"))
+    )
+
+
+def q_doc_embedding_join(spark, sf_dir):
+    """Cross-modal join: documents ⋈ embeddings on id — per-doc vector
+    norm alongside text metadata (the typical multimodal feature-store
+    lookup)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    emb = _t(spark, sf_dir, "embeddings")
+    joined = joins.dim_join(
+        docs, emb, docs.doc_id == emb.vec_id
+    )
+    return joined.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(similarity.norm_expr(F.col("embedding")), 6).alias("vec_norm"),
+    )
+
+
 # --------------------------------------------------------------------
 # Scalar-function breadth (F6/F7 timestamp formatting + string/case
 # surface beyond the reference's minimal set)
@@ -796,6 +852,34 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """,
+    "q_except_keys": """
+SELECT DISTINCT l_partkey FROM lineitem
+EXCEPT
+SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity > 45
+""",
+    "q_intersect_keys": """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+""",
+    "q_median_exact": """
+WITH r AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag, l_extendedprice AS median_price
+FROM r WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+""",
+    "q_doc_embedding_join": """
+SELECT doc_id, lang, n_chars,
+       round(sqrt(list_sum(list_transform(
+         generate_series(1, len(embedding)),
+         i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))), 6) AS vec_norm
+FROM documents JOIN embeddings ON doc_id = vec_id
+""",
     "q_date_parts": """
 SELECT o_orderkey,
        CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -896,6 +980,14 @@ QUERIES: list[QuerySpec] = [
     ),
     QuerySpec("q_sessionize", q_sessionize, ORACLES["q_sessionize"], True),
     QuerySpec("q_event_window", q_event_window, ORACLES["q_event_window"], True),
+    QuerySpec("q_except_keys", q_except_keys, ORACLES["q_except_keys"]),
+    QuerySpec("q_intersect_keys", q_intersect_keys, ORACLES["q_intersect_keys"]),
+    QuerySpec("q_median_exact", q_median_exact, ORACLES["q_median_exact"]),
+    QuerySpec(
+        "q_doc_embedding_join",
+        q_doc_embedding_join,
+        ORACLES["q_doc_embedding_join"],
+    ),
     QuerySpec("q_date_parts", q_date_parts, ORACLES["q_date_parts"]),
     QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
     QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),

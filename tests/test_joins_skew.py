@@ -1,0 +1,35 @@
+"""Salted-join correctness + skew distribution test."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.joins import salted_join
+
+
+def test_salted_join_equals_plain_join(spark):
+    # 90% of fact rows share one hot key — the salting target
+    fact = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7))
+        .otherwise(F.col("id") % 50)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("dim_val")
+    )
+    plain = fact.join(dim, "k").select("k", "v", "dim_val")
+    salted = salted_join(fact, dim, "k", salt_buckets=8).select(
+        "k", "v", "dim_val"
+    )
+    assert plain.count() == salted.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key must land in multiple salt buckets."""
+    fact = spark.range(1000).select(F.lit(7).alias("k"), F.col("id").alias("v"))
+    salted = fact.withColumn("_salt", (F.rand(seed=42) * 8).cast("int"))
+    n_buckets = salted.select("_salt").distinct().count()
+    assert n_buckets >= 6  # hot key spread over most of the 8 buckets
