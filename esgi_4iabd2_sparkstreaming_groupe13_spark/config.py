@@ -34,6 +34,13 @@ class ConsumerConfig:
     output_format: str = "json"
     checkpoint_dir: str = "data/processed/checkpoints/raw"
     enable_console: bool = False
+    #: False = reference parity: plain appends, at-least-once per dir
+    #: on crash-replay (StreamProcessor.scala:148-192 semantics).
+    #: True = scale mode: every sink partitioned by batch_id with
+    #: dynamic partition overwrite — replaying a micro-batch
+    #: overwrites its own partition, making recovery idempotent
+    #: (exactly-once per directory).
+    idempotent_sinks: bool = False
 
 
 @dataclass(frozen=True)

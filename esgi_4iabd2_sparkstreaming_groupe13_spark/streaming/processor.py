@@ -75,25 +75,43 @@ def process_batch(
     batch_id: int,
     output_dir: str,
     output_format: str = "json",
+    idempotent: bool = False,
 ) -> None:
     """The ``foreachBatch`` body (K2, ``StreamProcessor.scala:148-192``).
 
-    Empty-batch short-circuit (A4) then four append writes. The batch
-    frame is tiny per trigger; at scale the aggregates reuse the same
-    shuffle keys so AQE coalesces their exchanges.
+    Empty-batch short-circuit (A4) then four writes. The batch frame is
+    tiny per trigger; at scale the aggregates reuse the same shuffle
+    keys so AQE coalesces their exchanges.
+
+    ``idempotent=False`` keeps the reference's plain appends
+    (at-least-once per directory on crash-replay). ``idempotent=True``
+    is the scale fix documented in SURVEY §7 risk 3: each sink is
+    partitioned by ``batch_id`` and written with dynamic partition
+    overwrite, so a replayed micro-batch replaces its own partition —
+    exactly-once per directory without a transactional table format.
     """
     if batch_df.isEmpty():
         return
+    spark = batch_df.sparkSession
     projected = enrich_and_project(batch_df, batch_id)
     projected.persist()
     try:
-        projected.write.mode("append").format(output_format).save(
-            f"{output_dir}/raw"
-        )
-        for name, frame in batch_aggregates(projected).items():
-            frame.write.mode("append").format(output_format).save(
-                f"{output_dir}/{name}"
-            )
+        frames = {"raw": projected}
+        frames.update(batch_aggregates(projected))
+        for name, frame in frames.items():
+            path = f"{output_dir}/{name}"
+            if idempotent:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                (
+                    frame.write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .format(output_format)
+                    .save(path)
+                )
+            else:
+                frame.write.mode("append").format(output_format).save(path)
     finally:
         projected.unpersist()
 
@@ -130,7 +148,11 @@ def start_consumer(
             .option("checkpointLocation", cfg.checkpoint_dir)
             .foreachBatch(
                 lambda df, bid: process_batch(
-                    df, bid, cfg.output_dir, cfg.output_format
+                    df,
+                    bid,
+                    cfg.output_dir,
+                    cfg.output_format,
+                    idempotent=cfg.idempotent_sinks,
                 )
             )
         )
