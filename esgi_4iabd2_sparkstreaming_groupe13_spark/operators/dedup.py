@@ -262,6 +262,32 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Near-dup CLUSTERS: LSH pairs → connected components → one
+    representative (min id) per cluster — the actual dedup decision a
+    corpus pipeline applies (`keep = doc_id == cluster_rep`).
+
+    Returns (doc_id, cluster_rep) for EVERY document; docs with no
+    near-duplicate are their own representative.
+    """
+    from .graph import connected_components
+
+    pairs = minhash_lsh_pairs(df, text_col, id_col, threshold, **lsh_kwargs)
+    nodes = df.select(F.col(id_col).alias("node"))
+    comp = connected_components(
+        nodes, pairs.select("id_a", "id_b"), "node", "id_a", "id_b"
+    )
+    return comp.select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster_rep")
+    )
+
+
 def simhash_expr(text: Column, bits: int = SIMHASH_BITS) -> Column:
     """SimHash fingerprint of a text as a ``bits``-wide long.
 

@@ -463,6 +463,15 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """LSH pairs → connected components → per-doc cluster
+    representative (iterative DataFrame label propagation; the oracle
+    is a recursive CTE computing the same transitive closure)."""
+    return dedup.dedup_clusters(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.9
+    )
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash_fingerprints(
         _t(spark, sf_dir, "documents"), "text", "doc_id"
@@ -670,6 +679,41 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}
+"""
+
+
+def _dedup_clusters_oracle(threshold: float) -> str:
+    """Recursive-CTE transitive closure over the exact near-dup pairs:
+    every doc labeled with the min doc_id reachable through the
+    ≥threshold Jaccard graph."""
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+), sh AS (
+  SELECT doc_id, unnest(shingles) AS s FROM d
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM d
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+        >= {threshold}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(comp) AS cluster_rep
+FROM reach GROUP BY node
 """
 
 
@@ -918,6 +962,7 @@ FROM documents
 """,
     "q_ngram_jaccard": _jaccard_pairs_oracle(0.8, f"doc_id < {N_JACCARD_DOCS}"),
     "q_minhash_sig": _minhash_sig_oracle(),
+    "q_dedup_clusters": _dedup_clusters_oracle(0.9),
     "q_minhash_lsh": _jaccard_pairs_oracle(0.9),
     "q_simhash": _simhash_oracle(),
     "q_simhash_pairs": _simhash_pairs_oracle(3),
@@ -996,6 +1041,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_ngram_jaccard", q_ngram_jaccard, ORACLES["q_ngram_jaccard"]),
     QuerySpec("q_minhash_sig", q_minhash_sig, ORACLES["q_minhash_sig"]),
     QuerySpec("q_minhash_lsh", q_minhash_lsh, ORACLES["q_minhash_lsh"], True),
+    QuerySpec("q_dedup_clusters", q_dedup_clusters, ORACLES["q_dedup_clusters"]),
     QuerySpec("q_simhash", q_simhash, ORACLES["q_simhash"], True),
     QuerySpec("q_simhash_pairs", q_simhash_pairs, ORACLES["q_simhash_pairs"]),
     QuerySpec("q_cosine_topk", q_cosine_topk, ORACLES["q_cosine_topk"], True),
