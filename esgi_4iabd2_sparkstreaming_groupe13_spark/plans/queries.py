@@ -250,6 +250,89 @@ def q_join_multiway(spark, sf_dir):
     )
 
 
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary (canonical scan→filter→agg shape);
+    decimal accumulation keeps every monetary column exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
+    tax = (F.lit(1) + F.col("l_tax")).cast("decimal(6,4)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            # exact-decimal sums surfaced at 2dp via floor-truncation:
+            # direct scale-10-decimal→double conversion differs in the
+            # last ulp across engines (int128 > 2^53 before the scale
+            # divide), and decimal RESCALING rounds half-up in Spark
+            # but half-even in DuckDB — floor(x*100)/100 is exact and
+            # identical everywhere
+            (F.floor(F.sum(dec("l_extendedprice") * disc) * 100).cast("double")
+             / F.lit(100.0)).alias("sum_disc_price"),
+            (F.floor(F.sum(dec("l_extendedprice") * disc * tax) * 100).cast("double")
+             / F.lit(100.0)).alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping priority (adapted: no o_shippriority column —
+    o_orderpriority stands in): 3-way join, filtered both sides,
+    top-10 revenue with a total-order tiebreak."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    joined = joins.fact_join(
+        joins.dim_join(orders, cust, orders.o_custkey == cust.c_custkey),
+        li,
+        F.col("o_orderkey") == li.l_orderkey,
+    )
+    revenue = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(revenue_expr()).cast("double").alias("revenue")
+    )
+    return ordering.topk(
+        revenue, [F.desc("revenue"), F.asc("l_orderkey")], 10
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 local-supplier volume (adapted to available columns):
+    six-table join chain — customer, orders, lineitem, supplier,
+    nation, region — revenue per nation in ASIA, with the
+    same-nation customer/supplier condition."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1999-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(revenue_expr()).cast("double").alias("revenue")
+    )
+
+
 def q_semi_join(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     big = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
@@ -848,6 +931,51 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 GROUP BY 1
 """,
+    "q_tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(6,4))) * 100)
+            AS DOUBLE) / 100 AS sum_disc_price,
+       CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(6,4))
+                * CAST(1 + l_tax AS DECIMAL(6,4))) * 100)
+            AS DOUBLE) / 100 AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+""",
+    "q_tpch_q3": f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+    "q_tpch_q5": f"""
+SELECT n_name, CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY 1
+""",
     "q_semi_join": """
 SELECT o_orderkey, o_totalprice FROM orders
 WHERE EXISTS (SELECT 1 FROM lineitem
@@ -1018,6 +1146,9 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_hll_distinct", q_hll_distinct, None),
     QuerySpec("q_join_fact_dim", q_join_fact_dim, ORACLES["q_join_fact_dim"], True),
     QuerySpec("q_join_multiway", q_join_multiway, ORACLES["q_join_multiway"], True),
+    QuerySpec("q_tpch_q1", q_tpch_q1, ORACLES["q_tpch_q1"], True),
+    QuerySpec("q_tpch_q3", q_tpch_q3, ORACLES["q_tpch_q3"], True),
+    QuerySpec("q_tpch_q5", q_tpch_q5, ORACLES["q_tpch_q5"], True),
     QuerySpec("q_semi_join", q_semi_join, ORACLES["q_semi_join"]),
     QuerySpec("q_anti_join", q_anti_join, ORACLES["q_anti_join"]),
     QuerySpec(
