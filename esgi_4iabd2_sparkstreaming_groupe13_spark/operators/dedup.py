@@ -148,8 +148,8 @@ def minhash_lsh_pairs(
     text_col: str,
     id_col: str,
     threshold: float,
-    n_hashes: int = 64,
-    bands: int = 16,
+    n_hashes: int = 32,
+    bands: int = 8,
     n: int = DEFAULT_SHINGLE_N,
     max_chars: int = 512,
     seed: int = 42,
@@ -164,7 +164,10 @@ def minhash_lsh_pairs(
 
     Output (id_a, id_b, jaccard) has precision 1.0 w.r.t. the
     threshold; recall is the standard banding S-curve
-    ``1 - (1 - j^r)^b``.
+    ``1 - (1 - j^r)^b``. Defaults (32 hashes, 8 bands × 4 rows) give
+    recall ≥ 1 − 2e−5 at j ≥ 0.93 and were verified set-equal to the
+    exact pair set on the test corpora; raise ``n_hashes``/``bands``
+    for lower thresholds.
     """
     assert n_hashes % bands == 0
     r = n_hashes // bands
