@@ -45,8 +45,11 @@ def latest_batch_files(directory: str, max_batches: int = 2) -> list[Path]:
     d = Path(directory)
     if not d.is_dir():
         return []
+    candidates = list(d.glob("*.json"))
+    # idempotent-sink layout: files live under batch_id=N/ partitions
+    candidates += list(d.glob("batch_id=*/*.json"))
     files = sorted(
-        (p for p in d.glob("*.json") if p.is_file()),
+        (p for p in candidates if p.is_file()),
         key=lambda p: p.stat().st_mtime,
         reverse=True,
     )
