@@ -99,6 +99,46 @@ def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+#: Tiny frozen sentiment lexicon (the EDBT'16 Twitter-sentiment
+#: pattern — PAPERS.md: lexicon join over tokenized text). Words drawn
+#: from the synthetic corpus vocabulary so scores are non-trivial.
+SENTIMENT_LEXICON: dict[str, int] = {
+    "fast": 1,
+    "small": 1,
+    "big": 1,
+    "value": 1,
+    "slow": -1,
+    "error": -1,
+    "spill": -1,
+    "skew": -1,
+}
+
+
+def sentiment_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Lexicon-based sentiment: explode tokens → broadcast-join the
+    lexicon → per-doc signed sum. The explode+join form (vs an array
+    filter) is deliberate: with a large lexicon the broadcast hash
+    join beats per-row array scans, and the aggregation is the same
+    partial+final shape as any count."""
+    from ..functions.hashing import token_array
+
+    spark = df.sparkSession
+    lex = spark.createDataFrame(
+        list(SENTIMENT_LEXICON.items()), ["token", "polarity"]
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(token_array(F.col(text_col))).alias("token")
+    )
+    scored = toks.join(F.broadcast(lex), "token", "left").na.fill(
+        {"polarity": 0}
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum(F.when(F.col("polarity") > 0, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("polarity") < 0, 1).otherwise(0)).alias("n_neg"),
+        F.sum("polarity").alias("net_sentiment"),
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Content fingerprint: md5 of the whitespace-normalized lowercase
     text (stable under reformatting), plus a 64-hex SHA-2 for

@@ -618,6 +618,30 @@ def q_token_counts(spark, sf_dir):
     return text.token_counts(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_sentiment(spark, sf_dir):
+    """Lexicon sentiment via explode + broadcast join (EDBT'16 pattern,
+    PAPERS.md)."""
+    return text.sentiment_scores(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_corpus_select(spark, sf_dir):
+    """The composite training-corpus selection a real pipeline runs:
+    keep one representative per near-dup cluster (MinHash-LSH +
+    connected components), then apply quality gates (length, alpha
+    ratio) — three subsystems composed in one declarative plan."""
+    docs = _t(spark, sf_dir, "documents")
+    reps = dedup.dedup_clusters(docs, "text", "doc_id", threshold=0.9)
+    quality = text.quality_features(docs, "text", "doc_id").withColumn(
+        "n_chars", F.col("n_chars").cast("long")
+    )
+    kept = (
+        reps.filter(F.col("doc_id") == F.col("cluster_rep"))
+        .join(quality, "doc_id")
+        .filter((F.col("n_chars") >= 100) & (F.col("alpha_ratio") >= 0.7))
+    )
+    return kept.select("doc_id", "n_chars", "alpha_ratio")
+
+
 # --------------------------------------------------------------------
 # Streaming (batch-equivalence form — the streaming engine really runs)
 # --------------------------------------------------------------------
@@ -765,10 +789,9 @@ WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= {thre
 """
 
 
-def _dedup_clusters_oracle(threshold: float) -> str:
-    """Recursive-CTE transitive closure over the exact near-dup pairs:
-    every doc labeled with the min doc_id reachable through the
-    ≥threshold Jaccard graph."""
+def _clusters_cte(threshold: float) -> str:
+    """Shared recursive-CTE prefix: exact near-dup pair graph →
+    transitive closure (`reach`) → per-doc min-label (`rep`)."""
     return f"""
 WITH RECURSIVE d AS (
   SELECT doc_id, {_SHINGLES} AS shingles FROM documents
@@ -794,9 +817,52 @@ WITH RECURSIVE d AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+), rep AS (
+  SELECT node AS doc_id, min(comp) AS cluster_rep
+  FROM reach GROUP BY node
+)"""
+
+
+def _dedup_clusters_oracle(threshold: float) -> str:
+    return _clusters_cte(threshold) + "\nSELECT doc_id, cluster_rep FROM rep"
+
+
+def _corpus_select_oracle(threshold: float) -> str:
+    return (
+        _clusters_cte(threshold)
+        + f"""
+, q AS (
+  SELECT doc_id,
+         CAST(len(text) AS BIGINT) AS n_chars,
+         round(CAST(len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g'))
+               AS DOUBLE) / greatest(len(text), 1), 6) AS alpha_ratio
+  FROM documents
 )
-SELECT node AS doc_id, min(comp) AS cluster_rep
-FROM reach GROUP BY node
+SELECT r.doc_id, q.n_chars, q.alpha_ratio
+FROM rep r JOIN q ON r.doc_id = q.doc_id
+WHERE r.doc_id = r.cluster_rep AND q.n_chars >= 100 AND q.alpha_ratio >= 0.7
+"""
+    )
+
+
+def _sentiment_oracle() -> str:
+    pos = ", ".join(
+        f"'{w}'" for w, p in sorted(text.SENTIMENT_LEXICON.items()) if p > 0
+    )
+    neg = ", ".join(
+        f"'{w}'" for w, p in sorted(text.SENTIMENT_LEXICON.items()) if p < 0
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) FILTER (WHERE token IN ({pos})) AS BIGINT) AS n_pos,
+       CAST(count(*) FILTER (WHERE token IN ({neg})) AS BIGINT) AS n_neg,
+       CAST(count(*) FILTER (WHERE token IN ({pos}))
+            - count(*) FILTER (WHERE token IN ({neg})) AS BIGINT)
+            AS net_sentiment
+FROM toks GROUP BY doc_id
 """
 
 
@@ -1091,6 +1157,8 @@ FROM documents
     "q_ngram_jaccard": _jaccard_pairs_oracle(0.8, f"doc_id < {N_JACCARD_DOCS}"),
     "q_minhash_sig": _minhash_sig_oracle(),
     "q_dedup_clusters": _dedup_clusters_oracle(0.9),
+    "q_corpus_select": _corpus_select_oracle(0.9),
+    "q_sentiment": _sentiment_oracle(),
     "q_minhash_lsh": _jaccard_pairs_oracle(0.9),
     "q_simhash": _simhash_oracle(),
     "q_simhash_pairs": _simhash_pairs_oracle(3),
@@ -1181,6 +1249,8 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_lang_id", q_lang_id, ORACLES["q_lang_id"], True),
     QuerySpec("q_quality", q_quality, ORACLES["q_quality"]),
     QuerySpec("q_token_counts", q_token_counts, ORACLES["q_token_counts"], True),
+    QuerySpec("q_sentiment", q_sentiment, ORACLES["q_sentiment"]),
+    QuerySpec("q_corpus_select", q_corpus_select, ORACLES["q_corpus_select"]),
     QuerySpec(
         "q_stream_batch_agg", q_stream_batch_agg, ORACLES["q_stream_batch_agg"]
     ),

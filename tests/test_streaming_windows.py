@@ -95,6 +95,31 @@ def test_sliding_window_batch_shape(spark, sf_dir):
         assert delta == 7200
 
 
+def test_streaming_dedup_with_watermark(spark, events_stream_dir, tmp_path):
+    """Streaming exact dedup: duplicated input events collapse to one
+    row each via watermarked dropDuplicates (state evicted past the
+    watermark — the bounded-state streaming dedup primitive)."""
+    ev = events_stream_dir["events"]
+    dup_dir = str(tmp_path / "dups")
+    # stage every event TWICE across different files
+    ev.repartitionByRange(2, "ts").write.mode("overwrite").json(dup_dir)
+    ev.repartitionByRange(2, "ts").write.mode("append").json(dup_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .json(dup_dir)
+    )
+    deduped = stream.withWatermark("ts", "48 hours").dropDuplicates(
+        ["event_id"]
+    )
+    got = _run_stream_to_memory(
+        spark, deduped, "dedup_mem", str(tmp_path / "ckpt")
+    )
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+
+
 def test_sessionize_stream_matches_batch_oracle(spark, events_stream_dir):
     """Custom stateful operator: closed streaming sessions == batch
     gaps-and-islands sessions (for users whose sessions closed)."""
