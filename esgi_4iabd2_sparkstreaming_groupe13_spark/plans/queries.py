@@ -395,6 +395,15 @@ def q_event_window(spark, sf_dir):
     )
 
 
+def q_sliding_window(spark, sf_dir):
+    """T6: sliding event-time windows (2h window, 1h slide) — each
+    event lands in two overlapping windows (`F.window` expansion)."""
+    ev = _t(spark, sf_dir, "events")
+    return windows.sliding_window_agg(
+        ev, "ts", "2 hours", "1 hour", ["event_type"]
+    ).select("window_start", "event_type", "n_events")
+
+
 def q_except_keys(spark, sf_dir):
     """Set difference: parts that appear in lineitem but never with
     quantity > 45 (EXCEPT via DataFrame subtract of key sets)."""
@@ -1143,6 +1152,15 @@ SELECT CASE WHEN l_quantity < 10 THEN 'low'
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM lineitem GROUP BY 1
 """,
+    "q_sliding_window": """
+WITH assigned AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events
+)
+SELECT window_start, event_type, count(*) AS n_events
+FROM assigned GROUP BY 1, 2
+""",
     "q_dedup_exact": """
 SELECT user_id, event_type, min(event_id) AS event_id,
        count(*) AS n_copies
@@ -1224,6 +1242,7 @@ QUERIES: list[QuerySpec] = [
     ),
     QuerySpec("q_sessionize", q_sessionize, ORACLES["q_sessionize"], True),
     QuerySpec("q_event_window", q_event_window, ORACLES["q_event_window"], True),
+    QuerySpec("q_sliding_window", q_sliding_window, ORACLES["q_sliding_window"]),
     QuerySpec("q_except_keys", q_except_keys, ORACLES["q_except_keys"]),
     QuerySpec("q_intersect_keys", q_intersect_keys, ORACLES["q_intersect_keys"]),
     QuerySpec("q_median_exact", q_median_exact, ORACLES["q_median_exact"]),
