@@ -651,6 +651,21 @@ def q_corpus_select(spark, sf_dir):
     return kept.select("doc_id", "n_chars", "alpha_ratio")
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end (rows-only: Arrow-batched
+    mapInPandas feature extraction isn't SQL-expressible): synthesize
+    an opaque-binary media table, extract deterministic byte-histogram
+    features, join back typed metadata."""
+    from ..operators import multimodal
+
+    media = multimodal.synth_media(spark, n=96)
+    feats = multimodal.extract_features(media)
+    return feats.join(
+        media.select("media_id", F.col("meta.width").alias("width")),
+        "media_id",
+    ).select("media_id", "kind", "n_bytes", "width", F.col("feature")[0].alias("f0"))
+
+
 # --------------------------------------------------------------------
 # Streaming (batch-equivalence form — the streaming engine really runs)
 # --------------------------------------------------------------------
@@ -1265,6 +1280,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_cosine_topk", q_cosine_topk, ORACLES["q_cosine_topk"], True),
     QuerySpec("q_cosine_pairs", q_cosine_pairs, ORACLES["q_cosine_pairs"]),
     QuerySpec("q_ann_ivf", q_ann_ivf, None),
+    QuerySpec("q_media_features", q_media_features, None),
     QuerySpec("q_lang_id", q_lang_id, ORACLES["q_lang_id"], True),
     QuerySpec("q_quality", q_quality, ORACLES["q_quality"]),
     QuerySpec("q_token_counts", q_token_counts, ORACLES["q_token_counts"], True),
