@@ -45,6 +45,24 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_date_partitioned(
+    df: DataFrame, path: str, ts_col: str, part_col: str = "event_date"
+) -> None:
+    """Hive-style date partitioning — the data-skipping layout for
+    time-series facts: queries filtering on the partition column read
+    only matching directories (PartitionFilters in the scan, pruned
+    before any I/O). At 100 TB this is the difference between scanning
+    a day and scanning a decade."""
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn(part_col, F.to_date(ts_col))
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(path)
+    )
+
+
 def colocated_join(
     spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
 ) -> DataFrame:
