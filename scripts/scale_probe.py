@@ -1,0 +1,137 @@
+"""Scale probe: how do the headline operators behave when the data
+grows 10-20×? Synthesizes scaled copies of the sf0.1 tables (id-offset
+self-unions — same distributions, bigger cardinality) in a temp dir
+and times the scale-critical operators at 1× vs N×.
+
+This is the empirical backing for ARCHITECTURE.md's claims: candidate
+generation should grow ~linearly for LSH (not quadratically), hash
+aggregation ~linearly, top-k sub-linearly (heap + merge).
+
+Usage: python scripts/scale_probe.py [factor]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import dedup, ordering, similarity
+from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.windows import global_row_index
+from esgi_4iabd2_sparkstreaming_groupe13_spark.session import get_spark
+from esgi_4iabd2_sparkstreaming_groupe13_spark.sources.batch import load_table
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def scaled(df, factor: int, id_cols: list[str], per_copy: int):
+    """id-offset self-union: `factor` copies with disjoint ids."""
+    out = None
+    for i in range(factor):
+        c = df
+        for col in id_cols:
+            c = c.withColumn(col, F.col(col) + F.lit(i * per_copy))
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def timed(label, df):
+    t0 = time.perf_counter()
+    n = df.count()
+    dt = round(time.perf_counter() - t0, 2)
+    print(f"# {label}: {dt}s ({n} rows)", file=sys.stderr)
+    return dt
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(
+        app_name="scale_probe",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    tmp = tempfile.mkdtemp(prefix="scale_probe_")
+    results: dict[str, dict[str, float]] = {}
+
+    # --- documents: MinHash-LSH dedup (the quadratic trap) ---
+    # Copy 0 keeps the real corpus (true near-dup pairs preserved);
+    # further copies get md5-expanded pseudo-random text so duplicate
+    # DENSITY stays constant as the corpus grows — duplicating texts
+    # verbatim would make every doc a factor-way duplicate and measure
+    # a pathological all-duplicates workload instead of scaling.
+    docs1 = load_table(spark, SF_DIR, "documents")
+    copies = [docs1]
+    for i in range(1, factor):
+        copies.append(
+            docs1.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+            .withColumn(
+                "text",
+                F.repeat(
+                    F.md5(F.concat_ws("_", F.col("doc_id"), F.lit(i))), 12
+                ),
+            )
+        )
+    docsN = copies[0]
+    for c in copies[1:]:
+        docsN = docsN.unionByName(c)
+    docsN.write.mode("overwrite").parquet(f"{tmp}/docsN.parquet")
+    docsN = spark.read.parquet(f"{tmp}/docsN.parquet")
+    results["minhash_lsh"] = {
+        "t1": timed("lsh 1x", dedup.minhash_lsh_pairs(docs1, "text", "doc_id", 0.9)),
+        "tN": timed(
+            f"lsh {factor}x", dedup.minhash_lsh_pairs(docsN, "text", "doc_id", 0.9)
+        ),
+    }
+    results["simhash_pairs"] = {
+        "t1": timed("simhash 1x", dedup.simhash_pairs(docs1, "text", "doc_id")),
+        "tN": timed(f"simhash {factor}x", dedup.simhash_pairs(docsN, "text", "doc_id")),
+    }
+
+    # --- lineitem: hash-agg count + top-k ---
+    li1 = load_table(spark, SF_DIR, "lineitem")
+    liN = scaled(li1, factor, ["l_orderkey"], 100_000_000)
+    liN.write.mode("overwrite").parquet(f"{tmp}/liN.parquet")
+    liN = spark.read.parquet(f"{tmp}/liN.parquet")
+    results["count_by_key"] = {
+        "t1": timed(
+            "count 1x", li1.groupBy("l_suppkey").agg(F.count("*").alias("n"))
+        ),
+        "tN": timed(
+            f"count {factor}x", liN.groupBy("l_suppkey").agg(F.count("*").alias("n"))
+        ),
+    }
+    results["topk"] = {
+        "t1": timed("topk 1x", ordering.busiest_keys(li1, "l_suppkey", 10)),
+        "tN": timed(f"topk {factor}x", ordering.busiest_keys(liN, "l_suppkey", 10)),
+    }
+
+    # --- events: scale-safe global index ---
+    ev1 = load_table(spark, SF_DIR, "events")
+    evN = scaled(ev1, factor, ["event_id"], 100_000_000)
+    evN.write.mode("overwrite").parquet(f"{tmp}/evN.parquet")
+    evN = spark.read.parquet(f"{tmp}/evN.parquet")
+    results["global_index"] = {
+        "t1": timed("gidx 1x", global_row_index(ev1, ["ts", "event_id"])),
+        "tN": timed(f"gidx {factor}x", global_row_index(evN, ["ts", "event_id"])),
+    }
+
+    # --- embeddings: brute-force cosine top-k ---
+    em1 = load_table(spark, SF_DIR, "embeddings")
+    emN = scaled(em1, factor, ["vec_id"], 10_000_000)
+    emN.write.mode("overwrite").parquet(f"{tmp}/emN.parquet")
+    emN = spark.read.parquet(f"{tmp}/emN.parquet")
+    results["cosine_topk"] = {
+        "t1": timed("cosine 1x", similarity.brute_force_topk(em1, [0, 1, 2], 5)),
+        "tN": timed(f"cosine {factor}x", similarity.brute_force_topk(emN, [0, 1, 2], 5)),
+    }
+
+    for op, r in results.items():
+        r["ratio"] = round(r["tN"] / max(r["t1"], 0.01), 1)
+    print(json.dumps({"factor": factor, "results": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
