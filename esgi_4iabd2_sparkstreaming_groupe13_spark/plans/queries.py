@@ -281,6 +281,29 @@ def q_tpch_q1(spark, sf_dir):
     )
 
 
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecasting revenue change: the pure
+    filter-pushdown + single-aggregate shape (all three predicates
+    reach the parquet reader)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(6,4)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
 def q_tpch_q3(spark, sf_dir):
     """TPC-H Q3 shipping priority (adapted: no o_shippriority column —
     o_orderpriority stands in): 3-way join, filtered both sides,
@@ -1039,6 +1062,15 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY 1, 2
 """,
+    "q_tpch_q6": """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
     "q_tpch_q3": f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
        CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue
@@ -1248,6 +1280,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_join_fact_dim", q_join_fact_dim, ORACLES["q_join_fact_dim"], True),
     QuerySpec("q_join_multiway", q_join_multiway, ORACLES["q_join_multiway"], True),
     QuerySpec("q_tpch_q1", q_tpch_q1, ORACLES["q_tpch_q1"], True),
+    QuerySpec("q_tpch_q6", q_tpch_q6, ORACLES["q_tpch_q6"], True),
     QuerySpec("q_tpch_q3", q_tpch_q3, ORACLES["q_tpch_q3"], True),
     QuerySpec("q_tpch_q5", q_tpch_q5, ORACLES["q_tpch_q5"], True),
     QuerySpec("q_semi_join", q_semi_join, ORACLES["q_semi_join"]),

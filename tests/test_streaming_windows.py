@@ -95,6 +95,48 @@ def test_sliding_window_batch_shape(spark, sf_dir):
         assert delta == 7200
 
 
+def test_sessionize_on_rocksdb_state_store(spark, events_stream_dir, tmp_path):
+    """The 100M-key state path: RocksDB state store provider (disk-
+    backed, bounded heap) must produce the same finalized sessions as
+    the default HDFS-backed in-memory provider."""
+    ev = events_stream_dir["events"]
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .json(events_stream_dir["dir"] + "/src")
+        )
+        GAP = 6 * 3600
+        sessions = sessionize(stream, gap_seconds=GAP, watermark="12 hours")
+        got = _run_stream_to_memory(
+            spark, sessions, "sessions_rocks", str(tmp_path / "ckpt_rocks")
+        )
+        got_final = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in got.filter(F.col("final")).collect()
+        }
+        oracle_all = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in sessionize_batch_oracle(ev, gap_seconds=GAP).collect()
+        }
+        assert got_final
+        assert got_final <= oracle_all
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_streaming_dedup_with_watermark(spark, events_stream_dir, tmp_path):
     """Streaming exact dedup: duplicated input events collapse to one
     row each via watermarked dropDuplicates (state evicted past the
