@@ -356,6 +356,31 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 large-volume customers: aggregate-HAVING sub-plan
+    reused as a semi-filter, then join back for detail — the
+    agg-then-rejoin shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(agg.decimal_sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    joined = (
+        orders.join(big_orders, orders.o_orderkey == big_orders.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return ordering.topk(
+        joined.select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty"
+        ),
+        [F.desc("total_qty"), F.asc("o_orderkey")],
+        20,
+    )
+
+
 def q_semi_join(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     big = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
@@ -1098,6 +1123,18 @@ WHERE c_nationkey = s_nationkey
   AND o_orderdate < TIMESTAMP '1999-01-01'
 GROUP BY 1
 """,
+    "q_tpch_q18": """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING total_qty > 150
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 20
+""",
     "q_semi_join": """
 SELECT o_orderkey, o_totalprice FROM orders
 WHERE EXISTS (SELECT 1 FROM lineitem
@@ -1281,6 +1318,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_join_multiway", q_join_multiway, ORACLES["q_join_multiway"], True),
     QuerySpec("q_tpch_q1", q_tpch_q1, ORACLES["q_tpch_q1"], True),
     QuerySpec("q_tpch_q6", q_tpch_q6, ORACLES["q_tpch_q6"], True),
+    QuerySpec("q_tpch_q18", q_tpch_q18, ORACLES["q_tpch_q18"], True),
     QuerySpec("q_tpch_q3", q_tpch_q3, ORACLES["q_tpch_q3"], True),
     QuerySpec("q_tpch_q5", q_tpch_q5, ORACLES["q_tpch_q5"], True),
     QuerySpec("q_semi_join", q_semi_join, ORACLES["q_semi_join"]),
