@@ -27,6 +27,75 @@ def test_compaction_preserves_rows_reduces_files(spark, sf_dir, tmp_path):
     assert after.count() == before_rows == stats["rows"]
 
 
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    """Stream-stream join with watermarks + time-range condition:
+    'error' events matched to the same user's 'click' within the next
+    2 hours. State on both sides is bounded by the watermark and the
+    interval bound; results must equal the batch join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = str(tmp_path / "src2")
+    ev.repartitionByRange(4, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).json(src)
+    evj = spark.read.schema(ev.schema).json(src)
+
+    def sides(df):
+        errors = df.filter(F.col("event_type") == "error").select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("e_id"),
+        )
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        return errors, clicks
+
+    cond = (
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("e_ts"))
+        & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 2 HOURS"))
+    )
+
+    s = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 2).json(src)
+    se, sc = sides(s)
+    joined = se.withWatermark("e_ts", "4 hours").join(
+        sc.withWatermark("c_ts", "4 hours"), cond, "inner"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["e_id"], r["c_id"]) for r in spark.table("ss_join_mem").collect()
+    }
+    be, bc = sides(evj)
+    expected = {
+        (r["e_id"], r["c_id"]) for r in be.join(bc, cond, "inner").collect()
+    }
+    assert got == expected
+    assert len(expected) > 0
+
+
+def test_hll_estimate_within_bound(spark, sf_dir):
+    """approx_count_distinct must track the exact cardinality within a
+    few rsd (rows-only in the driver gate; bounded-error here)."""
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.select("user_id").distinct().count()
+    est = ev.agg(
+        F.approx_count_distinct("user_id", 0.01).alias("e")
+    ).collect()[0]["e"]
+    assert abs(est - exact) / exact < 0.05
+
+
 def test_stream_static_broadcast_join(spark, sf_dir, tmp_path):
     """Enrichment join: streaming facts × static dimension. The static
     side is planned per micro-batch (broadcast here) — the standard
