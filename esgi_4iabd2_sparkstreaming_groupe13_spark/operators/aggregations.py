@@ -86,6 +86,36 @@ def rollup_counts(df: DataFrame, keys: list[str], amount: str) -> DataFrame:
     )
 
 
+def cube_counts(df: DataFrame, keys: list[str], amount: str) -> DataFrame:
+    """M4(a): CUBE over the grouping keys — all 2^k grouping sets in
+    one Expand+HashAggregate, a single shuffle (same plan family as
+    ``rollup_counts``)."""
+    return df.cube(*keys).agg(
+        F.count("*").alias("n_rows"),
+        decimal_sum(amount).alias("sum_amount"),
+    )
+
+
+def percentiles_exact(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact interpolated percentiles (type-7 linear interpolation —
+    the same formula as DuckDB ``quantile_cont``), one array-typed
+    aggregate per group. Exact percentile buffers each group's values;
+    fine for low-cardinality keys — at 100 TB switch to
+    ``approx_percentile`` (mergeable KLL-style sketch, map-side
+    partials)."""
+    arr = F.percentile(F.col(value_col), F.lit(list(probs)))
+    out = [
+        F.round(F.element_at(F.col("_p"), i + 1), 6).alias(f"p{int(p * 100)}")
+        for i, p in enumerate(probs)
+    ]
+    return df.groupBy(key).agg(arr.alias("_p")).select(key, *out)
+
+
 def approx_distinct(df: DataFrame, key: str, rsd: float = 0.01) -> DataFrame:
     """HyperLogLog++ distinct estimate — the scale path for cardinality
     (exact distinct of a 100 TB key column is a full shuffle; HLL is a

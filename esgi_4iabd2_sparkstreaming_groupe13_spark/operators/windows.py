@@ -101,6 +101,58 @@ def topn_per_group(
     )
 
 
+def lag_lead_delta(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Analytic frame functions the reference lacks (SURVEY §2.5 "no
+    rank/lag/lead"): per-group previous/next value and delta. One
+    Window spec → a single shuffle on ``part_col``; all three
+    expressions evaluate in the same WindowExec pass. ``order_cols``
+    must be a total order within each partition."""
+    w = Window.partitionBy(part_col).orderBy(*[F.col(c) for c in order_cols])
+    prev = F.lag(value_col).over(w)
+    return df.select(
+        part_col,
+        *order_cols,
+        value_col,
+        prev.alias("prev_value"),
+        F.lead(value_col).over(w).alias("next_value"),
+        (F.col(value_col) - prev).alias("delta_prev"),
+    )
+
+
+def rolling_sum(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    value_col: str,
+    preceding: int = 2,
+) -> DataFrame:
+    """Moving frame aggregate (``ROWS BETWEEN n PRECEDING AND CURRENT
+    ROW``) — the frame-spec surface the reference never uses.
+    Decimal accumulation keeps the sum order-independent across
+    engines; the sliding sum is streamed per partition inside one
+    WindowExec (no shuffle beyond the partitionBy)."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-preceding, 0)
+    )
+    return df.select(
+        part_col,
+        *order_cols,
+        value_col,
+        F.sum(F.col(value_col).cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_sum"),
+        F.count(F.lit(1)).over(w).alias("n_in_frame"),
+    )
+
+
 def tumbling_window_agg(
     df: DataFrame,
     ts_col: str,

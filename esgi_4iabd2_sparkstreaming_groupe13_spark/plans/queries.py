@@ -381,6 +381,122 @@ def q_tpch_q18(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 order-priority checking (adapted: no l_commitdate —
+    "late" is l_shipdate > o_orderdate + 30 days): correlated EXISTS
+    expressed as a non-equi left-semi join, then count by priority."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shipping-priority counts (adapted: l_linestatus
+    stands in for l_shipmode): fact join + conditional filtered
+    counts per group."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 promo revenue (p_type = 'PROMO'): broadcast dim join
+    + conditional-aggregate ratio collapsing to one scalar."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01")
+        & (F.col("l_shipdate") < "1997-10-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", revenue_expr())
+    ).cast("double")
+    total = F.sum(revenue_expr()).cast("double")
+    return joined.agg(
+        F.round(F.lit(100.0) * promo / total, 6).alias("promo_revenue")
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 returned-item revenue: customer × orders × returned
+    lineitems, revenue per customer, top 20 — agg-then-top-k over a
+    broadcast-dim join chain."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    revenue = joined.groupBy("c_custkey", "c_name", "c_mktsegment").agg(
+        F.sum(revenue_expr()).cast("double").alias("revenue")
+    )
+    return ordering.topk(revenue, [F.desc("revenue"), F.asc("c_custkey")], 20)
+
+
+def q_window_frames(spark, sf_dir):
+    """§2.5 extension: lag/lead/delta over each customer's order
+    history (the partitioned analytic-window surface the reference
+    lacks)."""
+    return windows.lag_lead_delta(
+        _t(spark, sf_dir, "orders"),
+        "o_custkey",
+        ["o_orderdate", "o_orderkey"],
+        "o_totalprice",
+    )
+
+
+def q_rolling_sum(spark, sf_dir):
+    """§2.5 extension: 3-row moving sum of order totals per customer
+    (ROWS BETWEEN frame spec)."""
+    return windows.rolling_sum(
+        _t(spark, sf_dir, "orders"),
+        "o_custkey",
+        ["o_orderdate", "o_orderkey"],
+        "o_totalprice",
+    )
+
+
+def q_cube(spark, sf_dir):
+    """M4(a): CUBE grouping sets over returnflag × linestatus."""
+    return agg.cube_counts(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        "l_extendedprice",
+    )
+
+
+def q_percentiles(spark, sf_dir):
+    """M4(a): exact p25/p50/p75 price percentiles per return flag."""
+    return agg.percentiles_exact(
+        _t(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
 def q_semi_join(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     big = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
@@ -1096,6 +1212,77 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
 """,
+    "q_tpch_q10": f"""
+SELECT c_custkey, c_name, c_mktsegment,
+       CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+    "q_tpch_q4": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o.o_orderkey
+                AND l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY 1
+""",
+    "q_tpch_q12": """
+SELECT l_linestatus,
+       count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+         AS high_line_count,
+       count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+""",
+    "q_tpch_q14": f"""
+SELECT round(100.0
+         * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL} END) AS DOUBLE)
+         / CAST(SUM({REVENUE_SQL}) AS DOUBLE), 6) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate < TIMESTAMP '1997-10-01'
+""",
+    "q_window_frames": """
+SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+       lag(o_totalprice) OVER w AS prev_value,
+       lead(o_totalprice) OVER w AS next_value,
+       o_totalprice - lag(o_totalprice) OVER w AS delta_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    "q_rolling_sum": """
+SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS rolling_sum,
+       count(*) OVER w AS n_in_frame
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+    "q_cube": """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    "q_percentiles": """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+FROM lineitem GROUP BY 1
+""",
     "q_tpch_q3": f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
        CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue
@@ -1321,6 +1508,14 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_tpch_q18", q_tpch_q18, ORACLES["q_tpch_q18"], True),
     QuerySpec("q_tpch_q3", q_tpch_q3, ORACLES["q_tpch_q3"], True),
     QuerySpec("q_tpch_q5", q_tpch_q5, ORACLES["q_tpch_q5"], True),
+    QuerySpec("q_tpch_q4", q_tpch_q4, ORACLES["q_tpch_q4"], True),
+    QuerySpec("q_tpch_q10", q_tpch_q10, ORACLES["q_tpch_q10"], True),
+    QuerySpec("q_tpch_q12", q_tpch_q12, ORACLES["q_tpch_q12"], True),
+    QuerySpec("q_tpch_q14", q_tpch_q14, ORACLES["q_tpch_q14"], True),
+    QuerySpec("q_window_frames", q_window_frames, ORACLES["q_window_frames"], True),
+    QuerySpec("q_rolling_sum", q_rolling_sum, ORACLES["q_rolling_sum"]),
+    QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
+    QuerySpec("q_percentiles", q_percentiles, ORACLES["q_percentiles"], True),
     QuerySpec("q_semi_join", q_semi_join, ORACLES["q_semi_join"]),
     QuerySpec("q_anti_join", q_anti_join, ORACLES["q_anti_join"]),
     QuerySpec(

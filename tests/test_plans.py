@@ -35,6 +35,15 @@ def test_topn_per_group_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan_of(spark, sf_dir, Q.q_topn_per_group)
 
 
+def test_q14_broadcasts_part_dim(spark, sf_dir):
+    assert "BroadcastHashJoin" in plan_of(spark, sf_dir, Q.q_tpch_q14)
+
+
+def test_window_frames_single_window_pass(spark, sf_dir):
+    # lag + lead + delta share one Window spec → exactly one WindowExec
+    assert plan_of(spark, sf_dir, Q.q_window_frames).count("Window") == 1
+
+
 def test_count_by_key_partial_aggregation(spark, sf_dir):
     # partial (map-side) + final HashAggregate around one exchange
     p = plan_of(spark, sf_dir, Q.q_count_by_key)

@@ -1,0 +1,80 @@
+"""Unit tests for the analytic-frame window operators (lag/lead,
+rolling frame sum), CUBE grouping sets, and exact percentiles —
+the §2.5/M4(a) extension surface added on top of the reference
+(which has no rank/lag/lead/frame specs, SURVEY §2.5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import (
+    aggregations as agg,
+    windows,
+)
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    rows = [
+        Row(grp="a", seq=1, amount=10.0),
+        Row(grp="a", seq=2, amount=20.0),
+        Row(grp="a", seq=3, amount=50.0),
+        Row(grp="a", seq=4, amount=40.0),
+        Row(grp="b", seq=1, amount=5.0),
+        Row(grp="b", seq=2, amount=7.0),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_lag_lead_delta_values(series):
+    out = {
+        (r.grp, r.seq): r
+        for r in windows.lag_lead_delta(
+            series, "grp", ["seq"], "amount"
+        ).collect()
+    }
+    assert out[("a", 1)].prev_value is None
+    assert out[("a", 1)].next_value == 20.0
+    assert out[("a", 1)].delta_prev is None
+    assert out[("a", 3)].prev_value == 20.0
+    assert out[("a", 3)].delta_prev == 30.0
+    # frames never cross the partition boundary
+    assert out[("a", 4)].next_value is None
+    assert out[("b", 1)].prev_value is None
+
+
+def test_rolling_sum_frame(series):
+    out = {
+        (r.grp, r.seq): r
+        for r in windows.rolling_sum(
+            series, "grp", ["seq"], "amount", preceding=2
+        ).collect()
+    }
+    assert out[("a", 1)].rolling_sum == 10.0 and out[("a", 1)].n_in_frame == 1
+    assert out[("a", 2)].rolling_sum == 30.0 and out[("a", 2)].n_in_frame == 2
+    assert out[("a", 3)].rolling_sum == 80.0 and out[("a", 3)].n_in_frame == 3
+    # frame slides: seq 4 covers rows 2..4 only
+    assert out[("a", 4)].rolling_sum == 110.0
+    assert out[("b", 2)].rolling_sum == 12.0
+
+
+def test_cube_has_all_grouping_sets(series):
+    out = agg.cube_counts(series, ["grp", "seq"], "amount").collect()
+    by_key = {(r.grp, r.seq): (r.n_rows, r.sum_amount) for r in out}
+    # 2^2 grouping-set levels: (grp,seq), (grp,·), (·,seq), grand total
+    assert by_key[("a", None)] == (4, 120.0)
+    assert by_key[(None, None)] == (6, 132.0)
+    assert by_key[(None, 1)] == (2, 15.0)
+    assert by_key[("b", 2)] == (1, 7.0)
+
+
+def test_percentiles_exact_interpolation(spark):
+    df = spark.createDataFrame(
+        [Row(k="x", v=float(i)) for i in range(1, 5)]  # 1,2,3,4
+    )
+    row = agg.percentiles_exact(df, "k", "v").collect()[0]
+    # type-7: p = lo + (n-1)*q fractional index
+    assert row.p25 == 1.75
+    assert row.p50 == 2.5
+    assert row.p75 == 3.25
