@@ -140,6 +140,16 @@ def minhash_signatures(
     each signature element is a cheap affine permutation + array_min
     over it (engine-portable md5-based hashing)."""
     sh = with_shingles(df, text_col, id_col, n, max_chars)
+    return _signatures_from_shingles(sh, id_col, n_hashes, seed)
+
+
+def _signatures_from_shingles(
+    sh: DataFrame, id_col: str, n_hashes: int, seed: int
+) -> DataFrame:
+    """Signature derivation over an existing (id, shingles) frame — lets
+    callers that also need the raw shingles (LSH verification) compute
+    the shingle scan once and fan both consumers off the persisted
+    frame."""
     hashed = sh.select(
         F.col(id_col), F.transform("shingles", md5_int).alias("hs")
     )
@@ -181,12 +191,12 @@ def minhash_lsh_pairs(
     para = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < para:
         df = df.repartition(para)
-    # persist: consumed by banding AND by the signature-estimate
-    # prefilter; without it the md5-over-every-shingle pipeline
-    # recomputes once per consumer
-    sigs = minhash_signatures(
-        df, text_col, id_col, n_hashes, n, max_chars, seed
-    ).persist()
+    # One shingle scan shared by signatures AND exact verification;
+    # signatures persisted separately: consumed by banding and by the
+    # signature-estimate prefilter. Without these persists the
+    # md5-over-every-shingle pipeline recomputes once per consumer.
+    sh = with_shingles(df, text_col, id_col, n, max_chars).persist()
+    sigs = _signatures_from_shingles(sh, id_col, n_hashes, seed).persist()
 
     band_structs = F.array(
         *[
@@ -248,8 +258,6 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
     )
 
-    # shingles consumed twice (a/b side of verification) — persist
-    sh = with_shingles(df, text_col, id_col, n, max_chars).persist()
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
