@@ -458,6 +458,55 @@ def q_tpch_q10(spark, sf_dir):
     return ordering.topk(revenue, [F.desc("revenue"), F.asc("c_custkey")], 20)
 
 
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 small-quantity-order revenue (adapted: p_brand filter
+    only — no p_container column): correlated scalar subquery
+    (per-part avg quantity) decorrelated into an aggregate +
+    broadcast join back, then a threshold filter and one scalar."""
+    li = _t(spark, sf_dir, "lineitem")
+    brand_parts = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#13"
+    )
+    # exact decimal sum / count — deterministic avg in both engines
+    per_part_avg = li.groupBy("l_partkey").agg(
+        (agg.decimal_sum("l_quantity") / F.count("*")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey)
+        .join(F.broadcast(per_part_avg), "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(agg.decimal_sum("l_extendedprice") / 7.0, 2).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11-style important parts (no partsupp table — revenue
+    share stands in for stock value): per-part aggregate HAVING-
+    compared against a global-total scalar (broadcast cross join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        agg.decimal_sum(revenue_expr(), scale=6, precision=28).alias("part_rev")
+    )
+    # exact global total / distinct-part count — a deterministic mean
+    # (double `avg` would depend on partition reduction order)
+    total = li.agg(
+        agg.decimal_sum(revenue_expr(), scale=6, precision=28).alias("total_rev"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_rev")
+            > F.lit(1.15) * (F.col("total_rev") / F.col("n_parts"))
+        )
+        .select("l_partkey", F.round("part_rev", 2).alias("part_rev"))
+    )
+
+
 def q_window_frames(spark, sf_dir):
     """§2.5 extension: lag/lead/delta over each customer's order
     history (the partitioned analytic-window surface the reference
@@ -1225,6 +1274,28 @@ GROUP BY 1, 2, 3
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
 """,
+    "q_tpch_q17": """
+SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0,
+             2) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (SELECT l_partkey AS apk,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS avg_qty
+      FROM lineitem GROUP BY 1) a ON l_partkey = apk
+WHERE p_brand = 'Brand#13' AND l_quantity < 0.2 * avg_qty
+""",
+    "q_tpch_q11": f"""
+SELECT l_partkey, round(part_rev, 2) AS part_rev
+FROM (SELECT l_partkey,
+             CAST(SUM(CAST({REVENUE_SQL} AS DECIMAL(28,6))) AS DOUBLE)
+               AS part_rev
+      FROM lineitem GROUP BY 1)
+WHERE part_rev > 1.15 *
+      ((SELECT CAST(SUM(CAST({REVENUE_SQL} AS DECIMAL(28,6))) AS DOUBLE)
+        FROM lineitem)
+       / (SELECT count(DISTINCT l_partkey) FROM lineitem))
+""",
     "q_tpch_q4": """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders o
@@ -1510,6 +1581,8 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_tpch_q5", q_tpch_q5, ORACLES["q_tpch_q5"], True),
     QuerySpec("q_tpch_q4", q_tpch_q4, ORACLES["q_tpch_q4"], True),
     QuerySpec("q_tpch_q10", q_tpch_q10, ORACLES["q_tpch_q10"], True),
+    QuerySpec("q_tpch_q11", q_tpch_q11, ORACLES["q_tpch_q11"], True),
+    QuerySpec("q_tpch_q17", q_tpch_q17, ORACLES["q_tpch_q17"], True),
     QuerySpec("q_tpch_q12", q_tpch_q12, ORACLES["q_tpch_q12"], True),
     QuerySpec("q_tpch_q14", q_tpch_q14, ORACLES["q_tpch_q14"], True),
     QuerySpec("q_window_frames", q_window_frames, ORACLES["q_window_frames"], True),
