@@ -507,6 +507,36 @@ def q_tpch_q11(spark, sf_dir):
     )
 
 
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 discounted revenue (adapted: no p_container — brand ×
+    quantity-band × size-band conjuncts): disjunction of mixed
+    join-side predicates; Catalyst pushes the per-side common factors
+    (partkey non-null, size/quantity bounds) below the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return joined.filter(band).agg(
+        F.sum(revenue_expr()).cast("double").alias("revenue")
+    )
+
+
 def q_window_frames(spark, sf_dir):
     """§2.5 extension: lag/lead/delta over each customer's order
     history (the partitioned analytic-window surface the reference
@@ -1296,6 +1326,16 @@ WHERE part_rev > 1.15 *
         FROM lineitem)
        / (SELECT count(DISTINCT l_partkey) FROM lineitem))
 """,
+    "q_tpch_q19": f"""
+SELECT CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+       AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+       AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#4' AND l_quantity BETWEEN 20 AND 30
+       AND p_size BETWEEN 1 AND 15)
+""",
     "q_tpch_q4": """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders o
@@ -1583,6 +1623,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_tpch_q10", q_tpch_q10, ORACLES["q_tpch_q10"], True),
     QuerySpec("q_tpch_q11", q_tpch_q11, ORACLES["q_tpch_q11"], True),
     QuerySpec("q_tpch_q17", q_tpch_q17, ORACLES["q_tpch_q17"], True),
+    QuerySpec("q_tpch_q19", q_tpch_q19, ORACLES["q_tpch_q19"], True),
     QuerySpec("q_tpch_q12", q_tpch_q12, ORACLES["q_tpch_q12"], True),
     QuerySpec("q_tpch_q14", q_tpch_q14, ORACLES["q_tpch_q14"], True),
     QuerySpec("q_window_frames", q_window_frames, ORACLES["q_window_frames"], True),

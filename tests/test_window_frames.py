@@ -69,6 +69,50 @@ def test_cube_has_all_grouping_sets(series):
     assert by_key[("b", 2)] == (1, 7.0)
 
 
+def _frame_rows():
+    from hypothesis import strategies as st
+
+    return st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+
+
+def test_frame_properties(spark):
+    from hypothesis import HealthCheck, given, settings
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=_frame_rows())
+    def inner(rows):
+        df = spark.createDataFrame(
+            [Row(grp=g, seq=i, amount=round(a, 2)) for i, (g, a) in enumerate(rows)]
+        )
+        # preceding=0 frame degenerates to the row itself
+        solo = windows.rolling_sum(df, "grp", ["seq"], "amount", preceding=0)
+        for r in solo.collect():
+            assert r.n_in_frame == 1 and abs(r.rolling_sum - r.amount) < 1e-9
+        # lag/lead are mutually consistent along each group's sequence
+        out = sorted(
+            windows.lag_lead_delta(df, "grp", ["seq"], "amount").collect(),
+            key=lambda r: (r.grp, r.seq),
+        )
+        for prev_r, r in zip(out, out[1:]):
+            if prev_r.grp == r.grp:
+                assert prev_r.next_value == r.amount
+                assert r.prev_value == prev_r.amount
+                assert abs(r.delta_prev - (r.amount - prev_r.amount)) < 1e-9
+
+    inner()
+
+
 def test_percentiles_exact_interpolation(spark):
     df = spark.createDataFrame(
         [Row(k="x", v=float(i)) for i in range(1, 5)]  # 1,2,3,4
