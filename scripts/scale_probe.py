@@ -20,7 +20,10 @@ import time
 from pyspark.sql import functions as F
 
 from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import dedup, ordering, similarity
-from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.windows import global_row_index
+from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.windows import (
+    global_row_index,
+    rolling_sum,
+)
 from esgi_4iabd2_sparkstreaming_groupe13_spark.session import get_spark
 from esgi_4iabd2_sparkstreaming_groupe13_spark.sources.batch import load_table
 
@@ -115,6 +118,25 @@ def main() -> None:
     results["global_index"] = {
         "t1": timed("gidx 1x", global_row_index(ev1, ["ts", "event_id"])),
         "tN": timed(f"gidx {factor}x", global_row_index(evN, ["ts", "event_id"])),
+    }
+
+    # --- orders: analytic frame window (partitioned by customer) ---
+    # partition count scales with customers, per-partition work with
+    # orders-per-customer — a partitioned WindowExec should track the
+    # data ~linearly (no single-partition collapse).
+    or1 = load_table(spark, SF_DIR, "orders")
+    orN = scaled(or1, factor, ["o_orderkey", "o_custkey"], 100_000_000)
+    orN.write.mode("overwrite").parquet(f"{tmp}/orN.parquet")
+    orN = spark.read.parquet(f"{tmp}/orN.parquet")
+    results["rolling_sum"] = {
+        "t1": timed(
+            "rollsum 1x",
+            rolling_sum(or1, "o_custkey", ["o_orderdate", "o_orderkey"], "o_totalprice"),
+        ),
+        "tN": timed(
+            f"rollsum {factor}x",
+            rolling_sum(orN, "o_custkey", ["o_orderdate", "o_orderkey"], "o_totalprice"),
+        ),
     }
 
     # --- embeddings: brute-force cosine top-k ---
