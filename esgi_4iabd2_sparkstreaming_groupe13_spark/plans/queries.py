@@ -537,6 +537,25 @@ def q_tpch_q19(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """Custom time-series operator Spark lacks natively: backward
+    as-of join — each click matched to the user's latest preceding
+    view. Union + single window pass (no range-join explosion);
+    DuckDB's native ASOF JOIN is the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("id"))
+    )
+    return joins.asof_join_backward(
+        clicks, views, "user_id", "ts", right_prefix="view_"
+    )
+
+
 def q_window_frames(spark, sf_dir):
     """§2.5 extension: lag/lead/delta over each customer's order
     history (the partitioned analytic-window surface the reference
@@ -1336,6 +1355,19 @@ WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
    OR (p_brand = 'Brand#4' AND l_quantity BETWEEN 20 AND 30
        AND p_size BETWEEN 1 AND 15)
 """,
+    "q_asof_join": """
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, ts FROM events
+  WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, ts AS view_ts, max(event_id) AS view_id FROM events
+  WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT c.click_id, c.user_id, c.ts,
+       v.view_ts AS view_ts, v.view_id AS view_id
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.view_ts
+""",
     "q_tpch_q4": """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders o
@@ -1630,6 +1662,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_rolling_sum", q_rolling_sum, ORACLES["q_rolling_sum"]),
     QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
     QuerySpec("q_percentiles", q_percentiles, ORACLES["q_percentiles"], True),
+    QuerySpec("q_asof_join", q_asof_join, ORACLES["q_asof_join"], True),
     QuerySpec("q_semi_join", q_semi_join, ORACLES["q_semi_join"]),
     QuerySpec("q_anti_join", q_anti_join, ORACLES["q_anti_join"]),
     QuerySpec(

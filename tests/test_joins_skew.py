@@ -33,3 +33,36 @@ def test_salted_join_spreads_hot_key(spark):
     salted = fact.withColumn("_salt", (F.rand(seed=42) * 8).cast("int"))
     n_buckets = salted.select("_salt").distinct().count()
     assert n_buckets >= 6  # hot key spread over most of the 8 buckets
+
+
+def test_asof_join_backward_semantics(spark):
+    from datetime import datetime
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.joins import (
+        asof_join_backward,
+    )
+
+    from pyspark.sql import Row
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [Row(k=1, ts=t(5), lid=100),
+         Row(k=1, ts=t(10), lid=101),
+         Row(k=1, ts=t(2), lid=102),
+         Row(k=2, ts=t(7), lid=103)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, ts=t(3), rid=7),
+         Row(k=1, ts=t(5), rid=8),
+         Row(k=1, ts=t(9), rid=9),
+         Row(k=3, ts=t(1), rid=10)]
+    )
+    out = {r.lid: r for r in asof_join_backward(left, right, "k", "ts").collect()}
+    assert out[100].asof_rid == 8          # equal ts is inclusive
+    assert out[101].asof_rid == 9          # latest preceding, not first
+    assert out[101].asof_ts == t(9)
+    assert out[102].asof_rid is None       # no right row at or before ts
+    assert out[103].asof_rid is None       # key has no right rows at all
+    assert len(out) == 4                   # left rows preserved exactly
