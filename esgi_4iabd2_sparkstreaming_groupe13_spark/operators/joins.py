@@ -118,3 +118,31 @@ def asof_join_backward(
     return matched.select(
         *left.columns, *[F.col(f"_asof.{f}").alias(f) for f in out_fields]
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Keyed range join: match each left row to right intervals of the
+    same key containing its timestamp (``start <= ts <= end``).
+
+    With an equi key the range predicate rides on the keyed
+    shuffle-hash/sort-merge join as a post-probe filter — per-key work
+    is |left_k|·|intervals_k|, bounded when intervals-per-key is small
+    (sessions, campaigns, validity windows). For a KEYLESS range join
+    at scale, bucketize: assign each left row floor(ts/width), explode
+    each interval over its covered buckets, equi-join on bucket, then
+    re-filter — turns the cross product into per-bucket work.
+    """
+    cond = (
+        (left[key_col] == right[key_col])
+        & (left[ts_col] >= right[start_col])
+        & (left[ts_col] <= right[end_col])
+    )
+    return left.join(right, cond, how).drop(right[key_col])

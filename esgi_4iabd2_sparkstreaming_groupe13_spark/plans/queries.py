@@ -556,6 +556,25 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_interval_join(spark, sf_dir):
+    """Keyed range join: clicks matched into 1-day windows opened
+    by each error event of the same user (ts BETWEEN start AND end on
+    top of the user_id equi key)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("err_end"),
+    )
+    return joins.interval_join(
+        clicks, errors, "user_id", "ts", "err_start", "err_end"
+    ).select("click_id", "user_id", "ts", "err_id", "err_start")
+
+
 def q_window_frames(spark, sf_dir):
     """§2.5 extension: lag/lead/delta over each customer's order
     history (the partitioned analytic-window surface the reference
@@ -1368,6 +1387,20 @@ SELECT c.click_id, c.user_id, c.ts,
 FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND c.ts >= v.view_ts
 """,
+    "q_interval_join": """
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, ts FROM events
+  WHERE event_type = 'click'
+), errors AS (
+  SELECT user_id, event_id AS err_id, ts AS err_start,
+         ts + INTERVAL 1 DAY AS err_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT click_id, c.user_id AS user_id, c.ts, err_id, err_start
+FROM clicks c JOIN errors e
+  ON c.user_id = e.user_id
+ AND c.ts >= e.err_start AND c.ts <= e.err_end
+""",
     "q_tpch_q4": """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders o
@@ -1663,6 +1696,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
     QuerySpec("q_percentiles", q_percentiles, ORACLES["q_percentiles"], True),
     QuerySpec("q_asof_join", q_asof_join, ORACLES["q_asof_join"], True),
+    QuerySpec("q_interval_join", q_interval_join, ORACLES["q_interval_join"]),
     QuerySpec("q_semi_join", q_semi_join, ORACLES["q_semi_join"]),
     QuerySpec("q_anti_join", q_anti_join, ORACLES["q_anti_join"]),
     QuerySpec(

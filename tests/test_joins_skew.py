@@ -66,3 +66,30 @@ def test_asof_join_backward_semantics(spark):
     assert out[102].asof_rid is None       # no right row at or before ts
     assert out[103].asof_rid is None       # key has no right rows at all
     assert len(out) == 4                   # left rows preserved exactly
+
+
+def test_interval_join_semantics(spark):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.joins import (
+        interval_join,
+    )
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [Row(k=1, ts=t(5), lid=100),
+         Row(k=1, ts=t(20), lid=101),
+         Row(k=2, ts=t(5), lid=102)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, s=t(0), e=t(5), rid=7),    # lid=100 at the inclusive end
+         Row(k=1, s=t(4), e=t(10), rid=8),   # lid=100 again (overlap)
+         Row(k=2, s=t(6), e=t(9), rid=9)]    # starts after lid=102
+    )
+    out = interval_join(left, right, "k", "ts", "s", "e").collect()
+    matches = sorted((r.lid, r.rid) for r in out)
+    assert matches == [(100, 7), (100, 8)]   # inclusive ends; overlap = 2 rows; no match dropped
