@@ -67,25 +67,28 @@ def salted_join(
     return out.drop("_salt")
 
 
-def asof_join_backward(
+def asof_join(
     left: DataFrame,
     right: DataFrame,
     key_col: str,
     ts_col: str,
     right_prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of (backward) join: attach to each left row the payload of
-    the LATEST right row with ``right.ts <= left.ts`` for the same key
-    (NULLs when no prior right row exists) — the time-series point-in-
-    time lookup Spark has no native operator for.
+    """As-of join: attach to each left row the payload of the nearest
+    right row at-or-before (``backward``: latest ``right.ts <=
+    left.ts``) or at-or-after (``forward``: earliest ``right.ts >=
+    left.ts``) for the same key, NULLs when none exists — the
+    time-series point-in-time lookup Spark has no native operator for.
 
     Implemented WITHOUT a join: tag both sides, ``unionByName``, and
-    take ``last(payload, ignorenulls=True)`` over a window ordered by
-    ``(ts, side)`` with right-before-left at equal timestamps
-    (inclusive semantics, matching DuckDB ``ASOF JOIN``). One shuffle
-    on the key, no candidate-pair explosion — a range-condition join
-    would explode to O(|left|·|right-per-key|) before filtering,
-    while this is O(|left| + |right|) rows through one WindowExec.
+    take ``last``/``first(payload, ignorenulls=True)`` over a window
+    ordered by ``(ts, side)`` with the right side sorted into the
+    frame at equal timestamps (inclusive semantics, matching DuckDB
+    ``ASOF JOIN``). One shuffle on the key, no candidate-pair
+    explosion — a range-condition join would explode to
+    O(|left|·|right-per-key|) before filtering, while this is
+    O(|left| + |right|) rows through one WindowExec.
 
     ``right`` must be unique per ``(key, ts)`` (pre-aggregate ties);
     its non-key/ts columns become ``{right_prefix}<name>`` outputs,
@@ -93,31 +96,49 @@ def asof_join_backward(
     """
     from pyspark.sql import Window
 
+    assert direction in ("backward", "forward")
     payload_cols = [c for c in right.columns if c not in (key_col, ts_col)]
     payload = F.struct(
         F.col(ts_col).alias(f"{right_prefix}{ts_col}"),
         *[F.col(c).alias(f"{right_prefix}{c}") for c in payload_cols],
     )
+    # at equal ts the right row must land inside the left row's frame:
+    # backward frame ends at current row → right sorts first;
+    # forward frame starts at current row → right sorts last.
+    right_side = 0 if direction == "backward" else 2
     r = right.select(
         F.col(key_col), F.col(ts_col), payload.alias("_payload")
-    ).withColumn("_side", F.lit(0))
+    ).withColumn("_side", F.lit(right_side))
     l = left.withColumn("_side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
 
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(F.col(ts_col), F.col("_side"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    matched = u.withColumn(
-        "_asof", F.last("_payload", ignorenulls=True).over(w)
-    ).filter(F.col("_side") == 1)
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col("_side"))
+    if direction == "backward":
+        picked = F.last("_payload", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        picked = F.first("_payload", ignorenulls=True).over(
+            w.rowsBetween(0, Window.unboundedFollowing)
+        )
+    matched = u.withColumn("_asof", picked).filter(F.col("_side") == 1)
     out_fields = [f"{right_prefix}{ts_col}"] + [
         f"{right_prefix}{c}" for c in payload_cols
     ]
     return matched.select(
         *left.columns, *[F.col(f"_asof.{f}").alias(f) for f in out_fields]
     )
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    right_prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join (see ``asof_join``)."""
+    return asof_join(left, right, key_col, ts_col, right_prefix, "backward")
 
 
 def interval_join(

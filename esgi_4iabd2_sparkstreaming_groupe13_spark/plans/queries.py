@@ -556,6 +556,41 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of join: each click matched to the user's NEXT
+    purchase at-or-after the click (conversion attribution shape)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("id"))
+    )
+    return joins.asof_join(
+        clicks, purchases, "user_id", "ts", right_prefix="buy_", direction="forward"
+    )
+
+
+def q_grouping_sets(spark, sf_dir):
+    """M4(a): arbitrary GROUPING SETS — per-flag, per-status, and
+    grand-total aggregates in one pass (mixes the sets rollup/cube
+    can't express individually); Catalyst compiles to a single
+    Expand+HashAggregate like rollup/cube."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return li.sparkSession.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_amount
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
 def q_interval_join(spark, sf_dir):
     """Keyed range join: clicks matched into 1-day windows opened
     by each error event of the same user (ts BETWEEN start AND end on
@@ -1387,6 +1422,26 @@ SELECT c.click_id, c.user_id, c.ts,
 FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND c.ts >= v.view_ts
 """,
+    "q_asof_forward": """
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, ts FROM events
+  WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts AS buy_ts, max(event_id) AS buy_id FROM events
+  WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.click_id, c.user_id, c.ts,
+       p.buy_ts AS buy_ts, p.buy_id AS buy_id
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts <= p.buy_ts
+""",
+    "q_grouping_sets": """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_amount
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
     "q_interval_join": """
 WITH clicks AS (
   SELECT event_id AS click_id, user_id, ts FROM events
@@ -1697,6 +1752,8 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_percentiles", q_percentiles, ORACLES["q_percentiles"], True),
     QuerySpec("q_asof_join", q_asof_join, ORACLES["q_asof_join"], True),
     QuerySpec("q_interval_join", q_interval_join, ORACLES["q_interval_join"]),
+    QuerySpec("q_asof_forward", q_asof_forward, ORACLES["q_asof_forward"]),
+    QuerySpec("q_grouping_sets", q_grouping_sets, ORACLES["q_grouping_sets"]),
     QuerySpec("q_semi_join", q_semi_join, ORACLES["q_semi_join"]),
     QuerySpec("q_anti_join", q_anti_join, ORACLES["q_anti_join"]),
     QuerySpec(

@@ -93,3 +93,32 @@ def test_interval_join_semantics(spark):
     out = interval_join(left, right, "k", "ts", "s", "e").collect()
     matches = sorted((r.lid, r.rid) for r in out)
     assert matches == [(100, 7), (100, 8)]   # inclusive ends; overlap = 2 rows; no match dropped
+
+
+def test_asof_join_forward_semantics(spark):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.joins import asof_join
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [Row(k=1, ts=t(5), lid=100),
+         Row(k=1, ts=t(10), lid=101),
+         Row(k=1, ts=t(1), lid=102)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, ts=t(3), rid=7),
+         Row(k=1, ts=t(5), rid=8),
+         Row(k=1, ts=t(9), rid=9)]
+    )
+    out = {
+        r.lid: r
+        for r in asof_join(left, right, "k", "ts", direction="forward").collect()
+    }
+    assert out[100].asof_rid == 8       # equal ts is inclusive going forward
+    assert out[101].asof_rid is None    # nothing at-or-after
+    assert out[102].asof_rid == 7       # earliest following, not latest
