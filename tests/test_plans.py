@@ -44,6 +44,13 @@ def test_window_frames_single_window_pass(spark, sf_dir):
     assert plan_of(spark, sf_dir, Q.q_window_frames).count("Window") == 1
 
 
+def test_asof_join_is_joinless(spark, sf_dir):
+    # union + one window pass — no join operator, no pair explosion
+    p = plan_of(spark, sf_dir, Q.q_asof_join)
+    assert "Join" not in p
+    assert p.count("Window") == 1
+
+
 def test_count_by_key_partial_aggregation(spark, sf_dir):
     # partial (map-side) + final HashAggregate around one exchange
     p = plan_of(spark, sf_dir, Q.q_count_by_key)
