@@ -3,20 +3,86 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is forced end-to-end with a count() of the final frame (the
-result sets are small aggregates/top-ks; materialization cost is the
-query itself, not the driver transfer).
+Each query is forced end-to-end with a full-width checksum — an
+aggregate of xxhash64 over every result column — NOT count():
+count() lets Catalyst prune all payload columns, so a projection- or
+filter-shaped query would time a near-empty scan instead of actually
+materializing its result expressions.
+
+Also emits a streaming throughput metric (``stream_rows_per_sec``):
+rows/s through the full foreachBatch 4-sink consumer fan-out
+(enrich → SQL projection → raw + pickup/dropoff/combined-agg sinks)
+drained with availableNow over a synthetic taxi NDJSON fixture —
+anchoring the reference's only published envelope (1 row/s sustained,
+BASELINE.md) with a measured number.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
+from pyspark.sql import functions as F
+
+from esgi_4iabd2_sparkstreaming_groupe13_spark.config import ConsumerConfig
+from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.caching import (
+    release_cached,
+)
 from esgi_4iabd2_sparkstreaming_groupe13_spark.plans.queries import QUERIES
 from esgi_4iabd2_sparkstreaming_groupe13_spark.session import get_spark
+from esgi_4iabd2_sparkstreaming_groupe13_spark.streaming.processor import (
+    start_consumer,
+)
+from esgi_4iabd2_sparkstreaming_groupe13_spark.streaming.synthetic import (
+    synthetic_trip_batch,
+)
+
+STREAM_BENCH_ROWS = 50_000
+STREAM_BENCH_FILES = 8  # → 8 micro-batches at maxFilesPerTrigger=1
+
+
+def force(df) -> int:
+    """Materialize every column of every row: xor-fold a 64-bit hash of
+    the full row struct. Returns the row count (same side effect as
+    count(), but nothing can be pruned)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("checksum"),
+    ).collect()[0]
+    return row["n"]
+
+
+def bench_stream(spark) -> dict[str, float]:
+    """Drain STREAM_BENCH_ROWS trips through the 4-sink consumer with
+    availableNow; rows/s over the drain wall-time."""
+    workdir = tempfile.mkdtemp(prefix="bench_stream_")
+    src = f"{workdir}/src"
+    synthetic_trip_batch(spark, STREAM_BENCH_ROWS, STREAM_BENCH_FILES).write.mode(
+        "overwrite"
+    ).json(src)
+    cfg = ConsumerConfig(
+        input_dir=src,
+        max_files_per_trigger=1,
+        output_dir=f"{workdir}/out",
+        checkpoint_dir=f"{workdir}/ckpt",
+    )
+    t0 = time.perf_counter()
+    q = start_consumer(spark, cfg, available_now=True)
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    n_batches = len(
+        [p for p in q.recentProgress if p and p.get("numInputRows", 0) > 0]
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    return {
+        "stream_rows_per_sec": round(STREAM_BENCH_ROWS / wall, 1),
+        "stream_wall_sec": round(wall, 3),
+        "stream_batches": n_batches,
+    }
 
 
 def main() -> None:
@@ -37,9 +103,13 @@ def main() -> None:
             continue
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
-        n = df.count()
+        n = force(df)
         timings[spec.name] = round(time.perf_counter() - t0, 3)
+        release_cached()
         print(f"# {spec.name}: {timings[spec.name]}s ({n} rows)", file=sys.stderr)
+
+    stream_stats = bench_stream(spark)
+    print(f"# stream: {stream_stats}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -50,6 +120,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **stream_stats,
             }
         )
     )

@@ -10,7 +10,7 @@ Five families, each chosen for a different scale/fidelity point:
                      generation instead of O(docs²); candidates are
                      verified with exact Jaccard so output precision
                      is 1.0 (recall is the banding probability)
-* SimHash          — 48-bit fingerprint; the 4-block pigeonhole join
+* SimHash          — 60-bit fingerprint; the 4-block pigeonhole join
                      gives EXACT recall for hamming distance ≤ 3
 * embedding cosine — near-dup over vectors (delegates to similarity)
 
@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .caching import track_persist
 from ..functions.hashing import (
     md5_int,
     minhash_permutation_cols,
@@ -57,6 +58,24 @@ def dedup_exact(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     partitionings, which is unacceptable for a reproducible pipeline.
     """
     return df.groupBy(*content_cols).agg(F.min(id_col).alias(id_col))
+
+
+def dedup_exact_content(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Content-level exact dedup over a document table: fingerprint the
+    whitespace-normalized lowercase text (sha256 — collision-averse at
+    corpus scale), then one representative (min id) + multiplicity per
+    distinct fingerprint. One narrow hash pass + one shuffle on the
+    fingerprint — the content analogue of :func:`dedup_exact`, which
+    groups on raw key columns.
+    """
+    from .text import fingerprints
+
+    fp = fingerprints(df, text_col, id_col)
+    return fp.groupBy("sha256_fp").agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("n_copies")
+    )
 
 
 def with_shingles(
@@ -195,8 +214,11 @@ def minhash_lsh_pairs(
     # signatures persisted separately: consumed by banding and by the
     # signature-estimate prefilter. Without these persists the
     # md5-over-every-shingle pipeline recomputes once per consumer.
-    sh = with_shingles(df, text_col, id_col, n, max_chars).persist()
-    sigs = _signatures_from_shingles(sh, id_col, n_hashes, seed).persist()
+    # track_persist registers the frames so caching.release_cached()
+    # (called at query entry and by the harnesses) drops them once the
+    # consuming action is done — no session-lifetime storage leak.
+    sh = track_persist(with_shingles(df, text_col, id_col, n, max_chars))
+    sigs = track_persist(_signatures_from_shingles(sh, id_col, n_hashes, seed))
 
     band_structs = F.array(
         *[
@@ -353,7 +375,8 @@ def simhash_pairs(
         df = df.repartition(para)
     # persist: both sides of the block join consume the fingerprints —
     # without it the 60-bit expression tree recomputes per side
-    fp = simhash_fingerprints(df, text_col, id_col).persist()
+    # (tracked → released by caching.release_cached() post-action)
+    fp = track_persist(simhash_fingerprints(df, text_col, id_col))
 
     blocks = fp.withColumn(
         "blk",

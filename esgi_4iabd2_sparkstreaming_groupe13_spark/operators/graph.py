@@ -33,6 +33,10 @@ def connected_components(
     (``src_col``, ``dst_col``). Returns (node, component) where
     component = min id in the node's connected component. Isolated
     nodes are their own component.
+
+    Raises ``RuntimeError`` if the loop hits ``max_iterations`` without
+    reaching the fixpoint — silently returning partially-propagated
+    labels would split long near-dup chains into separate clusters.
     """
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -42,6 +46,7 @@ def connected_components(
         F.col(node_col).alias("node"), F.col(node_col).alias("component")
     ).localCheckpoint()
 
+    changed = 1
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -49,6 +54,10 @@ def connected_components(
             .agg(F.min("component").alias("nmin"))
             .withColumnRenamed("src", "node_n")
         )
+        # the old label is in scope inside the join, so the per-node
+        # "did it shrink" flag rides along in the same pass — no
+        # separate old-vs-new join; the convergence probe is then one
+        # cheap agg over the just-materialized checkpoint blocks
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.node_n, "left")
             .select(
@@ -56,16 +65,21 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
+                (F.coalesce(F.col("nmin"), F.col("component")) < F.col("component"))
+                .cast("long")
+                .alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(F.sum("_chg")).first()[0] or 0
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing) — a component's "
+            "diameter exceeds the cap; raise max_iterations (iterations "
+            "needed = O(component diameter))"
+        )
     return labels

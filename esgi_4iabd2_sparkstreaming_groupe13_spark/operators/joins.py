@@ -54,9 +54,20 @@ def salted_join(
     viral id, a null-key default). Cost: the other side is replicated
     ×salt_buckets — use with the SMALLER side as ``other``.
 
-    Results are identical to a plain join (verified in tests); salting
-    only changes the physical key distribution.
+    Only ``how`` in {'inner', 'left', 'left_semi'} is supported: in
+    those modes every output row is anchored to exactly one salted
+    ``skewed`` row, so results are identical to a plain join (verified
+    in tests). Right/full outer would emit each unmatched ``other``
+    row once per salt bucket (it was exploded ×salt_buckets), so they
+    are rejected rather than silently wrong.
     """
+    allowed = ("inner", "left", "left_outer", "left_semi", "leftsemi")
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {allowed}; got {how!r} — the "
+            "non-skewed side is exploded across salt buckets, so "
+            "right/full outer joins would duplicate unmatched rows"
+        )
     salted_l = skewed.withColumn(
         "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )

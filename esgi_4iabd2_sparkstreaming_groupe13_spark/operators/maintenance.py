@@ -3,10 +3,15 @@
 ``compact_directory``: micro-batch appends accumulate thousands of
 small files (one+ per batch per partition); listing and opening them
 dominates read cost long before data volume does. Compaction rewrites
-a directory to ~target-sized files and atomically swaps it in (write
-to sibling temp dir → rename old → rename new → drop old), so
-concurrent readers see either the old or the new layout, never a
-partial one.
+a directory to ~target-sized files and swaps it in (write to sibling
+temp dir → rename old → rename new → drop old). Each rename is
+atomic, but the swap is two renames, so there is a brief window where
+``path`` does not exist; a reader that lists during that window sees
+a missing directory (never a half-written mix of layouts). A crash
+between the renames is recovered by the in-process restore handler;
+an out-of-process crash leaves the data intact under the ``__old_``
+sibling name. True single-rename atomicity needs a manifest/table
+format (Delta/Iceberg) rather than a bare directory.
 """
 
 from __future__ import annotations
@@ -47,7 +52,14 @@ def compact_directory(
 
     old = str(p.with_name(f"{p.name}__old_{uuid.uuid4().hex[:8]}"))
     p.rename(old)
-    Path(tmp).rename(p)
+    try:
+        Path(tmp).rename(p)
+    except BaseException:
+        # second rename failed → put the original layout back so the
+        # live path never stays missing; the compacted tmp dir remains
+        # for inspection/retry
+        Path(old).rename(p)
+        raise
     shutil.rmtree(old)
 
     files_after = sum(

@@ -14,6 +14,9 @@ import sys
 import duckdb
 import pandas as pd
 
+from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.caching import (
+    release_cached,
+)
 from esgi_4iabd2_sparkstreaming_groupe13_spark.plans.queries import QUERIES
 from esgi_4iabd2_sparkstreaming_groupe13_spark.schemas import TESTDATA_TABLES
 from esgi_4iabd2_sparkstreaming_groupe13_spark.session import get_spark
@@ -82,6 +85,8 @@ def main() -> None:
             problems = compare(spec.name, spark_pdf, duck_pdf)
         except Exception as ex:
             problems = [f"exception: {type(ex).__name__}: {str(ex)[:300]}"]
+        finally:
+            release_cached()  # drop any operator-tracked persists
         if problems:
             n_fail += 1
             print(f"FAIL  {spec.name}")

@@ -87,3 +87,44 @@ def test_aggregates_stay_whole_stage_codegen(spark, sf_dir, qname):
     assert "isFinalPlan=true" in p
     # whole-stage codegen renders as "*(n)" stage markers
     assert "*(1)" in p
+
+
+def test_no_forced_broadcast_on_scaling_tables(spark, sf_dir):
+    """customer / per-part-average grow with SF — they must never carry
+    a structural broadcast hint (at TPC-H 100× they OOM the driver).
+    With auto-broadcast disabled, the only BroadcastExchange nodes left
+    in the initial plan are the explicit fixed-size dim hints."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        expected = {
+            "q_tpch_q17": 1,  # brand_parts (selective filter over part)
+            "q_tpch_q5": 2,   # nation (25 rows) + region (5 rows)
+            "q_tpch_q10": 0,
+            "q_tpch_q18": 0,
+        }
+        for name, n_dim_hints in expected.items():
+            p = plan_of(spark, sf_dir, getattr(Q, name))
+            assert p.count("BroadcastExchange") == n_dim_hints, (
+                f"{name}: expected {n_dim_hints} broadcast(s) (dim hints "
+                f"only), plan:\n{p}"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_tracked_persists_released(spark, sf_dir):
+    """LSH/SimHash persist intermediates; caching.release_cached() must
+    leave zero cached RDDs behind (no storage leak across a long-lived
+    session running many queries)."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.caching import (
+        release_cached,
+    )
+
+    release_cached()  # clean slate in case earlier tests left frames
+    sc = spark.sparkContext._jsc.sc()
+    for fn in (Q.q_minhash_lsh, Q.q_simhash_pairs):
+        fn(spark, sf_dir).count()
+    assert sc.getPersistentRDDs().size() > 0  # operators did persist
+    release_cached()
+    assert sc.getPersistentRDDs().size() == 0
