@@ -1,25 +1,47 @@
 """Similarity search over embedding columns (M4(e); cf. PAPERS.md —
 top-k similarity EDBT'20, REPOSE ICDE'21).
 
-Two tiers:
+Tiers:
 
 * ``brute_force_topk`` — exact cosine top-k: broadcast the (small)
   query set against the full corpus; per-partition ranking via a
   partitioned window (WindowGroupLimit — per-group heap, no global
   sort). The corpus side streams; nothing quadratic materializes.
-* ``ivf_topk`` — the scale path: IVF-style coarse quantization. A
-  deterministic centroid subset partitions the corpus into cells
+* ``ivf_topk`` — the top-k scale path: IVF-style coarse quantization.
+  A deterministic centroid subset partitions the corpus into cells
   (one broadcast argmin pass); queries probe only the ``nprobe``
   nearest cells. Search cost drops from O(N) to O(N·nprobe/cells)
   per query at the price of recall — the standard ANN trade.
+* ``cosine_threshold_pairs`` — EXACT all-pairs ≥ threshold, block-
+  tiled: O(N²) compares are unavoidable for exact answers at
+  thresholds inside the background-similarity tail (see the LSH note
+  below), so the operator's job is to distribute them evenly — an
+  equi-join on (block_i, block_j) tile keys, never a single-side
+  broadcast nested loop and never a driver-capped corpus.
+* ``rh_lsh_pairs`` — the sub-quadratic near-dup path: random-
+  hyperplane (sign-bit) signatures, banded exactly like MinHash-LSH
+  (operators/dedup.py), candidates verified with exact cosine so
+  precision is 1.0. Effective where LSH theory says it can be: at
+  NEAR-DUP thresholds (t ≳ 0.7, collision prob p₁ = 1 − θ/π well
+  above the background's p ≈ ½). For a threshold like 0.35 on
+  near-isotropic embeddings, p₁ ≈ 0.61 vs p₂ ≈ 0.5 — the banding
+  S-curve cannot separate them at any practical signature width
+  (ρ = ln p₁ / ln p₂ ≈ 0.7 → candidates ~N^1.7 with huge constants),
+  which is WHY the exact tier above stays the oracle answer for
+  tail-threshold queries and this tier is the scale path for
+  high-threshold dedup.
 
-All arithmetic is double-precision, element-order sequential, so
-results are bit-reproducible (and oracle-comparable for the exact
-tier). No UDFs: ``zip_with``/``aggregate`` higher-order functions
-keep the math JVM-side.
+All verification arithmetic is double-precision, element-order
+sequential, so results are bit-reproducible (and oracle-comparable
+for the exact tiers). No UDFs: ``zip_with``/``aggregate``/
+``transform`` higher-order functions keep the math JVM-side; the
+hyperplane matrix rides in as a broadcast one-row frame, not a
+16k-literal expression tree.
 """
 
 from __future__ import annotations
+
+import random
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -84,22 +106,171 @@ def cosine_threshold_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_ids: int | None = None,
+    block_size: int = 256,
 ) -> DataFrame:
-    """Embedding near-dup: all pairs with cosine ≥ threshold.
+    """EXACT all pairs with cosine ≥ threshold, block-tiled.
 
-    Exact form is O(N²) — only for modest N or as LSH verification;
-    ``max_ids`` restricts the corpus for bounded use. The scale path
-    is bucketing by random-hyperplane signs (SimHash-for-vectors)
-    before pairing — see ``ivf_topk``'s assignment machinery.
+    Tiling: each vector gets a block index ``⌊id/block_size⌋``; the
+    upper-triangle tile set {(bi, bj) : bi ≤ bj} partitions the pair
+    space. Side A replicates each vector to every tile ROW it owns
+    (bj ≥ its block), side B to every tile COLUMN (bi ≤ its block);
+    the tile key (bi, bj) is then a plain EQUI-join — shuffle hashes
+    over ~nb²/2 keys, so the quadratic compare work spreads evenly
+    across the cluster. Contrast the naive ``a.join(b, id_a < id_b)``:
+    Spark compiles that to a broadcast nested loop that ships one
+    whole side to every executor — a driver/executor OOM at corpus
+    scale. Replication cost: each side is shuffled ~nb/2 times
+    (``block_size`` trades replication volume against tile
+    parallelism; compare work is identical either way).
+
+    Exactness is the point of this tier: at thresholds inside the
+    background-similarity tail no sub-quadratic method can return the
+    exact answer (module docstring); for high near-dup thresholds use
+    ``rh_lsh_pairs``. Per-pair math stays JVM-side and element-order
+    sequential (oracle parity).
     """
-    src = embeddings
-    if max_ids is not None:
-        src = src.filter(F.col(id_col) < max_ids)
-    a = src.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = src.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    src = embeddings.select(F.col(id_col), F.col(vec_col))
+    blk = F.floor(F.col(id_col) / block_size)
+    # total block count as a broadcast scalar — no driver action
+    nb = src.agg((F.floor(F.max(id_col) / block_size) + 1).alias("_nb"))
+    a = (
+        src.crossJoin(F.broadcast(nb))
+        .select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            blk.alias("_bi"),
+            F.explode(F.sequence(blk, F.col("_nb") - 1)).alias("_bj"),
+        )
+    )
+    b = (
+        src.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+            blk.alias("_bj2"),
+            F.explode(F.sequence(F.lit(0), blk)).alias("_bi2"),
+        )
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(
+            b,
+            (F.col("_bi") == F.col("_bi2"))
+            & (F.col("_bj") == F.col("_bj2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _hyperplanes(n_bits: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic Gaussian hyperplane matrix (driver-side, seeded —
+    reproducible across runs and executors)."""
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+
+
+def rh_lsh_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int = 64,
+    n_bits: int = 256,
+    bands: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs by random-hyperplane LSH + exact-cosine verify —
+    the sub-quadratic path for HIGH thresholds (t ≳ 0.7), mirroring
+    ``dedup.minhash_lsh_pairs``'s band/bucket/verify structure.
+
+    Signature: ``n_bits`` sign bits, bit_i = [⟨v, h_i⟩ ≥ 0] for seeded
+    Gaussian hyperplanes h_i (Charikar's SimHash for vectors —
+    P[bit agrees] = 1 − θ/π). Banded into ``bands`` groups of r =
+    n_bits/bands bits; vectors sharing any band bucket become
+    candidates (the only shuffle-heavy step, O(N·bands) bucket rows),
+    then exact cosine ≥ threshold verification — precision 1.0,
+    recall = 1 − (1 − p₁^r)^bands. Defaults (16 bands × 16 bits):
+    at cosine 0.95 (p₁ = .899) recall ≈ 1 − 6e−9; at the isotropic
+    background (p ≈ .5–.6) a pair collides with prob < 0.5%, so
+    candidates stay far below all-pairs.
+
+    The hyperplane matrix enters the plan as ONE broadcast row
+    (array<array<double>>), and every per-vector bit is computed by a
+    single ``transform`` over it — compact plan, JVM-side math, no
+    UDF.
+    """
+    assert n_bits % bands == 0
+    r = n_bits // bands
+    spark = embeddings.sparkSession
+    planes = _hyperplanes(n_bits, dim, seed)
+    planes_df = F.broadcast(
+        spark.createDataFrame([(planes,)], "planes: array<array<double>>")
+    )
+
+    v = F.col(vec_col)
+    # bits[i] = sign test of ⟨v, planes[i]⟩ — one fused higher-order
+    # expression over the broadcast matrix
+    bits = F.transform(
+        F.col("planes"),
+        lambda p: (
+            F.aggregate(
+                F.zip_with(p, v, lambda hx, vx: hx * vx.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0
+        ).cast("int"),
+    )
+    sigs = (
+        embeddings.crossJoin(planes_df)
+        .select(F.col(id_col), v.alias("_vec"), bits.alias("_bits"))
+    )
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "_", *[F.col("_bits")[i * r + j] for j in range(r)]
+                    )
+                ).alias("bkey"),
+            )
+            for i in range(bands)
+        ]
+    )
+    # buckets carry only the id — the ×bands explode must not multiply
+    # the vector payload through the shuffle; vectors rejoin from the
+    # persisted signature frame only for surviving candidates
+    from .caching import track_persist
+
+    sigs = track_persist(sigs)
+    buckets = sigs.withColumn("b", F.explode(band_structs)).select(
+        F.col(id_col),
+        F.col("b.band").alias("band"),
+        F.col("b.bkey").alias("bkey"),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    vec_a = sigs.select(F.col(id_col).alias("id_a"), F.col("_vec").alias("va"))
+    vec_b = sigs.select(F.col(id_col).alias("id_b"), F.col("_vec").alias("vb"))
+    return (
+        candidates.join(vec_a, "id_a")
+        .join(vec_b, "id_b")
         .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

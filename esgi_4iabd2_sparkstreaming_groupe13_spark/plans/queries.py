@@ -929,9 +929,40 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_cosine_pairs(spark, sf_dir):
+    """Exact threshold pairs over the FULL corpus (block-tiled equi-
+    join tiling — no driver cap, no broadcast nested loop)."""
     return similarity.cosine_threshold_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35, max_ids=200
+        _t(spark, sf_dir, "embeddings"), threshold=0.35
     )
+
+
+#: planted near-dup id offset for the LSH demo corpus (below)
+PLANT_OFFSET = 100_000
+PLANT_N = 50
+
+
+def _lsh_corpus(spark, sf_dir):
+    """embeddings ∪ deterministic near-dup copies of the first
+    PLANT_N vectors (w = 1.2·v + 0.01 elementwise → cosine ≈ 0.99,
+    reproducible in DuckDB with the same double arithmetic). The base
+    corpus is near-isotropic (max background cosine ≈ 0.55), so
+    without planting a high-threshold query would be vacuously empty."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < PLANT_N).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.2 + 0.01).alias("embedding"),
+    )
+    return emb.unionByName(planted)
+
+
+def q_cosine_lsh(spark, sf_dir):
+    """Sub-quadratic near-dup pairs: random-hyperplane banded LSH +
+    exact-cosine verify at t=0.9; oracle is the exact all-pairs scan
+    over the same planted corpus (recall at the planted cosine ≈ 0.99
+    is 1 − ~1e−10 with 16×16 bands — set-equal in practice)."""
+    return similarity.rh_lsh_pairs(_lsh_corpus(spark, sf_dir), threshold=0.9)
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -1265,12 +1296,30 @@ QUALIFY rank <= {k}
 """
 
 
-def _cosine_pairs_oracle(threshold: float, max_ids: int) -> str:
+def _cosine_pairs_oracle(threshold: float, max_ids: int | None = None) -> str:
     cos = _COS.replace("qvec", "a.embedding").replace("cvec", "b.embedding")
+    pred = f"WHERE vec_id < {max_ids}" if max_ids is not None else ""
     return f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {max_ids})
+WITH e AS (SELECT vec_id, embedding FROM embeddings {pred})
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+"""
+
+
+def _cosine_lsh_oracle(threshold: float) -> str:
+    """Exact all-pairs scan over the planted LSH demo corpus."""
+    cos = _COS.replace("qvec", "a.embedding").replace("cvec", "b.embedding")
+    return f"""
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+         list_transform(embedding, x -> x * 1.2 + 0.01) AS embedding
+  FROM embeddings WHERE vec_id < {PLANT_N}
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+FROM c a JOIN c b ON a.vec_id < b.vec_id
 WHERE {cos} >= {threshold}
 """
 
@@ -1711,7 +1760,8 @@ GROUP BY 1
     "q_simhash": _simhash_oracle(),
     "q_simhash_pairs": _simhash_pairs_oracle(3),
     "q_cosine_topk": _cosine_topk_oracle(5),
-    "q_cosine_pairs": _cosine_pairs_oracle(0.35, 200),
+    "q_cosine_pairs": _cosine_pairs_oracle(0.35),
+    "q_cosine_lsh": _cosine_lsh_oracle(0.9),
     "q_lang_id": _lang_id_oracle(),
     "q_quality": f"""
 SELECT doc_id,
@@ -1781,6 +1831,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_simhash_pairs", q_simhash_pairs, ORACLES["q_simhash_pairs"]),
     QuerySpec("q_cosine_topk", q_cosine_topk, ORACLES["q_cosine_topk"], True),
     QuerySpec("q_cosine_pairs", q_cosine_pairs, ORACLES["q_cosine_pairs"]),
+    QuerySpec("q_cosine_lsh", q_cosine_lsh, ORACLES["q_cosine_lsh"]),
     QuerySpec("q_ann_ivf", q_ann_ivf, None),
     QuerySpec("q_media_features", q_media_features, None),
     QuerySpec("q_lang_id", q_lang_id, ORACLES["q_lang_id"], True),
@@ -1813,9 +1864,9 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_percentiles", q_percentiles, ORACLES["q_percentiles"], True),
     QuerySpec("q_median_exact", q_median_exact, ORACLES["q_median_exact"]),
     QuerySpec("q_except_keys", q_except_keys, ORACLES["q_except_keys"]),
-    QuerySpec("q_intersect_keys", q_intersect_keys, ORACLES["q_intersect_keys"]),
     # ==== driver 50-entry verification window ends here ====
     # ---- block 4: compositions of verified operators ----
+    QuerySpec("q_intersect_keys", q_intersect_keys, ORACLES["q_intersect_keys"]),
     QuerySpec(
         "q_doc_embedding_join",
         q_doc_embedding_join,

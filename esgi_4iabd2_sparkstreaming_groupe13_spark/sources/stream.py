@@ -43,6 +43,18 @@ def create_trip_stream(
     )
 
 
+def parse_kafka_value(raw: DataFrame, schema: T.StructType) -> DataFrame:
+    """The Kafka value contract: binary ``value`` → JSON parsed against
+    the explicit schema. Split out from the source builder so the parse
+    projection is testable without the kafka connector on the classpath
+    (a static frame with the wire columns exercises the same plan)."""
+    from pyspark.sql import functions as F
+
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("rec")
+    ).select("rec.*")
+
+
 def create_kafka_stream(
     spark: SparkSession,
     brokers: str,
@@ -53,14 +65,10 @@ def create_kafka_stream(
     Kafka source with the same downstream contract — JSON value parsed
     against the explicit schema. Provided for cluster deployments; not
     exercised in local tests (no broker in the container)."""
-    from pyspark.sql import functions as F
-
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("subscribe", topic)
         .load()
     )
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), schema).alias("rec")
-    ).select("rec.*")
+    return parse_kafka_value(raw, schema)

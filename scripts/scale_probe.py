@@ -149,6 +149,81 @@ def main() -> None:
         "tN": timed(f"cosine {factor}x", similarity.brute_force_topk(emN, [0, 1, 2], 5)),
     }
 
+    # --- embeddings: threshold pairs — exact tier vs RH-LSH tier ---
+    # Copies get FRESH md5-derived pseudo-random vectors (duplicating
+    # vectors verbatim would make every vector a factor-way exact dup
+    # and measure an all-duplicates pathology); constant near-dup
+    # density via planted 1.2v+0.01 copies of the first 50 ids per
+    # copy-block. Expectation: the exact tier grows ~quadratically
+    # (it must — it answers an exact tail-threshold query), the LSH
+    # tier ~linearly — the empirical form of the two-tier contract.
+    def synth_vec(salt: int):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "_",
+                                F.col("vec_id").cast("string"),
+                                F.lit(salt),
+                                i.cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2000
+            ).cast("double")
+            / 1000.0
+            - 1.0,
+        )
+
+    def planted(df):
+        return df.unionByName(
+            df.filter(F.col("vec_id") % 1_000_000 < 50).select(
+                (F.col("vec_id") + 100_000).alias("vec_id"),
+                F.transform(
+                    F.col("embedding").cast("array<double>"),
+                    lambda x: x * 1.2 + 0.01,
+                ).alias("embedding"),
+                "label",
+            )
+        )
+
+    em1d = em1.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+    copies = [em1d]
+    for i in range(1, factor):
+        copies.append(
+            em1d.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+            .withColumn("embedding", synth_vec(i))
+        )
+    emNf = copies[0]
+    for c in copies[1:]:
+        emNf = emNf.unionByName(c)
+    p1 = planted(em1d)
+    pN = planted(emNf)
+    pN.write.mode("overwrite").parquet(f"{tmp}/emNf.parquet")
+    pN = spark.read.parquet(f"{tmp}/emNf.parquet")
+    results["cosine_pairs_exact"] = {
+        "t1": timed(
+            "pairs-exact 1x", similarity.cosine_threshold_pairs(p1, 0.35)
+        ),
+        "tN": timed(
+            f"pairs-exact {factor}x", similarity.cosine_threshold_pairs(pN, 0.35)
+        ),
+    }
+    results["cosine_rh_lsh"] = {
+        "t1": timed("rh-lsh 1x", similarity.rh_lsh_pairs(p1, 0.9)),
+        "tN": timed(f"rh-lsh {factor}x", similarity.rh_lsh_pairs(pN, 0.9)),
+    }
+
     for op, r in results.items():
         r["ratio"] = round(r["tN"] / max(r["t1"], 0.01), 1)
     print(json.dumps({"factor": factor, "results": results}))

@@ -112,3 +112,82 @@ def test_cosine_expr_unit_norm(spark):
     ).collect()[0]
     assert row["same"] == 1.0
     assert row["orth"] == 0.0
+
+
+def test_cosine_threshold_pairs_tiled_exact(spark, sf_dir):
+    """The block-tiled equi-join tiling must produce exactly the naive
+    all-pairs answer (every qualifying pair once, none twice), with a
+    block size small enough to force multi-tile paths."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_threshold_pairs(
+            emb, 0.35, block_size=16
+        ).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    import math
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return round(dot / (na * nb), 6)
+
+    want = {
+        (rows[i].vec_id, rows[j].vec_id)
+        for i in range(len(rows))
+        for j in range(len(rows))
+        if rows[i].vec_id < rows[j].vec_id
+        and cos(rows[i].embedding, rows[j].embedding) >= 0.35
+    }
+    assert got == want and len(want) > 0
+
+
+def test_cosine_pairs_plan_has_no_nested_loop(spark, sf_dir):
+    """The tiling exists to avoid BroadcastNestedLoopJoin (whole-side
+    broadcast): the pair join must compile to an equi-join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = (
+        similarity.cosine_threshold_pairs(emb, 0.35)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the PAIR join must be an equi-join on the tile keys; the only
+    # permissible nested-loop is the 1-row scalar _nb broadcast
+    # (IdentityBroadcastMode), which ships one long, not a corpus side
+    assert "CartesianProduct" not in p
+    assert ("BroadcastHashJoin [_bi" in p) or ("SortMergeJoin [_bi" in p)
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+    assert "IdentityBroadcastMode" in p
+
+
+def test_rh_lsh_matches_exact_on_planted(spark, sf_dir):
+    """RH-LSH pairs (banded sign-bit signatures + exact verify) must
+    equal the exact scan at a near-dup threshold with planted
+    near-duplicates (recall ≈ 1 − 1e−10 at cosine ≈ 0.99)."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.caching import (
+        release_cached,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.2 + 0.01).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    got = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.rh_lsh_pairs(corpus, 0.9).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.cosine_threshold_pairs(
+            corpus, 0.9, block_size=64
+        ).collect()
+    }
+    release_cached()
+    assert got == want and len(want) >= 20
