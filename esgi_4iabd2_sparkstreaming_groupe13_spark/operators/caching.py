@@ -30,9 +30,11 @@ def track_persist(df: DataFrame) -> DataFrame:
 
 
 def release_cached() -> int:
-    """Unpersist every tracked frame (non-blocking); returns how many."""
+    """Unpersist every tracked frame; returns how many. Blocking, so a
+    caller (or test) observing ``getPersistentRDDs`` right after sees
+    the storage actually freed rather than racing the async removal."""
     n = 0
     while _TRACKED:
-        _TRACKED.pop().unpersist()
+        _TRACKED.pop().unpersist(blocking=True)
         n += 1
     return n

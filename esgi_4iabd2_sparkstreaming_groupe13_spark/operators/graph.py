@@ -48,6 +48,7 @@ def connected_components(
 
     changed = 1
     for _ in range(max_iterations):
+        prev = labels
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src")
@@ -73,6 +74,16 @@ def connected_components(
         )
         changed = new_labels.agg(F.sum("_chg")).first()[0] or 0
         labels = new_labels.drop("_chg")
+        # The agg above materialized new_labels' checkpoint, so the
+        # previous iteration's blocks are no longer reachable from any
+        # live lineage — drop them now instead of waiting for the
+        # ContextCleaner. Without this, a 20-iteration run pins 20
+        # copies of the label frame in executor storage. The FINAL
+        # frame stays cached for the caller (unpersisting a
+        # localCheckpoint is destructive — lineage is truncated, so
+        # the data could never be recomputed); it is released by GC
+        # once the caller drops the reference.
+        prev.unpersist()
         if changed == 0:
             break
     if changed != 0:

@@ -54,6 +54,13 @@ def get_spark(
         # nanos type); sources.batch converts them to µs timestamps by
         # truncation — the same conversion DuckDB applies.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # PySpark 4 wraps EVERY Column/function call with a call-site
+        # capture (getActiveSession + conf RPC per call) for richer
+        # error contexts. Wide expression builders (MinHash's 32
+        # permutations, SimHash's packed aggregates) issue thousands of
+        # such calls; disabling the capture cuts driver-side plan
+        # construction ~2x. Errors still carry the JVM stack.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

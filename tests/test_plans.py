@@ -115,16 +115,22 @@ def test_no_forced_broadcast_on_scaling_tables(spark, sf_dir):
 
 def test_tracked_persists_released(spark, sf_dir):
     """LSH/SimHash persist intermediates; caching.release_cached() must
-    leave zero cached RDDs behind (no storage leak across a long-lived
-    session running many queries)."""
+    drop every frame the operators persisted (no storage leak across a
+    long-lived session running many queries).
+
+    Baseline-relative, not ==0: earlier tests in the session may have
+    run connected_components, whose final localCheckpoint stays cached
+    until the ContextCleaner GCs it — those blocks are outside
+    release_cached()'s contract."""
     from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.caching import (
         release_cached,
     )
 
     release_cached()  # clean slate in case earlier tests left frames
     sc = spark.sparkContext._jsc.sc()
+    baseline = sc.getPersistentRDDs().size()
     for fn in (Q.q_minhash_lsh, Q.q_simhash_pairs):
         fn(spark, sf_dir).count()
-    assert sc.getPersistentRDDs().size() > 0  # operators did persist
+    assert sc.getPersistentRDDs().size() > baseline  # operators did persist
     release_cached()
-    assert sc.getPersistentRDDs().size() == 0
+    assert sc.getPersistentRDDs().size() == baseline
