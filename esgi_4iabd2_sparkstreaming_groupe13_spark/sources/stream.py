@@ -27,8 +27,15 @@ def create_file_stream(
     fmt: str = "json",
     max_files_per_trigger: int | None = 1,
 ) -> DataFrame:
-    """Generic schema-applied streaming file source."""
+    """Generic schema-applied streaming file source.
+
+    JSON dirs are globbed to ``*.json``: the producer drops ``.txt``
+    diagnostic markers (empty-batch / no-data signals, mirroring
+    ``FileSender.scala:85-109``) into the same directory, and those
+    must never be parsed as data."""
     reader = spark.readStream.schema(schema).format(fmt)
+    if fmt == "json":
+        reader = reader.option("pathGlobFilter", "*.json")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(input_dir)

@@ -25,6 +25,7 @@ match the reference's one-file-per-batch NDJSON contract
 
 from __future__ import annotations
 
+import datetime
 import shutil
 import time
 from pathlib import Path
@@ -33,6 +34,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.windows import global_row_index
+
+#: Marker filename for the "source loaded but zero valid rows" failure
+#: (``MainProducer.scala:56-72``). Scripts watching the reference's
+#: data dir for this file keep working against the rebuild.
+ERROR_MARKER_NAME = "ERROR_NO_DATA_FOUND.txt"
+
+
+def write_no_data_marker(output_dir: str, source_desc: str) -> str:
+    """Drop the reference's no-data error marker and return its path.
+
+    Mirrors ``MainProducer.scala:56-72``: a human-readable .txt with
+    the failing source and a timestamp. ``.txt`` is invisible to the
+    consumer (the JSON dir source globs ``*.json``)."""
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    marker = out / ERROR_MARKER_NAME
+    marker.write_text(
+        "Erreur lors du chargement des données: Aucune donnée valide trouvée\n"
+        f"Fichier source: {source_desc}\n"
+        f"Date et heure: {datetime.datetime.now().isoformat()}\n"
+        "Vérifiez que le fichier CSV est au bon format et que le schéma "
+        "est correctement défini.\n"
+    )
+    return str(marker)
+
+
+def write_empty_batch_marker(output_dir: str, batch_no: int) -> str:
+    """Drop the reference's empty-batch marker and return its path
+    (``FileSender.scala:85-109``: ``empty-batch{N}-{ts}.txt``)."""
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    marker = out / f"empty-batch{batch_no}-{stamp}.txt"
+    marker.write_text(
+        f"Batch #{batch_no} était vide - Aucune donnée à écrire\n"
+    )
+    return str(marker)
 
 
 def stage_batches(
@@ -84,6 +122,11 @@ def publish_batches(
         n = int(bdir.name.split("=")[1])
         stamp = time.strftime("%Y%m%d_%H%M%S")
         parts = sorted(bdir.glob("part-*.json")) or sorted(bdir.glob("part-*"))
+        if not parts:
+            # Reference parity (FileSender.scala:85-109): an empty batch
+            # publishes a .txt marker instead of silently skipping.
+            published.append(write_empty_batch_marker(output_dir, n))
+            continue
         for i, part in enumerate(parts):
             suffix = f"-{i}" if len(parts) > 1 else ""
             dest = out / f"{file_prefix}-batch{n}{suffix}-{stamp}.json"
@@ -104,8 +147,15 @@ def replay_to_ndjson(
     max_batches: int | None = None,
 ) -> list[str]:
     """End-to-end replay: stage once, publish paced. The streaming
-    consumer (processor.start_consumer) tails ``output_dir``."""
-    stage_batches(df, stage_dir, batch_size, order_cols)
+    consumer (processor.start_consumer) tails ``output_dir``.
+
+    Zero valid input rows drops the reference's
+    ``ERROR_NO_DATA_FOUND.txt`` marker in ``output_dir`` and raises
+    (``MainProducer.scala:56-72``)."""
+    n_batches = stage_batches(df, stage_dir, batch_size, order_cols)
+    if n_batches == 0:
+        write_no_data_marker(output_dir, source_desc=str(df))
+        raise RuntimeError("no valid rows found in the source data")
     return publish_batches(
         stage_dir, output_dir, interval_seconds, max_batches=max_batches
     )

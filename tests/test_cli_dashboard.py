@@ -71,3 +71,52 @@ def test_dashboard_empty_dirs_ok(tmp_path):
     snap = dashboard.snapshot(str(tmp_path))
     assert all(e["rows"] == 0 for e in snap["dirs"].values())
     assert dashboard.render_text(snap)  # renders without error
+
+
+def test_dashboard_app_view_model(tmp_path):
+    """dashboard_app.build_view_model: reference display shaping
+    (taxi_dashboard.py:137-196) — timestamp formatting, location_id
+    rename, trip_count desc sort — without streamlit installed."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark import dashboard_app
+
+    _write_ndjson(
+        tmp_path / "raw" / "b0.json",
+        [
+            {
+                "batch_id": "0",
+                "VendorID": 1,
+                "tpep_pickup_datetime": "2024-01-01T08:00:00.000Z",
+                "PULocationID": 100,
+                "DOLocationID": 200,
+                "trip_distance": 1.5,
+                "fare_amount": 10.0,
+                "total_amount": 14.0,
+            }
+        ],
+    )
+    _write_ndjson(
+        tmp_path / "pickup_agg" / "b0.json",
+        [
+            {"PULocationID": 101, "batch_id": "0", "trip_count": 5},
+            {"PULocationID": 102, "batch_id": "0", "trip_count": 9},
+        ],
+    )
+    vm = dashboard_app.build_view_model(str(tmp_path))
+    assert vm["raw"].loc[0, "tpep_pickup_datetime"] == "2024-01-01 08:00:00"
+    assert "location_id" in vm["pickup"].columns  # renamed
+    assert list(vm["pickup"]["trip_count"]) == [9, 5]  # desc sort
+    assert vm["last_batch_age_sec"] is not None
+    assert vm["dropoff"].empty
+
+
+def test_dashboard_app_render_requires_streamlit(tmp_path):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark import dashboard_app
+
+    if dashboard_app.HAS_STREAMLIT:  # pragma: no cover
+        import pytest
+
+        pytest.skip("streamlit installed; render path exercised manually")
+    import pytest
+
+    with pytest.raises(RuntimeError, match="streamlit is not installed"):
+        dashboard_app.render_streamlit(str(tmp_path))

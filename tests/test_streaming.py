@@ -135,3 +135,56 @@ def test_checkpoint_restart_no_reprocessing(spark, pipeline_run):
 def test_null_timestamps_repaired(spark, pipeline_run):
     raw = spark.read.json(str(pipeline_run["root"] / "processed" / "raw"))
     assert raw.filter(F.col("tpep_pickup_datetime").isNull()).count() == 0
+
+
+def test_no_data_marker_and_raise(spark, taxi_csv, tmp_path_factory):
+    """Reference parity (MainProducer.scala:56-72): zero valid rows →
+    ERROR_NO_DATA_FOUND.txt marker + raise; marker is invisible to the
+    consumer's *.json-globbed dir source."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.streaming.producer import (
+        ERROR_MARKER_NAME,
+    )
+
+    root = tmp_path_factory.mktemp("nodata")
+    trips = load_trip_csv(spark, taxi_csv).filter(F.lit(False))
+    with pytest.raises(RuntimeError, match="no valid rows"):
+        replay_to_ndjson(
+            trips,
+            stage_dir=str(root / "stage"),
+            output_dir=str(root / "streaming"),
+            batch_size=BATCH,
+        )
+    marker = root / "streaming" / ERROR_MARKER_NAME
+    assert marker.exists()
+    assert "Aucune donnée valide" in marker.read_text()
+
+    # the marker must not be picked up as stream data
+    cfg = ConsumerConfig(
+        input_dir=str(root / "streaming"),
+        output_dir=str(root / "processed"),
+        checkpoint_dir=str(root / "ckpt"),
+    )
+    q = start_consumer(spark, cfg, available_now=True)
+    q.awaitTermination(60)
+    import os
+
+    raw_dir = str(root / "processed" / "raw")
+    assert not os.path.exists(raw_dir) or (
+        spark.read.parquet(raw_dir).count() == 0
+    )
+
+
+def test_empty_batch_marker(tmp_path_factory):
+    """Reference parity (FileSender.scala:85-109): an empty staged
+    batch publishes an empty-batch{N}-{ts}.txt marker."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.streaming.producer import (
+        publish_batches,
+    )
+
+    root = tmp_path_factory.mktemp("emptybatch")
+    stage = root / "stage" / "batch_no=0"
+    stage.mkdir(parents=True)  # batch dir with no part files
+    published = publish_batches(str(root / "stage"), str(root / "out"))
+    assert len(published) == 1
+    assert published[0].endswith(".txt")
+    assert "empty-batch0-" in published[0]
