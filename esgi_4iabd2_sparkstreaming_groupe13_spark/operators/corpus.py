@@ -1,0 +1,130 @@
+"""Corpus-construction operators — the selection/weighting steps a
+training-data pipeline runs AFTER dedup/quality (SURVEY §2 extension
+set, alongside operators/dedup.py and operators/text.py):
+
+* :func:`hash_sample` — deterministic hash-based stratified sampling.
+  ``sample()``/``sampleBy()`` draw from an RNG seeded per-partition, so
+  the kept set changes with partitioning and Spark version; pipelines
+  that must be re-runnable (and auditable — "why is this doc in the
+  corpus?") key the decision on a salted content-independent hash
+  instead. Engine-portable: the same md5 arithmetic reproduces the
+  exact kept set in DuckDB.
+* :func:`tfidf_top_terms` — per-document top-k TF-IDF terms (corpus
+  keyword extraction / topic hints). Explode → two hash aggregates →
+  broadcast scalar N → partitioned window top-k (WindowGroupLimit, no
+  global sort).
+* :func:`pack_sequences` — next-fit-by-order sequence packing: assign
+  documents to fixed token-budget bins by their starting offset in the
+  global running token total. The running total uses the two-pass
+  scale-safe cumulative sum (operators/windows.global_running_sum),
+  NOT a single-partition window.
+
+No Python UDFs; everything is built-in expressions + joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import md5_int, token_array
+from .windows import global_running_sum
+
+#: Salt so the sampling hash is independent of any other md5-keyed
+#: decision (dedup fingerprints etc.) made on the same ids.
+SAMPLE_SALT = "sample:"
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    rates_pct: dict[str, int],
+    stratum_col: str,
+    default_rate_pct: int = 0,
+) -> DataFrame:
+    """Keep rows whose salted id-hash lands under the stratum's rate.
+
+    ``rates_pct``: stratum value → percentage (0-100). The decision is
+    ``md5_int('sample:' || id) % 100 < rate`` — stable under
+    repartitioning, re-runs, and engine swaps; per-stratum rates give
+    exact-in-expectation stratified sampling with no shuffle at all
+    (a pure filter that pushes nothing to the driver).
+    """
+    bucket = md5_int(
+        F.concat(F.lit(SAMPLE_SALT), F.col(id_col).cast("string"))
+    ) % 100
+    rate = F.lit(default_rate_pct)
+    for value, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(stratum_col) == value, F.lit(pct)).otherwise(rate)
+    return df.filter(bucket < rate)
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: (id, term, score).
+
+    score = tf · ln(N / df), rounded to 6 decimals; ties broken by
+    term ascending so the result is total-ordered. N rides as a
+    1-row broadcast (scalar crossJoin), never a driver collect.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(token_array(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("_n").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col, "term", "score", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    budget_tokens: int = 4096,
+) -> DataFrame:
+    """Assign each doc to a training-batch bin by token budget:
+    (id, n_tokens, bin_id) with bin_id = floor(start_offset / budget),
+    start_offset = running token total BEFORE the doc in id order.
+
+    This is next-fit packing by a deterministic document order — the
+    streaming-friendly packing real pipelines use (first-fit-decreasing
+    needs global sort + sequential state). Docs longer than the budget
+    get a bin of their own (still deterministic).
+    """
+    sized = df.select(
+        F.col(id_col),
+        F.size(token_array(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    running = global_running_sum(
+        sized, [id_col], "n_tokens", sum_col="_cum"
+    )
+    return running.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.floor((F.col("_cum") - F.col("n_tokens")) / budget_tokens)
+        .cast("long")
+        .alias("bin_id"),
+    )

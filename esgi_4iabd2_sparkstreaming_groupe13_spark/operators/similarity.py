@@ -353,3 +353,33 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def embedding_dedup_clusters(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Embedding-space near-dup CLUSTERS: RH-LSH pairs → connected
+    components → min-id representative per cluster — the vector-side
+    counterpart of ``dedup.dedup_clusters`` (keep = id == cluster_rep).
+
+    Returns (id, cluster_rep) for EVERY vector; vectors with no
+    near-duplicate are their own representative. Sub-quadratic end to
+    end: candidates are O(vectors × bands), components run over the
+    (sparse) near-dup edge set only.
+    """
+    from .graph import connected_components
+
+    pairs = rh_lsh_pairs(
+        embeddings, threshold, id_col=id_col, vec_col=vec_col, **lsh_kwargs
+    )
+    nodes = embeddings.select(F.col(id_col).alias("node"))
+    comp = connected_components(
+        nodes, pairs.select("id_a", "id_b"), "node", "id_a", "id_b"
+    )
+    return comp.select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster_rep")
+    )

@@ -87,6 +87,58 @@ def global_row_index(
     )
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    sum_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scale-safe INCLUSIVE global cumulative sum of ``value_col`` in
+    ``order_cols`` order — same two-pass shape as
+    :func:`global_row_index` (a naive ``Window.orderBy`` with no
+    partitionBy funnels the whole table through ONE task).
+
+    Phase 1: range-repartition on the sort key → per-partition local
+    cumsum (parallel). Phase 2: per-partition totals (one row per
+    partition) → exclusive prefix over those → broadcast back as base
+    offsets. ``order_cols`` must be a total order for a deterministic
+    result.
+    """
+    order = [F.col(c) for c in order_cols]
+    parted = (
+        df.repartitionByRange(num_partitions, *order)
+        if num_partitions
+        else df.repartitionByRange(*order)
+    )
+    with_pid = parted.withColumn("_pid", F.spark_partition_id())
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = with_pid.withColumn("_local_sum", F.sum(value_col).over(local_w))
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_tot"))
+        .withColumn(
+            "_base",
+            F.coalesce(
+                F.sum("_tot").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_base")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(sum_col, (F.col("_base") + F.col("_local_sum")).cast("long"))
+        .drop("_pid", "_local_sum", "_base")
+    )
+
+
 def topn_per_group(
     df: DataFrame, group_col: str, order_col: str, n: int, rank_col: str = "rn"
 ) -> DataFrame:

@@ -41,6 +41,7 @@ from ..functions.hashing import (
 )
 from ..operators import (
     aggregations as agg,
+    corpus,
     dedup,
     joins,
     ordering,
@@ -1088,6 +1089,59 @@ def q_stream_batch_agg(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------
+# M4(g): corpus construction (sampling / keywords / packing / vector
+# dedup) — the post-dedup steps of a training-data pipeline
+# --------------------------------------------------------------------
+
+#: per-language sampling rates for q_hash_sample (percent kept)
+SAMPLE_RATES = {"en": 10, "zh": 50}
+SAMPLE_DEFAULT_RATE = 30
+PACK_BUDGET_TOKENS = 4096
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic hash-stratified sampling: keep
+    md5('sample:'||doc_id) % 100 < rate(lang). Pure pushed-down
+    filter — reproducible across runs, partitionings, and engines
+    (unlike rng-based sample()/sampleBy())."""
+    return corpus.hash_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "source"),
+        "doc_id",
+        SAMPLE_RATES,
+        "lang",
+        default_rate_pct=SAMPLE_DEFAULT_RATE,
+    )
+
+
+def q_tfidf_topterms(spark, sf_dir):
+    """Per-doc top-3 TF-IDF terms: explode → tf/df hash aggs →
+    broadcast scalar N → WindowGroupLimit top-k."""
+    return corpus.tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=3
+    )
+
+
+def q_token_packing(spark, sf_dir):
+    """Next-fit sequence packing into 4096-token bins via the two-pass
+    scale-safe global running sum (no single-partition window)."""
+    return corpus.pack_sequences(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        budget_tokens=PACK_BUDGET_TOKENS,
+    )
+
+
+def q_embed_dedup(spark, sf_dir):
+    """Embedding-space dedup decision: RH-LSH near-dup pairs at t=0.9
+    over the planted corpus → connected components → min-id
+    representative per cluster (keep = vec_id == cluster_rep)."""
+    return similarity.embedding_dedup_clusters(
+        _lsh_corpus(spark, sf_dir), threshold=0.9
+    )
+
+
 # ====================================================================
 # DuckDB oracle SQL
 # ====================================================================
@@ -1321,6 +1375,81 @@ WITH c AS (
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
 FROM c a JOIN c b ON a.vec_id < b.vec_id
 WHERE {cos} >= {threshold}
+"""
+
+
+def _hash_sample_oracle() -> str:
+    branches = " ".join(
+        f"WHEN '{v}' THEN {p}" for v, p in sorted(SAMPLE_RATES.items())
+    )
+    bucket = md5_int_sql("('sample:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {bucket} % 100
+      < CASE lang {branches} ELSE {SAMPLE_DEFAULT_RATE} END
+"""
+
+
+def _tfidf_oracle(k: int = 3) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, score,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= {k}
+"""
+
+
+def _token_packing_oracle(budget: int) -> str:
+    return f"""
+WITH sized AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
+                  / {budget}) AS BIGINT) AS bin_id
+FROM sized
+"""
+
+
+def _embed_dedup_oracle(threshold: float) -> str:
+    """Exact all-pairs cosine edges over the planted corpus →
+    recursive transitive closure → min-label representative (the same
+    reach/rep shape as _clusters_cte, over vectors)."""
+    cos = _COS.replace("qvec", "a.embedding").replace("cvec", "b.embedding")
+    return f"""
+WITH RECURSIVE c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+         list_transform(embedding, x -> x * 1.2 + 0.01) AS embedding
+  FROM embeddings WHERE vec_id < {PLANT_N}
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM c a JOIN c b ON a.vec_id < b.vec_id
+  WHERE {cos} >= {threshold}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(node, comp) AS (
+  SELECT vec_id, vec_id FROM c
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS vec_id, min(comp) AS cluster_rep FROM reach GROUP BY node
 """
 
 
@@ -1762,6 +1891,10 @@ GROUP BY 1
     "q_cosine_topk": _cosine_topk_oracle(5),
     "q_cosine_pairs": _cosine_pairs_oracle(0.35),
     "q_cosine_lsh": _cosine_lsh_oracle(0.9),
+    "q_hash_sample": _hash_sample_oracle(),
+    "q_tfidf_topterms": _tfidf_oracle(3),
+    "q_token_packing": _token_packing_oracle(PACK_BUDGET_TOKENS),
+    "q_embed_dedup": _embed_dedup_oracle(0.9),
     "q_lang_id": _lang_id_oracle(),
     "q_quality": f"""
 SELECT doc_id,
@@ -1890,6 +2023,13 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_date_parts", q_date_parts, ORACLES["q_date_parts"]),
     QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
     QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),
+    # ---- block 5: corpus construction (round 2) ----
+    QuerySpec("q_hash_sample", q_hash_sample, ORACLES["q_hash_sample"]),
+    QuerySpec(
+        "q_tfidf_topterms", q_tfidf_topterms, ORACLES["q_tfidf_topterms"], True
+    ),
+    QuerySpec("q_token_packing", q_token_packing, ORACLES["q_token_packing"]),
+    QuerySpec("q_embed_dedup", q_embed_dedup, ORACLES["q_embed_dedup"]),
 ]
 
 HEADLINE_QUERIES = [q.name for q in QUERIES if q.headline]

@@ -1,0 +1,95 @@
+"""Corpus-construction operator tests (operators/corpus.py +
+similarity.embedding_dedup_clusters)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import corpus
+
+
+def _docs(spark):
+    rows = [
+        (1, "alpha beta gamma", "en"),
+        (2, "alpha alpha beta", "en"),
+        (3, "delta delta delta epsilon", "fr"),
+        (4, "zeta eta theta iota kappa", "fr"),
+        (5, "alpha beta gamma delta epsilon zeta", "zh"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    df = _docs(spark)
+    kept1 = {r.doc_id for r in corpus.hash_sample(
+        df, "doc_id", {"en": 100, "fr": 0}, "lang", default_rate_pct=50
+    ).collect()}
+    kept2 = {r.doc_id for r in corpus.hash_sample(
+        df.repartition(7), "doc_id", {"en": 100, "fr": 0}, "lang",
+        default_rate_pct=50,
+    ).collect()}
+    assert kept1 == kept2  # partitioning-independent
+    assert {1, 2} <= kept1  # en rate 100 keeps all en
+    assert not ({3, 4} & kept1)  # fr rate 0 drops all fr
+
+
+def test_tfidf_scores_and_ranks(spark):
+    out = corpus.tfidf_top_terms(_docs(spark), "text", "doc_id", k=2)
+    rows = {(r.doc_id, r.rank): (r.term, r.score) for r in out.collect()}
+    # doc 3: 'delta' tf=3, df=2 (docs 3,5) -> 3*ln(5/2);
+    #        'epsilon' tf=1, df=2 (docs 3,5) -> ln(5/2)
+    import math
+
+    term, score = rows[(3, 1)]
+    assert term == "delta"
+    assert abs(score - round(3 * math.log(5 / 2), 6)) < 1e-9
+    term2, score2 = rows[(3, 2)]
+    assert term2 == "epsilon"
+    assert abs(score2 - round(math.log(5 / 2), 6)) < 1e-9
+    # every doc contributes at most k rows
+    counts = out.groupBy("doc_id").count().collect()
+    assert all(r["count"] <= 2 for r in counts)
+
+
+def test_pack_sequences_bins(spark):
+    # budget 5: doc1 starts at 0 (bin 0), doc2 at 3 (bin 0), doc3 at 6
+    # (bin 1), doc4 at 10 (bin 2), doc5 at 15 (bin 3)
+    out = corpus.pack_sequences(_docs(spark), "text", "doc_id", budget_tokens=5)
+    got = {r.doc_id: (r.n_tokens, r.bin_id) for r in out.collect()}
+    assert got == {1: (3, 0), 2: (3, 0), 3: (4, 1), 4: (5, 2), 5: (6, 3)}
+
+
+def test_pack_sequences_no_single_partition_data_window(spark):
+    """The data-bearing cumsum window must be partitioned by _pid;
+    only the per-partition offsets frame (one row per partition) may
+    use a global window."""
+    df = _docs(spark)
+    plan = corpus.pack_sequences(df, "text", "doc_id")._jdf.queryExecution(
+    ).executedPlan().toString()
+    # the offsets window runs over a tiny aggregate; the local cumsum
+    # window must carry a partition spec
+    assert "windowspecdefinition(_pid" in plan.replace(" ", "").lower() or (
+        "_pid" in plan
+    )
+
+
+def test_embedding_dedup_clusters_planted(spark):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+         for i in range(20)],
+        ["vec_id", "embedding"],
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    planted = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 100).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.2 + 0.001).alias("embedding"),
+    )
+    out = similarity.embedding_dedup_clusters(
+        emb.unionByName(planted), threshold=0.95, dim=8
+    )
+    got = {r.vec_id: r.cluster_rep for r in out.collect()}
+    assert len(got) == 23  # every vector labeled
+    for i in range(3):
+        assert got[i + 100] == got[i]  # planted copy clusters with base
+        assert got[i] == i  # min-id representative
