@@ -129,10 +129,25 @@ def cosine_threshold_pairs(
     ``rh_lsh_pairs``. Per-pair math stays JVM-side and element-order
     sequential (oracle parity).
     """
-    src = embeddings.select(F.col(id_col), F.col(vec_col))
-    blk = F.floor(F.col(id_col) / block_size)
+    from .windows import global_row_index
+
+    # DENSE block index from a global rank of the ids, NOT floor(id /
+    # block_size): with sparse id spaces (shards offset by millions)
+    # raw-id blocking inflates the tile count to O(max_id/block_size)
+    # — each row then explodes to tens of thousands of tile copies,
+    # and a statically-small-looking exploded side can even bait AQE
+    # into broadcasting it (observed: driver maxResultSize abort on
+    # the 10x probe, whose copies are offset by 1e6). The two-pass
+    # rank keeps nb = ceil(n_vectors / block_size) regardless of id
+    # distribution.
+    src = global_row_index(
+        embeddings.select(F.col(id_col), F.col(vec_col)), [id_col], "_ridx"
+    )
+    blk = F.floor((F.col("_ridx") - 1) / block_size)
     # total block count as a broadcast scalar — no driver action
-    nb = src.agg((F.floor(F.max(id_col) / block_size) + 1).alias("_nb"))
+    nb = src.agg(
+        (F.floor((F.max("_ridx") - 1) / block_size) + 1).alias("_nb")
+    )
     a = (
         src.crossJoin(F.broadcast(nb))
         .select(
@@ -150,9 +165,12 @@ def cosine_threshold_pairs(
             F.explode(F.sequence(F.lit(0), blk)).alias("_bi2"),
         )
     )
+    # shuffle_hash hint: both sides are explode-replicated, so neither
+    # must ever be broadcast whatever the pre-explosion size estimate
+    # says; a shuffled hash join on the tile key is the intended plan.
     return (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("_bi") == F.col("_bi2"))
             & (F.col("_bj") == F.col("_bj2"))
             & (F.col("id_a") < F.col("id_b")),

@@ -551,6 +551,155 @@ def q_tpch_q19(spark, sf_dir):
     )
 
 
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 volume shipping: 6-way join with a DISJUNCTIVE nation-
+    pair predicate ((supp, cust) ∈ {(0,1), (1,0)}), revenue by nation
+    pair × ship year. Nation is a fixed 25-row dim — broadcast twice
+    under different aliases; the customer/supplier joins stay plain
+    (AQE decides) because both scale with the data."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_0") & (F.col("cust_nation") == "NATION_1")
+    ) | (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_0")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 product-type profit (adapted: no partsupp table, so
+    profit = revenue without the supplycost term; p_name LIKE filter):
+    5-way join, amount by supplier nation × order year. The LIKE
+    filter prunes part before its broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(revenue_expr()).cast("double").alias("sum_profit"))
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 customer order-count distribution (adapted: the
+    excluded-comment predicate becomes o_orderpriority != '1-URGENT'):
+    LEFT OUTER join (customers with zero orders must count) → orders
+    per customer → customers per order count. Two cascaded hash aggs;
+    the second one's input is one row per customer."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 suppliers who kept orders waiting (adapted: "late" is
+    l_shipdate > o_orderdate + 60 days — no l_commitdate/l_receiptdate
+    in this schema): the correlated EXISTS (another supplier
+    contributed) and NOT EXISTS (no OTHER supplier was late) become a
+    left-semi and a left-anti self-join on the order's lineitems."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+    )
+    # EXISTS: some other supplier contributed to the same order
+    multi = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_semi",
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("y_orderkey"),
+        F.col("l_suppkey").alias("y_suppkey"),
+    )
+    # NOT EXISTS: no OTHER supplier was late on that order
+    sole = multi.join(
+        late_others,
+        (F.col("l_orderkey") == F.col("y_orderkey"))
+        & (F.col("l_suppkey") != F.col("y_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole.join(supp, sole.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 global sales opportunity (adapted: nation-key group
+    stands in for the phone country code): scalar AVG subquery over
+    positive-balance customers (1-row broadcast crossJoin) + NOT
+    EXISTS orders (left-anti join), counts and balance sums per
+    nation group."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(0, 1, 2, 3, 4, 5, 6)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (agg.decimal_sum("c_acctbal") / F.count("*")).alias("_avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("_avg_bal")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= "1999-01-01")
+    no_orders = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy(F.col("c_nationkey").alias("cntry")).agg(
+        F.count("*").alias("numcust"),
+        agg.decimal_sum("c_acctbal").alias("totacctbal"),
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """Custom time-series operator Spark lacks natively: backward
     as-of join — each click matched to the user's latest preceding
@@ -1676,6 +1825,80 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY 1
 """,
+    "q_tpch_q7": f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year, {REVENUE_SQL} AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+      OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+) GROUP BY 1, 2, 3
+""",
+    "q_tpch_q9": f"""
+SELECT nation, o_year, CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE p_name LIKE '%red%'
+) GROUP BY 1, 2
+""",
+    "q_tpch_q13": """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority != '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count
+""",
+    "q_tpch_q21": """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey != l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey != l1.l_suppkey
+                    AND o3.o_orderstatus = 'F'
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+""",
+    "q_tpch_q22": """
+SELECT cntry, numcust, totacctbal FROM (
+  SELECT c_nationkey AS cntry, count(*) AS numcust,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+  FROM customer c
+  WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6)
+    AND c_acctbal > (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      FROM customer
+      WHERE c_acctbal > 0 AND c_nationkey IN (0, 1, 2, 3, 4, 5, 6))
+    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+  GROUP BY 1
+)
+""",
     "q_tpch_q14": f"""
 SELECT round(100.0
          * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL} END) AS DOUBLE)
@@ -2020,6 +2243,11 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_tpch_q19", q_tpch_q19, ORACLES["q_tpch_q19"], True),
     QuerySpec("q_tpch_q12", q_tpch_q12, ORACLES["q_tpch_q12"], True),
     QuerySpec("q_tpch_q14", q_tpch_q14, ORACLES["q_tpch_q14"], True),
+    QuerySpec("q_tpch_q7", q_tpch_q7, ORACLES["q_tpch_q7"], True),
+    QuerySpec("q_tpch_q9", q_tpch_q9, ORACLES["q_tpch_q9"]),
+    QuerySpec("q_tpch_q13", q_tpch_q13, ORACLES["q_tpch_q13"], True),
+    QuerySpec("q_tpch_q21", q_tpch_q21, ORACLES["q_tpch_q21"]),
+    QuerySpec("q_tpch_q22", q_tpch_q22, ORACLES["q_tpch_q22"]),
     QuerySpec("q_date_parts", q_date_parts, ORACLES["q_date_parts"]),
     QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
     QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),

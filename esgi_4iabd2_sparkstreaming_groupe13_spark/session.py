@@ -34,10 +34,17 @@ def get_spark(
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
+    # PySpark's default driver heap is 1g — in local mode that one heap
+    # serves EVERY executor thread, so a 32-way session runs its whole
+    # shuffle/storage machinery in 1 GiB (observed: GC-bound timings
+    # and OOM on the 10x scale probe). Honored only at JVM launch; a
+    # no-op if a JVM is already up (e.g. an externally built session).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -19,7 +19,12 @@ import time
 
 from pyspark.sql import functions as F
 
-from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import dedup, ordering, similarity
+from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import (
+    corpus,
+    dedup,
+    ordering,
+    similarity,
+)
 from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.windows import (
     global_row_index,
     rolling_sum,
@@ -90,6 +95,20 @@ def main() -> None:
     results["simhash_pairs"] = {
         "t1": timed("simhash 1x", dedup.simhash_pairs(docs1, "text", "doc_id")),
         "tN": timed(f"simhash {factor}x", dedup.simhash_pairs(docsN, "text", "doc_id")),
+    }
+    # corpus construction: TF-IDF (two hash aggs + window top-k) and
+    # token packing (two-pass running sum) — both should track ~linear
+    results["tfidf_topterms"] = {
+        "t1": timed("tfidf 1x", corpus.tfidf_top_terms(docs1, "text", "doc_id")),
+        "tN": timed(
+            f"tfidf {factor}x", corpus.tfidf_top_terms(docsN, "text", "doc_id")
+        ),
+    }
+    results["token_packing"] = {
+        "t1": timed("pack 1x", corpus.pack_sequences(docs1, "text", "doc_id")),
+        "tN": timed(
+            f"pack {factor}x", corpus.pack_sequences(docsN, "text", "doc_id")
+        ),
     }
 
     # --- lineitem: hash-agg count + top-k ---

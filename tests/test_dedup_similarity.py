@@ -154,11 +154,17 @@ def test_cosine_pairs_plan_has_no_nested_loop(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    # the PAIR join must be an equi-join on the tile keys; the only
-    # permissible nested-loop is the 1-row scalar _nb broadcast
-    # (IdentityBroadcastMode), which ships one long, not a corpus side
+    # the PAIR join must be an equi-join on the tile keys (the operator
+    # hints shuffle_hash so neither explode-replicated side is ever
+    # broadcast); the only permissible nested-loop is the 1-row scalar
+    # _nb broadcast (IdentityBroadcastMode), which ships one long, not
+    # a corpus side
     assert "CartesianProduct" not in p
-    assert ("BroadcastHashJoin [_bi" in p) or ("SortMergeJoin [_bi" in p)
+    assert (
+        ("ShuffledHashJoin [_bi" in p)
+        or ("BroadcastHashJoin [_bi" in p)
+        or ("SortMergeJoin [_bi" in p)
+    )
     assert p.count("BroadcastNestedLoopJoin") <= 1
     assert "IdentityBroadcastMode" in p
 
