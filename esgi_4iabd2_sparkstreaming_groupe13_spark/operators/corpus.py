@@ -128,3 +128,131 @@ def pack_sequences(
         .cast("long")
         .alias("bin_id"),
     )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word-level n-grams (space-joined) of the token stream.
+
+    Guarded against short docs: Spark's ``sequence(1, 0)`` DESCENDS
+    (yields ``[1, 0]``), so a doc with fewer than ``n`` tokens must
+    short-circuit to an empty array rather than feed the transform.
+    """
+    toks = token_array(text)
+
+    def gram(i: Column) -> Column:
+        # closure, not a default arg — PySpark introspects lambda
+        # arity and would silently bind the array index to an extra
+        # parameter
+        return F.concat_ws(" ", F.slice(toks, i, n))
+
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)), gram
+        )
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def benchmark_contamination(
+    candidates: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination scan: for every candidate document, how
+    much of its word-``n``-gram set appears anywhere in the benchmark
+    corpus — the decontamination step training pipelines run before a
+    dataset ships (drop/flag docs that leak eval data).
+
+    Returns ``(id, n_grams, n_shared, contamination)`` with
+    ``contamination = n_shared / n_grams`` rounded to 6 decimals; docs
+    shorter than ``n`` tokens report 0/0/0.0.
+
+    Scale shape: the benchmark gram set is DISTINCT-aggregated and
+    broadcast (eval suites are small — thousands of docs — versus a
+    100 TB candidate corpus); candidates then run one narrow explode →
+    broadcast semi-probe → partial-agg count, no all-pairs join and no
+    shuffle of candidate text. If the benchmark ever outgrows
+    broadcast size, drop the hint and the same plan shuffle-joins on
+    the gram key.
+    """
+    cand_grams = candidates.select(
+        F.col(id_col), word_ngrams(F.col(text_col), n).alias("_grams")
+    )
+    bench_set = (
+        benchmark.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("_gram")
+        )
+        .distinct()
+    )
+    exploded = cand_grams.select(
+        F.col(id_col), F.explode(F.col("_grams")).alias("_gram")
+    )
+    shared = (
+        exploded.join(F.broadcast(bench_set), "_gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n_shared"))
+    )
+    totals = cand_grams.select(
+        F.col(id_col), F.size("_grams").cast("long").alias("n_grams")
+    )
+    return (
+        totals.join(shared, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.coalesce(F.col("_n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.coalesce(F.col("_n_shared"), F.lit(0)).cast("double")
+                    / F.col("n_grams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("contamination"),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document mean unigram corpus log-probability — the cheap
+    language-model quality proxy (a perplexity stand-in) pipelines use
+    to rank documents before an expensive model-based filter.
+
+    Two passes over the token stream: global term frequencies + total
+    count (the "language model"), then per-doc mean of ln(tf/total)
+    over token INSTANCES (not distinct terms). Docs with zero tokens
+    drop out (no probability mass to average).
+
+    Engine parity: each token's log is rounded to 6 decimals FIRST and
+    accumulated as DECIMAL(18,6) — an order-independent exact sum — so
+    the mean never depends on float reduction order.
+
+    Scale shape: term frequencies shuffle once on the term key (AQE
+    broadcasts the vocab when it is small); the total-count scalar
+    rides as a 1-row broadcast crossJoin. Everything else is narrow.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(token_array(F.col(text_col))).alias("_t")
+    )
+    freq = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    total = toks.agg(F.count(F.lit(1)).alias("_n"))
+    logp = F.round(
+        F.log(F.col("_c").cast("double") / F.col("_n")), 6
+    ).cast("decimal(18,6)")
+    return (
+        toks.join(freq, "_t")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(logp).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+    )

@@ -149,3 +149,41 @@ def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.md5(norm).alias("md5_fp"),
         F.sha2(norm, 256).alias("sha256_fp"),
     )
+
+
+#: PII patterns shared (as literals) with the DuckDB oracle — both
+#: engines' regex dialects accept these forms: no backslash classes
+#: (Spark SQL literals eat backslashes), no lookaround. Order matters:
+#: emails are redacted before phones so the digits in a mailbox name
+#: can't be half-eaten by the phone pattern.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+", "<EMAIL>"),
+    ("([0-9]{1,3}[.]){3}[0-9]{1,3}", "<IP>"),
+    ("[+]?[0-9][0-9 ().-]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Scrub emails / IPv4 addresses / phone-shaped digit runs from
+    ``text_col`` — the redaction pass training pipelines run before
+    releasing a corpus. Pure ``regexp_replace`` chain: per-row narrow
+    JVM work, no shuffle, embarrassingly parallel at any scale.
+
+    Returns ``(id, redacted, n_redactions)`` where ``n_redactions``
+    counts replaced spans (length-delta-free: counted by re-scanning
+    for the placeholder tokens, so overlapping rewrites can't
+    double-count).
+    """
+    out = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    n_red = (
+        F.size(F.split(out, "<EMAIL>")) - 1
+        + F.size(F.split(out, "<IP>")) - 1
+        + F.size(F.split(out, "<PHONE>")) - 1
+    )
+    return df.select(
+        F.col(id_col),
+        out.alias("redacted"),
+        n_red.cast("long").alias("n_redactions"),
+    )

@@ -700,6 +700,122 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 national market share: NATION_2's share of STANDARD-
+    part revenue sold into ASIA customers, by order year. Nation /
+    region / filtered-part are true dims (broadcast); customer /
+    supplier / orders joins stay plain for AQE. Numerator and
+    denominator are exact decimal sums cast to double only for the
+    final division (reduction-order-free)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("c_nkey"))
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("c_nkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_2", revenue_expr())
+    ).cast("double")
+    den = F.sum(revenue_expr()).cast("double")
+    return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(num / den, 6).alias("mkt_share")
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 top supplier: quarterly revenue per supplier, keep
+    the max (the view + scalar-subquery shape → one agg + a 1-row max
+    broadcast crossJoin + exact-decimal equality; ties all surface, as
+    in the spec). Revenue surfaces via the engine-portable
+    floor(x*100)/100 form."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(F.sum(revenue_expr()).alias("_rev"))
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(F.col("_rev") == F.col("_mx"))
+    return top.join(supp, top.l_suppkey == supp.s_suppkey).select(
+        "s_suppkey",
+        "s_name",
+        (F.floor(F.col("_rev") * 100).cast("double") / F.lit(100.0)).alias(
+            "total_revenue"
+        ),
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 supplier counts per part attributes (adapted: no
+    partsupp — supplier/part relationships come from lineitem): brand
+    exclusion + size IN-list pushed into the part scan, then
+    count-distinct suppliers per (brand, type, size). The distinct agg
+    is Spark's two-phase partial-distinct expand — no row ever carries
+    more than the 3 group keys + supplier id."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 excess-stock suppliers (adapted: shipped quantity
+    stands in for partsupp availability): suppliers whose 1997 shipped
+    quantity of 'red' parts exceeds 1.2× the mean across suppliers —
+    per-supplier exact decimal sums HAVING-compared against a 1-row
+    broadcast scalar, then a broadcast name join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    supp = _t(spark, sf_dir, "supplier")
+    per_supp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty"))
+    )
+    mean = per_supp.agg(
+        F.sum("_qty").cast("double").alias("_tot"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        per_supp.crossJoin(F.broadcast(mean))
+        .filter(
+            F.col("_qty").cast("double")
+            > F.lit(1.2) * (F.col("_tot") / F.col("_n"))
+        )
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("_qty").cast("double").alias("qty")
+        )
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """Custom time-series operator Spark lacks natively: backward
     as-of join — each click matched to the user's latest preceding
@@ -1288,6 +1404,59 @@ def q_embed_dedup(spark, sf_dir):
     representative per cluster (keep = vec_id == cluster_rep)."""
     return similarity.embedding_dedup_clusters(
         _lsh_corpus(spark, sf_dir), threshold=0.9
+    )
+
+
+#: word-n-gram width for the benchmark-contamination scan
+CONTAM_N = 5
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: per candidate doc, the fraction of
+    its word-5-gram set found anywhere in the held-out 'benchmark'
+    split (doc_id % 20 == 0 — deterministic, engine-portable). The
+    benchmark gram set is distinct-aggregated and broadcast; the
+    candidate side is one explode → semi-probe → partial agg."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.benchmark_contamination(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        "text",
+        "doc_id",
+        n=CONTAM_N,
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing: deterministic synthetic email/IP/phone spans
+    appended per doc (the corpus itself has none — appending makes the
+    replacement path, not just the no-op path, oracle-checked), then
+    the regexp_replace redaction chain; result keyed by md5 so the
+    compare doesn't ship full texts."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com tel +1 555 0"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(".9"),
+        ).alias("text"),
+    )
+    red = text.redact_pii(docs, "text", "doc_id")
+    return red.select(
+        "doc_id", F.md5("redacted").alias("redacted_md5"), "n_redactions"
+    )
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """LM-quality proxy: per-doc mean unigram corpus log-probability
+    (rounded-then-decimal-summed so the mean is reduction-order-free)."""
+    return corpus.unigram_logprob(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
     )
 
 
@@ -1899,6 +2068,64 @@ SELECT cntry, numcust, totacctbal FROM (
   GROUP BY 1
 )
 """,
+    "q_tpch_q8": f"""
+SELECT o_year,
+       round(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume END)
+                  AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         {REVENUE_SQL} AS volume, n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+) GROUP BY o_year
+""",
+    "q_tpch_q15": f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({REVENUE_SQL}) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name,
+       CAST(floor(r * 100) AS DOUBLE) / 100 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT max(r) FROM rev)
+""",
+    "q_tpch_q16": """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand != 'Brand#1'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+GROUP BY 1, 2, 3
+""",
+    "q_tpch_q20": """
+WITH per_supp AS (
+  SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1
+), mean AS (
+  SELECT CAST(SUM(qty) AS DOUBLE) AS tot, count(*) AS n FROM per_supp
+)
+SELECT s_suppkey, s_name, CAST(qty AS DOUBLE) AS qty
+FROM per_supp CROSS JOIN mean
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE CAST(qty AS DOUBLE) > 1.2 * (tot / n)
+""",
     "q_tpch_q14": f"""
 SELECT round(100.0
          * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL} END) AS DOUBLE)
@@ -2118,6 +2345,66 @@ GROUP BY 1
     "q_tfidf_topterms": _tfidf_oracle(3),
     "q_token_packing": _token_packing_oracle(PACK_BUDGET_TOKENS),
     "q_embed_dedup": _embed_dedup_oracle(0.9),
+    "q_contamination": f"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(list_slice(toks, i, i + {CONTAM_N - 1}), ' ')
+                        for i in range(1, len(toks) - {CONTAM_N - 2})]) AS grams
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0
+), cand AS (
+  SELECT doc_id, grams FROM g WHERE doc_id % 20 != 0
+), sh AS (
+  SELECT c.doc_id, count(*) AS n_shared
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM cand) c
+  JOIN bench USING (gram) GROUP BY 1
+)
+SELECT c.doc_id, CAST(len(c.grams) AS BIGINT) AS n_grams,
+       CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+       round(CASE WHEN len(c.grams) > 0
+                  THEN CAST(coalesce(sh.n_shared, 0) AS DOUBLE) / len(c.grams)
+                  ELSE 0 END, 6) AS contamination
+FROM cand c LEFT JOIN sh ON c.doc_id = sh.doc_id
+""",
+    "q_pii_redact": f"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com tel +1 555 0'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || ' ip 10.0.' || CAST(doc_id % 250 AS VARCHAR) || '.9' AS t
+  FROM documents
+), red AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(t,
+            '{text.PII_PATTERNS[0][0]}', '<EMAIL>', 'g'),
+            '{text.PII_PATTERNS[1][0]}', '<IP>', 'g'),
+            '{text.PII_PATTERNS[2][0]}', '<PHONE>', 'g') AS redacted
+  FROM pii
+)
+SELECT doc_id, md5(redacted) AS redacted_md5,
+       CAST(len(string_split(redacted, '<EMAIL>')) - 1
+          + len(string_split(redacted, '<IP>')) - 1
+          + len(string_split(redacted, '<PHONE>')) - 1 AS BIGINT)
+         AS n_redactions
+FROM red
+""",
+    "q_unigram_logprob": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+), freq AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n FROM tok
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(CAST(round(ln(CAST(c AS DOUBLE) / n), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS avg_logprob
+FROM tok JOIN freq USING (t) CROSS JOIN tot
+GROUP BY doc_id
+""",
     "q_lang_id": _lang_id_oracle(),
     "q_quality": f"""
 SELECT doc_id,
@@ -2199,6 +2486,16 @@ QUERIES: list[QuerySpec] = [
         "q_stream_batch_agg", q_stream_batch_agg, ORACLES["q_stream_batch_agg"]
     ),
     QuerySpec("q_hll_distinct", q_hll_distinct, None),
+    QuerySpec(
+        "q_contamination", q_contamination, ORACLES["q_contamination"], True
+    ),
+    QuerySpec("q_pii_redact", q_pii_redact, ORACLES["q_pii_redact"]),
+    QuerySpec(
+        "q_unigram_logprob",
+        q_unigram_logprob,
+        ORACLES["q_unigram_logprob"],
+        True,
+    ),
     # ---- block 3: join/window/set extensions (19) ----
     QuerySpec("q_join_fact_dim", q_join_fact_dim, ORACLES["q_join_fact_dim"], True),
     QuerySpec("q_join_multiway", q_join_multiway, ORACLES["q_join_multiway"], True),
@@ -2217,11 +2514,11 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_rollup", q_rollup, ORACLES["q_rollup"], True),
     QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
     QuerySpec("q_pivot_status", q_pivot_status, ORACLES["q_pivot_status"]),
+    # ==== driver 50-entry verification window ends here ====
+    # ---- block 4: compositions of verified operators ----
     QuerySpec("q_percentiles", q_percentiles, ORACLES["q_percentiles"], True),
     QuerySpec("q_median_exact", q_median_exact, ORACLES["q_median_exact"]),
     QuerySpec("q_except_keys", q_except_keys, ORACLES["q_except_keys"]),
-    # ==== driver 50-entry verification window ends here ====
-    # ---- block 4: compositions of verified operators ----
     QuerySpec("q_intersect_keys", q_intersect_keys, ORACLES["q_intersect_keys"]),
     QuerySpec(
         "q_doc_embedding_join",
@@ -2248,6 +2545,10 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_tpch_q13", q_tpch_q13, ORACLES["q_tpch_q13"], True),
     QuerySpec("q_tpch_q21", q_tpch_q21, ORACLES["q_tpch_q21"]),
     QuerySpec("q_tpch_q22", q_tpch_q22, ORACLES["q_tpch_q22"]),
+    QuerySpec("q_tpch_q8", q_tpch_q8, ORACLES["q_tpch_q8"], True),
+    QuerySpec("q_tpch_q15", q_tpch_q15, ORACLES["q_tpch_q15"]),
+    QuerySpec("q_tpch_q16", q_tpch_q16, ORACLES["q_tpch_q16"]),
+    QuerySpec("q_tpch_q20", q_tpch_q20, ORACLES["q_tpch_q20"]),
     QuerySpec("q_date_parts", q_date_parts, ORACLES["q_date_parts"]),
     QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
     QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),

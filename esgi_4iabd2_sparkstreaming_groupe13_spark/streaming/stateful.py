@@ -14,8 +14,10 @@ is not.
 Scale notes: state is partitioned by the groupBy key (user_id) in the
 state store — executors shard it linearly. Per-user state is bounded
 by (watermark delay + gap) worth of events, evicted on emission. Arrow
-batches keep the Python-side work vectorized; a processing-time
-timeout flushes abandoned buffers.
+batches keep the Python-side work vectorized; EVENT-TIME timeouts
+flush quiet keys when the watermark passes their session close point
+(processing-time timeouts would keep availableNow backfill runs
+spinning empty micro-batches until the wall-clock fires).
 """
 
 from __future__ import annotations
@@ -71,7 +73,7 @@ def _emit(user_id: int, rows: list[tuple[int, int, int]], final: bool) -> pd.Dat
     )
 
 
-def _sessionize_fn(gap_seconds: int, flush_timeout_ms: int):
+def _sessionize_fn(gap_seconds: int):
     gap_us = gap_seconds * 1_000_000
 
     def fn(
@@ -81,21 +83,19 @@ def _sessionize_fn(gap_seconds: int, flush_timeout_ms: int):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
 
-        if state.hasTimedOut:
-            # stream went quiet: flush whatever is buffered (best
-            # effort — marked final=False since wm never confirmed it)
-            (buf,) = state.get
-            state.remove()
-            if buf:
-                yield _emit(user_id, _split_sessions(sorted(buf), gap_us), False)
-            return
-
+        # On an event-time timeout `batches` is empty — the buffered
+        # events are re-evaluated against the advanced watermark, which
+        # by construction of the timeout now closes at least one
+        # session. Data-driven invocations merge the new events first.
         buf: list[int] = list(state.get[0]) if state.exists else []
-        for pdf in batches:
-            buf.extend(
-                int(v.value // 1000) for v in pd.to_datetime(pdf["ts"])
-            )
+        if not state.hasTimedOut:
+            for pdf in batches:
+                buf.extend(
+                    int(v.value // 1000) for v in pd.to_datetime(pdf["ts"])
+                )
         if not buf:
+            if state.exists:
+                state.remove()
             return
         buf.sort()
 
@@ -109,7 +109,17 @@ def _sessionize_fn(gap_seconds: int, flush_timeout_ms: int):
         remaining = [t for t in buf if not any(s[0] <= t <= s[1] for s in closed)]
         if remaining:
             state.update((remaining,))
-            state.setTimeoutDuration(flush_timeout_ms)
+            # Event-time wake-up at the instant the earliest open
+            # session becomes closeable (end + gap; +1 ms because the
+            # close test is strict). Clamped above the current
+            # watermark — setTimeoutTimestamp rejects timestamps the
+            # watermark has already passed.
+            earliest_close_ms = (
+                min(s[1] for s in open_) // 1000 + gap_seconds * 1000 + 1
+            )
+            state.setTimeoutTimestamp(
+                max(earliest_close_ms, state.getCurrentWatermarkMs() + 1)
+            )
         else:
             state.remove()
 
@@ -123,25 +133,34 @@ def sessionize(
     events: DataFrame,
     gap_seconds: int = 1800,
     watermark: str = "1 hour",
-    flush_timeout_ms: int = 3_600_000,
 ) -> DataFrame:
     """Sessionize a streaming events frame by ``user_id`` with an
     inactivity gap.
 
     Emits ``final=True`` rows exactly once per session, when the
-    watermark guarantees the session can no longer change; quiet-stream
-    buffers are flushed as ``final=False`` after ``flush_timeout_ms``
-    of processing-time silence.
+    watermark guarantees the session can no longer change. Quiet keys
+    (no further events) are flushed by EVENT-TIME timeouts set at
+    ``earliest_open_session_end + gap``: the watermark passing that
+    point re-invokes the key and closes the session — still
+    watermark-confirmed, so every emission is final and exactly-once.
+
+    Processing-time timeouts are deliberately NOT used: a pending
+    processing-time wake-up keeps an ``availableNow`` (backfill) run
+    spinning empty micro-batches until the wall-clock timeout fires,
+    so the query never terminates. Event-time timeouts can only fire
+    on watermark movement — when the data is exhausted the query
+    stops, which makes the same operator correct for both continuous
+    and catch-up runs.
     """
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _sessionize_fn(gap_seconds, flush_timeout_ms),
+            _sessionize_fn(gap_seconds),
             outputStructType=SESSION_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

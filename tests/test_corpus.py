@@ -93,3 +93,37 @@ def test_embedding_dedup_clusters_planted(spark):
     for i in range(3):
         assert got[i + 100] == got[i]  # planted copy clusters with base
         assert got[i] == i  # min-id representative
+
+
+def test_benchmark_contamination_counts(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    cands = spark.createDataFrame(
+        [
+            # trigrams: "alpha beta gamma", "beta gamma delta",
+            # "gamma delta zeta" — first two appear in the benchmark
+            (1, "alpha beta gamma delta zeta"),
+            (2, "nothing shared here at all"),
+            (3, "xy"),  # shorter than n -> 0/0/0.0
+        ],
+        ["doc_id", "text"],
+    )
+    out = corpus.benchmark_contamination(cands, bench, "text", "doc_id", n=3)
+    got = {r.doc_id: (r.n_grams, r.n_shared, r.contamination) for r in out.collect()}
+    assert got == {1: (3, 2, round(2 / 3, 6)), 2: (3, 0, 0.0), 3: (0, 0, 0.0)}
+
+
+def test_unigram_logprob_values(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: (r.n_tokens, r.avg_logprob) for r in
+           corpus.unigram_logprob(df, "text", "doc_id").collect()}
+    # corpus: a:2 b:2 c:1, total 5
+    la, lb, lc = (round(math.log(2 / 5), 6), round(math.log(2 / 5), 6),
+                  round(math.log(1 / 5), 6))
+    assert out[1] == (3, round((la + la + lb) / 3, 6))
+    assert out[2] == (2, round((lb + lc) / 2, 6))

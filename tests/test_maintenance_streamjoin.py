@@ -73,7 +73,7 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600), "stream did not terminate within 600s"
     got = {
         (r["e_id"], r["c_id"]) for r in spark.table("ss_join_mem").collect()
     }
@@ -120,7 +120,7 @@ def test_stream_static_broadcast_join(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not terminate within 600s"
     got = spark.table("enriched_mem")
     assert got.count() == ev.count()
     # every known type got its weight; unknown types stay null

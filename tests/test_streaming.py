@@ -66,7 +66,7 @@ def pipeline_run(spark, taxi_csv, tmp_path_factory):
         max_files_per_trigger=2,
     )
     q = start_consumer(spark, cfg, available_now=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not terminate within 600s"
     return {"root": root, "cfg": cfg, "published": published, "trips": trips}
 
 
@@ -127,7 +127,7 @@ def test_checkpoint_restart_no_reprocessing(spark, pipeline_run):
     """Restarting over the same checkpoint must not re-append rows."""
     cfg = pipeline_run["cfg"]
     q = start_consumer(spark, cfg, available_now=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not terminate within 600s"
     raw = spark.read.json(str(pipeline_run["root"] / "processed" / "raw"))
     assert raw.count() == N_ROWS
 
@@ -165,7 +165,7 @@ def test_no_data_marker_and_raise(spark, taxi_csv, tmp_path_factory):
         checkpoint_dir=str(root / "ckpt"),
     )
     q = start_consumer(spark, cfg, available_now=True)
-    q.awaitTermination(60)
+    assert q.awaitTermination(600), "stream did not terminate within 600s"
     import os
 
     raw_dir = str(root / "processed" / "raw")

@@ -47,7 +47,11 @@ def _run_stream_to_memory(spark, stream_df, name, ckpt):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # awaitTermination returns False on timeout WITHOUT raising — an
+    # unfinished availableNow run would silently hand back a partial
+    # memory table (flaky subset/ratio assertions under suite load).
+    # Generous cap + explicit assert turns that into a clear failure.
+    assert q.awaitTermination(600), "stream did not terminate within 600s"
     return spark.table(name)
 
 

@@ -91,3 +91,23 @@ def test_queries_registry_complete():
     assert len(names) == len(set(names))
     with_oracle = [q for q in QUERIES if q.oracle is not None]
     assert len(with_oracle) >= 30
+
+
+def test_redact_pii_spans(spark):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "server 192.168.001.12 port"),
+            (3, "call +33 (0)6 12-34-56-78 ok"),
+            (4, "clean text no pii"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.redacted, r.n_redactions) for r in
+           redact_pii(df, "text", "doc_id").collect()}
+    assert got[1] == ("mail <EMAIL> now", 1)
+    assert got[2] == ("server <IP> port", 1)
+    assert got[3] == ("call <PHONE> ok", 1)
+    assert got[4] == ("clean text no pii", 0)
