@@ -130,29 +130,50 @@ def pack_sequences(
     )
 
 
-def word_ngrams(text: Column, n: int) -> Column:
-    """Distinct word-level n-grams (space-joined) of the token stream.
+def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Distinct word-level n-grams (space-joined) of a token array.
+
+    The token array is re-bound as a LAMBDA VARIABLE (a 1-element
+    ``transform``) before the gram loop. This is load-bearing: the
+    gram lambda references the array three ways (slice source, size
+    guard, sequence bound), and a raw expression there is re-evaluated
+    PER REFERENCE PER GRAM — with ``token_array(text)`` inlined that
+    re-tokenizes the document for every gram index, O(tokens²) per doc
+    (observed: 19 s for a 5k-doc contamination scan vs ~2 s bound).
+    Materializing via a prior select does NOT survive Catalyst —
+    CollapseProject / constraint inference inline the alias right back
+    (10 copies of split() counted in the executed plan). A lambda
+    variable is evaluated exactly once per row by construction and no
+    rule can substitute through it.
 
     Guarded against short docs: Spark's ``sequence(1, 0)`` DESCENDS
     (yields ``[1, 0]``), so a doc with fewer than ``n`` tokens must
     short-circuit to an empty array rather than feed the transform.
     """
-    toks = token_array(text)
 
-    def gram(i: Column) -> Column:
-        # closure, not a default arg — PySpark introspects lambda
-        # arity and would silently bind the array index to an extra
-        # parameter
-        return F.concat_ws(" ", F.slice(toks, i, n))
+    def over_tokens(tk: Column) -> Column:
+        def gram(i: Column) -> Column:
+            # closure, not a default arg — PySpark introspects lambda
+            # arity and would silently bind the array index to an
+            # extra parameter
+            return F.concat_ws(" ", F.slice(tk, i, n))
 
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)), gram
+        grams = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)), gram
+            )
         )
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+        return F.when(F.size(tk) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.flatten(F.transform(F.array(toks), over_tokens))
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-grams of a text column (tokenization fused —
+    evaluated once thanks to the lambda binding above)."""
+    return word_ngrams_from_tokens(token_array(text), n)
 
 
 def benchmark_contamination(
@@ -179,12 +200,23 @@ def benchmark_contamination(
     broadcast size, drop the hint and the same plan shuffle-joins on
     the gram key.
     """
+    # Single-file local inputs arrive as one partition; the per-doc
+    # gram work is embarrassingly parallel, so fan it out (no-op on a
+    # real multi-file table, same pattern as dedup.py).
+    para = candidates.sparkSession.sparkContext.defaultParallelism
+    if candidates.rdd.getNumPartitions() < para:
+        candidates = candidates.repartition(para)
     cand_grams = candidates.select(
-        F.col(id_col), word_ngrams(F.col(text_col), n).alias("_grams")
+        F.col(id_col),
+        word_ngrams_from_tokens(token_array(F.col(text_col)), n).alias(
+            "_grams"
+        ),
     )
     bench_set = (
         benchmark.select(
-            F.explode(word_ngrams(F.col(text_col), n)).alias("_gram")
+            F.explode(
+                word_ngrams_from_tokens(token_array(F.col(text_col)), n)
+            ).alias("_gram")
         )
         .distinct()
     )
