@@ -111,6 +111,27 @@ def main() -> None:
         ),
     }
 
+    def contam(d):
+        return corpus.benchmark_contamination(
+            d.filter(F.col("doc_id") % 20 != 0),
+            d.filter(F.col("doc_id") % 20 == 0),
+            "text",
+            "doc_id",
+        )
+
+    # contamination scan (explode + broadcast semi-probe) and unigram
+    # log-prob (one term-key shuffle) — linear shapes
+    results["contamination"] = {
+        "t1": timed("contam 1x", contam(docs1)),
+        "tN": timed(f"contam {factor}x", contam(docsN)),
+    }
+    results["unigram_logprob"] = {
+        "t1": timed("unigram 1x", corpus.unigram_logprob(docs1, "text", "doc_id")),
+        "tN": timed(
+            f"unigram {factor}x", corpus.unigram_logprob(docsN, "text", "doc_id")
+        ),
+    }
+
     # --- lineitem: hash-agg count + top-k ---
     li1 = load_table(spark, SF_DIR, "lineitem")
     liN = scaled(li1, factor, ["l_orderkey"], 100_000_000)
