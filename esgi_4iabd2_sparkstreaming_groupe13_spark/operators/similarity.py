@@ -300,13 +300,16 @@ def ivf_assign(
     centroid_stride: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse assignment with deterministic centroids (every
-    ``stride``-th vector — reproducible without a k-means fit; swap in
-    trained centroids at deployment). Returns (centroids, assigned)."""
-    centroids = embeddings.filter(
-        F.col(id_col) % centroid_stride == 0
-    ).select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec"))
+    """IVF coarse assignment. Centroids are either the deterministic
+    every-``stride``-th-vector subset (reproducible without a fit) or
+    a trained ``(cell_id, cvec)`` frame from :func:`kmeans_fit`.
+    Returns (centroids, assigned)."""
+    if centroids is None:
+        centroids = embeddings.filter(
+            F.col(id_col) % centroid_stride == 0
+        ).select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec"))
 
     scored = (
         embeddings.crossJoin(F.broadcast(centroids))
@@ -334,11 +337,16 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k: probe the ``nprobe`` best cells per query, exact
     cosine rank within the probed subset. Approximate (rows-only
-    correctness check); the exact tier is the oracle baseline."""
-    centroids, assigned = ivf_assign(embeddings, centroid_stride, id_col, vec_col)
+    correctness check); the exact tier is the oracle baseline. Pass a
+    :func:`kmeans_fit` result as ``centroids`` for the trained-
+    quantizer path."""
+    centroids, assigned = ivf_assign(
+        embeddings, centroid_stride, id_col, vec_col, centroids=centroids
+    )
     queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -401,3 +409,146 @@ def embedding_dedup_clusters(
     return comp.select(
         F.col("node").alias(id_col), F.col("component").alias("cluster_rep")
     )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int,
+    max_iterations: int = 10,
+    tol: float = 1e-4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, int, float]:
+    """Spherical k-means (Lloyd's) over a vector column — trains the
+    IVF coarse quantizer that :func:`ivf_topk`'s docstring promises
+    (cf. the inverted-file ANN literature; reference parity n/a — the
+    reference has no vector ops at all).
+
+    Distributed shape per iteration: broadcast the k centroids →
+    argmin-by-cosine assignment (one narrow pass over the corpus) →
+    per-(cell, dimension) mean via posexplode + hash agg (the only
+    shuffle, keyed on k×dim rows) → rebuild + L2-normalize centroid
+    arrays. The corpus is never collected; centroids are k rows,
+    localCheckpoint-ed per iteration so lineage stays flat. One
+    driver-side scalar probe per iteration reads the max centroid
+    drift (same convergence pattern as graph.connected_components).
+
+    Determinism: seeding is FARTHEST-POINT (the deterministic cousin
+    of k-means++) — seed 0 is the vector with the smallest salted
+    id-hash, each next seed the vector least similar to its closest
+    already-chosen seed (ties on id). Pure hash-ordered seeds hit the
+    classic two-seeds-in-one-cluster local optimum (a centroid stuck
+    at cos 1/√2 between two true clusters — observed on planted
+    data); farthest-point spreads seeds across clusters by
+    construction, at k−1 extra broadcast-argmin passes over the
+    corpus (sample-first if k is ever huge). Per-dimension means
+    accumulate in DECIMAL so reduction order can't wiggle the last
+    ulp; argmin ties break on cell_id. Empty cells keep their
+    previous centroid.
+
+    Returns ``(centroids, n_iterations, final_shift)`` with centroids
+    ``(cell_id int, cvec array<double>)`` L2-normalized.
+    """
+    from ..functions.hashing import md5_int
+
+    norm = norm_expr(F.col("_v"))
+    src = embeddings.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).select(
+        "_vid",
+        F.when(norm > 0, F.transform("_v", lambda x: x / norm))
+        .otherwise(F.col("_v"))
+        .alias("_v"),
+    )
+    first = (
+        src.withColumn(
+            "_h",
+            md5_int(F.concat(F.lit("kmeans:"), F.col("_vid").cast("string"))),
+        )
+        .orderBy("_h", "_vid")
+        .limit(1)
+        .select(F.lit(0).alias("cell_id"), F.col("_v").alias("cvec"))
+    )
+    cents = first.localCheckpoint()
+    for i in range(1, k):
+        closest = (
+            src.crossJoin(F.broadcast(cents))
+            .groupBy("_vid")
+            .agg(F.max(cosine_expr(F.col("_v"), F.col("cvec"))).alias("_cl"))
+        )
+        farthest = (
+            closest.orderBy(F.asc("_cl"), F.asc("_vid"))
+            .limit(1)
+            .join(src, "_vid")
+            .select(F.lit(i).alias("cell_id"), F.col("_v").alias("cvec"))
+        )
+        cents = cents.unionByName(farthest).localCheckpoint()
+
+    shift = float("inf")
+    iterations = 0
+    for iterations in range(1, max_iterations + 1):
+        scored = src.crossJoin(F.broadcast(cents)).select(
+            "_vid",
+            "_v",
+            "cell_id",
+            cosine_expr(F.col("_v"), F.col("cvec")).alias("_csim"),
+        )
+        wa = Window.partitionBy("_vid").orderBy(
+            F.desc("_csim"), F.asc("cell_id")
+        )
+        assigned = (
+            scored.withColumn("_r", F.row_number().over(wa))
+            .filter(F.col("_r") == 1)
+            .select("cell_id", "_v")
+        )
+        dims = assigned.select("cell_id", F.posexplode("_v").alias("pos", "x"))
+        # decimal accumulation: the mean of each (cell, dim) is exact
+        # and therefore independent of partition reduction order
+        means = dims.groupBy("cell_id", "pos").agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        raw = (
+            means.groupBy("cell_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("_pm")
+            )
+            .select(
+                "cell_id",
+                F.transform("_pm", lambda s: s["m"]).alias("_raw"),
+            )
+        )
+        rnorm = norm_expr(F.col("_raw"))
+        stepped = raw.select(
+            "cell_id",
+            F.when(rnorm > 0, F.transform("_raw", lambda x: x / rnorm))
+            .otherwise(F.col("_raw"))
+            .alias("_new"),
+        )
+        merged = (
+            cents.withColumnRenamed("cvec", "_old")
+            .join(stepped, "cell_id", "left")
+            .select(
+                "cell_id",
+                F.coalesce(F.col("_new"), F.col("_old")).alias("cvec"),
+                "_old",
+            )
+            .localCheckpoint()
+        )
+        shift = (
+            merged.agg(
+                F.max(
+                    F.lit(1.0) - cosine_expr(F.col("cvec"), F.col("_old"))
+                )
+            ).first()[0]
+            or 0.0
+        )
+        cents = merged.select("cell_id", "cvec")
+        if shift < tol:
+            break
+    return cents, iterations, shift

@@ -1407,6 +1407,23 @@ def q_embed_dedup(spark, sf_dir):
     )
 
 
+def q_kmeans_cells(spark, sf_dir):
+    """Trained IVF quantizer: deterministic farthest-point-seeded
+    spherical k-means (k=8, decimal-exact means) → per-cell member
+    counts. Iterative DataFrame algorithm — not SQL-expressible, so
+    rows-only for the driver; tests/test_corpus.py verifies planted-
+    cluster recovery, determinism under repartitioning, and the
+    trained-centroid IVF search path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, _, _ = similarity.kmeans_fit(emb, k=8, max_iterations=5)
+    _, assigned = similarity.ivf_assign(emb, 0, centroids=cents)
+    return (
+        assigned.groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(F.col("cell_id").cast("long"), "n_members")
+    )
+
+
 #: word-n-gram width for the benchmark-contamination scan
 CONTAM_N = 5
 
@@ -2559,6 +2576,7 @@ QUERIES: list[QuerySpec] = [
     ),
     QuerySpec("q_token_packing", q_token_packing, ORACLES["q_token_packing"]),
     QuerySpec("q_embed_dedup", q_embed_dedup, ORACLES["q_embed_dedup"]),
+    QuerySpec("q_kmeans_cells", q_kmeans_cells, None),
 ]
 
 HEADLINE_QUERIES = [q.name for q in QUERIES if q.headline]

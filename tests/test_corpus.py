@@ -127,3 +127,55 @@ def test_unigram_logprob_values(spark):
                   round(math.log(1 / 5), 6))
     assert out[1] == (3, round((la + la + lb) / 3, 6))
     assert out[2] == (2, round((lb + lc) / 2, 6))
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Spherical Lloyd's on 3 well-separated planted directions must
+    converge, recover the clusters with perfect purity, and be
+    deterministic under repartitioning."""
+    import math
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    dims = 8
+    centers = [[0.0] * dims for _ in range(3)]
+    centers[0][0] = 1.0
+    centers[1][3] = 1.0
+    centers[2][6] = 1.0
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        # deterministic small perturbation, far inside the cluster gap
+        noise = [((i * 31 + d * 7) % 13 - 6) / 100.0 for d in range(dims)]
+        rows.append((i, [c[d] + noise[d] for d in range(dims)]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    cents, iters, shift = kmeans_fit(emb, k=3, max_iterations=10)
+    got = cents.collect()
+    assert len(got) == 3 and iters <= 10 and shift < 1e-4
+    # each planted direction has exactly one centroid pointing at it
+    matched = set()
+    for r in got:
+        best = max(range(3), key=lambda j: sum(
+            a * b for a, b in zip(r.cvec, centers[j])
+        ))
+        sim = sum(a * b for a, b in zip(r.cvec, centers[best])) / math.sqrt(
+            sum(a * a for a in r.cvec)
+        )
+        assert sim > 0.98
+        matched.add(best)
+    assert matched == {0, 1, 2}
+
+    # determinism under repartitioning (decimal means, hash seeds)
+    cents2, _, _ = kmeans_fit(emb.repartition(7), k=3, max_iterations=10)
+    a = sorted((r.cell_id, tuple(r.cvec)) for r in got)
+    b = sorted((r.cell_id, tuple(r.cvec)) for r in cents2.collect())
+    assert a == b
+
+    # trained quantizer slots into the IVF search path
+    out = ivf_topk(emb, [0, 1], k=3, nprobe=1, centroids=cents)
+    per_q = {r.query_id for r in out.collect()}
+    assert per_q == {0, 1}
