@@ -288,3 +288,31 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def cap_per_stratum(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    cap: int,
+    salt: str = "cap:",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum (source/domain capping —
+    the anti-overrepresentation step corpus pipelines run so one giant
+    domain can't dominate training data).
+
+    Selection is by salted id-hash rank inside each stratum:
+    deterministic under repartitioning/re-runs (auditable — "why did
+    this doc survive the cap?"), uncorrelated with [[hash_sample]]'s
+    sampling decision (different salt), and engine-portable. Compiles
+    to one shuffle on the stratum key with WindowGroupLimit rank
+    pushdown — per-group top-``cap`` heaps, no full per-group sort
+    materialization.
+    """
+    h = md5_int(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )

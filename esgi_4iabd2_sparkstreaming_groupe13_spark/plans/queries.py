@@ -1407,6 +1407,22 @@ def q_embed_dedup(spark, sf_dir):
     )
 
 
+#: per-source cap for q_domain_cap
+DOMAIN_CAP = 30
+
+
+def q_domain_cap(spark, sf_dir):
+    """Source/domain capping: keep at most DOMAIN_CAP docs per source,
+    selected by salted id-hash rank — deterministic, auditable, one
+    stratum-key shuffle with WindowGroupLimit rank pushdown."""
+    return corpus.cap_per_stratum(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "lang"),
+        "doc_id",
+        "source",
+        DOMAIN_CAP,
+    )
+
+
 def q_kmeans_cells(spark, sf_dir):
     """Trained IVF quantizer: deterministic farthest-point-seeded
     spherical k-means (k=8, decimal-exact means) → per-cell member
@@ -2407,6 +2423,16 @@ SELECT doc_id, md5(redacted) AS redacted_md5,
          AS n_redactions
 FROM red
 """,
+    "q_domain_cap": f"""
+SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {md5_int_sql("('cap:' || CAST(doc_id AS VARCHAR))")},
+                    doc_id) AS rk
+  FROM documents
+) WHERE rk <= 30
+""",
     "q_unigram_logprob": f"""
 WITH tok AS (
   SELECT doc_id, unnest({_TOKS}) AS t FROM documents
@@ -2576,6 +2602,7 @@ QUERIES: list[QuerySpec] = [
     ),
     QuerySpec("q_token_packing", q_token_packing, ORACLES["q_token_packing"]),
     QuerySpec("q_embed_dedup", q_embed_dedup, ORACLES["q_embed_dedup"]),
+    QuerySpec("q_domain_cap", q_domain_cap, ORACLES["q_domain_cap"]),
     QuerySpec("q_kmeans_cells", q_kmeans_cells, None),
 ]
 

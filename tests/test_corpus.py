@@ -179,3 +179,27 @@ def test_kmeans_recovers_planted_clusters(spark):
     out = ivf_topk(emb, [0, 1], k=3, nprobe=1, centroids=cents)
     per_q = {r.query_id for r in out.collect()}
     assert per_q == {0, 1}
+
+
+def test_cap_per_stratum_deterministic(spark):
+    rows = [(i, f"s{i % 2}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept1 = {r.doc_id for r in corpus.cap_per_stratum(
+        df, "doc_id", "source", 5
+    ).collect()}
+    kept2 = {r.doc_id for r in corpus.cap_per_stratum(
+        df.repartition(7), "doc_id", "source", 5
+    ).collect()}
+    assert kept1 == kept2 and len(kept1) == 10
+    per_src = corpus.cap_per_stratum(df, "doc_id", "source", 5) \
+        .groupBy("source").count().collect()
+    assert all(r["count"] == 5 for r in per_src)
+
+
+def test_cap_per_stratum_plan_uses_window_group_limit(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], ["doc_id", "source"]
+    )
+    p = corpus.cap_per_stratum(df, "doc_id", "source", 3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p

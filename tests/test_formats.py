@@ -1,0 +1,48 @@
+"""Format coverage beyond the reference's CSV/NDJSON/parquet: the
+engine must round-trip every Spark-native columnar/row format so a
+user can point it at existing lake data (S1/S3 extension)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from esgi_4iabd2_sparkstreaming_groupe13_spark.sources.batch import load_table
+
+
+def _checksum(df):
+    return df.agg(
+        F.bit_xor(F.xxhash64(F.struct(*sorted(df.columns)))).alias("c")
+    ).first()["c"]
+
+
+@pytest.mark.parametrize("fmt", ["orc", "parquet", "json", "csv"])
+def test_format_roundtrip_preserves_rows(spark, sf_dir, tmp_path, fmt):
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / f"docs_{fmt}")
+    writer = docs.write.mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", True).option("escape", '"')
+    writer.format(fmt).save(path)
+    reader = spark.read
+    if fmt == "csv":
+        reader = reader.option("header", True).schema(docs.schema)
+    if fmt == "json":
+        reader = reader.schema(docs.schema)
+    back = reader.format(fmt).load(path)
+    assert back.count() == docs.count()
+    assert _checksum(back) == _checksum(docs)
+
+
+def test_orc_filter_pushdown(spark, sf_dir, tmp_path):
+    """ORC scans must push predicates like parquet ones do."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+    path = str(tmp_path / "li_orc")
+    li.write.mode("overwrite").orc(path)
+    q = spark.read.orc(path).filter(F.col("l_quantity") >= 30.0)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,30" in plan
+    assert q.count() == li.filter(F.col("l_quantity") >= 30.0).count()

@@ -102,6 +102,15 @@ def test_no_forced_broadcast_on_scaling_tables(spark, sf_dir):
             "q_tpch_q5": 2,   # nation (25 rows) + region (5 rows)
             "q_tpch_q10": 0,
             "q_tpch_q18": 0,
+            "q_tpch_q7": 2,   # nation under two aliases
+            "q_tpch_q8": 4,   # part, region, nation⋈region, nation
+            "q_tpch_q9": 2,   # filtered part + nation
+            "q_tpch_q13": 0,  # customer LEFT orders — both scale
+            "q_tpch_q15": 1,  # 1-row max-revenue scalar
+            "q_tpch_q16": 1,  # brand/size-filtered part
+            "q_tpch_q20": 3,  # filtered part ×2 (scalar branch rescans) + 1-row mean
+            "q_tpch_q21": 0,  # lineitem self-joins — never broadcast
+            "q_tpch_q22": 1,  # 1-row avg-balance scalar
         }
         for name, n_dim_hints in expected.items():
             p = plan_of(spark, sf_dir, getattr(Q, name))
@@ -118,19 +127,26 @@ def test_tracked_persists_released(spark, sf_dir):
     drop every frame the operators persisted (no storage leak across a
     long-lived session running many queries).
 
-    Baseline-relative, not ==0: earlier tests in the session may have
-    run connected_components, whose final localCheckpoint stays cached
-    until the ContextCleaner GCs it — those blocks are outside
-    release_cached()'s contract."""
-    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.caching import (
-        release_cached,
-    )
+    Asserted through the tracker registry, not raw
+    ``getPersistentRDDs`` counts: earlier tests leave
+    localCheckpoint blocks (connected_components, kmeans) that the
+    ContextCleaner GCs ASYNCHRONOUSLY, so absolute/baseline-relative
+    store counts race the cleaner and flake. The contract under test
+    is (a) the operators register their persists and (b) release
+    actually unpersists them from the store."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import caching
 
-    release_cached()  # clean slate in case earlier tests left frames
-    sc = spark.sparkContext._jsc.sc()
-    baseline = sc.getPersistentRDDs().size()
+    caching.release_cached()  # clean slate in case earlier tests left frames
+
+    def cached(df):
+        lvl = df.storageLevel
+        return lvl.useMemory or lvl.useDisk
+
     for fn in (Q.q_minhash_lsh, Q.q_simhash_pairs):
         fn(spark, sf_dir).count()
-    assert sc.getPersistentRDDs().size() > baseline  # operators did persist
-    release_cached()
-    assert sc.getPersistentRDDs().size() == baseline
+    tracked = list(caching._TRACKED)
+    assert tracked  # operators did persist through the tracker
+    assert all(cached(df) for df in tracked)  # registered in the cache manager
+    n = caching.release_cached()
+    assert n == len(tracked)
+    assert not any(cached(df) for df in tracked)  # actually released
