@@ -223,10 +223,13 @@ REVENUE_SQL = (
 
 
 def q_join_fact_dim(spark, sf_dir):
-    """Broadcast fact×dim join + exact revenue aggregate."""
+    """Fact×fact join + exact revenue aggregate. ``orders`` scales with
+    SF (150k×SF rows) so it gets NO structural broadcast hint — plain
+    equi-join, Catalyst picks sort-merge and AQE may convert to
+    broadcast at runtime when the measured side is genuinely small."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
-    joined = joins.dim_join(
+    joined = joins.fact_join(
         li, orders, li.l_orderkey == orders.o_orderkey
     )
     return joined.groupBy("o_orderpriority").agg(
@@ -236,12 +239,13 @@ def q_join_fact_dim(spark, sf_dir):
 
 
 def q_join_multiway(spark, sf_dir):
-    """Fact × two broadcast dims (supplier → nation) revenue rollup."""
+    """Fact × supplier (plain — supplier scales at 10k×SF) × broadcast
+    nation (fixed 25 rows) revenue rollup."""
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     joined = joins.dim_join(
-        joins.dim_join(li, supp, li.l_suppkey == supp.s_suppkey),
+        joins.fact_join(li, supp, li.l_suppkey == supp.s_suppkey),
         nation,
         F.col("s_nationkey") == nation.n_nationkey,
     )
@@ -1044,7 +1048,9 @@ def q_doc_embedding_join(spark, sf_dir):
     lookup)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     emb = _t(spark, sf_dir, "embeddings")
-    joined = joins.dim_join(
+    # both sides are corpus-sized (embeddings is also vector-wide — the
+    # worst possible broadcast candidate): plain equi-join, AQE decides
+    joined = joins.fact_join(
         docs, emb, docs.doc_id == emb.vec_id
     )
     return joined.select(
