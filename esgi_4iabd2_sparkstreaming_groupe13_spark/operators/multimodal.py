@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -90,21 +91,22 @@ def extract_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
                     "pyav) not present in this container; deterministic "
                     "fake-feature mode is the testable path"
                 )
-            feats = []
+            # vectorized byte-histogram — this stub is also the template
+            # for real codecs, so it models the numpy-batch shape a
+            # production decode would use (never per-byte Python loops)
+            feats, n_bytes = [], []
             for payload in pdf["payload"]:
-                buf = bytes(payload) if payload is not None else b""
-                hist = [0.0] * 8
-                for byte in buf:
-                    hist[byte & 7] += 1.0
-                total = sum(hist) or 1.0
-                feats.append([h / total for h in hist])
+                buf = np.frombuffer(
+                    payload if payload is not None else b"", dtype=np.uint8
+                )
+                hist = np.bincount(buf & 7, minlength=8).astype(np.float64)
+                feats.append((hist / (hist.sum() or 1.0)).tolist())
+                n_bytes.append(len(buf))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": [
-                        len(bytes(p)) if p is not None else 0 for p in pdf["payload"]
-                    ],
+                    "n_bytes": n_bytes,
                     "feature": feats,
                 }
             )

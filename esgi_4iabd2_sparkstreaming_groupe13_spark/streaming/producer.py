@@ -130,7 +130,11 @@ def publish_batches(
         for i, part in enumerate(parts):
             suffix = f"-{i}" if len(parts) > 1 else ""
             dest = out / f"{file_prefix}-batch{n}{suffix}-{stamp}.json"
-            shutil.copy2(part, dest)
+            # shutil.move is an O(1) rename on the same filesystem (the
+            # normal layout: stage and output dirs share a volume) and
+            # falls back to copy+unlink across filesystems — either way
+            # the staged copy is gone, so demo storage isn't doubled.
+            shutil.move(str(part), str(dest))
             published.append(str(dest))
         if interval_seconds > 0:
             time.sleep(interval_seconds)
