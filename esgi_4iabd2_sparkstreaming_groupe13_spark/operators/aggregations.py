@@ -116,6 +116,37 @@ def percentiles_exact(
     return df.groupBy(key).agg(arr.alias("_p")).select(key, *out)
 
 
+def percentiles_approx(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Mergeable-sketch percentiles — the 100 TB tier next to
+    :func:`percentiles_exact`.
+
+    ``approx_percentile`` accumulates a Greenwald–Khanna quantile
+    summary per partition and MERGES the summaries at the final
+    aggregate, so memory per group is O(accuracy·log n) regardless of
+    group size — unlike the exact tier, which buffers every value of a
+    group on one executor. ``accuracy`` bounds the rank error at
+    ``1/accuracy`` (10k → 0.01 % of the group's rows); the companion
+    pytest pins the observed value error against the exact tier at
+    sf0.1. Approximate by design → registered rows-only (DuckDB's
+    ``approx_quantile`` is a different sketch, t-digest, so values
+    cannot hash-match any oracle).
+    """
+    arr = F.percentile_approx(
+        F.col(value_col), F.lit(list(probs)), F.lit(accuracy)
+    )
+    out = [
+        F.round(F.element_at(F.col("_p"), i + 1), 6).alias(f"p{int(p * 100)}")
+        for i, p in enumerate(probs)
+    ]
+    return df.groupBy(key).agg(arr.alias("_p")).select(key, *out)
+
+
 def approx_distinct(df: DataFrame, key: str, rsd: float = 0.01) -> DataFrame:
     """HyperLogLog++ distinct estimate — the scale path for cardinality
     (exact distinct of a 100 TB key column is a full shuffle; HLL is a

@@ -381,6 +381,48 @@ def ivf_topk(
     )
 
 
+def ann_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **ivf_kwargs,
+) -> DataFrame:
+    """Recall@k of the IVF approximate tier against the exact
+    brute-force tier — the quality gate that makes the ANN path's
+    accuracy VISIBLE in the registry instead of a rows-only shrug.
+
+    Both tiers are fully deterministic (seeded centroids, tie-broken
+    ranks), so recall is a stable, driver-checkable number. Per query:
+    |IVF top-k ∩ exact top-k| / k via a left-semi join on
+    (query_id, neighbor_id). A left join from the EXACT side counts
+    misses, so recall can only be under-stated, never inflated by IVF
+    returning extra rows. Cheap at any scale: both inputs are k rows
+    per query.
+    """
+    exact = brute_force_topk(embeddings, query_ids, k, id_col, vec_col)
+    approx = ivf_topk(embeddings, query_ids, k, id_col=id_col,
+                      vec_col=vec_col, **ivf_kwargs)
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    per_q = hits.groupBy("query_id").agg(F.count("*").alias("n_hits"))
+    # queries whose exact top-k was entirely missed still need a row
+    base = exact.select("query_id").distinct()
+    return (
+        base.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 def embedding_dedup_clusters(
     embeddings: DataFrame,
     threshold: float,

@@ -19,9 +19,15 @@ from pyspark.sql import functions as F
 
 from ..schemas import TESTDATA_TABLES, TRIP_SCHEMA
 
-#: Parquet TIMESTAMP(NANOS) columns (Spark reads them as long nanos via
-#: ``spark.sql.legacy.parquet.nanosAsLong``); converted to µs
-#: timestamps by truncation — bit-identical to DuckDB's ns→µs read.
+#: Event-time columns whose parquet physical type has varied across
+#: driver testdata generations: TIMESTAMP(NANOS) (Spark reads long
+#: nanos via ``spark.sql.legacy.parquet.nanosAsLong``; truncated to µs
+#: — bit-identical to DuckDB's ns→µs read) and TIMESTAMP(MICROS,
+#: isAdjustedToUTC=false) (Spark 4 infers TIMESTAMP_NTZ). Both are
+#: normalized to the session-tz TIMESTAMP type so downstream
+#: event-time ops (``unix_micros``, watermarks) see one stable type;
+#: sessions here run UTC, so the NTZ→LTZ cast is value-preserving and
+#: matches DuckDB's naive read.
 TS_NANO_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
 
 
@@ -51,8 +57,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in TS_NANO_COLUMNS.get(name, []):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+        if c not in df.columns:
+            continue
+        dtype = dict(df.dtypes)[c]
+        if dtype == "bigint":  # TIMESTAMP(NANOS) read as long nanos
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif dtype == "timestamp_ntz":  # TIMESTAMP(MICROS, utc=false)
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

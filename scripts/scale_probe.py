@@ -7,7 +7,13 @@ This is the empirical backing for ARCHITECTURE.md's claims: candidate
 generation should grow ~linearly for LSH (not quadratically), hash
 aggregation ~linearly, top-k sub-linearly (heap + merge).
 
-Usage: python scripts/scale_probe.py [factor]
+Usage: python scripts/scale_probe.py [factor] [op,op,...]
+
+The optional op filter runs only the named sections — the 100× tier
+(`scale_probe.py 100 minhash_lsh,cosine_rh_lsh`) probes the two LSH
+scale paths alone: the exact-pairs tier is quadratic BY CONTRACT and
+the linear operators are already pinned by the 10–20× suite, so a
+100× full-suite run would mostly burn time re-measuring known shapes.
 """
 
 from __future__ import annotations
@@ -54,8 +60,23 @@ def timed(label, df):
     return dt
 
 
+ALL_OPS = (
+    "minhash_lsh simhash_pairs tfidf_topterms token_packing contamination "
+    "unigram_logprob count_by_key topk global_index rolling_sum cosine_topk "
+    "cosine_pairs_exact cosine_rh_lsh"
+).split()
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    ops = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else set(ALL_OPS)
+    unknown = ops - set(ALL_OPS)
+    if unknown:
+        raise SystemExit(f"unknown ops: {sorted(unknown)}")
+
+    def want(*names: str) -> bool:
+        return bool(ops & set(names))
+
     spark = get_spark(
         app_name="scale_probe",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
@@ -69,47 +90,60 @@ def main() -> None:
     # DENSITY stays constant as the corpus grows — duplicating texts
     # verbatim would make every doc a factor-way duplicate and measure
     # a pathological all-duplicates workload instead of scaling.
-    docs1 = load_table(spark, SF_DIR, "documents")
-    copies = [docs1]
-    for i in range(1, factor):
-        copies.append(
-            docs1.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
-            .withColumn(
-                "text",
-                F.repeat(
-                    F.md5(F.concat_ws("_", F.col("doc_id"), F.lit(i))), 12
-                ),
+    doc_ops = (
+        "minhash_lsh",
+        "simhash_pairs",
+        "tfidf_topterms",
+        "token_packing",
+        "contamination",
+        "unigram_logprob",
+    )
+    if want(*doc_ops):
+        docs1 = load_table(spark, SF_DIR, "documents")
+        copies = [docs1]
+        for i in range(1, factor):
+            copies.append(
+                docs1.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+                .withColumn(
+                    "text",
+                    F.repeat(
+                        F.md5(F.concat_ws("_", F.col("doc_id"), F.lit(i))), 12
+                    ),
+                )
             )
-        )
-    docsN = copies[0]
-    for c in copies[1:]:
-        docsN = docsN.unionByName(c)
-    docsN.write.mode("overwrite").parquet(f"{tmp}/docsN.parquet")
-    docsN = spark.read.parquet(f"{tmp}/docsN.parquet")
-    results["minhash_lsh"] = {
-        "t1": timed("lsh 1x", dedup.minhash_lsh_pairs(docs1, "text", "doc_id", 0.9)),
-        "tN": timed(
-            f"lsh {factor}x", dedup.minhash_lsh_pairs(docsN, "text", "doc_id", 0.9)
-        ),
-    }
-    results["simhash_pairs"] = {
-        "t1": timed("simhash 1x", dedup.simhash_pairs(docs1, "text", "doc_id")),
-        "tN": timed(f"simhash {factor}x", dedup.simhash_pairs(docsN, "text", "doc_id")),
-    }
+        docsN = copies[0]
+        for c in copies[1:]:
+            docsN = docsN.unionByName(c)
+        docsN.write.mode("overwrite").parquet(f"{tmp}/docsN.parquet")
+        docsN = spark.read.parquet(f"{tmp}/docsN.parquet")
+    if want("minhash_lsh"):
+        results["minhash_lsh"] = {
+            "t1": timed("lsh 1x", dedup.minhash_lsh_pairs(docs1, "text", "doc_id", 0.9)),
+            "tN": timed(
+                f"lsh {factor}x", dedup.minhash_lsh_pairs(docsN, "text", "doc_id", 0.9)
+            ),
+        }
+    if want("simhash_pairs"):
+        results["simhash_pairs"] = {
+            "t1": timed("simhash 1x", dedup.simhash_pairs(docs1, "text", "doc_id")),
+            "tN": timed(f"simhash {factor}x", dedup.simhash_pairs(docsN, "text", "doc_id")),
+        }
     # corpus construction: TF-IDF (two hash aggs + window top-k) and
     # token packing (two-pass running sum) — both should track ~linear
-    results["tfidf_topterms"] = {
-        "t1": timed("tfidf 1x", corpus.tfidf_top_terms(docs1, "text", "doc_id")),
-        "tN": timed(
-            f"tfidf {factor}x", corpus.tfidf_top_terms(docsN, "text", "doc_id")
-        ),
-    }
-    results["token_packing"] = {
-        "t1": timed("pack 1x", corpus.pack_sequences(docs1, "text", "doc_id")),
-        "tN": timed(
-            f"pack {factor}x", corpus.pack_sequences(docsN, "text", "doc_id")
-        ),
-    }
+    if want("tfidf_topterms"):
+        results["tfidf_topterms"] = {
+            "t1": timed("tfidf 1x", corpus.tfidf_top_terms(docs1, "text", "doc_id")),
+            "tN": timed(
+                f"tfidf {factor}x", corpus.tfidf_top_terms(docsN, "text", "doc_id")
+            ),
+        }
+    if want("token_packing"):
+        results["token_packing"] = {
+            "t1": timed("pack 1x", corpus.pack_sequences(docs1, "text", "doc_id")),
+            "tN": timed(
+                f"pack {factor}x", corpus.pack_sequences(docsN, "text", "doc_id")
+            ),
+        }
 
     def contam(d):
         return corpus.benchmark_contamination(
@@ -121,73 +155,81 @@ def main() -> None:
 
     # contamination scan (explode + broadcast semi-probe) and unigram
     # log-prob (one term-key shuffle) — linear shapes
-    results["contamination"] = {
-        "t1": timed("contam 1x", contam(docs1)),
-        "tN": timed(f"contam {factor}x", contam(docsN)),
-    }
-    results["unigram_logprob"] = {
-        "t1": timed("unigram 1x", corpus.unigram_logprob(docs1, "text", "doc_id")),
-        "tN": timed(
-            f"unigram {factor}x", corpus.unigram_logprob(docsN, "text", "doc_id")
-        ),
-    }
+    if want("contamination"):
+        results["contamination"] = {
+            "t1": timed("contam 1x", contam(docs1)),
+            "tN": timed(f"contam {factor}x", contam(docsN)),
+        }
+    if want("unigram_logprob"):
+        results["unigram_logprob"] = {
+            "t1": timed("unigram 1x", corpus.unigram_logprob(docs1, "text", "doc_id")),
+            "tN": timed(
+                f"unigram {factor}x", corpus.unigram_logprob(docsN, "text", "doc_id")
+            ),
+        }
 
     # --- lineitem: hash-agg count + top-k ---
-    li1 = load_table(spark, SF_DIR, "lineitem")
-    liN = scaled(li1, factor, ["l_orderkey"], 100_000_000)
-    liN.write.mode("overwrite").parquet(f"{tmp}/liN.parquet")
-    liN = spark.read.parquet(f"{tmp}/liN.parquet")
-    results["count_by_key"] = {
-        "t1": timed(
-            "count 1x", li1.groupBy("l_suppkey").agg(F.count("*").alias("n"))
-        ),
-        "tN": timed(
-            f"count {factor}x", liN.groupBy("l_suppkey").agg(F.count("*").alias("n"))
-        ),
-    }
-    results["topk"] = {
-        "t1": timed("topk 1x", ordering.busiest_keys(li1, "l_suppkey", 10)),
-        "tN": timed(f"topk {factor}x", ordering.busiest_keys(liN, "l_suppkey", 10)),
-    }
+    if want("count_by_key", "topk"):
+        li1 = load_table(spark, SF_DIR, "lineitem")
+        liN = scaled(li1, factor, ["l_orderkey"], 100_000_000)
+        liN.write.mode("overwrite").parquet(f"{tmp}/liN.parquet")
+        liN = spark.read.parquet(f"{tmp}/liN.parquet")
+    if want("count_by_key"):
+        results["count_by_key"] = {
+            "t1": timed(
+                "count 1x", li1.groupBy("l_suppkey").agg(F.count("*").alias("n"))
+            ),
+            "tN": timed(
+                f"count {factor}x", liN.groupBy("l_suppkey").agg(F.count("*").alias("n"))
+            ),
+        }
+    if want("topk"):
+        results["topk"] = {
+            "t1": timed("topk 1x", ordering.busiest_keys(li1, "l_suppkey", 10)),
+            "tN": timed(f"topk {factor}x", ordering.busiest_keys(liN, "l_suppkey", 10)),
+        }
 
     # --- events: scale-safe global index ---
-    ev1 = load_table(spark, SF_DIR, "events")
-    evN = scaled(ev1, factor, ["event_id"], 100_000_000)
-    evN.write.mode("overwrite").parquet(f"{tmp}/evN.parquet")
-    evN = spark.read.parquet(f"{tmp}/evN.parquet")
-    results["global_index"] = {
-        "t1": timed("gidx 1x", global_row_index(ev1, ["ts", "event_id"])),
-        "tN": timed(f"gidx {factor}x", global_row_index(evN, ["ts", "event_id"])),
-    }
+    if want("global_index"):
+        ev1 = load_table(spark, SF_DIR, "events")
+        evN = scaled(ev1, factor, ["event_id"], 100_000_000)
+        evN.write.mode("overwrite").parquet(f"{tmp}/evN.parquet")
+        evN = spark.read.parquet(f"{tmp}/evN.parquet")
+        results["global_index"] = {
+            "t1": timed("gidx 1x", global_row_index(ev1, ["ts", "event_id"])),
+            "tN": timed(f"gidx {factor}x", global_row_index(evN, ["ts", "event_id"])),
+        }
 
     # --- orders: analytic frame window (partitioned by customer) ---
     # partition count scales with customers, per-partition work with
     # orders-per-customer — a partitioned WindowExec should track the
     # data ~linearly (no single-partition collapse).
-    or1 = load_table(spark, SF_DIR, "orders")
-    orN = scaled(or1, factor, ["o_orderkey", "o_custkey"], 100_000_000)
-    orN.write.mode("overwrite").parquet(f"{tmp}/orN.parquet")
-    orN = spark.read.parquet(f"{tmp}/orN.parquet")
-    results["rolling_sum"] = {
-        "t1": timed(
-            "rollsum 1x",
-            rolling_sum(or1, "o_custkey", ["o_orderdate", "o_orderkey"], "o_totalprice"),
-        ),
-        "tN": timed(
-            f"rollsum {factor}x",
-            rolling_sum(orN, "o_custkey", ["o_orderdate", "o_orderkey"], "o_totalprice"),
-        ),
-    }
+    if want("rolling_sum"):
+        or1 = load_table(spark, SF_DIR, "orders")
+        orN = scaled(or1, factor, ["o_orderkey", "o_custkey"], 100_000_000)
+        orN.write.mode("overwrite").parquet(f"{tmp}/orN.parquet")
+        orN = spark.read.parquet(f"{tmp}/orN.parquet")
+        results["rolling_sum"] = {
+            "t1": timed(
+                "rollsum 1x",
+                rolling_sum(or1, "o_custkey", ["o_orderdate", "o_orderkey"], "o_totalprice"),
+            ),
+            "tN": timed(
+                f"rollsum {factor}x",
+                rolling_sum(orN, "o_custkey", ["o_orderdate", "o_orderkey"], "o_totalprice"),
+            ),
+        }
 
     # --- embeddings: brute-force cosine top-k ---
     em1 = load_table(spark, SF_DIR, "embeddings")
-    emN = scaled(em1, factor, ["vec_id"], 10_000_000)
-    emN.write.mode("overwrite").parquet(f"{tmp}/emN.parquet")
-    emN = spark.read.parquet(f"{tmp}/emN.parquet")
-    results["cosine_topk"] = {
-        "t1": timed("cosine 1x", similarity.brute_force_topk(em1, [0, 1, 2], 5)),
-        "tN": timed(f"cosine {factor}x", similarity.brute_force_topk(emN, [0, 1, 2], 5)),
-    }
+    if want("cosine_topk"):
+        emN = scaled(em1, factor, ["vec_id"], 10_000_000)
+        emN.write.mode("overwrite").parquet(f"{tmp}/emN.parquet")
+        emN = spark.read.parquet(f"{tmp}/emN.parquet")
+        results["cosine_topk"] = {
+            "t1": timed("cosine 1x", similarity.brute_force_topk(em1, [0, 1, 2], 5)),
+            "tN": timed(f"cosine {factor}x", similarity.brute_force_topk(emN, [0, 1, 2], 5)),
+        }
 
     # --- embeddings: threshold pairs — exact tier vs RH-LSH tier ---
     # Copies get FRESH md5-derived pseudo-random vectors (duplicating
@@ -235,34 +277,37 @@ def main() -> None:
             )
         )
 
-    em1d = em1.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
-    )
-    copies = [em1d]
-    for i in range(1, factor):
-        copies.append(
-            em1d.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
-            .withColumn("embedding", synth_vec(i))
+    if want("cosine_pairs_exact", "cosine_rh_lsh"):
+        em1d = em1.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
         )
-    emNf = copies[0]
-    for c in copies[1:]:
-        emNf = emNf.unionByName(c)
-    p1 = planted(em1d)
-    pN = planted(emNf)
-    pN.write.mode("overwrite").parquet(f"{tmp}/emNf.parquet")
-    pN = spark.read.parquet(f"{tmp}/emNf.parquet")
-    results["cosine_pairs_exact"] = {
-        "t1": timed(
-            "pairs-exact 1x", similarity.cosine_threshold_pairs(p1, 0.35)
-        ),
-        "tN": timed(
-            f"pairs-exact {factor}x", similarity.cosine_threshold_pairs(pN, 0.35)
-        ),
-    }
-    results["cosine_rh_lsh"] = {
-        "t1": timed("rh-lsh 1x", similarity.rh_lsh_pairs(p1, 0.9)),
-        "tN": timed(f"rh-lsh {factor}x", similarity.rh_lsh_pairs(pN, 0.9)),
-    }
+        copies = [em1d]
+        for i in range(1, factor):
+            copies.append(
+                em1d.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+                .withColumn("embedding", synth_vec(i))
+            )
+        emNf = copies[0]
+        for c in copies[1:]:
+            emNf = emNf.unionByName(c)
+        p1 = planted(em1d)
+        pN = planted(emNf)
+        pN.write.mode("overwrite").parquet(f"{tmp}/emNf.parquet")
+        pN = spark.read.parquet(f"{tmp}/emNf.parquet")
+    if want("cosine_pairs_exact"):
+        results["cosine_pairs_exact"] = {
+            "t1": timed(
+                "pairs-exact 1x", similarity.cosine_threshold_pairs(p1, 0.35)
+            ),
+            "tN": timed(
+                f"pairs-exact {factor}x", similarity.cosine_threshold_pairs(pN, 0.35)
+            ),
+        }
+    if want("cosine_rh_lsh"):
+        results["cosine_rh_lsh"] = {
+            "t1": timed("rh-lsh 1x", similarity.rh_lsh_pairs(p1, 0.9)),
+            "tN": timed(f"rh-lsh {factor}x", similarity.rh_lsh_pairs(pN, 0.9)),
+        }
 
     for op, r in results.items():
         r["ratio"] = round(r["tN"] / max(r["t1"], 0.01), 1)

@@ -100,6 +100,24 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.4  # ANN trade: probing 8/20 cells on random data
 
 
+def test_ann_recall_trained_quantizer_gate(spark, sf_dir):
+    """The registry's ANN quality gate (q_ann_recall): trained
+    spherical-k-means quantizer, k=8 cells, nprobe=4 — mean recall@5
+    must clear 0.8 while scanning only ~half the corpus. Also pins
+    the operator's shape: one row per query, recall in [0, 1]."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _, _ = similarity.kmeans_fit(emb, k=8, max_iterations=8)
+    rows = similarity.ann_recall(
+        emb, [0, 1, 2, 3, 4], k=5, nprobe=4, centroids=cents
+    ).collect()
+    assert len(rows) == 5
+    assert all(0.0 <= r["recall_at_k"] <= 1.0 for r in rows)
+    mean = sum(r["recall_at_k"] for r in rows) / len(rows)
+    assert mean >= 0.8, [
+        (r["query_id"], r["recall_at_k"]) for r in rows
+    ]
+
+
 def test_cosine_expr_unit_norm(spark):
     df = spark.createDataFrame([(1,)], ["id"]).select(
         F.array(F.lit(1.0), F.lit(0.0)).alias("a"),

@@ -116,6 +116,7 @@ def test_no_forced_broadcast_on_scaling_tables(spark, sf_dir):
             "q_tpch_q20": 3,  # filtered part ×2 (scalar branch rescans) + 1-row mean
             "q_tpch_q21": 0,  # lineitem self-joins — never broadcast
             "q_tpch_q22": 1,  # 1-row avg-balance scalar
+            "q_tpch_q2": 2,   # size-filtered part + nation; supplier scales
         }
         for name, n_dim_hints in expected.items():
             p = plan_of(spark, sf_dir, getattr(Q, name))

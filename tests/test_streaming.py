@@ -70,6 +70,26 @@ def pipeline_run(spark, taxi_csv, tmp_path_factory):
     return {"root": root, "cfg": cfg, "published": published, "trips": trips}
 
 
+def test_console_sink_drains_without_writing_dirs(
+    spark, pipeline_run, tmp_path_factory
+):
+    """K3 (StreamProcessor.scala console debug path): with
+    enable_console=True the consumer must wire a console sink — the
+    availableNow drain terminates cleanly and, because foreachBatch is
+    bypassed, no sink directories appear under output_dir."""
+    root = tmp_path_factory.mktemp("console")
+    cfg = ConsumerConfig(
+        input_dir=pipeline_run["cfg"].input_dir,
+        output_dir=str(root / "processed"),
+        checkpoint_dir=str(root / "ckpt"),
+        max_files_per_trigger=2,
+        enable_console=True,
+    )
+    q = start_consumer(spark, cfg, available_now=True)
+    assert q.awaitTermination(600), "console stream did not terminate"
+    assert not (root / "processed").exists()
+
+
 def test_producer_one_file_per_batch(pipeline_run):
     import math
 

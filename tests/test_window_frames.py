@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import (
     aggregations as agg,
@@ -122,3 +123,37 @@ def test_percentiles_exact_interpolation(spark):
     assert row.p25 == 1.75
     assert row.p50 == 2.5
     assert row.p75 == 3.25
+
+
+def test_percentiles_approx_within_rank_error_of_exact(spark, sf_dir):
+    """The mergeable-sketch tier must land within its advertised rank
+    error of the exact tier on real data: with accuracy=10k the GK
+    summary guarantees rank error ≤ n/10k, so on lineitem's roughly
+    uniform price column the VALUE error stays well under 1% of the
+    column range per group."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.sources.batch import (
+        load_table,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in agg.percentiles_exact(
+            li, "l_returnflag", "l_extendedprice"
+        ).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r
+        for r in agg.percentiles_approx(
+            li, "l_returnflag", "l_extendedprice"
+        ).collect()
+    }
+    assert set(exact) == set(approx) and exact
+    lo, hi = li.agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice")
+    ).first()
+    tol = 0.01 * (float(hi) - float(lo))
+    for key, e in exact.items():
+        a = approx[key]
+        for p in ("p25", "p50", "p75"):
+            assert abs(e[p] - a[p]) <= tol, (key, p, e[p], a[p])
