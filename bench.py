@@ -96,6 +96,22 @@ def main() -> None:
     # Warm the JVM/session so the first measured query doesn't pay
     # session startup (~seconds) that has nothing to do with the plan.
     spark.range(1000).selectExpr("sum(id)").collect()
+    # Also warm each input table once (footer parse + OS page cache +
+    # vectorized-reader codegen): whichever query happens to run first
+    # would otherwise absorb the cold-read cost of its tables, so
+    # per-query numbers would measure registry ORDER, not plans. The
+    # driver regenerates testdata between rounds, so first-touch cold
+    # reads are real here even when the same files were benched before.
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.schemas import (
+        TESTDATA_TABLES,
+    )
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.sources.batch import (
+        load_table,
+    )
+
+    for t in TESTDATA_TABLES:
+        warm = load_table(spark, sf_dir, t)
+        warm.agg(F.bit_xor(F.xxhash64(F.struct(*warm.columns)))).collect()
 
     timings: dict[str, float] = {}
     for spec in QUERIES:
