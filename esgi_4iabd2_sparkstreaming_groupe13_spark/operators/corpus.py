@@ -316,3 +316,62 @@ def cap_per_stratum(
         .filter(F.col("_rk") <= cap)
         .drop("_rk")
     )
+
+
+#: Salt for train/val/test assignment — independent of the sampling
+#: and capping hashes so split membership never correlates with them.
+SPLIT_SALT = "split:"
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by salted id-hash:
+    ``bucket = md5_int('split:' || id) % 100`` → train below
+    ``train_pct``, val below ``train_pct + val_pct``, test otherwise.
+
+    The property that matters at corpus scale: assignment is a pure
+    per-row expression — stable under repartitioning, incremental
+    re-runs, and engine swaps (auditable: any engine can recompute
+    which split a document landed in from its id alone), with no
+    shuffle and no stored split table to keep in sync.
+    """
+    bucket = md5_int(
+        F.concat(F.lit(SPLIT_SALT), F.col(id_col).cast("string"))
+    ) % 100
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(
+        F.col(id_col),
+        bucket.cast("long").alias("bucket"),
+        split.alias("split"),
+    )
+
+
+def token_length_histogram(
+    df: DataFrame, text_col: str, bucket_width: int = 10
+) -> DataFrame:
+    """Token-length histogram — the length-distribution audit run
+    before choosing packing budgets and truncation limits:
+    ``bucket = floor(n_tokens / width)``, one row per occupied bucket
+    with doc and token totals.
+
+    One partial+final hash aggregate over a narrow derived key; at any
+    scale this is a map-side-combined count on ~max_len/width keys.
+    """
+    n = F.size(token_array(F.col(text_col)))
+    bucket = F.floor(n / F.lit(bucket_width))
+    return (
+        df.select(bucket.alias("length_bucket"), n.alias("_n"))
+        .groupBy("length_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n").cast("long").alias("total_tokens"),
+        )
+    )

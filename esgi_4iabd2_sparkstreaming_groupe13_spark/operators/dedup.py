@@ -530,3 +530,117 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+#: Winnowing defaults (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+#: local document fingerprinting algorithm): k = noise threshold (no
+#: match shorter than k chars is detected), window w gives guarantee
+#: threshold t = k + w − 1 (every common substring ≥ t chars shares at
+#: least one selected fingerprint).
+WINNOW_K = 8
+WINNOW_W = 4
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_chars: int = 512,
+) -> DataFrame:
+    """Winnowed rolling-hash document fingerprints: hash every k-gram
+    of the (truncated) text, slide a w-wide window over the hash
+    sequence, keep each window's MINIMUM — the density-guaranteed
+    subset (expected fraction 2/(w+1)) that still catches every
+    substring match of length ≥ k+w−1. Position-independent output
+    (one row per distinct selected hash), so reordered/shifted copies
+    of a passage still collide.
+
+    Scale shape: pure per-row higher-order expressions (two chained
+    lambda bindings — text→hash array→window minima — each evaluated
+    once per row), then one explode; no shuffle in the operator
+    itself. md5-based rolling hashes keep the oracle bit-identical.
+
+    Documents shorter than ``k`` chars contribute the hash of their
+    whole text (the ``greatest(…, 1)`` guards make the k-gram and
+    window sequences degenerate to a single element, identically in
+    both engines).
+    """
+    t = F.substring(F.col(text_col), 1, max_chars)
+
+    def over_text(tc: Column) -> Column:
+        def kgram_hash(i: Column) -> Column:
+            return md5_int(F.substring(tc, i, k))
+
+        return F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(tc) - F.lit(k - 1), F.lit(1))
+            ),
+            kgram_hash,
+        )
+
+    hashes = F.element_at(
+        F.transform(F.array(t), over_text), 1
+    )
+
+    def over_hashes(hs: Column) -> Column:
+        def window_min(j: Column) -> Column:
+            return F.array_min(F.slice(hs, j, w))
+
+        return F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(hs) - F.lit(w - 1), F.lit(1))
+                ),
+                window_min,
+            )
+        )
+
+    fps = F.element_at(F.transform(F.array(hashes), over_hashes), 1)
+    return df.select(
+        F.col(id_col), F.explode(fps).alias("fingerprint")
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_shared: int = 3,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_chars: int = 512,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowed fingerprints —
+    the MOSS-style local-plagiarism/near-copy detector: unlike MinHash
+    (whole-document resemblance) this catches documents that share a
+    PASSAGE while differing elsewhere.
+
+    Inverted-index join on the fingerprint key (the same candidate
+    shape as ``ngram_jaccard_pairs``): pair work is O(Σ df²) over
+    fingerprint document frequencies, so ``max_fp_df`` optionally
+    drops ubiquitous fingerprints (boilerplate k-grams) exactly like
+    a stopword cut — at corpus scale cap it to keep the join linear;
+    dropped fingerprints can only reduce the shared count, never
+    invent a pair.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, w, max_chars)
+    if max_fp_df is not None:
+        rare = (
+            fps.groupBy("fingerprint")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_fp_df)
+            .select("fingerprint")
+        )
+        fps = fps.join(rare, "fingerprint")
+    a = fps.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = fps.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )

@@ -139,6 +139,65 @@ def sentiment_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def repetition_features(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Intra-document repetition ratios — the Gopher-style filters
+    (Rae et al. 2021 §A1.1) that catch boilerplate and degenerate
+    generations: fraction of DUPLICATE word n-grams per document for
+    n = 1, 2, 3. ``dup_ratio(n) = (total_n − distinct_n) / total_n``
+    (0 for documents with no n-grams).
+
+    Scale shape: per-row narrow array expressions, zero shuffle,
+    embarrassingly parallel. Each ratio binds the token array as a
+    lambda variable (see ``corpus.word_ngrams_from_tokens`` for why a
+    raw expression would be re-evaluated per reference); tokenization
+    runs once per ratio column — a deliberate 3× constant over the
+    theoretical minimum in exchange for columns that are independent,
+    CSE-safe expressions.
+    """
+    t = F.col(text_col)
+
+    def dup_ratio(n: int) -> Column:
+        def over_tokens(tk: Column) -> Column:
+            if n == 1:
+                grams = tk
+            else:
+
+                def gram(i: Column) -> Column:
+                    return F.concat_ws(" ", F.slice(tk, i, n))
+
+                grams = F.when(
+                    F.size(tk) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)), gram
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+
+            def over_grams(g: Column) -> Column:
+                total = F.size(g)
+                dup = total - F.size(F.array_distinct(g))
+                return F.round(
+                    F.when(
+                        total > 0, dup.cast("double") / total
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                )
+
+            return F.element_at(F.transform(F.array(grams), over_grams), 1)
+
+        return F.element_at(
+            F.transform(F.array(token_array(t)), over_tokens), 1
+        )
+
+    return df.select(
+        F.col(id_col),
+        dup_ratio(1).alias("dup_token_ratio"),
+        dup_ratio(2).alias("dup_2gram_ratio"),
+        dup_ratio(3).alias("dup_3gram_ratio"),
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Content fingerprint: md5 of the whitespace-normalized lowercase
     text (stable under reformatting), plus a 64-hex SHA-2 for

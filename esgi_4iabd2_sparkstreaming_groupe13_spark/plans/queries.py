@@ -1542,6 +1542,46 @@ def q_kmeans_cells(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style intra-document repetition ratios (duplicate word
+    1/2/3-gram fractions) — narrow per-row array expressions, zero
+    shuffle."""
+    return text.repetition_features(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+def q_winnow_fp(spark, sf_dir):
+    """MOSS winnowing fingerprints (rolling k-gram hashes, window-min
+    selection): position-independent local fingerprints catching any
+    shared substring ≥ k+w−1 chars."""
+    return dedup.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Local-overlap (shared-passage) pairs via winnowed fingerprints —
+    inverted-index join, same candidate shape as q_ngram_jaccard."""
+    return dedup.winnow_overlap_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", min_shared=3
+    )
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic salted-hash train/val/test assignment — pure
+    per-row expression, stable under repartitioning and re-runs."""
+    return corpus.split_assign(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+def q_token_histogram(spark, sf_dir):
+    """Token-length histogram (bucket width 10): the length audit run
+    before choosing packing budgets; one partial+final hash agg."""
+    return corpus.token_length_histogram(
+        _t(spark, sf_dir, "documents"), "text"
+    )
+
+
 #: word-n-gram width for the benchmark-contamination scan
 CONTAM_N = 5
 
@@ -1903,6 +1943,88 @@ WITH RECURSIVE c AS (
   SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
 )
 SELECT node AS vec_id, min(comp) AS cluster_rep FROM reach GROUP BY node
+"""
+
+
+def _repetition_oracle() -> str:
+    def ratio(g: str) -> str:
+        return (
+            f"round(CASE WHEN len({g}) > 0 THEN "
+            f"(len({g}) - len(list_distinct({g})))::DOUBLE / len({g}) "
+            f"ELSE 0.0 END, 6)"
+        )
+
+    def grams(n: int) -> str:
+        return (
+            f"[array_to_string(list_slice(tk, i, i + {n - 1}), ' ') "
+            f"for i in range(1, len(tk) - {n - 2})]"
+        )
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+g AS (
+  SELECT doc_id, tk, {grams(2)} AS g2, {grams(3)} AS g3 FROM toks
+)
+SELECT doc_id,
+       {ratio('tk')} AS dup_token_ratio,
+       {ratio('g2')} AS dup_2gram_ratio,
+       {ratio('g3')} AS dup_3gram_ratio
+FROM g
+"""
+
+
+def _winnow_fp_cte(k: int, w: int, max_chars: int) -> str:
+    """Shared winnowed-fingerprint CTE body (``fp(doc_id,
+    fingerprint)``) — mirror of dedup.winnow_fingerprints."""
+    kh = md5_int_sql(f"substr(t, i, {k})")
+    return f"""
+t AS (SELECT doc_id, substr(text, 1, {max_chars}) AS t FROM documents),
+h AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(t) - {k - 1}, 1)),
+                        i -> {kh}) AS hs
+  FROM t
+),
+fp AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(generate_series(1, greatest(len(hs) - {w - 1}, 1)),
+                          j -> list_min(list_slice(hs, j, j + {w - 1})))
+         )) AS fingerprint
+  FROM h
+)
+"""
+
+
+def _winnow_fp_oracle(k: int, w: int, max_chars: int = 512) -> str:
+    return f"""
+WITH {_winnow_fp_cte(k, w, max_chars)}
+SELECT doc_id, fingerprint FROM fp
+"""
+
+
+def _winnow_pairs_oracle(
+    min_shared: int, k: int, w: int, max_chars: int = 512
+) -> str:
+    return f"""
+WITH {_winnow_fp_cte(k, w, max_chars)}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       count(*) AS shared_fingerprints
+FROM fp a JOIN fp b
+  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""
+
+
+def _split_assign_oracle(train_pct: int, val_pct: int) -> str:
+    bucket = md5_int_sql("('split:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+SELECT doc_id, ({bucket} % 100) AS bucket,
+       CASE WHEN {bucket} % 100 < {train_pct} THEN 'train'
+            WHEN {bucket} % 100 < {train_pct + val_pct} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
 """
 
 
@@ -2501,6 +2623,19 @@ GROUP BY 1
     "q_tfidf_topterms": _tfidf_oracle(3),
     "q_token_packing": _token_packing_oracle(PACK_BUDGET_TOKENS),
     "q_embed_dedup": _embed_dedup_oracle(0.9),
+    "q_repetition": _repetition_oracle(),
+    "q_winnow_fp": _winnow_fp_oracle(dedup.WINNOW_K, dedup.WINNOW_W),
+    "q_winnow_pairs": _winnow_pairs_oracle(
+        3, dedup.WINNOW_K, dedup.WINNOW_W
+    ),
+    "q_split_assign": _split_assign_oracle(80, 10),
+    "q_token_histogram": f"""
+SELECT CAST(floor(len(tk) / 10) AS BIGINT) AS length_bucket,
+       count(*) AS n_docs,
+       CAST(sum(len(tk)) AS BIGINT) AS total_tokens
+FROM (SELECT {_TOKS} AS tk FROM documents)
+GROUP BY 1
+""",
     "q_contamination": f"""
 WITH g AS (
   SELECT doc_id,
@@ -2737,6 +2872,15 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_rollup", q_rollup, ORACLES["q_rollup"], True),
     QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
     QuerySpec("q_pivot_status", q_pivot_status, ORACLES["q_pivot_status"]),
+    # ---- block 7: new in round 3 (rotate INTO the window in r4 for
+    # their first driver-verified rows) ----
+    QuerySpec("q_repetition", q_repetition, ORACLES["q_repetition"]),
+    QuerySpec("q_winnow_fp", q_winnow_fp, ORACLES["q_winnow_fp"]),
+    QuerySpec("q_winnow_pairs", q_winnow_pairs, ORACLES["q_winnow_pairs"]),
+    QuerySpec("q_split_assign", q_split_assign, ORACLES["q_split_assign"]),
+    QuerySpec(
+        "q_token_histogram", q_token_histogram, ORACLES["q_token_histogram"]
+    ),
 ]
 
 HEADLINE_QUERIES = [q.name for q in QUERIES if q.headline]
