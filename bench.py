@@ -113,18 +113,39 @@ def main() -> None:
         warm = load_table(spark, sf_dir, t)
         warm.agg(F.bit_xor(F.xxhash64(F.struct(*warm.columns)))).collect()
 
+    # SPARK_GRAFT_BENCH_REPS>1 re-runs each query and reports the MIN —
+    # the steady-state number (first execution pays whole-stage-codegen
+    # JIT + VM scheduling noise; see BASELINE.md round-3/4 notes). The
+    # driver runs the default (1 = one-pass, methodology unchanged
+    # across rounds); steady-state tables in BASELINE.md come from
+    # local runs with REPS=3.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     timings: dict[str, float] = {}
     for spec in QUERIES:
         if not spec.headline:
             continue
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        n = force(df)
-        timings[spec.name] = round(time.perf_counter() - t0, 3)
-        release_cached()
-        print(f"# {spec.name}: {timings[spec.name]}s ({n} rows)", file=sys.stderr)
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            n = force(df)
+            times.append(time.perf_counter() - t0)
+            release_cached()
+        timings[spec.name] = round(min(times), 3)
+        detail = (
+            "" if reps == 1 else " all=" + str([round(t, 3) for t in times])
+        )
+        print(
+            f"# {spec.name}: {timings[spec.name]}s ({n} rows){detail}",
+            file=sys.stderr,
+        )
 
     stream_stats = bench_stream(spark)
+    # second drain = steady-state throughput (streaming-engine start +
+    # fan-out codegen already paid); published alongside, methodology
+    # of the headline stream_rows_per_sec unchanged (cold first drain)
+    steady = bench_stream(spark)
+    stream_stats["stream_rows_per_sec_steady"] = steady["stream_rows_per_sec"]
     print(f"# stream: {stream_stats}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -152,3 +152,31 @@ def approx_distinct(df: DataFrame, key: str, rsd: float = 0.01) -> DataFrame:
     (exact distinct of a 100 TB key column is a full shuffle; HLL is a
     mergeable sketch computed map-side)."""
     return df.agg(F.approx_count_distinct(key, rsd).alias("approx_distinct"))
+
+
+def approx_distinct_checked(
+    df: DataFrame, key: str, rsd: float = 0.01, tol_factor: float = 3.0
+) -> DataFrame:
+    """HLL estimate with its accuracy made ORACLE-CHECKABLE (VERDICT r3
+    item 5): emit the exact distinct count alongside a boolean stating
+    the sketch landed within ``tol_factor × rsd`` relative error. A SQL
+    oracle computes the same exact count and asserts the boolean TRUE —
+    so a broken sketch (or a silently changed rsd) turns the row red
+    instead of hiding behind a rows-only check. Spark's HLL++ is
+    hash-deterministic, so the boolean is stable across runs/
+    partitionings. The estimate itself is intentionally NOT an output
+    column (engine-specific value; it can never hash-match an oracle).
+
+    Scale shape: both aggregates run in ONE pass over the data — the
+    HLL sketch merges map-side; the exact count is the one full
+    distinct shuffle this audit query exists to double-check.
+    """
+    est = F.approx_count_distinct(key, rsd)
+    exact = F.count_distinct(F.col(key))
+    return df.agg(
+        exact.alias("exact_distinct"),
+        (
+            F.abs(est.cast("double") - exact.cast("double"))
+            <= F.lit(tol_factor * rsd) * exact.cast("double")
+        ).alias("within_rsd"),
+    )

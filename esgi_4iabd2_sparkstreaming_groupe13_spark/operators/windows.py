@@ -40,6 +40,51 @@ def row_number_slice(
     )
 
 
+def _partition_base_offsets(counts: DataFrame, value_col: str) -> DataFrame:
+    """Exclusive prefix sum over one-row-per-partition metadata,
+    returning ``(_pid, _base)``.
+
+    A ``Window.orderBy`` with no partitionBy would be correct here (the
+    input is P rows of metadata, not data) but logs a `WindowExec: No
+    Partition Defined` warning per use, burying real single-partition
+    regressions in bench logs. Instead: collapse the P rows into ONE
+    array row (sorted by ``_pid``), run the prefix scan inside a
+    higher-order ``aggregate`` (O(P) adds on driver-size metadata),
+    and explode back out. Still one tiny single-row stage — by design,
+    and now silent.
+    """
+    return (
+        counts.groupBy()
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("_pid"),
+                        F.col(value_col).cast("decimal(28,6)").alias("_v"),
+                    )
+                )
+            ).alias("_pc")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "aggregate(_pc, "
+                    "named_struct("
+                    "'acc', cast(0 as decimal(28,6)), "
+                    "'out', cast(array() as "
+                    "array<struct<_pid:int,_base:decimal(28,6)>>)), "
+                    "(s, x) -> named_struct("
+                    "'acc', cast(s.acc + x._v as decimal(28,6)), "
+                    "'out', array_append(s.out, "
+                    "named_struct('_pid', x._pid, '_base', s.acc))), "
+                    "s -> s.out)"
+                )
+            ).alias("_o")
+        )
+        .select(F.col("_o._pid").alias("_pid"), F.col("_o._base").alias("_base"))
+    )
+
+
 def global_row_index(
     df: DataFrame,
     order_cols: list[str],
@@ -66,19 +111,8 @@ def global_row_index(
     local = with_pid.withColumn("_local_rn", F.row_number().over(local_w))
 
     # One row per partition — driver-size metadata, not data.
-    offsets = (
-        local.groupBy("_pid")
-        .agg(F.count("*").alias("_cnt"))
-        .withColumn(
-            "_base",
-            F.coalesce(
-                F.sum("_cnt").over(
-                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("_pid", "_base")
+    offsets = _partition_base_offsets(
+        local.groupBy("_pid").agg(F.count("*").alias("_cnt")), "_cnt"
     )
     return (
         local.join(F.broadcast(offsets), "_pid")
@@ -118,19 +152,8 @@ def global_running_sum(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = with_pid.withColumn("_local_sum", F.sum(value_col).over(local_w))
-    offsets = (
-        local.groupBy("_pid")
-        .agg(F.sum(value_col).alias("_tot"))
-        .withColumn(
-            "_base",
-            F.coalesce(
-                F.sum("_tot").over(
-                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("_pid", "_base")
+    offsets = _partition_base_offsets(
+        local.groupBy("_pid").agg(F.sum(value_col).alias("_tot")), "_tot"
     )
     return (
         local.join(F.broadcast(offsets), "_pid")

@@ -27,6 +27,7 @@ surface (joins, rollup, event-time windows, dedup/similarity/text).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -201,8 +202,12 @@ def q_pivot_status(spark, sf_dir):
 
 
 def q_hll_distinct(spark, sf_dir):
-    """HyperLogLog++ sketch — engine-specific estimate, rows-only check."""
-    return agg.approx_distinct(_t(spark, sf_dir, "events"), "user_id")
+    """HyperLogLog++ sketch with an oracle-checkable accuracy bound
+    (VERDICT r3 item 5): (exact_distinct, within_rsd) where the DuckDB
+    oracle recomputes the exact count and asserts the boolean — the
+    sketch's 3×rsd envelope is now a hash-matched contract, not a
+    rows-only shrug."""
+    return agg.approx_distinct_checked(_t(spark, sf_dir, "events"), "user_id")
 
 
 # --------------------------------------------------------------------
@@ -1323,6 +1328,42 @@ def q_ann_ivf(spark, sf_dir):
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+#: one canonical quantizer per corpus: k=8 cells, ≤8 Lloyd iterations
+KMEANS_K = 8
+KMEANS_MAX_ITER = 8
+
+
+def _kmeans_model_path(sf_dir: str) -> str:
+    """Model-table path for the trained IVF quantizer, keyed by corpus
+    VERSION (sf dir name + embeddings file size/mtime) so a
+    driver-regenerated corpus auto-invalidates the persisted
+    centroids instead of serving a stale model."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{st.st_size}_{st.st_mtime_ns}"
+    )
+    root = os.environ.get(
+        "SPARK_GRAFT_MODEL_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", ".models"),
+    )
+    return os.path.join(root, f"kmeans_k{KMEANS_K}_{key}")
+
+
+def _trained_centroids(spark, sf_dir):
+    """Serve-path access to the canonical quantizer: load the persisted
+    centroid table, fitting it first only if this corpus version has
+    never been trained (train/serve split — VERDICT r3 item 4)."""
+    return similarity.kmeans_fit_or_load(
+        spark,
+        _t(spark, sf_dir, "embeddings"),
+        KMEANS_K,
+        _kmeans_model_path(sf_dir),
+        max_iterations=KMEANS_MAX_ITER,
+    )
+
+
 def q_ann_recall(spark, sf_dir):
     """ANN quality gate: per-query recall@5 of the IVF tier vs the
     exact brute-force tier, using the TRAINED spherical-k-means
@@ -1333,9 +1374,15 @@ def q_ann_recall(spark, sf_dir):
     deterministic and the driver records them as a registry row
     (rows-only: replicating IVF probing in the SQL oracle would
     re-implement the operator, not check it). The pytest gate asserts
-    mean recall ≥ 0.8."""
+    mean recall ≥ 0.8.
+
+    Serve path only: centroids come from the persisted model table
+    (``_trained_centroids``), not a per-invocation refit — wall time
+    is the two top-k scans, and the recall gate holds because
+    ``kmeans_fit`` is deterministic so the loaded model is identical
+    to a fresh fit."""
     emb = _t(spark, sf_dir, "embeddings")
-    cents, _, _ = similarity.kmeans_fit(emb, k=8, max_iterations=8)
+    cents = _trained_centroids(spark, sf_dir)
     return similarity.ann_recall(
         emb, QUERY_VEC_IDS, k=5, nprobe=4, centroids=cents
     )
@@ -1531,9 +1578,14 @@ def q_kmeans_cells(spark, sf_dir):
     counts. Iterative DataFrame algorithm — not SQL-expressible, so
     rows-only for the driver; tests/test_corpus.py verifies planted-
     cluster recovery, determinism under repartitioning, and the
-    trained-centroid IVF search path."""
+    trained-centroid IVF search path.
+
+    This entry is the TRAIN lifecycle: first run per corpus version
+    fits and persists the canonical quantizer (``_trained_centroids``);
+    q_ann_recall and any other serve-path query then read the same
+    model table instead of refitting."""
     emb = _t(spark, sf_dir, "embeddings")
-    cents, _, _ = similarity.kmeans_fit(emb, k=8, max_iterations=5)
+    cents = _trained_centroids(spark, sf_dir)
     _, assigned = similarity.ivf_assign(emb, 0, centroids=cents)
     return (
         assigned.groupBy("cell_id")
@@ -1560,11 +1612,32 @@ def q_winnow_fp(spark, sf_dir):
     )
 
 
+#: q_winnow_pairs registry bounds (ADVICE r3): drop fingerprints with
+#: document frequency > WINNOW_MAX_FP_DF before the inverted-index
+#: join, and require WINNOW_MIN_SHARED surviving shared fingerprints.
+#: Measured densities with these values: 0.3% of all pairs at
+#: sf0.001, 0.4% at sf0.01 (vs 79% uncapped).
+WINNOW_MAX_FP_DF = 20
+WINNOW_MIN_SHARED = 5
+
+
 def q_winnow_pairs(spark, sf_dir):
     """Local-overlap (shared-passage) pairs via winnowed fingerprints —
-    inverted-index join, same candidate shape as q_ngram_jaccard."""
+    inverted-index join, same candidate shape as q_ngram_jaccard.
+
+    Registry discipline: uncapped winnowing on this synthetic corpus is
+    effectively all-pairs (79% pair density at sf0.001 — the shared
+    vocabulary makes boilerplate 8-grams ubiquitous), so the entry
+    applies the ``max_fp_df`` stopword-style cut (drop fingerprints in
+    >20 docs) and requires 5 shared survivors — the same O(Σ df²)
+    bound that keeps the inverted-index join linear at corpus scale.
+    The oracle applies the identical cut."""
     return dedup.winnow_overlap_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", min_shared=3
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        min_shared=WINNOW_MIN_SHARED,
+        max_fp_df=WINNOW_MAX_FP_DF,
     )
 
 
@@ -2004,13 +2077,23 @@ SELECT doc_id, fingerprint FROM fp
 
 
 def _winnow_pairs_oracle(
-    min_shared: int, k: int, w: int, max_chars: int = 512
+    min_shared: int, k: int, w: int, max_fp_df: int, max_chars: int = 512
 ) -> str:
+    """Mirror of ``dedup.winnow_overlap_pairs`` WITH the df cap — the
+    registry entry drops fingerprints appearing in more than
+    ``max_fp_df`` docs (boilerplate cut keeping the inverted-index
+    join linear), so the oracle must apply the identical cut."""
     return f"""
-WITH {_winnow_fp_cte(k, w, max_chars)}
+WITH {_winnow_fp_cte(k, w, max_chars)},
+rare AS (
+  SELECT fingerprint FROM fp GROUP BY 1 HAVING count(*) <= {max_fp_df}
+),
+fpc AS (
+  SELECT f.doc_id, f.fingerprint FROM fp f JOIN rare r USING (fingerprint)
+)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        count(*) AS shared_fingerprints
-FROM fp a JOIN fp b
+FROM fpc a JOIN fpc b
   ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= {min_shared}
@@ -2623,10 +2706,17 @@ GROUP BY 1
     "q_tfidf_topterms": _tfidf_oracle(3),
     "q_token_packing": _token_packing_oracle(PACK_BUDGET_TOKENS),
     "q_embed_dedup": _embed_dedup_oracle(0.9),
+    # the oracle asserts the HLL estimate's 3×rsd envelope via the
+    # boolean Spark computed — a sketch drifting out of bound turns
+    # this row red (exact count is recomputed independently by DuckDB)
+    "q_hll_distinct": (
+        "SELECT count(DISTINCT user_id) AS exact_distinct, "
+        "TRUE AS within_rsd FROM events"
+    ),
     "q_repetition": _repetition_oracle(),
     "q_winnow_fp": _winnow_fp_oracle(dedup.WINNOW_K, dedup.WINNOW_W),
     "q_winnow_pairs": _winnow_pairs_oracle(
-        3, dedup.WINNOW_K, dedup.WINNOW_W
+        WINNOW_MIN_SHARED, dedup.WINNOW_K, dedup.WINNOW_W, WINNOW_MAX_FP_DF
     ),
     "q_split_assign": _split_assign_oracle(80, 10),
     "q_token_histogram": f"""
@@ -2737,81 +2827,37 @@ FROM documents
 
 
 # Registry order is a CONTRACT with the driver's correctness gate,
-# which verifies the first 50 entries. Round-3 rotation (VERDICT item
-# 1): rounds 1–2 driver-verified the old blocks 1–3 (parity core, LLM
-# pipeline, join/window extensions), so this round the window carries
-# (a) the 38 queries that have only ever had local oracle_check runs
-# (TPC-H shapes, percentile/median/set-ops, scalar surface, corpus
-# construction), (b) queries NEW or CHANGED since the r2 driver run
-# (q_tpch_q2 / q_percentiles_approx / q_ann_recall are new; the three
-# de-broadcast joins, the capped q_cosine_pairs and the vectorized
-# media stub changed), and (c) a headline sample of the r2-verified
-# set as a regression canary. Combined with r2's rows, every oracle-
-# checked query has a driver-verified row. Everything behind the
-# window is still oracle-checked by scripts/oracle_check.py, which
-# runs the whole list.
+# which verifies the first 50 entries. Round-4 rotation (VERDICT r3
+# item 1): the window leads with (a) the FIVE queries that have never
+# had a driver-green row (q_repetition, the two winnow queries,
+# q_split_assign, q_token_histogram — local oracle_check has always
+# passed them; this lands the missing driver rows), then (b) queries
+# NEW or CHANGED this round (q_winnow_pairs gained the max_fp_df cap,
+# q_hll_distinct gained a real oracle, q_kmeans_cells/q_ann_recall
+# moved to the persisted-model train/serve split, q_global_index and
+# q_token_packing sit on the rewritten warning-free offset helper),
+# then (c) the r1/r2-verified parity/LLM/join blocks as regression
+# canaries — they were last driver-checked two rounds ago, the
+# longest-unchecked queries in the registry. The r3-driver-verified
+# block (TPC-H, percentiles/sets, corpus construction — all green in
+# CORRECTNESS_r03) rotates BEHIND the window; scripts/oracle_check.py
+# still runs the whole list every round.
 QUERIES: list[QuerySpec] = [
-    # ---- block 1: first-ever driver verification (38) ----
-    QuerySpec("q_percentiles", q_percentiles, ORACLES["q_percentiles"], True),
-    QuerySpec("q_median_exact", q_median_exact, ORACLES["q_median_exact"]),
-    QuerySpec("q_except_keys", q_except_keys, ORACLES["q_except_keys"]),
-    QuerySpec("q_intersect_keys", q_intersect_keys, ORACLES["q_intersect_keys"]),
+    # ---- block 1: first-ever driver verification (5) ----
+    QuerySpec("q_repetition", q_repetition, ORACLES["q_repetition"]),
+    QuerySpec("q_winnow_fp", q_winnow_fp, ORACLES["q_winnow_fp"]),
+    QuerySpec("q_winnow_pairs", q_winnow_pairs, ORACLES["q_winnow_pairs"]),
+    QuerySpec("q_split_assign", q_split_assign, ORACLES["q_split_assign"]),
     QuerySpec(
-        "q_doc_embedding_join",
-        q_doc_embedding_join,
-        ORACLES["q_doc_embedding_join"],
+        "q_token_histogram", q_token_histogram, ORACLES["q_token_histogram"]
     ),
-    QuerySpec("q_amount_stats", q_amount_stats, ORACLES["q_amount_stats"], True),
-    QuerySpec("q_window_frames", q_window_frames, ORACLES["q_window_frames"], True),
-    QuerySpec("q_rolling_sum", q_rolling_sum, ORACLES["q_rolling_sum"]),
-    QuerySpec("q_tpch_q1", q_tpch_q1, ORACLES["q_tpch_q1"], True),
-    QuerySpec("q_tpch_q6", q_tpch_q6, ORACLES["q_tpch_q6"], True),
-    QuerySpec("q_tpch_q18", q_tpch_q18, ORACLES["q_tpch_q18"], True),
-    QuerySpec("q_tpch_q3", q_tpch_q3, ORACLES["q_tpch_q3"], True),
-    QuerySpec("q_tpch_q5", q_tpch_q5, ORACLES["q_tpch_q5"], True),
-    QuerySpec("q_tpch_q4", q_tpch_q4, ORACLES["q_tpch_q4"], True),
-    QuerySpec("q_tpch_q10", q_tpch_q10, ORACLES["q_tpch_q10"], True),
-    QuerySpec("q_tpch_q11", q_tpch_q11, ORACLES["q_tpch_q11"], True),
-    QuerySpec("q_tpch_q17", q_tpch_q17, ORACLES["q_tpch_q17"], True),
-    QuerySpec("q_tpch_q19", q_tpch_q19, ORACLES["q_tpch_q19"], True),
-    QuerySpec("q_tpch_q12", q_tpch_q12, ORACLES["q_tpch_q12"], True),
-    QuerySpec("q_tpch_q14", q_tpch_q14, ORACLES["q_tpch_q14"], True),
-    QuerySpec("q_tpch_q7", q_tpch_q7, ORACLES["q_tpch_q7"], True),
-    QuerySpec("q_tpch_q9", q_tpch_q9, ORACLES["q_tpch_q9"]),
-    QuerySpec("q_tpch_q13", q_tpch_q13, ORACLES["q_tpch_q13"], True),
-    QuerySpec("q_tpch_q21", q_tpch_q21, ORACLES["q_tpch_q21"]),
-    QuerySpec("q_tpch_q22", q_tpch_q22, ORACLES["q_tpch_q22"]),
-    QuerySpec("q_tpch_q8", q_tpch_q8, ORACLES["q_tpch_q8"], True),
-    QuerySpec("q_tpch_q15", q_tpch_q15, ORACLES["q_tpch_q15"]),
-    QuerySpec("q_tpch_q16", q_tpch_q16, ORACLES["q_tpch_q16"]),
-    QuerySpec("q_tpch_q20", q_tpch_q20, ORACLES["q_tpch_q20"]),
-    QuerySpec("q_date_parts", q_date_parts, ORACLES["q_date_parts"]),
-    QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
-    QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),
-    QuerySpec("q_hash_sample", q_hash_sample, ORACLES["q_hash_sample"]),
-    QuerySpec(
-        "q_tfidf_topterms", q_tfidf_topterms, ORACLES["q_tfidf_topterms"], True
-    ),
-    QuerySpec("q_token_packing", q_token_packing, ORACLES["q_token_packing"]),
-    QuerySpec("q_embed_dedup", q_embed_dedup, ORACLES["q_embed_dedup"]),
-    QuerySpec("q_domain_cap", q_domain_cap, ORACLES["q_domain_cap"]),
+    # ---- block 2: new or changed in round 4 (5) ----
+    QuerySpec("q_hll_distinct", q_hll_distinct, ORACLES["q_hll_distinct"]),
     QuerySpec("q_kmeans_cells", q_kmeans_cells, None),
-    # ---- block 2: new or changed since the r2 driver run (7) ----
-    QuerySpec("q_tpch_q2", q_tpch_q2, ORACLES["q_tpch_q2"], True),
-    QuerySpec("q_percentiles_approx", q_percentiles_approx, None),
     QuerySpec("q_ann_recall", q_ann_recall, None),
-    QuerySpec("q_cosine_pairs", q_cosine_pairs, ORACLES["q_cosine_pairs"]),
-    QuerySpec("q_join_fact_dim", q_join_fact_dim, ORACLES["q_join_fact_dim"], True),
-    QuerySpec("q_join_multiway", q_join_multiway, ORACLES["q_join_multiway"], True),
-    QuerySpec("q_media_features", q_media_features, None),
-    # ---- block 3: r2-driver-verified regression canaries (5) ----
-    QuerySpec("q_minhash_lsh", q_minhash_lsh, ORACLES["q_minhash_lsh"], True),
-    QuerySpec("q_simhash", q_simhash, ORACLES["q_simhash"], True),
-    QuerySpec("q_dedup_clusters", q_dedup_clusters, ORACLES["q_dedup_clusters"]),
-    QuerySpec("q_corpus_select", q_corpus_select, ORACLES["q_corpus_select"]),
-    QuerySpec("q_sessionize", q_sessionize, ORACLES["q_sessionize"], True),
-    # ==== driver 50-entry verification window ends here ====
-    # ---- block 4: r1/r2-driver-verified (reference parity core) ----
+    QuerySpec("q_global_index", q_global_index, ORACLES["q_global_index"], True),
+    QuerySpec("q_token_packing", q_token_packing, ORACLES["q_token_packing"]),
+    # ---- block 3: r1/r2-verified canaries — reference parity core ----
     QuerySpec("q_scan_project", q_scan_project, ORACLES["q_scan_project"]),
     QuerySpec("q_filter_range", q_filter_range, ORACLES["q_filter_range"], True),
     QuerySpec("q_null_coalesce", q_null_coalesce, ORACLES["q_null_coalesce"]),
@@ -2824,8 +2870,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_topk_desc", q_topk_desc, ORACLES["q_topk_desc"], True),
     QuerySpec("q_total_count", q_total_count, ORACLES["q_total_count"]),
     QuerySpec("q_json_extract", q_json_extract, ORACLES["q_json_extract"]),
-    QuerySpec("q_global_index", q_global_index, ORACLES["q_global_index"], True),
-    # ---- block 5: r2-driver-verified (LLM-data-pipeline family) ----
+    # ---- block 4: r1/r2-verified canaries — LLM-data-pipeline ----
     QuerySpec("q_dedup_exact", q_dedup_exact, ORACLES["q_dedup_exact"]),
     QuerySpec(
         "q_dedup_exact_content",
@@ -2846,7 +2891,6 @@ QUERIES: list[QuerySpec] = [
     QuerySpec(
         "q_stream_batch_agg", q_stream_batch_agg, ORACLES["q_stream_batch_agg"]
     ),
-    QuerySpec("q_hll_distinct", q_hll_distinct, None),
     QuerySpec(
         "q_contamination", q_contamination, ORACLES["q_contamination"], True
     ),
@@ -2857,7 +2901,7 @@ QUERIES: list[QuerySpec] = [
         ORACLES["q_unigram_logprob"],
         True,
     ),
-    # ---- block 6: r2-driver-verified (join/window/set extensions) ----
+    # ---- block 5: r1/r2-verified canaries — join/window/set exts ----
     QuerySpec("q_semi_join", q_semi_join, ORACLES["q_semi_join"]),
     QuerySpec("q_anti_join", q_anti_join, ORACLES["q_anti_join"]),
     QuerySpec("q_asof_join", q_asof_join, ORACLES["q_asof_join"], True),
@@ -2872,15 +2916,62 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_rollup", q_rollup, ORACLES["q_rollup"], True),
     QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
     QuerySpec("q_pivot_status", q_pivot_status, ORACLES["q_pivot_status"]),
-    # ---- block 7: new in round 3 (rotate INTO the window in r4 for
-    # their first driver-verified rows) ----
-    QuerySpec("q_repetition", q_repetition, ORACLES["q_repetition"]),
-    QuerySpec("q_winnow_fp", q_winnow_fp, ORACLES["q_winnow_fp"]),
-    QuerySpec("q_winnow_pairs", q_winnow_pairs, ORACLES["q_winnow_pairs"]),
-    QuerySpec("q_split_assign", q_split_assign, ORACLES["q_split_assign"]),
+    # ---- block 6: headline canary (caching/LSH path) ----
+    QuerySpec("q_minhash_lsh", q_minhash_lsh, ORACLES["q_minhash_lsh"], True),
+    # ==== driver 50-entry verification window ends here ====
+    # ---- block 7: r3-driver-verified (all green in CORRECTNESS_r03) --
+    QuerySpec("q_percentiles", q_percentiles, ORACLES["q_percentiles"], True),
+    QuerySpec("q_median_exact", q_median_exact, ORACLES["q_median_exact"]),
+    QuerySpec("q_except_keys", q_except_keys, ORACLES["q_except_keys"]),
+    QuerySpec("q_intersect_keys", q_intersect_keys, ORACLES["q_intersect_keys"]),
     QuerySpec(
-        "q_token_histogram", q_token_histogram, ORACLES["q_token_histogram"]
+        "q_doc_embedding_join",
+        q_doc_embedding_join,
+        ORACLES["q_doc_embedding_join"],
     ),
+    QuerySpec("q_amount_stats", q_amount_stats, ORACLES["q_amount_stats"], True),
+    QuerySpec("q_window_frames", q_window_frames, ORACLES["q_window_frames"], True),
+    QuerySpec("q_rolling_sum", q_rolling_sum, ORACLES["q_rolling_sum"]),
+    QuerySpec("q_tpch_q1", q_tpch_q1, ORACLES["q_tpch_q1"], True),
+    QuerySpec("q_tpch_q2", q_tpch_q2, ORACLES["q_tpch_q2"], True),
+    QuerySpec("q_tpch_q3", q_tpch_q3, ORACLES["q_tpch_q3"], True),
+    QuerySpec("q_tpch_q4", q_tpch_q4, ORACLES["q_tpch_q4"], True),
+    QuerySpec("q_tpch_q5", q_tpch_q5, ORACLES["q_tpch_q5"], True),
+    QuerySpec("q_tpch_q6", q_tpch_q6, ORACLES["q_tpch_q6"], True),
+    QuerySpec("q_tpch_q7", q_tpch_q7, ORACLES["q_tpch_q7"], True),
+    QuerySpec("q_tpch_q8", q_tpch_q8, ORACLES["q_tpch_q8"], True),
+    QuerySpec("q_tpch_q9", q_tpch_q9, ORACLES["q_tpch_q9"]),
+    QuerySpec("q_tpch_q10", q_tpch_q10, ORACLES["q_tpch_q10"], True),
+    QuerySpec("q_tpch_q11", q_tpch_q11, ORACLES["q_tpch_q11"], True),
+    QuerySpec("q_tpch_q12", q_tpch_q12, ORACLES["q_tpch_q12"], True),
+    QuerySpec("q_tpch_q13", q_tpch_q13, ORACLES["q_tpch_q13"], True),
+    QuerySpec("q_tpch_q14", q_tpch_q14, ORACLES["q_tpch_q14"], True),
+    QuerySpec("q_tpch_q15", q_tpch_q15, ORACLES["q_tpch_q15"]),
+    QuerySpec("q_tpch_q16", q_tpch_q16, ORACLES["q_tpch_q16"]),
+    QuerySpec("q_tpch_q17", q_tpch_q17, ORACLES["q_tpch_q17"], True),
+    QuerySpec("q_tpch_q18", q_tpch_q18, ORACLES["q_tpch_q18"], True),
+    QuerySpec("q_tpch_q19", q_tpch_q19, ORACLES["q_tpch_q19"], True),
+    QuerySpec("q_tpch_q20", q_tpch_q20, ORACLES["q_tpch_q20"]),
+    QuerySpec("q_tpch_q21", q_tpch_q21, ORACLES["q_tpch_q21"]),
+    QuerySpec("q_tpch_q22", q_tpch_q22, ORACLES["q_tpch_q22"]),
+    QuerySpec("q_date_parts", q_date_parts, ORACLES["q_date_parts"]),
+    QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
+    QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),
+    QuerySpec("q_hash_sample", q_hash_sample, ORACLES["q_hash_sample"]),
+    QuerySpec(
+        "q_tfidf_topterms", q_tfidf_topterms, ORACLES["q_tfidf_topterms"], True
+    ),
+    QuerySpec("q_embed_dedup", q_embed_dedup, ORACLES["q_embed_dedup"]),
+    QuerySpec("q_domain_cap", q_domain_cap, ORACLES["q_domain_cap"]),
+    QuerySpec("q_percentiles_approx", q_percentiles_approx, None),
+    QuerySpec("q_cosine_pairs", q_cosine_pairs, ORACLES["q_cosine_pairs"]),
+    QuerySpec("q_join_fact_dim", q_join_fact_dim, ORACLES["q_join_fact_dim"], True),
+    QuerySpec("q_join_multiway", q_join_multiway, ORACLES["q_join_multiway"], True),
+    QuerySpec("q_media_features", q_media_features, None),
+    QuerySpec("q_simhash", q_simhash, ORACLES["q_simhash"], True),
+    QuerySpec("q_dedup_clusters", q_dedup_clusters, ORACLES["q_dedup_clusters"]),
+    QuerySpec("q_corpus_select", q_corpus_select, ORACLES["q_corpus_select"]),
+    QuerySpec("q_sessionize", q_sessionize, ORACLES["q_sessionize"], True),
 ]
 
 HEADLINE_QUERIES = [q.name for q in QUERIES if q.headline]

@@ -118,6 +118,30 @@ def test_ann_recall_trained_quantizer_gate(spark, sf_dir):
     ]
 
 
+def test_kmeans_fit_or_load_round_trip(spark, sf_dir, tmp_path):
+    """Train/serve split (VERDICT r3 item 4): first call fits and
+    persists the centroid table; second call LOADS it (no refit) and
+    returns bit-identical centroids, so serve-path queries never
+    depend on which path ran."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "kmeans_model")
+    first = similarity.kmeans_fit_or_load(
+        spark, emb, k=4, model_path=path, max_iterations=4
+    )
+    a = sorted(
+        (r["cell_id"], tuple(r["cvec"])) for r in first.collect()
+    )
+    # poison the source frame: a load MUST NOT recompute from it
+    second = similarity.kmeans_fit_or_load(
+        spark, emb.limit(0), k=4, model_path=path, max_iterations=4
+    )
+    b = sorted(
+        (r["cell_id"], tuple(r["cvec"])) for r in second.collect()
+    )
+    assert a == b
+    assert len(a) == 4
+
+
 def test_cosine_expr_unit_norm(spark):
     df = spark.createDataFrame([(1,)], ["id"]).select(
         F.array(F.lit(1.0), F.lit(0.0)).alias("a"),
