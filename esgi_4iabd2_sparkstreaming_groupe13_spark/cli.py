@@ -36,6 +36,7 @@ def _producer(args: argparse.Namespace) -> int:
         batch_size=args.batch_size,
         interval_seconds=args.interval,
         max_batches=args.max_batches,
+        debug_file=args.debug_file,
     )
     print(f"published {len(published)} batch files to {args.out}")
     return 0
@@ -84,6 +85,13 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--batch-size", type=int, default=10)
     pr.add_argument("--interval", type=float, default=10.0, help="seconds between batches")
     pr.add_argument("--max-batches", type=int, default=None)
+    pr.add_argument(
+        "--debug-file",
+        default=None,
+        help="K5 producer tap: append per-batch debug blocks here "
+        "(e.g. data/debug/sent_batches.txt; the dashboard sidebar "
+        "tails it)",
+    )
     pr.set_defaults(fn=_producer)
 
     co = sub.add_parser("consumer", help="consume NDJSON batches, write 4 output dirs")

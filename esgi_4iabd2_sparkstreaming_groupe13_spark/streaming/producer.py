@@ -73,6 +73,29 @@ def write_empty_batch_marker(output_dir: str, batch_no: int) -> str:
     return str(marker)
 
 
+def append_batch_debug(
+    debug_file: str, batch_no: int, json_lines: list[str]
+) -> None:
+    """K5 producer debug tap (``FileSender.scala:31-67``): append the
+    reference's exact block format — ``===== BATCH #N (M messages)
+    =====`` header, the first 5 messages truncated to 1000 chars
+    (``... (plus de données)`` when more), footer, blank line. The
+    dashboard sidebar tails this file (``taxi_dashboard.py:107-117`` ↔
+    ``dashboard_app.py --debug-file``)."""
+    header = f"===== BATCH #{batch_no} ({len(json_lines)} messages) ====="
+    if json_lines:
+        content = "\n".join(json_lines[:5])[:1000]
+        if len(json_lines) > 5:
+            content += "\n... (plus de données)"
+    else:
+        content = "BATCH VIDE - Aucun message à envoyer!"
+    footer = "=" * 38
+    p = Path(debug_file)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    with p.open("a", encoding="utf-8") as f:
+        f.write(f"{header}\n{content}\n{footer}\n\n")
+
+
 def stage_batches(
     df: DataFrame,
     stage_dir: str,
@@ -105,6 +128,7 @@ def publish_batches(
     interval_seconds: float = 0.0,
     file_prefix: str = "taxi-batch",
     max_batches: int | None = None,
+    debug_file: str | None = None,
 ) -> list[str]:
     """Phase 3: move staged batch files into the consumer's watched
     directory on the pacing schedule (driver-side metadata ops only).
@@ -125,8 +149,20 @@ def publish_batches(
         if not parts:
             # Reference parity (FileSender.scala:85-109): an empty batch
             # publishes a .txt marker instead of silently skipping.
+            if debug_file is not None:
+                append_batch_debug(debug_file, n, [])
             published.append(write_empty_batch_marker(output_dir, n))
             continue
+        if debug_file is not None:
+            # demo-scale tap (debug is opt-in, off by default): read the
+            # staged NDJSON lines driver-side before the rename
+            lines = [
+                ln
+                for part in parts
+                for ln in part.read_text(encoding="utf-8").splitlines()
+                if ln.strip()
+            ]
+            append_batch_debug(debug_file, n, lines)
         for i, part in enumerate(parts):
             suffix = f"-{i}" if len(parts) > 1 else ""
             dest = out / f"{file_prefix}-batch{n}{suffix}-{stamp}.json"
@@ -149,17 +185,24 @@ def replay_to_ndjson(
     interval_seconds: float = 0.0,
     order_cols: list[str] | None = None,
     max_batches: int | None = None,
+    debug_file: str | None = None,
 ) -> list[str]:
     """End-to-end replay: stage once, publish paced. The streaming
     consumer (processor.start_consumer) tails ``output_dir``.
 
     Zero valid input rows drops the reference's
     ``ERROR_NO_DATA_FOUND.txt`` marker in ``output_dir`` and raises
-    (``MainProducer.scala:56-72``)."""
+    (``MainProducer.scala:56-72``). ``debug_file`` enables the K5
+    producer tap (``sent_batches.txt`` blocks the dashboard sidebar
+    tails)."""
     n_batches = stage_batches(df, stage_dir, batch_size, order_cols)
     if n_batches == 0:
         write_no_data_marker(output_dir, source_desc=str(df))
         raise RuntimeError("no valid rows found in the source data")
     return publish_batches(
-        stage_dir, output_dir, interval_seconds, max_batches=max_batches
+        stage_dir,
+        output_dir,
+        interval_seconds,
+        max_batches=max_batches,
+        debug_file=debug_file,
     )

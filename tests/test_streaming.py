@@ -70,6 +70,42 @@ def pipeline_run(spark, taxi_csv, tmp_path_factory):
     return {"root": root, "cfg": cfg, "published": published, "trips": trips}
 
 
+def test_sequential_sinks_match_parallel(spark, pipeline_run, tmp_path_factory):
+    """The parallel-sink fan-out (ConsumerConfig.parallel_sinks, r4
+    throughput fix) changes only intra-batch write SCHEDULING: a
+    sequential drain of the same input must produce identical raw rows
+    and identical aggregate contents."""
+    root = tmp_path_factory.mktemp("seqrun")
+    cfg = ConsumerConfig(
+        input_dir=pipeline_run["cfg"].input_dir,
+        output_dir=str(root / "processed"),
+        checkpoint_dir=str(root / "ckpt"),
+        max_files_per_trigger=2,
+        parallel_sinks=False,
+    )
+    q = start_consumer(spark, cfg, available_now=True)
+    assert q.awaitTermination(600)
+    def canon(df):
+        # null-repaired pickups (P3/T8) are the batch's wall-clock
+        # processing time — they legitimately differ between drains.
+        # The fixture's real pickups are all in 2024, so anything past
+        # the fixture era is a repair: mask it, compare everything else.
+        if "tpep_pickup_datetime" in df.columns:
+            df = df.withColumn(
+                "tpep_pickup_datetime",
+                F.when(
+                    F.col("tpep_pickup_datetime") > "2025-01-01",
+                    F.lit("repaired"),
+                ).otherwise(F.col("tpep_pickup_datetime")),
+            )
+        return sorted(map(tuple, df.collect()))
+
+    for sink in ("raw", "pickup_agg", "dropoff_agg", "combined_agg"):
+        a = spark.read.json(str(pipeline_run["root"] / "processed" / sink))
+        b = spark.read.json(str(root / "processed" / sink))
+        assert canon(a) == canon(b), sink
+
+
 def test_console_sink_drains_without_writing_dirs(
     spark, pipeline_run, tmp_path_factory
 ):
@@ -94,6 +130,31 @@ def test_producer_one_file_per_batch(pipeline_run):
     import math
 
     assert len(pipeline_run["published"]) == math.ceil(N_ROWS / BATCH)
+
+
+def test_producer_debug_tap_blocks(spark, taxi_csv, tmp_path_factory):
+    """K5 (FileSender.scala:31-67): replay with the debug tap enabled —
+    one block per batch in the reference's exact format (header with
+    message count, ≤5 sample messages, truncation marker, footer)."""
+    import math
+
+    root = tmp_path_factory.mktemp("debugtap")
+    debug = root / "debug" / "sent_batches.txt"
+    trips = load_trip_csv(spark, taxi_csv)
+    replay_to_ndjson(
+        trips,
+        stage_dir=str(root / "stage"),
+        output_dir=str(root / "streaming"),
+        batch_size=BATCH,
+        debug_file=str(debug),
+    )
+    text = debug.read_text()
+    n_batches = math.ceil(N_ROWS / BATCH)
+    assert text.count("===== BATCH #") == n_batches
+    # full batches announce BATCH message count and truncate to 5 lines
+    assert f"({BATCH} messages) =====" in text
+    assert "... (plus de données)" in text
+    assert text.count("=" * 38) == n_batches
 
 
 def test_raw_output_schema_and_rowcount(spark, pipeline_run):
