@@ -541,6 +541,74 @@ WINNOW_K = 8
 WINNOW_W = 4
 
 
+def minhash_estimate_check(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_pairs: int = 50,
+    n_hashes: int = 128,
+    bound: float = 0.2,
+    n: int = DEFAULT_SHINGLE_N,
+    max_chars: int = 512,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash ESTIMATOR accuracy gate: for ``n_pairs`` deterministic
+    document pairs (ids 2i ↔ 2i+1), compare the signature-agreement
+    Jaccard estimate against the exact shingle-set Jaccard and emit
+    ``(id_a, id_b, exact_jaccard, within_bound)`` with
+    ``within_bound = |estimate − exact| ≤ bound``.
+
+    Same design rule as the HLL and CMS gates: the estimate itself is
+    engine-specific and stays out of the output; the CONTRACT — the
+    estimator's error envelope — is a column a SQL oracle can verify
+    by recomputing exact Jaccard for the same pairs and asserting the
+    boolean. With 128 hashes the estimator's σ is at most
+    0.5/√128 ≈ 0.044, so ``bound=0.2`` is ≈ 4.5σ — deterministic in
+    practice (signatures are seeded), failing only on a genuine
+    signature/permutation bug, which shifts estimates by whole bands,
+    not fractions of σ.
+
+    Scale shape: the pair set is a parameter (n_pairs rows); shingling
+    and signatures are narrow per-row work on 2·n_pairs docs — a
+    calibration/audit query, O(pairs), never O(corpus²).
+    """
+    base = df.filter(F.col(id_col) < 2 * n_pairs)
+    sh = with_shingles(base, text_col, id_col, n, max_chars)
+    sigs = _signatures_from_shingles(sh, id_col, n_hashes, seed)
+    both = sh.join(sigs, id_col)
+
+    a = both.select(
+        (F.col(id_col) / 2).cast("long").alias("_pair"),
+        F.col(id_col).alias("id_a"),
+        F.col("shingles").alias("_sha"),
+        F.col("signature").alias("_siga"),
+    ).filter(F.col("id_a") % 2 == 0)
+    b = both.select(
+        (F.col(id_col) / 2).cast("long").alias("_pair"),
+        F.col(id_col).alias("id_b"),
+        F.col("shingles").alias("_shb"),
+        F.col("signature").alias("_sigb"),
+    ).filter(F.col("id_b") % 2 == 1)
+
+    n_inter = F.size(F.array_intersect("_sha", "_shb"))
+    n_union = F.size(F.array_union("_sha", "_shb"))
+    exact = n_inter / F.greatest(n_union, F.lit(1))
+    est = F.size(
+        F.filter(
+            F.zip_with("_siga", "_sigb", lambda x, y: x == y), lambda eq: eq
+        )
+    ) / F.lit(float(n_hashes))
+    return (
+        a.join(b, "_pair")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(exact, 6).alias("exact_jaccard"),
+            (F.abs(est - exact) <= bound).alias("within_bound"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str,

@@ -453,6 +453,64 @@ def embedding_dedup_clusters(
     )
 
 
+def quantize_embeddings_check(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector int8 scalar quantization with its round-trip error
+    contract as output — the 4× memory-compression step ANN serving
+    applies before a 100 TB corpus fits in RAM (codes + two floats per
+    vector replace full float arrays).
+
+    Per vector: ``scale = (max−min)/255``, ``code_i = round((x_i −
+    min)/scale) ∈ [0, 255]``, dequantized value ``min + code·scale``.
+    Output ``(vec_id, vmin, vmax, code_sum, within_bound)`` where
+    ``within_bound`` asserts the max reconstruction error ≤ scale/2 —
+    the exact guarantee of round-to-nearest. Everything is closed-form
+    double arithmetic (no RNG, no engine-specific sketch), so a SQL
+    oracle replicates the whole computation bit-for-bit: unlike the
+    HLL/CMS/MinHash gates this one hash-checks the quantizer ITSELF,
+    not just its envelope. ``code_sum`` pins the code assignment; the
+    boolean pins the round-trip. Narrow per-row expressions — zero
+    shuffle at any corpus size.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    src = embeddings.select(F.col(id_col), v.alias("_v"))
+    m = src.select(
+        id_col,
+        "_v",
+        F.array_min("_v").alias("_mn"),
+        F.array_max("_v").alias("_mx"),
+    ).withColumn("_scale", (F.col("_mx") - F.col("_mn")) / F.lit(255.0))
+
+    def code(x):
+        return F.round((x - F.col("_mn")) / F.col("_scale")).cast("int")
+
+    degenerate = F.col("_scale") == 0.0
+    codes = F.when(
+        degenerate, F.transform("_v", lambda x: F.lit(0))
+    ).otherwise(F.transform("_v", code))
+    with_codes = m.withColumn("_codes", codes)
+    err = F.zip_with(
+        "_v",
+        "_codes",
+        lambda x, c: F.abs(x - (F.col("_mn") + c * F.col("_scale"))),
+    )
+    within = F.when(degenerate, F.lit(True)).otherwise(
+        F.array_max(err) <= F.col("_scale") / F.lit(2.0) * F.lit(1.000000001)
+    )
+    return with_codes.select(
+        id_col,
+        F.round("_mn", 6).alias("vmin"),
+        F.round("_mx", 6).alias("vmax"),
+        F.aggregate(
+            "_codes", F.lit(0).cast("long"), lambda acc, c: acc + c
+        ).alias("code_sum"),
+        within.alias("within_bound"),
+    )
+
+
 def kmeans_fit_or_load(
     spark,
     embeddings: DataFrame,

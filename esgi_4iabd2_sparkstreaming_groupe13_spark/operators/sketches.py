@@ -1,0 +1,164 @@
+"""Count-Min sketch over a token stream — the fixed-size mergeable
+frequency summary real pipelines keep when exact per-token counts at
+100 TB are a full-corpus shuffle they cannot afford.
+
+Reference parity: n/a (the reference has no sketches at all; SURVEY.md
+§2.4 stops at count-by-key). This extends the approximate tier the
+engine already carries (HLL distinct, GK percentiles) with the same
+design rule as both: the sketch's ACCURACY CONTRACT is an output
+column an oracle can check, not a rows-only shrug.
+
+Scale shape: the counter table is ``depth × width`` rows NO MATTER the
+corpus size (here 4×1024 = 4,096 cells for any input). Counters build
+with one hash aggregate whose partial (map-side) combine does almost
+all the work — per-executor traffic is bounded by the sketch size,
+exactly the property that makes CMS the 100 TB path. Point estimates
+broadcast the counter table (KBs).
+
+Hashing is the repo's engine-portable universal family
+(``functions/hashing.py``: md5 → affine-mod-prime with frozen LCG
+coefficients), so estimates are deterministic and reproducible in any
+engine — which is what lets the registry gate assert the CMS
+guarantee (``exact ≤ estimate ≤ exact + ε·N`` with ε = e/width) as a
+hash-matched boolean.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    affine_hash,
+    hash_params,
+    md5_int,
+    token_array,
+)
+
+#: default sketch geometry: ε = e/1024 ≈ 0.27% of the stream length,
+#: error probability per estimate ≤ e^-4 ≈ 1.8%
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+#: slack multiplier for the registry gate: the CMS upper bound holds
+#: with probability 1−e^−depth PER QUERY; 2× the ε·N term makes the
+#: top-k gate deterministic-in-practice while still failing loudly on
+#: any real sketch bug (a broken hash row inflates estimates by
+#: orders of magnitude, not percents)
+CMS_GATE_SLACK = 2.0
+
+
+def _cell(token_hash, a: int, b: int, width: int):
+    return (affine_hash(token_hash, a, b) % width).cast("int")
+
+
+def cms_build(
+    df: DataFrame,
+    text_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    seed: int = 7,
+) -> DataFrame:
+    """Build the counter table ``(row, cell, counter)`` — depth×width
+    rows total. One explode + one hash aggregate; the explode fans each
+    token into ``depth`` (row, cell) keys map-side, and partial
+    aggregation collapses them to ≤ depth×width rows per task before
+    the (tiny) shuffle."""
+    toks = df.select(
+        F.explode(token_array(F.col(text_col))).alias("_tok")
+    ).select(md5_int(F.col("_tok")).alias("_h"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("row"),
+                _cell(F.col("_h"), a, b, width).alias("cell"),
+            )
+            for d, (a, b) in enumerate(hash_params(depth, seed))
+        ]
+    )
+    return (
+        toks.select(F.explode(cells).alias("_c"))
+        .groupBy(F.col("_c.row").alias("row"), F.col("_c.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    tokens: DataFrame,
+    token_col: str = "token",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    seed: int = 7,
+) -> DataFrame:
+    """Point estimates for a token frame: min over the depth counter
+    rows each token hashes into. The counter table is sketch-sized, so
+    it broadcasts; the lookup is a broadcast join, never a shuffle of
+    the query side."""
+    params = hash_params(depth, seed)
+    hashed = tokens.withColumn("_h", md5_int(F.col(token_col)))
+    keyed = hashed.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row"),
+                        _cell(F.col("_h"), a, b, width).alias("cell"),
+                    )
+                    for d, (a, b) in enumerate(params)
+                ]
+            )
+        ).alias("_c"),
+    ).select(
+        token_col, F.col("_c.row").alias("row"), F.col("_c.cell").alias("cell")
+    )
+    joined = keyed.join(F.broadcast(counters), ["row", "cell"])
+    return joined.groupBy(token_col).agg(
+        F.min("counter").alias("cms_estimate")
+    )
+
+
+def cms_heavy_hitters_check(
+    df: DataFrame,
+    text_col: str,
+    k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    seed: int = 7,
+) -> DataFrame:
+    """The gate query: top-``k`` tokens by EXACT count, each annotated
+    with whether its CMS estimate respects the sketch contract
+    ``exact ≤ est ≤ exact + slack·e·N/width`` (N = total tokens).
+
+    Output ``(token, exact_count, within_bound)`` — the estimate
+    itself is intentionally not a column (engine-specific magnitude;
+    the CONTRACT is what an oracle recomputing exact counts can
+    assert). Exact counts here are the audit tier; the sketch is the
+    part that ships to 100 TB.
+    """
+    toks = df.select(F.explode(token_array(F.col(text_col))).alias("token"))
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = exact.orderBy(F.desc("exact_count"), F.asc("token")).limit(k)
+
+    counters = cms_build(df, text_col, depth, width, seed)
+    est = cms_estimate(counters, top, "token", depth, width, seed)
+
+    total = toks.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    bound = F.ceil(
+        F.lit(CMS_GATE_SLACK * math.e / width) * F.col("_n")
+    ).cast("long")
+    return (
+        top.join(est, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "exact_count",
+            (
+                (F.col("cms_estimate") >= F.col("exact_count"))
+                & (F.col("cms_estimate") <= F.col("exact_count") + bound)
+            ).alias("within_bound"),
+        )
+    )

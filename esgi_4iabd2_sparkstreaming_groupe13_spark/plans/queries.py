@@ -49,6 +49,7 @@ from ..operators import (
     projections as proj,
     sets,
     similarity,
+    sketches,
     text,
     windows,
 )
@@ -208,6 +209,40 @@ def q_hll_distinct(spark, sf_dir):
     sketch's 3×rsd envelope is now a hash-matched contract, not a
     rows-only shrug."""
     return agg.approx_distinct_checked(_t(spark, sf_dir, "events"), "user_id")
+
+
+def q_cms_heavy(spark, sf_dir):
+    """Count-Min sketch heavy hitters with the CMS guarantee as a
+    hash-matched contract: top-20 exact tokens, each asserting
+    exact ≤ estimate ≤ exact + 2·e·N/width. The counter table is
+    4×1024 cells regardless of corpus size — the fixed-footprint
+    mergeable summary that replaces exact token counts at 100 TB
+    (operators/sketches.py)."""
+    return sketches.cms_heavy_hitters_check(
+        _t(spark, sf_dir, "documents"), "text", k=20
+    )
+
+
+def q_minhash_est(spark, sf_dir):
+    """MinHash estimator accuracy gate: 50 deterministic doc pairs,
+    |signature-agreement estimate − exact shingle Jaccard| ≤ 0.2
+    (≈4.5σ at 128 hashes) asserted per pair, exact Jaccard recomputed
+    by the oracle. Complements q_minhash_sig (signature VALUES) and
+    q_minhash_lsh (candidate pairs) by gating the ESTIMATOR the LSH
+    S-curve math assumes."""
+    return dedup.minhash_estimate_check(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+def q_embed_quantize(spark, sf_dir):
+    """int8 scalar quantization of the embedding column with its
+    round-trip contract: (vmin, vmax, code_sum, max-err ≤ scale/2).
+    Fully closed-form, so the oracle replicates the quantizer
+    bit-for-bit — code assignment included — not just the envelope."""
+    return similarity.quantize_embeddings_check(
+        _t(spark, sf_dir, "embeddings")
+    )
 
 
 # --------------------------------------------------------------------
@@ -2713,6 +2748,63 @@ GROUP BY 1
         "SELECT count(DISTINCT user_id) AS exact_distinct, "
         "TRUE AS within_rsd FROM events"
     ),
+    # same contract pattern for the CMS gate: DuckDB recomputes the
+    # exact top-20 token counts; the sketch bound boolean must be TRUE
+    "q_cms_heavy": f"""
+SELECT token, CAST(count(*) AS BIGINT) AS exact_count,
+       TRUE AS within_bound
+FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+GROUP BY token
+ORDER BY exact_count DESC, token
+LIMIT 20
+""",
+    # MinHash estimator gate: exact Jaccard per pair recomputed from
+    # the same shingle definition; the error-envelope boolean must hold
+    "q_minhash_est": f"""
+WITH base AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM documents WHERE doc_id < 100
+),
+a AS (SELECT doc_id // 2 AS pair, doc_id AS id_a, sh AS sha
+      FROM base WHERE doc_id % 2 = 0),
+b AS (SELECT doc_id // 2 AS pair, doc_id AS id_b, sh AS shb
+      FROM base WHERE doc_id % 2 = 1)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(sha, shb)) AS DOUBLE)
+             / greatest(len(list_distinct(list_concat(sha, shb))), 1), 6)
+         AS exact_jaccard,
+       TRUE AS within_bound
+FROM a JOIN b USING (pair)
+""",
+    # int8 quantizer: closed-form, so the oracle replicates the whole
+    # computation (codes included) rather than just asserting a bound
+    "q_embed_quantize": """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+m AS (
+  SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM v
+),
+s AS (SELECT vec_id, v, mn, mx, (mx - mn) / 255.0 AS scale FROM m),
+c AS (
+  SELECT vec_id, v, mn, mx, scale,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v,
+                     x -> CAST(round((x - mn) / scale) AS INTEGER))
+         END AS codes
+  FROM s
+)
+SELECT vec_id,
+       round(mn, 6) AS vmin,
+       round(mx, 6) AS vmax,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       CASE WHEN scale = 0 THEN TRUE
+            ELSE list_max(list_transform(generate_series(1, len(v)),
+                   i -> abs(v[i] - (mn + codes[i] * scale))))
+                 <= scale / 2 * 1.000000001
+       END AS within_bound
+FROM c
+""",
     "q_repetition": _repetition_oracle(),
     "q_winnow_fp": _winnow_fp_oracle(dedup.WINNOW_K, dedup.WINNOW_W),
     "q_winnow_pairs": _winnow_pairs_oracle(
@@ -2851,8 +2943,13 @@ QUERIES: list[QuerySpec] = [
     QuerySpec(
         "q_token_histogram", q_token_histogram, ORACLES["q_token_histogram"]
     ),
-    # ---- block 2: new or changed in round 4 (5) ----
+    # ---- block 2: new or changed in round 4 (8) ----
     QuerySpec("q_hll_distinct", q_hll_distinct, ORACLES["q_hll_distinct"]),
+    QuerySpec("q_cms_heavy", q_cms_heavy, ORACLES["q_cms_heavy"]),
+    QuerySpec("q_minhash_est", q_minhash_est, ORACLES["q_minhash_est"]),
+    QuerySpec(
+        "q_embed_quantize", q_embed_quantize, ORACLES["q_embed_quantize"]
+    ),
     QuerySpec("q_kmeans_cells", q_kmeans_cells, None),
     QuerySpec("q_ann_recall", q_ann_recall, None),
     QuerySpec("q_global_index", q_global_index, ORACLES["q_global_index"], True),
@@ -2912,13 +3009,16 @@ QUERIES: list[QuerySpec] = [
     ),
     QuerySpec("q_event_window", q_event_window, ORACLES["q_event_window"], True),
     QuerySpec("q_sliding_window", q_sliding_window, ORACLES["q_sliding_window"]),
-    QuerySpec("q_grouping_sets", q_grouping_sets, ORACLES["q_grouping_sets"]),
     QuerySpec("q_rollup", q_rollup, ORACLES["q_rollup"], True),
-    QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
-    QuerySpec("q_pivot_status", q_pivot_status, ORACLES["q_pivot_status"]),
     # ---- block 6: headline canary (caching/LSH path) ----
     QuerySpec("q_minhash_lsh", q_minhash_lsh, ORACLES["q_minhash_lsh"], True),
     # ==== driver 50-entry verification window ends here ====
+    # (q_grouping_sets/q_cube/q_pivot_status yielded their window
+    # slots to the three new r4 gate queries — same GROUPING-SETS
+    # family as the in-window q_rollup, r2-driver-verified)
+    QuerySpec("q_grouping_sets", q_grouping_sets, ORACLES["q_grouping_sets"]),
+    QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
+    QuerySpec("q_pivot_status", q_pivot_status, ORACLES["q_pivot_status"]),
     # ---- block 7: r3-driver-verified (all green in CORRECTNESS_r03) --
     QuerySpec("q_percentiles", q_percentiles, ORACLES["q_percentiles"], True),
     QuerySpec("q_median_exact", q_median_exact, ORACLES["q_median_exact"]),

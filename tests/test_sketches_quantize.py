@@ -1,0 +1,82 @@
+"""Gates for the r4 approximate-tier additions: Count-Min sketch,
+MinHash estimator accuracy, int8 embedding quantization. The registry
+oracles assert the same contracts cross-engine; these tests pin the
+operator-level properties (CMS one-sided error, estimator envelope,
+quantizer round-trip incl. the degenerate constant vector)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import (
+    dedup,
+    sketches,
+    similarity,
+)
+from esgi_4iabd2_sparkstreaming_groupe13_spark.functions.hashing import (
+    token_array,
+)
+from esgi_4iabd2_sparkstreaming_groupe13_spark.sources.batch import load_table
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """The defining CMS property: estimate ≥ exact for EVERY token
+    (collisions only add). Checked for all distinct tokens, not just
+    heavy hitters."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(token_array(F.col("text"))).alias("token"))
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
+    counters = sketches.cms_build(docs, "text")
+    est = sketches.cms_estimate(counters, exact, "token")
+    bad = (
+        exact.join(est, "token")
+        .filter(F.col("cms_estimate") < F.col("exact"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_cms_counter_table_is_sketch_sized(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    counters = sketches.cms_build(docs, "text")
+    assert counters.count() <= sketches.CMS_DEPTH * sketches.CMS_WIDTH
+
+
+def test_cms_heavy_hitters_gate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sketches.cms_heavy_hitters_check(docs, "text", k=20).collect()
+    assert len(rows) == 20
+    assert all(r["within_bound"] for r in rows)
+
+
+def test_minhash_estimate_envelope(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = dedup.minhash_estimate_check(docs, "text", "doc_id").collect()
+    assert len(rows) == 50
+    assert all(0.0 <= r["exact_jaccard"] <= 1.0 for r in rows)
+    assert all(r["within_bound"] for r in rows)
+
+
+def test_quantize_round_trip_bound(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.quantize_embeddings_check(emb)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert all(r["within_bound"] for r in rows)
+    dim = len(emb.select("embedding").first()[0])
+    assert all(0 <= r["code_sum"] <= 255 * dim for r in rows)
+
+
+def test_quantize_degenerate_constant_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.5, 0.5]), (2, [0.0, 1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in similarity.quantize_embeddings_check(df).collect()
+    }
+    assert rows[1]["within_bound"] and rows[1]["code_sum"] == 0
+    assert rows[2]["within_bound"]
+    # codes for [0,1,2] over scale (2-0)/255: 0 + round(127.5)=128 + 255
+    assert rows[2]["code_sum"] == 0 + 128 + 255
