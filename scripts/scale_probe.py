@@ -63,7 +63,7 @@ def timed(label, df):
 ALL_OPS = (
     "minhash_lsh simhash_pairs tfidf_topterms token_packing contamination "
     "unigram_logprob count_by_key topk global_index rolling_sum cosine_topk "
-    "cosine_pairs_exact cosine_rh_lsh"
+    "cosine_pairs_exact cosine_rh_lsh cms"
 ).split()
 
 
@@ -97,6 +97,7 @@ def main() -> None:
         "token_packing",
         "contamination",
         "unigram_logprob",
+        "cms",
     )
     if want(*doc_ops):
         docs1 = load_table(spark, SF_DIR, "documents")
@@ -128,6 +129,26 @@ def main() -> None:
             "t1": timed("simhash 1x", dedup.simhash_pairs(docs1, "text", "doc_id")),
             "tN": timed(f"simhash {factor}x", dedup.simhash_pairs(docsN, "text", "doc_id")),
         }
+    # Count-Min sketch: time should track ~linear (one explode + one
+    # partial-agg), and the counter table must stay ≤ depth×width rows
+    # at ANY input size — the fixed-footprint property IS the claim.
+    if want("cms"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import (
+            sketches,
+        )
+
+        c1 = sketches.cms_build(docs1, "text")
+        cN = sketches.cms_build(docsN, "text")
+        t1 = timed("cms 1x", c1)
+        tN = timed(f"cms {factor}x", cN)
+        n1, nN = c1.count(), cN.count()
+        cap = sketches.CMS_DEPTH * sketches.CMS_WIDTH
+        assert n1 <= cap and nN <= cap, (n1, nN, cap)
+        print(
+            f"# cms counters: 1x={n1} {factor}x={nN} cap={cap}",
+            file=sys.stderr,
+        )
+        results["cms"] = {"t1": t1, "tN": tN, "cells_1": n1, "cells_N": nN}
     # corpus construction: TF-IDF (two hash aggs + window top-k) and
     # token packing (two-pass running sum) — both should track ~linear
     if want("tfidf_topterms"):
