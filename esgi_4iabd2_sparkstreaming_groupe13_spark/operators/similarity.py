@@ -511,6 +511,38 @@ def quantize_embeddings_check(
     )
 
 
+def dequantized_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Round-trip the embedding column through int8 scalar quantization
+    (quantize → dequantize) — the corpus a memory-bound ANN tier
+    actually searches: at 100 TB the serving layer holds codes + two
+    floats per vector (4× smaller than float32 arrays), reconstructing
+    values on the fly. Returns the same (id, vec) shape with the
+    reconstructed vectors, so any search operator composes with it
+    unchanged. Narrow per-row expressions, zero shuffle.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    src = embeddings.select(F.col(id_col), v.alias("_v"))
+    m = src.select(
+        id_col,
+        "_v",
+        F.array_min("_v").alias("_mn"),
+        F.array_max("_v").alias("_mx"),
+    ).withColumn("_scale", (F.col("_mx") - F.col("_mn")) / F.lit(255.0))
+    degenerate = F.col("_scale") == 0.0
+    dq = F.when(degenerate, F.col("_v")).otherwise(
+        F.transform(
+            "_v",
+            lambda x: F.col("_mn")
+            + F.round((x - F.col("_mn")) / F.col("_scale")) * F.col("_scale"),
+        )
+    )
+    return m.select(F.col(id_col), dq.alias(vec_col))
+
+
 def kmeans_fit_or_load(
     spark,
     embeddings: DataFrame,

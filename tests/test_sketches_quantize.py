@@ -67,6 +67,22 @@ def test_quantize_round_trip_bound(spark, sf_dir):
     assert all(0 <= r["code_sum"] <= 255 * dim for r in rows)
 
 
+def test_quantized_ann_recall_gate(spark, sf_dir):
+    """The combined compression + probing loss stays above the serving
+    bar: IVF search over int8-dequantized vectors (trained quantizer)
+    recalls ≥ 0.8 of the exact full-precision top-5 on average."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _, _ = similarity.kmeans_fit(emb, k=8, max_iterations=8)
+    dq = similarity.dequantized_embeddings(emb)
+    exact = similarity.brute_force_topk(emb, [0, 1, 2, 3, 4], k=5)
+    approx = similarity.ivf_topk(
+        dq, [0, 1, 2, 3, 4], k=5, nprobe=4, centroids=cents
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.8
+
+
 def test_quantize_degenerate_constant_vector(spark):
     df = spark.createDataFrame(
         [(1, [0.5, 0.5, 0.5]), (2, [0.0, 1.0, 2.0])],
