@@ -387,6 +387,7 @@ def ann_recall(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    search_embeddings: DataFrame | None = None,
     **ivf_kwargs,
 ) -> DataFrame:
     """Recall@k of the IVF approximate tier against the exact
@@ -400,10 +401,21 @@ def ann_recall(
     misses, so recall can only be under-stated, never inflated by IVF
     returning extra rows. Cheap at any scale: both inputs are k rows
     per query.
+
+    ``search_embeddings`` lets the approximate tier search a DIFFERENT
+    corpus representation (e.g. the int8-dequantized tier) while the
+    exact baseline stays full-precision — the gate then bounds the
+    combined compression + probing loss.
     """
     exact = brute_force_topk(embeddings, query_ids, k, id_col, vec_col)
-    approx = ivf_topk(embeddings, query_ids, k, id_col=id_col,
-                      vec_col=vec_col, **ivf_kwargs)
+    approx = ivf_topk(
+        search_embeddings if search_embeddings is not None else embeddings,
+        query_ids,
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
+        **ivf_kwargs,
+    )
     hits = exact.join(
         approx.select("query_id", "neighbor_id"),
         ["query_id", "neighbor_id"],
@@ -453,6 +465,33 @@ def embedding_dedup_clusters(
     )
 
 
+def _quantized_frame(
+    embeddings: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """THE int8 scalar quantizer — the single definition of min/max/
+    scale/codes that both the oracle-checked contract query and the
+    compressed serving tier consume (if they computed codes
+    independently, the gate would validate a copy, not the path that
+    serves). Returns ``(id, _v, _mn, _mx, _scale, _codes)`` with
+    ``_codes`` all-zero for degenerate constant vectors."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    src = embeddings.select(F.col(id_col), v.alias("_v"))
+    m = src.select(
+        id_col,
+        "_v",
+        F.array_min("_v").alias("_mn"),
+        F.array_max("_v").alias("_mx"),
+    ).withColumn("_scale", (F.col("_mx") - F.col("_mn")) / F.lit(255.0))
+
+    def code(x):
+        return F.round((x - F.col("_mn")) / F.col("_scale")).cast("int")
+
+    codes = F.when(
+        F.col("_scale") == 0.0, F.transform("_v", lambda x: F.lit(0))
+    ).otherwise(F.transform("_v", code))
+    return m.withColumn("_codes", codes)
+
+
 def quantize_embeddings_check(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -475,23 +514,8 @@ def quantize_embeddings_check(
     boolean pins the round-trip. Narrow per-row expressions — zero
     shuffle at any corpus size.
     """
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    src = embeddings.select(F.col(id_col), v.alias("_v"))
-    m = src.select(
-        id_col,
-        "_v",
-        F.array_min("_v").alias("_mn"),
-        F.array_max("_v").alias("_mx"),
-    ).withColumn("_scale", (F.col("_mx") - F.col("_mn")) / F.lit(255.0))
-
-    def code(x):
-        return F.round((x - F.col("_mn")) / F.col("_scale")).cast("int")
-
     degenerate = F.col("_scale") == 0.0
-    codes = F.when(
-        degenerate, F.transform("_v", lambda x: F.lit(0))
-    ).otherwise(F.transform("_v", code))
-    with_codes = m.withColumn("_codes", codes)
+    with_codes = _quantized_frame(embeddings, id_col, vec_col)
     err = F.zip_with(
         "_v",
         "_codes",
@@ -522,25 +546,19 @@ def dequantized_embeddings(
     floats per vector (4× smaller than float32 arrays), reconstructing
     values on the fly. Returns the same (id, vec) shape with the
     reconstructed vectors, so any search operator composes with it
-    unchanged. Narrow per-row expressions, zero shuffle.
+    unchanged. Narrow per-row expressions, zero shuffle. Codes come
+    from the same ``_quantized_frame`` the oracle-checked
+    q_embed_quantize gate validates — one quantizer, two consumers.
     """
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    src = embeddings.select(F.col(id_col), v.alias("_v"))
-    m = src.select(
-        id_col,
-        "_v",
-        F.array_min("_v").alias("_mn"),
-        F.array_max("_v").alias("_mx"),
-    ).withColumn("_scale", (F.col("_mx") - F.col("_mn")) / F.lit(255.0))
-    degenerate = F.col("_scale") == 0.0
-    dq = F.when(degenerate, F.col("_v")).otherwise(
-        F.transform(
+    with_codes = _quantized_frame(embeddings, id_col, vec_col)
+    dq = F.when(F.col("_scale") == 0.0, F.col("_v")).otherwise(
+        F.zip_with(
             "_v",
-            lambda x: F.col("_mn")
-            + F.round((x - F.col("_mn")) / F.col("_scale")) * F.col("_scale"),
+            "_codes",
+            lambda _x, c: F.col("_mn") + c * F.col("_scale"),
         )
     )
-    return m.select(F.col(id_col), dq.alias(vec_col))
+    return with_codes.select(F.col(id_col), dq.alias(vec_col))
 
 
 def kmeans_fit_or_load(
@@ -575,7 +593,14 @@ def kmeans_fit_or_load(
 
     if os.path.exists(os.path.join(model_path, "_SUCCESS")):
         cents = spark.read.parquet(model_path)
-        if cents.schema["cvec"].dataType.simpleString() == "array<double>":
+        # a malformed model (missing column, wrong type — older format
+        # or a foreign writer at a user-set model dir) falls through to
+        # refit-and-overwrite instead of crashing every serve query
+        fields = {f.name: f.dataType.simpleString() for f in cents.schema}
+        if (
+            fields.get("cell_id") is not None
+            and fields.get("cvec") == "array<double>"
+        ):
             return cents
     cents, _, _ = kmeans_fit(
         embeddings, k, max_iterations, tol, id_col, vec_col

@@ -54,6 +54,22 @@ def _cell(token_hash, a: int, b: int, width: int):
     return (affine_hash(token_hash, a, b) % width).cast("int")
 
 
+def _cell_structs(token_hash, depth: int, width: int, seed: int):
+    """The sketch's hash placement — the ONE definition of which
+    (row, cell) keys a token hashes to, shared by build and estimate:
+    if these ever diverged, estimates would min() over unrelated
+    counters."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("row"),
+                _cell(token_hash, a, b, width).alias("cell"),
+            )
+            for d, (a, b) in enumerate(hash_params(depth, seed))
+        ]
+    )
+
+
 def cms_build(
     df: DataFrame,
     text_col: str,
@@ -65,23 +81,30 @@ def cms_build(
     rows total. One explode + one hash aggregate; the explode fans each
     token into ``depth`` (row, cell) keys map-side, and partial
     aggregation collapses them to ≤ depth×width rows per task before
-    the (tiny) shuffle."""
+    the (tiny) shuffle. Cells no token hashed into are simply absent
+    (implicitly zero); consumers must treat missing as 0."""
     toks = df.select(
         F.explode(token_array(F.col(text_col))).alias("_tok")
     ).select(md5_int(F.col("_tok")).alias("_h"))
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(d).alias("row"),
-                _cell(F.col("_h"), a, b, width).alias("cell"),
-            )
-            for d, (a, b) in enumerate(hash_params(depth, seed))
-        ]
-    )
     return (
-        toks.select(F.explode(cells).alias("_c"))
+        toks.select(
+            F.explode(_cell_structs(F.col("_h"), depth, width, seed)).alias(
+                "_c"
+            )
+        )
         .groupBy(F.col("_c.row").alias("row"), F.col("_c.cell").alias("cell"))
         .agg(F.count(F.lit(1)).alias("counter"))
+    )
+
+
+def cms_total(counters: DataFrame) -> DataFrame:
+    """Stream length N recovered FROM the sketch (one-row frame):
+    every token increments exactly one cell in each row, so the column
+    sum of any single row is N. Sketch-sized work — no corpus pass."""
+    return (
+        counters.filter(F.col("row") == 0)
+        .groupBy()
+        .agg(F.coalesce(F.sum("counter"), F.lit(0)).alias("_n"))
     )
 
 
@@ -96,28 +119,25 @@ def cms_estimate(
     """Point estimates for a token frame: min over the depth counter
     rows each token hashes into. The counter table is sketch-sized, so
     it broadcasts; the lookup is a broadcast join, never a shuffle of
-    the query side."""
-    params = hash_params(depth, seed)
+    the query side.
+
+    LEFT join + coalesce-to-0: a cell absent from the counter table
+    means no token ever hashed there (count 0), so a never-seen query
+    token correctly estimates 0 instead of vanishing from the output
+    (an inner join would both drop unseen tokens and min() over a
+    subset of rows when only some cells collide)."""
     hashed = tokens.withColumn("_h", md5_int(F.col(token_col)))
     keyed = hashed.select(
         "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("row"),
-                        _cell(F.col("_h"), a, b, width).alias("cell"),
-                    )
-                    for d, (a, b) in enumerate(params)
-                ]
-            )
-        ).alias("_c"),
+        F.explode(_cell_structs(F.col("_h"), depth, width, seed)).alias("_c"),
     ).select(
         token_col, F.col("_c.row").alias("row"), F.col("_c.cell").alias("cell")
     )
-    joined = keyed.join(F.broadcast(counters), ["row", "cell"])
+    joined = keyed.join(F.broadcast(counters), ["row", "cell"], "left")
     return joined.groupBy(token_col).agg(
-        F.min("counter").alias("cms_estimate")
+        F.min(F.coalesce(F.col("counter"), F.lit(0).cast("long"))).alias(
+            "cms_estimate"
+        )
     )
 
 
@@ -146,7 +166,8 @@ def cms_heavy_hitters_check(
     counters = cms_build(df, text_col, depth, width, seed)
     est = cms_estimate(counters, top, "token", depth, width, seed)
 
-    total = toks.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    # N from the sketch itself (cms_total) — not a third corpus pass
+    total = cms_total(counters)
     bound = F.ceil(
         F.lit(CMS_GATE_SLACK * math.e / width) * F.col("_n")
     ).cast("long")

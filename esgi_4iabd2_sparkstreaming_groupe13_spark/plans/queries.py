@@ -256,23 +256,13 @@ def q_ann_quantized_recall(spark, sf_dir):
     deterministic throughout, pytest gate ≥ 0.8 mean recall."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = _trained_centroids(spark, sf_dir)
-    dq = similarity.dequantized_embeddings(emb)
-    exact = similarity.brute_force_topk(emb, QUERY_VEC_IDS, k=5)
-    approx = similarity.ivf_topk(
-        dq, QUERY_VEC_IDS, k=5, nprobe=4, centroids=cents
-    )
-    hits = exact.join(
-        approx.select("query_id", "neighbor_id"),
-        ["query_id", "neighbor_id"],
-        "left_semi",
-    )
-    per_q = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
-    base = exact.select("query_id").distinct()
-    return base.join(per_q, "query_id", "left").select(
-        "query_id",
-        F.round(
-            F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0), 6
-        ).alias("recall_at_k"),
+    return similarity.ann_recall(
+        emb,
+        QUERY_VEC_IDS,
+        k=5,
+        nprobe=4,
+        centroids=cents,
+        search_embeddings=similarity.dequantized_embeddings(emb),
     )
 
 
@@ -1399,38 +1389,50 @@ KMEANS_K = 8
 KMEANS_MAX_ITER = 8
 
 
+def _kmeans_model_prefix(sf_dir: str) -> str:
+    """Stable per-CORPUS model-name prefix: sf dir basename + a short
+    hash of the absolute path, so two different corpora that happen to
+    share a basename (e.g. regenerated copies both named ``sf0.01``)
+    never collide — or prune each other — in a shared model root."""
+    import hashlib
+
+    ap = os.path.abspath(os.path.normpath(sf_dir))
+    tag = hashlib.md5(ap.encode()).hexdigest()[:8]
+    return f"kmeans_k{KMEANS_K}_{os.path.basename(ap)}_{tag}"
+
+
 def _kmeans_model_path(sf_dir: str) -> str:
     """Model-table path for the trained IVF quantizer, keyed by corpus
-    VERSION (sf dir name + embeddings file size/mtime) so a
+    VERSION (per-corpus prefix + embeddings file size/mtime) so a
     driver-regenerated corpus auto-invalidates the persisted
     centroids instead of serving a stale model."""
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
-    key = (
-        f"{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_{st.st_size}_{st.st_mtime_ns}"
-    )
     root = os.environ.get(
         "SPARK_GRAFT_MODEL_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", ".models"),
     )
-    return os.path.join(root, f"kmeans_k{KMEANS_K}_{key}")
+    return os.path.join(
+        root,
+        f"{_kmeans_model_prefix(sf_dir)}_{st.st_size}_{st.st_mtime_ns}",
+    )
 
 
 def _trained_centroids(spark, sf_dir):
     """Serve-path access to the canonical quantizer: load the persisted
     centroid table, fitting it first only if this corpus version has
     never been trained (train/serve split — VERDICT r3 item 4).
-    Superseded model versions for the same sf dir (the driver
-    regenerates testdata between rounds → new corpus key) are pruned
-    so the model store holds one quantizer per corpus."""
+    Superseded model versions of THIS corpus (the driver regenerates
+    testdata between rounds → new size/mtime key under the same
+    per-corpus prefix) are pruned so the model store holds one
+    quantizer per corpus; other corpora — even ones sharing the sf
+    basename — have a different path-hash prefix and are untouched."""
     import glob
     import shutil
 
     path = _kmeans_model_path(sf_dir)
-    sf_name = os.path.basename(os.path.normpath(sf_dir))
     prefix = os.path.join(
-        os.path.dirname(path), f"kmeans_k{KMEANS_K}_{sf_name}_"
+        os.path.dirname(path), _kmeans_model_prefix(sf_dir) + "_"
     )
     for stale in glob.glob(prefix + "*"):
         if os.path.abspath(stale) != os.path.abspath(path):
@@ -2988,7 +2990,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec(
         "q_token_histogram", q_token_histogram, ORACLES["q_token_histogram"]
     ),
-    # ---- block 2: new or changed in round 4 (8) ----
+    # ---- block 2: new or changed in round 4 (9) ----
     QuerySpec("q_hll_distinct", q_hll_distinct, ORACLES["q_hll_distinct"]),
     QuerySpec("q_cms_heavy", q_cms_heavy, ORACLES["q_cms_heavy"]),
     QuerySpec("q_minhash_est", q_minhash_est, ORACLES["q_minhash_est"]),

@@ -78,10 +78,14 @@ def append_batch_debug(
 ) -> None:
     """K5 producer debug tap (``FileSender.scala:31-67``): append the
     reference's exact block format — ``===== BATCH #N (M messages)
-    =====`` header, the first 5 messages truncated to 1000 chars
-    (``... (plus de données)`` when more), footer, blank line. The
-    dashboard sidebar tails this file (``taxi_dashboard.py:107-117`` ↔
-    ``dashboard_app.py --debug-file``)."""
+    =====`` header, then ``take(5).mkString("\\n").take(1000)``
+    semantics faithfully reproduced: the first 5 messages JOINED and
+    truncated to 1000 chars TOTAL (so a long message can be cut
+    mid-line, exactly as the reference does), the ``... (plus de
+    données)`` marker only when more than 5 messages exist, footer,
+    blank line. The dashboard sidebar tails this file
+    (``taxi_dashboard.py:107-117`` ↔ ``dashboard_app.py
+    --debug-file``)."""
     header = f"===== BATCH #{batch_no} ({len(json_lines)} messages) ====="
     if json_lines:
         content = "\n".join(json_lines[:5])[:1000]

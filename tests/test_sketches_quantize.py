@@ -36,6 +36,20 @@ def test_cms_never_underestimates(spark, sf_dir):
     assert bad == 0
 
 
+def test_cms_unseen_token_estimates_zero_ish(spark, sf_dir):
+    """A query token never seen in the corpus must get a row (not
+    vanish in the cell join) and a near-zero estimate: min over its
+    depth cells, with absent cells counting as 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    counters = sketches.cms_build(docs, "text")
+    probe = spark.createDataFrame(
+        [("zzqqxyzzy-not-a-real-token",)], "token string"
+    )
+    rows = sketches.cms_estimate(counters, probe, "token").collect()
+    assert len(rows) == 1
+    assert rows[0]["cms_estimate"] >= 0
+
+
 def test_cms_counter_table_is_sketch_sized(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     counters = sketches.cms_build(docs, "text")
