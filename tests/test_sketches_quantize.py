@@ -63,6 +63,62 @@ def test_cms_heavy_hitters_gate(spark, sf_dir):
     assert all(r["within_bound"] for r in rows)
 
 
+def test_cms_merge_across_splits_equals_batch(spark, sf_dir):
+    """Mergeability — the property that makes a sketch a STREAMING
+    summary: building per-split counter tables and summing them
+    cell-wise must equal the one-shot batch sketch exactly (counters
+    are plain sums; bit-identical, not approximately equal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    whole = sketches.cms_build(docs, "text")
+    parts = [
+        sketches.cms_build(docs.filter(F.col("doc_id") % 3 == i), "text")
+        for i in range(3)
+    ]
+    merged = (
+        parts[0]
+        .unionByName(parts[1])
+        .unionByName(parts[2])
+        .groupBy("row", "cell")
+        .agg(F.sum("counter").alias("counter"))
+    )
+    a = {(r["row"], r["cell"]): r["counter"] for r in whole.collect()}
+    b = {(r["row"], r["cell"]): r["counter"] for r in merged.collect()}
+    assert a == b
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark, sf_dir):
+    """Both Bloom guarantees on real data: every member gram probes
+    TRUE (structural — zero false negatives), and non-member false
+    positives stay under 2% at the configured geometry."""
+    docs = load_table(spark, sf_dir, "documents")
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.corpus import (
+        word_ngrams_from_tokens,
+    )
+
+    grams = docs.select(
+        F.explode(
+            word_ngrams_from_tokens(token_array(F.col("text")), 5)
+        ).alias("gram")
+    ).distinct()
+    members = grams.limit(2000)
+    bits = sketches.bloom_build(members, "gram")
+    probed_members = sketches.bloom_might_contain(
+        bits, members.withColumn("_k", F.lit(1)), "gram", ["_k"]
+    )
+    assert probed_members.filter(~F.col("might_contain")).count() == 0
+    # non-members: synthetic gram strings not in the corpus
+    non = spark.range(2000).select(
+        F.concat(F.lit("zz-bloom-probe-"), F.col("id")).alias("gram"),
+        F.lit(1).alias("_k"),
+    )
+    fp = (
+        sketches.bloom_might_contain(bits, non, "gram", ["_k"])
+        .filter(F.col("might_contain"))
+        .count()
+    )
+    assert fp <= 0.02 * 2000, fp
+
+
 def test_minhash_estimate_envelope(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     rows = dedup.minhash_estimate_check(docs, "text", "doc_id").collect()
