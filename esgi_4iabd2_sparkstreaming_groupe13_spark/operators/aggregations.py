@@ -154,6 +154,30 @@ def approx_distinct(df: DataFrame, key: str, rsd: float = 0.01) -> DataFrame:
     return df.agg(F.approx_count_distinct(key, rsd).alias("approx_distinct"))
 
 
+def approx_distinct_by_group_checked(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    rsd: float = 0.01,
+    tol_factor: float = 3.0,
+) -> DataFrame:
+    """Per-group HLL with the same oracle-checkable contract as the
+    global gate: ``(group, exact_distinct, within_rsd)`` — the
+    grouped form is the one a 100 TB pipeline actually runs (distinct
+    users per segment/day/source), and each group's sketch merges
+    map-side independently, so the shuffle carries one sketch per
+    (task, group), not the key stream."""
+    est = F.approx_count_distinct(key, rsd)
+    exact = F.count_distinct(F.col(key))
+    return df.groupBy(group_col).agg(
+        exact.alias("exact_distinct"),
+        (
+            F.abs(est.cast("double") - exact.cast("double"))
+            <= F.lit(tol_factor * rsd) * exact.cast("double")
+        ).alias("within_rsd"),
+    )
+
+
 def approx_distinct_checked(
     df: DataFrame, key: str, rsd: float = 0.01, tol_factor: float = 3.0
 ) -> DataFrame:

@@ -212,6 +212,17 @@ def q_hll_distinct(spark, sf_dir):
     return agg.approx_distinct_checked(_t(spark, sf_dir, "events"), "user_id")
 
 
+def q_hll_groups(spark, sf_dir):
+    """Per-group HLL cardinality gate: distinct users per event_type,
+    each group's 3×rsd envelope asserted against the exact count the
+    oracle recomputes — the grouped form (distinct per segment) is the
+    pattern a 100 TB pipeline runs; sketches merge map-side per
+    group."""
+    return agg.approx_distinct_by_group_checked(
+        _t(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
 def q_cms_heavy(spark, sf_dir):
     """Count-Min sketch heavy hitters with the CMS guarantee as a
     hash-matched contract: top-20 exact tokens, each asserting
@@ -2851,6 +2862,10 @@ GROUP BY 1
         "SELECT count(DISTINCT user_id) AS exact_distinct, "
         "TRUE AS within_rsd FROM events"
     ),
+    "q_hll_groups": (
+        "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
+        "TRUE AS within_rsd FROM events GROUP BY 1"
+    ),
     # same contract pattern for the CMS gate: DuckDB recomputes the
     # exact top-20 token counts; the sketch bound boolean must be TRUE
     "q_cms_heavy": f"""
@@ -3068,8 +3083,9 @@ QUERIES: list[QuerySpec] = [
     QuerySpec(
         "q_token_histogram", q_token_histogram, ORACLES["q_token_histogram"]
     ),
-    # ---- block 2: new or changed in round 4 (10) ----
+    # ---- block 2: new or changed in round 4 (11) ----
     QuerySpec("q_hll_distinct", q_hll_distinct, ORACLES["q_hll_distinct"]),
+    QuerySpec("q_hll_groups", q_hll_groups, ORACLES["q_hll_groups"]),
     QuerySpec("q_cms_heavy", q_cms_heavy, ORACLES["q_cms_heavy"]),
     QuerySpec(
         "q_bloom_contamination",
@@ -3133,7 +3149,6 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_semi_join", q_semi_join, ORACLES["q_semi_join"]),
     QuerySpec("q_anti_join", q_anti_join, ORACLES["q_anti_join"]),
     QuerySpec("q_asof_join", q_asof_join, ORACLES["q_asof_join"], True),
-    QuerySpec("q_asof_forward", q_asof_forward, ORACLES["q_asof_forward"]),
     QuerySpec(
         "q_topn_per_group", q_topn_per_group, ORACLES["q_topn_per_group"], True
     ),
@@ -3143,15 +3158,16 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_minhash_lsh", q_minhash_lsh, ORACLES["q_minhash_lsh"], True),
     # ==== driver 50-entry verification window ends here ====
     # (q_grouping_sets/q_cube/q_pivot_status/q_sliding_window/
-    # q_interval_join yielded their window slots to the five new r4
-    # gate queries — each has an in-window family peer as canary
-    # (q_rollup, q_event_window, q_asof_join) and all five are
+    # q_interval_join/q_asof_forward yielded their window slots to the
+    # six new r4 gate queries — each has an in-window family peer as
+    # canary (q_rollup, q_event_window, q_asof_join) and all six are
     # r2-driver-verified)
     QuerySpec("q_grouping_sets", q_grouping_sets, ORACLES["q_grouping_sets"]),
     QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
     QuerySpec("q_pivot_status", q_pivot_status, ORACLES["q_pivot_status"]),
     QuerySpec("q_sliding_window", q_sliding_window, ORACLES["q_sliding_window"]),
     QuerySpec("q_interval_join", q_interval_join, ORACLES["q_interval_join"]),
+    QuerySpec("q_asof_forward", q_asof_forward, ORACLES["q_asof_forward"]),
     # ---- block 7: r3-driver-verified (all green in CORRECTNESS_r03) --
     QuerySpec("q_percentiles", q_percentiles, ORACLES["q_percentiles"], True),
     QuerySpec("q_median_exact", q_median_exact, ORACLES["q_median_exact"]),
