@@ -8,11 +8,16 @@ partition (SURVEY §4 anti-pattern). Here:
 
 * ``row_number_slice`` keeps the parity shape for small/oracle use;
 * ``global_row_index`` is the scale path: range-repartition on the sort
-  key, per-partition ``row_number`` (window partitioned by
-  ``spark_partition_id`` — parallel), then add per-partition base
-  offsets computed from a tiny count-per-partition aggregate that is
-  broadcast back. Two narrow passes, no single-partition stage, works
-  unchanged on 10^11 rows.
+  key, sort within partitions, read the per-partition local rank off
+  ``monotonically_increasing_id()`` (its low 33 bits are the 0-based
+  row offset within the partition, assigned in row-flow order — i.e.
+  already the sorted rank; zero extra exchange), then add per-partition
+  base offsets computed from a tiny count-per-partition aggregate that
+  is broadcast back. ONE full-data shuffle total — the earlier
+  ``Window.partitionBy(_pid)`` realization paid a second full-data
+  Exchange because Catalyst can't prove rows are already clustered by
+  a derived ``_pid``. Works unchanged on 10^11 rows (local rank needs
+  < 2^33 rows per partition).
 """
 
 from __future__ import annotations
@@ -92,23 +97,37 @@ def global_row_index(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Scale-safe contiguous 1-based global index in ``order_cols``
-    order (replaces the reference's single-partition window).
+    order (replaces the reference's single-partition window,
+    ``ProducerOperations.scala:131-150``).
 
-    Phase 1: range-repartition by the sort key → per-partition local
-    ``row_number`` (parallel; each window partition == one Spark
-    partition). Phase 2: per-partition counts (tiny: one row per
-    partition) → cumulative base offset → broadcast-joined back.
+    Phase 1: range-repartition by the sort key, ``sortWithinPartitions``
+    (same Exchange — the sort is partition-local), then derive the
+    0-based local rank from ``monotonically_increasing_id()``: Spark
+    documents its layout as ``partition_id << 33 | row_offset``, and the
+    offset is assigned in row-flow order, i.e. the sorted order, so no
+    window — and therefore no second full-data Exchange — is needed.
+    Phase 2: per-partition counts (tiny: one row per partition) →
+    cumulative base offset → broadcast-joined back on ``_pid``.
+
+    ``order_cols`` must be a total order: the id is nondeterministic in
+    general, but under a total order every recompute (task retry, plan
+    branch re-execution) replays the identical row sequence, so ranks
+    are stable.
     """
     order = [F.col(c) for c in order_cols]
-    parted = df
-    if num_partitions:
-        parted = parted.repartitionByRange(num_partitions, *order)
-    else:
-        parted = parted.repartitionByRange(*order)
-    with_pid = parted.withColumn("_pid", F.spark_partition_id())
+    parted = (
+        df.repartitionByRange(num_partitions, *order)
+        if num_partitions
+        else df.repartitionByRange(*order)
+    ).sortWithinPartitions(*order)
 
-    local_w = Window.partitionBy("_pid").orderBy(*order)
-    local = with_pid.withColumn("_local_rn", F.row_number().over(local_w))
+    local = parted.withColumn(
+        "_mid", F.monotonically_increasing_id()
+    ).select(
+        "*",
+        F.shiftright(F.col("_mid"), 33).cast("int").alias("_pid"),
+        F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)).alias("_local_rn0"),
+    )
 
     # One row per partition — driver-size metadata, not data.
     offsets = _partition_base_offsets(
@@ -116,8 +135,11 @@ def global_row_index(
     )
     return (
         local.join(F.broadcast(offsets), "_pid")
-        .withColumn(index_col, (F.col("_base") + F.col("_local_rn")).cast("long"))
-        .drop("_pid", "_local_rn", "_base")
+        .withColumn(
+            index_col,
+            (F.col("_base") + F.col("_local_rn0") + 1).cast("long"),
+        )
+        .drop("_mid", "_pid", "_local_rn0", "_base")
     )
 
 

@@ -63,17 +63,27 @@ def test_semi_join_not_materialized(spark, sf_dir):
     assert "LeftSemi" in plan_of(spark, sf_dir, Q.q_semi_join)
 
 
-def test_global_index_no_single_partition_window(spark, sf_dir):
-    """The scale-safe index must partition its windows — a bare
-    ``Window.orderBy`` (reference W1 anti-pattern) shows up as a window
-    with an empty partition spec over the full data."""
+def test_global_index_single_full_data_exchange(spark, sf_dir):
+    """The scale-safe index pays exactly ONE full-data shuffle (the
+    range repartition). The r4 realization added a second full-data
+    ``Exchange hashpartitioning(_pid)`` for its ``Window.partitionBy
+    ("_pid")``; the mid-derived local rank removes the window entirely.
+    """
     df = Q.q_global_index(spark, sf_dir)
     p = df._jdf.queryExecution().executedPlan().toString()
-    # the data-bearing window is partitioned by _pid; the only
-    # unpartitioned window in the plan runs over the tiny per-partition
-    # offset table (one row per partition), never the data
-    assert "partitionBy=[_pid]" not in p  # naming differs; check semantics:
-    assert "row_number" in p
+    # no WindowExec anywhere — neither a bare Window.orderBy (reference
+    # W1 anti-pattern: single-partition funnel) nor the _pid window
+    assert "Window" not in p
+    # the only hash exchange in the plan moves per-partition COUNT
+    # metadata (child = partial-agg HashAggregate), never the data
+    lines = p.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange hashpartitioning" in line:
+            assert "partial_count" in lines[i + 1], (
+                f"full-data hash exchange found:\n{p}"
+            )
+    # the range repartition is the one full-data exchange
+    assert p.count("Exchange rangepartitioning") >= 1
 
 
 @pytest.mark.parametrize(
@@ -116,7 +126,9 @@ def test_no_forced_broadcast_on_scaling_tables(spark, sf_dir):
             "q_tpch_q20": 3,  # filtered part ×2 (scalar branch rescans) + 1-row mean
             "q_tpch_q21": 0,  # lineitem self-joins — never broadcast
             "q_tpch_q22": 1,  # 1-row avg-balance scalar
-            "q_tpch_q2": 2,   # size-filtered part + nation; supplier scales
+            "q_tpch_q2": 3,   # size-filtered part ×2 (semi-join prefilter
+            #                   below the cost agg + dim join) + nation;
+            #                   supplier scales
         }
         for name, n_dim_hints in expected.items():
             p = plan_of(spark, sf_dir, getattr(Q, name))
