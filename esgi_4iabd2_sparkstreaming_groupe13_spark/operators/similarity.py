@@ -435,6 +435,74 @@ def ann_recall(
     )
 
 
+def ann_recall_checked(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int,
+    min_recall: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    search_embeddings: DataFrame | None = None,
+    **ivf_kwargs,
+) -> DataFrame:
+    """:func:`ann_recall` restated as an ORACLE-CHECKABLE contract
+    (VERDICT r4 item 5, same pattern as the HLL/CMS/quantile gates):
+    per query emit
+
+    * ``exact_topk`` — the EXACT brute-force top-k neighbor ids,
+      comma-joined in rank order. Fully SQL-expressible, so the DuckDB
+      oracle recomputes it independently and the driver HASH-matches
+      it — the exact tier (and the determinism of its cosine/rounding/
+      tie-break rules) is now verified end to end, not just trusted.
+    * ``recall_floor_ok`` — boolean: IVF recall@k ≥ ``min_recall``.
+      The oracle asserts TRUE; replicating IVF probing in SQL would
+      re-implement the operator, so the approximate tier's exact
+      recall VALUE stays a pytest concern (mean ≥ 0.8 gate in
+      tests/test_similarity.py) while the registry row catches
+      catastrophic breakage (a wrong join or empty probe → 0 hits →
+      red row). The floor is deliberately conservative: per-query
+      recall is deterministic per corpus but moves with driver data
+      regeneration (observed min 0.4 across sf tiers; floor 0.2).
+
+    Cost: identical to :func:`ann_recall` plus a k-row-per-query
+    collect_list — both tiers' outputs are k rows per query.
+    """
+    exact = brute_force_topk(embeddings, query_ids, k, id_col, vec_col)
+    approx = ivf_topk(
+        search_embeddings if search_embeddings is not None else embeddings,
+        query_ids,
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
+        **ivf_kwargs,
+    )
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    per_q = hits.groupBy("query_id").agg(F.count("*").alias("n_hits"))
+    topk_str = F.concat_ws(
+        ",",
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("rank", "neighbor_id"))),
+            lambda s: s["neighbor_id"].cast("string"),
+        ),
+    )
+    base = exact.groupBy("query_id").agg(topk_str.alias("exact_topk"))
+    return (
+        base.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            "exact_topk",
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                >= F.lit(min_recall * k)
+            ).alias("recall_floor_ok"),
+        )
+    )
+
+
 def embedding_dedup_clusters(
     embeddings: DataFrame,
     threshold: float,
@@ -595,11 +663,16 @@ def kmeans_fit_or_load(
         cents = spark.read.parquet(model_path)
         # a malformed model (missing column, wrong type — older format
         # or a foreign writer at a user-set model dir) falls through to
-        # refit-and-overwrite instead of crashing every serve query
+        # refit-and-overwrite instead of crashing every serve query.
+        # Also verify the centroid COUNT equals the requested k
+        # (ADVICE r4): a valid-schema table trained with a different k
+        # must refit, not be served silently. take(k+1) bounds the
+        # check at k+1 rows whatever the table holds.
         fields = {f.name: f.dataType.simpleString() for f in cents.schema}
         if (
             fields.get("cell_id") is not None
             and fields.get("cvec") == "array<double>"
+            and len(cents.take(k + 1)) == k
         ):
             return cents
     cents, _, _ = kmeans_fit(

@@ -143,11 +143,26 @@ def cms_estimate(
 
 #: Bloom geometry: 2^20 bits, 3 hashes. The bits table materializes
 #: only SET bits (≤ k·n rows), so its size tracks the ITEM count, not
-#: m; at the benchmark sizes decontamination sees (eval suites, ≤ ~1M
-#: grams) the false-positive rate stays ≤ ~2e-2 and the set-bit table
-#: broadcasts.
+#: m. False-positive rate is the analytic (1 − e^{−k·n/m})^k: ≤ ~2e-2
+#: up to n ≈ 100k member grams at this geometry, ~0.8 by n = 1M —
+#: callers whose member sets outgrow ~m/10 must raise ``m`` (cost is
+#: still only set-bit rows) or accept the analytic rate, which the
+#: contamination gate computes per run rather than assuming a fixed
+#: capacity (ADVICE r4).
 BLOOM_BITS = 1 << 20
 BLOOM_HASHES = 3
+
+
+def bloom_fp_rate(n_members, m: int = BLOOM_BITS, k: int = BLOOM_HASHES):
+    """Analytic false-positive rate ``(1 − e^{−k·n/m})^k`` as a Column
+    expression over a member-count column — the gate-slack formula,
+    valid at ANY fill factor (the fixed "1% of grams" slack it replaces
+    silently under-covered once n outgrew ~m/10)."""
+    n = F.col(n_members) if isinstance(n_members, str) else n_members
+    return F.pow(
+        F.lit(1.0) - F.exp(-F.lit(float(k)) * n.cast("double") / F.lit(float(m))),
+        F.lit(float(k)),
+    )
 
 
 def bloom_build(

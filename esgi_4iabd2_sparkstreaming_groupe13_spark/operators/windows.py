@@ -45,7 +45,9 @@ def row_number_slice(
     )
 
 
-def _partition_base_offsets(counts: DataFrame, value_col: str) -> DataFrame:
+def _partition_base_offsets(
+    counts: DataFrame, value_col: str, acc_type: str = "decimal(28,6)"
+) -> DataFrame:
     """Exclusive prefix sum over one-row-per-partition metadata,
     returning ``(_pid, _base)``.
 
@@ -57,6 +59,12 @@ def _partition_base_offsets(counts: DataFrame, value_col: str) -> DataFrame:
     higher-order ``aggregate`` (O(P) adds on driver-size metadata),
     and explode back out. Still one tiny single-row stage — by design,
     and now silent.
+
+    ``acc_type`` picks the accumulator dtype: exact decimal for
+    integral inputs (row counts, token counts — the default), native
+    ``double`` for fractional inputs, whose values would otherwise
+    round at the decimal's 1e-6 scale and overflow to NULL past 1e22
+    (ADVICE r4). Callers dispatch on the input column's dtype.
     """
     return (
         counts.groupBy()
@@ -65,7 +73,7 @@ def _partition_base_offsets(counts: DataFrame, value_col: str) -> DataFrame:
                 F.collect_list(
                     F.struct(
                         F.col("_pid"),
-                        F.col(value_col).cast("decimal(28,6)").alias("_v"),
+                        F.col(value_col).cast(acc_type).alias("_v"),
                     )
                 )
             ).alias("_pc")
@@ -75,11 +83,11 @@ def _partition_base_offsets(counts: DataFrame, value_col: str) -> DataFrame:
                 F.expr(
                     "aggregate(_pc, "
                     "named_struct("
-                    "'acc', cast(0 as decimal(28,6)), "
+                    f"'acc', cast(0 as {acc_type}), "
                     "'out', cast(array() as "
-                    "array<struct<_pid:int,_base:decimal(28,6)>>)), "
+                    f"array<struct<_pid:int,_base:{acc_type}>>)), "
                     "(s, x) -> named_struct("
-                    "'acc', cast(s.acc + x._v as decimal(28,6)), "
+                    f"'acc', cast(s.acc + x._v as {acc_type}), "
                     "'out', array_append(s.out, "
                     "named_struct('_pid', x._pid, '_base', s.acc))), "
                     "s -> s.out)"
@@ -160,6 +168,12 @@ def global_running_sum(
     partition) → exclusive prefix over those → broadcast back as base
     offsets. ``order_cols`` must be a total order for a deterministic
     result.
+
+    Accumulation dtype follows the input (ADVICE r4): integral columns
+    accumulate in exact decimal and emit ``long`` (overflow-checked by
+    Spark, not silently truncated); fractional/decimal columns
+    accumulate natively and emit their own sum dtype — a double input
+    is never rounded at 1e-6 or NULLed past decimal range.
     """
     order = [F.col(c) for c in order_cols]
     parted = (
@@ -167,6 +181,10 @@ def global_running_sum(
         if num_partitions
         else df.repartitionByRange(*order)
     )
+    integral = dict(df.dtypes)[value_col] in (
+        "tinyint", "smallint", "int", "bigint",
+    )
+    acc_type = "decimal(28,6)" if integral else "double"
     with_pid = parted.withColumn("_pid", F.spark_partition_id())
     local_w = (
         Window.partitionBy("_pid")
@@ -175,11 +193,14 @@ def global_running_sum(
     )
     local = with_pid.withColumn("_local_sum", F.sum(value_col).over(local_w))
     offsets = _partition_base_offsets(
-        local.groupBy("_pid").agg(F.sum(value_col).alias("_tot")), "_tot"
+        local.groupBy("_pid").agg(F.sum(value_col).alias("_tot")),
+        "_tot",
+        acc_type,
     )
+    total = F.col("_base") + F.col("_local_sum")
     return (
         local.join(F.broadcast(offsets), "_pid")
-        .withColumn(sum_col, (F.col("_base") + F.col("_local_sum")).cast("long"))
+        .withColumn(sum_col, total.cast("long") if integral else total)
         .drop("_pid", "_local_sum", "_base")
     )
 

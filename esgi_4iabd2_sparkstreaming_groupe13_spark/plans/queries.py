@@ -1072,10 +1072,14 @@ def q_percentiles(spark, sf_dir):
 def q_percentiles_approx(spark, sf_dir):
     """Mergeable-sketch percentiles — the 100 TB tier for q_percentiles
     (Greenwald–Khanna summaries merged map-side; no group ever buffers
-    its full value set on one executor). Rows-only: DuckDB's
-    approx_quantile is a t-digest, so values can't hash-match; the
-    pytest gate pins the approx-vs-exact error at sf0.1 instead."""
-    return agg.percentiles_approx(
+    its full value set on one executor). Oracle-checked since r5
+    (VERDICT r4 item 4): emits per-group exact row counts + per-quantile
+    rank-bound booleans the DuckDB oracle asserts TRUE — the sketch's
+    ±n/accuracy rank guarantee is a hash-matched contract, not a
+    rows-only shrug. The pytest gate additionally pins approx-vs-exact
+    value error at sf0.1; the raw-value tier stays
+    ``agg.percentiles_approx``."""
+    return agg.percentiles_approx_checked(
         _t(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
     )
 
@@ -1469,16 +1473,19 @@ def _trained_centroids(spark, sf_dir):
 
 
 def q_ann_recall(spark, sf_dir):
-    """ANN quality gate: per-query recall@5 of the IVF tier vs the
-    exact brute-force tier, using the TRAINED spherical-k-means
-    quantizer (k=8 cells, nprobe=4 — scanning half the corpus for
-    0.84–0.88 mean recall on the near-isotropic testdata, vs 0.68 for
-    the untrained stride quantizer at the same scan fraction). Every
-    stage is seeded/tie-broken, so the recall numbers are
-    deterministic and the driver records them as a registry row
-    (rows-only: replicating IVF probing in the SQL oracle would
-    re-implement the operator, not check it). The pytest gate asserts
-    mean recall ≥ 0.8.
+    """ANN quality gate: recall@5 of the IVF tier vs the exact
+    brute-force tier, using the TRAINED spherical-k-means quantizer
+    (k=8 cells, nprobe=4 — scanning half the corpus for ~0.8 mean
+    recall on the near-isotropic testdata, vs 0.68 for the untrained
+    stride quantizer at the same scan fraction).
+
+    ORACLE-CHECKED since r5 (VERDICT r4 item 5): per query the row
+    carries the EXACT top-5 neighbor ids (comma-joined, rank order) —
+    DuckDB recomputes them independently, so the exact tier hash-
+    matches — plus a recall-floor boolean the oracle asserts TRUE
+    (IVF probing itself isn't SQL-expressible without re-implementing
+    the operator; the exact recall VALUE stays pinned by the pytest
+    mean-recall gate).
 
     Serve path only: centroids come from the persisted model table
     (``_trained_centroids``), not a per-invocation refit — wall time
@@ -1487,7 +1494,7 @@ def q_ann_recall(spark, sf_dir):
     to a fresh fit."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = _trained_centroids(spark, sf_dir)
-    return similarity.ann_recall(
+    return similarity.ann_recall_checked(
         emb, QUERY_VEC_IDS, k=5, nprobe=4, centroids=cents
     )
 
@@ -1788,9 +1795,13 @@ def q_bloom_contamination(spark, sf_dir):
     (n_grams, n_shared exact, within_bound) where the boolean asserts
     BOTH Bloom guarantees against the exact semi-join count — zero
     false negatives (flagged ≥ exact, structural) and bounded false
-    positives (flagged ≤ exact + max(3, 1% of grams)). DuckDB
-    recomputes the exact counts; a broken hash or bit layout turns the
-    row red."""
+    positives (flagged ≤ exact + max(3, 3× the ANALYTIC expected FP
+    count, fp_rate(n_members)·n_grams)). The analytic slack follows
+    the filter's real (1−e^{−kn/m})^k curve at any fill factor, so the
+    gate stays meaningful when the member set outgrows the ≤2%-fp
+    region (~100k grams at this geometry) instead of silently
+    under-covering (ADVICE r4). DuckDB recomputes the exact counts; a
+    broken hash or bit layout turns the row red."""
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     cand = docs.filter(F.col("doc_id") % 20 != 0)
@@ -1819,12 +1830,22 @@ def q_bloom_contamination(spark, sf_dir):
     totals = cand_grams.select(
         "doc_id", F.size("_grams").cast("long").alias("n_grams")
     )
+    # one-row member count → broadcast scalar → analytic FP slack
+    n_members = bench_grams.agg(F.count(F.lit(1)).alias("_n_members"))
     fl = F.coalesce(F.col("_flagged"), F.lit(0)).cast("long")
     ex = F.coalesce(F.col("_exact"), F.lit(0)).cast("long")
-    slack = F.greatest(F.lit(3), F.ceil(F.col("n_grams") * 0.01)).cast("long")
+    slack = F.greatest(
+        F.lit(3),
+        F.ceil(
+            F.lit(3.0)
+            * sketches.bloom_fp_rate("_n_members")
+            * F.col("n_grams")
+        ),
+    ).cast("long")
     return (
         totals.join(flagged, "doc_id", "left")
         .join(exact, "doc_id", "left")
+        .crossJoin(F.broadcast(n_members))
         .select(
             "doc_id",
             "n_grams",
@@ -2072,6 +2093,37 @@ SELECT query_id, neighbor_id, cosine,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
 FROM scored
 QUALIFY rank <= {k}
+"""
+
+
+def _ann_recall_oracle(k: int = 5) -> str:
+    """Mirror of ``ann_recall_checked``'s EXACT side: brute-force
+    cosine top-k per query, comma-joined in rank order (ties broken by
+    neighbor id, cosine rounded to 6 — identical to the Spark tier).
+    The IVF recall-floor boolean is asserted TRUE."""
+    ids = ", ".join(str(i) for i in QUERY_VEC_IDS)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id IN ({ids})
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_COS.replace('cvec', 'e.embedding')} AS cosine
+  FROM q, embeddings e
+  WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+         ) AS rank
+  FROM scored
+)
+SELECT query_id,
+       string_agg(CAST(neighbor_id AS VARCHAR), ',' ORDER BY rank)
+         AS exact_topk,
+       TRUE AS recall_floor_ok
+FROM ranked WHERE rank <= {k}
+GROUP BY query_id
 """
 
 
@@ -2859,6 +2911,10 @@ GROUP BY 1
     "q_simhash": _simhash_oracle(),
     "q_simhash_pairs": _simhash_pairs_oracle(3),
     "q_cosine_topk": _cosine_topk_oracle(5),
+    # exact side of the ANN gate: DuckDB independently recomputes the
+    # brute-force top-5 per query; the IVF recall-floor boolean must
+    # be TRUE (IVF itself is not SQL-replicable — see q_ann_recall)
+    "q_ann_recall": _ann_recall_oracle(5),
     "q_cosine_pairs": _cosine_pairs_oracle(0.35, max_ids=COSINE_PAIRS_MAX_ID),
     "q_cosine_lsh": _cosine_lsh_oracle(0.9),
     "q_hash_sample": _hash_sample_oracle(),
@@ -2871,6 +2927,14 @@ GROUP BY 1
     "q_hll_distinct": (
         "SELECT count(DISTINCT user_id) AS exact_distinct, "
         "TRUE AS within_rsd FROM events"
+    ),
+    # same contract for the quantile sketch: DuckDB recomputes the
+    # exact per-group counts; the per-quantile rank-bound booleans
+    # must be TRUE
+    "q_percentiles_approx": (
+        "SELECT l_returnflag, count(*) AS n_rows, "
+        "TRUE AS p25_in_bounds, TRUE AS p50_in_bounds, "
+        "TRUE AS p75_in_bounds FROM lineitem GROUP BY 1"
     ),
     "q_hll_groups": (
         "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
@@ -3069,23 +3133,102 @@ FROM documents
 
 
 # Registry order is a CONTRACT with the driver's correctness gate,
-# which verifies the first 50 entries. Round-4 rotation (VERDICT r3
-# item 1): the window leads with (a) the FIVE queries that have never
-# had a driver-green row (q_repetition, the two winnow queries,
-# q_split_assign, q_token_histogram — local oracle_check has always
-# passed them; this lands the missing driver rows), then (b) queries
-# NEW or CHANGED this round (q_winnow_pairs gained the max_fp_df cap,
-# q_hll_distinct gained a real oracle, q_kmeans_cells/q_ann_recall
-# moved to the persisted-model train/serve split, q_global_index and
-# q_token_packing sit on the rewritten warning-free offset helper),
-# then (c) the r1/r2-verified parity/LLM/join blocks as regression
-# canaries — they were last driver-checked two rounds ago, the
-# longest-unchecked queries in the registry. The r3-driver-verified
-# block (TPC-H, percentiles/sets, corpus construction — all green in
-# CORRECTNESS_r03) rotates BEHIND the window; scripts/oracle_check.py
-# still runs the whole list every round.
+# which verifies the first 50 entries. Round-5 rotation (VERDICT r4
+# item 3): the window leads with (a) the SIX queries whose last green
+# driver row is round 2 — the longest-stale in the registry
+# (q_grouping_sets/q_cube/q_pivot_status/q_sliding_window/
+# q_interval_join/q_asof_forward), then (b) the queries CHANGED this
+# round (q_global_index single-shuffle rewrite; q_ann_recall and
+# q_percentiles_approx moved from rows-only to oracle-backed contracts
+# and need their first hash-green rows; q_bloom_contamination's gate
+# slack went analytic), then (c) the whole r3-last-green block —
+# TPC-H 1–22 (q_tpch_q2 also changed: pre-aggregate semi-join
+# prefilter), percentiles/sets/frames, scalar-function and corpus-
+# construction queries. The r4-verified 46 rotate BEHIND the window as
+# next round's canaries. Four r3-verified entries stay behind for one
+# more round for lack of slots — q_simhash (family peer q_simhash_pairs
+# r4-green), q_dedup_clusters + q_corpus_select (planted-cluster
+# pytests + shared components), q_sessionize (stream==batch pytest);
+# ROTATE THEM IN FIRST in r6. scripts/oracle_check.py still runs the
+# whole list every round.
 QUERIES: list[QuerySpec] = [
-    # ---- block 1: first-ever driver verification (5) ----
+    # ---- block 1: r2-stale six (longest without a driver row) ----
+    QuerySpec("q_grouping_sets", q_grouping_sets, ORACLES["q_grouping_sets"]),
+    QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
+    QuerySpec("q_pivot_status", q_pivot_status, ORACLES["q_pivot_status"]),
+    QuerySpec("q_sliding_window", q_sliding_window, ORACLES["q_sliding_window"]),
+    QuerySpec("q_interval_join", q_interval_join, ORACLES["q_interval_join"]),
+    QuerySpec("q_asof_forward", q_asof_forward, ORACLES["q_asof_forward"]),
+    # ---- block 2: changed / newly oracle-backed in round 5 ----
+    QuerySpec("q_global_index", q_global_index, ORACLES["q_global_index"], True),
+    QuerySpec("q_ann_recall", q_ann_recall, ORACLES["q_ann_recall"]),
+    QuerySpec(
+        "q_percentiles_approx",
+        q_percentiles_approx,
+        ORACLES["q_percentiles_approx"],
+    ),
+    QuerySpec(
+        "q_bloom_contamination",
+        q_bloom_contamination,
+        ORACLES["q_bloom_contamination"],
+    ),
+    # ---- block 3: r3-last-green — TPC-H (q2 changed this round) ----
+    QuerySpec("q_tpch_q1", q_tpch_q1, ORACLES["q_tpch_q1"], True),
+    QuerySpec("q_tpch_q2", q_tpch_q2, ORACLES["q_tpch_q2"], True),
+    QuerySpec("q_tpch_q3", q_tpch_q3, ORACLES["q_tpch_q3"], True),
+    QuerySpec("q_tpch_q4", q_tpch_q4, ORACLES["q_tpch_q4"], True),
+    QuerySpec("q_tpch_q5", q_tpch_q5, ORACLES["q_tpch_q5"], True),
+    QuerySpec("q_tpch_q6", q_tpch_q6, ORACLES["q_tpch_q6"], True),
+    QuerySpec("q_tpch_q7", q_tpch_q7, ORACLES["q_tpch_q7"], True),
+    QuerySpec("q_tpch_q8", q_tpch_q8, ORACLES["q_tpch_q8"], True),
+    QuerySpec("q_tpch_q9", q_tpch_q9, ORACLES["q_tpch_q9"]),
+    QuerySpec("q_tpch_q10", q_tpch_q10, ORACLES["q_tpch_q10"], True),
+    QuerySpec("q_tpch_q11", q_tpch_q11, ORACLES["q_tpch_q11"], True),
+    QuerySpec("q_tpch_q12", q_tpch_q12, ORACLES["q_tpch_q12"], True),
+    QuerySpec("q_tpch_q13", q_tpch_q13, ORACLES["q_tpch_q13"], True),
+    QuerySpec("q_tpch_q14", q_tpch_q14, ORACLES["q_tpch_q14"], True),
+    QuerySpec("q_tpch_q15", q_tpch_q15, ORACLES["q_tpch_q15"]),
+    QuerySpec("q_tpch_q16", q_tpch_q16, ORACLES["q_tpch_q16"]),
+    QuerySpec("q_tpch_q17", q_tpch_q17, ORACLES["q_tpch_q17"], True),
+    QuerySpec("q_tpch_q18", q_tpch_q18, ORACLES["q_tpch_q18"], True),
+    QuerySpec("q_tpch_q19", q_tpch_q19, ORACLES["q_tpch_q19"], True),
+    QuerySpec("q_tpch_q20", q_tpch_q20, ORACLES["q_tpch_q20"]),
+    QuerySpec("q_tpch_q21", q_tpch_q21, ORACLES["q_tpch_q21"]),
+    QuerySpec("q_tpch_q22", q_tpch_q22, ORACLES["q_tpch_q22"]),
+    # ---- block 4: r3-last-green — aggregates/sets/frames ----
+    QuerySpec("q_percentiles", q_percentiles, ORACLES["q_percentiles"], True),
+    QuerySpec("q_median_exact", q_median_exact, ORACLES["q_median_exact"]),
+    QuerySpec("q_except_keys", q_except_keys, ORACLES["q_except_keys"]),
+    QuerySpec("q_intersect_keys", q_intersect_keys, ORACLES["q_intersect_keys"]),
+    QuerySpec(
+        "q_doc_embedding_join",
+        q_doc_embedding_join,
+        ORACLES["q_doc_embedding_join"],
+    ),
+    QuerySpec("q_amount_stats", q_amount_stats, ORACLES["q_amount_stats"], True),
+    QuerySpec("q_window_frames", q_window_frames, ORACLES["q_window_frames"], True),
+    QuerySpec("q_rolling_sum", q_rolling_sum, ORACLES["q_rolling_sum"]),
+    # ---- block 5: r3-last-green — functions / corpus / joins ----
+    QuerySpec("q_date_parts", q_date_parts, ORACLES["q_date_parts"]),
+    QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
+    QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),
+    QuerySpec("q_hash_sample", q_hash_sample, ORACLES["q_hash_sample"]),
+    QuerySpec(
+        "q_tfidf_topterms", q_tfidf_topterms, ORACLES["q_tfidf_topterms"], True
+    ),
+    QuerySpec("q_embed_dedup", q_embed_dedup, ORACLES["q_embed_dedup"]),
+    QuerySpec("q_domain_cap", q_domain_cap, ORACLES["q_domain_cap"]),
+    QuerySpec("q_cosine_pairs", q_cosine_pairs, ORACLES["q_cosine_pairs"]),
+    QuerySpec("q_join_fact_dim", q_join_fact_dim, ORACLES["q_join_fact_dim"], True),
+    QuerySpec("q_join_multiway", q_join_multiway, ORACLES["q_join_multiway"], True),
+    # ==== driver 50-entry verification window ends here ====
+    # r3-verified holdovers (no slots left — ROTATE IN FIRST in r6):
+    QuerySpec("q_simhash", q_simhash, ORACLES["q_simhash"], True),
+    QuerySpec("q_dedup_clusters", q_dedup_clusters, ORACLES["q_dedup_clusters"]),
+    QuerySpec("q_corpus_select", q_corpus_select, ORACLES["q_corpus_select"]),
+    QuerySpec("q_sessionize", q_sessionize, ORACLES["q_sessionize"], True),
+    QuerySpec("q_media_features", q_media_features, None),
+    # r4-verified block (CORRECTNESS_r04 all green) — r6 canaries:
     QuerySpec("q_repetition", q_repetition, ORACLES["q_repetition"]),
     QuerySpec("q_winnow_fp", q_winnow_fp, ORACLES["q_winnow_fp"]),
     QuerySpec("q_winnow_pairs", q_winnow_pairs, ORACLES["q_winnow_pairs"]),
@@ -3093,25 +3236,16 @@ QUERIES: list[QuerySpec] = [
     QuerySpec(
         "q_token_histogram", q_token_histogram, ORACLES["q_token_histogram"]
     ),
-    # ---- block 2: new or changed in round 4 (11) ----
     QuerySpec("q_hll_distinct", q_hll_distinct, ORACLES["q_hll_distinct"]),
     QuerySpec("q_hll_groups", q_hll_groups, ORACLES["q_hll_groups"]),
     QuerySpec("q_cms_heavy", q_cms_heavy, ORACLES["q_cms_heavy"]),
-    QuerySpec(
-        "q_bloom_contamination",
-        q_bloom_contamination,
-        ORACLES["q_bloom_contamination"],
-    ),
     QuerySpec("q_minhash_est", q_minhash_est, ORACLES["q_minhash_est"]),
     QuerySpec(
         "q_embed_quantize", q_embed_quantize, ORACLES["q_embed_quantize"]
     ),
     QuerySpec("q_kmeans_cells", q_kmeans_cells, None),
-    QuerySpec("q_ann_recall", q_ann_recall, None),
     QuerySpec("q_ann_quantized_recall", q_ann_quantized_recall, None),
-    QuerySpec("q_global_index", q_global_index, ORACLES["q_global_index"], True),
     QuerySpec("q_token_packing", q_token_packing, ORACLES["q_token_packing"]),
-    # ---- block 3: r1/r2-verified canaries — reference parity core ----
     QuerySpec("q_scan_project", q_scan_project, ORACLES["q_scan_project"]),
     QuerySpec("q_filter_range", q_filter_range, ORACLES["q_filter_range"], True),
     QuerySpec("q_null_coalesce", q_null_coalesce, ORACLES["q_null_coalesce"]),
@@ -3124,7 +3258,6 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_topk_desc", q_topk_desc, ORACLES["q_topk_desc"], True),
     QuerySpec("q_total_count", q_total_count, ORACLES["q_total_count"]),
     QuerySpec("q_json_extract", q_json_extract, ORACLES["q_json_extract"]),
-    # ---- block 4: r1/r2-verified canaries — LLM-data-pipeline ----
     QuerySpec("q_dedup_exact", q_dedup_exact, ORACLES["q_dedup_exact"]),
     QuerySpec(
         "q_dedup_exact_content",
@@ -3155,7 +3288,6 @@ QUERIES: list[QuerySpec] = [
         ORACLES["q_unigram_logprob"],
         True,
     ),
-    # ---- block 5: r1/r2-verified canaries — join/window/set exts ----
     QuerySpec("q_semi_join", q_semi_join, ORACLES["q_semi_join"]),
     QuerySpec("q_anti_join", q_anti_join, ORACLES["q_anti_join"]),
     QuerySpec("q_asof_join", q_asof_join, ORACLES["q_asof_join"], True),
@@ -3164,73 +3296,7 @@ QUERIES: list[QuerySpec] = [
     ),
     QuerySpec("q_event_window", q_event_window, ORACLES["q_event_window"], True),
     QuerySpec("q_rollup", q_rollup, ORACLES["q_rollup"], True),
-    # ---- block 6: headline canary (caching/LSH path) ----
     QuerySpec("q_minhash_lsh", q_minhash_lsh, ORACLES["q_minhash_lsh"], True),
-    # ==== driver 50-entry verification window ends here ====
-    # (q_grouping_sets/q_cube/q_pivot_status/q_sliding_window/
-    # q_interval_join/q_asof_forward yielded their window slots to the
-    # six new r4 gate queries — each has an in-window family peer as
-    # canary (q_rollup, q_event_window, q_asof_join) and all six are
-    # r2-driver-verified)
-    QuerySpec("q_grouping_sets", q_grouping_sets, ORACLES["q_grouping_sets"]),
-    QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
-    QuerySpec("q_pivot_status", q_pivot_status, ORACLES["q_pivot_status"]),
-    QuerySpec("q_sliding_window", q_sliding_window, ORACLES["q_sliding_window"]),
-    QuerySpec("q_interval_join", q_interval_join, ORACLES["q_interval_join"]),
-    QuerySpec("q_asof_forward", q_asof_forward, ORACLES["q_asof_forward"]),
-    # ---- block 7: r3-driver-verified (all green in CORRECTNESS_r03) --
-    QuerySpec("q_percentiles", q_percentiles, ORACLES["q_percentiles"], True),
-    QuerySpec("q_median_exact", q_median_exact, ORACLES["q_median_exact"]),
-    QuerySpec("q_except_keys", q_except_keys, ORACLES["q_except_keys"]),
-    QuerySpec("q_intersect_keys", q_intersect_keys, ORACLES["q_intersect_keys"]),
-    QuerySpec(
-        "q_doc_embedding_join",
-        q_doc_embedding_join,
-        ORACLES["q_doc_embedding_join"],
-    ),
-    QuerySpec("q_amount_stats", q_amount_stats, ORACLES["q_amount_stats"], True),
-    QuerySpec("q_window_frames", q_window_frames, ORACLES["q_window_frames"], True),
-    QuerySpec("q_rolling_sum", q_rolling_sum, ORACLES["q_rolling_sum"]),
-    QuerySpec("q_tpch_q1", q_tpch_q1, ORACLES["q_tpch_q1"], True),
-    QuerySpec("q_tpch_q2", q_tpch_q2, ORACLES["q_tpch_q2"], True),
-    QuerySpec("q_tpch_q3", q_tpch_q3, ORACLES["q_tpch_q3"], True),
-    QuerySpec("q_tpch_q4", q_tpch_q4, ORACLES["q_tpch_q4"], True),
-    QuerySpec("q_tpch_q5", q_tpch_q5, ORACLES["q_tpch_q5"], True),
-    QuerySpec("q_tpch_q6", q_tpch_q6, ORACLES["q_tpch_q6"], True),
-    QuerySpec("q_tpch_q7", q_tpch_q7, ORACLES["q_tpch_q7"], True),
-    QuerySpec("q_tpch_q8", q_tpch_q8, ORACLES["q_tpch_q8"], True),
-    QuerySpec("q_tpch_q9", q_tpch_q9, ORACLES["q_tpch_q9"]),
-    QuerySpec("q_tpch_q10", q_tpch_q10, ORACLES["q_tpch_q10"], True),
-    QuerySpec("q_tpch_q11", q_tpch_q11, ORACLES["q_tpch_q11"], True),
-    QuerySpec("q_tpch_q12", q_tpch_q12, ORACLES["q_tpch_q12"], True),
-    QuerySpec("q_tpch_q13", q_tpch_q13, ORACLES["q_tpch_q13"], True),
-    QuerySpec("q_tpch_q14", q_tpch_q14, ORACLES["q_tpch_q14"], True),
-    QuerySpec("q_tpch_q15", q_tpch_q15, ORACLES["q_tpch_q15"]),
-    QuerySpec("q_tpch_q16", q_tpch_q16, ORACLES["q_tpch_q16"]),
-    QuerySpec("q_tpch_q17", q_tpch_q17, ORACLES["q_tpch_q17"], True),
-    QuerySpec("q_tpch_q18", q_tpch_q18, ORACLES["q_tpch_q18"], True),
-    QuerySpec("q_tpch_q19", q_tpch_q19, ORACLES["q_tpch_q19"], True),
-    QuerySpec("q_tpch_q20", q_tpch_q20, ORACLES["q_tpch_q20"]),
-    QuerySpec("q_tpch_q21", q_tpch_q21, ORACLES["q_tpch_q21"]),
-    QuerySpec("q_tpch_q22", q_tpch_q22, ORACLES["q_tpch_q22"]),
-    QuerySpec("q_date_parts", q_date_parts, ORACLES["q_date_parts"]),
-    QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
-    QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),
-    QuerySpec("q_hash_sample", q_hash_sample, ORACLES["q_hash_sample"]),
-    QuerySpec(
-        "q_tfidf_topterms", q_tfidf_topterms, ORACLES["q_tfidf_topterms"], True
-    ),
-    QuerySpec("q_embed_dedup", q_embed_dedup, ORACLES["q_embed_dedup"]),
-    QuerySpec("q_domain_cap", q_domain_cap, ORACLES["q_domain_cap"]),
-    QuerySpec("q_percentiles_approx", q_percentiles_approx, None),
-    QuerySpec("q_cosine_pairs", q_cosine_pairs, ORACLES["q_cosine_pairs"]),
-    QuerySpec("q_join_fact_dim", q_join_fact_dim, ORACLES["q_join_fact_dim"], True),
-    QuerySpec("q_join_multiway", q_join_multiway, ORACLES["q_join_multiway"], True),
-    QuerySpec("q_media_features", q_media_features, None),
-    QuerySpec("q_simhash", q_simhash, ORACLES["q_simhash"], True),
-    QuerySpec("q_dedup_clusters", q_dedup_clusters, ORACLES["q_dedup_clusters"]),
-    QuerySpec("q_corpus_select", q_corpus_select, ORACLES["q_corpus_select"]),
-    QuerySpec("q_sessionize", q_sessionize, ORACLES["q_sessionize"], True),
 ]
 
 HEADLINE_QUERIES = [q.name for q in QUERIES if q.headline]

@@ -63,7 +63,7 @@ def timed(label, df):
 ALL_OPS = (
     "minhash_lsh simhash_pairs tfidf_topterms token_packing contamination "
     "unigram_logprob count_by_key topk global_index rolling_sum cosine_topk "
-    "cosine_pairs_exact cosine_rh_lsh cms"
+    "cosine_pairs_exact cosine_rh_lsh cms ann_quantized"
 ).split()
 
 
@@ -298,7 +298,7 @@ def main() -> None:
             )
         )
 
-    if want("cosine_pairs_exact", "cosine_rh_lsh"):
+    if want("cosine_pairs_exact", "cosine_rh_lsh", "ann_quantized"):
         em1d = em1.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
         )
@@ -328,6 +328,34 @@ def main() -> None:
         results["cosine_rh_lsh"] = {
             "t1": timed("rh-lsh 1x", similarity.rh_lsh_pairs(p1, 0.9)),
             "tN": timed(f"rh-lsh {factor}x", similarity.rh_lsh_pairs(pN, 0.9)),
+        }
+
+    # --- embeddings: the int8 + trained-IVF SERVE tier (r4's newest
+    # scale claim): quantize → dequantize round-trip composed with the
+    # trained-quantizer IVF probe. Expectation: ~linear — the int8
+    # round-trip is narrow per-row work and the probe scans a fixed
+    # nprobe/cells fraction of the corpus. The quantizer model is fit
+    # ONCE (serve never refits — the lifecycle under test) on the 1×
+    # corpus and reused at N×, exactly how a persisted model serves a
+    # growing corpus between scheduled retrains.
+    if want("ann_quantized"):
+        cents, _, _ = similarity.kmeans_fit(em1d, 8, max_iterations=4)
+        cents = cents.localCheckpoint()
+
+        def quantized_serve(d):
+            return similarity.ivf_topk(
+                similarity.dequantized_embeddings(d),
+                [0, 1, 2],
+                5,
+                nprobe=4,
+                centroids=cents,
+            )
+
+        # p1/pN: the materialized (parquet-backed) corpora — timing the
+        # unmaterialized emNf would bill md5 synthesis to the serve path
+        results["ann_quantized"] = {
+            "t1": timed("ann-q 1x", quantized_serve(p1)),
+            "tN": timed(f"ann-q {factor}x", quantized_serve(pN)),
         }
 
     for op, r in results.items():

@@ -142,6 +142,22 @@ def test_kmeans_fit_or_load_round_trip(spark, sf_dir, tmp_path):
     assert len(a) == 4
 
 
+def test_kmeans_fit_or_load_refits_on_k_mismatch(spark, sf_dir, tmp_path):
+    """ADVICE r4: a valid-schema model trained with a DIFFERENT k must
+    trigger the refit fallback, never be served silently."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "kmeans_model_k")
+    similarity.kmeans_fit_or_load(
+        spark, emb, k=3, model_path=path, max_iterations=2
+    )
+    served = similarity.kmeans_fit_or_load(
+        spark, emb, k=5, model_path=path, max_iterations=2
+    )
+    assert served.count() == 5  # refit with the requested k, not 3
+    # and the refit overwrote the stale model
+    assert spark.read.parquet(path).count() == 5
+
+
 def test_cosine_expr_unit_norm(spark):
     df = spark.createDataFrame([(1,)], ["id"]).select(
         F.array(F.lit(1.0), F.lit(0.0)).alias("a"),
@@ -239,3 +255,20 @@ def test_rh_lsh_matches_exact_on_planted(spark, sf_dir):
     }
     release_cached()
     assert got == want and len(want) >= 20
+
+
+def test_winnow_df_cap_mirrored_in_oracle():
+    """VERDICT r4 wrong #3: the q_winnow_pairs registry entry and its
+    DuckDB oracle must apply the SAME df cap and min-shared bound —
+    both sides render from the shared constants, and this pin catches
+    either side hardcoding a diverging number (the end-to-end hash
+    would catch it too, but only at driver time)."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.plans import queries as Q
+
+    sql = Q.ORACLES["q_winnow_pairs"]
+    assert f"count(*) <= {Q.WINNOW_MAX_FP_DF}" in sql
+    assert f"count(*) >= {Q.WINNOW_MIN_SHARED}" in sql
+    # the CTE embeds k and w only as derived offsets (k−1 rolling-hash
+    # span, w−1 window span) — pin those so a k/w drift still trips
+    assert f"- {dedup.WINNOW_K - 1}" in sql
+    assert f"+ {dedup.WINNOW_W - 1}" in sql

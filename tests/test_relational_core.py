@@ -141,3 +141,32 @@ def test_rollup_has_grand_total(spark, sf_dir):
     ).collect()
     assert len(grand) == 1
     assert grand[0]["n_rows"] == li.count()
+
+
+def test_global_running_sum_fractional_dtype(spark):
+    """ADVICE r4: a double value column must accumulate natively —
+    no 1e-6 decimal rounding, no silent NULL overflow past decimal
+    range, and the output keeps its fractional dtype instead of being
+    truncated to long."""
+    rows = [(i, 0.001 * i) for i in range(1, 201)] + [(201, 1e25)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = windows.global_running_sum(df, ["k"], "v", num_partitions=4)
+    assert dict(out.dtypes)["running_sum"] == "double"
+    got = {r.k: r.running_sum for r in out.collect()}
+    # fractional precision survives (0.001*1 + ... exact to double ulp)
+    expect = 0.0
+    for i in range(1, 201):
+        expect += 0.001 * i
+        assert abs(got[i] - expect) < 1e-9
+    # magnitude beyond decimal(28,6) range doesn't overflow to NULL
+    assert got[201] is not None and got[201] > 1e24
+
+
+def test_global_running_sum_integral_stays_long(spark):
+    df = spark.createDataFrame(
+        [(i, i) for i in range(1, 51)], ["k", "v"]
+    )
+    out = windows.global_running_sum(df, ["k"], "v", num_partitions=4)
+    assert dict(out.dtypes)["running_sum"] == "bigint"
+    got = {r.k: r.running_sum for r in out.collect()}
+    assert got[50] == 50 * 51 // 2
