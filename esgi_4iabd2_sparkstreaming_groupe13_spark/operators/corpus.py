@@ -375,3 +375,98 @@ def token_length_histogram(
             F.sum("_n").cast("long").alias("total_tokens"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-length split a
+    training pipeline runs before tokenizer packing: each document's
+    word tokens become windows of ``chunk_size`` tokens starting every
+    ``stride`` tokens (``stride < chunk_size`` ⇒ overlap, preserving
+    cross-boundary context).
+
+    Contract (engine-portable, so the DuckDB oracle reproduces it
+    bit-for-bit): chunks start at token offsets 0, stride, 2·stride, …
+    strictly below ``n_tokens``; the final chunk may be short; docs
+    with zero tokens emit nothing. ``chunk_id = start / stride``.
+
+    Scale shape: zero shuffle — tokenize, ``sequence`` over starts,
+    ``explode``, ``slice`` are all narrow per-row expressions; output
+    grows ×(1 + overlap) like any chunker. The explode sits AFTER the
+    parquet scan's column pruning, so only (id, text) is read.
+    """
+    if not (0 < stride and 0 < chunk_size):
+        raise ValueError("chunk_size and stride must be positive")
+    toks = token_array(F.col(text_col))
+    with_toks = df.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
+    ).where(F.col("_n") > 0)
+    starts = F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_size)
+    return (
+        with_toks.select(
+            id_col, "_toks", F.explode(starts).alias("_start")
+        )
+        .select(
+            F.col(id_col),
+            (F.col("_start") / stride).cast("long").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+    )
+
+
+def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document mean bigram conditional log-probability — the
+    next-quality-tier LM proxy after :func:`unigram_logprob`: average
+    of ln(c(w₁,w₂) / c(w₁·)) over the doc's bigram instances, where
+    c(w₁·) counts w₁ as a LEFT context (doc-final tokens excluded), so
+    each term is a proper conditional ≤ 0. Docs with < 2 tokens drop
+    (no bigram mass to average).
+
+    Engine parity mirrors [[unigram_logprob]]: each log is rounded to
+    6 decimals FIRST, accumulated as DECIMAL(18,6) — an
+    order-independent exact sum — then the mean is rounded to 6.
+
+    Scale shape: the bigram stream shuffles twice (once per frequency
+    table key: (w₁,w₂) and w₁), both partial+final hash aggregates
+    with map-side combine; the joins back to the stream are plain
+    equi-joins AQE can broadcast when the vocab is small. No windows,
+    no collects.
+    """
+    arr = token_array(F.col(text_col))
+    pairs = (
+        df.select(F.col(id_col), arr.alias("_a"), F.size(arr).alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("_a"), 1, F.col("_n") - 1).alias("w1"),
+                    F.slice(F.col("_a"), 2, F.col("_n") - 1).alias("w2"),
+                )
+            ).alias("_bg"),
+        )
+        .select(id_col, F.col("_bg.w1").alias("_w1"), F.col("_bg.w2").alias("_w2"))
+    )
+    freq2 = pairs.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c2"))
+    freq1 = pairs.groupBy("_w1").agg(F.count(F.lit(1)).alias("_c1"))
+    logp = F.round(
+        F.log(F.col("_c2").cast("double") / F.col("_c1")), 6
+    ).cast("decimal(18,6)")
+    return (
+        pairs.join(freq2, ["_w1", "_w2"])
+        .join(freq1, "_w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(logp).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_bigram_logprob"),
+        )
+    )

@@ -823,3 +823,49 @@ def kmeans_fit(
         if shift < tol:
             break
     return cents, iterations, shift
+
+
+def embedding_centroids(
+    embeddings: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding centroid in LONG format — one row per
+    (group, dimension) with the exact component mean — the vector
+    aggregate under domain/topic profiling ("what does this source's
+    embedding mass look like") and the seed step of any
+    centroid-init clustering.
+
+    Long format is deliberate: per-dimension rows keep the aggregation
+    a plain (group, dim) hash aggregate — mergeable, map-side
+    combined, skew-free (dimension spreads each group's mass across
+    ``dim`` reducer keys) — and make the result directly
+    oracle-checkable without float-array assembly. Callers wanting
+    array form can ``collect_list(struct(dim, val))`` + sort, which is
+    k·dim rows, trivially small.
+
+    Engine parity: components are rounded to 6 decimals FIRST and
+    summed as DECIMAL(18,6) (order-independent exact accumulation),
+    then the mean is rounded to 6 — same contract as the logprob
+    operators, so reduction order can never move the hash.
+    """
+    comp = F.round(F.col("_v").cast("double"), 6).cast("decimal(18,6)")
+    return (
+        embeddings.select(
+            F.col(group_col), F.posexplode(F.col(vec_col)).alias("_d", "_v")
+        )
+        .groupBy(group_col, "_d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(
+                F.sum(comp).cast("double") / F.count(F.lit(1)), 6
+            ).alias("centroid_val"),
+        )
+        .select(
+            group_col,
+            F.col("_d").cast("long").alias("dim"),
+            "n_vecs",
+            "centroid_val",
+        )
+    )

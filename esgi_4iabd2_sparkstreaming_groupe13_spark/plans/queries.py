@@ -263,12 +263,17 @@ def q_ann_quantized_recall(spark, sf_dir):
     (dequantized on the fly) + IVF probing, gated on recall@5 against
     the EXACT full-precision brute-force tier. Compression and probing
     each lose a little recall; the gate bounds their COMBINED loss —
-    the number a serving deployment actually cares about. Rows-only
-    (IVF + quantization in SQL would re-implement both operators);
-    deterministic throughout, pytest gate ≥ 0.8 mean recall."""
+    the number a serving deployment actually cares about.
+
+    ORACLE-CHECKED since r5, same contract as q_ann_recall: the EXACT
+    full-precision top-5 per query is emitted in rank order and hash-
+    matched by DuckDB (int8+IVF probing itself is not SQL-replicable);
+    the recall-floor boolean bounds catastrophic compression loss in
+    the driver gate while the pytest combined-loss gate (≥ 0.8 mean)
+    pins the exact value."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = _trained_centroids(spark, sf_dir)
-    return similarity.ann_recall(
+    return similarity.ann_recall_checked(
         emb,
         QUERY_VEC_IDS,
         k=5,
@@ -1888,6 +1893,43 @@ def q_unigram_logprob(spark, sf_dir):
     )
 
 
+#: Chunking geometry for q_doc_chunks — overlap (stride < size) so the
+#: oracle exercises the interesting case, small enough that sf0.01's
+#: short docs still produce multi-chunk output.
+CHUNK_SIZE, CHUNK_STRIDE = 16, 12
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (new r5): zero-shuffle
+    sequence/explode/slice pipeline; chunk starts at 0, stride, … below
+    n_tokens, final chunk may be short. The oracle re-derives every
+    chunk's text from the same contract."""
+    return corpus.chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        chunk_size=CHUNK_SIZE,
+        stride=CHUNK_STRIDE,
+    )
+
+
+def q_bigram_logprob(spark, sf_dir):
+    """Bigram conditional LM proxy (new r5): mean ln(c(w1,w2)/c(w1·))
+    per doc, rounded-then-decimal-summed like the unigram tier."""
+    return corpus.bigram_logprob(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+def q_embed_centroid(spark, sf_dir):
+    """Per-label embedding centroid in long (label, dim) format (new
+    r5): skew-free (group, dim) hash aggregate with decimal-exact
+    component sums."""
+    return similarity.embedding_centroids(
+        _t(spark, sf_dir, "embeddings"), "label"
+    )
+
+
 # ====================================================================
 # DuckDB oracle SQL
 # ====================================================================
@@ -2915,6 +2957,11 @@ GROUP BY 1
     # brute-force top-5 per query; the IVF recall-floor boolean must
     # be TRUE (IVF itself is not SQL-replicable — see q_ann_recall)
     "q_ann_recall": _ann_recall_oracle(5),
+    # identical exact side — the quantized query differs only in which
+    # corpus representation the (non-SQL-replicable) approximate tier
+    # searches; the hash-matched exact top-5 and the floor boolean are
+    # the same contract
+    "q_ann_quantized_recall": _ann_recall_oracle(5),
     "q_cosine_pairs": _cosine_pairs_oracle(0.35, max_ids=COSINE_PAIRS_MAX_ID),
     "q_cosine_lsh": _cosine_lsh_oracle(0.9),
     "q_hash_sample": _hash_sample_oracle(),
@@ -3102,6 +3149,50 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
 FROM tok JOIN freq USING (t) CROSS JOIN tot
 GROUP BY doc_id
 """,
+    "q_doc_chunks": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       start // {CHUNK_STRIDE} AS chunk_id,
+       CAST(len(list_slice(toks, start + 1, start + {CHUNK_SIZE}))
+            AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, start + 1, start + {CHUNK_SIZE}),
+                       ' ') AS chunk_text
+FROM s
+""",
+    "q_bigram_logprob": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(range(1, len(toks))) u(i)
+  WHERE len(toks) >= 2
+), f2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2
+), f1 AS (
+  SELECT w1, count(*) AS c1 FROM bg GROUP BY 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(CAST(round(ln(CAST(c2 AS DOUBLE) / c1), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS avg_bigram_logprob
+FROM bg JOIN f2 USING (w1, w2) JOIN f1 USING (w1)
+GROUP BY doc_id
+""",
+    "q_embed_centroid": """
+SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS centroid_val
+FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
+GROUP BY label, i
+""",
     "q_lang_id": _lang_id_oracle(),
     "q_quality": f"""
 SELECT doc_id,
@@ -3139,16 +3230,19 @@ FROM documents
 # (q_grouping_sets/q_cube/q_pivot_status/q_sliding_window/
 # q_interval_join/q_asof_forward), then (b) the queries CHANGED this
 # round (q_global_index single-shuffle rewrite; q_ann_recall and
-# q_percentiles_approx moved from rows-only to oracle-backed contracts
-# and need their first hash-green rows; q_bloom_contamination's gate
-# slack went analytic), then (c) the whole r3-last-green block —
-# TPC-H 1–22 (q_tpch_q2 also changed: pre-aggregate semi-join
-# prefilter), percentiles/sets/frames, scalar-function and corpus-
-# construction queries. The r4-verified 46 rotate BEHIND the window as
-# next round's canaries. Four r3-verified entries stay behind for one
-# more round for lack of slots — q_simhash (family peer q_simhash_pairs
-# r4-green), q_dedup_clusters + q_corpus_select (planted-cluster
-# pytests + shared components), q_sessionize (stream==batch pytest);
+# q_percentiles_approx and q_ann_quantized_recall moved from rows-only
+# to oracle-backed contracts and need their first hash-green rows;
+# q_doc_chunks / q_bigram_logprob / q_embed_centroid are NEW in r5;
+# q_bloom_contamination's gate slack went analytic), then (c) the
+# r3-last-green block — TPC-H 1–22 (q_tpch_q2 also changed:
+# pre-aggregate semi-join prefilter), percentiles/sets/frames,
+# scalar-function and corpus-construction queries. The r4-verified 46
+# rotate BEHIND the window as next round's canaries. Eight r3-verified
+# entries stay behind for lack of slots — q_simhash (family peer
+# q_simhash_pairs r4-green), q_dedup_clusters + q_corpus_select
+# (planted-cluster pytests + shared components), q_sessionize
+# (stream==batch pytest), and the four displaced by block 2's growth
+# (q_domain_cap, q_cosine_pairs, q_join_fact_dim, q_join_multiway);
 # ROTATE THEM IN FIRST in r6. scripts/oracle_check.py still runs the
 # whole list every round.
 QUERIES: list[QuerySpec] = [
@@ -3162,6 +3256,18 @@ QUERIES: list[QuerySpec] = [
     # ---- block 2: changed / newly oracle-backed in round 5 ----
     QuerySpec("q_global_index", q_global_index, ORACLES["q_global_index"], True),
     QuerySpec("q_ann_recall", q_ann_recall, ORACLES["q_ann_recall"]),
+    QuerySpec(
+        "q_ann_quantized_recall",
+        q_ann_quantized_recall,
+        ORACLES["q_ann_quantized_recall"],
+    ),
+    QuerySpec("q_doc_chunks", q_doc_chunks, ORACLES["q_doc_chunks"], True),
+    QuerySpec(
+        "q_bigram_logprob", q_bigram_logprob, ORACLES["q_bigram_logprob"], True
+    ),
+    QuerySpec(
+        "q_embed_centroid", q_embed_centroid, ORACLES["q_embed_centroid"]
+    ),
     QuerySpec(
         "q_percentiles_approx",
         q_percentiles_approx,
@@ -3217,12 +3323,15 @@ QUERIES: list[QuerySpec] = [
         "q_tfidf_topterms", q_tfidf_topterms, ORACLES["q_tfidf_topterms"], True
     ),
     QuerySpec("q_embed_dedup", q_embed_dedup, ORACLES["q_embed_dedup"]),
+    # ==== driver 50-entry verification window ends here ====
+    # r3-verified holdovers (no slots left — ROTATE IN FIRST in r6;
+    # q_domain_cap/q_cosine_pairs/q_join_fact_dim/q_join_multiway were
+    # displaced from the r5 window by the four new/changed
+    # oracle-backed entries in block 2):
     QuerySpec("q_domain_cap", q_domain_cap, ORACLES["q_domain_cap"]),
     QuerySpec("q_cosine_pairs", q_cosine_pairs, ORACLES["q_cosine_pairs"]),
     QuerySpec("q_join_fact_dim", q_join_fact_dim, ORACLES["q_join_fact_dim"], True),
     QuerySpec("q_join_multiway", q_join_multiway, ORACLES["q_join_multiway"], True),
-    # ==== driver 50-entry verification window ends here ====
-    # r3-verified holdovers (no slots left — ROTATE IN FIRST in r6):
     QuerySpec("q_simhash", q_simhash, ORACLES["q_simhash"], True),
     QuerySpec("q_dedup_clusters", q_dedup_clusters, ORACLES["q_dedup_clusters"]),
     QuerySpec("q_corpus_select", q_corpus_select, ORACLES["q_corpus_select"]),
@@ -3244,7 +3353,6 @@ QUERIES: list[QuerySpec] = [
         "q_embed_quantize", q_embed_quantize, ORACLES["q_embed_quantize"]
     ),
     QuerySpec("q_kmeans_cells", q_kmeans_cells, None),
-    QuerySpec("q_ann_quantized_recall", q_ann_quantized_recall, None),
     QuerySpec("q_token_packing", q_token_packing, ORACLES["q_token_packing"]),
     QuerySpec("q_scan_project", q_scan_project, ORACLES["q_scan_project"]),
     QuerySpec("q_filter_range", q_filter_range, ORACLES["q_filter_range"], True),

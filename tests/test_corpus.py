@@ -203,3 +203,68 @@ def test_cap_per_stratum_plan_uses_window_group_limit(spark):
     p = corpus.cap_per_stratum(df, "doc_id", "source", 3) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in p
+
+
+def test_chunk_documents_boundaries(spark):
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6"), (2, "only"), (3, "  .,  ")],
+        ["doc_id", "text"],
+    )
+    out = corpus.chunk_documents(df, "text", "doc_id", chunk_size=4, stride=3)
+    rows = {(r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text)
+            for r in out.collect()}
+    # doc 1: 7 tokens -> starts 0, 3, 6
+    assert rows[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert rows[(1, 1)] == (4, "t3 t4 t5 t6")   # overlap of 1 token
+    assert rows[(1, 2)] == (1, "t6")            # short final chunk
+    assert rows[(2, 0)] == (1, "only")
+    # doc 3 has zero tokens -> no rows
+    assert {k[0] for k in rows} == {1, 2}
+
+
+def test_bigram_logprob_values(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a"), (3, "solo")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: (r.n_bigrams, r.avg_bigram_logprob) for r in
+           corpus.bigram_logprob(df, "text", "doc_id").collect()}
+    # bigram instances: doc1 (a,b) (b,a) (a,b); doc2 (b,a)
+    # c2: (a,b)=2 (b,a)=2 ; c1 (left contexts): a=2 b=2
+    lab = round(math.log(2 / 2), 6)   # 0.0
+    lba = round(math.log(2 / 2), 6)
+    assert out[1] == (3, round((lab + lba + lab) / 3, 6))
+    assert out[2] == (1, lba)
+    assert 3 not in out  # <2 tokens: no bigram mass
+
+
+def test_bigram_logprob_conditionals_sum_to_one_per_context(spark):
+    """Per left-context w1, sum over w2 of c2/c1 must be exactly 1 —
+    the property that makes each term a proper conditional."""
+    df = spark.createDataFrame(
+        [(1, "x y x z x y"), (2, "y z")], ["doc_id", "text"]
+    )
+    toks = corpus.token_array(F.col("text"))
+    pairs = (
+        df.select(toks.alias("a"), F.size(toks).alias("n"))
+        .where(F.col("n") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("a", 1, F.col("n") - 1).alias("w1"),
+                    F.slice("a", 2, F.col("n") - 1).alias("w2"),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    c2 = pairs.groupBy("w1", "w2").count()
+    c1 = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    per_ctx = (
+        c2.join(c1, "w1")
+        .groupBy("w1")
+        .agg(F.sum(F.col("count") / F.col("c1")).alias("mass"))
+        .collect()
+    )
+    assert per_ctx and all(abs(r.mass - 1.0) < 1e-12 for r in per_ctx)

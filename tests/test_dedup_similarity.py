@@ -272,3 +272,17 @@ def test_winnow_df_cap_mirrored_in_oracle():
     # span, w−1 window span) — pin those so a k/w drift still trips
     assert f"- {dedup.WINNOW_K - 1}" in sql
     assert f"+ {dedup.WINNOW_W - 1}" in sql
+
+
+def test_embedding_centroids_long_format(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [3.0, 4.0], 0), (3, [10.0, -2.0], 1)],
+        ["vec_id", "embedding", "label"],
+    )
+    out = {(r.label, r.dim): (r.n_vecs, r.centroid_val) for r in
+           similarity.embedding_centroids(df, "label").collect()}
+    assert out[(0, 0)] == (2, 2.0)
+    assert out[(0, 1)] == (2, 3.0)
+    assert out[(1, 0)] == (1, 10.0)
+    assert out[(1, 1)] == (1, -2.0)
+    assert len(out) == 4
