@@ -470,3 +470,39 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ).alias("avg_bigram_logprob"),
         )
     )
+
+
+#: Salt for weighted sampling — independent of every other md5-keyed
+#: decision on the same ids (uniform sampling, capping, splits).
+WEIGHTED_SALT = "wsample:"
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col,
+    resolution: int = 1_000_000,
+    salt: str = WEIGHTED_SALT,
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling: keep each row with probability
+    equal to its per-row ``weight_col`` (clamped to [0, 1]) — the
+    quality-proportional downsampling step corpus pipelines run so
+    higher-quality documents survive at higher rates than a flat
+    uniform rate, while staying re-runnable and auditable.
+
+    Decision rule (engine-portable, like [[hash_sample]]):
+    ``md5_int(salt || id) % resolution < round(weight × resolution)``.
+    The hash is uniform on [0, resolution), so P(keep) = weight to
+    1/resolution precision; keyed on the id alone, the kept set is
+    independent of partitioning, engine, and run order. Callers who
+    need EXACT cross-engine parity should pass weights whose
+    ``weight × resolution`` is integral (no float-rounding boundary).
+
+    Scale shape: a pure per-row filter under the scan — zero shuffle,
+    no RNG state, prunes before any downstream shuffle.
+    """
+    w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight_col))
+    bucket = md5_int(
+        F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    ) % resolution
+    return df.filter(bucket < F.round(w * resolution).cast("long"))

@@ -146,6 +146,80 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    n: int = DEFAULT_SHINGLE_N,
+    max_chars: int = 512,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT — the subset-duplication detector
+    Jaccard misses: a short document quoted wholesale inside a long one
+    scores |∩|/|A| ≈ 1 while Jaccard ≈ |A|/|B| stays low. Pipelines
+    dedup on containment to drop embedded/quoted copies that the
+    symmetric metric would keep.
+
+    Same inverted-index skeleton (and therefore the same scale
+    contract) as :func:`ngram_jaccard_pairs`: exact and O(Σ df²) by
+    contract, ``max_shingle_df`` caps hot shingles, the banded MinHash
+    tier is the documented 100 TB path for candidate generation.
+
+    Returns (id_a, id_b, containment_a, containment_b, jaccard) with
+    id_a < id_b, keeping pairs where EITHER direction's containment
+    ≥ ``threshold``; ratios rounded to 6 dp for cross-engine parity.
+    """
+    sh = with_shingles(df, text_col, id_col, n, max_chars)
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
+    inv = sh.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    if max_shingle_df is not None:
+        rare = (
+            inv.groupBy("sh")
+            .agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") <= max_shingle_df)
+            .select("sh")
+        )
+        inv = inv.join(rare, "sh")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    cont_a = F.round(F.col("n_inter") / F.col("n_a"), 6)
+    cont_b = F.round(F.col("n_inter") / F.col("n_b"), 6)
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cont_a.alias("containment_a"),
+            cont_b.alias("containment_b"),
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= threshold
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,

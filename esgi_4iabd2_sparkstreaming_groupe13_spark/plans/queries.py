@@ -1300,6 +1300,25 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
 
 
+def q_containment(spark, sf_dir):
+    """Asymmetric shingle containment (new r5) on the same bounded
+    slice as q_ngram_jaccard — catches subset-duplication (short doc
+    embedded in a long one) the symmetric metric under-scores."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < N_JACCARD_DOCS)
+    return dedup.containment_pairs(docs, "text", "doc_id", threshold=0.7)
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Quality-proportional deterministic sampling (new r5): keep
+    probability = min(1, n_chars/400) per doc. n_chars×2500 is exactly
+    integral, so the round() boundary is engine-exact and the oracle
+    reproduces the kept set bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.weighted_sample(
+        docs, "doc_id", F.col("n_chars") / F.lit(400.0)
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 def q_minhash_sig(spark, sf_dir):
     """MinHash signature head (8 md5-affine permutations), flattened."""
     sigs = dedup.minhash_signatures(
@@ -2020,6 +2039,35 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}
+"""
+
+
+def _containment_pairs_oracle(threshold: float, id_filter: str = "TRUE") -> str:
+    """Mirror of ``dedup.containment_pairs``: same inverted-index CTEs
+    as the Jaccard oracle, emitting both containment directions and
+    keeping pairs where either direction clears the threshold."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_SHINGLES} AS shingles FROM documents WHERE {id_filter}
+), sh AS (
+  SELECT doc_id, unnest(shingles) AS s FROM d
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM d
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / sa.n_sh, 6) AS containment_a,
+       round(CAST(n_inter AS DOUBLE) / sb.n_sh, 6) AS containment_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE greatest(round(CAST(n_inter AS DOUBLE) / sa.n_sh, 6),
+               round(CAST(n_inter AS DOUBLE) / sb.n_sh, 6)) >= {threshold}
 """
 
 
@@ -2945,6 +2993,16 @@ FROM documents
 GROUP BY 1
 """,
     "q_ngram_jaccard": _jaccard_pairs_oracle(0.8, f"doc_id < {N_JACCARD_DOCS}"),
+    "q_containment": _containment_pairs_oracle(
+        0.7, f"doc_id < {N_JACCARD_DOCS}"
+    ),
+    # kept set reproduced bit-for-bit: weight×resolution is integral
+    # (n_chars × 2500), so the round() boundary is engine-exact
+    "q_weighted_sample": f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE {md5_int_sql("('wsample:' || CAST(doc_id AS VARCHAR))")} % 1000000
+      < round(least(1.0, n_chars / 400.0) * 1000000)
+""",
     "q_minhash_sig": _minhash_sig_oracle(),
     "q_dedup_clusters": _dedup_clusters_oracle(0.9),
     "q_corpus_select": _corpus_select_oracle(0.9),
@@ -3268,6 +3326,10 @@ QUERIES: list[QuerySpec] = [
     QuerySpec(
         "q_embed_centroid", q_embed_centroid, ORACLES["q_embed_centroid"]
     ),
+    QuerySpec("q_containment", q_containment, ORACLES["q_containment"]),
+    QuerySpec(
+        "q_weighted_sample", q_weighted_sample, ORACLES["q_weighted_sample"]
+    ),
     QuerySpec(
         "q_percentiles_approx",
         q_percentiles_approx,
@@ -3319,15 +3381,15 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
     QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),
     QuerySpec("q_hash_sample", q_hash_sample, ORACLES["q_hash_sample"]),
+    # ==== driver 50-entry verification window ends here ====
+    # r3-verified holdovers (no slots left — ROTATE IN FIRST in r6;
+    # q_tfidf_topterms/q_embed_dedup/q_domain_cap/q_cosine_pairs/
+    # q_join_fact_dim/q_join_multiway were displaced from the r5 window
+    # by the six new/changed oracle-backed entries in block 2):
     QuerySpec(
         "q_tfidf_topterms", q_tfidf_topterms, ORACLES["q_tfidf_topterms"], True
     ),
     QuerySpec("q_embed_dedup", q_embed_dedup, ORACLES["q_embed_dedup"]),
-    # ==== driver 50-entry verification window ends here ====
-    # r3-verified holdovers (no slots left — ROTATE IN FIRST in r6;
-    # q_domain_cap/q_cosine_pairs/q_join_fact_dim/q_join_multiway were
-    # displaced from the r5 window by the four new/changed
-    # oracle-backed entries in block 2):
     QuerySpec("q_domain_cap", q_domain_cap, ORACLES["q_domain_cap"]),
     QuerySpec("q_cosine_pairs", q_cosine_pairs, ORACLES["q_cosine_pairs"]),
     QuerySpec("q_join_fact_dim", q_join_fact_dim, ORACLES["q_join_fact_dim"], True),

@@ -63,7 +63,8 @@ def timed(label, df):
 ALL_OPS = (
     "minhash_lsh simhash_pairs tfidf_topterms token_packing contamination "
     "unigram_logprob count_by_key topk global_index rolling_sum cosine_topk "
-    "cosine_pairs_exact cosine_rh_lsh cms ann_quantized"
+    "cosine_pairs_exact cosine_rh_lsh cms ann_quantized doc_chunks "
+    "bigram_logprob"
 ).split()
 
 
@@ -98,6 +99,8 @@ def main() -> None:
         "contamination",
         "unigram_logprob",
         "cms",
+        "doc_chunks",
+        "bigram_logprob",
     )
     if want(*doc_ops):
         docs1 = load_table(spark, SF_DIR, "documents")
@@ -186,6 +189,59 @@ def main() -> None:
             "t1": timed("unigram 1x", corpus.unigram_logprob(docs1, "text", "doc_id")),
             "tN": timed(
                 f"unigram {factor}x", corpus.unigram_logprob(docsN, "text", "doc_id")
+            ),
+        }
+
+    # token chunking (zero-shuffle narrow pipeline) and bigram log-prob
+    # (two bigram-key shuffles) — both must track ~linear
+    if want("doc_chunks"):
+        results["doc_chunks"] = {
+            "t1": timed(
+                "chunks 1x", corpus.chunk_documents(docs1, "text", "doc_id")
+            ),
+            "tN": timed(
+                f"chunks {factor}x",
+                corpus.chunk_documents(docsN, "text", "doc_id"),
+            ),
+        }
+    if want("bigram_logprob"):
+        # the shared docsN's md5-expanded copies are a single unbroken
+        # hex token (fine for char-shingle ops, invisible to a BIGRAM
+        # stream: <2 tokens → dropped). Build a bigram-specific scaled
+        # corpus whose fake copies carry 24 word tokens each, so the
+        # bigram stream itself grows ×factor.
+        tok_copies = [docs1]
+        for i in range(1, factor):
+            tok_copies.append(
+                docs1.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(i * 1_000_000)
+                ).withColumn(
+                    "text",
+                    F.concat_ws(
+                        " ",
+                        *[
+                            F.md5(
+                                F.concat_ws(
+                                    "_", F.col("doc_id"), F.lit(i), F.lit(j)
+                                )
+                            )
+                            for j in range(24)
+                        ],
+                    ),
+                )
+            )
+        docsTok = tok_copies[0]
+        for c in tok_copies[1:]:
+            docsTok = docsTok.unionByName(c)
+        docsTok.write.mode("overwrite").parquet(f"{tmp}/docsTok.parquet")
+        docsTok = spark.read.parquet(f"{tmp}/docsTok.parquet")
+        results["bigram_logprob"] = {
+            "t1": timed(
+                "bigram 1x", corpus.bigram_logprob(docs1, "text", "doc_id")
+            ),
+            "tN": timed(
+                f"bigram {factor}x",
+                corpus.bigram_logprob(docsTok, "text", "doc_id"),
             ),
         }
 

@@ -268,3 +268,30 @@ def test_bigram_logprob_conditionals_sum_to_one_per_context(spark):
         .collect()
     )
     assert per_ctx and all(abs(r.mass - 1.0) < 1e-12 for r in per_ctx)
+
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 11) / 10.0) for i in range(2000)], ["doc_id", "w"]
+    )
+    kept = corpus.weighted_sample(df, "doc_id", F.col("w"))
+    ids = {r.doc_id for r in kept.collect()}
+    # weight 0 rows can never survive; weight 1 rows always do
+    assert not any(i % 11 == 0 for i in ids)
+    assert all(i in ids for i in range(2000) if i % 11 == 10)
+    # keep-rate tracks the mean weight (0.5) within sampling noise
+    assert abs(len(ids) / 2000 - 0.5) < 0.05
+    # deterministic under repartitioning
+    ids2 = {r.doc_id for r in
+            corpus.weighted_sample(df.repartition(13), "doc_id", F.col("w"))
+            .collect()}
+    assert ids == ids2
+
+
+def test_weighted_sample_clamps_out_of_range_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 7.5), (2, -3.0)], ["doc_id", "w"]
+    )
+    kept = {r.doc_id for r in
+            corpus.weighted_sample(df, "doc_id", F.col("w")).collect()}
+    assert kept == {1}  # >1 clamps to always-keep, <0 to never-keep

@@ -286,3 +286,22 @@ def test_embedding_centroids_long_format(spark):
     assert out[(1, 0)] == (1, 10.0)
     assert out[(1, 1)] == (1, -2.0)
     assert len(out) == 4
+
+
+def test_containment_detects_embedded_document(spark):
+    filler = " ".join(f"distinct filler token number {i} padding" for i in range(12))
+    short_text = "quick brown fox jumps over"
+    long_text = f"{short_text} {filler}"   # short doc embedded verbatim
+    other = "entirely different material about spark shuffles and joins"
+    df = spark.createDataFrame(
+        [(1, short_text), (2, long_text), (3, other)], ["doc_id", "text"]
+    )
+    out = {(r.id_a, r.id_b): r for r in
+           dedup.containment_pairs(df, "text", "doc_id", threshold=0.9)
+           .collect()}
+    pair = out[(1, 2)]
+    # every shingle of the short doc appears in the long one...
+    assert pair.containment_a == 1.0
+    # ...but symmetric Jaccard stays low — the case this operator adds
+    assert pair.jaccard < 0.5
+    assert (1, 3) not in out and (2, 3) not in out
