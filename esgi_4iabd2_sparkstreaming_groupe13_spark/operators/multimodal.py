@@ -132,3 +132,93 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def _sniff_header(buf: bytes):
+    """Parse REAL container headers (format + dimensions / audio rate)
+    from raw bytes — magic-byte sniffing + fixed-offset header fields,
+    the part of media decoding that needs NO codec library. Returns
+    (format, width, height, sample_rate, channels)."""
+    if buf.startswith(b"\x89PNG\r\n\x1a\n") and len(buf) >= 24:
+        # IHDR is always first: width/height big-endian u32 at 16/20
+        w = int.from_bytes(buf[16:20], "big")
+        h = int.from_bytes(buf[20:24], "big")
+        return "png", w, h, None, None
+    if buf.startswith(b"GIF87a") or buf.startswith(b"GIF89a"):
+        if len(buf) >= 10:
+            w = int.from_bytes(buf[6:8], "little")
+            h = int.from_bytes(buf[8:10], "little")
+            return "gif", w, h, None, None
+        return "gif", None, None, None, None
+    if buf.startswith(b"\xff\xd8"):
+        # JPEG: walk the marker stream to the first SOF0/1/2 frame
+        # header; height/width are big-endian u16 at +5/+7 past it
+        i = 2
+        while i + 9 < len(buf):
+            if buf[i] != 0xFF:
+                break
+            marker = buf[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):
+                h = int.from_bytes(buf[i + 5 : i + 7], "big")
+                w = int.from_bytes(buf[i + 7 : i + 9], "big")
+                return "jpeg", w, h, None, None
+            seg_len = int.from_bytes(buf[i + 2 : i + 4], "big")
+            i += 2 + seg_len
+        return "jpeg", None, None, None, None
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE" and len(buf) >= 28:
+        # canonical fmt chunk: channels u16le @22, sample rate u32le @24
+        ch = int.from_bytes(buf[22:24], "little")
+        sr = int.from_bytes(buf[24:28], "little")
+        return "wav", None, None, sr, ch
+    return "unknown", None, None, None, None
+
+
+def media_header_metadata(df: DataFrame) -> DataFrame:
+    """REAL (not stubbed) media metadata extraction: magic-byte format
+    sniffing + header-field parsing for PNG / GIF / JPEG / WAV over the
+    opaque ``payload`` binary column, via Arrow-batched ``mapInPandas``.
+
+    Unlike :func:`extract_features`'s decode step, this path needs no
+    codec library — container headers are fixed-layout byte fields —
+    so it runs for real in any environment and is pinned by pytest
+    against hand-built valid files. Per row the work is O(header
+    bytes), not O(payload): the ingest-audit shape ("what formats and
+    resolutions are in this 100 TB media crawl?") stays scan-bound.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": pdf["media_id"],
+                "format": [],
+                "width": [],
+                "height": [],
+                "sample_rate": [],
+                "channels": [],
+                "n_bytes": [],
+            }
+            for payload in pdf["payload"]:
+                buf = bytes(payload) if payload is not None else b""
+                fmt, w, h, sr, ch = _sniff_header(buf)
+                rows["format"].append(fmt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sample_rate"].append(sr)
+                rows["channels"].append(ch)
+                rows["n_bytes"].append(len(buf))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, HEADER_SCHEMA)

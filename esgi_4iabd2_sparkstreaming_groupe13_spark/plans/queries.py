@@ -1584,6 +1584,73 @@ def q_media_features(spark, sf_dir):
     ).select("media_id", "kind", "n_bytes", "width", F.col("feature")[0].alias("f0"))
 
 
+N_MEDIA_HEADERS = 200
+
+
+def _be32_hex(col):
+    """Big-endian u32 → 8 hex chars (pure expression)."""
+    return F.lpad(F.lower(F.hex(col.cast("long"))), 8, "0")
+
+
+def _le_hex(col, n_bytes: int):
+    """Little-endian uint → 2·n_bytes hex chars via per-byte swap."""
+    parts = [
+        F.lpad(
+            F.lower(F.hex((col.cast("long") / (256 ** i)).cast("long") % 256)),
+            2,
+            "0",
+        )
+        for i in range(n_bytes)
+    ]
+    return F.concat(*parts)
+
+
+def q_media_headers(spark, sf_dir):
+    """REAL media metadata extraction, oracle-checked end to end: valid
+    PNG IHDR and WAV RIFF/fmt headers are synthesized JVM-side with
+    pure expressions (dimensions / sample rate / channels derived from
+    the id), parsed back by ``media_header_metadata``'s Arrow-batched
+    byte sniffing, and the DuckDB oracle predicts every parsed field
+    from the same id formulas — so a parser regression on any planted
+    header flips the hash. No codec library involved: container headers
+    are fixed-layout byte fields (this is the non-stubbed half of the
+    multimodal tier; pixel/audio decode remains environment-gated in
+    ``extract_features``)."""
+    from ..operators import multimodal
+
+    ids = spark.range(N_MEDIA_HEADERS).select(F.col("id").alias("media_id"))
+    w = 16 + F.col("media_id") % 1017
+    h = 16 + (F.col("media_id") * 7) % 1017
+    sr = 8000 + (F.col("media_id") % 5) * 8000
+    ch = 1 + F.col("media_id") % 2
+    png_hex = F.concat(
+        F.lit("89504e470d0a1a0a" + "0000000d" + "49484452"),
+        _be32_hex(w),
+        _be32_hex(h),
+        F.lit("0802000000"),
+    )
+    wav_hex = F.concat(
+        F.lit("52494646"),
+        _le_hex(F.lit(36), 4),
+        F.lit("57415645" + "666d7420"),
+        _le_hex(F.lit(16), 4),
+        _le_hex(F.lit(1), 2),
+        _le_hex(ch, 2),
+        _le_hex(sr, 4),
+        _le_hex(sr * ch * 2, 4),
+        _le_hex(ch * 2, 2),
+        _le_hex(F.lit(16), 2),
+    )
+    media = ids.select(
+        "media_id",
+        F.to_binary(
+            F.when(F.col("media_id") % 2 == 0, png_hex).otherwise(wav_hex),
+            F.lit("hex"),
+        ).alias("payload"),
+    )
+    return multimodal.media_header_metadata(media)
+
+
 # --------------------------------------------------------------------
 # Streaming (batch-equivalence form — the streaming engine really runs)
 # --------------------------------------------------------------------
@@ -3251,6 +3318,24 @@ SELECT label, CAST(i - 1 AS BIGINT) AS dim,
 FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
 GROUP BY label, i
 """,
+    # predicts every parsed header field from the same id formulas the
+    # Spark side used to SYNTHESIZE the payload bytes — a parser
+    # regression on any planted PNG/WAV header flips the hash
+    "q_media_headers": f"""
+SELECT media_id,
+       CASE WHEN media_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+       CASE WHEN media_id % 2 = 0
+            THEN CAST(16 + media_id % 1017 AS INTEGER) END AS width,
+       CASE WHEN media_id % 2 = 0
+            THEN CAST(16 + (media_id * 7) % 1017 AS INTEGER) END AS height,
+       CASE WHEN media_id % 2 = 1
+            THEN CAST(8000 + (media_id % 5) * 8000 AS INTEGER)
+            END AS sample_rate,
+       CASE WHEN media_id % 2 = 1 THEN CAST(2 AS INTEGER) END AS channels,
+       CAST(CASE WHEN media_id % 2 = 0 THEN 29 ELSE 36 END AS BIGINT)
+         AS n_bytes
+FROM range({N_MEDIA_HEADERS}) t(media_id)
+""",
     "q_lang_id": _lang_id_oracle(),
     "q_quality": f"""
 SELECT doc_id,
@@ -3330,6 +3415,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec(
         "q_weighted_sample", q_weighted_sample, ORACLES["q_weighted_sample"]
     ),
+    QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),
     QuerySpec(
         "q_percentiles_approx",
         q_percentiles_approx,
@@ -3380,12 +3466,14 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_date_parts", q_date_parts, ORACLES["q_date_parts"]),
     QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
     QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),
-    QuerySpec("q_hash_sample", q_hash_sample, ORACLES["q_hash_sample"]),
     # ==== driver 50-entry verification window ends here ====
     # r3-verified holdovers (no slots left — ROTATE IN FIRST in r6;
-    # q_tfidf_topterms/q_embed_dedup/q_domain_cap/q_cosine_pairs/
-    # q_join_fact_dim/q_join_multiway were displaced from the r5 window
-    # by the six new/changed oracle-backed entries in block 2):
+    # q_hash_sample/q_tfidf_topterms/q_embed_dedup/q_domain_cap/
+    # q_cosine_pairs/q_join_fact_dim/q_join_multiway were displaced
+    # from the r5 window by the seven new/changed oracle-backed entries
+    # in block 2 — q_hash_sample's md5-bucket machinery stays covered
+    # in-window through q_weighted_sample and r4-green q_split_assign):
+    QuerySpec("q_hash_sample", q_hash_sample, ORACLES["q_hash_sample"]),
     QuerySpec(
         "q_tfidf_topterms", q_tfidf_topterms, ORACLES["q_tfidf_topterms"], True
     ),

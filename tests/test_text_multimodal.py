@@ -111,3 +111,30 @@ def test_redact_pii_spans(spark):
     assert got[2] == ("server <IP> port", 1)
     assert got[3] == ("call <PHONE> ok", 1)
     assert got[4] == ("clean text no pii", 0)
+
+
+def test_media_header_metadata_parses_real_headers(spark):
+    import struct
+
+    # hand-built VALID headers — the format specs, not a codec library
+    png = (b"\x89PNG\r\n\x1a\n"
+           + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00"
+           + b"\x00\x00\x00\x00")
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 1080, 1920) + b"\x03" + b"\x00" * 9)
+    wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100,
+                                   176400, 4, 16))
+    rows = [(0, png), (1, gif), (2, jpeg), (3, wav), (4, b"\x00garbage")]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    out = {r.media_id: r for r in
+           multimodal.media_header_metadata(df).collect()}
+    assert (out[0].format, out[0].width, out[0].height) == ("png", 640, 480)
+    assert (out[1].format, out[1].width, out[1].height) == ("gif", 320, 200)
+    assert (out[2].format, out[2].width, out[2].height) == ("jpeg", 1920, 1080)
+    assert (out[3].format, out[3].sample_rate, out[3].channels) == ("wav", 44100, 2)
+    assert out[4].format == "unknown" and out[4].n_bytes == 8
