@@ -186,7 +186,11 @@ def percentiles_approx_checked(
     est = df.groupBy(key).agg(arr.alias("_p"))
     joined = df.select(key, value_col).join(F.broadcast(est), key)
 
-    n = F.count(F.lit(1))
+    # n counts NON-NULL values: percentile_approx ignores NULLs, and
+    # the conditional rank counts below never match them — counting
+    # all rows here would shift the exact-rank target and flip the
+    # booleans spuriously red on any column containing NULLs
+    n = F.count(F.col(value_col))
     cols = [n.alias("n_rows")]
     for i, p in enumerate(probs):
         v = F.element_at(F.col("_p"), i + 1)

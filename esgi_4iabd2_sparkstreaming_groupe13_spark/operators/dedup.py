@@ -109,6 +109,38 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
     6 dp for cross-engine stability.
     """
+    inter = _shingle_pair_intersections(
+        df, text_col, id_col, n, max_chars, max_shingle_df
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _shingle_pair_intersections(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_chars: int,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """Shared inverted-index skeleton of the exact pair metrics
+    (:func:`ngram_jaccard_pairs`, :func:`containment_pairs`):
+    explode(shingles) → optional df-cap → self-join on shingle →
+    per-pair intersection count → attach both set sizes. Returns
+    (id_a, id_b, n_inter, n_a, n_b) with id_a < id_b — one place owns
+    the df-cap semantics and the join predicate, so the two metrics
+    can never silently diverge."""
     sh = with_shingles(df, text_col, id_col, n, max_chars)
     sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
     inv = sh.select(F.col(id_col), F.explode("shingles").alias("sh"))
@@ -130,20 +162,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return inter.join(sa, "id_a").join(sb, "id_b")
 
 
 def containment_pairs(
@@ -170,39 +189,13 @@ def containment_pairs(
     id_a < id_b, keeping pairs where EITHER direction's containment
     ≥ ``threshold``; ratios rounded to 6 dp for cross-engine parity.
     """
-    sh = with_shingles(df, text_col, id_col, n, max_chars)
-    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
-    inv = sh.select(F.col(id_col), F.explode("shingles").alias("sh"))
-    if max_shingle_df is not None:
-        rare = (
-            inv.groupBy("sh")
-            .agg(F.count("*").alias("df_"))
-            .filter(F.col("df_") <= max_shingle_df)
-            .select("sh")
-        )
-        inv = inv.join(rare, "sh")
-    a = inv.alias("a")
-    b = inv.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .agg(F.count("*").alias("n_inter"))
+    inter = _shingle_pair_intersections(
+        df, text_col, id_col, n, max_chars, max_shingle_df
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     cont_a = F.round(F.col("n_inter") / F.col("n_a"), 6)
     cont_b = F.round(F.col("n_inter") / F.col("n_b"), 6)
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
+        inter.select(
             "id_a",
             "id_b",
             cont_a.alias("containment_a"),

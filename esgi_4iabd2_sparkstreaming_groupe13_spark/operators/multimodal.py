@@ -147,21 +147,34 @@ HEADER_SCHEMA = T.StructType(
 )
 
 
+_INT32_MAX = (1 << 31) - 1
+
+
+def _checked(v: int | None):
+    """Header fields are unsigned on the wire but int32 in the output
+    schema; a corrupt/adversarial value past int32 (e.g. PNG width
+    ff ff ff ff) must degrade to NULL for that FILE, never crash the
+    whole audit job on Arrow conversion."""
+    return v if v is not None and 0 <= v <= _INT32_MAX else None
+
+
 def _sniff_header(buf: bytes):
     """Parse REAL container headers (format + dimensions / audio rate)
-    from raw bytes — magic-byte sniffing + fixed-offset header fields,
-    the part of media decoding that needs NO codec library. Returns
-    (format, width, height, sample_rate, channels)."""
+    from raw bytes — magic-byte sniffing + header-field parsing, the
+    part of media decoding that needs NO codec library. Returns
+    (format, width, height, sample_rate, channels); fields that are
+    absent, truncated, or out of int32 range come back None — one bad
+    file degrades to NULLs, it never throws."""
     if buf.startswith(b"\x89PNG\r\n\x1a\n") and len(buf) >= 24:
         # IHDR is always first: width/height big-endian u32 at 16/20
         w = int.from_bytes(buf[16:20], "big")
         h = int.from_bytes(buf[20:24], "big")
-        return "png", w, h, None, None
+        return "png", _checked(w), _checked(h), None, None
     if buf.startswith(b"GIF87a") or buf.startswith(b"GIF89a"):
         if len(buf) >= 10:
             w = int.from_bytes(buf[6:8], "little")
             h = int.from_bytes(buf[8:10], "little")
-            return "gif", w, h, None, None
+            return "gif", _checked(w), _checked(h), None, None
         return "gif", None, None, None, None
     if buf.startswith(b"\xff\xd8"):
         # JPEG: walk the marker stream to the first SOF0/1/2 frame
@@ -174,15 +187,26 @@ def _sniff_header(buf: bytes):
             if marker in (0xC0, 0xC1, 0xC2):
                 h = int.from_bytes(buf[i + 5 : i + 7], "big")
                 w = int.from_bytes(buf[i + 7 : i + 9], "big")
-                return "jpeg", w, h, None, None
+                return "jpeg", _checked(w), _checked(h), None, None
             seg_len = int.from_bytes(buf[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                break  # malformed length would loop forever
             i += 2 + seg_len
         return "jpeg", None, None, None, None
-    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE" and len(buf) >= 28:
-        # canonical fmt chunk: channels u16le @22, sample rate u32le @24
-        ch = int.from_bytes(buf[22:24], "little")
-        sr = int.from_bytes(buf[24:28], "little")
-        return "wav", None, None, sr, ch
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        # walk the RIFF chunk list to the 'fmt ' chunk — spec-valid
+        # files may put JUNK/LIST chunks first; fixed offsets would
+        # read confidently-wrong values from those
+        i = 12
+        while i + 8 <= len(buf):
+            cid = buf[i : i + 4]
+            clen = int.from_bytes(buf[i + 4 : i + 8], "little")
+            if cid == b"fmt " and i + 16 <= len(buf):
+                ch = int.from_bytes(buf[i + 10 : i + 12], "little")
+                sr = int.from_bytes(buf[i + 12 : i + 16], "little")
+                return "wav", None, None, _checked(sr), _checked(ch)
+            i += 8 + clen + (clen & 1)  # chunks are word-aligned
+        return "wav", None, None, None, None
     return "unknown", None, None, None, None
 
 

@@ -407,6 +407,39 @@ def ann_recall(
     exact baseline stays full-precision — the gate then bounds the
     combined compression + probing loss.
     """
+    exact, per_q = _recall_hit_counts(
+        embeddings, query_ids, k, id_col, vec_col, search_embeddings,
+        **ivf_kwargs,
+    )
+    # queries whose exact top-k was entirely missed still need a row
+    base = exact.select("query_id").distinct()
+    return (
+        base.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def _recall_hit_counts(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    search_embeddings: DataFrame | None,
+    **ivf_kwargs,
+):
+    """Shared core of :func:`ann_recall` / :func:`ann_recall_checked`:
+    exact brute-force top-k, IVF top-k over the (optionally different)
+    search corpus, and per-query hit counts from a left-semi join FROM
+    the exact side — the direction that guarantees recall can only be
+    under-stated, never inflated by IVF returning extra rows. One copy
+    keeps the pytest recall gate and the registry contract aligned.
+    Returns (exact_topk_df, per_query_hit_counts_df)."""
     exact = brute_force_topk(embeddings, query_ids, k, id_col, vec_col)
     approx = ivf_topk(
         search_embeddings if search_embeddings is not None else embeddings,
@@ -422,17 +455,7 @@ def ann_recall(
         "left_semi",
     )
     per_q = hits.groupBy("query_id").agg(F.count("*").alias("n_hits"))
-    # queries whose exact top-k was entirely missed still need a row
-    base = exact.select("query_id").distinct()
-    return (
-        base.join(per_q, "query_id", "left")
-        .select(
-            "query_id",
-            F.round(
-                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)), 6
-            ).alias("recall_at_k"),
-        )
-    )
+    return exact, per_q
 
 
 def ann_recall_checked(
@@ -467,21 +490,10 @@ def ann_recall_checked(
     Cost: identical to :func:`ann_recall` plus a k-row-per-query
     collect_list — both tiers' outputs are k rows per query.
     """
-    exact = brute_force_topk(embeddings, query_ids, k, id_col, vec_col)
-    approx = ivf_topk(
-        search_embeddings if search_embeddings is not None else embeddings,
-        query_ids,
-        k,
-        id_col=id_col,
-        vec_col=vec_col,
+    exact, per_q = _recall_hit_counts(
+        embeddings, query_ids, k, id_col, vec_col, search_embeddings,
         **ivf_kwargs,
     )
-    hits = exact.join(
-        approx.select("query_id", "neighbor_id"),
-        ["query_id", "neighbor_id"],
-        "left_semi",
-    )
-    per_q = hits.groupBy("query_id").agg(F.count("*").alias("n_hits"))
     topk_str = F.concat_ws(
         ",",
         F.transform(

@@ -171,9 +171,11 @@ def global_running_sum(
 
     Accumulation dtype follows the input (ADVICE r4): integral columns
     accumulate in exact decimal and emit ``long`` (overflow-checked by
-    Spark, not silently truncated); fractional/decimal columns
-    accumulate natively and emit their own sum dtype — a double input
-    is never rounded at 1e-6 or NULLed past decimal range.
+    Spark, not silently truncated); decimal columns accumulate in
+    ``decimal(38, input_scale)`` and emit that dtype (exact — money
+    columns never lose sub-unit digits through a double detour);
+    float/double columns accumulate natively in double — never rounded
+    at 1e-6 or NULLed past decimal range.
     """
     order = [F.col(c) for c in order_cols]
     parted = (
@@ -181,10 +183,18 @@ def global_running_sum(
         if num_partitions
         else df.repartitionByRange(*order)
     )
-    integral = dict(df.dtypes)[value_col] in (
-        "tinyint", "smallint", "int", "bigint",
-    )
-    acc_type = "decimal(28,6)" if integral else "double"
+    dtype = dict(df.dtypes)[value_col]
+    integral = dtype in ("tinyint", "smallint", "int", "bigint")
+    if integral:
+        acc_type = "decimal(28,6)"
+    elif dtype.startswith("decimal"):
+        # keep decimal inputs EXACT: widen precision to the max,
+        # preserve the input scale (routing them through double would
+        # silently corrupt sub-unit digits of money-typed columns)
+        scale = int(dtype.rstrip(")").split(",")[1])
+        acc_type = f"decimal(38,{scale})"
+    else:
+        acc_type = "double"
     with_pid = parted.withColumn("_pid", F.spark_partition_id())
     local_w = (
         Window.partitionBy("_pid")
@@ -198,9 +208,13 @@ def global_running_sum(
         acc_type,
     )
     total = F.col("_base") + F.col("_local_sum")
+    if integral:
+        total = total.cast("long")
+    elif acc_type.startswith("decimal"):
+        total = total.cast(acc_type)  # stable output dtype
     return (
         local.join(F.broadcast(offsets), "_pid")
-        .withColumn(sum_col, total.cast("long") if integral else total)
+        .withColumn(sum_col, total)
         .drop("_pid", "_local_sum", "_base")
     )
 

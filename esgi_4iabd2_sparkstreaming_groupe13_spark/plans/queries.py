@@ -3104,7 +3104,10 @@ WHERE {md5_int_sql("('wsample:' || CAST(doc_id AS VARCHAR))")} % 1000000
     # exact per-group counts; the per-quantile rank-bound booleans
     # must be TRUE
     "q_percentiles_approx": (
-        "SELECT l_returnflag, count(*) AS n_rows, "
+        # count(l_quantity), not count(*): the checked operator's
+        # n_rows counts non-NULL sketch inputs (identical here —
+        # l_quantity is NULL-free — but the contract is non-null)
+        "SELECT l_returnflag, count(l_quantity) AS n_rows, "
         "TRUE AS p25_in_bounds, TRUE AS p50_in_bounds, "
         "TRUE AS p75_in_bounds FROM lineitem GROUP BY 1"
     ),

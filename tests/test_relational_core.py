@@ -170,3 +170,26 @@ def test_global_running_sum_integral_stays_long(spark):
     assert dict(out.dtypes)["running_sum"] == "bigint"
     got = {r.k: r.running_sum for r in out.collect()}
     assert got[50] == 50 * 51 // 2
+
+
+def test_global_running_sum_decimal_stays_exact(spark):
+    from decimal import Decimal
+
+    big = Decimal("90071992547409.91")  # cents lost if routed via double
+    rows = [(i, big) for i in range(4)]
+    df = spark.createDataFrame(rows, "k long, v decimal(18,2)")
+    out = windows.global_running_sum(df, ["k"], "v", num_partitions=2)
+    got = {r.k: r.running_sum for r in out.collect()}
+    assert dict(out.dtypes)["running_sum"] == "decimal(38,2)"
+    assert got[3] == big * 4  # exact — 360287970189639.64
+
+
+def test_percentiles_approx_checked_ignores_nulls(spark):
+    rows = [("g", float(i)) for i in range(1, 101)]
+    rows += [("g", None)] * 100
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = agg.percentiles_approx_checked(df, "k", "v").collect()[0]
+    # n counts the 100 non-null sketch inputs, and the rank-bound
+    # booleans hold — NULLs must not shift the exact-rank target
+    assert out.n_rows == 100
+    assert out.p25_in_bounds and out.p50_in_bounds and out.p75_in_bounds

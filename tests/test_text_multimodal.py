@@ -138,3 +138,29 @@ def test_media_header_metadata_parses_real_headers(spark):
     assert (out[2].format, out[2].width, out[2].height) == ("jpeg", 1920, 1080)
     assert (out[3].format, out[3].sample_rate, out[3].channels) == ("wav", 44100, 2)
     assert out[4].format == "unknown" and out[4].n_bytes == 8
+
+
+def test_media_header_robust_to_corrupt_and_padded_files(spark):
+    import struct
+
+    # PNG with an adversarial u32 width past int32 — must degrade to
+    # NULL for that file, never crash the Arrow conversion
+    bad_png = (b"\x89PNG\r\n\x1a\n"
+               + struct.pack(">I", 13) + b"IHDR"
+               + b"\xff\xff\xff\xff" + struct.pack(">I", 480)
+               + b"\x08\x02\x00\x00\x00")
+    # spec-valid WAV with a JUNK chunk BEFORE 'fmt ' — fixed-offset
+    # parsing would read garbage; the chunk walk must find fmt
+    junk = b"JUNK" + struct.pack("<I", 6) + b"\x00" * 6  # odd len padded
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+    padded_wav = b"RIFF" + struct.pack("<I", 4 + len(junk) + len(fmt)) + b"WAVE" + junk + fmt
+    # JPEG with a malformed zero segment length — must not loop forever
+    bad_jpeg = b"\xff\xd8\xff\xe0" + struct.pack(">H", 0) + b"\x00" * 16
+    rows = [(0, bad_png), (1, padded_wav), (2, bad_jpeg)]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    out = {r.media_id: r for r in
+           multimodal.media_header_metadata(df).collect()}
+    assert out[0].format == "png" and out[0].width is None
+    assert out[0].height == 480
+    assert (out[1].format, out[1].sample_rate, out[1].channels) == ("wav", 16000, 1)
+    assert out[2].format == "jpeg" and out[2].width is None
