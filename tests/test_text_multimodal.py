@@ -93,6 +93,21 @@ def test_queries_registry_complete():
     assert len(with_oracle) >= 30
 
 
+def test_driver_gate_window_is_fully_oracle_backed():
+    """The driver's correctness gate verifies only the FIRST 50
+    registry entries; a rows-only entry drifting into the window would
+    silently burn a verification slot. Every windowed entry must carry
+    an oracle, and the rows-only set must stay the documented three."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.plans.queries import QUERIES
+
+    window = QUERIES[:50]
+    assert all(q.oracle is not None for q in window), [
+        q.name for q in window if q.oracle is None
+    ]
+    rows_only = {q.name for q in QUERIES if q.oracle is None}
+    assert rows_only == {"q_ann_ivf", "q_kmeans_cells", "q_media_features"}
+
+
 def test_redact_pii_spans(spark):
     from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.text import redact_pii
 
