@@ -779,3 +779,80 @@ def winnow_overlap_pairs(
         .agg(F.count("*").alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
     )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Incremental-ingest dedup — the daily-crawl shape: classify each
+    INCOMING document against an existing CORPUS as
+
+    * ``dup_exact`` — its normalized-content sha256 already exists in
+      the corpus (byte-identical after whitespace/case normalization),
+    * ``dup_near``  — a MinHash-LSH-verified near-duplicate (exact
+      shingle Jaccard ≥ ``threshold``) of some corpus document,
+    * ``new``       — neither; safe to append.
+
+    Exact beats near in precedence; incoming↔incoming duplication is
+    deliberately NOT considered (the question is membership against
+    the corpus — run :func:`dedup_exact_content` / the LSH clusterer
+    on the survivors afterwards). Caller contract: disjoint id spaces.
+
+    Scale shape: the exact stage is one fingerprint scan per side plus
+    a semi-join on the 32-byte hash. The near stage reuses the banded
+    LSH pipeline over corpus ∪ incoming (candidates linear in
+    docs × bands), then keeps only CROSS pairs via id-set semi-joins.
+    A production deployment persists the corpus's signatures and band
+    buckets between ingests so each increment only recomputes the
+    incoming side; this self-contained form recomputes both, but the
+    join geometry — the part that must survive 100 TB — is identical.
+    """
+    from .text import fingerprints
+
+    corpus_fp = fingerprints(corpus, text_col, id_col).select("sha256_fp")
+    inc_fp = fingerprints(incoming, text_col, id_col)
+    exact_ids = inc_fp.join(corpus_fp, "sha256_fp", "left_semi").select(
+        F.col(id_col)
+    )
+
+    both = corpus.select(id_col, text_col).unionByName(
+        incoming.select(id_col, text_col)
+    )
+    pairs = minhash_lsh_pairs(
+        both, text_col, id_col, threshold, **lsh_kwargs
+    )
+    corpus_ids = corpus.select(F.col(id_col).alias("_cid"))
+    near_ids = (
+        pairs.join(corpus_ids, pairs["id_a"] == F.col("_cid"), "left_semi")
+        .select(F.col("id_b").alias(id_col))
+        .unionByName(
+            pairs.join(
+                corpus_ids, pairs["id_b"] == F.col("_cid"), "left_semi"
+            ).select(F.col("id_a").alias(id_col))
+        )
+        .distinct()
+    )
+
+    return (
+        incoming.select(id_col)
+        .join(exact_ids.withColumn("_e", F.lit(1)), id_col, "left")
+        .join(
+            near_ids.join(
+                incoming.select(id_col), id_col, "left_semi"
+            ).withColumn("_n", F.lit(1)),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.when(F.col("_e") == 1, F.lit("dup_exact"))
+            .when(F.col("_n") == 1, F.lit("dup_near"))
+            .otherwise(F.lit("new"))
+            .alias("decision"),
+        )
+    )

@@ -1308,6 +1308,28 @@ def q_containment(spark, sf_dir):
     return dedup.containment_pairs(docs, "text", "doc_id", threshold=0.7)
 
 
+#: q_incremental_dedup corpus/incoming boundary (sf-proportional split
+#: of the documents table: ids below are the "existing corpus").
+INCR_DEDUP_SPLIT = 400
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental-ingest dedup (new r5): classify each incoming doc
+    (doc_id ≥ split) against the existing corpus (doc_id < split) as
+    dup_exact / dup_near / new. The near tier is the LSH banding at
+    threshold 0.9 — the configuration q_minhash_lsh keeps verified
+    set-equal to exact Jaccard — so the oracle's exact cross-corpus
+    scan reproduces the decisions."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.incremental_dedup(
+        docs.filter(F.col("doc_id") < INCR_DEDUP_SPLIT),
+        docs.filter(F.col("doc_id") >= INCR_DEDUP_SPLIT),
+        "text",
+        "doc_id",
+        threshold=0.9,
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Quality-proportional deterministic sampling (new r5): keep
     probability = min(1, n_chars/400) per doc. n_chars×2500 is exactly
@@ -3059,6 +3081,34 @@ SELECT sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS sha256_fp,
 FROM documents
 GROUP BY 1
 """,
+    "q_incremental_dedup": f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {INCR_DEDUP_SPLIT}
+), inc AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= {INCR_DEDUP_SPLIT}
+), exact_dup AS (
+  SELECT DISTINCT i.doc_id FROM inc i JOIN corpus c
+    ON sha256(regexp_replace(trim(lower(i.text)), '\\s+', ' ', 'g')) =
+       sha256(regexp_replace(trim(lower(c.text)), '\\s+', ' ', 'g'))
+), csh AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM corpus
+), ish AS (
+  SELECT doc_id, {_SHINGLES} AS sh FROM inc
+), near_dup AS (
+  SELECT DISTINCT i.doc_id
+  FROM ish i, csh c
+  WHERE round(CAST(len(list_intersect(i.sh, c.sh)) AS DOUBLE)
+              / (len(i.sh) + len(c.sh) - len(list_intersect(i.sh, c.sh))),
+              6) >= 0.9
+)
+SELECT i.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'dup_exact'
+            WHEN n.doc_id IS NOT NULL THEN 'dup_near'
+            ELSE 'new' END AS decision
+FROM inc i
+LEFT JOIN exact_dup e ON i.doc_id = e.doc_id
+LEFT JOIN near_dup n ON i.doc_id = n.doc_id
+""",
     "q_ngram_jaccard": _jaccard_pairs_oracle(0.8, f"doc_id < {N_JACCARD_DOCS}"),
     "q_containment": _containment_pairs_oracle(
         0.7, f"doc_id < {N_JACCARD_DOCS}"
@@ -3420,6 +3470,11 @@ QUERIES: list[QuerySpec] = [
     ),
     QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),
     QuerySpec(
+        "q_incremental_dedup",
+        q_incremental_dedup,
+        ORACLES["q_incremental_dedup"],
+    ),
+    QuerySpec(
         "q_percentiles_approx",
         q_percentiles_approx,
         ORACLES["q_percentiles_approx"],
@@ -3468,14 +3523,16 @@ QUERIES: list[QuerySpec] = [
     # ---- block 5: r3-last-green — functions / corpus / joins ----
     QuerySpec("q_date_parts", q_date_parts, ORACLES["q_date_parts"]),
     QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
-    QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),
     # ==== driver 50-entry verification window ends here ====
     # r3-verified holdovers (no slots left — ROTATE IN FIRST in r6;
-    # q_hash_sample/q_tfidf_topterms/q_embed_dedup/q_domain_cap/
-    # q_cosine_pairs/q_join_fact_dim/q_join_multiway were displaced
-    # from the r5 window by the seven new/changed oracle-backed entries
-    # in block 2 — q_hash_sample's md5-bucket machinery stays covered
-    # in-window through q_weighted_sample and r4-green q_split_assign):
+    # q_case_buckets/q_hash_sample/q_tfidf_topterms/q_embed_dedup/
+    # q_domain_cap/q_cosine_pairs/q_join_fact_dim/q_join_multiway were
+    # displaced from the r5 window by the eight new/changed
+    # oracle-backed entries in block 2 — q_hash_sample's md5-bucket
+    # machinery stays covered in-window through q_weighted_sample and
+    # r4-green q_split_assign; q_case_buckets' when/otherwise shape
+    # also rides inside q_split_assign and the TPC-H CASE aggregates):
+    QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),
     QuerySpec("q_hash_sample", q_hash_sample, ORACLES["q_hash_sample"]),
     QuerySpec(
         "q_tfidf_topterms", q_tfidf_topterms, ORACLES["q_tfidf_topterms"], True

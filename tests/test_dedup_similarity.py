@@ -305,3 +305,30 @@ def test_containment_detects_embedded_document(spark):
     # ...but symmetric Jaccard stays low — the case this operator adds
     assert pair.jaccard < 0.5
     assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_incremental_dedup_classifies_against_corpus(spark):
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seventeen astronauts calibrate spectrometers beside "
+            "the launch gantry under heavy autumn rainfall today")
+    other = ("completely unrelated prose about distributed shuffle "
+             "hash aggregation and adaptive query execution plans "
+             "inside a columnar vectorized runtime with codegen")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, other)], ["doc_id", "text"]
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "  THE quick   brown fox jumps over the lazy dog while "
+                 "seventeen astronauts calibrate spectrometers beside "
+                 "the launch gantry under heavy autumn rainfall today"),
+            (11, other[:-5] + "crane"),     # near-copy: tail edited
+            (12, "fresh material nothing like either corpus document "
+                 "describing entirely new telescopes and tide charts"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.decision for r in
+           dedup.incremental_dedup(corpus, incoming, "text", "doc_id",
+                                   threshold=0.9).collect()}
+    assert out == {10: "dup_exact", 11: "dup_near", 12: "new"}
