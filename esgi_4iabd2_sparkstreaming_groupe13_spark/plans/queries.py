@@ -1871,6 +1871,29 @@ def q_split_assign(spark, sf_dir):
     return corpus.split_assign(_t(spark, sf_dir, "documents"), "doc_id")
 
 
+def q_corpus_report(spark, sf_dir):
+    """Corpus audit report (new r5): per (lang, split) doc counts,
+    token totals and mean document length — the composition every
+    pipeline runs after split assignment to sanity-check stratum
+    balance. One fingerprint-free narrow join (split is a pure per-row
+    hash expression) + one (lang, split) hash aggregate; the mean is
+    exact-long-sum / count, so the double division is engine-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    splits = corpus.split_assign(docs, "doc_id").select("doc_id", "split")
+    n_tok = F.size(token_array(F.col("text")))
+    return (
+        docs.join(splits, "doc_id")
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_tok).cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count("*"), 6
+            ).alias("avg_chars"),
+        )
+    )
+
+
 def q_token_histogram(spark, sf_dir):
     """Token-length histogram (bucket width 10): the length audit run
     before choosing packing budgets; one partial+final hash agg."""
@@ -3228,6 +3251,20 @@ FROM c
         WINNOW_MIN_SHARED, dedup.WINNOW_K, dedup.WINNOW_W, WINNOW_MAX_FP_DF
     ),
     "q_split_assign": _split_assign_oracle(80, 10),
+    "q_corpus_report": f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN {md5_int_sql("('split:' || CAST(doc_id AS VARCHAR))")} % 100 < 80 THEN 'train'
+              WHEN {md5_int_sql("('split:' || CAST(doc_id AS VARCHAR))")} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT d.lang, s.split, count(*) AS n_docs,
+       CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+FROM documents d JOIN s USING (doc_id)
+GROUP BY 1, 2
+""",
     "q_token_histogram": f"""
 SELECT CAST(floor(len(tk) / 10) AS BIGINT) AS length_bucket,
        count(*) AS n_docs,
@@ -3475,6 +3512,9 @@ QUERIES: list[QuerySpec] = [
         ORACLES["q_incremental_dedup"],
     ),
     QuerySpec(
+        "q_corpus_report", q_corpus_report, ORACLES["q_corpus_report"]
+    ),
+    QuerySpec(
         "q_percentiles_approx",
         q_percentiles_approx,
         ORACLES["q_percentiles_approx"],
@@ -3522,16 +3562,18 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_rolling_sum", q_rolling_sum, ORACLES["q_rolling_sum"]),
     # ---- block 5: r3-last-green — functions / corpus / joins ----
     QuerySpec("q_date_parts", q_date_parts, ORACLES["q_date_parts"]),
-    QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
     # ==== driver 50-entry verification window ends here ====
     # r3-verified holdovers (no slots left — ROTATE IN FIRST in r6;
-    # q_case_buckets/q_hash_sample/q_tfidf_topterms/q_embed_dedup/
-    # q_domain_cap/q_cosine_pairs/q_join_fact_dim/q_join_multiway were
-    # displaced from the r5 window by the eight new/changed
-    # oracle-backed entries in block 2 — q_hash_sample's md5-bucket
-    # machinery stays covered in-window through q_weighted_sample and
-    # r4-green q_split_assign; q_case_buckets' when/otherwise shape
-    # also rides inside q_split_assign and the TPC-H CASE aggregates):
+    # q_string_funcs/q_case_buckets/q_hash_sample/q_tfidf_topterms/
+    # q_embed_dedup/q_domain_cap/q_cosine_pairs/q_join_fact_dim/
+    # q_join_multiway were displaced from the r5 window by the nine
+    # new/changed oracle-backed entries in block 2 — q_hash_sample's
+    # md5-bucket machinery stays covered in-window through
+    # q_weighted_sample and r4-green q_split_assign; q_case_buckets'
+    # when/otherwise shape also rides inside q_split_assign and the
+    # TPC-H CASE aggregates; q_string_funcs' regexp/string built-ins
+    # ride inside q_pii_redact and the text-analysis block):
+    QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
     QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),
     QuerySpec("q_hash_sample", q_hash_sample, ORACLES["q_hash_sample"]),
     QuerySpec(

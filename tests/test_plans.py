@@ -168,3 +168,24 @@ def test_tracked_persists_released(spark, sf_dir):
     n = caching.release_cached()
     assert n == len(tracked)
     assert not any(cached(df) for df in tracked)  # actually released
+
+
+def test_doc_chunks_zero_exchange_and_pruned_scan(spark, sf_dir):
+    """Chunking is a pure narrow pipeline: no shuffle at any scale,
+    and the parquet scan reads only (doc_id, text)."""
+    p = plan_of(spark, sf_dir, Q.q_doc_chunks)
+    assert "Exchange" not in p
+    assert "lang" not in p and "source" not in p
+
+
+def test_embed_centroid_single_exchange(spark, sf_dir):
+    """The (group, dim) hash aggregate is the only shuffle — long
+    format must not introduce a window or a second exchange."""
+    p = plan_of(spark, sf_dir, Q.q_embed_centroid)
+    assert p.count("Exchange") == 1
+    assert "WindowExec" not in p and "Window " not in p
+
+
+def test_weighted_sample_filter_under_scan_no_shuffle(spark, sf_dir):
+    p = plan_of(spark, sf_dir, Q.q_weighted_sample)
+    assert "Exchange" not in p
