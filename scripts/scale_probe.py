@@ -64,7 +64,7 @@ ALL_OPS = (
     "minhash_lsh simhash_pairs tfidf_topterms token_packing contamination "
     "unigram_logprob count_by_key topk global_index rolling_sum cosine_topk "
     "cosine_pairs_exact cosine_rh_lsh cms ann_quantized doc_chunks "
-    "bigram_logprob"
+    "bigram_logprob incremental_dedup"
 ).split()
 
 
@@ -101,6 +101,7 @@ def main() -> None:
         "cms",
         "doc_chunks",
         "bigram_logprob",
+        "incremental_dedup",
     )
     if want(*doc_ops):
         docs1 = load_table(spark, SF_DIR, "documents")
@@ -242,6 +243,25 @@ def main() -> None:
             "tN": timed(
                 f"bigram {factor}x",
                 corpus.bigram_logprob(docsTok, "text", "doc_id"),
+            ),
+        }
+
+    # incremental-ingest dedup: corpus fixed at 1×, incoming grows —
+    # the fingerprint semi-join and the banded LSH over corpus∪incoming
+    # must track the incoming side ~linearly
+    if want("incremental_dedup"):
+        inc1 = docsN.filter(
+            (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 2_000_000)
+        )
+        incN = docsN.filter(F.col("doc_id") >= 1_000_000)
+        results["incremental_dedup"] = {
+            "t1": timed(
+                "incr 1x",
+                dedup.incremental_dedup(docs1, inc1, "text", "doc_id", 0.9),
+            ),
+            "tN": timed(
+                f"incr {factor - 1}x",
+                dedup.incremental_dedup(docs1, incN, "text", "doc_id", 0.9),
             ),
         }
 
