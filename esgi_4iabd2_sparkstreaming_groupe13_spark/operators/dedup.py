@@ -856,3 +856,41 @@ def incremental_dedup(
             .alias("decision"),
         )
     )
+
+
+def admit_new_documents(
+    stream_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """STREAMING admission filter — the real-time face of
+    :func:`incremental_dedup`'s exact tier: pass through only incoming
+    documents whose normalized-content sha256 is NOT already in the
+    corpus. Works identically on a streaming or batch ``stream_docs``
+    frame (pure narrow fingerprint expression + a stream-static
+    LEFT ANTI join against the corpus fingerprint set), so the batch
+    form IS the streaming oracle.
+
+    Scale shape: the corpus side reduces to its distinct 32-byte
+    fingerprint column — at ingest time that set is what you persist
+    and broadcast/shuffle, never the corpus text; per micro-batch the
+    work is one hash pass over arriving docs plus the anti-join. The
+    near-dup tier stays a batch concern (LSH banding needs the full
+    signature index; run :func:`incremental_dedup` on admitted docs in
+    the compaction pass).
+    """
+    from .text import fingerprints
+
+    corpus_fp = (
+        fingerprints(corpus, text_col, id_col)
+        .select("sha256_fp")
+        .distinct()
+    )
+    norm = F.regexp_replace(
+        F.trim(F.lower(F.col(text_col))), r"\s+", " "
+    )
+    with_fp = stream_docs.withColumn("sha256_fp", F.sha2(norm, 256))
+    return with_fp.join(corpus_fp, "sha256_fp", "left_anti").drop(
+        "sha256_fp"
+    )

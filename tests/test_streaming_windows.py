@@ -197,3 +197,43 @@ def test_sessionize_stream_matches_batch_oracle(spark, events_stream_dir):
     # and finalized sessions account for most batch sessions (the tail
     # within watermark+gap of stream end legitimately stays open)
     assert len(got_final) / len(oracle_all) > 0.5
+
+
+def test_streaming_admission_filter_matches_batch(spark, tmp_path):
+    """Stream-static anti-join dedup admission: a stream of incoming
+    docs filtered against a static corpus fingerprint set must admit
+    exactly the batch answer (the batch form IS the oracle), dropping
+    corpus duplicates even when whitespace/case differ."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.dedup import (
+        admit_new_documents,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "  ALPHA beta   gamma delta"),  # dup of 1 (normalized)
+            (11, "fresh document one"),
+            (12, "epsilon zeta eta theta"),      # dup of 2 (verbatim)
+            (13, "fresh document two"),
+        ],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "incoming")
+    incoming.repartition(2).write.mode("overwrite").json(src)
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    admitted = admit_new_documents(stream, corpus, "text", "doc_id")
+    got = _run_stream_to_memory(
+        spark, admitted, "admit_mem", str(tmp_path / "ckpt_admit")
+    )
+    batch = admit_new_documents(incoming, corpus, "text", "doc_id")
+    assert {r.doc_id for r in got.collect()} == {11, 13}
+    assert {r.doc_id for r in got.collect()} == {
+        r.doc_id for r in batch.collect()
+    }
