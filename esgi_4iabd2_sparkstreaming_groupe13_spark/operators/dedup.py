@@ -880,17 +880,18 @@ def admit_new_documents(
     signature index; run :func:`incremental_dedup` on admitted docs in
     the compaction pass).
     """
-    from .text import fingerprints
+    from .text import content_sha256, fingerprints
 
     corpus_fp = (
         fingerprints(corpus, text_col, id_col)
         .select("sha256_fp")
         .distinct()
     )
-    norm = F.regexp_replace(
-        F.trim(F.lower(F.col(text_col))), r"\s+", " "
+    # same shared normalization expression as fingerprints() — the two
+    # sides of this anti-join must never diverge (text.content_norm)
+    with_fp = stream_docs.withColumn(
+        "sha256_fp", content_sha256(F.col(text_col))
     )
-    with_fp = stream_docs.withColumn("sha256_fp", F.sha2(norm, 256))
     return with_fp.join(corpus_fp, "sha256_fp", "left_anti").drop(
         "sha256_fp"
     )

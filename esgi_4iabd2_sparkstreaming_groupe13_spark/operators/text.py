@@ -198,11 +198,28 @@ def repetition_features(
     )
 
 
+def content_norm(text: Column) -> Column:
+    """THE content-normalization expression (trim → lower → collapse
+    whitespace runs to one space) every exact-dedup key in the engine
+    derives from. Single definition on purpose: :func:`fingerprints`,
+    the incremental-dedup exact tier, and the streaming admission
+    filter (operators/dedup.py) all hash this expression — if the two
+    sides of an anti-join normalized differently, every duplicate
+    would silently pass as new (ADVICE r5)."""
+    return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+
+
+def content_sha256(text: Column) -> Column:
+    """64-hex SHA-2 over :func:`content_norm` — the collision-averse
+    exact-dedup key shared by batch and streaming admission paths."""
+    return F.sha2(content_norm(text), 256)
+
+
 def fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Content fingerprint: md5 of the whitespace-normalized lowercase
     text (stable under reformatting), plus a 64-hex SHA-2 for
     collision-averse exact dedup keys at corpus scale."""
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    norm = content_norm(F.col(text_col))
     return df.select(
         F.col(id_col),
         F.md5(norm).alias("md5_fp"),

@@ -1872,17 +1872,22 @@ def q_split_assign(spark, sf_dir):
 
 
 def q_corpus_report(spark, sf_dir):
-    """Corpus audit report (new r5): per (lang, split) doc counts,
-    token totals and mean document length — the composition every
-    pipeline runs after split assignment to sanity-check stratum
-    balance. One fingerprint-free narrow join (split is a pure per-row
-    hash expression) + one (lang, split) hash aggregate; the mean is
+    """Corpus audit report: per (lang, split) doc counts, token totals
+    and mean document length — the composition every pipeline runs
+    after split assignment to sanity-check stratum balance.
+
+    JOIN-FREE by design (r6 rewrite, VERDICT r5 #1): the split is a
+    pure per-row hash of doc_id, so it is computed INLINE over the
+    fact table (``split_assign(full_row=True)``) — the r5 form joined
+    `documents` to a (doc_id, split) projection of itself, a
+    same-cardinality self-join costing a second scan plus a full
+    sort-merge shuffle at corpus scale. Plan is now one scan + one
+    (lang, split) hash aggregate, pinned by test_plans.py; the mean is
     exact-long-sum / count, so the double division is engine-identical."""
     docs = _t(spark, sf_dir, "documents")
-    splits = corpus.split_assign(docs, "doc_id").select("doc_id", "split")
     n_tok = F.size(token_array(F.col("text")))
     return (
-        docs.join(splits, "doc_id")
+        corpus.split_assign(docs, "doc_id", full_row=True)
         .groupBy("lang", "split")
         .agg(
             F.count("*").alias("n_docs"),
