@@ -1330,6 +1330,31 @@ def q_incremental_dedup(spark, sf_dir):
     )
 
 
+def q_admission_filter(spark, sf_dir):
+    """Streaming admission filter, batch-oracle form (new r6, VERDICT
+    r5 item 4): the incoming feed REPLAYS the whole documents table —
+    the at-least-once-delivery case the filter exists for — against a
+    corpus of doc_id < split; only docs whose normalized-content
+    sha256 is not already in the corpus are admitted. Replaying the
+    corpus docs makes the gate non-vacuous on this data (the synthetic
+    corpus has no cross-split exact dups): every corpus doc must be
+    REJECTED as its own duplicate, so a broken hash on either side of
+    the anti-join admits 5× the rows and turns the driver row red.
+    The operator is a pure narrow fingerprint expression + a
+    stream-static LEFT ANTI join, so this batch run IS the streaming
+    semantics — the stream==batch pytest pins that the same operator
+    over a readStream frame admits the identical id set. Both join
+    sides hash text.content_norm (one shared expression, so they
+    cannot drift apart)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.admit_new_documents(
+        docs,
+        docs.filter(F.col("doc_id") < INCR_DEDUP_SPLIT),
+        "text",
+        "doc_id",
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 def q_weighted_sample(spark, sf_dir):
     """Quality-proportional deterministic sampling (new r5): keep
     probability = min(1, n_chars/400) per doc. n_chars×2500 is exactly
@@ -3137,6 +3162,12 @@ FROM inc i
 LEFT JOIN exact_dup e ON i.doc_id = e.doc_id
 LEFT JOIN near_dup n ON i.doc_id = n.doc_id
 """,
+    "q_admission_filter": f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) NOT IN (
+    SELECT sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+    FROM documents WHERE doc_id < {INCR_DEDUP_SPLIT})
+""",
     "q_ngram_jaccard": _jaccard_pairs_oracle(0.8, f"doc_id < {N_JACCARD_DOCS}"),
     "q_containment": _containment_pairs_oracle(
         0.7, f"doc_id < {N_JACCARD_DOCS}"
@@ -3515,6 +3546,11 @@ QUERIES: list[QuerySpec] = [
         "q_incremental_dedup",
         q_incremental_dedup,
         ORACLES["q_incremental_dedup"],
+    ),
+    QuerySpec(
+        "q_admission_filter",
+        q_admission_filter,
+        ORACLES["q_admission_filter"],
     ),
     QuerySpec(
         "q_corpus_report", q_corpus_report, ORACLES["q_corpus_report"]
