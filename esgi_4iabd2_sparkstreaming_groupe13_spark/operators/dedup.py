@@ -263,6 +263,32 @@ def _signatures_from_shingles(
     )
 
 
+def band_buckets(
+    sigs: DataFrame, id_col: str, bands: int, r: int
+) -> DataFrame:
+    """LSH band keys from a (id, signature) frame: md5 of each r-row
+    signature slice, exploded to (id, band, bkey). ONE definition
+    shared by the self-contained pair pipeline and the persisted-index
+    incremental path — both sides of an index lookup must band
+    identically or every near-dup silently misses."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "_", *[F.col("signature")[i * r + j] for j in range(r)]
+                    )
+                ).alias("bkey"),
+            )
+            for i in range(bands)
+        ]
+    )
+    return sigs.withColumn("b", F.explode(band_structs)).select(
+        F.col(id_col), F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -307,20 +333,7 @@ def minhash_lsh_pairs(
     sh = track_persist(with_shingles(df, text_col, id_col, n, max_chars))
     sigs = track_persist(_signatures_from_shingles(sh, id_col, n_hashes, seed))
 
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.md5(
-                    F.concat_ws("_", *[F.col("signature")[i * r + j] for j in range(r)])
-                ).alias("bkey"),
-            )
-            for i in range(bands)
-        ]
-    )
-    buckets = sigs.withColumn("b", F.explode(band_structs)).select(
-        F.col(id_col), F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
-    )
+    buckets = band_buckets(sigs, id_col, bands, r)
     a = buckets.alias("a")
     b = buckets.alias("b")
     candidates = (
@@ -807,10 +820,12 @@ def incremental_dedup(
     a semi-join on the 32-byte hash. The near stage reuses the banded
     LSH pipeline over corpus ∪ incoming (candidates linear in
     docs × bands), then keeps only CROSS pairs via id-set semi-joins.
-    A production deployment persists the corpus's signatures and band
-    buckets between ingests so each increment only recomputes the
-    incoming side; this self-contained form recomputes both, but the
-    join geometry — the part that must survive 100 TB — is identical.
+    The production form that persists the corpus's signatures and
+    fingerprints between ingests — so each increment recomputes only
+    the incoming side — is :func:`build_dedup_index` +
+    :func:`incremental_dedup_indexed` (pytest-pinned decision-equal to
+    this self-contained form); the join geometry — the part that must
+    survive 100 TB — is identical in both.
     """
     from .text import fingerprints
 
@@ -848,6 +863,211 @@ def incremental_dedup(
             id_col,
             "left",
         )
+        .select(
+            id_col,
+            F.when(F.col("_e") == 1, F.lit("dup_exact"))
+            .when(F.col("_n") == 1, F.lit("dup_near"))
+            .otherwise(F.lit("new"))
+            .alias("decision"),
+        )
+    )
+
+
+def build_dedup_index(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    n: int = DEFAULT_SHINGLE_N,
+    max_chars: int = 512,
+    seed: int = 42,
+) -> None:
+    """FIT side of the production incremental-dedup lifecycle (VERDICT
+    r5 item 5; same fit-once-persist pattern as the IVF quantizer,
+    similarity.kmeans_fit_or_load): persist the corpus-derived dedup
+    state — content sha256 fingerprints and MinHash signatures — as
+    parquet tables under ``index_path``, keyed by corpus version by
+    the caller. Each nightly ingest then runs
+    :func:`incremental_dedup_indexed`, which recomputes ONLY the
+    incoming side; after admitting survivors, append their
+    fingerprints/signatures to the index (same schemas) instead of
+    refitting the corpus.
+
+    A ``meta`` table records the LSH geometry (n_hashes/bands/shingle
+    n/max_chars/seed): banding is only meaningful when both sides use
+    identical parameters, so the serve path validates against it and
+    refuses a mismatched index rather than silently missing every
+    near-dup.
+    """
+    from .text import fingerprints
+
+    fingerprints(corpus, text_col, id_col).select(
+        id_col, "sha256_fp"
+    ).write.mode("overwrite").parquet(f"{index_path}/fingerprints")
+    minhash_signatures(
+        corpus, text_col, id_col, n_hashes, n, max_chars, seed
+    ).write.mode("overwrite").parquet(f"{index_path}/signatures")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(n_hashes, bands, n, max_chars, seed)],
+        "n_hashes int, bands int, shingle_n int, max_chars int, seed int",
+    ).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+
+def incremental_dedup_indexed(
+    index_path: str,
+    corpus: DataFrame,
+    incoming: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    n_hashes: int = 32,
+    bands: int = 8,
+    n: int = DEFAULT_SHINGLE_N,
+    max_chars: int = 512,
+    seed: int = 42,
+) -> DataFrame:
+    """SERVE side of production incremental dedup: classify incoming
+    docs as dup_exact / dup_near / new against a PERSISTED corpus
+    index (:func:`build_dedup_index`) — decision-equal to the
+    self-contained :func:`incremental_dedup` (pytest-pinned), but the
+    per-ingest work now scales with the INCOMING side:
+
+    * exact tier — incoming fingerprints (narrow) semi-joined against
+      the persisted fingerprint table; the corpus text is never read.
+    * near tier — incoming signatures (narrow) banded with the SAME
+      :func:`band_buckets` expression as the persisted signatures;
+      the candidate join is corpus-buckets ⋈ incoming-buckets on
+      (band, bkey), so only CROSS pairs are ever generated (the union
+      form also generates corpus↔corpus candidates just to discard
+      them). Signature-estimate prefilter uses the persisted arrays.
+    * exact-Jaccard verification — needs shingle sets, which the index
+      deliberately does NOT store (they are text-sized; the index
+      stays 32 longs + 32 bytes per doc). Candidate corpus docs are
+      re-shingled by semi-joining the corpus table down to candidate
+      ids first — work proportional to CANDIDATES, not corpus size,
+      which is the sub-linear property the probe row pins.
+
+    ``corpus`` here is the document STORE (read-pruned to candidate
+    ids); all corpus-wide derived state comes from the index. The meta
+    table must match the passed LSH geometry — a mismatch raises
+    instead of silently banding incompatibly.
+    """
+    from .text import fingerprints
+
+    spark = incoming.sparkSession
+    meta = spark.read.parquet(f"{index_path}/meta").head()
+    want = (n_hashes, bands, n, max_chars, seed)
+    got = (meta.n_hashes, meta.bands, meta.shingle_n, meta.max_chars, meta.seed)
+    if got != want:
+        raise ValueError(
+            f"dedup index at {index_path} was built with LSH geometry "
+            f"{got}, serve path requested {want} — rebuild the index or "
+            "match the parameters (mismatched banding silently loses "
+            "every near-duplicate)"
+        )
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+
+    para = incoming.sparkSession.sparkContext.defaultParallelism
+    if incoming.rdd.getNumPartitions() < para:
+        incoming = incoming.repartition(para)
+
+    corpus_fp = spark.read.parquet(f"{index_path}/fingerprints").select(
+        "sha256_fp"
+    )
+    inc_fp = fingerprints(incoming, text_col, id_col)
+    exact_ids = inc_fp.join(corpus_fp, "sha256_fp", "left_semi").select(
+        F.col(id_col)
+    )
+
+    corpus_sigs = spark.read.parquet(f"{index_path}/signatures")
+    inc_sh = track_persist(
+        with_shingles(incoming, text_col, id_col, n, max_chars)
+    )
+    inc_sigs = track_persist(
+        _signatures_from_shingles(inc_sh, id_col, n_hashes, seed)
+    )
+
+    cand = (
+        band_buckets(corpus_sigs, id_col, bands, r)
+        .select(F.col(id_col).alias("id_a"), "band", "bkey")
+        .join(
+            band_buckets(inc_sigs, id_col, bands, r).select(
+                F.col(id_col).alias("id_b"), "band", "bkey"
+            ),
+            ["band", "bkey"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    est_threshold = max(threshold - 0.15, 0.0)
+    prefiltered = (
+        cand.join(
+            corpus_sigs.select(
+                F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")
+            ),
+            "id_a",
+        )
+        .join(
+            inc_sigs.select(
+                F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "est_j",
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+                    ),
+                    lambda v: v == 1,
+                )
+            )
+            / F.lit(n_hashes),
+        )
+        .filter(F.col("est_j") >= est_threshold)
+        .select("id_a", "id_b")
+    )
+
+    # re-shingle ONLY candidate-touched corpus docs: prune the store
+    # to candidate ids before the (text-sized) shingle expression runs
+    cand_corpus = corpus.join(
+        prefiltered.select(F.col("id_a").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    sh_a = with_shingles(cand_corpus, text_col, id_col, n, max_chars).select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    sh_b = inc_sh.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    near_ids = (
+        prefiltered.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+
+    return (
+        incoming.select(id_col)
+        .join(exact_ids.withColumn("_e", F.lit(1)), id_col, "left")
+        .join(near_ids.withColumn("_n", F.lit(1)), id_col, "left")
         .select(
             id_col,
             F.when(F.col("_e") == 1, F.lit("dup_exact"))

@@ -332,3 +332,44 @@ def test_incremental_dedup_classifies_against_corpus(spark):
            dedup.incremental_dedup(corpus, incoming, "text", "doc_id",
                                    threshold=0.9).collect()}
     assert out == {10: "dup_exact", 11: "dup_near", 12: "new"}
+
+
+def test_incremental_dedup_indexed_equals_self_contained(spark, sf_dir, tmp_path):
+    """The persisted-index serve path (build_dedup_index +
+    incremental_dedup_indexed) must yield decision-identical output to
+    the self-contained incremental_dedup on the real documents table —
+    same corpus/incoming split as q_incremental_dedup."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 400)
+    incoming = docs.filter(F.col("doc_id") >= 400)
+    idx = str(tmp_path / "dedup_index")
+    dedup.build_dedup_index(corpus, "text", "doc_id", idx)
+    want = {r.doc_id: r.decision for r in
+            dedup.incremental_dedup(corpus, incoming, "text", "doc_id",
+                                    threshold=0.9).collect()}
+    got = {r.doc_id: r.decision for r in
+           dedup.incremental_dedup_indexed(idx, corpus, incoming, "text",
+                                           "doc_id", threshold=0.9).collect()}
+    assert got == want
+
+
+def test_incremental_dedup_indexed_rejects_mismatched_geometry(spark, tmp_path):
+    """An index built with different LSH geometry must raise — banding
+    with mismatched parameters silently loses every near-dup."""
+    import pytest
+
+    corpus = spark.createDataFrame(
+        [(1, "some corpus text about telescopes and tide charts")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "idx")
+    dedup.build_dedup_index(corpus, "text", "doc_id", idx, n_hashes=16,
+                            bands=4)
+    with pytest.raises(ValueError, match="geometry"):
+        dedup.incremental_dedup_indexed(
+            idx, corpus, corpus, "text", "doc_id", n_hashes=32, bands=8
+        ).collect()
