@@ -1139,6 +1139,20 @@ def q_sessionize(spark, sf_dir):
     return sessionize_batch_oracle(ev, gap_seconds=SESSION_GAP_S)
 
 
+def q_session_window(spark, sf_dir):
+    """Native ``session_window`` sessionization (new r6, VERDICT r5
+    item 8): the fully-JVM-side aggregate path — gap-merging session
+    windows inside codegen'd hash aggregation, no Python worker.
+    Boundary-verified identical to the applyInPandasWithState operator
+    (merge at diff == gap, split at diff > gap), so the same
+    gaps-and-islands SQL is the oracle; the stream==batch pytest pins
+    the streaming run of the SAME operator to this batch result."""
+    from ..streaming.stateful import sessionize_native
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_native(ev, gap_seconds=SESSION_GAP_S)
+
+
 def q_event_window(spark, sf_dir):
     """Event-time tumbling hour bucket (batch form of T6 extension)."""
     ev = _t(spark, sf_dir, "events")
@@ -3048,6 +3062,33 @@ SELECT user_id, session_no,
        count(*) AS n_events
 FROM numbered GROUP BY 1, 2
 """,
+    # Same gaps-and-islands islands as q_sessionize, but without the
+    # session_no ordinal — the native session_window operator emits
+    # (user, start, end, count) only. Split at diff > gap matches
+    # Spark's merge-at-diff==gap boundary exactly (verified).
+    "q_session_window": f"""
+WITH lagged AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_S * 1_000_000}
+              THEN 1 ELSE 0 END AS new_session
+  FROM lagged
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+         AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_no
+""",
     "q_event_window": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,
@@ -3629,6 +3670,9 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_dedup_clusters", q_dedup_clusters, ORACLES["q_dedup_clusters"]),
     QuerySpec("q_corpus_select", q_corpus_select, ORACLES["q_corpus_select"]),
     QuerySpec("q_sessionize", q_sessionize, ORACLES["q_sessionize"], True),
+    QuerySpec(
+        "q_session_window", q_session_window, ORACLES["q_session_window"]
+    ),
     QuerySpec("q_media_features", q_media_features, None),
     # r4-verified block (CORRECTNESS_r04 all green) — r6 canaries:
     QuerySpec("q_repetition", q_repetition, ORACLES["q_repetition"]),

@@ -199,6 +199,50 @@ def test_sessionize_stream_matches_batch_oracle(spark, events_stream_dir):
     assert len(got_final) / len(oracle_all) > 0.5
 
 
+def test_session_window_native_stream_matches_batch(spark, events_stream_dir):
+    """Native session_window operator (fully JVM-side): streaming
+    append-mode sessions must be a subset of (and cover most of) the
+    SAME operator's batch result — which in turn equals the custom
+    stateful operator's oracle (pinned by q_session_window's DuckDB
+    gate)."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.streaming.stateful import (
+        sessionize_native,
+    )
+
+    ev = events_stream_dir["events"]
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .json(events_stream_dir["dir"] + "/src")
+    )
+    GAP = 6 * 3600
+    got = _run_stream_to_memory(
+        spark,
+        sessionize_native(stream, gap_seconds=GAP, watermark="12 hours"),
+        "native_sessions_mem",
+        events_stream_dir["dir"] + "/ckpt_ns",
+    )
+    batch = sessionize_native(ev, gap_seconds=GAP)
+    got_set = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in got.collect()
+    }
+    batch_set = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert got_set, "no sessions emitted during the run"
+    assert got_set <= batch_set
+    assert len(got_set) / len(batch_set) > 0.5
+    # and the native batch form agrees exactly with the custom
+    # operator's gaps-and-islands oracle
+    oracle_set = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_batch_oracle(ev, gap_seconds=GAP).collect()
+    }
+    assert batch_set == oracle_set
+
+
 def test_streaming_admission_filter_matches_batch(spark, tmp_path):
     """Stream-static anti-join dedup admission: a stream of incoming
     docs filtered against a static corpus fingerprint set must admit
