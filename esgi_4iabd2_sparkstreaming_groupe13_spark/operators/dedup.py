@@ -916,6 +916,49 @@ def build_dedup_index(
     ).write.mode("overwrite").parquet(f"{index_path}/meta")
 
 
+def append_to_dedup_index(
+    admitted: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+) -> None:
+    """Fold an ingest's ADMITTED survivors into the persisted dedup
+    index — the step that keeps the index current without refitting
+    the corpus: append-write their fingerprints and signatures (same
+    schemas, same LSH geometry read from the index's meta table, so an
+    append can never band differently from the build). Work is
+    proportional to the admitted batch; parquet append adds files, it
+    rewrites nothing. Compact with the corpus's periodic maintenance
+    pass like any streaming sink (operators/maintenance.py).
+
+    READ-WRITE HAZARD (the reason ``admitted`` must be MATERIALIZED
+    first): a lazy frame derived from this same index — e.g.
+    ``incoming ⋈ decisions.filter('new')`` where decisions came from
+    :func:`incremental_dedup_indexed` — re-reads the index on every
+    execution, and after this append every just-admitted doc matches
+    its own newly-appended fingerprint, silently collapsing the frame
+    to empty. Write the admitted docs to the corpus store (or collect
+    their ids) BEFORE calling this; in a real pipeline that ordering
+    is forced anyway — you append index state for documents that are
+    durably in the corpus, never for an unmaterialized plan."""
+    from .text import fingerprints
+
+    spark = admitted.sparkSession
+    meta = spark.read.parquet(f"{index_path}/meta").head()
+    fingerprints(admitted, text_col, id_col).select(
+        id_col, "sha256_fp"
+    ).write.mode("append").parquet(f"{index_path}/fingerprints")
+    minhash_signatures(
+        admitted,
+        text_col,
+        id_col,
+        meta.n_hashes,
+        meta.shingle_n,
+        meta.max_chars,
+        meta.seed,
+    ).write.mode("append").parquet(f"{index_path}/signatures")
+
+
 def incremental_dedup_indexed(
     index_path: str,
     corpus: DataFrame,

@@ -357,6 +357,47 @@ def test_incremental_dedup_indexed_equals_self_contained(spark, sf_dir, tmp_path
     assert got == want
 
 
+def test_append_to_dedup_index_equals_rebuild(spark, sf_dir, tmp_path):
+    """Two-ingest lifecycle: build on corpus A, serve batch B, append
+    B's admitted docs, then serving batch C must equal serving C
+    against an index REBUILT from A ∪ admitted(B) — the append path
+    can never drift from a fresh fit."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = docs.filter(F.col("doc_id") < 300)
+    b = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    c = docs.filter(F.col("doc_id") >= 400)
+    idx = str(tmp_path / "idx_appended")
+    dedup.build_dedup_index(a, "text", "doc_id", idx)
+    b_decisions = dedup.incremental_dedup_indexed(
+        idx, a, b, "text", "doc_id", threshold=0.9
+    )
+    # MATERIALIZE before appending (the documented read-write hazard:
+    # a lazy frame over this index changes meaning once appended to —
+    # every admitted doc would match its own new fingerprint)
+    admitted_ids = [
+        r.doc_id
+        for r in b_decisions.filter(F.col("decision") == "new").collect()
+    ]
+    admitted = b.filter(F.col("doc_id").isin(admitted_ids))
+    dedup.append_to_dedup_index(admitted, "text", "doc_id", idx)
+
+    corpus2 = a.unionByName(admitted)
+    idx2 = str(tmp_path / "idx_rebuilt")
+    dedup.build_dedup_index(corpus2, "text", "doc_id", idx2)
+    got = {r.doc_id: r.decision for r in
+           dedup.incremental_dedup_indexed(idx, corpus2, c, "text",
+                                           "doc_id", threshold=0.9).collect()}
+    want = {r.doc_id: r.decision for r in
+            dedup.incremental_dedup_indexed(idx2, corpus2, c, "text",
+                                            "doc_id", threshold=0.9).collect()}
+    assert got == want
+    assert len(got) == c.count()
+
+
 def test_incremental_dedup_indexed_rejects_mismatched_geometry(spark, tmp_path):
     """An index built with different LSH geometry must raise — banding
     with mismatched parameters silently loses every near-dup."""
