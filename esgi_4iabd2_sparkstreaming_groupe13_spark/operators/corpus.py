@@ -290,6 +290,57 @@ def unigram_logprob(
     )
 
 
+def vocab_stats(
+    df: DataFrame, text_col: str, group_col: str, top_k: int = 100
+) -> DataFrame:
+    """Per-group corpus vocabulary statistics — the Zipf-curve health
+    check a training pipeline runs per language/source slice before
+    tokenizer training: vocabulary size, total token instances, hapax
+    legomena count (terms appearing exactly once — OCR noise and
+    mojibake inflate it), and the share of the token stream covered by
+    the ``top_k`` most frequent terms (boilerplate-heavy slices skew
+    high).
+
+    Determinism contract: the top-``top_k`` cut ranks by
+    (count DESC, term ASC) so ties never make coverage engine-
+    dependent; coverage rounded to 6 dp.
+
+    Scale shape: explode → (group, term) hash aggregate (map-side
+    combined, so the shuffle carries per-partition distinct terms, not
+    instances); the rank window then runs over the VOCAB-sized count
+    table — orders of magnitude smaller than the token stream — with
+    per-group top-rank heaps, and the final per-group aggregate is a
+    rollup of that same small table. No collects, no full sorts.
+    """
+    toks = df.select(
+        F.col(group_col), F.explode(token_array(F.col(text_col))).alias("_t")
+    )
+    counts = toks.groupBy(group_col, "_t").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_c").desc(), F.col("_t").asc()
+    )
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.sum("_c").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("_c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax_count"),
+            F.round(
+                F.sum(
+                    F.when(F.col("_rk") <= top_k, F.col("_c")).otherwise(0)
+                ).cast("double")
+                / F.sum("_c"),
+                6,
+            ).alias(f"top{top_k}_coverage"),
+        )
+    )
+
+
 def cap_per_stratum(
     df: DataFrame,
     id_col: str,

@@ -213,6 +213,70 @@ def containment_pairs(
     )
 
 
+def edit_verified_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    candidate_threshold: float,
+    edit_threshold: float,
+    n: int = DEFAULT_SHINGLE_N,
+    max_chars: int = 512,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Candidate-generate-then-verify near-dup detection with an EDIT
+    DISTANCE confirmation stage — the two-phase shape production dedup
+    pipelines use when shingle overlap alone over-fires (documents
+    sharing vocabulary but not structure score high Jaccard yet are
+    not edits of each other).
+
+    Stage 1 (candidates): exact n-gram Jaccard ≥ ``candidate_threshold``
+    via the shared inverted-index skeleton. Stage 2 (verify): join the
+    two texts back onto each candidate pair and score
+    ``edit_sim = 1 − levenshtein(a, b) / max(len(a), len(b), 1)`` over
+    the same ``max_chars`` prefix the shingles saw. Pairs are ANNOTATED
+    (boolean ``verified`` = edit_sim ≥ ``edit_threshold``), not
+    filtered — downstream chooses the cut, and the gate hashes both
+    populations.
+
+    Scale shape: levenshtein is O(len²) PER PAIR — the whole point of
+    the staging is that it runs on candidate volume, not corpus volume.
+    The text join-back shuffles candidates + the (id, prefix)
+    projection of the corpus; when candidates are small AQE broadcasts
+    the pair side, so the corpus side never shuffles. At 100 TB the
+    candidate stage is the banded-MinHash tier (same contract note as
+    :func:`ngram_jaccard_pairs`); the verify stage is unchanged.
+
+    Returns (id_a, id_b, jaccard, edit_sim, verified) with id_a < id_b;
+    similarities rounded to 6 dp for cross-engine parity.
+    """
+    cands = ngram_jaccard_pairs(
+        df, text_col, id_col, candidate_threshold, n, max_chars,
+        max_shingle_df,
+    )
+    prefix = F.substring(F.col(text_col), 1, max_chars)
+    ta = df.select(F.col(id_col).alias("id_a"), prefix.alias("_ta"))
+    tb = df.select(F.col(id_col).alias("id_b"), prefix.alias("_tb"))
+    edit_sim = F.round(
+        F.lit(1.0)
+        - F.levenshtein(F.col("_ta"), F.col("_tb"))
+        / F.greatest(
+            F.length("_ta"), F.length("_tb"), F.lit(1)
+        ).cast("double"),
+        6,
+    )
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            edit_sim.alias("edit_sim"),
+            (edit_sim >= edit_threshold).alias("verified"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,

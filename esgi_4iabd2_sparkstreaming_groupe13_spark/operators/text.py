@@ -198,6 +198,80 @@ def repetition_features(
     )
 
 
+def top_ngram_char_fraction(
+    df: DataFrame, text_col: str, id_col: str, ns: tuple[int, ...] = (2, 3, 4)
+) -> DataFrame:
+    """The second Gopher repetition family (Rae et al. 2021 §A1.1):
+    for each n, the fraction of the document's characters covered by
+    occurrences of its single MOST FREQUENT word n-gram —
+    ``count(top) · len(top) / len(space-joined tokens)``. Degenerate
+    docs repeat one phrase; this catches them even when
+    :func:`repetition_features`' duplicate-gram ratio stays moderate.
+
+    Determinism contract (cross-engine): the top gram is chosen by
+    (count DESC, gram ASC) — implemented as an ascending sort of
+    (−count, gram) structs, identical field-order comparison semantics
+    in Spark and DuckDB. Fractions rounded to 6 dp; docs with fewer
+    than n tokens score 0.0.
+
+    Scale shape: per-row narrow array expressions, zero shuffle. The
+    per-row cost is O(G²) in the doc's distinct-gram count (a
+    filter-count per distinct gram) — bounded by document length, not
+    corpus size, so it parallelizes embarrassingly; the corpus-level
+    alternative (explode + window) would shuffle every gram instance
+    for a per-document answer.
+    """
+    t = F.col(text_col)
+
+    def frac(n: int) -> Column:
+        def over_tokens(tk: Column) -> Column:
+            def gram(i: Column) -> Column:
+                return F.concat_ws(" ", F.slice(tk, i, n))
+
+            grams = F.when(
+                F.size(tk) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)), gram
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+            def over_grams(g: Column) -> Column:
+                ranked = F.array_sort(
+                    F.transform(
+                        F.array_distinct(g),
+                        lambda d: F.struct(
+                            (
+                                -F.size(F.filter(g, lambda x: x == d))
+                            ).alias("c"),
+                            d.alias("g"),
+                        ),
+                    )
+                )
+                top = F.element_at(ranked, 1)
+                covered = (-top["c"]) * F.length(top["g"])
+                return F.when(
+                    F.size(g) > 0,
+                    F.round(
+                        covered.cast("double")
+                        / F.greatest(
+                            F.length(F.concat_ws(" ", tk)), F.lit(1)
+                        ),
+                        6,
+                    ),
+                ).otherwise(F.lit(0.0))
+
+            return F.element_at(F.transform(F.array(grams), over_grams), 1)
+
+        return F.element_at(
+            F.transform(F.array(token_array(t)), over_tokens), 1
+        )
+
+    return df.select(
+        F.col(id_col),
+        *[frac(n).alias(f"top{n}gram_char_frac") for n in ns],
+    )
+
+
 def content_norm(text: Column) -> Column:
     """THE content-normalization expression (trim → lower → collapse
     whitespace runs to one space) every exact-dedup key in the engine

@@ -1872,6 +1872,43 @@ def q_repetition(spark, sf_dir):
     )
 
 
+def q_top_ngram(spark, sf_dir):
+    """Second Gopher repetition family (new r6): per-document fraction
+    of characters covered by the most frequent word 2/3/4-gram —
+    narrow per-row array expressions, zero shuffle, deterministic
+    (count DESC, gram ASC) top-gram choice."""
+    return text.top_ngram_char_fraction(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+def q_vocab_stats(spark, sf_dir):
+    """Per-language vocabulary statistics (new r6): vocab size, token
+    instances, hapax count, top-100 coverage — one map-side-combined
+    (lang, term) aggregate, then a rank window over the VOCAB-sized
+    count table (orders of magnitude below instance volume)."""
+    return corpus.vocab_stats(
+        _t(spark, sf_dir, "documents"), "text", "lang"
+    )
+
+
+def q_edit_verify(spark, sf_dir):
+    """Candidate-generate-then-verify dedup (new r6): exact-Jaccard
+    candidates ≥ 0.3 on the bounded q_ngram_jaccard slice, then a
+    levenshtein edit-similarity verdict at 0.8 — the O(len²) edit
+    distance runs on CANDIDATE volume only, and pairs are annotated
+    (boolean ``verified``), so the gate hashes both populations
+    (measured at sf0.01: 8 candidates, 7 verified / 1 rejected; the
+    next jaccard bucket down holds ~13k pairs — the candidate cut is
+    what keeps the verify stage off corpus volume)."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < N_JACCARD_DOCS
+    )
+    return dedup.edit_verified_pairs(
+        docs, "text", "doc_id", candidate_threshold=0.3, edit_threshold=0.8
+    )
+
+
 def q_winnow_fp(spark, sf_dir):
     """MOSS winnowing fingerprints (rolling k-gram hashes, window-min
     selection): position-independent local fingerprints catching any
@@ -2506,6 +2543,111 @@ SELECT doc_id,
        {ratio('g2')} AS dup_2gram_ratio,
        {ratio('g3')} AS dup_3gram_ratio
 FROM g
+"""
+
+
+def _top_ngram_oracle() -> str:
+    """Mirror of ``text.top_ngram_char_fraction``: same gram
+    construction as the repetition oracle, top gram chosen by an
+    ascending (−count, gram) struct sort — DuckDB compares structs by
+    field order exactly like Spark's array_sort."""
+
+    def grams(n: int) -> str:
+        return (
+            f"[array_to_string(list_slice(tk, i, i + {n - 1}), ' ') "
+            f"for i in range(1, len(tk) - {n - 2})]"
+        )
+
+    def top(g: str) -> str:
+        return (
+            f"list_sort(list_transform(list_distinct({g}), "
+            f"d -> {{'c': -len(list_filter({g}, x -> x = d)), 'g': d}}))[1]"
+        )
+
+    def frac(t: str, n: str) -> str:
+        return (
+            f"round(CASE WHEN {n} > 0 THEN "
+            f"CAST((-{t}.c) * len({t}.g) AS DOUBLE) / greatest(nc, 1) "
+            f"ELSE 0.0 END, 6)"
+        )
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+g AS (
+  SELECT doc_id, tk, {grams(2)} AS g2, {grams(3)} AS g3, {grams(4)} AS g4
+  FROM toks
+),
+t AS (
+  SELECT doc_id, len(array_to_string(tk, ' ')) AS nc,
+         len(g2) AS n2, {top('g2')} AS t2,
+         len(g3) AS n3, {top('g3')} AS t3,
+         len(g4) AS n4, {top('g4')} AS t4
+  FROM g
+)
+SELECT doc_id,
+       {frac('t2', 'n2')} AS top2gram_char_frac,
+       {frac('t3', 'n3')} AS top3gram_char_frac,
+       {frac('t4', 'n4')} AS top4gram_char_frac
+FROM t
+"""
+
+
+def _vocab_stats_oracle(top_k: int) -> str:
+    """Mirror of ``corpus.vocab_stats``: the rank window uses the same
+    (count DESC, term ASC) total order as the Spark side."""
+    return f"""
+WITH toks AS (SELECT lang, unnest({_TOKS}) AS t FROM documents),
+counts AS (SELECT lang, t, count(*) AS c FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT lang, t, c,
+         row_number() OVER (PARTITION BY lang ORDER BY c DESC, t ASC) AS rk
+  FROM counts
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(c) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+       round(CAST(sum(CASE WHEN rk <= {top_k} THEN c ELSE 0 END) AS DOUBLE)
+             / sum(c), 6) AS top{top_k}_coverage
+FROM ranked
+GROUP BY lang
+"""
+
+
+def _edit_verify_oracle(
+    cand: float, edit: float, id_filter: str = "TRUE"
+) -> str:
+    """Mirror of ``dedup.edit_verified_pairs``: the Jaccard-candidate
+    CTEs of ``_jaccard_pairs_oracle`` plus a levenshtein verdict over
+    the same 512-char prefix the shingles saw; ``verified`` compares
+    the ROUNDED edit_sim, exactly as the Spark side does."""
+    jac = "round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)"
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_SHINGLES} AS shingles, substr(text, 1, 512) AS t
+  FROM documents WHERE {id_filter}
+), sh AS (
+  SELECT doc_id, unnest(shingles) AS s FROM d
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM d
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), j AS (
+  SELECT id_a, id_b, {jac} AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE {jac} >= {cand}
+), e AS (
+  SELECT id_a, id_b, jaccard,
+         round(1.0 - CAST(levenshtein(da.t, db.t) AS DOUBLE)
+               / greatest(len(da.t), len(db.t), 1), 6) AS edit_sim
+  FROM j JOIN d da ON da.doc_id = id_a JOIN d db ON db.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard, edit_sim, edit_sim >= {edit} AS verified
+FROM e
 """
 
 
@@ -3329,6 +3471,11 @@ SELECT vec_id,
 FROM c
 """,
     "q_repetition": _repetition_oracle(),
+    "q_top_ngram": _top_ngram_oracle(),
+    "q_vocab_stats": _vocab_stats_oracle(100),
+    "q_edit_verify": _edit_verify_oracle(
+        0.3, 0.8, f"doc_id < {N_JACCARD_DOCS}"
+    ),
     "q_winnow_fp": _winnow_fp_oracle(dedup.WINNOW_K, dedup.WINNOW_W),
     "q_winnow_pairs": _winnow_pairs_oracle(
         WINNOW_MIN_SHARED, dedup.WINNOW_K, dedup.WINNOW_W, WINNOW_MAX_FP_DF
@@ -3547,15 +3694,16 @@ FROM documents
 # q_embed_dedup/q_domain_cap/q_cosine_pairs/q_join_fact_dim/
 # q_join_multiway/q_simhash/q_dedup_clusters/q_corpus_select/
 # q_sessionize), then (b) queries CHANGED or NEW this round
-# (q_session_window + q_admission_filter are new oracle-backed
-# entries; q_corpus_report was de-joined; q_bigram_logprob
-# pre-aggregates its pair stream; q_media_headers' JPEG walk was
-# hardened; q_incremental_dedup's exact tier now routes through the
-# shared content_norm expression), then (c) q_fingerprint +
+# (q_session_window + q_admission_filter + q_top_ngram +
+# q_vocab_stats + q_edit_verify are new oracle-backed entries;
+# q_corpus_report was de-joined; q_bigram_logprob pre-aggregates its
+# pair stream; q_media_headers' JPEG walk was hardened;
+# q_incremental_dedup's exact tier now routes through the shared
+# content_norm expression), then (c) q_fingerprint +
 # q_dedup_exact_content (r4-verified but touched by the content_norm
 # refactor), then (d) the oldest r4-verified canaries in registry
-# order. THIRTEEN r4-verified oracle entries stay behind for lack of
-# slots (q_token_counts .. q_minhash_lsh) — ROTATE THEM IN FIRST in
+# order. SIXTEEN r4-verified oracle entries stay behind for lack of
+# slots (q_cosine_lsh .. q_minhash_lsh) — ROTATE THEM IN FIRST in
 # r7, ahead of the r5-verified block that follows them. Every entry
 # behind the window was last driver-green in r4 or r5 (nothing is
 # ever more than two rounds stale). scripts/oracle_check.py still
@@ -3579,6 +3727,9 @@ QUERIES: list[QuerySpec] = [
     # ---- changed / new in round 6 ----
     QuerySpec("q_session_window", q_session_window, ORACLES["q_session_window"]),
     QuerySpec("q_admission_filter", q_admission_filter, ORACLES["q_admission_filter"]),
+    QuerySpec("q_top_ngram", q_top_ngram, ORACLES["q_top_ngram"], True),
+    QuerySpec("q_vocab_stats", q_vocab_stats, ORACLES["q_vocab_stats"], True),
+    QuerySpec("q_edit_verify", q_edit_verify, ORACLES["q_edit_verify"]),
     QuerySpec("q_corpus_report", q_corpus_report, ORACLES["q_corpus_report"]),
     QuerySpec("q_bigram_logprob", q_bigram_logprob, ORACLES["q_bigram_logprob"], True),
     QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),
@@ -3613,11 +3764,11 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_minhash_sig", q_minhash_sig, ORACLES["q_minhash_sig"]),
     QuerySpec("q_simhash_pairs", q_simhash_pairs, ORACLES["q_simhash_pairs"]),
     QuerySpec("q_cosine_topk", q_cosine_topk, ORACLES["q_cosine_topk"], True),
+    # ==== driver 50-entry verification window ends here ====
+    # r4-verified holdovers (no slots left — ROTATE IN FIRST in r7):
     QuerySpec("q_cosine_lsh", q_cosine_lsh, ORACLES["q_cosine_lsh"]),
     QuerySpec("q_lang_id", q_lang_id, ORACLES["q_lang_id"], True),
     QuerySpec("q_quality", q_quality, ORACLES["q_quality"]),
-    # ==== driver 50-entry verification window ends here ====
-    # r4-verified holdovers (no slots left — ROTATE IN FIRST in r7):
     QuerySpec("q_token_counts", q_token_counts, ORACLES["q_token_counts"], True),
     QuerySpec("q_sentiment", q_sentiment, ORACLES["q_sentiment"]),
     QuerySpec("q_stream_batch_agg", q_stream_batch_agg, ORACLES["q_stream_batch_agg"]),

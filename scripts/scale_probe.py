@@ -64,7 +64,8 @@ ALL_OPS = (
     "minhash_lsh simhash_pairs tfidf_topterms token_packing contamination "
     "unigram_logprob count_by_key topk global_index rolling_sum cosine_topk "
     "cosine_pairs_exact cosine_rh_lsh cms ann_quantized doc_chunks "
-    "bigram_logprob incremental_dedup incremental_indexed"
+    "bigram_logprob incremental_dedup incremental_indexed top_ngram "
+    "vocab_stats"
 ).split()
 
 
@@ -103,6 +104,8 @@ def main() -> None:
         "bigram_logprob",
         "incremental_dedup",
         "incremental_indexed",
+        "top_ngram",
+        "vocab_stats",
     )
     if want(*doc_ops):
         docs1 = load_table(spark, SF_DIR, "documents")
@@ -206,12 +209,12 @@ def main() -> None:
                 corpus.chunk_documents(docsN, "text", "doc_id"),
             ),
         }
-    if want("bigram_logprob"):
+    if want("bigram_logprob", "top_ngram", "vocab_stats"):
         # the shared docsN's md5-expanded copies are a single unbroken
         # hex token (fine for char-shingle ops, invisible to a BIGRAM
-        # stream: <2 tokens → dropped). Build a bigram-specific scaled
+        # stream: <2 tokens → dropped). Build a token-rich scaled
         # corpus whose fake copies carry 24 word tokens each, so the
-        # bigram stream itself grows ×factor.
+        # token stream itself grows ×factor.
         tok_copies = [docs1]
         for i in range(1, factor):
             tok_copies.append(
@@ -237,6 +240,7 @@ def main() -> None:
             docsTok = docsTok.unionByName(c)
         docsTok.write.mode("overwrite").parquet(f"{tmp}/docsTok.parquet")
         docsTok = spark.read.parquet(f"{tmp}/docsTok.parquet")
+    if want("bigram_logprob"):
         results["bigram_logprob"] = {
             "t1": timed(
                 "bigram 1x", corpus.bigram_logprob(docs1, "text", "doc_id")
@@ -244,6 +248,35 @@ def main() -> None:
             "tN": timed(
                 f"bigram {factor}x",
                 corpus.bigram_logprob(docsTok, "text", "doc_id"),
+            ),
+        }
+    # top-n-gram char fractions: zero-shuffle narrow expressions whose
+    # per-row cost is O(G²) in the doc's distinct grams — corpus growth
+    # must track ~linear (more rows, same per-row bound)
+    if want("top_ngram"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import text
+
+        results["top_ngram"] = {
+            "t1": timed(
+                "topgram 1x",
+                text.top_ngram_char_fraction(docs1, "text", "doc_id"),
+            ),
+            "tN": timed(
+                f"topgram {factor}x",
+                text.top_ngram_char_fraction(docsTok, "text", "doc_id"),
+            ),
+        }
+    # vocabulary stats: shuffle volume is map-side-combined distinct
+    # terms; the fake copies are all-unique tokens, so this probes the
+    # WORST case (vocab grows with the corpus, zero combine leverage)
+    if want("vocab_stats"):
+        results["vocab_stats"] = {
+            "t1": timed(
+                "vocab 1x", corpus.vocab_stats(docs1, "text", "lang")
+            ),
+            "tN": timed(
+                f"vocab {factor}x",
+                corpus.vocab_stats(docsTok, "text", "lang"),
             ),
         }
 

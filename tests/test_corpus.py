@@ -295,3 +295,20 @@ def test_weighted_sample_clamps_out_of_range_weights(spark):
     kept = {r.doc_id for r in
             corpus.weighted_sample(df, "doc_id", F.col("w")).collect()}
     assert kept == {1}  # >1 clamps to always-keep, <0 to never-keep
+
+
+def test_vocab_stats_exact_counts_and_tiebreak(spark):
+    # en: a:2 b:2 c:1 -> vocab 3, total 5, hapax 1; top_k=1 must pick
+    # 'a' (count tie broken by term ASC) -> coverage 2/5
+    df = spark.createDataFrame(
+        [(0, "a a b", "en"), (1, "b c", "en"), (2, "z z z", "fr")],
+        ["doc_id", "text", "lang"],
+    )
+    out = {r["lang"]: r for r in
+           corpus.vocab_stats(df, "text", "lang", top_k=1).collect()}
+    en = out["en"]
+    assert (en["vocab_size"], en["total_tokens"], en["hapax_count"]) == (3, 5, 1)
+    assert en["top1_coverage"] == 0.4
+    fr = out["fr"]
+    assert (fr["vocab_size"], fr["total_tokens"], fr["hapax_count"]) == (1, 3, 0)
+    assert fr["top1_coverage"] == 1.0

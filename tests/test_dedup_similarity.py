@@ -414,3 +414,23 @@ def test_incremental_dedup_indexed_rejects_mismatched_geometry(spark, tmp_path):
         dedup.incremental_dedup_indexed(
             idx, corpus, corpus, "text", "doc_id", n_hashes=32, bands=8
         ).collect()
+
+
+def test_edit_verified_pairs_annotates_candidates(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    edited = base.replace("jumps", "leaps")  # one-word edit: near-dup
+    shuffled = " ".join(reversed(base.split()))  # same vocab, not an edit
+    df = spark.createDataFrame(
+        [(0, base), (1, edited), (2, shuffled)], ["doc_id", "text"]
+    )
+    out = {(r["id_a"], r["id_b"]): r for r in dedup.edit_verified_pairs(
+        df, "text", "doc_id", candidate_threshold=0.1, edit_threshold=0.8
+    ).collect()}
+    assert (0, 1) in out  # candidate AND verified
+    assert out[(0, 1)]["verified"] is True
+    assert out[(0, 1)]["edit_sim"] >= 0.9
+    # the shuffled doc shares shingles (candidate) but fails the edit
+    # verdict — and stays in the output: annotate, don't filter
+    assert (0, 2) in out
+    assert out[(0, 2)]["verified"] is False
+    assert out[(0, 2)]["edit_sim"] < out[(0, 1)]["edit_sim"]

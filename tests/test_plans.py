@@ -249,3 +249,32 @@ def test_corpus_report_join_free_single_aggregate(spark, sf_dir):
     assert "Join" not in p
     assert p.count("Scan parquet") == 1
     assert p.count("Exchange") == 1
+
+
+def test_top_ngram_zero_shuffle(spark, sf_dir):
+    """The Gopher top-n-gram fractions are per-row array expressions —
+    a corpus-level formulation (explode + window) would shuffle every
+    gram instance for a per-document answer."""
+    p = plan_of(spark, sf_dir, Q.q_top_ngram)
+    assert "Exchange" not in p
+    assert "WindowExec" not in p and "Window\n" not in p
+
+
+def test_vocab_stats_two_shuffles_max(spark, sf_dir):
+    """vocab_stats: one (lang, term) aggregate shuffle + one lang
+    repartition for the rank window; the final per-lang aggregate must
+    ride the window's partitioning, not add a third exchange."""
+    p = plan_of(spark, sf_dir, Q.q_vocab_stats)
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_edit_verify_levenshtein_on_candidates_only(spark, sf_dir):
+    """The O(len^2) levenshtein must sit ABOVE the jaccard-threshold
+    filter (candidate volume), never below it (corpus-pair volume):
+    in the plan string the edit expression appears in a projection
+    that consumes the already-filtered join, and the jaccard filter
+    itself survives as a Filter on the rounded ratio."""
+    p = plan_of(spark, sf_dir, Q.q_edit_verify)
+    assert "levenshtein" in p
+    # candidate filter present (rounded jaccard >= 0.3)
+    assert "0.3" in p

@@ -214,3 +214,33 @@ def test_media_header_jpeg_fill_bytes_rst_and_sof_variants(spark):
     assert (out[3].width, out[3].height) == (160, 120)
     assert (out[4].width, out[4].height) == (80, 60)
     assert all(r.format == "jpeg" for r in out.values())
+
+
+def test_top_ngram_char_fraction_exact_and_ties(spark):
+    # "a b a b a b": 2-gram top = ("a b", 3) over 11 chars -> 9/11;
+    # 3-grams tie at count 2 -> lexicographically smallest "a b a"
+    # wins -> 10/11; 4-gram top ("a b a b", 2) -> 14/11 (> 1 is legal:
+    # occurrences overlap, the contract is count x len / chars).
+    df = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "x")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in
+           text.top_ngram_char_fraction(df, "text", "doc_id").collect()}
+    assert out[0]["top2gram_char_frac"] == round(9 / 11, 6)
+    assert out[0]["top3gram_char_frac"] == round(10 / 11, 6)
+    assert out[0]["top4gram_char_frac"] == round(14 / 11, 6)
+    # fewer tokens than n -> 0.0, never NULL
+    assert out[1]["top2gram_char_frac"] == 0.0
+    assert out[1]["top4gram_char_frac"] == 0.0
+
+
+def test_top_ngram_flags_degenerate_repetition(spark):
+    diverse = " ".join(f"tok{i} word{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(0, "buy now " * 30), (1, diverse)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["top2gram_char_frac"] for r in
+           text.top_ngram_char_fraction(df, "text", "doc_id").collect()}
+    assert out[0] > 0.85
+    assert out[1] < 0.1
+    assert out[0] > out[1]
