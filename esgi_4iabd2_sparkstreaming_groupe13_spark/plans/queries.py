@@ -52,6 +52,7 @@ from ..operators import (
     similarity,
     sketches,
     text,
+    validate,
     windows,
 )
 from ..operators.dedup import SIMHASH_BITS
@@ -1909,6 +1910,32 @@ def q_edit_verify(spark, sf_dir):
     )
 
 
+#: Accepted event types for q_validation — 'error' is deliberately
+#: excluded so the suite demonstrates a FAILING check on real data
+#: (as does the [0, 400] value bound; max observed value ≈ 490).
+VALID_EVENT_TYPES = ["click", "view", "purchase", "signup"]
+
+
+def q_validation(spark, sf_dir):
+    """Deequ-style declarative expectation suite (new r6): six checks
+    compiled into ONE global aggregate pass over events — report size
+    is O(checks), scan count is 1 regardless of suite size. The suite
+    mixes passing checks with two deliberately failing ones so the
+    gate hashes both verdict populations."""
+    ev = _t(spark, sf_dir, "events")
+    return validate.validate(
+        ev,
+        [
+            validate.min_rows(1000),
+            validate.completeness("ts"),
+            validate.uniqueness("event_id"),
+            validate.bounds("value", 0.0, 400.0),
+            validate.accepted_values("event_type", VALID_EVENT_TYPES),
+            validate.non_negative("value"),
+        ],
+    )
+
+
 def q_winnow_fp(spark, sf_dir):
     """MOSS winnowing fingerprints (rolling k-gram hashes, window-min
     selection): position-independent local fingerprints catching any
@@ -2648,6 +2675,32 @@ WITH d AS (
 )
 SELECT id_a, id_b, jaccard, edit_sim, edit_sim >= {edit} AS verified
 FROM e
+"""
+
+
+def _validation_oracle() -> str:
+    """Mirror of ``q_validation``: one aggregate CTE, then a UNION ALL
+    pivot to the long (check, metric, passed) report — each passed
+    verdict applies to the ROUNDED metric, exactly as validate.py
+    does. ``check`` is a reserved word in DuckDB, hence quoted."""
+    vals = ", ".join(f"'{v}'" for v in VALID_EVENT_TYPES)
+    return f"""
+WITH a AS (
+  SELECT round(CAST(count(*) AS DOUBLE), 6) AS n,
+         round(avg(CASE WHEN ts IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS comp_ts,
+         round(CAST(count(DISTINCT event_id) AS DOUBLE) / count(*), 6) AS uniq,
+         round(CAST(sum(CASE WHEN value < 0.0 OR value > 400.0 THEN 1 ELSE 0 END) AS DOUBLE), 6) AS oob,
+         round(CAST(sum(CASE WHEN event_type IS NOT NULL
+                         AND event_type NOT IN ({vals}) THEN 1 ELSE 0 END) AS DOUBLE), 6) AS badvals,
+         round(CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS DOUBLE), 6) AS neg
+  FROM events
+)
+SELECT 'min_rows(1000)' AS "check", n AS metric, n >= 1000.0 AS passed FROM a
+UNION ALL SELECT 'completeness(ts)', comp_ts, comp_ts >= 1.0 FROM a
+UNION ALL SELECT 'uniqueness(event_id)', uniq, uniq = 1.0 FROM a
+UNION ALL SELECT 'bounds(value,0.0,400.0)', oob, oob = 0.0 FROM a
+UNION ALL SELECT 'accepted_values(event_type)', badvals, badvals = 0.0 FROM a
+UNION ALL SELECT 'non_negative(value)', neg, neg = 0.0 FROM a
 """
 
 
@@ -3472,6 +3525,7 @@ FROM c
 """,
     "q_repetition": _repetition_oracle(),
     "q_top_ngram": _top_ngram_oracle(),
+    "q_validation": _validation_oracle(),
     "q_vocab_stats": _vocab_stats_oracle(100),
     "q_edit_verify": _edit_verify_oracle(
         0.3, 0.8, f"doc_id < {N_JACCARD_DOCS}"
@@ -3695,15 +3749,16 @@ FROM documents
 # q_join_multiway/q_simhash/q_dedup_clusters/q_corpus_select/
 # q_sessionize), then (b) queries CHANGED or NEW this round
 # (q_session_window + q_admission_filter + q_top_ngram +
-# q_vocab_stats + q_edit_verify are new oracle-backed entries;
+# q_vocab_stats + q_edit_verify + q_validation are new oracle-backed
+# entries;
 # q_corpus_report was de-joined; q_bigram_logprob pre-aggregates its
 # pair stream; q_media_headers' JPEG walk was hardened;
 # q_incremental_dedup's exact tier now routes through the shared
 # content_norm expression), then (c) q_fingerprint +
 # q_dedup_exact_content (r4-verified but touched by the content_norm
 # refactor), then (d) the oldest r4-verified canaries in registry
-# order. SIXTEEN r4-verified oracle entries stay behind for lack of
-# slots (q_cosine_lsh .. q_minhash_lsh) — ROTATE THEM IN FIRST in
+# order. SEVENTEEN r4-verified oracle entries stay behind for lack of
+# slots (q_cosine_topk .. q_minhash_lsh) — ROTATE THEM IN FIRST in
 # r7, ahead of the r5-verified block that follows them. Every entry
 # behind the window was last driver-green in r4 or r5 (nothing is
 # ever more than two rounds stale). scripts/oracle_check.py still
@@ -3730,6 +3785,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_top_ngram", q_top_ngram, ORACLES["q_top_ngram"], True),
     QuerySpec("q_vocab_stats", q_vocab_stats, ORACLES["q_vocab_stats"], True),
     QuerySpec("q_edit_verify", q_edit_verify, ORACLES["q_edit_verify"]),
+    QuerySpec("q_validation", q_validation, ORACLES["q_validation"]),
     QuerySpec("q_corpus_report", q_corpus_report, ORACLES["q_corpus_report"]),
     QuerySpec("q_bigram_logprob", q_bigram_logprob, ORACLES["q_bigram_logprob"], True),
     QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),
@@ -3763,9 +3819,9 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_ngram_jaccard", q_ngram_jaccard, ORACLES["q_ngram_jaccard"]),
     QuerySpec("q_minhash_sig", q_minhash_sig, ORACLES["q_minhash_sig"]),
     QuerySpec("q_simhash_pairs", q_simhash_pairs, ORACLES["q_simhash_pairs"]),
-    QuerySpec("q_cosine_topk", q_cosine_topk, ORACLES["q_cosine_topk"], True),
     # ==== driver 50-entry verification window ends here ====
     # r4-verified holdovers (no slots left — ROTATE IN FIRST in r7):
+    QuerySpec("q_cosine_topk", q_cosine_topk, ORACLES["q_cosine_topk"], True),
     QuerySpec("q_cosine_lsh", q_cosine_lsh, ORACLES["q_cosine_lsh"]),
     QuerySpec("q_lang_id", q_lang_id, ORACLES["q_lang_id"], True),
     QuerySpec("q_quality", q_quality, ORACLES["q_quality"]),

@@ -1,0 +1,75 @@
+"""Declarative validation-suite tests: exact metrics, verdicts, and
+the one-scan plan contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import validate as V
+from esgi_4iabd2_sparkstreaming_groupe13_spark.plans import queries as Q
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    rows = [
+        (1, "a", 10.0),
+        (2, "a", 250.0),   # duplicate key with row 4
+        (2, "b", -5.0),    # negative + out of bounds
+        (3, None, 99.0),   # null category
+        (4, "zz", 401.0),  # bad category + out of bounds
+    ]
+    return spark.createDataFrame(rows, ["k", "cat", "v"])
+
+
+def test_validate_exact_metrics_and_verdicts(dirty):
+    out = {r["check"]: (r["metric"], r["passed"]) for r in V.validate(
+        dirty,
+        [
+            V.min_rows(5),
+            V.completeness("cat"),
+            V.uniqueness("k"),
+            V.bounds("v", 0.0, 400.0),
+            V.accepted_values("cat", ["a", "b"]),
+            V.non_negative("v"),
+        ],
+    ).collect()}
+    assert out["min_rows(5)"] == (5.0, True)
+    assert out["completeness(cat)"] == (0.8, False)
+    assert out["uniqueness(k)"] == (0.8, False)  # 4 distinct / 5 rows
+    assert out["bounds(v,0.0,400.0)"] == (2.0, False)
+    assert out["accepted_values(cat)"] == (1.0, False)  # NULL is not a violation
+    assert out["non_negative(v)"] == (1.0, False)
+
+
+def test_validate_passing_suite(dirty):
+    out = {r["check"]: r["passed"] for r in V.validate(
+        dirty, [V.min_rows(2), V.completeness("cat", min_ratio=0.5)]
+    ).collect()}
+    assert all(out.values())
+
+
+def test_validate_rejects_empty_suite(dirty):
+    with pytest.raises(ValueError):
+        V.validate(dirty, [])
+
+
+def test_validation_single_scan_plan(spark, sf_dir):
+    """The suite's contract: N checks, ONE scan, ONE global aggregate
+    pass (count-distinct rides the same aggregate via Expand)."""
+    df = Q.q_validation(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Scan parquet") == 1
+
+
+def test_q_validation_mixes_verdicts(spark, sf_dir):
+    out = {r["check"]: r["passed"] for r in Q.q_validation(
+        spark, sf_dir
+    ).collect()}
+    assert len(out) == 6
+    # 'error' events exist at every sf — the accepted-values check is
+    # the stable deliberate failure (the [0,400] bound only trips at
+    # sf >= 0.01, where max(value) ≈ 490)
+    assert out["accepted_values(event_type)"] is False
+    assert out["completeness(ts)"] is True
+    assert out["uniqueness(event_id)"] is True
+    assert out["min_rows(1000)"] is True
