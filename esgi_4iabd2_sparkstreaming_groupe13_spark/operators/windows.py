@@ -328,3 +328,65 @@ def sliding_window_agg(
             "n_events",
         )
     )
+
+
+def rate_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    bucket: str = "day",
+    trailing: int = 7,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Per-key event-rate anomaly detection — the monitoring query a
+    pipeline runs over its own ingest: bucket events per (key, period),
+    then score each bucket's count against the TRAILING ``trailing``
+    buckets' mean/stddev and flag |z| ≥ ``z_threshold``. The current
+    bucket is excluded from its own baseline (frame ends at −1), so a
+    spike can't suppress its own detection.
+
+    Engine-exact determinism: the frame aggregates are pure INTEGER
+    sums (Σn, Σn², count) — order-independent and exact — and mean,
+    variance, and z derive from them through one explicitly-written
+    double formula (``(Σn² − Σn·Σn/c)/(c−1)``), so Spark and the
+    DuckDB oracle compute bit-identical doubles (no engine-internal
+    streaming-variance algorithm is trusted). z is rounded to 6 dp and
+    the flag compares the ROUNDED z. Buckets with fewer than 2
+    trailing observations or zero variance yield NULL z and a false
+    flag.
+
+    Scale shape: one (key, bucket) hash aggregate (map-side combined —
+    the shuffle carries bucket counts, not events), then a window over
+    the BUCKET table (rows = keys × periods, orders of magnitude below
+    event volume) partitioned by key. The rows-frame baseline is over
+    OBSERVED buckets; densify (sequence + explode) upstream if
+    gap-as-zero semantics are wanted.
+    """
+    counts = df.groupBy(
+        F.col(key_col),
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(-trailing, -1)
+    )
+    sd = F.sum("n").over(w).cast("double")
+    s2d = F.sum(F.col("n") * F.col("n")).over(w).cast("double")
+    cd = F.count("n").over(w).cast("double")
+    mean = sd / cd
+    var = (s2d - sd * sd / cd) / (cd - 1)
+    z = F.when(
+        (cd >= 2) & (var > 0),
+        F.round((F.col("n") - mean) / F.sqrt(var), 6),
+    )
+    return counts.select(
+        F.col(key_col),
+        F.col("bucket_ts"),
+        F.col("n").cast("long").alias("n"),
+        F.round(mean, 6).alias("trailing_mean"),
+        z.alias("z"),
+        F.coalesce(
+            (z >= z_threshold) | (z <= -z_threshold), F.lit(False)
+        ).alias("is_anomaly"),
+    )

@@ -1048,6 +1048,17 @@ def q_window_frames(spark, sf_dir):
     )
 
 
+def q_rate_anomaly(spark, sf_dir):
+    """Per-type daily event-rate anomaly scan (new r6): trailing-7-day
+    z-score with the current bucket excluded from its own baseline.
+    Integer frame sums (Σn, Σn², c) + one explicit double formula keep
+    Spark and DuckDB bit-identical; the window runs over the BUCKET
+    table (keys × days), not event volume."""
+    return windows.rate_anomalies(
+        _t(spark, sf_dir, "events"), "ts", "event_type"
+    )
+
+
 def q_rolling_sum(spark, sf_dir):
     """§2.5 extension: 3-row moving sum of order totals per customer
     (ROWS BETWEEN frame spec)."""
@@ -3526,6 +3537,34 @@ FROM c
     "q_repetition": _repetition_oracle(),
     "q_top_ngram": _top_ngram_oracle(),
     "q_validation": _validation_oracle(),
+    # mirror of windows.rate_anomalies: identical integer frame sums
+    # and the identical explicit double formula, so z hashes match
+    "q_rate_anomaly": """
+WITH c AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket_ts, count(*) AS n
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, bucket_ts, n,
+         CAST(sum(n) OVER win AS DOUBLE) AS sd,
+         CAST(sum(n * n) OVER win AS DOUBLE) AS s2d,
+         CAST(count(n) OVER win AS DOUBLE) AS cd
+  FROM c
+  WINDOW win AS (PARTITION BY event_type ORDER BY bucket_ts
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bucket_ts, CAST(n AS BIGINT) AS n,
+       round(sd / cd, 6) AS trailing_mean,
+       CASE WHEN cd >= 2 AND (s2d - sd * sd / cd) / (cd - 1) > 0
+            THEN round((n - sd / cd)
+                       / sqrt((s2d - sd * sd / cd) / (cd - 1)), 6)
+       END AS z,
+       coalesce(
+         CASE WHEN cd >= 2 AND (s2d - sd * sd / cd) / (cd - 1) > 0
+              THEN abs(round((n - sd / cd)
+                       / sqrt((s2d - sd * sd / cd) / (cd - 1)), 6)) >= 2.0
+         END, FALSE) AS is_anomaly
+FROM w
+""",
     "q_vocab_stats": _vocab_stats_oracle(100),
     "q_edit_verify": _edit_verify_oracle(
         0.3, 0.8, f"doc_id < {N_JACCARD_DOCS}"
@@ -3749,16 +3788,16 @@ FROM documents
 # q_join_multiway/q_simhash/q_dedup_clusters/q_corpus_select/
 # q_sessionize), then (b) queries CHANGED or NEW this round
 # (q_session_window + q_admission_filter + q_top_ngram +
-# q_vocab_stats + q_edit_verify + q_validation are new oracle-backed
-# entries;
+# q_vocab_stats + q_edit_verify + q_validation + q_rate_anomaly are
+# new oracle-backed entries;
 # q_corpus_report was de-joined; q_bigram_logprob pre-aggregates its
 # pair stream; q_media_headers' JPEG walk was hardened;
 # q_incremental_dedup's exact tier now routes through the shared
 # content_norm expression), then (c) q_fingerprint +
 # q_dedup_exact_content (r4-verified but touched by the content_norm
 # refactor), then (d) the oldest r4-verified canaries in registry
-# order. SEVENTEEN r4-verified oracle entries stay behind for lack of
-# slots (q_cosine_topk .. q_minhash_lsh) — ROTATE THEM IN FIRST in
+# order. EIGHTEEN r4-verified oracle entries stay behind for lack of
+# slots (q_simhash_pairs .. q_minhash_lsh) — ROTATE THEM IN FIRST in
 # r7, ahead of the r5-verified block that follows them. Every entry
 # behind the window was last driver-green in r4 or r5 (nothing is
 # ever more than two rounds stale). scripts/oracle_check.py still
@@ -3786,6 +3825,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_vocab_stats", q_vocab_stats, ORACLES["q_vocab_stats"], True),
     QuerySpec("q_edit_verify", q_edit_verify, ORACLES["q_edit_verify"]),
     QuerySpec("q_validation", q_validation, ORACLES["q_validation"]),
+    QuerySpec("q_rate_anomaly", q_rate_anomaly, ORACLES["q_rate_anomaly"]),
     QuerySpec("q_corpus_report", q_corpus_report, ORACLES["q_corpus_report"]),
     QuerySpec("q_bigram_logprob", q_bigram_logprob, ORACLES["q_bigram_logprob"], True),
     QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),
@@ -3818,9 +3858,9 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_dedup_exact", q_dedup_exact, ORACLES["q_dedup_exact"]),
     QuerySpec("q_ngram_jaccard", q_ngram_jaccard, ORACLES["q_ngram_jaccard"]),
     QuerySpec("q_minhash_sig", q_minhash_sig, ORACLES["q_minhash_sig"]),
-    QuerySpec("q_simhash_pairs", q_simhash_pairs, ORACLES["q_simhash_pairs"]),
     # ==== driver 50-entry verification window ends here ====
     # r4-verified holdovers (no slots left — ROTATE IN FIRST in r7):
+    QuerySpec("q_simhash_pairs", q_simhash_pairs, ORACLES["q_simhash_pairs"]),
     QuerySpec("q_cosine_topk", q_cosine_topk, ORACLES["q_cosine_topk"], True),
     QuerySpec("q_cosine_lsh", q_cosine_lsh, ORACLES["q_cosine_lsh"]),
     QuerySpec("q_lang_id", q_lang_id, ORACLES["q_lang_id"], True),

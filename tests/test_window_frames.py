@@ -157,3 +157,32 @@ def test_percentiles_approx_within_rank_error_of_exact(spark, sf_dir):
         a = approx[key]
         for p in ("p25", "p50", "p75"):
             assert abs(e[p] - a[p]) <= tol, (key, p, e[p], a[p])
+
+
+def test_rate_anomalies_flags_crafted_spike(spark):
+    import datetime as dt
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.windows import (
+        rate_anomalies,
+    )
+
+    rows = []
+    # 10 baseline days alternating 10/12 events, then a 50-event spike
+    for d in range(1, 11):
+        for i in range(10 if d % 2 else 12):
+            rows.append(("a", dt.datetime(2024, 3, d, 12, i % 60, 0)))
+    for i in range(50):
+        rows.append(("a", dt.datetime(2024, 3, 11, 12 + i // 60, i % 60, 0)))
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    out = {r["bucket_ts"].day: r for r in rate_anomalies(
+        df, "ts", "event_type"
+    ).collect()}
+    spike = out[11]
+    assert spike["is_anomaly"] is True and spike["z"] > 2.0
+    # the spike is excluded from its own baseline: trailing mean stays
+    # at the alternating-baseline level, nowhere near 50
+    assert spike["trailing_mean"] < 12.1
+    # day 1 has no trailing window at all -> NULL z, false flag
+    assert out[1]["z"] is None and out[1]["is_anomaly"] is False
+    # ordinary baseline days are not anomalous
+    assert not any(out[d]["is_anomaly"] for d in range(1, 11))
