@@ -66,3 +66,59 @@ def compact_directory(
         1 for f in p.rglob("*") if f.is_file() and not f.name.startswith(("_", "."))
     )
     return {"files_before": files_before, "files_after": files_after, "rows": rows}
+
+
+def snapshot_diff(
+    old,
+    new,
+    key_cols: list[str],
+    compare_cols: list[str],
+):
+    """Snapshot reconciliation — classify every key across two table
+    versions as ``added`` / ``removed`` / ``changed`` / ``unchanged``
+    (the audit a pipeline runs after every ingest or backfill: "what
+    did this run actually do to the table?").
+
+    One full-outer shuffle join on the key; change detection is a
+    per-column NULL-SAFE equality chain over ``compare_cols`` — no row
+    hashing, so the verdict is engine-exact (cross-engine double→string
+    formatting never enters the comparison; at very wide schemas a
+    content-hash column computed ON INGEST is the cheaper production
+    variant, traded here for bit-exact portability). AQE broadcasts
+    the smaller snapshot when one side is a delta.
+
+    Returns (key_cols..., status) — one row per key present in either
+    snapshot.
+    """
+    from pyspark.sql import functions as F
+
+    o = old.select(
+        *[F.col(c).alias(f"_ko_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_vo_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"_kn_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_vn_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_new"),
+    )
+    on = [
+        o[f"_ko_{c}"].eqNullSafe(n[f"_kn_{c}"]) for c in key_cols
+    ]
+    j = o.join(n, on, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"_vo_{c}").eqNullSafe(F.col(f"_vn_{c}"))
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        *[
+            F.coalesce(F.col(f"_ko_{c}"), F.col(f"_kn_{c}")).alias(c)
+            for c in key_cols
+        ],
+        status.alias("status"),
+    )

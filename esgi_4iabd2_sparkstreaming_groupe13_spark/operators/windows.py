@@ -390,3 +390,54 @@ def rate_anomalies(
             (z >= z_threshold) | (z <= -z_threshold), F.lit(False)
         ).alias("is_anomaly"),
     )
+
+
+def funnel_stages(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered multi-step funnel analysis — per user, the earliest
+    time each step was reached GIVEN the previous step had already
+    happened STRICTLY earlier (the classic conversion funnel:
+    view → click → purchase; a purchase before any view does not
+    count as stage 3).
+
+    Single-shuffle formulation: the sequential dependency is expressed
+    as CHAINED RUNNING-MIN windows over the same (user, ts) ordering —
+    ``run_i`` = earliest step-i hit so far; a step-(i+1) event counts
+    only when its ts exceeds ``run_i``. One Exchange on the user key
+    serves every window, and the final per-user aggregate rides the
+    same partitioning. The naive formulation (one aggregate + join-back
+    PER STEP) shuffles ``len(steps)`` times; this shuffles once.
+
+    Returns (user, t_<step>..., stages_completed) — timestamps are
+    exact (no float arithmetic), so the result hashes identically
+    across engines.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cur = df
+    prev_run: str | None = None
+    for i, s in enumerate(steps):
+        cond = F.col(type_col) == s
+        if prev_run is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev_run))
+        cur = cur.withColumn(f"_hit{i}", F.when(cond, F.col(ts_col)))
+        if i < len(steps) - 1:
+            cur = cur.withColumn(f"_run{i}", F.min(f"_hit{i}").over(w))
+            prev_run = f"_run{i}"
+    out = cur.groupBy(user_col).agg(
+        *[F.min(f"_hit{i}").alias(f"t_{s}") for i, s in enumerate(steps)]
+    )
+    stage = F.lit(0)
+    for i, s in enumerate(steps):
+        stage = F.when(
+            F.col(f"t_{s}").isNotNull(), F.lit(i + 1)
+        ).otherwise(stage)
+    return out.withColumn("stages_completed", stage.cast("long"))

@@ -50,6 +50,7 @@ from ..operators import (
     projections as proj,
     sets,
     similarity,
+    maintenance,
     sketches,
     text,
     validate,
@@ -1056,6 +1057,49 @@ def q_rate_anomaly(spark, sf_dir):
     table (keys × days), not event volume."""
     return windows.rate_anomalies(
         _t(spark, sf_dir, "events"), "ts", "event_type"
+    )
+
+
+#: q_funnel event-time cutoff — restricting to the first four days
+#: yields a mixed stage distribution at sf0.01 (26/35/39/50 across
+#: stages 0-3); the full month funnels every user to stage 3.
+FUNNEL_CUTOFF = "2024-01-05 00:00:00"
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered view→click→purchase conversion funnel (new r6):
+    chained running-min windows give the sequential step dependency
+    in ONE shuffle on the user key (the naive per-step aggregate +
+    join-back shuffles once per step)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit(FUNNEL_CUTOFF).cast("timestamp")
+    )
+    return windows.funnel_stages(
+        ev, "ts", "user_id", "event_type", ["view", "click", "purchase"]
+    )
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation audit (new r6): classify every key
+    across two deterministic snapshot variants of events (drop
+    event_id%97, shift value on %89, re-key additions from %101) as
+    added/removed/changed/unchanged — one full-outer key join, no row
+    hashing (per-column null-safe equality keeps verdicts
+    engine-exact)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    kept = ev.filter(F.col("event_id") % 97 != 0).withColumn(
+        "value",
+        F.when(
+            F.col("event_id") % 89 == 0, F.col("value") + F.lit(5.0)
+        ).otherwise(F.col("value")),
+    )
+    added = ev.filter(F.col("event_id") % 101 == 0).withColumn(
+        "event_id", F.col("event_id") + F.lit(10_000_000)
+    )
+    return maintenance.snapshot_diff(
+        ev, kept.unionByName(added), ["event_id"], ["event_type", "value"]
     )
 
 
@@ -3537,6 +3581,58 @@ FROM c
     "q_repetition": _repetition_oracle(),
     "q_top_ngram": _top_ngram_oracle(),
     "q_validation": _validation_oracle(),
+    # mirror of maintenance.snapshot_diff over the same deterministic
+    # snapshot construction; + 5.0 is exact float addition (no rounding
+    # mode enters the comparison)
+    "q_snapshot_diff": """
+WITH o AS (SELECT event_id, event_type, value FROM events),
+n AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 89 = 0 THEN value + 5.0 ELSE value END AS value
+  FROM events WHERE event_id % 97 != 0
+  UNION ALL
+  SELECT event_id + 10000000, event_type, value
+  FROM events WHERE event_id % 101 = 0
+)
+SELECT coalesce(o.event_id, n.event_id) AS event_id,
+       CASE WHEN o.event_id IS NULL THEN 'added'
+            WHEN n.event_id IS NULL THEN 'removed'
+            WHEN o.event_type IS NOT DISTINCT FROM n.event_type
+                 AND o.value IS NOT DISTINCT FROM n.value THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.event_id = n.event_id
+""",
+    # mirror of windows.funnel_stages: the same chained running-min
+    # windows; timestamps are exact, so hashes match bit-for-bit
+    "q_funnel": f"""
+WITH src AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE ts < TIMESTAMP '{FUNNEL_CUTOFF}'
+), w AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS rv
+  FROM src
+), w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > rv THEN ts END)
+              OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS rc
+  FROM w
+), agg AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' AND ts > rv THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' AND ts > rc THEN ts END) AS t_purchase
+  FROM w2 GROUP BY user_id
+)
+SELECT user_id, t_view, t_click, t_purchase,
+       CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                 WHEN t_click IS NOT NULL THEN 2
+                 WHEN t_view IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stages_completed
+FROM agg
+""",
     # mirror of windows.rate_anomalies: identical integer frame sums
     # and the identical explicit double formula, so z hashes match
     "q_rate_anomaly": """
@@ -3788,16 +3884,16 @@ FROM documents
 # q_join_multiway/q_simhash/q_dedup_clusters/q_corpus_select/
 # q_sessionize), then (b) queries CHANGED or NEW this round
 # (q_session_window + q_admission_filter + q_top_ngram +
-# q_vocab_stats + q_edit_verify + q_validation + q_rate_anomaly are
-# new oracle-backed entries;
+# q_vocab_stats + q_edit_verify + q_validation + q_rate_anomaly +
+# q_funnel + q_snapshot_diff are new oracle-backed entries;
 # q_corpus_report was de-joined; q_bigram_logprob pre-aggregates its
 # pair stream; q_media_headers' JPEG walk was hardened;
 # q_incremental_dedup's exact tier now routes through the shared
 # content_norm expression), then (c) q_fingerprint +
 # q_dedup_exact_content (r4-verified but touched by the content_norm
 # refactor), then (d) the oldest r4-verified canaries in registry
-# order. EIGHTEEN r4-verified oracle entries stay behind for lack of
-# slots (q_simhash_pairs .. q_minhash_lsh) — ROTATE THEM IN FIRST in
+# order. TWENTY r4-verified oracle entries stay behind for lack of
+# slots (q_ngram_jaccard .. q_minhash_lsh) — ROTATE THEM IN FIRST in
 # r7, ahead of the r5-verified block that follows them. Every entry
 # behind the window was last driver-green in r4 or r5 (nothing is
 # ever more than two rounds stale). scripts/oracle_check.py still
@@ -3826,6 +3922,8 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_edit_verify", q_edit_verify, ORACLES["q_edit_verify"]),
     QuerySpec("q_validation", q_validation, ORACLES["q_validation"]),
     QuerySpec("q_rate_anomaly", q_rate_anomaly, ORACLES["q_rate_anomaly"]),
+    QuerySpec("q_funnel", q_funnel, ORACLES["q_funnel"]),
+    QuerySpec("q_snapshot_diff", q_snapshot_diff, ORACLES["q_snapshot_diff"]),
     QuerySpec("q_corpus_report", q_corpus_report, ORACLES["q_corpus_report"]),
     QuerySpec("q_bigram_logprob", q_bigram_logprob, ORACLES["q_bigram_logprob"], True),
     QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),
@@ -3856,10 +3954,10 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_total_count", q_total_count, ORACLES["q_total_count"]),
     QuerySpec("q_json_extract", q_json_extract, ORACLES["q_json_extract"]),
     QuerySpec("q_dedup_exact", q_dedup_exact, ORACLES["q_dedup_exact"]),
-    QuerySpec("q_ngram_jaccard", q_ngram_jaccard, ORACLES["q_ngram_jaccard"]),
-    QuerySpec("q_minhash_sig", q_minhash_sig, ORACLES["q_minhash_sig"]),
     # ==== driver 50-entry verification window ends here ====
     # r4-verified holdovers (no slots left — ROTATE IN FIRST in r7):
+    QuerySpec("q_ngram_jaccard", q_ngram_jaccard, ORACLES["q_ngram_jaccard"]),
+    QuerySpec("q_minhash_sig", q_minhash_sig, ORACLES["q_minhash_sig"]),
     QuerySpec("q_simhash_pairs", q_simhash_pairs, ORACLES["q_simhash_pairs"]),
     QuerySpec("q_cosine_topk", q_cosine_topk, ORACLES["q_cosine_topk"], True),
     QuerySpec("q_cosine_lsh", q_cosine_lsh, ORACLES["q_cosine_lsh"]),

@@ -126,3 +126,28 @@ def test_stream_static_broadcast_join(spark, sf_dir, tmp_path):
     # every known type got its weight; unknown types stay null
     known = got.filter(F.col("event_type").isin("click", "view", "error", "purchase"))
     assert known.filter(F.col("weight").isNull()).count() == 0
+
+
+def test_snapshot_diff_classifies_all_four_statuses(spark):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.maintenance import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        ["k", "cat", "v"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),      # unchanged
+         (2, "b", 9.0),      # changed value
+         (3, "c", None),     # unchanged (NULL == NULL via null-safe eq)
+         (5, "e", 5.0)],     # added; 4 removed
+        ["k", "cat", "v"],
+    )
+    out = {r["k"]: r["status"] for r in snapshot_diff(
+        old, new, ["k"], ["cat", "v"]
+    ).collect()}
+    assert out == {
+        1: "unchanged", 2: "changed", 3: "unchanged",
+        4: "removed", 5: "added",
+    }

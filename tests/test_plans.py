@@ -278,3 +278,12 @@ def test_edit_verify_levenshtein_on_candidates_only(spark, sf_dir):
     assert "levenshtein" in p
     # candidate filter present (rounded jaccard >= 0.3)
     assert "0.3" in p
+
+
+def test_funnel_single_user_shuffle(spark, sf_dir):
+    """The chained running-min formulation must pay ONE exchange on
+    the user key — all step windows and the final per-user aggregate
+    share it (the naive per-step aggregate + join-back pays one per
+    step)."""
+    p = plan_of(spark, sf_dir, Q.q_funnel)
+    assert p.count("Exchange hashpartitioning") == 1

@@ -186,3 +186,37 @@ def test_rate_anomalies_flags_crafted_spike(spark):
     assert out[1]["z"] is None and out[1]["is_anomaly"] is False
     # ordinary baseline days are not anomalous
     assert not any(out[d]["is_anomaly"] for d in range(1, 11))
+
+
+def test_funnel_stages_requires_strict_order(spark):
+    import datetime as dt
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.windows import (
+        funnel_stages,
+    )
+
+    T = lambda m: dt.datetime(2024, 5, 1, 12, m, 0)
+    rows = [
+        # u1 completes in order
+        (1, T(0), "view"), (1, T(1), "click"), (1, T(2), "purchase"),
+        # u2: purchase BEFORE any view — must stop at stage 1
+        (2, T(0), "purchase"), (2, T(1), "view"),
+        # u3: click before view, then view only -> stage 1
+        (3, T(0), "click"), (3, T(1), "view"),
+        # u4: view, then a purchase with no intervening click -> stage 1
+        (4, T(0), "view"), (4, T(1), "purchase"),
+        # u5: nothing relevant
+        (5, T(0), "error"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r["user_id"]: r for r in funnel_stages(
+        df, "ts", "user_id", "event_type", ["view", "click", "purchase"]
+    ).collect()}
+    assert out[1]["stages_completed"] == 3
+    assert out[1]["t_purchase"] == T(2)
+    assert out[2]["stages_completed"] == 1
+    assert out[2]["t_click"] is None
+    assert out[3]["stages_completed"] == 1
+    assert out[4]["stages_completed"] == 1
+    assert out[5]["stages_completed"] == 0
+    assert out[5]["t_view"] is None
