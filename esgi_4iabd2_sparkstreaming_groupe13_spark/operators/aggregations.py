@@ -266,3 +266,64 @@ def approx_distinct_checked(
             <= F.lit(tol_factor * rsd) * exact.cast("double")
         ).alias("within_rsd"),
     )
+
+
+def grouped_correlation(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group Pearson correlation + sample covariance with
+    ENGINE-EXACT determinism — the statistical-profiling aggregate a
+    pipeline runs to sanity-check feature relationships before
+    training.
+
+    Why not ``F.corr``: Spark's (and DuckDB's) built-in corr/covar use
+    streaming float accumulation whose result depends on partition
+    reduction order — two runs of the same data can hash differently.
+    Here the five moments (Σx, Σy, Σx², Σy², Σxy) accumulate as
+    DECIMALS (inputs carry ``scale`` dp, so products are exact at
+    2·scale dp) — order-independent exact sums — and correlation /
+    covariance derive through one explicitly-written double formula,
+    identical in the DuckDB oracle.
+
+    Scale shape: one partial+final hash aggregate (map-side combined);
+    the moment set is five numbers per group regardless of row count.
+    Groups with < 2 rows or zero variance yield NULL correlation.
+    """
+    xd = F.col(x_col).cast(f"decimal(18,{scale})")
+    yd = F.col(y_col).cast(f"decimal(18,{scale})")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(xd).alias("_sx"),
+        F.sum(yd).alias("_sy"),
+        F.sum(xd * xd).alias("_sxx"),
+        F.sum(yd * yd).alias("_syy"),
+        F.sum(xd * yd).alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    corr = F.when(
+        (F.col("_n") >= 2) & (var_x > 0) & (var_y > 0),
+        F.round(
+            (n * sxy - sx * sy) / (F.sqrt(var_x) * F.sqrt(var_y)), 6
+        ),
+    )
+    cov = F.when(
+        F.col("_n") >= 2,
+        F.round((sxy - sx * sy / n) / (n - 1), 6),
+    )
+    return agg.select(
+        F.col(group_col),
+        F.col("_n").cast("long").alias("n_rows"),
+        cov.alias("sample_cov"),
+        corr.alias("pearson_r"),
+    )

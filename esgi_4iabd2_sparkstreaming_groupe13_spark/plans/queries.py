@@ -1123,6 +1123,19 @@ def q_cube(spark, sf_dir):
     )
 
 
+def q_correlation(spark, sf_dir):
+    """Per-returnflag Pearson correlation + sample covariance between
+    quantity and extended price (new r6): five decimal-exact moments
+    per group + one explicit double formula — deterministic where the
+    built-in streaming corr/covar are reduction-order-dependent."""
+    return agg.grouped_correlation(
+        _t(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
 def q_percentiles(spark, sf_dir):
     """M4(a): exact p25/p50/p75 price percentiles per return flag."""
     return agg.percentiles_exact(
@@ -3581,6 +3594,35 @@ FROM c
     "q_repetition": _repetition_oracle(),
     "q_top_ngram": _top_ngram_oracle(),
     "q_validation": _validation_oracle(),
+    # mirror of agg.grouped_correlation: identical decimal moments and
+    # the identical explicit double formula (built-in corr/covar are
+    # reduction-order-dependent in BOTH engines and never used)
+    "q_correlation": """
+WITH m AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       CASE WHEN n >= 2 THEN
+         round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1), 6)
+       END AS sample_cov,
+       CASE WHEN n >= 2
+             AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN round(
+              (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       END AS pearson_r
+FROM m
+""",
     # mirror of maintenance.snapshot_diff over the same deterministic
     # snapshot construction; + 5.0 is exact float addition (no rounding
     # mode enters the comparison)
@@ -3885,15 +3927,16 @@ FROM documents
 # q_sessionize), then (b) queries CHANGED or NEW this round
 # (q_session_window + q_admission_filter + q_top_ngram +
 # q_vocab_stats + q_edit_verify + q_validation + q_rate_anomaly +
-# q_funnel + q_snapshot_diff are new oracle-backed entries;
+# q_funnel + q_snapshot_diff + q_correlation are new oracle-backed
+# entries;
 # q_corpus_report was de-joined; q_bigram_logprob pre-aggregates its
 # pair stream; q_media_headers' JPEG walk was hardened;
 # q_incremental_dedup's exact tier now routes through the shared
 # content_norm expression), then (c) q_fingerprint +
 # q_dedup_exact_content (r4-verified but touched by the content_norm
 # refactor), then (d) the oldest r4-verified canaries in registry
-# order. TWENTY r4-verified oracle entries stay behind for lack of
-# slots (q_ngram_jaccard .. q_minhash_lsh) — ROTATE THEM IN FIRST in
+# order. TWENTY-ONE r4-verified oracle entries stay behind for lack
+# of slots (q_dedup_exact .. q_minhash_lsh) — ROTATE THEM IN FIRST in
 # r7, ahead of the r5-verified block that follows them. Every entry
 # behind the window was last driver-green in r4 or r5 (nothing is
 # ever more than two rounds stale). scripts/oracle_check.py still
@@ -3924,6 +3967,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_rate_anomaly", q_rate_anomaly, ORACLES["q_rate_anomaly"]),
     QuerySpec("q_funnel", q_funnel, ORACLES["q_funnel"]),
     QuerySpec("q_snapshot_diff", q_snapshot_diff, ORACLES["q_snapshot_diff"]),
+    QuerySpec("q_correlation", q_correlation, ORACLES["q_correlation"]),
     QuerySpec("q_corpus_report", q_corpus_report, ORACLES["q_corpus_report"]),
     QuerySpec("q_bigram_logprob", q_bigram_logprob, ORACLES["q_bigram_logprob"], True),
     QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),
@@ -3953,9 +3997,9 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_topk_desc", q_topk_desc, ORACLES["q_topk_desc"], True),
     QuerySpec("q_total_count", q_total_count, ORACLES["q_total_count"]),
     QuerySpec("q_json_extract", q_json_extract, ORACLES["q_json_extract"]),
-    QuerySpec("q_dedup_exact", q_dedup_exact, ORACLES["q_dedup_exact"]),
     # ==== driver 50-entry verification window ends here ====
     # r4-verified holdovers (no slots left — ROTATE IN FIRST in r7):
+    QuerySpec("q_dedup_exact", q_dedup_exact, ORACLES["q_dedup_exact"]),
     QuerySpec("q_ngram_jaccard", q_ngram_jaccard, ORACLES["q_ngram_jaccard"]),
     QuerySpec("q_minhash_sig", q_minhash_sig, ORACLES["q_minhash_sig"]),
     QuerySpec("q_simhash_pairs", q_simhash_pairs, ORACLES["q_simhash_pairs"]),

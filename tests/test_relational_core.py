@@ -193,3 +193,25 @@ def test_percentiles_approx_checked_ignores_nulls(spark):
     # booleans hold — NULLs must not shift the exact-rank target
     assert out.n_rows == 100
     assert out.p25_in_bounds and out.p50_in_bounds and out.p75_in_bounds
+
+
+def test_grouped_correlation_exact_and_degenerate(spark):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.aggregations import (
+        grouped_correlation,
+    )
+
+    rows = [
+        ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),   # r = +1
+        ("d", 1.0, 3.0), ("d", 2.0, 2.0), ("d", 3.0, 1.0),   # r = -1
+        ("b", 1.0, 1.0), ("b", 2.0, 1.0), ("b", 3.0, 1.0),   # zero y-var
+        ("c", 5.0, 7.0),                                      # single row
+    ]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {r["g"]: r for r in grouped_correlation(df, "g", "x", "y").collect()}
+    assert out["a"]["pearson_r"] == 1.0
+    assert out["a"]["sample_cov"] == 2.0
+    assert out["d"]["pearson_r"] == -1.0
+    assert out["b"]["pearson_r"] is None   # zero variance -> NULL, never NaN
+    assert out["b"]["sample_cov"] == 0.0
+    assert out["c"]["pearson_r"] is None and out["c"]["sample_cov"] is None
+    assert out["a"]["n_rows"] == 3
