@@ -65,7 +65,7 @@ ALL_OPS = (
     "unigram_logprob count_by_key topk global_index rolling_sum cosine_topk "
     "cosine_pairs_exact cosine_rh_lsh cms ann_quantized doc_chunks "
     "bigram_logprob incremental_dedup incremental_indexed top_ngram "
-    "vocab_stats"
+    "vocab_stats funnel snapshot_diff"
 ).split()
 
 
@@ -358,6 +358,61 @@ def main() -> None:
         results["global_index"] = {
             "t1": timed("gidx 1x", global_row_index(ev1, ["ts", "event_id"])),
             "tN": timed(f"gidx {factor}x", global_row_index(evN, ["ts", "event_id"])),
+        }
+
+    # --- events: funnel (one user-key shuffle; users scale with the
+    # corpus via the id offsets) and snapshot diff (full-outer key
+    # join) — both must track ~linear ---
+    if want("funnel", "snapshot_diff"):
+        evA = load_table(spark, SF_DIR, "events")
+        evAN = scaled(evA, factor, ["event_id", "user_id"], 100_000_000)
+        evAN.write.mode("overwrite").parquet(f"{tmp}/evAN.parquet")
+        evAN = spark.read.parquet(f"{tmp}/evAN.parquet")
+    if want("funnel"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.windows import (
+            funnel_stages,
+        )
+
+        steps = ["view", "click", "purchase"]
+        results["funnel"] = {
+            "t1": timed(
+                "funnel 1x",
+                funnel_stages(evA, "ts", "user_id", "event_type", steps),
+            ),
+            "tN": timed(
+                f"funnel {factor}x",
+                funnel_stages(evAN, "ts", "user_id", "event_type", steps),
+            ),
+        }
+    if want("snapshot_diff"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.maintenance import (
+            snapshot_diff,
+        )
+
+        def variants(ev):
+            base = ev.select("event_id", "event_type", "value")
+            kept = base.filter(F.col("event_id") % 97 != 0).withColumn(
+                "value",
+                F.when(
+                    F.col("event_id") % 89 == 0, F.col("value") + F.lit(5.0)
+                ).otherwise(F.col("value")),
+            )
+            added = base.filter(F.col("event_id") % 101 == 0).withColumn(
+                "event_id", F.col("event_id") + F.lit(1_000_000_000)
+            )
+            return base, kept.unionByName(added)
+
+        o1, n1 = variants(evA)
+        oN, nN = variants(evAN)
+        results["snapshot_diff"] = {
+            "t1": timed(
+                "snapdiff 1x",
+                snapshot_diff(o1, n1, ["event_id"], ["event_type", "value"]),
+            ),
+            "tN": timed(
+                f"snapdiff {factor}x",
+                snapshot_diff(oN, nN, ["event_id"], ["event_type", "value"]),
+            ),
         }
 
     # --- orders: analytic frame window (partitioned by customer) ---
