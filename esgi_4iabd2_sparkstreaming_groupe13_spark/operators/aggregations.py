@@ -327,3 +327,50 @@ def grouped_correlation(
         cov.alias("sample_cov"),
         corr.alias("pearson_r"),
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    bucket: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix — users grouped by first-seen period,
+    counted in each subsequent period they return (the
+    activation/retention table every product-analytics pipeline
+    maintains; pairs with :func:`~..windows.funnel_stages`).
+
+    Returns (cohort_<bucket>, period_offset, n_active) where
+    ``period_offset`` = whole buckets between the user's first-seen
+    bucket and the active bucket (0 = the cohort's own period). All
+    arithmetic is integer date math — engine-exact by construction.
+
+    Scale shape: first-seen is one user-key aggregate; activity
+    de-duplicates to (user, bucket) pairs in the same shuffle family;
+    the join back is user-keyed (AQE broadcasts the first-seen side
+    for small cohorts, sort-merge otherwise — both correct); the final
+    (cohort, offset) aggregate carries distinct-user counts via
+    count_distinct's Expand. No window over event volume anywhere.
+    """
+    days = {"week": 7, "day": 1}[bucket]
+    b = F.date_trunc(bucket, F.col(ts_col))
+    firsts = df.groupBy(user_col).agg(
+        F.min(b).alias("_cohort")
+    )
+    active = df.select(
+        F.col(user_col), b.alias("_active")
+    ).distinct()
+    return (
+        active.join(firsts, user_col)
+        .select(
+            F.col("_cohort").alias(f"cohort_{bucket}"),
+            F.floor(
+                F.datediff(F.col("_active"), F.col("_cohort")) / days
+            )
+            .cast("long")
+            .alias("period_offset"),
+            F.col(user_col),
+        )
+        .groupBy(f"cohort_{bucket}", "period_offset")
+        .agg(F.countDistinct(user_col).cast("long").alias("n_active"))
+    )

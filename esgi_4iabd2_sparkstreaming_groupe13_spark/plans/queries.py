@@ -1123,6 +1123,15 @@ def q_cube(spark, sf_dir):
     )
 
 
+def q_retention(spark, sf_dir):
+    """Weekly cohort retention matrix (new r6): users bucketed by
+    first-seen week, distinct-counted per subsequent week — pure
+    integer date math, no window over event volume."""
+    return agg.cohort_retention(
+        _t(spark, sf_dir, "events"), "ts", "user_id", "week"
+    )
+
+
 def q_correlation(spark, sf_dir):
     """Per-returnflag Pearson correlation + sample covariance between
     quantity and extended price (new r6): five decimal-exact moments
@@ -3594,6 +3603,22 @@ FROM c
     "q_repetition": _repetition_oracle(),
     "q_top_ngram": _top_ngram_oracle(),
     "q_validation": _validation_oracle(),
+    # mirror of agg.cohort_retention: integer date math only
+    "q_retention": """
+WITH f AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY 1
+), a AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST(floor(date_diff('day', f.cohort_week, a.active_week) / 7) AS BIGINT)
+         AS period_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+""",
     # mirror of agg.grouped_correlation: identical decimal moments and
     # the identical explicit double formula (built-in corr/covar are
     # reduction-order-dependent in BOTH engines and never used)
@@ -3927,16 +3952,16 @@ FROM documents
 # q_sessionize), then (b) queries CHANGED or NEW this round
 # (q_session_window + q_admission_filter + q_top_ngram +
 # q_vocab_stats + q_edit_verify + q_validation + q_rate_anomaly +
-# q_funnel + q_snapshot_diff + q_correlation are new oracle-backed
-# entries;
+# q_funnel + q_snapshot_diff + q_correlation + q_retention are new
+# oracle-backed entries;
 # q_corpus_report was de-joined; q_bigram_logprob pre-aggregates its
 # pair stream; q_media_headers' JPEG walk was hardened;
 # q_incremental_dedup's exact tier now routes through the shared
 # content_norm expression), then (c) q_fingerprint +
 # q_dedup_exact_content (r4-verified but touched by the content_norm
 # refactor), then (d) the oldest r4-verified canaries in registry
-# order. TWENTY-ONE r4-verified oracle entries stay behind for lack
-# of slots (q_dedup_exact .. q_minhash_lsh) — ROTATE THEM IN FIRST in
+# order. TWENTY-TWO r4-verified oracle entries stay behind for lack
+# of slots (q_json_extract .. q_minhash_lsh) — ROTATE THEM IN FIRST in
 # r7, ahead of the r5-verified block that follows them. Every entry
 # behind the window was last driver-green in r4 or r5 (nothing is
 # ever more than two rounds stale). scripts/oracle_check.py still
@@ -3968,6 +3993,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_funnel", q_funnel, ORACLES["q_funnel"]),
     QuerySpec("q_snapshot_diff", q_snapshot_diff, ORACLES["q_snapshot_diff"]),
     QuerySpec("q_correlation", q_correlation, ORACLES["q_correlation"]),
+    QuerySpec("q_retention", q_retention, ORACLES["q_retention"]),
     QuerySpec("q_corpus_report", q_corpus_report, ORACLES["q_corpus_report"]),
     QuerySpec("q_bigram_logprob", q_bigram_logprob, ORACLES["q_bigram_logprob"], True),
     QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),
@@ -3996,8 +4022,8 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_orderby_ts", q_orderby_ts, ORACLES["q_orderby_ts"]),
     QuerySpec("q_topk_desc", q_topk_desc, ORACLES["q_topk_desc"], True),
     QuerySpec("q_total_count", q_total_count, ORACLES["q_total_count"]),
-    QuerySpec("q_json_extract", q_json_extract, ORACLES["q_json_extract"]),
     # ==== driver 50-entry verification window ends here ====
+    QuerySpec("q_json_extract", q_json_extract, ORACLES["q_json_extract"]),
     # r4-verified holdovers (no slots left — ROTATE IN FIRST in r7):
     QuerySpec("q_dedup_exact", q_dedup_exact, ORACLES["q_dedup_exact"]),
     QuerySpec("q_ngram_jaccard", q_ngram_jaccard, ORACLES["q_ngram_jaccard"]),

@@ -215,3 +215,32 @@ def test_grouped_correlation_exact_and_degenerate(spark):
     assert out["b"]["sample_cov"] == 0.0
     assert out["c"]["pearson_r"] is None and out["c"]["sample_cov"] is None
     assert out["a"]["n_rows"] == 3
+
+
+def test_cohort_retention_staggered_cohorts(spark):
+    import datetime as dt
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.aggregations import (
+        cohort_retention,
+    )
+
+    D = lambda day, h=9: dt.datetime(2024, 1, day, h, 0, 0)
+    rows = [
+        # u1: first seen week of Jan 1 (Mon), returns weeks +1 and +2
+        (1, D(2)), (1, D(9)), (1, D(16)),
+        # u2: same cohort as u1, returns only week +2 (skips +1)
+        (2, D(3)), (2, D(17)),
+        # u3: cohort of Jan 8, never returns
+        (3, D(10)),
+        # u1 twice in one week must count once (distinct users)
+        (1, D(4)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {(r["cohort_week"].day, r["period_offset"]): r["n_active"]
+           for r in cohort_retention(df, "ts", "user_id").collect()}
+    assert out == {
+        (1, 0): 2,  # u1+u2 in their own week (u1's two visits count once)
+        (1, 1): 1,  # only u1 returned the next week
+        (1, 2): 2,  # both returned two weeks out
+        (8, 0): 1,  # u3's own cohort
+    }
