@@ -3988,12 +3988,12 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_top_ngram", q_top_ngram, ORACLES["q_top_ngram"], True),
     QuerySpec("q_vocab_stats", q_vocab_stats, ORACLES["q_vocab_stats"], True),
     QuerySpec("q_edit_verify", q_edit_verify, ORACLES["q_edit_verify"]),
-    QuerySpec("q_validation", q_validation, ORACLES["q_validation"]),
-    QuerySpec("q_rate_anomaly", q_rate_anomaly, ORACLES["q_rate_anomaly"]),
-    QuerySpec("q_funnel", q_funnel, ORACLES["q_funnel"]),
-    QuerySpec("q_snapshot_diff", q_snapshot_diff, ORACLES["q_snapshot_diff"]),
-    QuerySpec("q_correlation", q_correlation, ORACLES["q_correlation"]),
-    QuerySpec("q_retention", q_retention, ORACLES["q_retention"]),
+    QuerySpec("q_validation", q_validation, ORACLES["q_validation"], True),
+    QuerySpec("q_rate_anomaly", q_rate_anomaly, ORACLES["q_rate_anomaly"], True),
+    QuerySpec("q_funnel", q_funnel, ORACLES["q_funnel"], True),
+    QuerySpec("q_snapshot_diff", q_snapshot_diff, ORACLES["q_snapshot_diff"], True),
+    QuerySpec("q_correlation", q_correlation, ORACLES["q_correlation"], True),
+    QuerySpec("q_retention", q_retention, ORACLES["q_retention"], True),
     QuerySpec("q_corpus_report", q_corpus_report, ORACLES["q_corpus_report"]),
     QuerySpec("q_bigram_logprob", q_bigram_logprob, ORACLES["q_bigram_logprob"], True),
     QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),
