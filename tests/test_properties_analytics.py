@@ -1,0 +1,200 @@
+"""Property-based tests for the r6 analytics operators: each Spark
+result is replayed against an independent pure-Python brute-force
+model over hypothesis-generated inputs. The oracle gate proves
+Spark == DuckDB on the fixed corpus; these prove the SEMANTICS on
+adversarial shapes (ties, duplicates, out-of-order steps, degenerate
+groups). One Spark job per example is slow, so example counts stay
+small and inputs stay tiny."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.aggregations import (
+    cohort_retention,
+    grouped_correlation,
+)
+from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.text import (
+    top_ngram_char_fraction,
+)
+from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.windows import (
+    funnel_stages,
+)
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_token = st.sampled_from(["a", "b", "ab", "xyz", "q0"])
+_docs = st.lists(
+    st.lists(_token, min_size=0, max_size=12), min_size=1, max_size=8
+)
+
+
+def _brute_top_frac(tokens: list[str], n: int) -> float:
+    if len(tokens) < n:
+        return 0.0
+    grams = [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+    cnt = Counter(grams)
+    # (count DESC, gram ASC) winner
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    denom = max(len(" ".join(tokens)), 1)
+    return round(top[1] * len(top[0]) / denom, 6)
+
+
+@settings(**_SETTINGS)
+@given(docs=_docs)
+def test_top_ngram_matches_bruteforce(spark, docs):
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           top_ngram_char_fraction(df, "text", "doc_id").collect()}
+    for i, toks in enumerate(docs):
+        for n in (2, 3, 4):
+            assert out[i][f"top{n}gram_char_frac"] == _brute_top_frac(toks, n), (
+                toks, n)
+
+
+_steps = ["view", "click", "purchase"]
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),           # user
+        st.integers(min_value=0, max_value=50),          # minute
+        st.sampled_from(_steps + ["error"]),             # type
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda e: (e[0], e[1]),  # one event per (user, minute)
+)
+
+
+def _brute_funnel(events):
+    """events: [(user, ts, type)] → {user: (t1, t2, t3, stages)}"""
+    out = {}
+    for u in {e[0] for e in events}:
+        seq = sorted((ts, ty) for (uu, ts, ty) in events if uu == u)
+        t = [None, None, None]
+        for i, step in enumerate(_steps):
+            prev = t[i - 1] if i else None
+            if i and prev is None:
+                break
+            for ts, ty in seq:
+                if ty == step and (i == 0 or ts > prev):
+                    t[i] = ts
+                    break
+        stages = sum(1 for x in t if x is not None)
+        out[u] = (*t, stages)
+    return out
+
+
+@settings(**_SETTINGS)
+@given(events=_events)
+def test_funnel_matches_bruteforce(spark, events):
+    base = dt.datetime(2024, 6, 1, 10, 0, 0)
+    rows = [
+        (u, base + dt.timedelta(minutes=m), ty) for (u, m, ty) in events
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {r["user_id"]: (r["t_view"], r["t_click"], r["t_purchase"],
+                          r["stages_completed"])
+           for r in funnel_stages(
+               df, "ts", "user_id", "event_type", _steps).collect()}
+    want = {
+        u: tuple(
+            (base + dt.timedelta(minutes=x)) if isinstance(x, int) else x
+            for x in v[:3]
+        ) + (v[3],)
+        for u, v in _brute_funnel(events).items()
+    }
+    assert got == want
+
+
+_xy = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2"]),
+        st.decimals(min_value=0, max_value=99, places=2),
+        st.decimals(min_value=0, max_value=99, places=2),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(**_SETTINGS)
+@given(points=_xy)
+def test_correlation_matches_bruteforce(spark, points):
+    rows = [(g, float(x), float(y)) for g, x, y in points]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {r["g"]: r for r in grouped_correlation(df, "g", "x", "y").collect()}
+    for g in {p[0] for p in points}:
+        xs = [float(p[1]) for p in points if p[0] == g]
+        ys = [float(p[2]) for p in points if p[0] == g]
+        n = len(xs)
+        # the same moment formula, from exact Fractions of the inputs
+        from fractions import Fraction
+
+        fx = [Fraction(str(v)) for v in xs]
+        fy = [Fraction(str(v)) for v in ys]
+        sx, sy = float(sum(fx)), float(sum(fy))
+        sxx = float(sum(v * v for v in fx))
+        syy = float(sum(v * v for v in fy))
+        sxy = float(sum(a * b for a, b in zip(fx, fy)))
+        assert out[g]["n_rows"] == n
+        if n < 2:
+            assert out[g]["sample_cov"] is None
+            assert out[g]["pearson_r"] is None
+            continue
+        cov = round((sxy - sx * sy / n) / (n - 1), 6)
+        assert out[g]["sample_cov"] == cov
+        var_x = n * sxx - sx * sx
+        var_y = n * syy - sy * sy
+        if var_x > 0 and var_y > 0:
+            r = round((n * sxy - sx * sy)
+                      / (math.sqrt(var_x) * math.sqrt(var_y)), 6)
+            assert out[g]["pearson_r"] == r
+        else:
+            assert out[g]["pearson_r"] is None
+
+
+_visits = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),    # user
+        st.integers(min_value=0, max_value=34),   # day offset
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(**_SETTINGS)
+@given(visits=_visits)
+def test_cohort_retention_matches_bruteforce(spark, visits):
+    base = dt.date(2024, 1, 1)  # a Monday: week truncation is exact
+    rows = [
+        (u, dt.datetime.combine(base + dt.timedelta(days=d), dt.time(9)))
+        for (u, d) in visits
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {(r["cohort_week"].date(), r["period_offset"]): r["n_active"]
+           for r in cohort_retention(df, "ts", "user_id").collect()}
+
+    def week_of(d):
+        day = base + dt.timedelta(days=d)
+        return day - dt.timedelta(days=day.weekday())
+
+    first = {}
+    for u, d in visits:
+        w = week_of(d)
+        if u not in first or w < first[u]:
+            first[u] = w
+    want = Counter()
+    for (u, w) in {(u, week_of(d)) for (u, d) in visits}:
+        want[(first[u], (w - first[u]).days // 7)] += 1
+    assert got == dict(want)
