@@ -128,3 +128,37 @@ def minhash_sql_elems(
         f"h -> {affine_hash_sql('h', a, b)}))"
         for a, b in hash_params(n_hashes, seed)
     ]
+
+
+def round_half_away(col: Column, scale: int) -> Column:
+    """Engine-exact rounding of a DOUBLE at ``scale`` decimals:
+    floor-based half-away-from-zero applied to the BINARY value —
+    bit-identical in any IEEE engine.
+
+    Why not ``F.round``: Spark rounds the double's shortest DECIMAL
+    representation (java BigDecimal.valueOf + HALF_UP) while DuckDB
+    rounds the BINARY double — the two disagree exactly when the true
+    value sits on a .5 boundary at ``scale`` digits, which is
+    REACHABLE whenever the value is a ratio of decimal-exact sums and
+    small counts (means, coverage ratios, per-part revenue). Observed
+    live at sf0.1: q_embed_centroid (sum/640) and q_tpch_q11
+    (2dp-exact revenue sums) each flipped a last digit between
+    engines. Transcendental outputs (log, sqrt) hit boundaries with
+    probability ~0 and keep using round().
+    """
+    f = float(10**scale)
+    m = col.cast("double")
+    pos = F.floor(m * f + F.lit(0.5)) / f
+    neg = -(F.floor((-m) * f + F.lit(0.5)) / f)
+    return F.when(m >= 0, pos).otherwise(neg)
+
+
+def round_half_away_sql(expr: str, scale: int) -> str:
+    """DuckDB mirror of :func:`round_half_away` — the same floor
+    formula over the same IEEE double."""
+    f = float(10**scale)
+    return (
+        f"CASE WHEN ({expr}) >= 0 "
+        f"THEN floor(({expr}) * {f} + 0.5) / {f} "
+        f"ELSE -(floor(-({expr}) * {f} + 0.5) / {f}) END"
+    )

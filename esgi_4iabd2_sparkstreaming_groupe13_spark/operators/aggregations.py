@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import round_half_away
+
 
 def count_by_key(
     df: DataFrame,
@@ -319,7 +321,7 @@ def grouped_correlation(
     )
     cov = F.when(
         F.col("_n") >= 2,
-        F.round((sxy - sx * sy / n) / (n - 1), 6),
+        round_half_away((sxy - sx * sy / n) / (n - 1), 6),
     )
     return agg.select(
         F.col(group_col),

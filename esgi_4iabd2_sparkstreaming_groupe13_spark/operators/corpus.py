@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.hashing import md5_int, token_array
+from ..functions.hashing import md5_int, round_half_away, token_array
 from .windows import global_running_sum
 
 #: Salt so the sampling hash is independent of any other md5-keyed
@@ -283,7 +283,7 @@ def unigram_logprob(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(
+            round_half_away(
                 F.sum(logp).cast("double") / F.count(F.lit(1)), 6
             ).alias("avg_logprob"),
         )
@@ -330,7 +330,7 @@ def vocab_stats(
             F.sum(F.when(F.col("_c") == 1, 1).otherwise(0))
             .cast("long")
             .alias("hapax_count"),
-            F.round(
+            round_half_away(
                 F.sum(
                     F.when(F.col("_rk") <= top_k, F.col("_c")).otherwise(0)
                 ).cast("double")
@@ -544,7 +544,7 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .groupBy(id_col)
         .agg(
             F.sum("_cnt").cast("long").alias("n_bigrams"),
-            F.round(
+            round_half_away(
                 (F.sum(logp * F.col("_cnt"))).cast("double")
                 / F.sum("_cnt"),
                 6,

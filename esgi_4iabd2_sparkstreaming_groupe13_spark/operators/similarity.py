@@ -46,6 +46,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import round_half_away
+
 
 def dot_expr(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double, sequential element order."""
@@ -859,8 +861,10 @@ def embedding_centroids(
 
     Engine parity: components are rounded to 6 decimals FIRST and
     summed as DECIMAL(18,6) (order-independent exact accumulation),
-    then the mean is rounded to 6 — same contract as the logprob
-    operators, so reduction order can never move the hash.
+    then the mean is rounded to 6 via the floor-based
+    ``round_half_away`` — the mean is a ratio of a decimal-exact sum
+    and a count, so .5 boundaries at the 6th digit are REACHABLE and
+    engine round() built-ins disagree on them (observed at sf0.1).
     """
     comp = F.round(F.col("_v").cast("double"), 6).cast("decimal(18,6)")
     return (
@@ -870,7 +874,7 @@ def embedding_centroids(
         .groupBy(group_col, "_d")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vecs"),
-            F.round(
+            round_half_away(
                 F.sum(comp).cast("double") / F.count(F.lit(1)), 6
             ).alias("centroid_val"),
         )

@@ -25,6 +25,8 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import round_half_away
+
 
 @dataclass(frozen=True)
 class Check:
@@ -105,7 +107,7 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
         raise ValueError("validate() needs at least one check")
     agg_row = df.agg(
         *[
-            F.round(c.metric, 6).alias(f"_m{i}")
+            round_half_away(c.metric, 6).alias(f"_m{i}")
             for i, c in enumerate(checks)
         ]
     )

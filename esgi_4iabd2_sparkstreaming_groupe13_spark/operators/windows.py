@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import round_half_away
+
 
 def row_number_slice(
     df: DataFrame,
@@ -384,7 +386,7 @@ def rate_anomalies(
         F.col(key_col),
         F.col("bucket_ts"),
         F.col("n").cast("long").alias("n"),
-        F.round(mean, 6).alias("trailing_mean"),
+        round_half_away(mean, 6).alias("trailing_mean"),
         z.alias("z"),
         F.coalesce(
             (z >= z_threshold) | (z <= -z_threshold), F.lit(False)

@@ -37,6 +37,8 @@ from pyspark.sql import functions as F
 from ..functions.hashing import (
     md5_int_sql,
     minhash_sql_elems,
+    round_half_away,
+    round_half_away_sql,
     shingle_chars_sql,
     token_array,
     token_array_sql,
@@ -574,9 +576,9 @@ def q_tpch_q17(spark, sf_dir):
         .join(per_part_avg, "l_partkey")
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
-            F.round(agg.decimal_sum("l_extendedprice") / 7.0, 2).alias(
-                "avg_yearly"
-            )
+            round_half_away(
+                agg.decimal_sum("l_extendedprice") / 7.0, 2
+            ).alias("avg_yearly")
         )
     )
 
@@ -665,7 +667,7 @@ def q_tpch_q11(spark, sf_dir):
             F.col("part_rev")
             > F.lit(1.15) * (F.col("total_rev") / F.col("n_parts"))
         )
-        .select("l_partkey", F.round("part_rev", 2).alias("part_rev"))
+        .select("l_partkey", round_half_away(F.col("part_rev"), 2).alias("part_rev"))
     )
 
 
@@ -2078,7 +2080,7 @@ def q_corpus_report(spark, sf_dir):
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(n_tok).cast("long").alias("total_tokens"),
-            F.round(
+            round_half_away(
                 F.sum("n_chars").cast("double") / F.count("*"), 6
             ).alias("avg_chars"),
         )
@@ -2711,8 +2713,7 @@ SELECT lang,
        CAST(count(*) AS BIGINT) AS vocab_size,
        CAST(sum(c) AS BIGINT) AS total_tokens,
        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
-       round(CAST(sum(CASE WHEN rk <= {top_k} THEN c ELSE 0 END) AS DOUBLE)
-             / sum(c), 6) AS top{top_k}_coverage
+       CASE WHEN (CAST(sum(CASE WHEN rk <= {top_k} THEN c ELSE 0 END) AS DOUBLE) / sum(c)) >= 0 THEN floor((CAST(sum(CASE WHEN rk <= {top_k} THEN c ELSE 0 END) AS DOUBLE) / sum(c)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(sum(CASE WHEN rk <= {top_k} THEN c ELSE 0 END) AS DOUBLE) / sum(c)) * 1000000.0 + 0.5) / 1000000.0) END AS top{top_k}_coverage
 FROM ranked
 GROUP BY lang
 """
@@ -2764,8 +2765,8 @@ def _validation_oracle() -> str:
     return f"""
 WITH a AS (
   SELECT round(CAST(count(*) AS DOUBLE), 6) AS n,
-         round(avg(CASE WHEN ts IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS comp_ts,
-         round(CAST(count(DISTINCT event_id) AS DOUBLE) / count(*), 6) AS uniq,
+         CASE WHEN (avg(CASE WHEN ts IS NOT NULL THEN 1.0 ELSE 0.0 END)) >= 0 THEN floor((avg(CASE WHEN ts IS NOT NULL THEN 1.0 ELSE 0.0 END)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(avg(CASE WHEN ts IS NOT NULL THEN 1.0 ELSE 0.0 END)) * 1000000.0 + 0.5) / 1000000.0) END AS comp_ts,
+         CASE WHEN (CAST(count(DISTINCT event_id) AS DOUBLE) / count(*)) >= 0 THEN floor((CAST(count(DISTINCT event_id) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(count(DISTINCT event_id) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0) END AS uniq,
          round(CAST(sum(CASE WHEN value < 0.0 OR value > 400.0 THEN 1 ELSE 0 END) AS DOUBLE), 6) AS oob,
          round(CAST(sum(CASE WHEN event_type IS NOT NULL
                          AND event_type NOT IN ({vals}) THEN 1 ELSE 0 END) AS DOUBLE), 6) AS badvals,
@@ -2970,8 +2971,7 @@ ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
 """,
     "q_tpch_q17": """
-SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0,
-             2) AS avg_yearly
+SELECT CASE WHEN (CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0) >= 0 THEN floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0) * 100.0 + 0.5) / 100.0 ELSE -(floor(-(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0) * 100.0 + 0.5) / 100.0) END AS avg_yearly
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN (SELECT l_partkey AS apk,
@@ -3002,7 +3002,7 @@ ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
 LIMIT 100
 """,
     "q_tpch_q11": f"""
-SELECT l_partkey, round(part_rev, 2) AS part_rev
+SELECT l_partkey, CASE WHEN (part_rev) >= 0 THEN floor((part_rev) * 100.0 + 0.5) / 100.0 ELSE -(floor(-(part_rev) * 100.0 + 0.5) / 100.0) END AS part_rev
 FROM (SELECT l_partkey,
              CAST(SUM(CAST({REVENUE_SQL} AS DECIMAL(28,6))) AS DOUBLE)
                AS part_rev
@@ -3635,8 +3635,7 @@ WITH m AS (
 )
 SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
        CASE WHEN n >= 2 THEN
-         round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-               / (CAST(n AS DOUBLE) - 1), 6)
+         CASE WHEN ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) >= 0 THEN floor(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) * 1000000.0 + 0.5) / 1000000.0) END
        END AS sample_cov,
        CASE WHEN n >= 2
              AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
@@ -3716,7 +3715,7 @@ WITH c AS (
                  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
 )
 SELECT event_type, bucket_ts, CAST(n AS BIGINT) AS n,
-       round(sd / cd, 6) AS trailing_mean,
+       CASE WHEN (sd / cd) >= 0 THEN floor((sd / cd) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(sd / cd) * 1000000.0 + 0.5) / 1000000.0) END AS trailing_mean,
        CASE WHEN cd >= 2 AND (s2d - sd * sd / cd) / (cd - 1) > 0
             THEN round((n - sd / cd)
                        / sqrt((s2d - sd * sd / cd) / (cd - 1)), 6)
@@ -3747,7 +3746,7 @@ WITH s AS (
 )
 SELECT d.lang, s.split, count(*) AS n_docs,
        CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
-       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+       CASE WHEN (CAST(sum(n_chars) AS DOUBLE) / count(*)) >= 0 THEN floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(sum(n_chars) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0) END AS avg_chars
 FROM documents d JOIN s USING (doc_id)
 GROUP BY 1, 2
 """,
@@ -3844,9 +3843,7 @@ WITH tok AS (
   SELECT count(*) AS n FROM tok
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(CAST(SUM(CAST(round(ln(CAST(c AS DOUBLE) / n), 6)
-                           AS DECIMAL(18,6))) AS DOUBLE)
-             / count(*), 6) AS avg_logprob
+       CASE WHEN (CAST(SUM(CAST(round(ln(CAST(c AS DOUBLE) / n), 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*)) >= 0 THEN floor((CAST(SUM(CAST(round(ln(CAST(c AS DOUBLE) / n), 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(SUM(CAST(round(ln(CAST(c AS DOUBLE) / n), 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0) END AS avg_logprob
 FROM tok JOIN freq USING (t) CROSS JOIN tot
 GROUP BY doc_id
 """,
@@ -3879,18 +3876,14 @@ WITH t AS (
   SELECT w1, count(*) AS c1 FROM bg GROUP BY 1
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       round(CAST(SUM(CAST(round(ln(CAST(c2 AS DOUBLE) / c1), 6)
-                           AS DECIMAL(18,6))) AS DOUBLE)
-             / count(*), 6) AS avg_bigram_logprob
+       CASE WHEN (CAST(SUM(CAST(round(ln(CAST(c2 AS DOUBLE) / c1), 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*)) >= 0 THEN floor((CAST(SUM(CAST(round(ln(CAST(c2 AS DOUBLE) / c1), 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(SUM(CAST(round(ln(CAST(c2 AS DOUBLE) / c1), 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0) END AS avg_bigram_logprob
 FROM bg JOIN f2 USING (w1, w2) JOIN f1 USING (w1)
 GROUP BY doc_id
 """,
     "q_embed_centroid": """
 SELECT label, CAST(i - 1 AS BIGINT) AS dim,
        CAST(count(*) AS BIGINT) AS n_vecs,
-       round(CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
-                           AS DECIMAL(18,6))) AS DOUBLE)
-             / count(*), 6) AS centroid_val
+       CASE WHEN (CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*)) >= 0 THEN floor((CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0) END AS centroid_val
 FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
 GROUP BY label, i
 """,
