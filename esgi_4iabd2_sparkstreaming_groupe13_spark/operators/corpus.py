@@ -237,7 +237,7 @@ def benchmark_contamination(
             F.col(id_col),
             F.col("n_grams"),
             F.coalesce(F.col("_n_shared"), F.lit(0)).cast("long").alias("n_shared"),
-            F.round(
+            round_half_away(
                 F.when(
                     F.col("n_grams") > 0,
                     F.coalesce(F.col("_n_shared"), F.lit(0)).cast("double")

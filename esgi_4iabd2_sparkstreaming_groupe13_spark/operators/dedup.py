@@ -31,6 +31,7 @@ from ..functions.hashing import (
     affine_hash,
     hash_params,
     md5_int,
+    round_half_away,
     shingle_chars,
     token_array,
 )
@@ -115,7 +116,7 @@ def ngram_jaccard_pairs(
     return (
         inter.withColumn(
             "jaccard",
-            F.round(
+            round_half_away(
                 F.col("n_inter")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
                 6,
@@ -192,15 +193,15 @@ def containment_pairs(
     inter = _shingle_pair_intersections(
         df, text_col, id_col, n, max_chars, max_shingle_df
     )
-    cont_a = F.round(F.col("n_inter") / F.col("n_a"), 6)
-    cont_b = F.round(F.col("n_inter") / F.col("n_b"), 6)
+    cont_a = round_half_away(F.col("n_inter") / F.col("n_a"), 6)
+    cont_b = round_half_away(F.col("n_inter") / F.col("n_b"), 6)
     return (
         inter.select(
             "id_a",
             "id_b",
             cont_a.alias("containment_a"),
             cont_b.alias("containment_b"),
-            F.round(
+            round_half_away(
                 F.col("n_inter")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
                 6,
@@ -256,7 +257,7 @@ def edit_verified_pairs(
     prefix = F.substring(F.col(text_col), 1, max_chars)
     ta = df.select(F.col(id_col).alias("id_a"), prefix.alias("_ta"))
     tb = df.select(F.col(id_col).alias("id_b"), prefix.alias("_tb"))
-    edit_sim = F.round(
+    edit_sim = round_half_away(
         F.lit(1.0)
         - F.levenshtein(F.col("_ta"), F.col("_tb"))
         / F.greatest(
@@ -452,7 +453,7 @@ def minhash_lsh_pairs(
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            F.round(
+            round_half_away(
                 F.col("n_inter")
                 / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
                 6,
@@ -747,7 +748,7 @@ def minhash_estimate_check(
         .select(
             "id_a",
             "id_b",
-            F.round(exact, 6).alias("exact_jaccard"),
+            round_half_away(exact, 6).alias("exact_jaccard"),
             (F.abs(est - exact) <= bound).alias("within_bound"),
         )
     )
@@ -1160,7 +1161,7 @@ def incremental_dedup_indexed(
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            F.round(
+            round_half_away(
                 F.col("n_inter")
                 / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
                 6,

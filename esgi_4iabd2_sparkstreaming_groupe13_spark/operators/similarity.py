@@ -566,7 +566,7 @@ def _quantized_frame(
     ).withColumn("_scale", (F.col("_mx") - F.col("_mn")) / F.lit(255.0))
 
     def code(x):
-        return F.round((x - F.col("_mn")) / F.col("_scale")).cast("int")
+        return round_half_away((x - F.col("_mn")) / F.col("_scale"), 0).cast("int")
 
     codes = F.when(
         F.col("_scale") == 0.0, F.transform("_v", lambda x: F.lit(0))

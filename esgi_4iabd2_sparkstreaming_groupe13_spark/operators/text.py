@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import token_array
+from ..functions.hashing import round_half_away, token_array
 
 #: Tiny per-language stopword lexicons for the n-gram/stopword
 #: language-ID heuristic. Deliberately small and frozen: the driver's
@@ -80,10 +80,10 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
-        F.round(n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
-        F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
-        F.round(sw.cast("double") / nz, 6).alias("stopword_ratio"),
-        F.round(token_chars.cast("double") / nz, 6).alias("mean_token_len"),
+        round_half_away(n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
+        round_half_away(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        round_half_away(sw.cast("double") / nz, 6).alias("stopword_ratio"),
+        round_half_away(token_chars.cast("double") / nz, 6).alias("mean_token_len"),
     )
 
 
@@ -120,8 +120,6 @@ def sentiment_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     filter) is deliberate: with a large lexicon the broadcast hash
     join beats per-row array scans, and the aggregation is the same
     partial+final shape as any count."""
-    from ..functions.hashing import token_array
-
     spark = df.sparkSession
     lex = spark.createDataFrame(
         list(SENTIMENT_LEXICON.items()), ["token", "polarity"]
@@ -177,7 +175,7 @@ def repetition_features(
             def over_grams(g: Column) -> Column:
                 total = F.size(g)
                 dup = total - F.size(F.array_distinct(g))
-                return F.round(
+                return round_half_away(
                     F.when(
                         total > 0, dup.cast("double") / total
                     ).otherwise(F.lit(0.0)),
@@ -262,7 +260,7 @@ def top_ngram_char_fraction(
                 covered = top["bc"] * F.length(top["bg"])
                 return F.when(
                     F.size(g) > 0,
-                    F.round(
+                    round_half_away(
                         covered.cast("double")
                         / F.greatest(
                             F.length(F.concat_ws(" ", tk)), F.lit(1)

@@ -529,7 +529,7 @@ def q_tpch_q14(spark, sf_dir):
     ).cast("double")
     total = F.sum(revenue_expr()).cast("double")
     return joined.agg(
-        F.round(F.lit(100.0) * promo / total, 6).alias("promo_revenue")
+        round_half_away(F.lit(100.0) * promo / total, 6).alias("promo_revenue")
     )
 
 
@@ -886,7 +886,7 @@ def q_tpch_q8(spark, sf_dir):
     ).cast("double")
     den = F.sum(revenue_expr()).cast("double")
     return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
-        F.round(num / den, 6).alias("mkt_share")
+        round_half_away(num / den, 6).alias("mkt_share")
     )
 
 
@@ -2339,11 +2339,11 @@ WITH d AS (
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
-       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       CASE WHEN (CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) >= 0 THEN floor((CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5) / 1000000.0) END AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}
+WHERE CASE WHEN (CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) >= 0 THEN floor((CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5) / 1000000.0) END >= {threshold}
 """
 
 
@@ -2364,15 +2364,15 @@ WITH d AS (
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
-       round(CAST(n_inter AS DOUBLE) / sa.n_sh, 6) AS containment_a,
-       round(CAST(n_inter AS DOUBLE) / sb.n_sh, 6) AS containment_b,
-       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+       CASE WHEN (CAST(n_inter AS DOUBLE) / sa.n_sh) >= 0 THEN floor((CAST(n_inter AS DOUBLE) / sa.n_sh) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(n_inter AS DOUBLE) / sa.n_sh) * 1000000.0 + 0.5) / 1000000.0) END AS containment_a,
+       CASE WHEN (CAST(n_inter AS DOUBLE) / sb.n_sh) >= 0 THEN floor((CAST(n_inter AS DOUBLE) / sb.n_sh) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(n_inter AS DOUBLE) / sb.n_sh) * 1000000.0 + 0.5) / 1000000.0) END AS containment_b,
+       CASE WHEN (CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) >= 0 THEN floor((CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5) / 1000000.0) END
          AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE greatest(round(CAST(n_inter AS DOUBLE) / sa.n_sh, 6),
-               round(CAST(n_inter AS DOUBLE) / sb.n_sh, 6)) >= {threshold}
+WHERE greatest(CASE WHEN (CAST(n_inter AS DOUBLE) / sa.n_sh) >= 0 THEN floor((CAST(n_inter AS DOUBLE) / sa.n_sh) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(n_inter AS DOUBLE) / sa.n_sh) * 1000000.0 + 0.5) / 1000000.0) END,
+               CASE WHEN (CAST(n_inter AS DOUBLE) / sb.n_sh) >= 0 THEN floor((CAST(n_inter AS DOUBLE) / sb.n_sh) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(n_inter AS DOUBLE) / sb.n_sh) * 1000000.0 + 0.5) / 1000000.0) END) >= {threshold}
 """
 
 
@@ -2394,7 +2394,7 @@ WITH RECURSIVE d AS (
   SELECT id_a, id_b FROM inter
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
-  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+  WHERE CASE WHEN (CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) >= 0 THEN floor((CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5) / 1000000.0) END
         >= {threshold}
 ), edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
@@ -2421,8 +2421,7 @@ def _corpus_select_oracle(threshold: float) -> str:
 , q AS (
   SELECT doc_id,
          CAST(len(text) AS BIGINT) AS n_chars,
-         round(CAST(len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g'))
-               AS DOUBLE) / greatest(len(text), 1), 6) AS alpha_ratio
+         CASE WHEN (CAST(len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / greatest(len(text), 1)) >= 0 THEN floor((CAST(len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / greatest(len(text), 1)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / greatest(len(text), 1)) * 1000000.0 + 0.5) / 1000000.0) END AS alpha_ratio
   FROM documents
 )
 SELECT r.doc_id, q.n_chars, q.alpha_ratio
@@ -2627,11 +2626,12 @@ SELECT node AS vec_id, min(comp) AS cluster_rep FROM reach GROUP BY node
 
 def _repetition_oracle() -> str:
     def ratio(g: str) -> str:
-        return (
-            f"round(CASE WHEN len({g}) > 0 THEN "
+        e = (
+            f"CASE WHEN len({g}) > 0 THEN "
             f"(len({g}) - len(list_distinct({g})))::DOUBLE / len({g}) "
-            f"ELSE 0.0 END, 6)"
+            f"ELSE 0.0 END"
         )
+        return round_half_away_sql(e, 6)
 
     def grams(n: int) -> str:
         return (
@@ -2671,11 +2671,12 @@ def _top_ngram_oracle() -> str:
         )
 
     def frac(t: str, n: str) -> str:
-        return (
-            f"round(CASE WHEN {n} > 0 THEN "
+        e = (
+            f"CASE WHEN {n} > 0 THEN "
             f"CAST((-{t}.c) * len({t}.g) AS DOUBLE) / greatest(nc, 1) "
-            f"ELSE 0.0 END, 6)"
+            f"ELSE 0.0 END"
         )
+        return round_half_away_sql(e, 6)
 
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
@@ -2726,7 +2727,7 @@ def _edit_verify_oracle(
     CTEs of ``_jaccard_pairs_oracle`` plus a levenshtein verdict over
     the same 512-char prefix the shingles saw; ``verified`` compares
     the ROUNDED edit_sim, exactly as the Spark side does."""
-    jac = "round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)"
+    jac = """CASE WHEN (CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) >= 0 THEN floor((CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) * 1000000.0 + 0.5) / 1000000.0) END"""
     return f"""
 WITH d AS (
   SELECT doc_id, {_SHINGLES} AS shingles, substr(text, 1, 512) AS t
@@ -2747,8 +2748,7 @@ WITH d AS (
   WHERE {jac} >= {cand}
 ), e AS (
   SELECT id_a, id_b, jaccard,
-         round(1.0 - CAST(levenshtein(da.t, db.t) AS DOUBLE)
-               / greatest(len(da.t), len(db.t), 1), 6) AS edit_sim
+         CASE WHEN (1.0 - CAST(levenshtein(da.t, db.t) AS DOUBLE) / greatest(len(da.t), len(db.t), 1)) >= 0 THEN floor((1.0 - CAST(levenshtein(da.t, db.t) AS DOUBLE) / greatest(len(da.t), len(db.t), 1)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(1.0 - CAST(levenshtein(da.t, db.t) AS DOUBLE) / greatest(len(da.t), len(db.t), 1)) * 1000000.0 + 0.5) / 1000000.0) END AS edit_sim
   FROM j JOIN d da ON da.doc_id = id_a JOIN d db ON db.doc_id = id_b
 )
 SELECT id_a, id_b, jaccard, edit_sim, edit_sim >= {edit} AS verified
@@ -3166,9 +3166,7 @@ SELECT cntry, numcust, totacctbal FROM (
 """,
     "q_tpch_q8": f"""
 SELECT o_year,
-       round(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume END)
-                  AS DOUBLE)
-             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+       CASE WHEN (CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume END) AS DOUBLE) / CAST(SUM(volume) AS DOUBLE)) >= 0 THEN floor((CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume END) AS DOUBLE) / CAST(SUM(volume) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume END) AS DOUBLE) / CAST(SUM(volume) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) END AS mkt_share
 FROM (
   SELECT CAST(year(o_orderdate) AS INT) AS o_year,
          {REVENUE_SQL} AS volume, n2.n_name AS supp_nation
@@ -3223,9 +3221,7 @@ JOIN supplier ON l_suppkey = s_suppkey
 WHERE CAST(qty AS DOUBLE) > 1.2 * (tot / n)
 """,
     "q_tpch_q14": f"""
-SELECT round(100.0
-         * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL} END) AS DOUBLE)
-         / CAST(SUM({REVENUE_SQL}) AS DOUBLE), 6) AS promo_revenue
+SELECT CASE WHEN (100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL} END) AS DOUBLE) / CAST(SUM({REVENUE_SQL}) AS DOUBLE)) >= 0 THEN floor((100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL} END) AS DOUBLE) / CAST(SUM({REVENUE_SQL}) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_SQL} END) AS DOUBLE) / CAST(SUM({REVENUE_SQL}) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) END AS promo_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-09-01'
   AND l_shipdate < TIMESTAMP '1997-10-01'
@@ -3564,9 +3560,7 @@ a AS (SELECT doc_id // 2 AS pair, doc_id AS id_a, sh AS sha
 b AS (SELECT doc_id // 2 AS pair, doc_id AS id_b, sh AS shb
       FROM base WHERE doc_id % 2 = 1)
 SELECT id_a, id_b,
-       round(CAST(len(list_intersect(sha, shb)) AS DOUBLE)
-             / greatest(len(list_distinct(list_concat(sha, shb))), 1), 6)
-         AS exact_jaccard,
+       CASE WHEN (CAST(len(list_intersect(sha, shb)) AS DOUBLE) / greatest(len(list_distinct(list_concat(sha, shb))), 1)) >= 0 THEN floor((CAST(len(list_intersect(sha, shb)) AS DOUBLE) / greatest(len(list_distinct(list_concat(sha, shb))), 1)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(len(list_intersect(sha, shb)) AS DOUBLE) / greatest(len(list_distinct(list_concat(sha, shb))), 1)) * 1000000.0 + 0.5) / 1000000.0) END AS exact_jaccard,
        TRUE AS within_bound
 FROM a JOIN b USING (pair)
 """,
@@ -3585,7 +3579,7 @@ c AS (
   SELECT vec_id, v, mn, mx, scale,
          CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
               ELSE list_transform(v,
-                     x -> CAST(round((x - mn) / scale) AS INTEGER))
+                     x -> CAST(CASE WHEN ((x - mn) / scale) >= 0 THEN floor(((x - mn) / scale) * 1.0 + 0.5) / 1.0 ELSE -(floor(-((x - mn) / scale) * 1.0 + 0.5) / 1.0) END AS INTEGER))
          END AS codes
   FROM s
 )
@@ -3774,9 +3768,7 @@ WITH g AS (
 )
 SELECT c.doc_id, CAST(len(c.grams) AS BIGINT) AS n_grams,
        CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
-       round(CASE WHEN len(c.grams) > 0
-                  THEN CAST(coalesce(sh.n_shared, 0) AS DOUBLE) / len(c.grams)
-                  ELSE 0 END, 6) AS contamination
+       CASE WHEN (CASE WHEN len(c.grams) > 0 THEN CAST(coalesce(sh.n_shared, 0) AS DOUBLE) / len(c.grams) ELSE 0 END) >= 0 THEN floor((CASE WHEN len(c.grams) > 0 THEN CAST(coalesce(sh.n_shared, 0) AS DOUBLE) / len(c.grams) ELSE 0 END) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CASE WHEN len(c.grams) > 0 THEN CAST(coalesce(sh.n_shared, 0) AS DOUBLE) / len(c.grams) ELSE 0 END) * 1000000.0 + 0.5) / 1000000.0) END AS contamination
 FROM cand c LEFT JOIN sh ON c.doc_id = sh.doc_id
 """,
     # Bloom gate: exact shared-gram counts recomputed by DuckDB; the
@@ -3910,15 +3902,19 @@ FROM range({N_MEDIA_HEADERS}) t(media_id)
 SELECT doc_id,
        CAST(len(text) AS BIGINT) AS n_chars,
        CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
-       round(CAST(len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g'))
-             AS DOUBLE) / greatest(len(text), 1), 6) AS alpha_ratio,
-       round(CAST(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
-             AS DOUBLE) / greatest(len(text), 1), 6) AS punct_ratio,
-       round(CAST(len(list_filter({_TOKS},
+       CASE WHEN (CAST(len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / greatest(len(text), 1)) >= 0 THEN floor((CAST(len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / greatest(len(text), 1)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / greatest(len(text), 1)) * 1000000.0 + 0.5) / 1000000.0) END AS alpha_ratio,
+       CASE WHEN (CAST(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / greatest(len(text), 1)) >= 0 THEN floor((CAST(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / greatest(len(text), 1)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / greatest(len(text), 1)) * 1000000.0 + 0.5) / 1000000.0) END AS punct_ratio,
+       CASE WHEN (CAST(len(list_filter({_TOKS},
              t -> list_contains([{', '.join(f"'{w}'" for w in text.LANG_STOPWORDS['en'])}], t)))
-             AS DOUBLE) / greatest(len({_TOKS}), 1), 6) AS stopword_ratio,
-       round(CAST(coalesce(list_sum(list_transform({_TOKS}, t -> len(t))), 0)
-             AS DOUBLE) / greatest(len({_TOKS}), 1), 6) AS mean_token_len
+             AS DOUBLE) / greatest(len({_TOKS}), 1)) >= 0 THEN floor((CAST(len(list_filter({_TOKS},
+             t -> list_contains([{', '.join(f"'{w}'" for w in text.LANG_STOPWORDS['en'])}], t)))
+             AS DOUBLE) / greatest(len({_TOKS}), 1)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(len(list_filter({_TOKS},
+             t -> list_contains([{', '.join(f"'{w}'" for w in text.LANG_STOPWORDS['en'])}], t)))
+             AS DOUBLE) / greatest(len({_TOKS}), 1)) * 1000000.0 + 0.5) / 1000000.0) END AS stopword_ratio,
+       CASE WHEN (CAST(coalesce(list_sum(list_transform({_TOKS}, t -> len(t))), 0)
+             AS DOUBLE) / greatest(len({_TOKS}), 1)) >= 0 THEN floor((CAST(coalesce(list_sum(list_transform({_TOKS}, t -> len(t))), 0)
+             AS DOUBLE) / greatest(len({_TOKS}), 1)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(coalesce(list_sum(list_transform({_TOKS}, t -> len(t))), 0)
+             AS DOUBLE) / greatest(len({_TOKS}), 1)) * 1000000.0 + 0.5) / 1000000.0) END AS mean_token_len
 FROM documents
 """,
     "q_token_counts": f"""
