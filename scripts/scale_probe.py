@@ -53,10 +53,17 @@ def scaled(df, factor: int, id_cols: list[str], per_copy: int):
 
 
 def timed(label, df):
+    """Force with a full-width checksum, not count(): count() lets
+    Catalyst prune every computed column, so a narrow per-row operator
+    (top_ngram, doc_chunks, quality) would be timed as a bare scan —
+    the same forcing trap bench.py fixed in round 2 (BASELINE.md)."""
     t0 = time.perf_counter()
-    n = df.count()
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("_ck"),
+    ).collect()[0]
     dt = round(time.perf_counter() - t0, 2)
-    print(f"# {label}: {dt}s ({n} rows)", file=sys.stderr)
+    print(f"# {label}: {dt}s ({row['n']} rows)", file=sys.stderr)
     return dt
 
 
