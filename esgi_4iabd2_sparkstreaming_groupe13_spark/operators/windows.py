@@ -443,3 +443,47 @@ def funnel_stages(
             F.col(f"t_{s}").isNotNull(), F.lit(i + 1)
         ).otherwise(stage)
     return out.withColumn("stages_completed", stage.cast("long"))
+
+
+def equi_depth_bins(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-group equi-depth (equal-frequency) binning — the decile
+    profile a pipeline builds to calibrate features or stratify
+    sampling: NTILE(``n_bins``) over a TOTAL order, then per-bin
+    count / min / max of the value.
+
+    Determinism contract: ``order_cols`` must end in a unique key —
+    NTILE's allocation (larger buckets first, SQL standard, identical
+    in Spark and DuckDB) is only reproducible over a total order.
+
+    Scale shape: one shuffle on the group key; NTILE streams each
+    partition once (no per-group materialization beyond the sort);
+    the per-bin aggregate rides the same partitioning. Group
+    cardinality bounds partition size — for a GLOBAL profile at 100 TB
+    use the mergeable GK sketch (percentiles_approx) instead of a
+    single-partition NTILE.
+    """
+    w = Window.partitionBy(part_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return (
+        df.withColumn("_bin", F.ntile(n_bins).over(w))
+        .groupBy(part_col, "_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(value_col).alias("bin_min"),
+            F.max(value_col).alias("bin_max"),
+        )
+        .select(
+            part_col,
+            F.col("_bin").cast("long").alias("bin"),
+            "n_rows",
+            "bin_min",
+            "bin_max",
+        )
+    )

@@ -1147,6 +1147,19 @@ def q_correlation(spark, sf_dir):
     )
 
 
+def q_equi_depth(spark, sf_dir):
+    """Per-returnflag price deciles via NTILE over a total order (new
+    r6): equal-frequency bins with per-bin count/min/max — the
+    calibration profile; ordered by (price, orderkey, linenumber) so
+    the allocation is reproducible in both engines."""
+    return windows.equi_depth_bins(
+        _t(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        "l_extendedprice",
+    )
+
+
 def q_percentiles(spark, sf_dir):
     """M4(a): exact p25/p50/p75 price percentiles per return flag."""
     return agg.percentiles_exact(
@@ -3597,6 +3610,22 @@ FROM c
     "q_repetition": _repetition_oracle(),
     "q_top_ngram": _top_ngram_oracle(),
     "q_validation": _validation_oracle(),
+    # mirror of windows.equi_depth_bins: NTILE's SQL-standard
+    # allocation over the same total order
+    "q_equi_depth": """
+SELECT l_returnflag, CAST(bin AS BIGINT) AS bin,
+       count(*) AS n_rows,
+       min(l_extendedprice) AS bin_min,
+       max(l_extendedprice) AS bin_max
+FROM (
+  SELECT l_returnflag, l_extendedprice,
+         ntile(10) OVER (PARTITION BY l_returnflag
+                         ORDER BY l_extendedprice, l_orderkey,
+                                  l_linenumber) AS bin
+  FROM lineitem
+)
+GROUP BY 1, 2
+""",
     # mirror of agg.cohort_retention: integer date math only
     "q_retention": """
 WITH f AS (
@@ -4012,6 +4041,9 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_topk_desc", q_topk_desc, ORACLES["q_topk_desc"], True),
     QuerySpec("q_total_count", q_total_count, ORACLES["q_total_count"]),
     # ==== driver 50-entry verification window ends here ====
+    # new r6, behind the full window — oracle_check covers it every
+    # round; rotates into the driver gate with the r7 queue
+    QuerySpec("q_equi_depth", q_equi_depth, ORACLES["q_equi_depth"]),
     QuerySpec("q_json_extract", q_json_extract, ORACLES["q_json_extract"]),
     # r4-verified holdovers (no slots left — ROTATE IN FIRST in r7):
     QuerySpec("q_dedup_exact", q_dedup_exact, ORACLES["q_dedup_exact"]),

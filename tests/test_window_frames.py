@@ -220,3 +220,21 @@ def test_funnel_stages_requires_strict_order(spark):
     assert out[4]["stages_completed"] == 1
     assert out[5]["stages_completed"] == 0
     assert out[5]["t_view"] is None
+
+
+def test_equi_depth_bins_allocation_and_ranges(spark):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.windows import (
+        equi_depth_bins,
+    )
+
+    # 7 rows into 3 bins: SQL-standard NTILE puts the remainder in the
+    # FIRST buckets -> sizes 3,2,2; ranges must be disjoint ascending
+    rows = [("g", i, float(10 * i)) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, ["grp", "k", "v"])
+    out = {r["bin"]: r for r in equi_depth_bins(
+        df, "grp", ["v", "k"], "v", n_bins=3
+    ).collect()}
+    assert [out[b]["n_rows"] for b in (1, 2, 3)] == [3, 2, 2]
+    assert (out[1]["bin_min"], out[1]["bin_max"]) == (10.0, 30.0)
+    assert (out[2]["bin_min"], out[2]["bin_max"]) == (40.0, 50.0)
+    assert (out[3]["bin_min"], out[3]["bin_max"]) == (60.0, 70.0)
