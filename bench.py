@@ -113,6 +113,19 @@ def main() -> None:
         warm = load_table(spark, sf_dir, t)
         warm.agg(F.bit_xor(F.xxhash64(F.struct(*warm.columns)))).collect()
 
+    # Warm whole-stage-codegen JIT with ONE untimed throwaway run of
+    # the first headline query (VERDICT r6 "what's wrong" #1: table
+    # warming alone leaves slot 1 paying the JVM's first real codegen
+    # compile — every rotation made whichever query landed first look
+    # 2-3× slower than steady state, a phantom regression the judge
+    # had to re-probe each round). Methodology change recorded in
+    # BASELINE.md; one-pass numbers from r7 on measure plans, not
+    # registry order.
+    first = next((s for s in QUERIES if s.headline), None)
+    if first is not None:
+        force(first.fn(spark, sf_dir))
+        release_cached()
+
     # SPARK_GRAFT_BENCH_REPS>1 re-runs each query and reports the MIN —
     # the steady-state number (first execution pays whole-stage-codegen
     # JIT + VM scheduling noise; see BASELINE.md round-3/4 notes). The

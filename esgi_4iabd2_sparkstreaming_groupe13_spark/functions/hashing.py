@@ -130,6 +130,13 @@ def minhash_sql_elems(
     ]
 
 
+#: |x|·10^scale at or above 2^53 means ulp(x) ≥ 10^-scale: the double
+#: carries no digits below the rounding scale, so rounding is the
+#: identity — and passing through dodges Spark's floor→BIGINT
+#: saturation at 2^63 (which DuckDB's floor→DOUBLE does not share).
+_RHA_PASS_THROUGH = float(1 << 53)
+
+
 def round_half_away(col: Column, scale: int) -> Column:
     """Engine-exact rounding of a DOUBLE at ``scale`` decimals:
     floor-based half-away-from-zero applied to the BINARY value —
@@ -145,13 +152,23 @@ def round_half_away(col: Column, scale: int) -> Column:
     (2dp-exact revenue sums) each flipped a last digit between
     engines. Transcendental outputs (log, sqrt) hit boundaries with
     probability ~0 and keep using round().
+
+    Magnitude guard (ADVICE r6): Spark's ``floor(double)`` returns
+    BIGINT (saturates at 2^63) while DuckDB's keeps DOUBLE, so the
+    floor formula could diverge for |x|·10^scale ≥ 2^63. Values with
+    |x|·10^scale ≥ 2^53 have ulp ≥ 10^-scale — no sub-scale digits
+    exist to round — so both sides pass such values through unchanged
+    (mirrored in :func:`round_half_away_sql`), making the helper
+    engine-exact at EVERY magnitude, not just below the bigint bound.
     """
     f = float(10**scale)
 
     def rha_one(m: Column) -> Column:
         pos = F.floor(m * f + F.lit(0.5)) / f
         neg = -(F.floor((-m) * f + F.lit(0.5)) / f)
-        return F.when(m >= 0, pos).otherwise(neg)
+        return F.when(
+            F.abs(m) >= F.lit(_RHA_PASS_THROUGH / f), m
+        ).otherwise(F.when(m >= 0, pos).otherwise(neg))
 
     # Bind the input as a LAMBDA VARIABLE (1-element transform) so the
     # branch structure evaluates it exactly once per row — a raw
@@ -165,10 +182,13 @@ def round_half_away(col: Column, scale: int) -> Column:
 
 def round_half_away_sql(expr: str, scale: int) -> str:
     """DuckDB mirror of :func:`round_half_away` — the same floor
-    formula over the same IEEE double."""
+    formula over the same IEEE double, including the ≥2^53/f
+    pass-through magnitude guard."""
     f = float(10**scale)
     return (
-        f"CASE WHEN ({expr}) >= 0 "
+        f"CASE WHEN abs({expr}) >= {_RHA_PASS_THROUGH / f!r} "
+        f"THEN ({expr}) "
+        f"WHEN ({expr}) >= 0 "
         f"THEN floor(({expr}) * {f} + 0.5) / {f} "
         f"ELSE -(floor(-({expr}) * {f} + 0.5) / {f}) END"
     )

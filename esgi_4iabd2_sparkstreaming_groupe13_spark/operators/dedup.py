@@ -52,6 +52,19 @@ SIMHASH_BLOCKS = 4  # pigeonhole: ≤3 differing bits → ≥1 identical block
 DEFAULT_SHINGLE_N = 5
 
 
+def _require_band_geometry(n_hashes: int, bands: int) -> None:
+    """LSH banding needs ``bands`` to divide ``n_hashes`` exactly —
+    raise ``ValueError`` (not assert, which ``python -O`` strips;
+    ADVICE r6) so an index can never be BUILT with geometry the serve
+    path would have to reject."""
+    if bands <= 0 or n_hashes % bands != 0:
+        raise ValueError(
+            f"LSH geometry invalid: bands={bands} must be positive and "
+            f"divide n_hashes={n_hashes} exactly (rows-per-band must be "
+            "an integer)"
+        )
+
+
 def dedup_exact(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup: one representative (min id) per distinct content.
 
@@ -380,7 +393,7 @@ def minhash_lsh_pairs(
     exact pair set on the test corpora; raise ``n_hashes``/``bands``
     for lower thresholds.
     """
-    assert n_hashes % bands == 0
+    _require_band_geometry(n_hashes, bands)
     r = n_hashes // bands
     # Small-file inputs arrive as a handful of partitions; the per-doc
     # shingle+md5 work is embarrassingly parallel, so fan it out to the
@@ -625,7 +638,12 @@ def simhash_pairs(
     no quadratic scan, recall 1.0. Requires ``max_hamming <
     SIMHASH_BLOCKS`` (default 3 < 4).
     """
-    assert max_hamming < SIMHASH_BLOCKS
+    if max_hamming >= SIMHASH_BLOCKS:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole bound: "
+            f"must be < SIMHASH_BLOCKS={SIMHASH_BLOCKS} or recall "
+            "drops below 1.0"
+        )
     block_bits = SIMHASH_BITS // SIMHASH_BLOCKS
     para = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < para:
@@ -966,6 +984,7 @@ def build_dedup_index(
     refuses a mismatched index rather than silently missing every
     near-dup.
     """
+    _require_band_geometry(n_hashes, bands)
     from .text import fingerprints
 
     fingerprints(corpus, text_col, id_col).select(
@@ -1076,7 +1095,7 @@ def incremental_dedup_indexed(
             "match the parameters (mismatched banding silently loses "
             "every near-duplicate)"
         )
-    assert n_hashes % bands == 0
+    _require_band_geometry(n_hashes, bands)
     r = n_hashes // bands
 
     para = incoming.sparkSession.sparkContext.defaultParallelism

@@ -12,9 +12,16 @@ check never adds a pass over the data. Distinct-count checks
 (``uniqueness``) ride the same aggregate via Spark's count-distinct
 Expand — still one scan.
 
-Metrics are doubles rounded to 6 dp and the pass predicate is applied
-to the ROUNDED metric, so the report is bit-stable across engines and
-the DuckDB oracle can reproduce it exactly.
+Metrics are doubles rounded to 6 dp (informational, bit-stable across
+engines so the DuckDB oracle can reproduce the report exactly).
+Pass verdicts, however, are computed from EXACT count aggregates, not
+the rounded ratio (ADVICE r6): a single duplicate key or NULL in 10M
+rows yields a ratio of 0.9999999, which rounds to 1.0 — at 100 TB the
+rare violation is exactly the target, so ``uniqueness`` compares
+``count_distinct == count(*)`` and ``completeness`` compares
+``count(col) >= min_ratio * count(*)`` on unrounded values. The
+count-valued checks (``bounds``/``non_negative``/...) were already
+exact.
 """
 
 from __future__ import annotations
@@ -30,29 +37,43 @@ from ..functions.hashing import round_half_away
 
 @dataclass(frozen=True)
 class Check:
-    """One named expectation: an aggregate ``metric`` expression and a
-    ``passed`` predicate over the rounded metric value."""
+    """One named expectation: an aggregate ``metric`` expression, a
+    ``passed`` predicate over the rounded metric value, and — for
+    ratio-valued checks where rounding can mask rare violations — an
+    optional ``passed_agg`` aggregate boolean computed from EXACT
+    counts, which takes precedence over ``passed`` when present."""
 
     name: str
     metric: Column
     passed: Callable[[Column], Column]
+    passed_agg: Column | None = None
 
 
 def completeness(col: str, min_ratio: float = 1.0) -> Check:
-    """Fraction of non-NULL values; passes at ``min_ratio`` or above."""
+    """Fraction of non-NULL values; passes at ``min_ratio`` or above.
+    The verdict compares exact counts (``count(col) >= min_ratio *
+    count(*)``) so a single NULL in 10M rows still fails at
+    ``min_ratio=1.0``; the rounded ratio is informational only."""
     m = F.avg(F.when(F.col(col).isNotNull(), 1.0).otherwise(0.0))
+    exact = F.count(F.col(col)).cast("double") >= (
+        F.lit(float(min_ratio)) * F.count(F.lit(1)).cast("double")
+    )
     return Check(
-        f"completeness({col})", m, lambda v: v >= min_ratio
+        f"completeness({col})", m, lambda v: v >= min_ratio, exact
     )
 
 
 def uniqueness(*cols: str) -> Check:
-    """count_distinct / count over the given key; passes at exactly 1
-    (every row has a distinct key). NULL keys count as violations
-    (count_distinct skips them, so the ratio drops below 1)."""
+    """count_distinct / count over the given key; passes iff the EXACT
+    counts are equal (one duplicate in 10M rows fails — the rounded
+    ratio would mask it). NULL keys count as violations
+    (count_distinct skips them, so the counts diverge)."""
     m = F.countDistinct(*[F.col(c) for c in cols]) / F.count(F.lit(1))
+    exact = F.countDistinct(*[F.col(c) for c in cols]) == F.count(
+        F.lit(1)
+    )
     return Check(
-        f"uniqueness({','.join(cols)})", m, lambda v: v == 1.0
+        f"uniqueness({','.join(cols)})", m, lambda v: v == 1.0, exact
     )
 
 
@@ -105,18 +126,26 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
     """
     if not checks:
         raise ValueError("validate() needs at least one check")
-    agg_row = df.agg(
-        *[
-            round_half_away(c.metric, 6).alias(f"_m{i}")
-            for i, c in enumerate(checks)
-        ]
-    )
+    aggs = [
+        round_half_away(c.metric, 6).alias(f"_m{i}")
+        for i, c in enumerate(checks)
+    ]
+    aggs += [
+        c.passed_agg.alias(f"_p{i}")
+        for i, c in enumerate(checks)
+        if c.passed_agg is not None
+    ]
+    agg_row = df.agg(*aggs)
     report = F.array(
         *[
             F.struct(
                 F.lit(c.name).alias("check"),
                 F.col(f"_m{i}").alias("metric"),
-                c.passed(F.col(f"_m{i}")).alias("passed"),
+                (
+                    F.col(f"_p{i}")
+                    if c.passed_agg is not None
+                    else c.passed(F.col(f"_m{i}"))
+                ).alias("passed"),
             )
             for i, c in enumerate(checks)
         ]

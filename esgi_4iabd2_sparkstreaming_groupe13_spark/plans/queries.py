@@ -2771,15 +2771,19 @@ FROM e
 
 def _validation_oracle() -> str:
     """Mirror of ``q_validation``: one aggregate CTE, then a UNION ALL
-    pivot to the long (check, metric, passed) report — each passed
-    verdict applies to the ROUNDED metric, exactly as validate.py
-    does. ``check`` is a reserved word in DuckDB, hence quoted."""
+    pivot to the long (check, metric, passed) report. Ratio metrics
+    are rounded (informational); passed verdicts for completeness /
+    uniqueness use EXACT counts (ADVICE r6 — rounding would mask one
+    violation in 10M rows), exactly as validate.py now does.
+    ``check`` is a reserved word in DuckDB, hence quoted."""
     vals = ", ".join(f"'{v}'" for v in VALID_EVENT_TYPES)
     return f"""
 WITH a AS (
   SELECT round(CAST(count(*) AS DOUBLE), 6) AS n,
          CASE WHEN (avg(CASE WHEN ts IS NOT NULL THEN 1.0 ELSE 0.0 END)) >= 0 THEN floor((avg(CASE WHEN ts IS NOT NULL THEN 1.0 ELSE 0.0 END)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(avg(CASE WHEN ts IS NOT NULL THEN 1.0 ELSE 0.0 END)) * 1000000.0 + 0.5) / 1000000.0) END AS comp_ts,
+         CAST(count(ts) AS DOUBLE) >= 1.0 * CAST(count(*) AS DOUBLE) AS comp_ts_ok,
          CASE WHEN (CAST(count(DISTINCT event_id) AS DOUBLE) / count(*)) >= 0 THEN floor((CAST(count(DISTINCT event_id) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(count(DISTINCT event_id) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) / 1000000.0) END AS uniq,
+         count(DISTINCT event_id) = count(*) AS uniq_ok,
          round(CAST(sum(CASE WHEN value < 0.0 OR value > 400.0 THEN 1 ELSE 0 END) AS DOUBLE), 6) AS oob,
          round(CAST(sum(CASE WHEN event_type IS NOT NULL
                          AND event_type NOT IN ({vals}) THEN 1 ELSE 0 END) AS DOUBLE), 6) AS badvals,
@@ -2787,8 +2791,8 @@ WITH a AS (
   FROM events
 )
 SELECT 'min_rows(1000)' AS "check", n AS metric, n >= 1000.0 AS passed FROM a
-UNION ALL SELECT 'completeness(ts)', comp_ts, comp_ts >= 1.0 FROM a
-UNION ALL SELECT 'uniqueness(event_id)', uniq, uniq = 1.0 FROM a
+UNION ALL SELECT 'completeness(ts)', comp_ts, comp_ts_ok FROM a
+UNION ALL SELECT 'uniqueness(event_id)', uniq, uniq_ok FROM a
 UNION ALL SELECT 'bounds(value,0.0,400.0)', oob, oob = 0.0 FROM a
 UNION ALL SELECT 'accepted_values(event_type)', badvals, badvals = 0.0 FROM a
 UNION ALL SELECT 'non_negative(value)', neg, neg = 0.0 FROM a

@@ -396,6 +396,13 @@ def main() -> None:
             snapshot_diff,
         )
 
+        # 'added' rows are re-keyed PAST every scaled copy's id range
+        # (copies occupy [0, factor*100M); ADVICE r6: a flat +1e9
+        # offset collided with higher copies at factor >= 10, creating
+        # duplicate keys and full-outer fanout that skewed the
+        # classified-row counts).
+        add_offset = factor * 100_000_000 + 1_000_000_000
+
         def variants(ev):
             base = ev.select("event_id", "event_type", "value")
             kept = base.filter(F.col("event_id") % 97 != 0).withColumn(
@@ -405,7 +412,7 @@ def main() -> None:
                 ).otherwise(F.col("value")),
             )
             added = base.filter(F.col("event_id") % 101 == 0).withColumn(
-                "event_id", F.col("event_id") + F.lit(1_000_000_000)
+                "event_id", F.col("event_id") + F.lit(add_offset)
             )
             return base, kept.unionByName(added)
 
