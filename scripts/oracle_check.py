@@ -9,6 +9,8 @@ Usage: python scripts/oracle_check.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 
 import duckdb
@@ -61,6 +63,21 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
+def _next_round(repo_root: str) -> int:
+    """Local-artifact round number: one past the newest driver
+    CORRECTNESS_r{N}.json (the local full-suite run for round N+1
+    happens before the driver writes N+1's file)."""
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -72,21 +89,62 @@ def main() -> None:
         )
 
     n_pass = n_fail = n_skip = 0
+    results: dict[str, dict] = {}
     for spec in QUERIES:
         if only and spec.name not in only:
             continue
         if spec.oracle is None:
             print(f"SKIP  {spec.name} (rows-only)")
             n_skip += 1
+            try:
+                n_rows = len(spec.fn(spark, sf_dir).toPandas())
+                results[spec.name] = {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": n_rows,
+                    "oracle_rows": None,
+                    "err": None,
+                }
+            except Exception as ex:
+                results[spec.name] = {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": None,
+                    "oracle_rows": None,
+                    "err": f"{type(ex).__name__}: {str(ex)[:300]}",
+                }
+            finally:
+                release_cached()
             continue
+        err = None
+        spark_pdf = duck_pdf = None
         try:
             spark_pdf = spec.fn(spark, sf_dir).toPandas()
             duck_pdf = con.execute(spec.oracle).df()
             problems = compare(spec.name, spark_pdf, duck_pdf)
         except Exception as ex:
-            problems = [f"exception: {type(ex).__name__}: {str(ex)[:300]}"]
+            err = f"{type(ex).__name__}: {str(ex)[:300]}"
+            problems = [f"exception: {err}"]
         finally:
             release_cached()  # drop any operator-tracked persists
+        results[spec.name] = {
+            "rows_match": (
+                spark_pdf is not None
+                and duck_pdf is not None
+                and len(spark_pdf) == len(duck_pdf)
+            ),
+            "schema_match": (
+                spark_pdf is not None
+                and duck_pdf is not None
+                and sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+            ),
+            "hash_match": not problems,
+            "spark_rows": None if spark_pdf is None else len(spark_pdf),
+            "oracle_rows": None if duck_pdf is None else len(duck_pdf),
+            "err": err,
+        }
         if problems:
             n_fail += 1
             print(f"FAIL  {spec.name}")
@@ -95,6 +153,20 @@ def main() -> None:
         else:
             n_pass += 1
             print(f"PASS  {spec.name} ({len(spark_pdf)} rows)")
+
+    # Full-registry runs persist a driver-format artifact (VERDICT r6
+    # item 8): with >120 queries and a 50-slot driver gate, staleness
+    # is structural — this file lets the judge audit "all green NOW"
+    # for every registered query without re-running the suite.
+    if not only:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        rnd = _next_round(repo_root)
+        out = os.path.join(repo_root, f"CORRECTNESS_local_r{rnd:02d}.json")
+        payload = {"_meta": {"sf_dir": sf_dir, "full_registry": True}}
+        payload.update(results)
+        with open(out, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        print(f"wrote {out}")
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
     spark.stop()

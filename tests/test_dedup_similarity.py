@@ -434,3 +434,75 @@ def test_edit_verified_pairs_annotates_candidates(spark):
     assert (0, 2) in out
     assert out[(0, 2)]["verified"] is False
     assert out[(0, 2)]["edit_sim"] < out[(0, 1)]["edit_sim"]
+
+
+def test_line_dedup_drops_boilerplate_keeps_order(spark):
+    """CCNet-style line dedup: the footer shared by 3 docs (> max_df=2)
+    is dropped; the line shared by exactly 2 docs SURVIVES (threshold
+    contract is strictly >); unique lines keep their original order in
+    text_clean."""
+    footer = "subscribe to our newsletter"
+    pair = "shared by exactly two docs"
+    rows = [
+        (0, f"alpha content one\n{footer}\nbravo content two"),
+        (1, f"charlie text here\n{footer}"),
+        (2, f"delta words go here\n{footer}\n{pair}"),
+        (3, f"echo unique line\n{pair}"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.line_dedup(
+        df, "text", "doc_id", max_line_df=2
+    ).collect()}
+    assert out[0]["n_lines"] == 3 and out[0]["kept_lines"] == 2
+    assert out[0]["text_clean"] == "alpha content one\nbravo content two"
+    assert out[1]["text_clean"] == "charlie text here"
+    # the df==2 line survives; only the df==3 footer is boilerplate
+    assert out[2]["text_clean"] == f"delta words go here\n{pair}"
+    assert out[3]["kept_lines"] == 2
+    assert out[0]["kept_fraction"] == pytest.approx(0.666667)
+
+
+def test_line_dedup_normalizes_line_identity(spark):
+    """Reformatted copies of a line (case, extra whitespace) count as
+    the SAME line for document frequency — a re-indented footer cannot
+    hide from the boilerplate cut."""
+    rows = [
+        (0, "Visit  Our   Site\nreal body text aa"),
+        (1, "visit our site\nreal body text bb"),
+        (2, "VISIT OUR SITE \nreal body text cc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.line_dedup(
+        df, "text", "doc_id", max_line_df=2
+    ).collect()}
+    for i in range(3):
+        assert out[i]["kept_lines"] == 1
+        assert out[i]["text_clean"].startswith("real body text")
+
+
+def test_line_dedup_all_dropped_doc_yields_empty_clean_text(spark):
+    boiler = "the only line"
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(4)], ["doc_id", "text"]
+    )
+    out = dedup.line_dedup(df, "text", "doc_id", max_line_df=2).collect()
+    for r in out:
+        assert r["kept_lines"] == 0
+        assert r["text_clean"] == ""
+        assert r["kept_fraction"] == 0.0
+
+
+def test_lsh_geometry_rejected_at_build_and_pair_time(spark, tmp_path):
+    """bands must divide n_hashes — ValueError (not a strippable
+    assert) at index BUILD time and in the pair generators."""
+    df = spark.createDataFrame([(0, "text body")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="geometry"):
+        dedup.build_dedup_index(
+            df, "text", "doc_id", str(tmp_path / "i"), n_hashes=32, bands=7
+        )
+    with pytest.raises(ValueError, match="geometry"):
+        dedup.minhash_lsh_pairs(
+            df, "text", "doc_id", 0.9, n_hashes=32, bands=7
+        )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_pairs(df, "text", "doc_id", max_hamming=4)

@@ -73,3 +73,23 @@ def test_q_validation_mixes_verdicts(spark, sf_dir):
     assert out["completeness(ts)"] is True
     assert out["uniqueness(event_id)"] is True
     assert out["min_rows(1000)"] is True
+
+
+def test_rare_violation_not_masked_by_rounding(spark):
+    """ADVICE r6: one duplicate key / one NULL among millions rounds
+    the ratio metric to 1.0 — the verdict must still FAIL because it
+    is computed from exact counts, not the rounded ratio. 2e6 rows
+    keeps the test fast while putting the violation at 5e-7 < half of
+    the 6dp rounding quantum."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(2_000_000).select(
+        # id 0 duplicates id 1's key; id 0 carries a NULL payload
+        F.when(F.col("id") == 0, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.when(F.col("id") == 0, F.lit(None)).otherwise(F.col("id")).alias("v"),
+    )
+    out = {r["check"]: (r["metric"], r["passed"]) for r in V.validate(
+        df, [V.uniqueness("k"), V.completeness("v")]
+    ).collect()}
+    assert out["uniqueness(k)"] == (1.0, False)
+    assert out["completeness(v)"] == (1.0, False)
