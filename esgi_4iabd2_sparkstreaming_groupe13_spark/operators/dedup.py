@@ -1193,12 +1193,25 @@ def incremental_dedup_indexed(
     if incoming.rdd.getNumPartitions() < para:
         incoming = incoming.repartition(para)
 
+    # SELF-MATCH EXCLUSION (both tiers): a doc never duplicates its
+    # own index entry (same id). Without this, a crash-REPLAYED ingest
+    # batch — whose admissions already reached the index — would
+    # classify its own prior admissions as dups and overwrite its
+    # corpus partition with nothing: silent data loss on the exact
+    # code path streaming recovery exercises. Ids are unique
+    # corpus-wide by store contract, so the inequality never masks a
+    # genuine duplicate.
     corpus_fp = spark.read.parquet(f"{index_path}/fingerprints").select(
-        "sha256_fp"
+        F.col(id_col).alias("_idx_id"), "sha256_fp"
     )
     inc_fp = fingerprints(incoming, text_col, id_col)
-    exact_ids = inc_fp.join(corpus_fp, "sha256_fp", "left_semi").select(
-        F.col(id_col)
+    exact_ids = (
+        inc_fp.join(
+            corpus_fp,
+            (inc_fp["sha256_fp"] == corpus_fp["sha256_fp"])
+            & (inc_fp[id_col] != corpus_fp["_idx_id"]),
+            "left_semi",
+        ).select(F.col(id_col))
     )
 
     corpus_sigs = spark.read.parquet(f"{index_path}/signatures")
@@ -1218,6 +1231,7 @@ def incremental_dedup_indexed(
             ),
             ["band", "bkey"],
         )
+        .filter(F.col("id_a") != F.col("id_b"))  # self-match exclusion
         .select("id_a", "id_b")
         .distinct()
     )

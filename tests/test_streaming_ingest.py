@@ -1,0 +1,133 @@
+"""Streaming dedup-ingest loop (VERDICT r6 item 4): the persisted
+index serves every micro-batch AND absorbs its admissions, so batch N
+rejects near-dups of documents first seen in batch N−1 — the
+cross-batch memory the exact-tier-only admission filter lacks.
+Stream == batch is pinned by running the identical per-batch function
+on static frames against a second store."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+from esgi_4iabd2_sparkstreaming_groupe13_spark.streaming import ingest
+
+TEXT_A = (
+    "the reference corpus opens with a long meditation on tide charts "
+    "and the slow clockwork of estuaries where salt and river water trade "
+    "places twice a day under the patient supervision of wading birds"
+)
+TEXT_B = (
+    "meanwhile the second document concerns itself entirely with the "
+    "maintenance of antique telescopes the polishing of their brass tubes "
+    "and the careful collimation of mirrors on cold and cloudless nights"
+)
+# near-dup of TEXT_B: one word changed
+TEXT_B_NEAR = TEXT_B.replace("brass", "copper")
+TEXT_C = (
+    "a third text unrelated to either describes the fermentation of "
+    "sourdough bread the feeding schedule of the starter culture and the "
+    "long slow rise that rewards patience with an open and glossy crumb"
+)
+
+#: batch N contains (exact dup of seed, new B); batch N+1 contains
+#: (near dup of B — only rejectable because b0's admissions reached
+#: the index, plus new C)
+BATCHES = [
+    [(10, TEXT_B), (11, TEXT_A)],
+    [(20, TEXT_B_NEAR), (21, TEXT_C)],
+]
+EXPECT_ADMITTED = {0, 10, 21}  # seed + B + C
+
+
+def _setup_store(spark, root):
+    corpus_path = str(root / "corpus")
+    index_path = str(root / "index")
+    seed = spark.createDataFrame([(0, TEXT_A)], ["doc_id", "text"])
+    ingest.bootstrap_dedup_ingest(seed, corpus_path, index_path)
+    return corpus_path, index_path
+
+
+def _admitted_ids(spark, corpus_path):
+    return {
+        r["doc_id"]
+        for r in spark.read.parquet(corpus_path).select("doc_id").collect()
+    }
+
+
+def test_streaming_ingest_dedups_across_batches(spark, tmp_path):
+    corpus_path, index_path = _setup_store(spark, tmp_path)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(BATCHES):
+        with open(src / f"batch_{i}.json", "w") as fh:
+            for doc_id, text in rows:
+                fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        time.sleep(0.05)  # distinct mtimes → deterministic file order
+    q = ingest.start_dedup_ingest(
+        spark,
+        str(src),
+        corpus_path,
+        index_path,
+        str(tmp_path / "ckpt"),
+        threshold=0.8,
+        max_files_per_trigger=1,
+        available_now=True,
+    )
+    q.awaitTermination()
+    assert _admitted_ids(spark, corpus_path) == EXPECT_ADMITTED
+    # the index absorbed exactly the admissions (3 docs, one row each)
+    sigs = spark.read.parquet(f"{index_path}/signatures")
+    assert {r["doc_id"] for r in sigs.collect()} == EXPECT_ADMITTED
+    fps = spark.read.parquet(f"{index_path}/fingerprints")
+    assert {r["doc_id"] for r in fps.collect()} == EXPECT_ADMITTED
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    """The foreachBatch body run on STATIC frames must produce the
+    identical corpus — the batch form is the streaming oracle."""
+    corpus_path, index_path = _setup_store(spark, tmp_path / "stream_store")
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(BATCHES):
+        with open(src / f"batch_{i}.json", "w") as fh:
+            for doc_id, text in rows:
+                fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        time.sleep(0.05)
+    q = ingest.start_dedup_ingest(
+        spark,
+        str(src),
+        corpus_path,
+        index_path,
+        str(tmp_path / "ckpt"),
+        threshold=0.8,
+        max_files_per_trigger=1,
+        available_now=True,
+    )
+    q.awaitTermination()
+
+    b_corpus, b_index = _setup_store(spark, tmp_path / "batch_store")
+    process = ingest.dedup_ingest_batch(b_corpus, b_index, threshold=0.8)
+    for i, rows in enumerate(BATCHES):
+        process(spark.createDataFrame(rows, ["doc_id", "text"]), i)
+
+    assert _admitted_ids(spark, b_corpus) == _admitted_ids(
+        spark, corpus_path
+    ) == EXPECT_ADMITTED
+
+
+def test_replayed_batch_is_corpus_idempotent(spark, tmp_path):
+    """A crash-replayed micro-batch overwrites its OWN partition:
+    running the same batch body twice must not duplicate corpus rows
+    (index appends are at-least-once by contract — decisions stay
+    unchanged because the serve tiers semi-join / distinct)."""
+    corpus_path, index_path = _setup_store(spark, tmp_path)
+    process = ingest.dedup_ingest_batch(corpus_path, index_path, threshold=0.8)
+    batch = spark.createDataFrame(BATCHES[0], ["doc_id", "text"])
+    process(batch, 0)
+    first = spark.read.parquet(corpus_path).count()
+    process(batch, 0)  # replay
+    assert spark.read.parquet(corpus_path).count() == first
+    assert _admitted_ids(spark, corpus_path) == {0, 10}
