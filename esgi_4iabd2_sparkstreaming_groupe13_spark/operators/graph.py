@@ -1,16 +1,26 @@
 """Iterative graph algorithms on DataFrames.
 
-``connected_components`` — min-label propagation — turns near-dup
-PAIRS into dedup CLUSTERS (the step an LLM-corpus pipeline actually
-needs: pick one representative per duplicate cluster, drop the rest).
+``connected_components`` — turns near-dup PAIRS into dedup CLUSTERS
+(the step an LLM-corpus pipeline actually needs: pick one
+representative per duplicate cluster, drop the rest). Two
+interchangeable algorithms:
 
-Implementation is the classic alternating label-propagation loop:
-every node adopts the smallest label among itself and its neighbors
-until fixpoint. Iterations = O(component diameter); near-dup clusters
-are shallow (a handful of hops), so convergence is fast. Each
-iteration localCheckpoints the label frame — truncating the lineage
-so the plan doesn't grow with iterations (the standard trap of
-iterative DataFrame algorithms).
+* ``label_prop`` (default) — min-label propagation: every node adopts
+  the smallest label among itself and its neighbors until fixpoint.
+  Iterations = O(component DIAMETER); near-dup clusters are shallow
+  (a handful of hops), so convergence is fast and each round is one
+  join + one aggregate.
+* ``star`` — alternating large-star/small-star edge rewriting
+  (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+  each round re-points edges at neighborhood minima, collapsing
+  components into stars in O(log d) rounds — the right choice when a
+  pathological CHAIN corpus (quotation chains, template lineages)
+  would push label propagation past its iteration cap.
+
+Both localCheckpoint per iteration — truncating the lineage so the
+plan doesn't grow with rounds (the standard trap of iterative
+DataFrame algorithms) — and both raise rather than silently returning
+a partial clustering at the cap.
 """
 
 from __future__ import annotations
@@ -26,6 +36,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iterations: int = 20,
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """Label every node with the minimum node id reachable from it.
 
@@ -34,10 +45,23 @@ def connected_components(
     component = min id in the node's connected component. Isolated
     nodes are their own component.
 
+    ``algorithm``: ``label_prop`` (default — O(diameter) rounds, right
+    for shallow near-dup clusters) or ``star`` (O(log d) rounds via
+    alternating large-star/small-star — right for deep chains; see
+    module docstring).
+
     Raises ``RuntimeError`` if the loop hits ``max_iterations`` without
     reaching the fixpoint — silently returning partially-propagated
     labels would split long near-dup chains into separate clusters.
     """
+    if algorithm == "star":
+        return _connected_components_star(
+            nodes, edges, node_col, src_col, dst_col, max_iterations
+        )
+    if algorithm != "label_prop":
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}: use 'label_prop' or 'star'"
+        )
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
@@ -91,6 +115,113 @@ def connected_components(
             f"connected_components did not converge in {max_iterations} "
             f"iterations ({changed} labels still changing) — a component's "
             "diameter exceeds the cap; raise max_iterations (iterations "
-            "needed = O(component diameter))"
+            "needed = O(component diameter)), or use algorithm='star' "
+            "(O(log diameter) rounds)"
         )
     return labels
+
+
+def _star_half_round(pairs: DataFrame, large: bool) -> DataFrame:
+    """One large-star (``large=True``) or small-star half-round over an
+    undirected pair list. Per node u with m = min(N(u) ∪ {u}):
+
+    * large-star re-points every strictly-LARGER neighbor at m —
+      every edge {a,b}, a<b is re-emitted by its smaller endpoint, so
+      connectivity is preserved;
+    * small-star re-points every strictly-smaller neighbor AND u
+      ITSELF at m (the paper's (N⁻(u) ∪ {u}) \\ {m} emission — without
+      the self edge a leaf's only link would collapse to (m, m) and
+      vanish); here every edge is re-emitted by its larger endpoint.
+
+    One keyed shuffle for the neighborhood-min aggregate + one join —
+    the same geometry as a label-prop round, but each round HALVES
+    pointer-chain depth instead of walking one hop."""
+    sym = pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    joined = sym.join(mins, "src")
+    if large:
+        kept = joined.filter(F.col("dst") > F.col("src")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        )
+    else:
+        kept = joined.filter(F.col("dst") < F.col("src")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        ).union(
+            mins.select(F.col("src"), F.col("m").alias("dst"))
+        )
+    return kept.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _edge_checksum(pairs: DataFrame) -> tuple[int, int]:
+    """Order-insensitive fingerprint of an edge set: (count, xor of a
+    64-bit hash per pair). Cheap convergence probe — one aggregate over
+    the just-checkpointed blocks instead of an exceptAll shuffle."""
+    row = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64(F.struct("src", "dst"))), F.lit(0)
+        ).alias("x"),
+    ).first()
+    return row["n"], row["x"]
+
+
+def _connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str,
+    src_col: str,
+    dst_col: str,
+    max_iterations: int,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al.): converges in O(log d) full rounds, so a
+    max_iterations that caps label_prop on a 1000-hop chain finishes
+    here in ~10. Fixpoint = edge set unchanged across one full round
+    (64-bit-checksum compare; collision probability ~2⁻⁶⁴)."""
+    pairs = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sig = _edge_checksum(pairs)
+    converged = pairs.isEmpty()
+    for _ in range(max_iterations):
+        if converged:
+            break
+        prev = pairs
+        pairs = _star_half_round(pairs, large=True).localCheckpoint()
+        pairs.count()  # materialize before dropping the parent blocks
+        prev.unpersist()
+        prev = pairs
+        pairs = _star_half_round(pairs, large=False).localCheckpoint()
+        new_sig = _edge_checksum(pairs)
+        prev.unpersist()
+        if new_sig == sig:
+            converged = True
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(star) did not converge in "
+            f"{max_iterations} rounds — raise max_iterations "
+            "(rounds needed = O(log component diameter))"
+        )
+    # at fixpoint the edges form stars (v → component min); a node's
+    # component is the min over its incident centers, itself if isolated
+    sym = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    centers = sym.groupBy("src").agg(F.min("dst").alias("_cmin"))
+    out = (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(centers, F.col("node") == centers.src, "left")
+        .select(
+            "node",
+            F.least(
+                F.col("node"), F.coalesce(F.col("_cmin"), F.col("node"))
+            ).alias("component"),
+        )
+    )
+    return out

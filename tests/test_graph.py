@@ -32,3 +32,80 @@ def test_components_converge_on_deep_chain(spark):
     )
     comp = connected_components(nodes, edges)
     assert {r["component"] for r in comp.collect()} == {0}
+
+
+def test_star_matches_label_prop_on_mixed_graph(spark):
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20]], ["node"]
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["src", "dst"]
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            nodes, edges, algorithm="star"
+        ).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_star_converges_on_path_longer_than_label_prop_cap(spark):
+    """VERDICT r6 #3: a 30-hop path exceeds the default 20-iteration
+    label-prop cap; the star algorithm must converge well inside the
+    SAME cap (O(log d) rounds) and match the brute-force expectation
+    (single component rooted at 0)."""
+    import pytest as _pytest
+
+    n = 31  # path 0-1-...-30: diameter 30 > 20
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["node"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["src", "dst"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges).collect()
+    comp = connected_components(nodes, edges, algorithm="star")
+    rows = {r["node"]: r["component"] for r in comp.collect()}
+    assert rows == {i: 0 for i in range(n)}
+
+
+def test_star_randomized_against_bruteforce(spark):
+    """Deterministic pseudo-random graph vs a driver-side union-find
+    oracle — shapes label propagation never exercises (multi-branch
+    merges, cross links)."""
+    import random
+
+    rng = random.Random(7)
+    n = 60
+    edge_list = sorted(
+        {
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(45)
+        }
+    )
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        parent[find(a)] = find(b)
+    # oracle component = min node per root
+    by_root: dict[int, int] = {}
+    for i in range(n):
+        r = find(i)
+        by_root[r] = min(by_root.get(r, i), i)
+    expect = {i: by_root[find(i)] for i in range(n)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["node"])
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            nodes, edges, algorithm="star"
+        ).collect()
+    }
+    assert got == expect
