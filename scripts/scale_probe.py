@@ -72,7 +72,7 @@ ALL_OPS = (
     "unigram_logprob count_by_key topk global_index rolling_sum cosine_topk "
     "cosine_pairs_exact cosine_rh_lsh cms ann_quantized doc_chunks "
     "bigram_logprob incremental_dedup incremental_indexed top_ngram "
-    "vocab_stats funnel snapshot_diff"
+    "vocab_stats funnel snapshot_diff rate_anomaly equi_depth line_dedup"
 ).split()
 
 
@@ -113,6 +113,7 @@ def main() -> None:
         "incremental_indexed",
         "top_ngram",
         "vocab_stats",
+        "line_dedup",
     )
     if want(*doc_ops):
         docs1 = load_table(spark, SF_DIR, "documents")
@@ -216,7 +217,7 @@ def main() -> None:
                 corpus.chunk_documents(docsN, "text", "doc_id"),
             ),
         }
-    if want("bigram_logprob", "top_ngram", "vocab_stats"):
+    if want("bigram_logprob", "top_ngram", "vocab_stats", "line_dedup"):
         # the shared docsN's md5-expanded copies are a single unbroken
         # hex token (fine for char-shingle ops, invisible to a BIGRAM
         # stream: <2 tokens → dropped). Build a token-rich scaled
@@ -287,6 +288,51 @@ def main() -> None:
             ),
         }
 
+    # line-level boilerplate dedup over the token-rich corpus: fake
+    # copies carry all-unique tokens → every pseudo-line is unique —
+    # WORST case for the df aggregate (distinct line keys grow with
+    # the corpus, zero combine leverage) while the real copy-0 lines
+    # keep genuine boilerplate in the broadcast set
+    if want("line_dedup"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.plans.queries import (
+            q_line_dedup as _qld,
+        )
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.dedup import (
+            line_dedup as _line_dedup,
+        )
+
+        def chunked_lines(df):
+            from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.text import (
+                content_norm,
+            )
+
+            toks = F.split(content_norm(F.col("text")), " ")
+            n_chunks = F.ceil(F.size(toks).cast("double") / F.lit(8.0))
+
+            def chunk(i):
+                return F.array_join(
+                    F.slice(toks, i * F.lit(8) + F.lit(1), F.lit(8)), " "
+                )
+
+            seg = F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0).cast("long"), n_chunks - 1), chunk
+                ),
+                "\n",
+            )
+            return df.select("doc_id", seg.alias("text"))
+
+        results["line_dedup"] = {
+            "t1": timed(
+                "linededup 1x",
+                _line_dedup(chunked_lines(docs1), "text", "doc_id", 2),
+            ),
+            "tN": timed(
+                f"linededup {factor}x",
+                _line_dedup(chunked_lines(docsTok), "text", "doc_id", 2),
+            ),
+        }
+
     # incremental-ingest dedup: corpus fixed at 1×, incoming grows —
     # the fingerprint semi-join and the banded LSH over corpus∪incoming
     # must track the incoming side ~linearly
@@ -336,7 +382,7 @@ def main() -> None:
         }
 
     # --- lineitem: hash-agg count + top-k ---
-    if want("count_by_key", "topk"):
+    if want("count_by_key", "topk", "equi_depth"):
         li1 = load_table(spark, SF_DIR, "lineitem")
         liN = scaled(li1, factor, ["l_orderkey"], 100_000_000)
         liN.write.mode("overwrite").parquet(f"{tmp}/liN.parquet")
@@ -355,6 +401,27 @@ def main() -> None:
             "t1": timed("topk 1x", ordering.busiest_keys(li1, "l_suppkey", 10)),
             "tN": timed(f"topk {factor}x", ordering.busiest_keys(liN, "l_suppkey", 10)),
         }
+    # equi-depth NTILE deciles: per-group total-order sort — each
+    # l_returnflag group lands in ONE partition's sort, and the corpus
+    # has only 3 groups, so this IS the skew probe the plan predicts
+    # (the largest group holds ~half of all rows at any factor); the
+    # aggregate afterward rides the window's partitioning
+    if want("equi_depth"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.windows import (
+            equi_depth_bins,
+        )
+
+        order_cols = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+        results["equi_depth"] = {
+            "t1": timed(
+                "equidepth 1x",
+                equi_depth_bins(li1, "l_returnflag", order_cols, "l_extendedprice"),
+            ),
+            "tN": timed(
+                f"equidepth {factor}x",
+                equi_depth_bins(liN, "l_returnflag", order_cols, "l_extendedprice"),
+            ),
+        }
 
     # --- events: scale-safe global index ---
     if want("global_index"):
@@ -370,7 +437,7 @@ def main() -> None:
     # --- events: funnel (one user-key shuffle; users scale with the
     # corpus via the id offsets) and snapshot diff (full-outer key
     # join) — both must track ~linear ---
-    if want("funnel", "snapshot_diff"):
+    if want("funnel", "snapshot_diff", "rate_anomaly"):
         evA = load_table(spark, SF_DIR, "events")
         evAN = scaled(evA, factor, ["event_id", "user_id"], 100_000_000)
         evAN.write.mode("overwrite").parquet(f"{tmp}/evAN.parquet")
@@ -389,6 +456,24 @@ def main() -> None:
             "tN": timed(
                 f"funnel {factor}x",
                 funnel_stages(evAN, "ts", "user_id", "event_type", steps),
+            ),
+        }
+    # rate anomalies: the window runs over the BUCKET table
+    # (event_type x day). The scaled copies reuse the same timestamps
+    # and types, so bucket count stays FIXED while counts grow — the
+    # probe pins that wall time tracks the (key, bucket) aggregate's
+    # input, not the window (whose input does not grow at all)
+    if want("rate_anomaly"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.windows import (
+            rate_anomalies,
+        )
+
+        results["rate_anomaly"] = {
+            "t1": timed(
+                "rateanom 1x", rate_anomalies(evA, "ts", "event_type")
+            ),
+            "tN": timed(
+                f"rateanom {factor}x", rate_anomalies(evAN, "ts", "event_type")
             ),
         }
     if want("snapshot_diff"):

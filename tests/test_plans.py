@@ -287,3 +287,17 @@ def test_funnel_single_user_shuffle(spark, sf_dir):
     step)."""
     p = plan_of(spark, sf_dir, Q.q_funnel)
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_line_dedup_shuffles_keys_not_instances(spark, sf_dir):
+    """Line dedup's plan contract: the boilerplate side is a
+    key-only aggregate (distinct (line_key, doc) pairs — never line
+    text), the join back to instances is key-equi (no cartesian), and
+    document reassembly is exactly one doc-key exchange. Total hash
+    exchanges: two for the distinct-count aggregate chain + one for
+    the reassembly groupBy."""
+    p = plan_of(spark, sf_dir, Q.q_line_dedup)
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning") <= 3
+    # the frequent-key set joins back broadcast-style at this scale
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
