@@ -133,3 +133,93 @@ def snapshot_diff(
         ],
         status.alias("status"),
     )
+
+
+def scd2_apply(
+    history,
+    snapshot,
+    key_cols: list[str],
+    attr_cols: list[str],
+    effective_date: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+):
+    """Slowly-changing-dimension type-2 merge — fold a new snapshot
+    into a versioned history table (the maintenance companion of
+    :func:`snapshot_diff`: diff CLASSIFIES, this one APPLIES):
+
+    * unchanged keys keep their open current row;
+    * changed keys close the current row (``valid_to`` =
+      ``effective_date``) and open a new current one;
+    * added keys open a new current row;
+    * removed keys close theirs;
+    * already-closed history rows pass through untouched (narrow).
+
+    Scale shape: ONE full-outer key join over the CURRENT slice only
+    (history's closed majority never shuffles), the same geometry as
+    ``snapshot_diff``; the 1-or-2-rows-per-key fan-out is a per-row
+    array + explode, not a second join. ``effective_date`` is a
+    caller-provided date literal, so the merge is deterministic and
+    oracle-reproducible (never current_date()).
+
+    Returns (key_cols..., attr_cols..., valid_from, valid_to,
+    is_current).
+    """
+    from pyspark.sql import functions as F
+
+    eff = F.lit(effective_date).cast("date")
+    out_cols = (
+        key_cols + attr_cols + [from_col, to_col, current_col]
+    )
+    closed_hist = history.filter(~F.col(current_col)).select(*out_cols)
+    cur = history.filter(F.col(current_col))
+    h = cur.select(
+        *[F.col(c).alias(f"_kh_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_vh_{c}") for c in attr_cols],
+        F.col(from_col).alias("_h_from"),
+        F.lit(1).alias("_in_h"),
+    )
+    s = snapshot.select(
+        *[F.col(c).alias(f"_ks_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_vs_{c}") for c in attr_cols],
+        F.lit(1).alias("_in_s"),
+    )
+    on = [h[f"_kh_{c}"].eqNullSafe(s[f"_ks_{c}"]) for c in key_cols]
+    j = h.join(s, on, "full_outer")
+    same = F.lit(True)
+    for c in attr_cols:
+        same = same & F.col(f"_vh_{c}").eqNullSafe(F.col(f"_vs_{c}"))
+
+    def row(src: str, vfrom, vto, current: bool):
+        return F.struct(
+            *[F.col(f"_v{src}_{c}").alias(c) for c in attr_cols],
+            vfrom.alias(from_col),
+            vto.alias(to_col),
+            F.lit(current).alias(current_col),
+        )
+
+    null_date = F.lit(None).cast("date")
+    keep = row("h", F.col("_h_from"), null_date, True)
+    closed = row("h", F.col("_h_from"), eff, False)
+    opened = row("s", eff, null_date, True)
+    rows = (
+        F.when(F.col("_in_h").isNull(), F.array(opened))  # added
+        .when(F.col("_in_s").isNull(), F.array(closed))  # removed
+        .when(same, F.array(keep))  # unchanged
+        .otherwise(F.array(closed, opened))  # changed
+    )
+    merged = j.select(
+        *[
+            F.coalesce(F.col(f"_kh_{c}"), F.col(f"_ks_{c}")).alias(c)
+            for c in key_cols
+        ],
+        F.explode(rows).alias("_r"),
+    ).select(
+        *key_cols,
+        *[F.col(f"_r.{c}").alias(c) for c in attr_cols],
+        F.col(f"_r.{from_col}").alias(from_col),
+        F.col(f"_r.{to_col}").alias(to_col),
+        F.col(f"_r.{current_col}").alias(current_col),
+    )
+    return merged.unionByName(closed_hist)

@@ -451,28 +451,84 @@ def equi_depth_bins(
     order_cols: list[str],
     value_col: str,
     n_bins: int = 10,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Per-group equi-depth (equal-frequency) binning — the decile
     profile a pipeline builds to calibrate features or stratify
-    sampling: NTILE(``n_bins``) over a TOTAL order, then per-bin
-    count / min / max of the value.
+    sampling: the NTILE(``n_bins``) allocation over a TOTAL order,
+    then per-bin count / min / max of the value.
 
     Determinism contract: ``order_cols`` must end in a unique key —
-    NTILE's allocation (larger buckets first, SQL standard, identical
-    in Spark and DuckDB) is only reproducible over a total order.
+    the NTILE allocation (larger buckets first, SQL standard,
+    identical in Spark and DuckDB) is only reproducible over a total
+    order, and the rank derivation below additionally relies on it
+    (task retries must replay the identical row sequence).
 
-    Scale shape: one shuffle on the group key; NTILE streams each
-    partition once (no per-group materialization beyond the sort);
-    the per-bin aggregate rides the same partitioning. Group
-    cardinality bounds partition size — for a GLOBAL profile at 100 TB
-    use the mergeable GK sketch (percentiles_approx) instead of a
-    single-partition NTILE.
+    Scale shape (r7 rewrite — the r6 form was literal
+    ``ntile().over(Window.partitionBy(group))``, which serializes each
+    group into ONE partition's sort; the 100× probe measured 86 s on
+    3 groups = 3 tasks no matter how many executors): range-partition
+    by (group, order) so a group SPANS partitions in sorted order,
+    derive partition-local ranks from ``monotonically_increasing_id``
+    (documented ``pid << 33 | row_offset`` layout, offsets in sorted
+    row-flow order — the :func:`global_row_index` technique), lift
+    them to per-group global ranks via (partition, group) count
+    metadata — at most P+G rows, window-scanned as metadata and
+    broadcast back — and compute the NTILE bucket arithmetically from
+    (rank, group size): with q = n div k, rem = n mod k, the first
+    ``rem`` buckets hold q+1 rows. Output is bit-identical to NTILE
+    (oracle-pinned); wall time now scales with the CLUSTER, not the
+    largest group.
     """
-    w = Window.partitionBy(part_col).orderBy(
-        *[F.col(c) for c in order_cols]
+    order = [F.col(part_col)] + [F.col(c) for c in order_cols]
+    parted = (
+        df.repartitionByRange(num_partitions, *order)
+        if num_partitions
+        else df.repartitionByRange(*order)
+    ).sortWithinPartitions(*order)
+    local = parted.withColumn(
+        "_mid", F.monotonically_increasing_id()
+    ).select(
+        "*",
+        F.shiftright(F.col("_mid"), 33).cast("int").alias("_pid"),
+        F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)).alias("_local_rn0"),
     )
+    # (partition, group) metadata: row count, plus the group's FIRST
+    # local offset in that partition (min local id — no prefix scan
+    # needed to locate the group inside its partition)
+    meta = local.groupBy("_pid", part_col).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min("_local_rn0").alias("_grp_start"),
+    )
+    wprev = (
+        Window.partitionBy(part_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy(part_col)
+    meta = meta.select(
+        "_pid",
+        part_col,
+        "_grp_start",
+        F.coalesce(F.sum("_cnt").over(wprev), F.lit(0)).alias("_grp_base"),
+        F.sum("_cnt").over(wall).alias("_grp_n"),
+    )
+    joined = local.join(F.broadcast(meta), ["_pid", part_col])
+    rank = (
+        F.col("_grp_base")
+        + (F.col("_local_rn0") - F.col("_grp_start"))
+        + F.lit(1)
+    )
+    n = F.col("_grp_n")
+    k = F.lit(n_bins)
+    q = F.floor(n / k)
+    rem = n % k
+    big = q + F.lit(1)
+    bin_expr = F.when(
+        rank <= big * rem, F.ceil(rank / big)
+    ).otherwise(rem + F.ceil((rank - big * rem) / q))
     return (
-        df.withColumn("_bin", F.ntile(n_bins).over(w))
+        joined.withColumn("_bin", bin_expr)
         .groupBy(part_col, "_bin")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),

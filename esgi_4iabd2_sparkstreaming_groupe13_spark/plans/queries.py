@@ -1105,6 +1105,58 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
 
+def q_scd2(spark, sf_dir):
+    """SCD type-2 merge (new r7 — snapshot_diff's APPLY companion):
+    fold the same deterministic snapshot variant into a versioned
+    history (open rows dated 2024-01-01, plus pre-closed rows for
+    every event_id%113 key exercising the pass-through slice). One
+    full-outer key join over the CURRENT slice; changed keys close
+    their row and open a new one via per-row array+explode (never a
+    second join); effective date is a literal, so the merge is
+    engine-reproducible."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    cur = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = ev.filter(F.col("event_id") % 113 == 0).select(
+        "event_id",
+        "event_type",
+        (F.col("value") - F.lit(1.0)).alias("value"),
+        F.lit("2023-01-01").cast("date").alias("valid_from"),
+        F.lit("2024-01-01").cast("date").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    kept = ev.filter(F.col("event_id") % 97 != 0).withColumn(
+        "value",
+        F.when(
+            F.col("event_id") % 89 == 0, F.col("value") + F.lit(5.0)
+        ).otherwise(F.col("value")),
+    )
+    added = ev.filter(F.col("event_id") % 101 == 0).withColumn(
+        "event_id", F.col("event_id") + F.lit(10_000_000)
+    )
+    out = maintenance.scd2_apply(
+        cur.unionByName(closed),
+        kept.unionByName(added),
+        ["event_id"],
+        ["event_type", "value"],
+        "2024-02-01",
+    )
+    # ISO-string the date columns for the oracle hash: pandas maps
+    # Spark DATE to objects and DuckDB DATE to datetime64, which the
+    # comparator can't equate; 'yyyy-MM-dd' text is engine-neutral
+    return out.withColumn(
+        "valid_from", F.col("valid_from").cast("string")
+    ).withColumn("valid_to", F.col("valid_to").cast("string"))
+
+
 def q_rolling_sum(spark, sf_dir):
     """§2.5 extension: 3-row moving sum of order totals per customer
     (ROWS BETWEEN frame spec)."""
@@ -2895,6 +2947,60 @@ HAVING count(*) >= {min_shared}
 """
 
 
+def _scd2_oracle() -> str:
+    """Mirror of ``q_scd2``: the same current/closed history and
+    snapshot CTEs, one FULL OUTER join over the current slice, then a
+    UNION ALL of the four row populations (kept-open, closed-by-change-
+    or-removal, newly-opened, pass-through). Attribute equality is
+    IS NOT DISTINCT FROM — the same null-safe semantics as
+    eqNullSafe."""
+    return """
+WITH snapold AS (SELECT event_id, event_type, value FROM events),
+hist_cur AS (
+  SELECT event_id, event_type, value,
+         DATE '2024-01-01' AS valid_from,
+         CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+  FROM snapold
+),
+hist_closed AS (
+  SELECT event_id, event_type, value - 1.0 AS value,
+         DATE '2023-01-01' AS valid_from,
+         DATE '2024-01-01' AS valid_to, FALSE AS is_current
+  FROM snapold WHERE event_id % 113 = 0
+),
+snapnew AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 89 = 0 THEN value + 5.0 ELSE value END AS value
+  FROM snapold WHERE event_id % 97 <> 0
+  UNION ALL
+  SELECT event_id + 10000000, event_type, value
+  FROM snapold WHERE event_id % 101 = 0
+),
+j AS (
+  SELECT h.event_id AS h_id, s.event_id AS s_id,
+         h.event_type AS h_t, h.value AS h_v, h.valid_from AS h_from,
+         s.event_type AS s_t, s.value AS s_v,
+         (h.event_type IS NOT DISTINCT FROM s.event_type
+          AND h.value IS NOT DISTINCT FROM s.value) AS same
+  FROM hist_cur h FULL OUTER JOIN snapnew s ON h.event_id = s.event_id
+)
+SELECT h_id AS event_id, h_t AS event_type, h_v AS value,
+       CAST(h_from AS VARCHAR) AS valid_from,
+       CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+FROM j WHERE h_id IS NOT NULL AND s_id IS NOT NULL AND same
+UNION ALL
+SELECT h_id, h_t, h_v, CAST(h_from AS VARCHAR), '2024-02-01', FALSE
+FROM j WHERE h_id IS NOT NULL AND (s_id IS NULL OR NOT same)
+UNION ALL
+SELECT s_id, s_t, s_v, '2024-02-01', CAST(NULL AS VARCHAR), TRUE
+FROM j WHERE s_id IS NOT NULL AND (h_id IS NULL OR NOT same)
+UNION ALL
+SELECT event_id, event_type, value, CAST(valid_from AS VARCHAR),
+       CAST(valid_to AS VARCHAR), is_current
+FROM hist_closed
+"""
+
+
 def _line_dedup_oracle() -> str:
     """Mirror of ``q_line_dedup``: same 8-token segmentation over the
     normalized text, boilerplate = lines in > LINE_DEDUP_MAX_DF
@@ -3695,6 +3801,7 @@ FROM c
     "q_top_ngram": _top_ngram_oracle(),
     "q_validation": _validation_oracle(),
     "q_line_dedup": _line_dedup_oracle(),
+    "q_scd2": _scd2_oracle(),
     # mirror of windows.equi_depth_bins: NTILE's SQL-standard
     # allocation over the same total order
     "q_equi_depth": """
@@ -4092,6 +4199,7 @@ QUERIES: list[QuerySpec] = [
     # ---- changed / new in round 7 ----
     QuerySpec("q_validation", q_validation, ORACLES["q_validation"], True),
     QuerySpec("q_line_dedup", q_line_dedup, ORACLES["q_line_dedup"], True),
+    QuerySpec("q_scd2", q_scd2, ORACLES["q_scd2"], True),
     # ---- oldest r5-verified canaries ----
     QuerySpec("q_grouping_sets", q_grouping_sets, ORACLES["q_grouping_sets"]),
     QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
@@ -4117,10 +4225,11 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_tpch_q7", q_tpch_q7, ORACLES["q_tpch_q7"], True),
     QuerySpec("q_tpch_q8", q_tpch_q8, ORACLES["q_tpch_q8"], True),
     QuerySpec("q_tpch_q9", q_tpch_q9, ORACLES["q_tpch_q9"]),
-    QuerySpec("q_tpch_q10", q_tpch_q10, ORACLES["q_tpch_q10"], True),
     # ==== driver 50-entry verification window ends here ====
     # r5-verified leftovers (last driver row round 5 — ROTATE IN
-    # FIRST in r8, ahead of the r6-verified block below):
+    # FIRST in r8, ahead of the r6-verified block below; q_tpch_q10
+    # was displaced from the window by the new q_scd2):
+    QuerySpec("q_tpch_q10", q_tpch_q10, ORACLES["q_tpch_q10"], True),
     QuerySpec("q_tpch_q11", q_tpch_q11, ORACLES["q_tpch_q11"], True),
     QuerySpec("q_tpch_q12", q_tpch_q12, ORACLES["q_tpch_q12"], True),
     QuerySpec("q_tpch_q13", q_tpch_q13, ORACLES["q_tpch_q13"], True),

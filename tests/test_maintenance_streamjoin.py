@@ -212,3 +212,36 @@ def test_compaction_schema_aware_preserves_sink_types(spark, tmp_path):
     assert post.schema == pre.schema == raw_schema
     assert post.count() == pre_rows == stats["rows"]
     assert dict(post.dtypes)["tpep_pickup_datetime"] == "timestamp"
+
+
+def test_scd2_apply_all_four_populations(spark):
+    """SCD2 merge: unchanged keeps its open row, changed closes+opens,
+    added opens, removed closes, pre-closed history passes through."""
+    import datetime as dt
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.maintenance import (
+        scd2_apply,
+    )
+
+    d0, d1 = dt.date(2024, 1, 1), dt.date(2024, 2, 1)
+    hist = spark.createDataFrame(
+        [
+            (1, "a", 10.0, d0, None, True),   # unchanged
+            (2, "b", 20.0, d0, None, True),   # changed
+            (3, "c", 30.0, d0, None, True),   # removed
+            (2, "b", 19.0, dt.date(2023, 1, 1), d0, False),  # pass-through
+        ],
+        ["k", "t", "v", "valid_from", "valid_to", "is_current"],
+    )
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 25.0), (4, "d", 40.0)], ["k", "t", "v"]
+    )
+    out = scd2_apply(hist, snap, ["k"], ["t", "v"], "2024-02-01")
+    rows = {(r["k"], r["v"], r["is_current"]): r for r in out.collect()}
+    assert len(rows) == 6
+    assert rows[(1, 10.0, True)]["valid_to"] is None          # unchanged open
+    assert rows[(2, 20.0, False)]["valid_to"] == d1           # closed by change
+    assert rows[(2, 25.0, True)]["valid_from"] == d1          # new version
+    assert rows[(3, 30.0, False)]["valid_to"] == d1           # closed by removal
+    assert rows[(4, 40.0, True)]["valid_from"] == d1          # added
+    assert rows[(2, 19.0, False)]["valid_from"] == dt.date(2023, 1, 1)  # untouched

@@ -238,3 +238,43 @@ def test_equi_depth_bins_allocation_and_ranges(spark):
     assert (out[1]["bin_min"], out[1]["bin_max"]) == (10.0, 30.0)
     assert (out[2]["bin_min"], out[2]["bin_max"]) == (40.0, 50.0)
     assert (out[3]["bin_min"], out[3]["bin_max"]) == (60.0, 70.0)
+
+
+def test_equi_depth_matches_literal_ntile(spark):
+    """The r7 scale-safe rank arithmetic must replicate NTILE's
+    larger-buckets-first allocation EXACTLY — probed on group sizes
+    that exercise every branch: n % k != 0, n < k, n == k."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.windows import (
+        equi_depth_bins,
+    )
+
+    rows = []
+    for g, n in [("a", 23), ("b", 7), ("c", 10), ("d", 1)]:
+        rows += [(g, i, float(i * 3 % 17)) for i in range(n)]
+    df = spark.createDataFrame(rows, ["grp", "uid", "val"])
+    got = equi_depth_bins(df, "grp", ["val", "uid"], "val").collect()
+    w = W.partitionBy("grp").orderBy("val", "uid")
+    want = (
+        df.withColumn("_b", F.ntile(10).over(w))
+        .groupBy("grp", "_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("val").alias("bin_min"),
+            F.max("val").alias("bin_max"),
+        )
+        .select(
+            "grp",
+            F.col("_b").cast("long").alias("bin"),
+            "n_rows",
+            "bin_min",
+            "bin_max",
+        )
+        .collect()
+    )
+    key = lambda r: (r["grp"], r["bin"])
+    assert sorted(map(tuple, got), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, want), key=lambda t: (t[0], t[1])
+    )
