@@ -424,6 +424,45 @@ def split_assign(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment (new r7): the bucket
+    hash keys on the CONTENT fingerprint — sha256 of the shared
+    ``content_norm`` — instead of the doc id, so exact and
+    reformatted duplicates land in the SAME split by construction. An
+    id-keyed split can put a test document's byte-identical twin in
+    train (the classic eval-contamination failure); this one cannot.
+
+    Still a pure per-row expression: no shuffle, no split table,
+    auditable from the text alone. Near-duplicate leakage needs the
+    cluster pass on top (``dedup_clusters`` → assign by the cluster
+    representative's id); this tier is the zero-extra-cost
+    content-exact guarantee every split should carry.
+
+    Returns (id, sha256_fp, bucket, split).
+    """
+    from .text import content_sha256
+
+    fp = content_sha256(F.col(text_col))
+    bucket = (md5_int(F.concat(F.lit(SPLIT_SALT), fp)) % 100).cast("long")
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(
+        F.col(id_col),
+        fp.alias("sha256_fp"),
+        bucket.alias("bucket"),
+        split.alias("split"),
+    )
+
+
 def token_length_histogram(
     df: DataFrame, text_col: str, bucket_width: int = 10
 ) -> DataFrame:

@@ -839,6 +839,71 @@ def kmeans_fit(
     return cents, iterations, shift
 
 
+def embed_standardize(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension z-score standardization of an embedding column —
+    the feature-normalization pass before distance-based work (ANN,
+    k-means, cosine thresholds) when dimensions carry different
+    scales. Returns (id, zvec) with zvec[d] = (x[d] − μ_d) / σ_d
+    (population σ), zero-variance dimensions standardizing to 0.0.
+
+    Scale shape: ONE (dim)-keyed hash aggregate over the exploded
+    components (dim rows out — 64 here — regardless of corpus size),
+    collapsed to a single sorted-array row and broadcast back; the
+    normalization itself is a narrow per-row ``transform``. The corpus
+    never shuffles.
+
+    Determinism: components round to 6 dp then accumulate as
+    DECIMAL(18,6) (order-free exact sums, the embedding_centroids
+    pattern); σ derives through one explicitly-written double formula
+    (`(Σx² − (Σx)²/n)/n`, clamped at 0) + sqrt; the final z uses plain
+    round() — sqrt output is transcendental, .5-boundary probability
+    ~0 (engine-exactness note in functions/hashing.py).
+    """
+    comp = F.round(F.col("_v").cast("double"), 6).cast("decimal(18,6)")
+    stats = (
+        embeddings.select(F.posexplode(F.col(vec_col)).alias("_d", "_v"))
+        .groupBy("_d")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(comp).alias("_s"),
+            F.sum(comp * comp).alias("_ss"),
+        )
+    )
+    n = F.col("_n").cast("double")
+    s = F.col("_s").cast("double")
+    ss = F.col("_ss").cast("double")
+    var = F.greatest((ss - s * s / n) / n, F.lit(0.0))
+    packed = (
+        stats.select(
+            F.struct(
+                F.col("_d"),
+                (s / n).alias("_mean"),
+                F.sqrt(var).alias("_std"),
+            ).alias("_st")
+        )
+        .groupBy()
+        .agg(F.sort_array(F.collect_list("_st")).alias("_stats"))
+    )
+
+    def z(x, i):
+        st = F.element_at(F.col("_stats"), (i + F.lit(1)).cast("int"))
+        return F.when(
+            st["_std"] > 0,
+            F.round(
+                (F.round(x.cast("double"), 6) - st["_mean"]) / st["_std"], 6
+            ),
+        ).otherwise(F.lit(0.0))
+
+    return embeddings.crossJoin(F.broadcast(packed)).select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), z).alias("zvec"),
+    )
+
+
 def embedding_centroids(
     embeddings: DataFrame,
     group_col: str,

@@ -2166,6 +2166,31 @@ def q_split_assign(spark, sf_dir):
     return corpus.split_assign(_t(spark, sf_dir, "documents"), "doc_id")
 
 
+def q_split_leakage(spark, sf_dir):
+    """Leakage-safe split (new r7): bucket on the CONTENT sha256, not
+    the id — exact/reformatted duplicates land in the same split, so a
+    test doc can never have a train-side twin. Zero shuffle."""
+    return corpus.leakage_safe_split(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+def q_embed_norm(spark, sf_dir):
+    """Per-dimension z-score standardization of the embedding column
+    (new r7): one dim-keyed aggregate (64 rows out at any corpus
+    size) broadcast back as a single array row; normalization is a
+    narrow per-row transform — the corpus never shuffles. The
+    registry entry explodes the operator's array output to long
+    (vec_id, dim, z) rows — the embed_centroid pattern — because the
+    gate's value-hash comparator cannot sort array cells."""
+    z = similarity.embed_standardize(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )
+    return z.select(
+        "vec_id", F.posexplode("zvec").alias("dim", "z")
+    ).withColumn("dim", F.col("dim").cast("long"))
+
+
 def q_corpus_report(spark, sf_dir):
     """Corpus audit report: per (lang, split) doc counts, token totals
     and mean document length — the composition every pipeline runs
@@ -3039,6 +3064,49 @@ FROM agg
 """
 
 
+def _split_leakage_oracle(train_pct: int = 80, val_pct: int = 10) -> str:
+    """Mirror of ``q_split_leakage``: the same salted md5 bucket over
+    the sha256 of the normalized content."""
+    fp = "sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+    bucket = md5_int_sql(f"('split:' || {fp})")
+    return f"""
+SELECT doc_id, {fp} AS sha256_fp,
+       ({bucket} % 100) AS bucket,
+       CASE WHEN {bucket} % 100 < {train_pct} THEN 'train'
+            WHEN {bucket} % 100 < {train_pct + val_pct} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def _embed_norm_oracle() -> str:
+    """Mirror of ``similarity.embed_standardize``: decimal-exact
+    per-dimension moments, the identical double formula for the
+    population variance (clamped at 0), sqrt, then plain round(6) —
+    transcendental output, so engine round() built-ins agree."""
+    return """
+WITH comp AS (
+  SELECT i, CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
+), st AS (
+  SELECT i, count(*) AS n, SUM(v) AS s, SUM(v * v) AS ss FROM comp GROUP BY i
+), stat AS (
+  SELECT i, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         sqrt(greatest((CAST(ss AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / CAST(n AS DOUBLE), 0.0)) AS std
+  FROM st
+)
+SELECT e.vec_id, CAST(u.i - 1 AS BIGINT) AS dim,
+       CASE WHEN st.std > 0
+            THEN round((round(CAST(e.embedding[u.i] AS DOUBLE), 6)
+                        - st.mean) / st.std, 6)
+            ELSE 0.0 END AS z
+FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) u(i)
+JOIN stat st ON st.i = u.i
+"""
+
+
 def _split_assign_oracle(train_pct: int, val_pct: int) -> str:
     bucket = md5_int_sql("('split:' || CAST(doc_id AS VARCHAR))")
     return f"""
@@ -3802,6 +3870,8 @@ FROM c
     "q_validation": _validation_oracle(),
     "q_line_dedup": _line_dedup_oracle(),
     "q_scd2": _scd2_oracle(),
+    "q_split_leakage": _split_leakage_oracle(),
+    "q_embed_norm": _embed_norm_oracle(),
     # mirror of windows.equi_depth_bins: NTILE's SQL-standard
     # allocation over the same total order
     "q_equi_depth": """
@@ -4200,6 +4270,8 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_validation", q_validation, ORACLES["q_validation"], True),
     QuerySpec("q_line_dedup", q_line_dedup, ORACLES["q_line_dedup"], True),
     QuerySpec("q_scd2", q_scd2, ORACLES["q_scd2"], True),
+    QuerySpec("q_split_leakage", q_split_leakage, ORACLES["q_split_leakage"]),
+    QuerySpec("q_embed_norm", q_embed_norm, ORACLES["q_embed_norm"], True),
     # ---- oldest r5-verified canaries ----
     QuerySpec("q_grouping_sets", q_grouping_sets, ORACLES["q_grouping_sets"]),
     QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
@@ -4223,12 +4295,12 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_tpch_q5", q_tpch_q5, ORACLES["q_tpch_q5"], True),
     QuerySpec("q_tpch_q6", q_tpch_q6, ORACLES["q_tpch_q6"], True),
     QuerySpec("q_tpch_q7", q_tpch_q7, ORACLES["q_tpch_q7"], True),
-    QuerySpec("q_tpch_q8", q_tpch_q8, ORACLES["q_tpch_q8"], True),
-    QuerySpec("q_tpch_q9", q_tpch_q9, ORACLES["q_tpch_q9"]),
     # ==== driver 50-entry verification window ends here ====
     # r5-verified leftovers (last driver row round 5 — ROTATE IN
-    # FIRST in r8, ahead of the r6-verified block below; q_tpch_q10
-    # was displaced from the window by the new q_scd2):
+    # FIRST in r8, ahead of the r6-verified block below; q_tpch_q8-q10
+    # were displaced from the window by the new r7 entries):
+    QuerySpec("q_tpch_q8", q_tpch_q8, ORACLES["q_tpch_q8"], True),
+    QuerySpec("q_tpch_q9", q_tpch_q9, ORACLES["q_tpch_q9"]),
     QuerySpec("q_tpch_q10", q_tpch_q10, ORACLES["q_tpch_q10"], True),
     QuerySpec("q_tpch_q11", q_tpch_q11, ORACLES["q_tpch_q11"], True),
     QuerySpec("q_tpch_q12", q_tpch_q12, ORACLES["q_tpch_q12"], True),

@@ -312,3 +312,24 @@ def test_vocab_stats_exact_counts_and_tiebreak(spark):
     fr = out["fr"]
     assert (fr["vocab_size"], fr["total_tokens"], fr["hapax_count"]) == (1, 3, 0)
     assert fr["top1_coverage"] == 1.0
+
+
+def test_leakage_safe_split_keeps_duplicates_together(spark):
+    """Exact and reformatted duplicates MUST land in the same split
+    regardless of their ids — the whole point of content-keyed
+    bucketing (id-keyed split_assign can and does separate them)."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.corpus import (
+        leakage_safe_split,
+    )
+
+    base = "some document text that appears more than once in the corpus"
+    rows = [(i, base) for i in range(40)] + [
+        (100, "  Some   DOCUMENT text that appears more than once in the corpus  "),
+        (200, "a completely different text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = leakage_safe_split(df, "text", "doc_id").collect()
+    dup_splits = {r["split"] for r in out if r["doc_id"] <= 100}
+    assert len(dup_splits) == 1  # all 41 copies (incl. reformatted) together
+    fps = {r["sha256_fp"] for r in out if r["doc_id"] <= 100}
+    assert len(fps) == 1

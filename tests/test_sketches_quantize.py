@@ -166,3 +166,29 @@ def test_quantize_degenerate_constant_vector(spark):
     assert rows[2]["within_bound"]
     # codes for [0,1,2] over scale (2-0)/255: 0 + round(127.5)=128 + 255
     assert rows[2]["code_sum"] == 0 + 128 + 255
+
+
+def test_embed_standardize_zscores(spark):
+    """Per-dimension z-scores: mean 0 / unit population variance on a
+    known fixture; zero-variance dims standardize to 0.0."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.similarity import (
+        embed_standardize,
+    )
+
+    rows = [
+        (1, [1.0, 5.0, 7.0]),
+        (2, [3.0, 5.0, 9.0]),
+        (3, [5.0, 5.0, 11.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["zvec"] for r in embed_standardize(df).collect()}
+    # dim0: mean 3, pop std sqrt(8/3); dim1 constant -> 0; dim2: mean 9
+    import math
+
+    s0 = math.sqrt(8.0 / 3.0)
+    assert out[1][0] == round((1.0 - 3.0) / s0, 6)
+    assert out[3][0] == round((5.0 - 3.0) / s0, 6)
+    assert all(out[i][1] == 0.0 for i in (1, 2, 3))
+    assert out[2][2] == 0.0  # (9-9)/std
+    # z-scores sum to ~0 per dim
+    assert abs(sum(out[i][0] for i in (1, 2, 3))) < 1e-9
