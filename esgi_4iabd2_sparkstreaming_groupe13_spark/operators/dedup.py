@@ -382,6 +382,101 @@ def edit_verified_pairs(
     )
 
 
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """EXACT token-set Jaccard pairs ≥ ``threshold`` via AllPairs/
+    PPJoin-style PREFIX FILTERING (Bayardo et al. WWW'07; Xiao et al.
+    WWW'08) — recall 1.0 like the inverted-index tier, but the index
+    only carries each document's RAREST tokens:
+
+    order every document's distinct tokens by ascending global
+    document frequency (total order: (df, token)); if
+    ``J(x, y) ≥ t`` then ``|x ∩ y| ≥ ceil(t·|x|)``, and two sets with
+    overlap ≥ o must collide within their first ``|s| − o + 1``
+    ordered tokens — so indexing just the first
+    ``|s| − ceil(t·|s|) + 1`` tokens per doc finds every qualifying
+    pair. Candidate volume is Σ over PREFIX tokens of df², dominated
+    by rare tokens, instead of Σ over ALL tokens — the principled
+    replacement for the stopword-style ``max_shingle_df`` cap (which
+    trades recall for the same effect).
+
+    Scale shape: token-df aggregate (vocab-sized, map-side combined)
+    → df join-back on the token stream → per-doc sorted-prefix build
+    (one doc-key aggregate) → prefix inverted-index equi-join →
+    exact verification on candidates only. Every join is keyed; no
+    quadratic scan at any stage.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard exact on
+    distinct word tokens of the normalized text, rounded 6 dp via the
+    engine-exact helper.
+    """
+    from .text import content_norm
+
+    toks = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.filter(
+                F.split(content_norm(F.col(text_col)), " "),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("toks"),
+    )
+    toks = track_persist(toks)
+    long = toks.select(
+        F.col(id_col), F.explode("toks").alias("token")
+    )
+    dfc = long.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tdf")
+    )  # tokens are distinct per doc, so count == document frequency
+    ordered = (
+        long.join(dfc, "token")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("tdf", "token"))
+            ).alias("_ord")
+        )
+        .select(
+            F.col(id_col),
+            F.transform("_ord", lambda s: s["token"]).alias("sorted_toks"),
+        )
+    )
+    n = F.size("sorted_toks")
+    p = n - F.ceil(F.lit(float(threshold)) * n.cast("double")).cast("int") + 1
+    prefix = ordered.select(
+        F.col(id_col),
+        F.explode(F.slice("sorted_toks", 1, p)).alias("token"),
+    )
+    cand = (
+        prefix.select(F.col(id_col).alias("id_a"), "token")
+        .join(prefix.select(F.col(id_col).alias("id_b"), "token"), "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("ta"))
+    tb = toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn(
+            "jaccard",
+            round_half_away(
+                inter.cast("double")
+                / (F.size("ta") + F.size("tb") - inter).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,

@@ -1509,6 +1509,21 @@ def q_containment(spark, sf_dir):
     return dedup.containment_pairs(docs, "text", "doc_id", threshold=0.7)
 
 
+def q_prefix_jaccard(spark, sf_dir):
+    """AllPairs/PPJoin prefix-filtered EXACT token-set Jaccard (new
+    r7): the index carries only each doc's rarest
+    |s|−ceil(t·|s|)+1 tokens, recall stays 1.0 — the principled
+    replacement for the df-cap. Registry discipline: this synthetic
+    corpus's tiny vocabulary makes token SETS broadly similar (the
+    qualifying OUTPUT is ~9% of all pairs at t=0.9), so the entry
+    runs on the same bounded slice as q_ngram_jaccard; the pruning
+    payoff appears on natural vocabularies, the exactness everywhere."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < N_JACCARD_DOCS
+    )
+    return dedup.prefix_jaccard_pairs(docs, "text", "doc_id", 0.9)
+
+
 #: q_incremental_dedup corpus/incoming boundary (sf-proportional split
 #: of the documents table: ids below are the "existing corpus").
 INCR_DEDUP_SPLIT = 400
@@ -3064,6 +3079,48 @@ FROM agg
 """
 
 
+def _prefix_jaccard_oracle(threshold: float, max_id: int) -> str:
+    """Mirror of ``dedup.prefix_jaccard_pairs`` on the bounded slice:
+    same (df, token) ordering, same per-doc prefix length, same exact
+    verification; the filter applies to the ROUNDED jaccard exactly
+    as the Spark side does."""
+    j = "CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE)"
+    jr = round_half_away_sql(j, 6)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+           x -> len(x) > 0)) AS tk
+  FROM documents WHERE doc_id < {max_id}
+), lng AS (
+  SELECT doc_id, unnest(tk) AS token FROM toks
+), dfc AS (
+  SELECT token, count(*) AS tdf FROM lng GROUP BY 1
+), ordered AS (
+  SELECT l.doc_id, list(l.token ORDER BY d.tdf, l.token) AS st
+  FROM lng l JOIN dfc d USING (token) GROUP BY l.doc_id
+), pre AS (
+  SELECT doc_id,
+         unnest(list_slice(st, 1,
+           len(st) - CAST(ceil({threshold} * CAST(len(st) AS DOUBLE)) AS INT) + 1
+         )) AS token
+  FROM ordered
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pre a JOIN pre b ON a.token = b.token AND a.doc_id < b.doc_id
+), v AS (
+  SELECT id_a, id_b,
+         len(list_filter(ta.tk, x -> list_contains(tb.tk, x))) AS inter,
+         len(ta.tk) AS la, len(tb.tk) AS lb
+  FROM cand
+  JOIN toks ta ON ta.doc_id = id_a
+  JOIN toks tb ON tb.doc_id = id_b
+)
+SELECT id_a, id_b, {{jr}} AS jaccard FROM v WHERE {{jr}} >= {threshold}
+""".replace("{jr}", jr)
+
+
 def _split_leakage_oracle(train_pct: int = 80, val_pct: int = 10) -> str:
     """Mirror of ``q_split_leakage``: the same salted md5 bucket over
     the sha256 of the normalized content."""
@@ -3871,6 +3928,7 @@ FROM c
     "q_line_dedup": _line_dedup_oracle(),
     "q_scd2": _scd2_oracle(),
     "q_split_leakage": _split_leakage_oracle(),
+    "q_prefix_jaccard": _prefix_jaccard_oracle(0.9, N_JACCARD_DOCS),
     "q_embed_norm": _embed_norm_oracle(),
     # mirror of windows.equi_depth_bins: NTILE's SQL-standard
     # allocation over the same total order
@@ -4272,6 +4330,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_scd2", q_scd2, ORACLES["q_scd2"], True),
     QuerySpec("q_split_leakage", q_split_leakage, ORACLES["q_split_leakage"]),
     QuerySpec("q_embed_norm", q_embed_norm, ORACLES["q_embed_norm"], True),
+    QuerySpec("q_prefix_jaccard", q_prefix_jaccard, ORACLES["q_prefix_jaccard"], True),
     # ---- oldest r5-verified canaries ----
     QuerySpec("q_grouping_sets", q_grouping_sets, ORACLES["q_grouping_sets"]),
     QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
@@ -4294,11 +4353,11 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_tpch_q4", q_tpch_q4, ORACLES["q_tpch_q4"], True),
     QuerySpec("q_tpch_q5", q_tpch_q5, ORACLES["q_tpch_q5"], True),
     QuerySpec("q_tpch_q6", q_tpch_q6, ORACLES["q_tpch_q6"], True),
-    QuerySpec("q_tpch_q7", q_tpch_q7, ORACLES["q_tpch_q7"], True),
     # ==== driver 50-entry verification window ends here ====
     # r5-verified leftovers (last driver row round 5 — ROTATE IN
-    # FIRST in r8, ahead of the r6-verified block below; q_tpch_q8-q10
+    # FIRST in r8, ahead of the r6-verified block below; q_tpch_q7-q10
     # were displaced from the window by the new r7 entries):
+    QuerySpec("q_tpch_q7", q_tpch_q7, ORACLES["q_tpch_q7"], True),
     QuerySpec("q_tpch_q8", q_tpch_q8, ORACLES["q_tpch_q8"], True),
     QuerySpec("q_tpch_q9", q_tpch_q9, ORACLES["q_tpch_q9"]),
     QuerySpec("q_tpch_q10", q_tpch_q10, ORACLES["q_tpch_q10"], True),

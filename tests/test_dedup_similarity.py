@@ -506,3 +506,37 @@ def test_lsh_geometry_rejected_at_build_and_pair_time(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="pigeonhole"):
         dedup.simhash_pairs(df, "text", "doc_id", max_hamming=4)
+
+
+def test_prefix_jaccard_equals_bruteforce(spark):
+    """Prefix filtering must lose NOTHING: pairs ≥ t from the
+    prefix-indexed join == brute-force token-set Jaccard over all
+    pairs (recall 1.0 is the theorem, not an aspiration)."""
+    import itertools
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon eta",      # near-dup of 0
+        "alpha beta gamma delta epsilon zeta",     # exact dup of 0
+        "one two three four five six seven",
+        "one two three four five six eight",       # near-dup of 3
+        "totally different words entirely here now",
+        "alpha one totally gamma three words",     # mixed, low sim
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    t = 0.5
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.prefix_jaccard_pairs(df, "text", "doc_id", t).collect()
+    }
+    sets = [set(x.split()) for x in texts]
+    want = {}
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        inter = len(sets[a] & sets[b])
+        j = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if round(j, 6) >= t:
+            want[(a, b)] = round(j, 6)
+    assert got == want
+    assert (0, 2) in got and got[(0, 2)] == 1.0
