@@ -79,6 +79,50 @@ def compact_directory(
     return {"files_before": files_before, "files_after": files_after, "rows": rows}
 
 
+def compact_dedup_index(spark: SparkSession, index_path: str) -> dict[str, int]:
+    """Periodic maintenance for the persisted dedup index
+    (``operators/dedup.py`` build/serve/append lifecycle): rewrite the
+    fingerprint and signature tables small-file-compacted AND
+    row-deduplicated. The streaming ingest loop's index appends are
+    at-least-once (a replayed micro-batch appends its signatures
+    twice — documented in ``streaming/ingest.py``); duplicate rows
+    never change serve DECISIONS, but they grow the index and the
+    candidate join's bucket sizes until this pass removes them.
+
+    Dedup key is the doc id (one fingerprint row and one signature row
+    per admitted doc — both deterministic functions of the text, so
+    keeping the first occurrence loses nothing). Same two-rename swap
+    semantics as :func:`compact_directory`.
+    """
+    stats: dict[str, int] = {}
+    for sub, key in (("fingerprints", None), ("signatures", None)):
+        path = f"{index_path}/{sub}"
+        df = spark.read.parquet(path)
+        id_col = [c for c in df.columns if c not in ("sha256_fp", "signature")][0]
+        before = df.count()
+        deduped = df.dropDuplicates([id_col])
+        p = Path(path)
+        total_bytes = sum(
+            f.stat().st_size
+            for f in p.rglob("*")
+            if f.is_file() and not f.name.startswith(("_", "."))
+        )
+        n_files = max(1, round(total_bytes / (128 << 20)))
+        tmp = str(p.with_name(f"{p.name}__compact_{uuid.uuid4().hex[:8]}"))
+        deduped.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+        old = str(p.with_name(f"{p.name}__old_{uuid.uuid4().hex[:8]}"))
+        p.rename(old)
+        try:
+            Path(tmp).rename(p)
+        except BaseException:
+            Path(old).rename(p)
+            raise
+        shutil.rmtree(old)
+        stats[f"{sub}_rows_before"] = before
+        stats[f"{sub}_rows_after"] = spark.read.parquet(path).count()
+    return stats
+
+
 def snapshot_diff(
     old,
     new,

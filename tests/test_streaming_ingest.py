@@ -131,3 +131,44 @@ def test_replayed_batch_is_corpus_idempotent(spark, tmp_path):
     process(batch, 0)  # replay
     assert spark.read.parquet(corpus_path).count() == first
     assert _admitted_ids(spark, corpus_path) == {0, 10}
+
+
+def test_index_compaction_removes_replay_duplicates(spark, tmp_path):
+    """Index appends are at-least-once; the maintenance pass must
+    collapse replay-duplicated rows back to one per doc, and serve
+    decisions must be identical before and after."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.maintenance import (
+        compact_dedup_index,
+    )
+
+    corpus_path, index_path = _setup_store(spark, tmp_path)
+    process = ingest.dedup_ingest_batch(corpus_path, index_path, threshold=0.8)
+    batch = spark.createDataFrame(BATCHES[0], ["doc_id", "text"])
+    process(batch, 0)
+    process(batch, 0)  # replay: signatures appended twice
+    sigs = spark.read.parquet(f"{index_path}/signatures")
+    assert sigs.count() > sigs.select("doc_id").distinct().count()
+
+    probe = spark.createDataFrame(BATCHES[1], ["doc_id", "text"])
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.dedup import (
+        incremental_dedup_indexed,
+    )
+
+    corpus = spark.read.parquet(corpus_path).select("doc_id", "text")
+    before = {
+        (r["doc_id"], r["decision"])
+        for r in incremental_dedup_indexed(
+            index_path, corpus, probe, "text", "doc_id", 0.8
+        ).collect()
+    }
+    stats = compact_dedup_index(spark, index_path)
+    assert stats["signatures_rows_after"] < stats["signatures_rows_before"]
+    sigs2 = spark.read.parquet(f"{index_path}/signatures")
+    assert sigs2.count() == sigs2.select("doc_id").distinct().count()
+    after = {
+        (r["doc_id"], r["decision"])
+        for r in incremental_dedup_indexed(
+            index_path, corpus, probe, "text", "doc_id", 0.8
+        ).collect()
+    }
+    assert before == after
