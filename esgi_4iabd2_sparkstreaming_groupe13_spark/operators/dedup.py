@@ -136,12 +136,20 @@ def line_dedup(
     """
     from .text import content_norm
 
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delimiter)).alias(
-            "line_no", "line"
-        ),
-    ).withColumn("line_key", F.md5(content_norm(F.col("line"))))
+    # persisted: BOTH the df aggregate and the instance join consume
+    # the exploded lines — without it the split+normalize+md5 pipeline
+    # (and any upstream segmentation expression feeding text_col)
+    # recomputes once per consumer. Same precedent as the shingle
+    # persist in the MinHash path; tracked → released by
+    # caching.release_cached() after the action.
+    lines = track_persist(
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), delimiter)).alias(
+                "line_no", "line"
+            ),
+        ).withColumn("line_key", F.md5(content_norm(F.col("line"))))
+    )
     boiler = (
         lines.groupBy("line_key")
         .agg(F.countDistinct(id_col).alias("line_doc_freq"))

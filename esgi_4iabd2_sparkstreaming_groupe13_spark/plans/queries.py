@@ -4287,12 +4287,13 @@ FROM documents
 # sweep) — and the TWENTY-TWO queries whose last green driver row is
 # round 4 (q_json_extract .. q_minhash_lsh), then (b) queries CHANGED
 # or NEW this round (q_validation's pass verdicts moved from rounded
-# ratios to exact counts; q_line_dedup is the new CCNet-style
-# line-level boilerplate operator), then (c) the oldest r5-verified
-# canaries in registry order (q_grouping_sets .. q_tpch_q10). The
-# remaining r5-verified entries (q_tpch_q11 .. q_date_parts) wait
-# behind the window — ROTATE THEM IN FIRST in r8, ahead of the
-# (fresher) r6-verified block that follows them.
+# ratios to exact counts; q_line_dedup, q_scd2, q_split_leakage,
+# q_embed_norm and q_prefix_jaccard are new r7 operators), then
+# (c) the oldest r5-verified canaries in registry order
+# (q_grouping_sets .. q_tpch_q6). The remaining r5-verified entries
+# (q_tpch_q7 .. q_date_parts — the last four displaced mid-round by
+# the new entries) wait behind the window — ROTATE THEM IN FIRST in
+# r8, ahead of the (fresher) r6-verified block that follows them.
 # scripts/oracle_check.py still runs the whole list every round and
 # now writes CORRECTNESS_local_rN.json (full registry, driver format)
 # so the judge can audit "all green NOW" without re-running.
