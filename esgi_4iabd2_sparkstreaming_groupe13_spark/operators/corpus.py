@@ -424,6 +424,73 @@ def split_assign(
     )
 
 
+def term_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str,
+) -> DataFrame:
+    """Corpus-slice distribution drift (new r7): KL divergence both
+    ways plus Jensen-Shannon divergence between two slices' unigram
+    term distributions (add-one smoothed over the JOINT vocabulary) —
+    the audit a pipeline runs to confirm its train/test split (or
+    yesterday's crawl vs today's) draws from the same language before
+    blaming the model.
+
+    Scale shape: one term-keyed count aggregate per side (map-side
+    combined, vocab-sized output), one full-outer vocab join, three
+    1-row broadcast scalars (totals + vocab size); the divergence sum
+    is a global decimal aggregate over VOCAB rows, never token
+    instances.
+
+    Engine parity: each term's contribution p·ln(p/q) is rounded to
+    12 dp (ln is transcendental — .5-boundary probability ~0, the
+    unigram_logprob precedent) then accumulated as DECIMAL(28,12),
+    an order-independent exact sum; outputs are the exact decimal
+    sums cast to double.
+
+    Returns one row: (kl_ab, kl_ba, jsd) in nats.
+    """
+    ta = df_a.select(F.explode(token_array(F.col(text_col))).alias("_t"))
+    tb = df_b.select(F.explode(token_array(F.col(text_col))).alias("_t"))
+    ca = ta.groupBy("_t").agg(F.count(F.lit(1)).alias("_ca"))
+    cb = tb.groupBy("_t").agg(F.count(F.lit(1)).alias("_cb"))
+    joint = (
+        ca.join(cb, "_t", "full_outer")
+        .select(
+            F.coalesce(F.col("_ca"), F.lit(0)).alias("_ca"),
+            F.coalesce(F.col("_cb"), F.lit(0)).alias("_cb"),
+        )
+    )
+    na = ta.agg(F.count(F.lit(1)).alias("_na"))
+    nb = tb.agg(F.count(F.lit(1)).alias("_nb"))
+    vocab = joint.agg(F.count(F.lit(1)).alias("_v"))
+    p = (F.col("_ca") + 1).cast("double") / (F.col("_na") + F.col("_v")).cast("double")
+    q = (F.col("_cb") + 1).cast("double") / (F.col("_nb") + F.col("_v")).cast("double")
+    m = (p + q) / F.lit(2.0)
+
+    def contrib(expr):
+        return F.round(expr, 12).cast("decimal(28,12)")
+
+    agg = (
+        joint.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            contrib(p * F.log(p / q)).alias("_kab"),
+            contrib(q * F.log(q / p)).alias("_kba"),
+            contrib(
+                F.lit(0.5) * (p * F.log(p / m) + q * F.log(q / m))
+            ).alias("_jsd"),
+        )
+        .agg(
+            F.sum("_kab").cast("double").alias("kl_ab"),
+            F.sum("_kba").cast("double").alias("kl_ba"),
+            F.sum("_jsd").cast("double").alias("jsd"),
+        )
+    )
+    return agg
+
+
 def leakage_safe_split(
     df: DataFrame,
     text_col: str,

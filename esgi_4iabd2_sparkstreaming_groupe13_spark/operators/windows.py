@@ -394,6 +394,53 @@ def rate_anomalies(
     )
 
 
+def event_transitions(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    type_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """User-journey transition matrix (new r7) — for every consecutive
+    event pair within a user's timeline, count (from_type → to_type)
+    and the share of each source type's outgoing transitions: the
+    "what do users do next" table behind funnels and Markov-chain
+    attribution.
+
+    Scale shape: ONE user-key shuffle for the ``lead`` window (events
+    per user stream through a partition-local sort); the pair
+    aggregate map-side combines down to the type×type matrix, and the
+    share normalization windows over that MATRIX (|types|² rows), not
+    event volume. ``(ts_col, tiebreak_col)`` must be a total order per
+    user, or lead() is nondeterministic under retries.
+
+    Returns (from_type, to_type, n_transitions, share).
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), F.col(tiebreak_col)
+    )
+    pairs = (
+        df.withColumn("_next", F.lead(type_col).over(w))
+        .filter(F.col("_next").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("from_type"),
+            F.col("_next").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    per_source = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        round_half_away(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(per_source).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
 def funnel_stages(
     df: DataFrame,
     ts_col: str,

@@ -1157,6 +1157,31 @@ def q_scd2(spark, sf_dir):
     ).withColumn("valid_to", F.col("valid_to").cast("string"))
 
 
+def q_transitions(spark, sf_dir):
+    """User-journey transition matrix (new r7): consecutive event-type
+    pairs per user timeline with per-source shares — one user-key
+    shuffle; the share window runs over the types x types matrix, not
+    events."""
+    return windows.event_transitions(
+        _t(spark, sf_dir, "events"), "ts", "user_id", "event_type", "event_id"
+    )
+
+
+def q_corpus_drift(spark, sf_dir):
+    """Train/test distribution drift (new r7): KL both ways + JSD
+    between the hash-split train and test slices' unigram term
+    distributions (add-one smoothed over the joint vocab). The
+    divergence sum aggregates VOCAB rows, never token instances."""
+    docs = _t(spark, sf_dir, "documents")
+    _, split = corpus.split_expr("doc_id")
+    tagged = docs.withColumn("split", split)
+    return corpus.term_divergence(
+        tagged.filter(F.col("split") == "train"),
+        tagged.filter(F.col("split") == "test"),
+        "text",
+    )
+
+
 def q_rolling_sum(spark, sf_dir):
     """§2.5 extension: 3-row moving sum of order totals per customer
     (ROWS BETWEEN frame spec)."""
@@ -2987,6 +3012,64 @@ HAVING count(*) >= {min_shared}
 """
 
 
+def _corpus_drift_oracle(train_pct: int = 80, val_pct: int = 10) -> str:
+    """Mirror of ``corpus.term_divergence`` over the hash-split
+    train/test slices: identical smoothing, identical float op order,
+    contributions rounded 12 dp then decimal-accumulated."""
+    bucket = md5_int_sql("('split:' || CAST(doc_id AS VARCHAR))")
+    toks = token_array_sql("text")
+    p = "(CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))"
+    q = "(CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))"
+    m = f"(({p} + {q}) / 2.0)"
+
+    def dec(e: str) -> str:
+        return f"CAST(round({e}, 12) AS DECIMAL(28,12))"
+
+    return f"""
+WITH a AS (SELECT text FROM documents WHERE {bucket} % 100 < {train_pct}),
+b AS (SELECT text FROM documents
+      WHERE {bucket} % 100 >= {train_pct + val_pct}),
+tka AS (SELECT unnest({toks}) AS t FROM a),
+tkb AS (SELECT unnest({toks}) AS t FROM b),
+ca_t AS (SELECT t, count(*) AS c FROM tka GROUP BY 1),
+cb_t AS (SELECT t, count(*) AS c FROM tkb GROUP BY 1),
+joint AS (
+  SELECT coalesce(ca_t.c, 0) AS ca, coalesce(cb_t.c, 0) AS cb
+  FROM ca_t FULL OUTER JOIN cb_t USING (t)
+),
+sc AS (
+  SELECT (SELECT count(*) FROM tka) AS na,
+         (SELECT count(*) FROM tkb) AS nb,
+         (SELECT count(*) FROM joint) AS v
+)
+SELECT CAST(SUM({dec(f"{p} * ln({p} / {q})")}) AS DOUBLE) AS kl_ab,
+       CAST(SUM({dec(f"{q} * ln({q} / {p})")}) AS DOUBLE) AS kl_ba,
+       CAST(SUM({dec(f"0.5 * ({p} * ln({p} / {m}) + {q} * ln({q} / {m}))")})
+            AS DOUBLE) AS jsd
+FROM joint, sc
+"""
+
+
+def _transitions_oracle() -> str:
+    share = round_half_away_sql(
+        "CAST(n_transitions AS DOUBLE) / CAST(sum(n_transitions) "
+        "OVER (PARTITION BY from_type) AS DOUBLE)",
+        6,
+    )
+    return f"""
+WITH p AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+), c AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions, {share} AS share FROM c
+"""
+
+
 def _scd2_oracle() -> str:
     """Mirror of ``q_scd2``: the same current/closed history and
     snapshot CTEs, one FULL OUTER join over the current slice, then a
@@ -3927,6 +4010,8 @@ FROM c
     "q_validation": _validation_oracle(),
     "q_line_dedup": _line_dedup_oracle(),
     "q_scd2": _scd2_oracle(),
+    "q_transitions": _transitions_oracle(),
+    "q_corpus_drift": _corpus_drift_oracle(),
     "q_split_leakage": _split_leakage_oracle(),
     "q_prefix_jaccard": _prefix_jaccard_oracle(0.9, N_JACCARD_DOCS),
     "q_embed_norm": _embed_norm_oracle(),
@@ -4332,6 +4417,8 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_split_leakage", q_split_leakage, ORACLES["q_split_leakage"]),
     QuerySpec("q_embed_norm", q_embed_norm, ORACLES["q_embed_norm"], True),
     QuerySpec("q_prefix_jaccard", q_prefix_jaccard, ORACLES["q_prefix_jaccard"], True),
+    QuerySpec("q_transitions", q_transitions, ORACLES["q_transitions"], True),
+    QuerySpec("q_corpus_drift", q_corpus_drift, ORACLES["q_corpus_drift"], True),
     # ---- oldest r5-verified canaries ----
     QuerySpec("q_grouping_sets", q_grouping_sets, ORACLES["q_grouping_sets"]),
     QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
@@ -4352,12 +4439,12 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_tpch_q2", q_tpch_q2, ORACLES["q_tpch_q2"], True),
     QuerySpec("q_tpch_q3", q_tpch_q3, ORACLES["q_tpch_q3"], True),
     QuerySpec("q_tpch_q4", q_tpch_q4, ORACLES["q_tpch_q4"], True),
-    QuerySpec("q_tpch_q5", q_tpch_q5, ORACLES["q_tpch_q5"], True),
-    QuerySpec("q_tpch_q6", q_tpch_q6, ORACLES["q_tpch_q6"], True),
     # ==== driver 50-entry verification window ends here ====
     # r5-verified leftovers (last driver row round 5 — ROTATE IN
-    # FIRST in r8, ahead of the r6-verified block below; q_tpch_q7-q10
+    # FIRST in r8, ahead of the r6-verified block below; q_tpch_q5-q10
     # were displaced from the window by the new r7 entries):
+    QuerySpec("q_tpch_q5", q_tpch_q5, ORACLES["q_tpch_q5"], True),
+    QuerySpec("q_tpch_q6", q_tpch_q6, ORACLES["q_tpch_q6"], True),
     QuerySpec("q_tpch_q7", q_tpch_q7, ORACLES["q_tpch_q7"], True),
     QuerySpec("q_tpch_q8", q_tpch_q8, ORACLES["q_tpch_q8"], True),
     QuerySpec("q_tpch_q9", q_tpch_q9, ORACLES["q_tpch_q9"]),

@@ -333,3 +333,25 @@ def test_leakage_safe_split_keeps_duplicates_together(spark):
     assert len(dup_splits) == 1  # all 41 copies (incl. reformatted) together
     fps = {r["sha256_fp"] for r in out if r["doc_id"] <= 100}
     assert len(fps) == 1
+
+
+def test_term_divergence_zero_for_identical_and_positive_for_disjoint(spark):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.corpus import (
+        term_divergence,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    b = spark.createDataFrame(
+        [(3, "zeta eta theta"), (4, "theta iota kappa")], ["doc_id", "text"]
+    )
+    same = term_divergence(a, a, "text").collect()[0]
+    assert same["kl_ab"] == 0.0 and same["kl_ba"] == 0.0 and same["jsd"] == 0.0
+    diff = term_divergence(a, b, "text").collect()[0]
+    assert diff["kl_ab"] > 0.3 and diff["kl_ba"] > 0.3
+    assert 0.0 < diff["jsd"] <= 0.6931472  # JSD bounded by ln 2
+    # symmetry of JSD
+    rev = term_divergence(b, a, "text").collect()[0]
+    assert abs(diff["jsd"] - rev["jsd"]) < 1e-9

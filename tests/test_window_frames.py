@@ -278,3 +278,33 @@ def test_equi_depth_matches_literal_ntile(spark):
     assert sorted(map(tuple, got), key=lambda t: (t[0], t[1])) == sorted(
         map(tuple, want), key=lambda t: (t[0], t[1])
     )
+
+
+def test_event_transitions_matrix_and_shares(spark):
+    import datetime as dt
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.windows import (
+        event_transitions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, u, typ):
+        return (i, t0 + dt.timedelta(minutes=i), u, typ)
+
+    rows = [
+        ev(0, 1, "view"), ev(1, 1, "click"), ev(2, 1, "view"),
+        ev(3, 1, "click"), ev(4, 2, "view"), ev(5, 2, "purchase"),
+        ev(6, 3, "view"),  # terminal: no transition
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["share"])
+        for r in event_transitions(
+            df, "ts", "user_id", "event_type", "event_id"
+        ).collect()
+    }
+    assert out[("view", "click")] == (2, 0.666667)
+    assert out[("view", "purchase")] == (1, 0.333333)
+    assert out[("click", "view")] == (1, 1.0)
+    assert ("purchase", "view") not in out  # cross-user pairs never form
