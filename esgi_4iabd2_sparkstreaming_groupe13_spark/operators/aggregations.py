@@ -331,6 +331,63 @@ def grouped_correlation(
     )
 
 
+def time_decayed_agg(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    half_life_days: float,
+    ref_ts: str,
+) -> DataFrame:
+    """Recency-weighted per-key aggregate (new r7): each event weighs
+    ``2^(−age_days / half_life)`` relative to a caller-provided
+    reference instant — the exponentially-decayed engagement/activity
+    score a pipeline maintains instead of unbounded lifetime counts
+    (yesterday's click matters more than last year's).
+
+    ``ref_ts`` is a LITERAL ('YYYY-MM-DD HH:MM:SS'), never
+    current_timestamp(): the score is reproducible and
+    oracle-checkable, and a backfill re-run scores identically.
+
+    Engine parity: integer epoch seconds → one double formula for the
+    weight (pow is transcendental — plain 9 dp round, the
+    unigram-logprob precedent), then DECIMAL(28,9) accumulation so
+    per-key sums never depend on float reduction order.
+
+    Scale shape: one narrow weight expression + one partial+final hash
+    aggregate on the key — the count_by_key shape with weights.
+
+    Returns (key, n_events, decayed_count, decayed_value).
+    """
+    age_days = (
+        F.unix_timestamp(F.lit(ref_ts).cast("timestamp"))
+        - F.unix_timestamp(F.col(ts_col))
+    ).cast("double") / F.lit(86400.0)
+    w = F.round(
+        F.pow(F.lit(2.0), -age_days / F.lit(float(half_life_days))), 9
+    ).cast("decimal(28,9)")
+    # the weight·value product is RATIONAL (9 dp weight × the mostly
+    # decimal-valued amounts), so its 9 dp rounding hits .5 boundaries
+    # the engines' round() built-ins disagree on — observed live at
+    # sf0.001 — hence round_half_away; the pow() round above stays
+    # plain (transcendental, boundary probability ~0)
+    wv = round_half_away(
+        F.round(
+            F.pow(F.lit(2.0), -age_days / F.lit(float(half_life_days))), 9
+        )
+        * F.col(value_col).cast("double"),
+        9,
+    ).cast("decimal(28,9)")
+    return (
+        df.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(w).cast("double").alias("decayed_count"),
+            F.sum(wv).cast("double").alias("decayed_value"),
+        )
+    )
+
+
 def cohort_retention(
     df: DataFrame,
     ts_col: str,

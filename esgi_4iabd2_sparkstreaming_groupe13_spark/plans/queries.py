@@ -1167,6 +1167,21 @@ def q_transitions(spark, sf_dir):
     )
 
 
+def q_decayed(spark, sf_dir):
+    """Recency-weighted per-type engagement (new r7): events weighted
+    2^(-age_days/7) against a literal reference instant, decimal-
+    accumulated per key — the bounded-memory replacement for lifetime
+    counters."""
+    return agg.time_decayed_agg(
+        _t(spark, sf_dir, "events"),
+        "ts",
+        "event_type",
+        "value",
+        half_life_days=7.0,
+        ref_ts="2024-02-01 00:00:00",
+    )
+
+
 def q_corpus_drift(spark, sf_dir):
     """Train/test distribution drift (new r7): KL both ways + JSD
     between the hash-split train and test slices' unigram term
@@ -3012,6 +3027,28 @@ HAVING count(*) >= {min_shared}
 """
 
 
+def _decayed_oracle(half_life: float = 7.0, ref: str = "2024-02-01 00:00:00") -> str:
+    """Mirror of ``agg.time_decayed_agg``: floor-epoch seconds (Spark's
+    unix_timestamp truncates sub-second), identical double formula,
+    9 dp rounds, DECIMAL(28,9) accumulation."""
+    age = (
+        f"CAST(CAST(floor(epoch(TIMESTAMP '{ref}')) AS BIGINT) "
+        f"- CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) / 86400.0"
+    )
+    w = f"CAST(round(power(2.0, (-({age})) / {half_life}), 9) AS DECIMAL(28,9))"
+    wv_raw = (
+        f"round(power(2.0, (-({age})) / {half_life}), 9) "
+        f"* CAST(value AS DOUBLE)"
+    )
+    wv = f"CAST({round_half_away_sql(wv_raw, 9)} AS DECIMAL(28,9))"
+    return f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM({w}) AS DOUBLE) AS decayed_count,
+       CAST(SUM({wv}) AS DOUBLE) AS decayed_value
+FROM events GROUP BY 1
+"""
+
+
 def _corpus_drift_oracle(train_pct: int = 80, val_pct: int = 10) -> str:
     """Mirror of ``corpus.term_divergence`` over the hash-split
     train/test slices: identical smoothing, identical float op order,
@@ -4012,6 +4049,7 @@ FROM c
     "q_scd2": _scd2_oracle(),
     "q_transitions": _transitions_oracle(),
     "q_corpus_drift": _corpus_drift_oracle(),
+    "q_decayed": _decayed_oracle(),
     "q_split_leakage": _split_leakage_oracle(),
     "q_prefix_jaccard": _prefix_jaccard_oracle(0.9, N_JACCARD_DOCS),
     "q_embed_norm": _embed_norm_oracle(),
@@ -4419,6 +4457,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_prefix_jaccard", q_prefix_jaccard, ORACLES["q_prefix_jaccard"], True),
     QuerySpec("q_transitions", q_transitions, ORACLES["q_transitions"], True),
     QuerySpec("q_corpus_drift", q_corpus_drift, ORACLES["q_corpus_drift"], True),
+    QuerySpec("q_decayed", q_decayed, ORACLES["q_decayed"], True),
     # ---- oldest r5-verified canaries ----
     QuerySpec("q_grouping_sets", q_grouping_sets, ORACLES["q_grouping_sets"]),
     QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
@@ -4438,11 +4477,11 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_tpch_q1", q_tpch_q1, ORACLES["q_tpch_q1"], True),
     QuerySpec("q_tpch_q2", q_tpch_q2, ORACLES["q_tpch_q2"], True),
     QuerySpec("q_tpch_q3", q_tpch_q3, ORACLES["q_tpch_q3"], True),
-    QuerySpec("q_tpch_q4", q_tpch_q4, ORACLES["q_tpch_q4"], True),
     # ==== driver 50-entry verification window ends here ====
     # r5-verified leftovers (last driver row round 5 — ROTATE IN
-    # FIRST in r8, ahead of the r6-verified block below; q_tpch_q5-q10
+    # FIRST in r8, ahead of the r6-verified block below; q_tpch_q4-q10
     # were displaced from the window by the new r7 entries):
+    QuerySpec("q_tpch_q4", q_tpch_q4, ORACLES["q_tpch_q4"], True),
     QuerySpec("q_tpch_q5", q_tpch_q5, ORACLES["q_tpch_q5"], True),
     QuerySpec("q_tpch_q6", q_tpch_q6, ORACLES["q_tpch_q6"], True),
     QuerySpec("q_tpch_q7", q_tpch_q7, ORACLES["q_tpch_q7"], True),

@@ -1,0 +1,80 @@
+"""Streaming data-quality gate — run the declarative validation suite
+(``operators/validate.py``) on every micro-batch BEFORE it reaches the
+sinks; failing batches divert whole to a quarantine store with their
+check report, so bad extracts never poison downstream state and are
+preserved intact for repair + replay (the "validate every ingest"
+contract the batch suite promises, enforced at the stream boundary).
+
+Semantics:
+* the suite compiles to ONE aggregate pass over the batch (the
+  validate() contract — adding checks never adds scans);
+* the report is O(checks) rows, so the driver-side collect that routes
+  the batch is metadata-sized, not data-sized;
+* quarantined batches write via dynamic partition overwrite keyed by
+  batch id — a crash-replayed quarantine replaces itself, and the
+  report lands next to the data as one JSON file per batch;
+* passing batches flow unchanged to the wrapped ``on_pass`` body
+  (e.g. ``processor.process_batch`` or the dedup ingest loop).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.validate import Check, validate
+
+
+def validated_batch(
+    checks_factory: Callable[[], list[Check]],
+    on_pass: Callable[[DataFrame, int], None],
+    quarantine_dir: str,
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a ``foreachBatch`` body with the validation gate.
+
+    ``checks_factory`` builds a fresh Check list per batch (Column
+    expressions are plan-bound; sharing them across micro-batch plans
+    is safe but a factory keeps the contract obvious).
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        report_rows = validate(batch_df, checks_factory()).collect()
+        failed = [r for r in report_rows if not r["passed"]]
+        if not failed:
+            on_pass(batch_df, batch_id)
+            return
+        part = f"b{batch_id}"
+        (
+            batch_df.withColumn("quarantine_batch", F.lit(part))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("quarantine_batch")
+            .parquet(f"{quarantine_dir}/data")
+        )
+        reports = Path(quarantine_dir) / "reports"
+        reports.mkdir(parents=True, exist_ok=True)
+        with open(reports / f"{part}.json", "w") as fh:
+            json.dump(
+                {
+                    "batch_id": batch_id,
+                    "failed": [r["check"] for r in failed],
+                    "report": [
+                        {
+                            "check": r["check"],
+                            "metric": r["metric"],
+                            "passed": bool(r["passed"]),
+                        }
+                        for r in report_rows
+                    ],
+                },
+                fh,
+                indent=1,
+            )
+
+    return process

@@ -244,3 +244,32 @@ def test_cohort_retention_staggered_cohorts(spark):
         (1, 2): 2,  # both returned two weeks out
         (8, 0): 1,  # u3's own cohort
     }
+
+
+def test_time_decayed_agg_weights(spark):
+    """Half-life semantics: an event exactly one half-life old weighs
+    0.5; at the reference instant it weighs 1.0; sums accumulate
+    exactly."""
+    import datetime as dt
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.aggregations import (
+        time_decayed_agg,
+    )
+
+    ref = "2024-02-01 00:00:00"
+    r = dt.datetime(2024, 2, 1)
+    rows = [
+        (r, "a", 10.0),                          # age 0 -> w 1.0
+        (r - dt.timedelta(days=7), "a", 10.0),   # one half-life -> 0.5
+        (r - dt.timedelta(days=14), "b", 4.0),   # two -> 0.25
+    ]
+    df = spark.createDataFrame(rows, ["ts", "k", "value"])
+    out = {
+        x["k"]: x
+        for x in time_decayed_agg(df, "ts", "k", "value", 7.0, ref).collect()
+    }
+    assert out["a"]["n_events"] == 2
+    assert out["a"]["decayed_count"] == 1.5
+    assert out["a"]["decayed_value"] == 15.0
+    assert out["b"]["decayed_count"] == 0.25
+    assert out["b"]["decayed_value"] == 1.0
