@@ -1167,6 +1167,17 @@ def q_transitions(spark, sf_dir):
     )
 
 
+def q_hll_rolling(spark, sf_dir):
+    """Trailing-7-day distinct users per day via explicit md5-based
+    HLL registers merged by per-register MAX (new r7) — the sketch
+    whose ESTIMATE hash-matches the oracle, not just its error
+    envelope; event volume is touched once, windows re-count for
+    free."""
+    return sketches.rolling_distinct_hll(
+        _t(spark, sf_dir, "events"), "ts", "user_id"
+    )
+
+
 def q_decayed(spark, sf_dir):
     """Recency-weighted per-type engagement (new r7): events weighted
     2^(-age_days/7) against a literal reference instant, decimal-
@@ -3027,6 +3038,62 @@ HAVING count(*) >= {min_shared}
 """
 
 
+def _hll_rolling_oracle(b: int = 9, window_days: int = 7) -> str:
+    """Mirror of ``sketches.rolling_distinct_hll``: identical md5
+    registers (integer shift, minimal-digit bin() rank), identical
+    dense grid + trailing-MAX window, identical integer-scaled
+    harmonic sum and estimator formula."""
+    m = 1 << b
+    rest_bits = 60 - b
+    h = md5_int_sql("('hll:' || CAST(user_id AS VARCHAR))")
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = repr(float(alpha * m * m * float(1 << 60)))
+    est = (
+        f"CASE WHEN ({num} / s) <= {2.5 * m!r} AND v > 0 "
+        f"THEN {float(m)!r} * ln({float(m)!r} / CAST(v AS DOUBLE)) "
+        f"ELSE {num} / s END"
+    )
+    return f"""
+WITH base AS (
+  SELECT date_diff('day', DATE '1970-01-01',
+                   CAST(date_trunc('day', ts) AS DATE)) AS day_num,
+         CAST(({h}) % {m} AS INT) AS reg,
+         (({h}) >> {b}) AS rest
+  FROM events
+), rh AS (
+  SELECT day_num, reg,
+         CASE WHEN rest = 0 THEN {rest_bits + 1}
+              ELSE {rest_bits + 1} - len(bin(rest)) END AS rho
+  FROM base
+), regs AS (
+  SELECT day_num, reg, max(rho) AS rho FROM rh GROUP BY 1, 2
+), days AS (SELECT DISTINCT day_num FROM regs),
+grid AS (
+  SELECT day_num, i AS reg
+  FROM days, unnest(generate_series(0, {m - 1})) t(i)
+), dense AS (
+  SELECT g.day_num, g.reg, coalesce(r.rho, 0) AS rho
+  FROM grid g LEFT JOIN regs r
+    ON r.day_num = g.day_num AND r.reg = g.reg
+), merged AS (
+  SELECT day_num, reg,
+         max(rho) OVER (PARTITION BY reg ORDER BY day_num
+                        RANGE BETWEEN {window_days - 1} PRECEDING
+                        AND CURRENT ROW) AS mrho
+  FROM dense
+), agg AS (
+  SELECT day_num,
+         CAST(SUM(CAST((CAST(1 AS BIGINT) << (60 - mrho))
+                       AS DECIMAL(38,0))) AS DOUBLE) AS s,
+         SUM(CASE WHEN mrho = 0 THEN 1 ELSE 0 END) AS v
+  FROM merged GROUP BY 1
+)
+SELECT CAST(DATE '1970-01-01' + CAST(day_num AS INTEGER) AS VARCHAR) AS day,
+       {round_half_away_sql(est, 3)} AS est_distinct
+FROM agg
+"""
+
+
 def _decayed_oracle(half_life: float = 7.0, ref: str = "2024-02-01 00:00:00") -> str:
     """Mirror of ``agg.time_decayed_agg``: floor-epoch seconds (Spark's
     unix_timestamp truncates sub-second), identical double formula,
@@ -4050,6 +4117,7 @@ FROM c
     "q_transitions": _transitions_oracle(),
     "q_corpus_drift": _corpus_drift_oracle(),
     "q_decayed": _decayed_oracle(),
+    "q_hll_rolling": _hll_rolling_oracle(),
     "q_split_leakage": _split_leakage_oracle(),
     "q_prefix_jaccard": _prefix_jaccard_oracle(0.9, N_JACCARD_DOCS),
     "q_embed_norm": _embed_norm_oracle(),
@@ -4458,6 +4526,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_transitions", q_transitions, ORACLES["q_transitions"], True),
     QuerySpec("q_corpus_drift", q_corpus_drift, ORACLES["q_corpus_drift"], True),
     QuerySpec("q_decayed", q_decayed, ORACLES["q_decayed"], True),
+    QuerySpec("q_hll_rolling", q_hll_rolling, ORACLES["q_hll_rolling"], True),
     # ---- oldest r5-verified canaries ----
     QuerySpec("q_grouping_sets", q_grouping_sets, ORACLES["q_grouping_sets"]),
     QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
@@ -4476,11 +4545,11 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_bloom_contamination", q_bloom_contamination, ORACLES["q_bloom_contamination"]),
     QuerySpec("q_tpch_q1", q_tpch_q1, ORACLES["q_tpch_q1"], True),
     QuerySpec("q_tpch_q2", q_tpch_q2, ORACLES["q_tpch_q2"], True),
-    QuerySpec("q_tpch_q3", q_tpch_q3, ORACLES["q_tpch_q3"], True),
     # ==== driver 50-entry verification window ends here ====
     # r5-verified leftovers (last driver row round 5 — ROTATE IN
-    # FIRST in r8, ahead of the r6-verified block below; q_tpch_q4-q10
+    # FIRST in r8, ahead of the r6-verified block below; q_tpch_q3-q10
     # were displaced from the window by the new r7 entries):
+    QuerySpec("q_tpch_q3", q_tpch_q3, ORACLES["q_tpch_q3"], True),
     QuerySpec("q_tpch_q4", q_tpch_q4, ORACLES["q_tpch_q4"], True),
     QuerySpec("q_tpch_q5", q_tpch_q5, ORACLES["q_tpch_q5"], True),
     QuerySpec("q_tpch_q6", q_tpch_q6, ORACLES["q_tpch_q6"], True),

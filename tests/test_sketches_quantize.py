@@ -192,3 +192,41 @@ def test_embed_standardize_zscores(spark):
     assert out[2][2] == 0.0  # (9-9)/std
     # z-scores sum to ~0 per dim
     assert abs(sum(out[i][0] for i in (1, 2, 3))) < 1e-9
+
+
+def test_rolling_hll_accuracy_vs_exact(spark, sf_dir):
+    """The rolling estimate must land within ~3x the theoretical rsd
+    (1.04/sqrt(512) ~ 4.6%) of the EXACT trailing-7-day distinct count
+    for every day — computed here brute-force per day."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.sketches import (
+        rolling_distinct_hll,
+    )
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.sources.batch import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    est = {
+        r["day"]: r["est_distinct"]
+        for r in rolling_distinct_hll(ev, "ts", "user_id").collect()
+    }
+    rows = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("d"), "user_id"
+    ).collect()
+    from collections import defaultdict
+    import datetime as dt
+
+    by_day = defaultdict(set)
+    for r in rows:
+        by_day[r["d"]].add(r["user_id"])
+    for day_s, e in est.items():
+        d = dt.date.fromisoformat(day_s)
+        exact = len(
+            set().union(
+                *[
+                    by_day.get(d - dt.timedelta(days=k), set())
+                    for k in range(7)
+                ]
+            )
+        )
+        assert abs(e - exact) <= max(0.15 * exact, 3.0), (day_s, e, exact)
