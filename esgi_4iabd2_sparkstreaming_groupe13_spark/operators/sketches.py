@@ -331,7 +331,12 @@ def rolling_distinct_hll(
         F.date_trunc("day", F.col(ts_col)).cast("date"),
         F.lit("1970-01-01").cast("date"),
     )
-    regs = (
+    # persisted: the distinct-days list AND the grid join both read
+    # the register table — without it the event-volume aggregate runs
+    # twice (plan showed two parquet scans). Output is days × ≤m rows.
+    from .caching import track_persist
+
+    regs = track_persist(
         df.select(day_num.alias("day_num"), bucket.alias("reg"), rho.alias("rho"))
         .groupBy("day_num", "reg")
         .agg(F.max("rho").alias("rho"))

@@ -301,3 +301,34 @@ def test_line_dedup_shuffles_keys_not_instances(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") <= 3
     # the frequent-key set joins back broadcast-style at this scale
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_transitions_single_event_volume_shuffle(spark, sf_dir):
+    """The lead window is the ONLY event-volume shuffle; the share
+    normalization windows over the types² matrix (a second, tiny
+    exchange) — never a second pass over events."""
+    p = plan_of(spark, sf_dir, Q.q_transitions)
+    assert p.count("Scan parquet") == 1
+    # lead-window exchange on user_id + matrix-sized exchanges only
+    assert p.count("Exchange hashpartitioning") <= 3
+
+
+def test_decayed_single_aggregate_pass(spark, sf_dir):
+    """count_by_key shape with weights: one partial+final aggregate,
+    one exchange, no window, no join."""
+    p = plan_of(spark, sf_dir, Q.q_decayed)
+    assert "Join" not in p
+    assert p.count("Scan parquet") == 1
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_hll_rolling_touches_events_once(spark, sf_dir):
+    """Event volume aggregates once into the persisted register table;
+    the distinct-days list and the grid join read the CACHE, so at
+    most one parquet scan computes it (the other consumer shows as an
+    InMemoryTableScan)."""
+    p = plan_of(spark, sf_dir, Q.q_hll_rolling)
+    # both consumers (distinct-days list, grid join) read the cached
+    # register table; the FileScan printed inside each InMemoryRelation
+    # block executes once, on cache fill
+    assert p.count("InMemoryTableScan") >= 2
