@@ -72,7 +72,7 @@ ALL_OPS = (
     "unigram_logprob count_by_key topk global_index rolling_sum cosine_topk "
     "cosine_pairs_exact cosine_rh_lsh cms ann_quantized doc_chunks "
     "bigram_logprob incremental_dedup incremental_indexed top_ngram "
-    "vocab_stats funnel snapshot_diff rate_anomaly equi_depth line_dedup"
+    "vocab_stats funnel snapshot_diff rate_anomaly equi_depth line_dedup transitions hll_rolling"
 ).split()
 
 
@@ -437,7 +437,7 @@ def main() -> None:
     # --- events: funnel (one user-key shuffle; users scale with the
     # corpus via the id offsets) and snapshot diff (full-outer key
     # join) — both must track ~linear ---
-    if want("funnel", "snapshot_diff", "rate_anomaly"):
+    if want("funnel", "snapshot_diff", "rate_anomaly", "transitions", "hll_rolling"):
         evA = load_table(spark, SF_DIR, "events")
         evAN = scaled(evA, factor, ["event_id", "user_id"], 100_000_000)
         evAN.write.mode("overwrite").parquet(f"{tmp}/evAN.parquet")
@@ -474,6 +474,40 @@ def main() -> None:
             ),
             "tN": timed(
                 f"rateanom {factor}x", rate_anomalies(evAN, "ts", "event_type")
+            ),
+        }
+    # transition matrix: the user-key lead window is the one
+    # event-volume shuffle; user cardinality scales with the copies so
+    # partitions stay balanced
+    if want("transitions"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.windows import (
+            event_transitions,
+        )
+
+        results["transitions"] = {
+            "t1": timed(
+                "transitions 1x",
+                event_transitions(evA, "ts", "user_id", "event_type", "event_id"),
+            ),
+            "tN": timed(
+                f"transitions {factor}x",
+                event_transitions(evAN, "ts", "user_id", "event_type", "event_id"),
+            ),
+        }
+    # rolling HLL: event volume feeds ONE register aggregate; the
+    # window/estimator run over the fixed days x 512 grid, so wall
+    # time should track the aggregate's input alone
+    if want("hll_rolling"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.sketches import (
+            rolling_distinct_hll,
+        )
+
+        results["hll_rolling"] = {
+            "t1": timed(
+                "hllroll 1x", rolling_distinct_hll(evA, "ts", "user_id")
+            ),
+            "tN": timed(
+                f"hllroll {factor}x", rolling_distinct_hll(evAN, "ts", "user_id")
             ),
         }
     if want("snapshot_diff"):
