@@ -357,3 +357,47 @@ def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         out.alias("redacted"),
         n_red.cast("long").alias("n_redactions"),
     )
+
+
+#: Gopher-style rule thresholds (adapted to the cheap single-pass
+#: signal set quality_features computes; Rae et al. 2021 Appendix A)
+GOPHER_RULES: list[tuple[str, str]] = [
+    ("too_few_words", "n_tokens < 25"),
+    ("too_many_words", "n_tokens > 90"),
+    ("mean_word_len_out", "mean_token_len < 3.0 OR mean_token_len > 8.0"),
+    ("symbol_heavy", "punct_ratio > 0.1"),
+    ("stopword_poor", "stopword_ratio < 0.03"),
+    ("alpha_poor", "alpha_ratio < 0.6"),
+]
+
+
+def gopher_filter_report(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Gopher-style rule-based quality FILTER REPORT (new r7): each
+    document gets a pass/fail verdict per named rule over the cheap
+    single-pass signals (:func:`quality_features`), the production
+    form of corpus filtering — a pipeline keeps the verdict table, not
+    just the final filter, so every dropped document is explainable
+    and thresholds can be re-tuned without re-scanning text.
+
+    Zero additional passes: the rules are boolean projections chained
+    onto the quality_features expressions (one narrow scan). Returns
+    ``(id, passes, n_failed, failed_rules)`` with failed_rules a
+    comma-joined string in fixed rule order (engine-neutral — the
+    gate's comparator cannot sort array cells).
+    """
+    q = quality_features(df, text_col, id_col)
+    conds = [(name, F.expr(sql)) for name, sql in GOPHER_RULES]
+    n_failed = sum(
+        (c.cast("int") for _, c in conds), F.lit(0)
+    )
+    failed = F.concat_ws(
+        ",", *[F.when(c, F.lit(name)) for name, c in conds]
+    )
+    return q.select(
+        F.col(id_col),
+        (n_failed == 0).alias("passes"),
+        n_failed.cast("long").alias("n_failed"),
+        failed.alias("failed_rules"),
+    )

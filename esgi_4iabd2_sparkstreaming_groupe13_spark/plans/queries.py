@@ -1167,6 +1167,16 @@ def q_transitions(spark, sf_dir):
     )
 
 
+def q_gopher(spark, sf_dir):
+    """Gopher-style rule-based filter report (new r7): per-doc
+    pass/fail verdict for each named quality rule over the single-pass
+    cheap signals — the explainable production form of corpus
+    filtering (keep the verdict table, not just the survivors)."""
+    return text.gopher_filter_report(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
 def q_hll_rolling(spark, sf_dir):
     """Trailing-7-day distinct users per day via explicit md5-based
     HLL registers merged by per-register MAX (new r7) — the sketch
@@ -4470,6 +4480,18 @@ FROM documents
     ),
 }
 
+#: q_gopher's oracle derives from q_quality's (same signal
+#: expressions, wrapped as a CTE) plus the SAME rule-condition strings
+#: the Spark side evaluates (text.GOPHER_RULES — one definition).
+ORACLES["q_gopher"] = f"""
+WITH q AS ({ORACLES["q_quality"]})
+SELECT doc_id,
+       ({" + ".join(f"(CASE WHEN {sql} THEN 1 ELSE 0 END)" for _, sql in text.GOPHER_RULES)}) = 0 AS passes,
+       CAST(({" + ".join(f"(CASE WHEN {sql} THEN 1 ELSE 0 END)" for _, sql in text.GOPHER_RULES)}) AS BIGINT) AS n_failed,
+       concat_ws(',', {", ".join(f"CASE WHEN {sql} THEN '{name}' END" for name, sql in text.GOPHER_RULES)}) AS failed_rules
+FROM q
+"""
+
 
 # Registry order is a CONTRACT with the driver's correctness gate,
 # which verifies the first 50 entries. Round-7 rotation (VERDICT r6
@@ -4527,6 +4549,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_corpus_drift", q_corpus_drift, ORACLES["q_corpus_drift"], True),
     QuerySpec("q_decayed", q_decayed, ORACLES["q_decayed"], True),
     QuerySpec("q_hll_rolling", q_hll_rolling, ORACLES["q_hll_rolling"], True),
+    QuerySpec("q_gopher", q_gopher, ORACLES["q_gopher"], True),
     # ---- oldest r5-verified canaries ----
     QuerySpec("q_grouping_sets", q_grouping_sets, ORACLES["q_grouping_sets"]),
     QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
@@ -4544,11 +4567,11 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_percentiles_approx", q_percentiles_approx, ORACLES["q_percentiles_approx"]),
     QuerySpec("q_bloom_contamination", q_bloom_contamination, ORACLES["q_bloom_contamination"]),
     QuerySpec("q_tpch_q1", q_tpch_q1, ORACLES["q_tpch_q1"], True),
-    QuerySpec("q_tpch_q2", q_tpch_q2, ORACLES["q_tpch_q2"], True),
     # ==== driver 50-entry verification window ends here ====
     # r5-verified leftovers (last driver row round 5 — ROTATE IN
-    # FIRST in r8, ahead of the r6-verified block below; q_tpch_q3-q10
+    # FIRST in r8, ahead of the r6-verified block below; q_tpch_q2-q10
     # were displaced from the window by the new r7 entries):
+    QuerySpec("q_tpch_q2", q_tpch_q2, ORACLES["q_tpch_q2"], True),
     QuerySpec("q_tpch_q3", q_tpch_q3, ORACLES["q_tpch_q3"], True),
     QuerySpec("q_tpch_q4", q_tpch_q4, ORACLES["q_tpch_q4"], True),
     QuerySpec("q_tpch_q5", q_tpch_q5, ORACLES["q_tpch_q5"], True),

@@ -244,3 +244,33 @@ def test_top_ngram_flags_degenerate_repetition(spark):
     assert out[0] > 0.85
     assert out[1] < 0.1
     assert out[0] > out[1]
+
+
+def test_gopher_filter_report_rules(spark):
+    """Rule verdicts on engineered documents: each rule fires exactly
+    where designed, failed_rules keeps fixed rule order."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.text import (
+        gopher_filter_report,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over a lazy dog " * 3),   # clean-ish
+        (1, "word " * 5),                                        # too few
+        (2, "word " * 120),                                      # too many
+        (3, "!!! ??? *** ### $$$ %%% " * 10),                    # symbols, no alpha
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in gopher_filter_report(
+        df, "text", "doc_id"
+    ).collect()}
+    assert "too_few_words" in out[1]["failed_rules"]
+    assert not out[1]["passes"]
+    assert "too_many_words" in out[2]["failed_rules"]
+    assert "symbol_heavy" in out[3]["failed_rules"]
+    assert "alpha_poor" in out[3]["failed_rules"]
+    # fixed order: symbol_heavy precedes alpha_poor in GOPHER_RULES
+    fr = out[3]["failed_rules"].split(",")
+    assert fr.index("symbol_heavy") < fr.index("alpha_poor")
+    assert all(r["n_failed"] == len(
+        [x for x in r["failed_rules"].split(",") if x]
+    ) for r in out.values())
