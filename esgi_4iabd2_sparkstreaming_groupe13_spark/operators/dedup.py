@@ -192,6 +192,105 @@ def line_dedup(
     )
 
 
+def build_line_boilerplate_index(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+    max_line_df: int = 2,
+    delimiter: str = "\n",
+) -> None:
+    """FIT side of line-level boilerplate removal at ingest time
+    (the CCNet deployment shape): persist the corpus's FREQUENT line
+    keys — md5 of the normalized line for every line appearing in more
+    than ``max_line_df`` distinct documents — so the streaming serve
+    path can scrub arriving documents without touching the corpus.
+    The index stores 16 bytes per boilerplate line (the frequent tail
+    only), plus a meta table pinning the threshold/delimiter so serve
+    can refuse a mismatched index."""
+    from .text import content_norm
+
+    lines = corpus.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), delimiter)).alias("line"),
+    ).select(
+        F.col(id_col), F.md5(content_norm(F.col("line"))).alias("line_key")
+    )
+    (
+        lines.groupBy("line_key")
+        .agg(F.countDistinct(id_col).alias("line_doc_freq"))
+        .filter(F.col("line_doc_freq") > max_line_df)
+        .select("line_key")
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/boiler_lines")
+    )
+    corpus.sparkSession.createDataFrame(
+        [(max_line_df, delimiter)], "max_line_df int, delimiter string"
+    ).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+
+def scrub_boilerplate_lines(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """SERVE side: drop every line whose key is in the persisted
+    boilerplate index — works identically on a batch frame or inside
+    ``foreachBatch`` (explode → left-anti against the index →
+    order-preserving reassembly), so the batch form IS the streaming
+    oracle. Work per call: one pass over the ARRIVING docs plus the
+    anti-join against the (frequent-tail-sized, AQE-broadcastable)
+    key set; the corpus is never read.
+
+    Returns (id, n_lines, kept_lines, text_clean) — same reassembly
+    contract as :func:`line_dedup`, minus the corpus-df computation it
+    delegates to the index build."""
+    from .text import content_norm
+
+    spark = docs.sparkSession
+    meta = spark.read.parquet(f"{index_path}/meta").head()
+    if meta.delimiter != delimiter:
+        raise ValueError(
+            f"boilerplate index at {index_path} was built with delimiter "
+            f"{meta.delimiter!r}, serve path requested {delimiter!r}"
+        )
+    boiler = spark.read.parquet(f"{index_path}/boiler_lines").withColumn(
+        "is_boiler", F.lit(True)
+    )
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delimiter)).alias(
+            "line_no", "line"
+        ),
+    ).withColumn("line_key", F.md5(content_norm(F.col("line"))))
+    marked = lines.join(boiler, "line_key", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.when(F.col("is_boiler").isNull(), 1).otherwise(0)
+            ).alias("kept_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_boiler").isNull(),
+                                F.struct("line_no", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                delimiter,
+            ).alias("text_clean"),
+        )
+    )
+
+
 def with_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int = DEFAULT_SHINGLE_N, max_chars: int = 512
 ) -> DataFrame:

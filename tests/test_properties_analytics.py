@@ -198,3 +198,135 @@ def test_cohort_retention_matches_bruteforce(spark, visits):
     for (u, w) in {(u, week_of(d)) for (u, d) in visits}:
         want[(first[u], (w - first[u]).days // 7)] += 1
     assert got == dict(want)
+
+
+# ---- r7 operators ----
+
+_line_token = st.sampled_from(["foo", "bar", "baz qux", "nav home", "x"])
+_line_docs = st.lists(
+    st.lists(_line_token, min_size=1, max_size=5), min_size=1, max_size=7
+)
+
+
+@settings(**_SETTINGS)
+@given(docs=_line_docs, max_df=st.integers(min_value=1, max_value=3))
+def test_line_dedup_matches_bruteforce(spark, docs, max_df):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.dedup import (
+        line_dedup,
+    )
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in line_dedup(
+        df, "text", "doc_id", max_line_df=max_df
+    ).collect()}
+    dfreq = Counter()
+    for lines in docs:
+        for ln in set(lines):
+            dfreq[ln] += 1
+    for i, lines in enumerate(docs):
+        kept = [ln for ln in lines if dfreq[ln] <= max_df]
+        assert out[i]["n_lines"] == len(lines)
+        assert out[i]["kept_lines"] == len(kept)
+        assert out[i]["text_clean"] == "\n".join(kept)
+
+
+@settings(**_SETTINGS)
+@given(
+    hist=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # key
+            st.integers(min_value=0, max_value=3),   # value variant
+        ),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    snap=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_scd2_matches_bruteforce(spark, hist, snap):
+    import datetime as _dt
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.maintenance import (
+        scd2_apply,
+    )
+
+    d0 = _dt.date(2024, 1, 1)
+    hrows = [(k, float(v), d0, None, True) for k, v in hist]
+    srows = [(k, float(v)) for k, v in snap]
+    if not hrows and not srows:
+        return
+    history = spark.createDataFrame(
+        hrows, "k long, v double, valid_from date, valid_to date, is_current boolean"
+    )
+    snapshot = spark.createDataFrame(srows, "k long, v double")
+    got = {
+        (r["k"], r["v"], r["is_current"], r["valid_from"], r["valid_to"])
+        for r in scd2_apply(
+            history, snapshot, ["k"], ["v"], "2024-02-01"
+        ).collect()
+    }
+    d1 = _dt.date(2024, 2, 1)
+    want = set()
+    h = dict(hist)
+    sm = dict(snap)
+    for k, v in hist:
+        if k in sm and sm[k] == v:
+            want.add((k, float(v), True, d0, None))       # unchanged
+        else:
+            want.add((k, float(v), False, d0, d1))        # closed
+    for k, v in snap:
+        if k not in h or h[k] != v:
+            want.add((k, float(v), True, d1, None))       # opened
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # user
+            st.integers(min_value=0, max_value=50),   # minute offset
+            st.sampled_from(["view", "click", "buy"]),
+        ),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[1]),  # total order per user
+    )
+)
+def test_transitions_match_bruteforce(spark, events):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.windows import (
+        event_transitions,
+    )
+
+    if not events:
+        return
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=m), u, typ)
+        for i, (u, m, typ) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in event_transitions(
+            df, "ts", "user_id", "event_type", "event_id"
+        ).collect()
+    }
+    want: Counter = Counter()
+    byu: dict = {}
+    for u, m, typ in events:
+        byu.setdefault(u, []).append((m, typ))
+    for u, seq in byu.items():
+        seq.sort()
+        for (_, a), (_, b) in zip(seq, seq[1:]):
+            want[(a, b)] += 1
+    assert got == dict(want)

@@ -172,3 +172,79 @@ def test_index_compaction_removes_replay_duplicates(spark, tmp_path):
         ).collect()
     }
     assert before == after
+
+
+def test_boilerplate_scrub_stream_equals_batch(spark, tmp_path):
+    """Line-boilerplate index lifecycle: build the frequent-line set
+    from a corpus, then scrub a stream of arriving docs per
+    micro-batch — stream output must equal the batch form, and the
+    scrub must equal line_dedup's verdict for the same corpus+docs."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.dedup import (
+        build_line_boilerplate_index,
+        scrub_boilerplate_lines,
+    )
+
+    footer = "subscribe to our newsletter"
+    corpus = spark.createDataFrame(
+        [
+            (0, f"alpha one\n{footer}"),
+            (1, f"bravo two\n{footer}"),
+            (2, f"charlie three\n{footer}"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "lineidx")
+    build_line_boilerplate_index(corpus, "text", "doc_id", idx, max_line_df=2)
+
+    arriving = spark.createDataFrame(
+        [
+            (10, f"delta four\n{footer}\necho five"),
+            (11, "unique only\nno chrome here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in scrub_boilerplate_lines(
+        arriving, "text", "doc_id", idx
+    ).collect()}
+    assert out[10]["text_clean"] == "delta four\necho five"
+    assert out[10]["n_lines"] == 3 and out[10]["kept_lines"] == 2
+    assert out[11]["text_clean"] == "unique only\nno chrome here"
+
+    # stream form: same function inside foreachBatch
+    import json as _json
+    import time as _time
+
+    src = tmp_path / "bsrc"
+    src.mkdir()
+    for i, rows in enumerate([[(10, f"delta four\n{footer}\necho five")],
+                              [(11, "unique only\nno chrome here")]]):
+        with open(src / f"b{i}.json", "w") as fh:
+            for d, t in rows:
+                fh.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+        _time.sleep(0.05)
+    outdir = str(tmp_path / "bout")
+
+    def body(batch_df, batch_id):
+        scrub_boilerplate_lines(
+            batch_df, "text", "doc_id", idx
+        ).withColumn("b", ingest.F.lit(f"b{batch_id}")).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "b"
+        ).parquet(outdir)
+
+    stream = ingest.create_file_stream(
+        spark, str(src), ingest.DOC_STREAM_SCHEMA, "json", 1
+    )
+    q = (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", str(tmp_path / "bckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r["doc_id"]: r["text_clean"]
+        for r in spark.read.parquet(outdir).collect()
+    }
+    assert streamed == {k: v["text_clean"] for k, v in out.items()}
