@@ -72,7 +72,7 @@ ALL_OPS = (
     "unigram_logprob count_by_key topk global_index rolling_sum cosine_topk "
     "cosine_pairs_exact cosine_rh_lsh cms ann_quantized doc_chunks "
     "bigram_logprob incremental_dedup incremental_indexed top_ngram "
-    "vocab_stats funnel snapshot_diff rate_anomaly equi_depth line_dedup transitions hll_rolling"
+    "vocab_stats funnel snapshot_diff rate_anomaly equi_depth line_dedup transitions hll_rolling scd2"
 ).split()
 
 
@@ -437,7 +437,7 @@ def main() -> None:
     # --- events: funnel (one user-key shuffle; users scale with the
     # corpus via the id offsets) and snapshot diff (full-outer key
     # join) — both must track ~linear ---
-    if want("funnel", "snapshot_diff", "rate_anomaly", "transitions", "hll_rolling"):
+    if want("funnel", "snapshot_diff", "rate_anomaly", "transitions", "hll_rolling", "scd2"):
         evA = load_table(spark, SF_DIR, "events")
         evAN = scaled(evA, factor, ["event_id", "user_id"], 100_000_000)
         evAN.write.mode("overwrite").parquet(f"{tmp}/evAN.parquet")
@@ -545,6 +545,42 @@ def main() -> None:
             "tN": timed(
                 f"snapdiff {factor}x",
                 snapshot_diff(oN, nN, ["event_id"], ["event_type", "value"]),
+            ),
+        }
+
+    # SCD2 merge: the same full-outer join geometry as snapshot_diff
+    # plus the per-row explode fan-out — must track the key volume
+    if want("scd2"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.maintenance import (
+            scd2_apply,
+        )
+
+        def scd2_in(ev):
+            base = ev.select("event_id", "event_type", "value")
+            hist = base.select(
+                "event_id", "event_type", "value",
+                F.lit("2024-01-01").cast("date").alias("valid_from"),
+                F.lit(None).cast("date").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            )
+            snap = base.filter(F.col("event_id") % 97 != 0).withColumn(
+                "value",
+                F.when(
+                    F.col("event_id") % 89 == 0, F.col("value") + F.lit(5.0)
+                ).otherwise(F.col("value")),
+            )
+            return hist, snap
+
+        h1, s1 = scd2_in(evA)
+        hN, sN = scd2_in(evAN)
+        results["scd2"] = {
+            "t1": timed(
+                "scd2 1x",
+                scd2_apply(h1, s1, ["event_id"], ["event_type", "value"], "2024-02-01"),
+            ),
+            "tN": timed(
+                f"scd2 {factor}x",
+                scd2_apply(hN, sN, ["event_id"], ["event_type", "value"], "2024-02-01"),
             ),
         }
 
