@@ -447,6 +447,7 @@ def funnel_stages(
     user_col: str,
     type_col: str,
     steps: list[str],
+    max_gap_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered multi-step funnel analysis — per user, the earliest
     time each step was reached GIVEN the previous step had already
@@ -461,6 +462,15 @@ def funnel_stages(
     serves every window, and the final per-user aggregate rides the
     same partitioning. The naive formulation (one aggregate + join-back
     PER STEP) shuffles ``len(steps)`` times; this shuffles once.
+
+    ``max_gap_seconds`` (new r7) bounds each step to land within that
+    many seconds of the EARLIEST previous-step completion — the
+    anchored conversion-window form ("purchased within 48h of first
+    qualifying click"). Anchoring to the earliest hit keeps the
+    single-shuffle chained-running-min plan (the fully general
+    any-path windowed funnel is a per-user sequence scan — a stateful
+    operator, not a window); the anchor semantics are the ones most
+    funnel products report.
 
     Returns (user, t_<step>..., stages_completed) — timestamps are
     exact (no float arithmetic), so the result hashes identically
@@ -477,6 +487,12 @@ def funnel_stages(
         cond = F.col(type_col) == s
         if prev_run is not None:
             cond = cond & (F.col(ts_col) > F.col(prev_run))
+            if max_gap_seconds is not None:
+                cond = cond & (
+                    F.col(ts_col)
+                    <= F.col(prev_run)
+                    + F.expr(f"INTERVAL {int(max_gap_seconds)} SECONDS")
+                )
         cur = cur.withColumn(f"_hit{i}", F.when(cond, F.col(ts_col)))
         if i < len(steps) - 1:
             cur = cur.withColumn(f"_run{i}", F.min(f"_hit{i}").over(w))

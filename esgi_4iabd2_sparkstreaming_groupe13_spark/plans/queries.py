@@ -1081,6 +1081,21 @@ def q_funnel(spark, sf_dir):
     )
 
 
+def q_funnel_window(spark, sf_dir):
+    """Anchored conversion-window funnel (new r7): same chained
+    running-min plan as q_funnel, each step additionally bounded to
+    land within 48h of the EARLIEST previous-step completion — the
+    'purchased within two days of first qualifying click' form."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit(FUNNEL_CUTOFF).cast("timestamp")
+    )
+    return windows.funnel_stages(
+        ev, "ts", "user_id", "event_type",
+        ["view", "click", "purchase"],
+        max_gap_seconds=172_800,
+    )
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Snapshot reconciliation audit (new r6): classify every key
     across two deterministic snapshot variants of events (drop
@@ -4243,6 +4258,38 @@ SELECT user_id, t_view, t_click, t_purchase,
                  ELSE 0 END AS BIGINT) AS stages_completed
 FROM agg
 """,
+    "q_funnel_window": f"""
+WITH src AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE ts < TIMESTAMP '{FUNNEL_CUTOFF}'
+), w AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS rv
+  FROM src
+), w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > rv
+                      AND ts <= rv + INTERVAL 172800 SECOND THEN ts END)
+              OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS rc
+  FROM w
+), agg AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' AND ts > rv
+                   AND ts <= rv + INTERVAL 172800 SECOND THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' AND ts > rc
+                   AND ts <= rc + INTERVAL 172800 SECOND THEN ts END) AS t_purchase
+  FROM w2 GROUP BY user_id
+)
+SELECT user_id, t_view, t_click, t_purchase,
+       CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                 WHEN t_click IS NOT NULL THEN 2
+                 WHEN t_view IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stages_completed
+FROM agg
+""",
     # mirror of windows.rate_anomalies: identical integer frame sums
     # and the identical explicit double formula, so z hashes match
     "q_rate_anomaly": """
@@ -4550,6 +4597,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_decayed", q_decayed, ORACLES["q_decayed"], True),
     QuerySpec("q_hll_rolling", q_hll_rolling, ORACLES["q_hll_rolling"], True),
     QuerySpec("q_gopher", q_gopher, ORACLES["q_gopher"], True),
+    QuerySpec("q_funnel_window", q_funnel_window, ORACLES["q_funnel_window"], True),
     # ---- oldest r5-verified canaries ----
     QuerySpec("q_grouping_sets", q_grouping_sets, ORACLES["q_grouping_sets"]),
     QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
@@ -4566,11 +4614,12 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_weighted_sample", q_weighted_sample, ORACLES["q_weighted_sample"]),
     QuerySpec("q_percentiles_approx", q_percentiles_approx, ORACLES["q_percentiles_approx"]),
     QuerySpec("q_bloom_contamination", q_bloom_contamination, ORACLES["q_bloom_contamination"]),
-    QuerySpec("q_tpch_q1", q_tpch_q1, ORACLES["q_tpch_q1"], True),
     # ==== driver 50-entry verification window ends here ====
     # r5-verified leftovers (last driver row round 5 — ROTATE IN
-    # FIRST in r8, ahead of the r6-verified block below; q_tpch_q2-q10
-    # were displaced from the window by the new r7 entries):
+    # FIRST in r8, ahead of the r6-verified block below; the TPC-H
+    # canaries q1-q10 were displaced from the window by the new r7
+    # entries):
+    QuerySpec("q_tpch_q1", q_tpch_q1, ORACLES["q_tpch_q1"], True),
     QuerySpec("q_tpch_q2", q_tpch_q2, ORACLES["q_tpch_q2"], True),
     QuerySpec("q_tpch_q3", q_tpch_q3, ORACLES["q_tpch_q3"], True),
     QuerySpec("q_tpch_q4", q_tpch_q4, ORACLES["q_tpch_q4"], True),

@@ -308,3 +308,34 @@ def test_event_transitions_matrix_and_shares(spark):
     assert out[("view", "purchase")] == (1, 0.333333)
     assert out[("click", "view")] == (1, 1.0)
     assert ("purchase", "view") not in out  # cross-user pairs never form
+
+
+def test_funnel_conversion_window_binds(spark):
+    """A click 3 days after the first view is outside a 48h window:
+    stages stop at 1; the unbounded funnel reaches 2."""
+    import datetime as dt
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.windows import (
+        funnel_stages,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "view"),
+        (2, t0 + dt.timedelta(days=3), 7, "click"),
+        (3, t0 + dt.timedelta(days=3, hours=1), 7, "purchase"),
+        # user 8 converts fast: all inside the window
+        (4, t0, 8, "view"),
+        (5, t0 + dt.timedelta(hours=1), 8, "click"),
+        (6, t0 + dt.timedelta(hours=2), 8, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    steps = ["view", "click", "purchase"]
+    unbounded = {r["user_id"]: r["stages_completed"] for r in funnel_stages(
+        df, "ts", "user_id", "event_type", steps
+    ).collect()}
+    bounded = {r["user_id"]: r["stages_completed"] for r in funnel_stages(
+        df, "ts", "user_id", "event_type", steps, max_gap_seconds=172_800
+    ).collect()}
+    assert unbounded == {7: 3, 8: 3}
+    assert bounded == {7: 1, 8: 3}
