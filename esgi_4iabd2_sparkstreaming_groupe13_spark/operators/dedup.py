@@ -93,6 +93,41 @@ def dedup_exact_content(
     )
 
 
+def _exploded_lines(df, text_col: str, id_col: str, delimiter: str):
+    """Shared line-explode + key expression for every line-level dedup
+    path (corpus-df computation, index build, index serve): one
+    definition so the batch and streaming sides can never key lines
+    differently (the content_norm argument, applied to lines)."""
+    from .text import content_norm
+
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delimiter)).alias(
+            "line_no", "line"
+        ),
+    ).withColumn("line_key", F.md5(content_norm(F.col("line"))))
+
+
+def _reassemble_kept(delimiter: str):
+    """Order-preserving reassembly of non-boilerplate lines: struct
+    sort on (line_no, line) makes the concat deterministic under any
+    partitioning. Expects an ``is_boiler`` null-marker column."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("is_boiler").isNull(),
+                        F.struct("line_no", "line"),
+                    )
+                )
+            ),
+            lambda st: st["line"],
+        ),
+        delimiter,
+    )
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str,
@@ -134,22 +169,13 @@ def line_dedup(
     The threshold contract is ``>`` (a line in exactly ``max_line_df``
     docs survives); oracle mirrors it with HAVING count(DISTINCT) >.
     """
-    from .text import content_norm
-
     # persisted: BOTH the df aggregate and the instance join consume
     # the exploded lines — without it the split+normalize+md5 pipeline
     # (and any upstream segmentation expression feeding text_col)
     # recomputes once per consumer. Same precedent as the shingle
     # persist in the MinHash path; tracked → released by
     # caching.release_cached() after the action.
-    lines = track_persist(
-        df.select(
-            F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), delimiter)).alias(
-                "line_no", "line"
-            ),
-        ).withColumn("line_key", F.md5(content_norm(F.col("line"))))
-    )
+    lines = track_persist(_exploded_lines(df, text_col, id_col, delimiter))
     boiler = (
         lines.groupBy("line_key")
         .agg(F.countDistinct(id_col).alias("line_doc_freq"))
@@ -163,20 +189,7 @@ def line_dedup(
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
             kept.alias("kept_lines"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("is_boiler").isNull(),
-                                F.struct("line_no", "line"),
-                            )
-                        )
-                    ),
-                    lambda s: s["line"],
-                ),
-                delimiter,
-            ).alias("text_clean"),
+            _reassemble_kept(delimiter).alias("text_clean"),
         )
         .select(
             F.col(id_col),
@@ -208,13 +221,8 @@ def build_line_boilerplate_index(
     The index stores 16 bytes per boilerplate line (the frequent tail
     only), plus a meta table pinning the threshold/delimiter so serve
     can refuse a mismatched index."""
-    from .text import content_norm
-
-    lines = corpus.select(
-        F.col(id_col),
-        F.explode(F.split(F.col(text_col), delimiter)).alias("line"),
-    ).select(
-        F.col(id_col), F.md5(content_norm(F.col("line"))).alias("line_key")
+    lines = _exploded_lines(corpus, text_col, id_col, delimiter).select(
+        id_col, "line_key"
     )
     (
         lines.groupBy("line_key")
@@ -247,8 +255,6 @@ def scrub_boilerplate_lines(
     Returns (id, n_lines, kept_lines, text_clean) — same reassembly
     contract as :func:`line_dedup`, minus the corpus-df computation it
     delegates to the index build."""
-    from .text import content_norm
-
     spark = docs.sparkSession
     meta = spark.read.parquet(f"{index_path}/meta").head()
     if meta.delimiter != delimiter:
@@ -259,12 +265,7 @@ def scrub_boilerplate_lines(
     boiler = spark.read.parquet(f"{index_path}/boiler_lines").withColumn(
         "is_boiler", F.lit(True)
     )
-    lines = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delimiter)).alias(
-            "line_no", "line"
-        ),
-    ).withColumn("line_key", F.md5(content_norm(F.col("line"))))
+    lines = _exploded_lines(docs, text_col, id_col, delimiter)
     marked = lines.join(boiler, "line_key", "left")
     return (
         marked.groupBy(id_col)
@@ -273,20 +274,7 @@ def scrub_boilerplate_lines(
             F.sum(
                 F.when(F.col("is_boiler").isNull(), 1).otherwise(0)
             ).alias("kept_lines"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("is_boiler").isNull(),
-                                F.struct("line_no", "line"),
-                            )
-                        )
-                    ),
-                    lambda s: s["line"],
-                ),
-                delimiter,
-            ).alias("text_clean"),
+            _reassemble_kept(delimiter).alias("text_clean"),
         )
     )
 

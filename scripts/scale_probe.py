@@ -86,6 +86,15 @@ def main() -> None:
     def want(*names: str) -> bool:
         return bool(ops & set(names))
 
+    # Shuffle partitions stay at the session default (32 = core
+    # count) so probe rows compare across rounds. The partition-count
+    # lever cuts BOTH ways (BASELINE.md r7 stress probe): at 300× the
+    # funnel's per-task sort outgrows memory at 32 partitions and
+    # 256 partitions restores sub-linearity, while at 100× a 200-way
+    # layout ADDS task overhead to join/agg-shaped ops on a 32-core
+    # box. A cluster sizes spark.sql.shuffle.partitions to its
+    # executor count; `SPARK_GRAFT_CPUS` + get_spark(shuffle_
+    # partitions=...) expose the knob here.
     spark = get_spark(
         app_name="scale_probe",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
