@@ -330,3 +330,73 @@ def test_transitions_match_bruteforce(spark, events):
         for (_, a), (_, b) in zip(seq, seq[1:]):
             want[(a, b)] += 1
     assert got == dict(want)
+
+
+@settings(**_SETTINGS)
+@given(
+    docs_a=st.lists(
+        st.lists(_token, min_size=1, max_size=8), min_size=1, max_size=5
+    ),
+    docs_b=st.lists(
+        st.lists(_token, min_size=1, max_size=8), min_size=1, max_size=5
+    ),
+)
+def test_term_divergence_information_inequalities(spark, docs_a, docs_b):
+    """KL is non-negative both ways; JSD is symmetric-by-construction
+    and bounded by ln 2 — on arbitrary corpora, not just the fixture
+    (smoothing keeps every term probability positive, so the
+    inequalities must hold exactly up to the 12 dp contribution
+    rounding)."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.corpus import (
+        term_divergence,
+    )
+
+    a = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs_a)], ["doc_id", "text"]
+    )
+    b = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs_b)], ["doc_id", "text"]
+    )
+    r = term_divergence(a, b, "text").collect()[0]
+    eps = 1e-9
+    assert r["kl_ab"] >= -eps and r["kl_ba"] >= -eps
+    assert -eps <= r["jsd"] <= math.log(2) + eps
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=27),  # age days
+            st.integers(min_value=0, max_value=3),   # key
+            st.integers(min_value=-5, max_value=50), # value
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_time_decayed_agg_matches_bruteforce(spark, rows):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.aggregations import (
+        time_decayed_agg,
+    )
+
+    ref = dt.datetime(2024, 2, 1)
+    data = [
+        (ref - dt.timedelta(days=age), f"k{k}", float(v))
+        for age, k, v in rows
+    ]
+    df = spark.createDataFrame(data, ["ts", "k", "value"])
+    got = {r["k"]: r for r in time_decayed_agg(
+        df, "ts", "k", "value", 7.0, "2024-02-01 00:00:00"
+    ).collect()}
+    want_count: dict = {}
+    want_value: dict = {}
+    for age, k, v in rows:
+        w = round(2.0 ** (-(age * 86400 / 86400.0) / 7.0), 9)
+        key = f"k{k}"
+        want_count[key] = want_count.get(key, 0.0) + w
+        # mirror the operator's per-row rounding before accumulation
+        want_value[key] = want_value.get(key, 0.0) + round(w * float(v), 9)
+    for k in want_count:
+        assert abs(got[k]["decayed_count"] - want_count[k]) < 1e-8
+        assert abs(got[k]["decayed_value"] - want_value[k]) < 1e-8
