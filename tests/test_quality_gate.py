@@ -69,3 +69,50 @@ def test_gate_empty_batch_short_circuits(spark, tmp_path):
     empty = spark.createDataFrame([], "k long, v double")
     gate(empty, 0)
     assert called == []
+
+
+def test_gate_composes_with_dedup_ingest(spark, tmp_path):
+    """The gate wraps ANY foreachBatch body — here the full dedup
+    ingest loop: a clean batch passes validation and lands in the
+    corpus (deduped); a batch with a NULL text quarantines whole and
+    never reaches the corpus or the index."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.streaming import ingest
+
+    corpus_path = str(tmp_path / "corpus")
+    index_path = str(tmp_path / "index")
+    seed = spark.createDataFrame(
+        [(0, "seed document text about estuaries and tide charts only")],
+        ["doc_id", "text"],
+    )
+    ingest.bootstrap_dedup_ingest(seed, corpus_path, index_path)
+
+    def checks():
+        return [V.min_rows(1), V.completeness("text"), V.uniqueness("doc_id")]
+
+    gated = validated_batch(
+        checks,
+        ingest.dedup_ingest_batch(corpus_path, index_path, threshold=0.8),
+        str(tmp_path / "quarantine"),
+    )
+    clean = spark.createDataFrame(
+        [(10, "a perfectly ordinary new document about telescopes")],
+        ["doc_id", "text"],
+    )
+    dirty = spark.createDataFrame(
+        [(20, None), (21, "rides along with the bad row")],
+        "doc_id long, text string",
+    )
+    gated(clean, 0)
+    gated(dirty, 1)
+    admitted = {
+        r["doc_id"]
+        for r in spark.read.parquet(corpus_path).select("doc_id").collect()
+    }
+    assert admitted == {0, 10}  # dirty batch never reached the corpus
+    sigs = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{index_path}/signatures").collect()
+    }
+    assert 20 not in sigs and 21 not in sigs
+    q = spark.read.parquet(str(tmp_path / "quarantine" / "data"))
+    assert q.count() == 2  # the whole batch, preserved for repair
