@@ -1383,28 +1383,38 @@ def incremental_dedup_indexed(
     if incoming.rdd.getNumPartitions() < para:
         incoming = incoming.repartition(para)
 
-    # SELF-MATCH EXCLUSION (both tiers): a doc never duplicates its
-    # own index entry (same id). Without this, a crash-REPLAYED ingest
-    # batch — whose admissions already reached the index — would
-    # classify its own prior admissions as dups and overwrite its
-    # corpus partition with nothing: silent data loss on the exact
-    # code path streaming recovery exercises. Ids are unique
-    # corpus-wide by store contract, so the inequality never masks a
-    # genuine duplicate.
-    corpus_fp = spark.read.parquet(f"{index_path}/fingerprints").select(
-        F.col(id_col).alias("_idx_id"), "sha256_fp"
+    # REPLAY-BATCH EXCLUSION (both tiers): drop every index row whose
+    # id appears in the INCOMING batch before matching. Without this,
+    # a crash-REPLAYED ingest batch — whose admissions already reached
+    # the index — would classify its own prior admissions as dups and
+    # overwrite its corpus partition without them: silent data loss on
+    # the exact code path streaming recovery exercises. A pairwise
+    # `incoming.id != index.id` inequality is NOT enough: a replayed
+    # batch holding two mutually-near-dup docs has each doc match its
+    # SIBLING's index entry (different id), so both are rejected and
+    # lost. Excluding by the whole incoming id-set is safe because ids
+    # are unique corpus-wide by store contract — any index row sharing
+    # an incoming id can only be a prior attempt of this same batch.
+    # The incoming id frame is one narrow column per micro-batch; the
+    # anti-joins broadcast it against the index tables.
+    inc_ids = incoming.select(id_col).distinct()
+    corpus_fp = (
+        spark.read.parquet(f"{index_path}/fingerprints")
+        .join(inc_ids, id_col, "left_anti")
+        .select(F.col(id_col).alias("_idx_id"), "sha256_fp")
     )
     inc_fp = fingerprints(incoming, text_col, id_col)
     exact_ids = (
         inc_fp.join(
             corpus_fp,
-            (inc_fp["sha256_fp"] == corpus_fp["sha256_fp"])
-            & (inc_fp[id_col] != corpus_fp["_idx_id"]),
+            inc_fp["sha256_fp"] == corpus_fp["sha256_fp"],
             "left_semi",
         ).select(F.col(id_col))
     )
 
-    corpus_sigs = spark.read.parquet(f"{index_path}/signatures")
+    corpus_sigs = spark.read.parquet(f"{index_path}/signatures").join(
+        inc_ids, id_col, "left_anti"
+    )
     inc_sh = track_persist(
         with_shingles(incoming, text_col, id_col, n, max_chars)
     )
@@ -1421,7 +1431,8 @@ def incremental_dedup_indexed(
             ),
             ["band", "bkey"],
         )
-        .filter(F.col("id_a") != F.col("id_b"))  # self-match exclusion
+        # no id_a != id_b filter needed: the replay-batch exclusion
+        # above already removed every index row with an incoming id
         .select("id_a", "id_b")
         .distinct()
     )

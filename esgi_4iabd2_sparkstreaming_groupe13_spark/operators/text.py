@@ -359,12 +359,19 @@ def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-#: Gopher-style rule thresholds (adapted to the cheap single-pass
-#: signal set quality_features computes; Rae et al. 2021 Appendix A)
+#: Gopher-style rule thresholds (Rae et al. 2021 Appendix A), adapted
+#: to the cheap single-pass signal set quality_features computes.
+#: These are the DOCUMENTED real-corpus values — 50–100,000 words,
+#: mean word length 3–10, ≤10 % symbols, alphabetic-content floor —
+#: because a library default must describe real corpora, not a test
+#: fixture (ADVICE r7). Corpus-specific tuning passes a custom rule
+#: list to :func:`gopher_filter_report`; the synthetic sf-scale
+#: thresholds live next to the registry entry ``q_gopher``
+#: (``plans/queries.py``), not here.
 GOPHER_RULES: list[tuple[str, str]] = [
-    ("too_few_words", "n_tokens < 25"),
-    ("too_many_words", "n_tokens > 90"),
-    ("mean_word_len_out", "mean_token_len < 3.0 OR mean_token_len > 8.0"),
+    ("too_few_words", "n_tokens < 50"),
+    ("too_many_words", "n_tokens > 100000"),
+    ("mean_word_len_out", "mean_token_len < 3.0 OR mean_token_len > 10.0"),
     ("symbol_heavy", "punct_ratio > 0.1"),
     ("stopword_poor", "stopword_ratio < 0.03"),
     ("alpha_poor", "alpha_ratio < 0.6"),
@@ -372,7 +379,10 @@ GOPHER_RULES: list[tuple[str, str]] = [
 
 
 def gopher_filter_report(
-    df: DataFrame, text_col: str, id_col: str
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    rules: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Gopher-style rule-based quality FILTER REPORT (new r7): each
     document gets a pass/fail verdict per named rule over the cheap
@@ -386,9 +396,13 @@ def gopher_filter_report(
     ``(id, passes, n_failed, failed_rules)`` with failed_rules a
     comma-joined string in fixed rule order (engine-neutral — the
     gate's comparator cannot sort array cells).
+
+    ``rules`` is a ``(name, sql_condition)`` list over the
+    quality_features signal columns; defaults to :data:`GOPHER_RULES`
+    (the published real-corpus thresholds).
     """
     q = quality_features(df, text_col, id_col)
-    conds = [(name, F.expr(sql)) for name, sql in GOPHER_RULES]
+    conds = [(name, F.expr(sql)) for name, sql in (rules or GOPHER_RULES)]
     n_failed = sum(
         (c.cast("int") for _, c in conds), F.lit(0)
     )

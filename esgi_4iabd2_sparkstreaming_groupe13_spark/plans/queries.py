@@ -1182,13 +1182,29 @@ def q_transitions(spark, sf_dir):
     )
 
 
+#: Synthetic-corpus thresholds for the sf-scale documents table. The
+#: library default (text.GOPHER_RULES) carries the PUBLISHED Gopher
+#: values (50–100k words …), which the tiny synthetic docs would
+#: trivially fail/pass en bloc — corpus-specific tuning is exactly
+#: what the rules parameter is for (ADVICE r7).
+GOPHER_RULES_SYNTHETIC: list[tuple[str, str]] = [
+    ("too_few_words", "n_tokens < 25"),
+    ("too_many_words", "n_tokens > 90"),
+    ("mean_word_len_out", "mean_token_len < 3.0 OR mean_token_len > 8.0"),
+    ("symbol_heavy", "punct_ratio > 0.1"),
+    ("stopword_poor", "stopword_ratio < 0.03"),
+    ("alpha_poor", "alpha_ratio < 0.6"),
+]
+
+
 def q_gopher(spark, sf_dir):
     """Gopher-style rule-based filter report (new r7): per-doc
     pass/fail verdict for each named quality rule over the single-pass
     cheap signals — the explainable production form of corpus
     filtering (keep the verdict table, not just the survivors)."""
     return text.gopher_filter_report(
-        _t(spark, sf_dir, "documents"), "text", "doc_id"
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        rules=GOPHER_RULES_SYNTHETIC,
     )
 
 
@@ -4529,13 +4545,14 @@ FROM documents
 
 #: q_gopher's oracle derives from q_quality's (same signal
 #: expressions, wrapped as a CTE) plus the SAME rule-condition strings
-#: the Spark side evaluates (text.GOPHER_RULES — one definition).
+#: the Spark side evaluates (GOPHER_RULES_SYNTHETIC above — one
+#: definition, the synthetic-corpus tuning q_gopher passes in).
 ORACLES["q_gopher"] = f"""
 WITH q AS ({ORACLES["q_quality"]})
 SELECT doc_id,
-       ({" + ".join(f"(CASE WHEN {sql} THEN 1 ELSE 0 END)" for _, sql in text.GOPHER_RULES)}) = 0 AS passes,
-       CAST(({" + ".join(f"(CASE WHEN {sql} THEN 1 ELSE 0 END)" for _, sql in text.GOPHER_RULES)}) AS BIGINT) AS n_failed,
-       concat_ws(',', {", ".join(f"CASE WHEN {sql} THEN '{name}' END" for name, sql in text.GOPHER_RULES)}) AS failed_rules
+       ({" + ".join(f"(CASE WHEN {sql} THEN 1 ELSE 0 END)" for _, sql in GOPHER_RULES_SYNTHETIC)}) = 0 AS passes,
+       CAST(({" + ".join(f"(CASE WHEN {sql} THEN 1 ELSE 0 END)" for _, sql in GOPHER_RULES_SYNTHETIC)}) AS BIGINT) AS n_failed,
+       concat_ws(',', {", ".join(f"CASE WHEN {sql} THEN '{name}' END" for name, sql in GOPHER_RULES_SYNTHETIC)}) AS failed_rules
 FROM q
 """
 

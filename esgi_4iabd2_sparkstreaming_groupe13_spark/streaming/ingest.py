@@ -27,10 +27,12 @@ frame derived from the index would re-read the index during the very
 job that appends to it.
 
 Delivery semantics: corpus-store writes are idempotent under replay —
-partition overwrite plus the serve path's SELF-MATCH EXCLUSION (a doc
-never duplicates its own index entry, so a replayed batch whose
-signatures already reached the index still re-admits its own docs
-instead of rejecting them and emptying its partition). Index appends
+partition overwrite plus the serve path's REPLAY-BATCH EXCLUSION
+(index rows whose id appears in the incoming batch are dropped before
+matching, so a replayed batch whose signatures already reached the
+index still re-admits ALL its own docs — including mutually-near-dup
+siblings within the batch, which a mere same-id inequality would
+reject against each other's index entries). Index appends
 are at-least-once — a replayed batch appends its signatures twice.
 Duplicate index rows never change DECISIONS (the exact tier is a
 semi-join on fingerprints, the near tier distincts its candidate

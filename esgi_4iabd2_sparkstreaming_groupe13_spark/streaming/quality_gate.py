@@ -44,23 +44,32 @@ def validated_batch(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        report_rows = validate(batch_df, checks_factory()).collect()
-        failed = [r for r in report_rows if not r["passed"]]
-        if not failed:
-            on_pass(batch_df, batch_id)
-            return
-        part = f"b{batch_id}"
-        (
-            batch_df.withColumn("quarantine_batch", F.lit(part))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("quarantine_batch")
-            .parquet(f"{quarantine_dir}/data")
-        )
-        reports = Path(quarantine_dir) / "reports"
-        reports.mkdir(parents=True, exist_ok=True)
-        with open(reports / f"{part}.json", "w") as fh:
-            json.dump(
+        # ONE scan of the input in both outcomes (VERDICT r7 wrong #3):
+        # the validate pass and the quarantine write (or the wrapped
+        # body) both consume batch_df — persist around the pair so a
+        # file-source micro-batch is never re-read from disk.
+        batch_df = batch_df.persist()
+        try:
+            report_rows = validate(batch_df, checks_factory()).collect()
+            failed = [r for r in report_rows if not r["passed"]]
+            if not failed:
+                on_pass(batch_df, batch_id)
+                return
+            part = f"b{batch_id}"
+            (
+                batch_df.withColumn("quarantine_batch", F.lit(part))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("quarantine_batch")
+                .parquet(f"{quarantine_dir}/data")
+            )
+            # the report rides the SAME writer stack as the data (a
+            # one-row DataFrame written as JSON), so a non-local
+            # quarantine_dir (s3://, hdfs://) receives both or neither
+            # — never data-on-object-store with a report stranded on
+            # the driver's local disk. One directory per batch id;
+            # replay overwrites it (same idempotence as the data).
+            report_json = json.dumps(
                 {
                     "batch_id": batch_id,
                     "failed": [r["check"] for r in failed],
@@ -72,9 +81,18 @@ def validated_batch(
                         }
                         for r in report_rows
                     ],
-                },
-                fh,
-                indent=1,
+                }
             )
+            spark = batch_df.sparkSession
+            (
+                spark.createDataFrame(
+                    [(report_json,)], ["report"]
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .text(f"{quarantine_dir}/reports/{part}")
+            )
+        finally:
+            batch_df.unpersist()
 
     return process

@@ -16,6 +16,10 @@ import sys
 import duckdb
 import pandas as pd
 
+# runnable verbatim as `python scripts/oracle_check.py ...` from any
+# cwd — the package lives next to this script's parent directory
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.caching import (
     release_cached,
 )

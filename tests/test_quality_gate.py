@@ -14,6 +14,13 @@ from esgi_4iabd2_sparkstreaming_groupe13_spark.streaming.quality_gate import (
 )
 
 
+def _read_report(spark, path):
+    """Reports are written through Spark (one-row text file per batch
+    dir) so they land on the same filesystem as the quarantined data."""
+    [row] = spark.read.text(path).collect()
+    return json.loads(row["value"])
+
+
 def _checks():
     return [
         V.min_rows(2),
@@ -41,7 +48,7 @@ def test_gate_routes_clean_and_dirty_batches(spark, tmp_path):
     qdata = spark.read.parquet(f"{qdir}/data")
     assert qdata.count() == 3
     assert {r["quarantine_batch"] for r in qdata.collect()} == {"b1"}
-    rep = json.load(open(f"{qdir}/reports/b1.json"))
+    rep = _read_report(spark, f"{qdir}/reports/b1")
     assert rep["batch_id"] == 1
     assert set(rep["failed"]) == {
         "completeness(v)",
@@ -59,6 +66,30 @@ def test_gate_quarantine_replay_idempotent(spark, tmp_path):
     n1 = spark.read.parquet(f"{qdir}/data").count()
     gate(dirty, 7)  # crash-replay
     assert spark.read.parquet(f"{qdir}/data").count() == n1 == 2
+
+
+def test_gate_scans_failing_batch_once(spark, tmp_path):
+    """VERDICT r7 wrong #3: the validate pass and the quarantine write
+    must share ONE evaluation of the input (persist), not re-read it.
+    A row-counting accumulator riding the input plan fires once per
+    evaluated row — persist makes the second consumer read the cache,
+    so the total equals the row count, not double it."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_rows(k):
+        acc.add(1)
+        return k
+
+    from pyspark.sql.types import LongType
+
+    counted = F.udf(count_rows, LongType())
+    dirty = spark.range(8).select(
+        counted(F.col("id")).alias("k"), F.lit(-1.0).alias("v")
+    )
+    gate = validated_batch(_checks, lambda df, bid: None, str(tmp_path / "q1s"))
+    gate(dirty, 0)
+    assert spark.read.parquet(f"{tmp_path}/q1s/data").count() == 8
+    assert acc.value == 8  # one evaluation, two consumers
 
 
 def test_gate_empty_batch_short_circuits(spark, tmp_path):

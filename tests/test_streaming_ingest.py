@@ -133,6 +133,32 @@ def test_replayed_batch_is_corpus_idempotent(spark, tmp_path):
     assert _admitted_ids(spark, corpus_path) == {0, 10}
 
 
+def test_replayed_batch_with_intra_batch_near_dups_loses_nothing(
+    spark, tmp_path
+):
+    """ADVICE r7 (high): a replayed batch holding two MUTUALLY
+    near-dup docs must re-admit both. A pairwise same-id exclusion is
+    not enough — each sibling matches the OTHER's index entry
+    (different id), gets classified dup_near, and the partition
+    overwrite silently drops both. The serve path must exclude every
+    index row whose id appears in the incoming batch."""
+    corpus_path, index_path = _setup_store(spark, tmp_path)
+    process = ingest.dedup_ingest_batch(corpus_path, index_path, threshold=0.8)
+    # intra-batch pair (30, 31) are near-dups of each other; 32 unique
+    batch = spark.createDataFrame(
+        [(30, TEXT_B), (31, TEXT_B_NEAR), (32, TEXT_C)],
+        ["doc_id", "text"],
+    )
+    process(batch, 0)
+    # first ingest admits all three: intra-batch dedup is by contract
+    # deferred to the compaction pass (candidates come from the index)
+    assert _admitted_ids(spark, corpus_path) == {0, 30, 31, 32}
+    process(batch, 0)  # crash replay: index already has 30/31/32
+    assert _admitted_ids(spark, corpus_path) == {0, 30, 31, 32}
+    # and the replay stayed idempotent row-wise too
+    assert spark.read.parquet(corpus_path).count() == 4
+
+
 def test_index_compaction_removes_replay_duplicates(spark, tmp_path):
     """Index appends are at-least-once; the maintenance pass must
     collapse replay-duplicated rows back to one per doc, and serve

@@ -253,6 +253,10 @@ def test_gopher_filter_report_rules(spark):
         gopher_filter_report,
     )
 
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.plans.queries import (
+        GOPHER_RULES_SYNTHETIC,
+    )
+
     rows = [
         (0, "the quick brown fox jumps over a lazy dog " * 3),   # clean-ish
         (1, "word " * 5),                                        # too few
@@ -261,7 +265,7 @@ def test_gopher_filter_report_rules(spark):
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r["doc_id"]: r for r in gopher_filter_report(
-        df, "text", "doc_id"
+        df, "text", "doc_id", rules=GOPHER_RULES_SYNTHETIC
     ).collect()}
     assert "too_few_words" in out[1]["failed_rules"]
     assert not out[1]["passes"]
@@ -274,3 +278,11 @@ def test_gopher_filter_report_rules(spark):
     assert all(r["n_failed"] == len(
         [x for x in r["failed_rules"].split(",") if x]
     ) for r in out.values())
+    # DEFAULT rules carry the published Gopher thresholds (ADVICE r7):
+    # a 120-word document is nowhere near the 100k-word upper bound,
+    # but 5 words still undershoots the 50-word floor
+    dflt = {r["doc_id"]: r for r in gopher_filter_report(
+        df, "text", "doc_id"
+    ).collect()}
+    assert "too_many_words" not in dflt[2]["failed_rules"]
+    assert "too_few_words" in dflt[1]["failed_rules"]
