@@ -402,7 +402,11 @@ def gopher_filter_report(
     (the published real-corpus thresholds).
     """
     q = quality_features(df, text_col, id_col)
-    conds = [(name, F.expr(sql)) for name, sql in (rules or GOPHER_RULES)]
+    # `is None` (not falsy-or): an explicitly-passed empty rule list
+    # means "no rules — everything passes", not "use the defaults"
+    # (ADVICE r8).
+    rule_list = GOPHER_RULES if rules is None else rules
+    conds = [(name, F.expr(sql)) for name, sql in rule_list]
     n_failed = sum(
         (c.cast("int") for _, c in conds), F.lit(0)
     )

@@ -12,7 +12,10 @@ Semantics:
   the batch is metadata-sized, not data-sized;
 * quarantined batches write via dynamic partition overwrite keyed by
   batch id — a crash-replayed quarantine replaces itself, and the
-  report lands next to the data as one JSON file per batch;
+  report lands next to the data as a per-batch Spark text directory
+  (``reports/b<N>/part-*``), written through the same writer stack as
+  the quarantined rows so non-local quarantine dirs get both or
+  neither;
 * passing batches flow unchanged to the wrapped ``on_pass`` body
   (e.g. ``processor.process_batch`` or the dedup ingest loop).
 """
@@ -20,7 +23,6 @@ Semantics:
 from __future__ import annotations
 
 import json
-from pathlib import Path
 from typing import Callable
 
 from pyspark.sql import DataFrame

@@ -286,3 +286,17 @@ def test_gopher_filter_report_rules(spark):
     ).collect()}
     assert "too_many_words" not in dflt[2]["failed_rules"]
     assert "too_few_words" in dflt[1]["failed_rules"]
+
+
+def test_gopher_filter_report_empty_rules_means_no_rules(spark):
+    """ADVICE r8: an explicitly-passed empty rule list means 'no rules
+    — everything passes', not 'fall back to the defaults'."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.text import (
+        gopher_filter_report,
+    )
+
+    df = spark.createDataFrame([(0, "word " * 5)], ["doc_id", "text"])
+    out = gopher_filter_report(df, "text", "doc_id", rules=[]).collect()
+    assert out[0]["passes"] is True
+    assert out[0]["n_failed"] == 0
+    assert out[0]["failed_rules"] == ""
