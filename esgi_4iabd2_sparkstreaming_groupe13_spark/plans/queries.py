@@ -4558,84 +4558,24 @@ FROM q
 
 
 # Registry order is a CONTRACT with the driver's correctness gate,
-# which verifies the first 50 entries. Round-7 rotation (VERDICT r6
-# item 1): the window leads with (a) q_equi_depth — the one entry
-# that has never had a driver row (added after the r6 full-suite
-# sweep) — and the TWENTY-TWO queries whose last green driver row is
-# round 4 (q_json_extract .. q_minhash_lsh), then (b) queries CHANGED
-# or NEW this round (q_validation's pass verdicts moved from rounded
-# ratios to exact counts; q_line_dedup, q_scd2, q_split_leakage,
-# q_embed_norm and q_prefix_jaccard are new r7 operators), then
-# (c) the oldest r5-verified canaries in registry order
-# (q_grouping_sets .. q_tpch_q6). The remaining r5-verified entries
-# (q_tpch_q7 .. q_date_parts — the last four displaced mid-round by
-# the new entries) wait behind the window — ROTATE THEM IN FIRST in
-# r8, ahead of the (fresher) r6-verified block that follows them.
+# which verifies the FIRST 50 entries. Round-9 rotation (VERDICT r8
+# item 1 — r8 did NOT rotate, so the r7 window got driver rows twice):
+# the window leads with (a) the 31 entries whose last driver row is
+# ROUND 5 (q_tpch_q1 .. q_date_parts — three rounds stale, the oldest
+# in the registry), then (b) the oldest 19 of the r6-verified block
+# (q_string_funcs .. q_rate_anomaly). Any NEW r9 queries are inserted
+# into the window displacing its tail. Behind the window, the queue
+# for r10 rotation in order of staleness: the remaining 30 r6-verified
+# entries (q_funnel .. q_total_count), the 3 rows-only entries, then
+# the 50-entry r7/r8-verified block (q_equi_depth ..
+# q_bloom_contamination — freshest: driver-green in BOTH r7 and r8).
 # scripts/oracle_check.py still runs the whole list every round and
-# now writes CORRECTNESS_local_rN.json (full registry, driver format)
-# so the judge can audit "all green NOW" without re-running.
+# writes CORRECTNESS_local_rN.json (full registry, driver format) so
+# the judge can audit "all green NOW" without re-running.
 
 QUERIES: list[QuerySpec] = [
-    # ==== driver 50-entry verification window ====
-    # ---- never driver-checked (new r6, added post-sweep) ----
-    QuerySpec("q_equi_depth", q_equi_depth, ORACLES["q_equi_depth"]),
-    # ---- last driver-green in round 4 ----
-    QuerySpec("q_json_extract", q_json_extract, ORACLES["q_json_extract"]),
-    QuerySpec("q_dedup_exact", q_dedup_exact, ORACLES["q_dedup_exact"]),
-    QuerySpec("q_ngram_jaccard", q_ngram_jaccard, ORACLES["q_ngram_jaccard"]),
-    QuerySpec("q_minhash_sig", q_minhash_sig, ORACLES["q_minhash_sig"]),
-    QuerySpec("q_simhash_pairs", q_simhash_pairs, ORACLES["q_simhash_pairs"]),
-    QuerySpec("q_cosine_topk", q_cosine_topk, ORACLES["q_cosine_topk"], True),
-    QuerySpec("q_cosine_lsh", q_cosine_lsh, ORACLES["q_cosine_lsh"]),
-    QuerySpec("q_lang_id", q_lang_id, ORACLES["q_lang_id"], True),
-    QuerySpec("q_quality", q_quality, ORACLES["q_quality"]),
-    QuerySpec("q_token_counts", q_token_counts, ORACLES["q_token_counts"], True),
-    QuerySpec("q_sentiment", q_sentiment, ORACLES["q_sentiment"]),
-    QuerySpec("q_stream_batch_agg", q_stream_batch_agg, ORACLES["q_stream_batch_agg"]),
-    QuerySpec("q_contamination", q_contamination, ORACLES["q_contamination"], True),
-    QuerySpec("q_pii_redact", q_pii_redact, ORACLES["q_pii_redact"]),
-    QuerySpec("q_unigram_logprob", q_unigram_logprob, ORACLES["q_unigram_logprob"], True),
-    QuerySpec("q_semi_join", q_semi_join, ORACLES["q_semi_join"]),
-    QuerySpec("q_anti_join", q_anti_join, ORACLES["q_anti_join"]),
-    QuerySpec("q_asof_join", q_asof_join, ORACLES["q_asof_join"], True),
-    QuerySpec("q_topn_per_group", q_topn_per_group, ORACLES["q_topn_per_group"], True),
-    QuerySpec("q_event_window", q_event_window, ORACLES["q_event_window"], True),
-    QuerySpec("q_rollup", q_rollup, ORACLES["q_rollup"], True),
-    QuerySpec("q_minhash_lsh", q_minhash_lsh, ORACLES["q_minhash_lsh"], True),
-    # ---- changed / new in round 7 ----
-    QuerySpec("q_validation", q_validation, ORACLES["q_validation"], True),
-    QuerySpec("q_line_dedup", q_line_dedup, ORACLES["q_line_dedup"], True),
-    QuerySpec("q_scd2", q_scd2, ORACLES["q_scd2"], True),
-    QuerySpec("q_split_leakage", q_split_leakage, ORACLES["q_split_leakage"]),
-    QuerySpec("q_embed_norm", q_embed_norm, ORACLES["q_embed_norm"], True),
-    QuerySpec("q_prefix_jaccard", q_prefix_jaccard, ORACLES["q_prefix_jaccard"], True),
-    QuerySpec("q_transitions", q_transitions, ORACLES["q_transitions"], True),
-    QuerySpec("q_corpus_drift", q_corpus_drift, ORACLES["q_corpus_drift"], True),
-    QuerySpec("q_decayed", q_decayed, ORACLES["q_decayed"], True),
-    QuerySpec("q_hll_rolling", q_hll_rolling, ORACLES["q_hll_rolling"], True),
-    QuerySpec("q_gopher", q_gopher, ORACLES["q_gopher"], True),
-    QuerySpec("q_funnel_window", q_funnel_window, ORACLES["q_funnel_window"], True),
-    # ---- oldest r5-verified canaries ----
-    QuerySpec("q_grouping_sets", q_grouping_sets, ORACLES["q_grouping_sets"]),
-    QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
-    QuerySpec("q_pivot_status", q_pivot_status, ORACLES["q_pivot_status"]),
-    QuerySpec("q_sliding_window", q_sliding_window, ORACLES["q_sliding_window"]),
-    QuerySpec("q_interval_join", q_interval_join, ORACLES["q_interval_join"]),
-    QuerySpec("q_asof_forward", q_asof_forward, ORACLES["q_asof_forward"]),
-    QuerySpec("q_global_index", q_global_index, ORACLES["q_global_index"], True),
-    QuerySpec("q_ann_recall", q_ann_recall, ORACLES["q_ann_recall"]),
-    QuerySpec("q_ann_quantized_recall", q_ann_quantized_recall, ORACLES["q_ann_quantized_recall"]),
-    QuerySpec("q_doc_chunks", q_doc_chunks, ORACLES["q_doc_chunks"], True),
-    QuerySpec("q_embed_centroid", q_embed_centroid, ORACLES["q_embed_centroid"]),
-    QuerySpec("q_containment", q_containment, ORACLES["q_containment"]),
-    QuerySpec("q_weighted_sample", q_weighted_sample, ORACLES["q_weighted_sample"]),
-    QuerySpec("q_percentiles_approx", q_percentiles_approx, ORACLES["q_percentiles_approx"]),
-    QuerySpec("q_bloom_contamination", q_bloom_contamination, ORACLES["q_bloom_contamination"]),
-    # ==== driver 50-entry verification window ends here ====
-    # r5-verified leftovers (last driver row round 5 — ROTATE IN
-    # FIRST in r8, ahead of the r6-verified block below; the TPC-H
-    # canaries q1-q10 were displaced from the window by the new r7
-    # entries):
+    # ==== driver 50-entry verification window (r9) ====
+    # ---- last driver-green in round 5 (most stale) ----
     QuerySpec("q_tpch_q1", q_tpch_q1, ORACLES["q_tpch_q1"], True),
     QuerySpec("q_tpch_q2", q_tpch_q2, ORACLES["q_tpch_q2"], True),
     QuerySpec("q_tpch_q3", q_tpch_q3, ORACLES["q_tpch_q3"], True),
@@ -4667,12 +4607,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_window_frames", q_window_frames, ORACLES["q_window_frames"], True),
     QuerySpec("q_rolling_sum", q_rolling_sum, ORACLES["q_rolling_sum"]),
     QuerySpec("q_date_parts", q_date_parts, ORACLES["q_date_parts"]),
-    # rows-only by design (pytest quality gates, no SQL oracle):
-    QuerySpec("q_media_features", q_media_features, None),
-    QuerySpec("q_kmeans_cells", q_kmeans_cells, None),
-    QuerySpec("q_ann_ivf", q_ann_ivf, None),
-    # r6-verified block (CORRECTNESS_r06 all green — freshest in the
-    # registry; rotates back in after the r5 leftovers above):
+    # ---- oldest r6-verified entries ----
     QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
     QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),
     QuerySpec("q_hash_sample", q_hash_sample, ORACLES["q_hash_sample"]),
@@ -4692,6 +4627,8 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_vocab_stats", q_vocab_stats, ORACLES["q_vocab_stats"], True),
     QuerySpec("q_edit_verify", q_edit_verify, ORACLES["q_edit_verify"]),
     QuerySpec("q_rate_anomaly", q_rate_anomaly, ORACLES["q_rate_anomaly"], True),
+    # ==== driver 50-entry verification window ends here ====
+    # r6-verified queue (rotate in first in r10):
     QuerySpec("q_funnel", q_funnel, ORACLES["q_funnel"], True),
     QuerySpec("q_snapshot_diff", q_snapshot_diff, ORACLES["q_snapshot_diff"], True),
     QuerySpec("q_correlation", q_correlation, ORACLES["q_correlation"], True),
@@ -4722,6 +4659,62 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_orderby_ts", q_orderby_ts, ORACLES["q_orderby_ts"]),
     QuerySpec("q_topk_desc", q_topk_desc, ORACLES["q_topk_desc"], True),
     QuerySpec("q_total_count", q_total_count, ORACLES["q_total_count"]),
+    # rows-only by design (pytest quality gates, no SQL oracle):
+    QuerySpec("q_media_features", q_media_features, None),
+    QuerySpec("q_kmeans_cells", q_kmeans_cells, None),
+    QuerySpec("q_ann_ivf", q_ann_ivf, None),
+    # r7/r8-verified block (driver-green twice — freshest; rotates
+    # back in last):
+    QuerySpec("q_equi_depth", q_equi_depth, ORACLES["q_equi_depth"]),
+    QuerySpec("q_json_extract", q_json_extract, ORACLES["q_json_extract"]),
+    QuerySpec("q_dedup_exact", q_dedup_exact, ORACLES["q_dedup_exact"]),
+    QuerySpec("q_ngram_jaccard", q_ngram_jaccard, ORACLES["q_ngram_jaccard"]),
+    QuerySpec("q_minhash_sig", q_minhash_sig, ORACLES["q_minhash_sig"]),
+    QuerySpec("q_simhash_pairs", q_simhash_pairs, ORACLES["q_simhash_pairs"]),
+    QuerySpec("q_cosine_topk", q_cosine_topk, ORACLES["q_cosine_topk"], True),
+    QuerySpec("q_cosine_lsh", q_cosine_lsh, ORACLES["q_cosine_lsh"]),
+    QuerySpec("q_lang_id", q_lang_id, ORACLES["q_lang_id"], True),
+    QuerySpec("q_quality", q_quality, ORACLES["q_quality"]),
+    QuerySpec("q_token_counts", q_token_counts, ORACLES["q_token_counts"], True),
+    QuerySpec("q_sentiment", q_sentiment, ORACLES["q_sentiment"]),
+    QuerySpec("q_stream_batch_agg", q_stream_batch_agg, ORACLES["q_stream_batch_agg"]),
+    QuerySpec("q_contamination", q_contamination, ORACLES["q_contamination"], True),
+    QuerySpec("q_pii_redact", q_pii_redact, ORACLES["q_pii_redact"]),
+    QuerySpec("q_unigram_logprob", q_unigram_logprob, ORACLES["q_unigram_logprob"], True),
+    QuerySpec("q_semi_join", q_semi_join, ORACLES["q_semi_join"]),
+    QuerySpec("q_anti_join", q_anti_join, ORACLES["q_anti_join"]),
+    QuerySpec("q_asof_join", q_asof_join, ORACLES["q_asof_join"], True),
+    QuerySpec("q_topn_per_group", q_topn_per_group, ORACLES["q_topn_per_group"], True),
+    QuerySpec("q_event_window", q_event_window, ORACLES["q_event_window"], True),
+    QuerySpec("q_rollup", q_rollup, ORACLES["q_rollup"], True),
+    QuerySpec("q_minhash_lsh", q_minhash_lsh, ORACLES["q_minhash_lsh"], True),
+    QuerySpec("q_validation", q_validation, ORACLES["q_validation"], True),
+    QuerySpec("q_line_dedup", q_line_dedup, ORACLES["q_line_dedup"], True),
+    QuerySpec("q_scd2", q_scd2, ORACLES["q_scd2"], True),
+    QuerySpec("q_split_leakage", q_split_leakage, ORACLES["q_split_leakage"]),
+    QuerySpec("q_embed_norm", q_embed_norm, ORACLES["q_embed_norm"], True),
+    QuerySpec("q_prefix_jaccard", q_prefix_jaccard, ORACLES["q_prefix_jaccard"], True),
+    QuerySpec("q_transitions", q_transitions, ORACLES["q_transitions"], True),
+    QuerySpec("q_corpus_drift", q_corpus_drift, ORACLES["q_corpus_drift"], True),
+    QuerySpec("q_decayed", q_decayed, ORACLES["q_decayed"], True),
+    QuerySpec("q_hll_rolling", q_hll_rolling, ORACLES["q_hll_rolling"], True),
+    QuerySpec("q_gopher", q_gopher, ORACLES["q_gopher"], True),
+    QuerySpec("q_funnel_window", q_funnel_window, ORACLES["q_funnel_window"], True),
+    QuerySpec("q_grouping_sets", q_grouping_sets, ORACLES["q_grouping_sets"]),
+    QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
+    QuerySpec("q_pivot_status", q_pivot_status, ORACLES["q_pivot_status"]),
+    QuerySpec("q_sliding_window", q_sliding_window, ORACLES["q_sliding_window"]),
+    QuerySpec("q_interval_join", q_interval_join, ORACLES["q_interval_join"]),
+    QuerySpec("q_asof_forward", q_asof_forward, ORACLES["q_asof_forward"]),
+    QuerySpec("q_global_index", q_global_index, ORACLES["q_global_index"], True),
+    QuerySpec("q_ann_recall", q_ann_recall, ORACLES["q_ann_recall"]),
+    QuerySpec("q_ann_quantized_recall", q_ann_quantized_recall, ORACLES["q_ann_quantized_recall"]),
+    QuerySpec("q_doc_chunks", q_doc_chunks, ORACLES["q_doc_chunks"], True),
+    QuerySpec("q_embed_centroid", q_embed_centroid, ORACLES["q_embed_centroid"]),
+    QuerySpec("q_containment", q_containment, ORACLES["q_containment"]),
+    QuerySpec("q_weighted_sample", q_weighted_sample, ORACLES["q_weighted_sample"]),
+    QuerySpec("q_percentiles_approx", q_percentiles_approx, ORACLES["q_percentiles_approx"]),
+    QuerySpec("q_bloom_contamination", q_bloom_contamination, ORACLES["q_bloom_contamination"]),
 ]
 
 
