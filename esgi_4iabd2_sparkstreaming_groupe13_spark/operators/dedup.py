@@ -1554,3 +1554,169 @@ def admit_new_documents(
     return with_fp.join(corpus_fp, "sha256_fp", "left_anti").drop(
         "sha256_fp"
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level (span) dedup — the Lee et al. 2022 tier
+# ---------------------------------------------------------------------------
+
+#: Span-dedup shingle width in TOKENS. Lee et al. ("Deduplicating
+#: Training Data Makes Language Models Better", 2022) use a 50-token
+#: threshold on real corpora; the synthetic test corpus has ~40-token
+#: documents, so the library default is sized to it. Callers tune it.
+DEFAULT_SPAN_TOKENS = 8
+
+
+def _token_shingle_positions(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, start, shash): one md5 key per k-token shingle at every
+    1-based start position of the normalized token stream
+    (:func:`token_array` — the stream training pipelines dedup on).
+    Narrow per-row work: the shingle loop is a higher-order transform,
+    the only explode fans out to one row per position. Tokens are
+    joined with US (0x1f, outside the token alphabet), so shingle keys
+    are unambiguous."""
+    toks = df.select(
+        F.col(id_col), token_array(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") >= k)
+    return toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+                lambda i: F.struct(
+                    i.cast("long").alias("start"),
+                    F.md5(F.concat_ws("\x1f", F.slice("_toks", i, k))).alias(
+                        "shash"
+                    ),
+                ),
+            )
+        ).alias("_s"),
+    ).select(id_col, F.col("_s.start").alias("start"), F.col("_s.shash").alias("shash"))
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = DEFAULT_SPAN_TOKENS,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Substring-level exact span dedup (Lee et al. 2022): find every
+    maximal span of ≥ ``k`` tokens whose content repeats anywhere in
+    the corpus — including across line boundaries and inside otherwise
+    unique documents, the tier document-level and line-level dedup
+    both miss (a boilerplate paragraph pasted mid-document).
+
+    Three-stage plan, each stage the scale-correct shape:
+
+    1. **Shingle**: one row per k-token window (narrow transform +
+       explode; work O(tokens), key 16-byte md5 — never the text).
+    2. **Duplicate keys**: ``groupBy(shash).count() >=
+       min_occurrences``. Partial aggregation combines map-side, so
+       the shuffle carries one row per DISTINCT shingle per map
+       partition — shuffle volume tracks distinct shingles, not
+       corpus tokens (the scale-probe contract). A shingle repeated
+       within ONE document counts too (self-repetition is a dup).
+    3. **Island merge**: positions whose shingle is duplicated are
+       semi-joined back (AQE handles heavy-hitter skew; after the
+       HAVING filter the duplicate-key side is usually the small one),
+       then adjacent positions merge into maximal spans per document
+       via the island trick — ``start - row_number()`` is constant
+       within a run of consecutive starts. The window partitions by
+       document (bounded by document length — no global window).
+
+    Adjacent duplicated shingles merge even when their repeats point
+    at different other documents — the standard over-approximation:
+    the merged span is still wholly covered by duplicated k-grams.
+
+    Returns ``(id, span_start, span_end, span_tokens)`` — 1-based
+    inclusive TOKEN positions in the normalized token stream, one row
+    per maximal duplicated span.
+    """
+    from pyspark.sql import Window
+
+    sh = _token_shingle_positions(df, text_col, id_col, k)
+    dup_keys = (
+        sh.groupBy("shash")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_occurrences)
+        .select("shash")
+    )
+    dup_pos = sh.join(dup_keys, "shash", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("start")
+    return (
+        dup_pos.withColumn("_isl", F.col("start") - F.row_number().over(w))
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + F.lit(k - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Companion CLEANER for :func:`duplicated_spans`: rebuild each
+    document's normalized token stream with every flagged span removed
+    (removal policy: ALL occurrences — the conservative variant; the
+    keep-one-occurrence variant needs a global canonical-occurrence
+    election and is deliberately not this operator). Output text is
+    the surviving tokens space-joined — i.e. the NORMALIZED stream
+    (lowercased, punctuation stripped), the representation training
+    pipelines tokenize anyway.
+
+    Shape: spans collapse to one array per document (tiny — spans per
+    doc, not tokens), broadcast-friendly join back to the corpus, then
+    a narrow per-row filter of positions against the span list. Work
+    is O(tokens × spans-per-doc) per document, all inside codegen; the
+    corpus shuffles only if the optimizer declines the broadcast.
+
+    Returns ``(id, clean_text, tokens_kept)``.
+    """
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = df.select(
+        F.col(id_col), token_array(F.col(text_col)).alias("_toks")
+    )
+    joined = toks.join(sp, id_col, "left")
+    spans_arr = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:long,span_end:long>>"),
+    )
+
+    def _keep(span_list):
+        # closure factory (PySpark lambda-arity rule: no default args)
+        def check(pos):
+            return ~F.exists(
+                span_list,
+                lambda s: (pos >= s["span_start"]) & (pos <= s["span_end"]),
+            )
+
+        return check
+
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size("_toks")).cast("array<long>"),
+        _keep(spans_arr),
+    )
+
+    return joined.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(kept, lambda i: F.element_at("_toks", i.cast("int"))),
+            " ",
+        ).alias("clean_text"),
+        F.size(kept).cast("long").alias("tokens_kept"),
+    )

@@ -620,3 +620,97 @@ def test_indexed_serve_replay_exclusion_antijoins_broadcast(spark, tmp_path):
     assert anti_lines, "expected replay-exclusion LeftAnti joins in the plan"
     for ln in anti_lines:
         assert "BroadcastHashJoin" in ln, f"non-broadcast anti-join: {ln}"
+
+
+# ---- substring-level span dedup (Lee et al. tier, new r9) ----
+
+_SPAN_BOILER = (
+    "subscribe to our newsletter for updates delivered every morning"
+)  # 9 tokens
+
+
+def _span_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "unique opening about tide charts and estuaries. "
+                f"{_SPAN_BOILER}. closing words on birds"),
+            (2, "totally different text concerning telescopes. "
+                f"{_SPAN_BOILER}. more brass polishing notes"),
+            (3, "entirely fresh document about sourdough with no repeated "
+                "content at all here today"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_duplicated_spans_finds_maximal_cross_doc_span(spark):
+    """The 9-token boilerplate pasted mid-document into docs 1 and 2
+    must surface as EXACTLY the maximal 9-token span in each (k=5 →
+    5 consecutive duplicated shingles merge into one island); the
+    clean doc has none."""
+    spans = {
+        r["doc_id"]: r
+        for r in dedup.duplicated_spans(
+            _span_docs(spark), "text", "doc_id", k=5
+        ).collect()
+    }
+    assert set(spans) == {1, 2}
+    # doc 1: boilerplate starts at token 8 (7 unique tokens precede it)
+    assert (spans[1]["span_start"], spans[1]["span_end"]) == (8, 16)
+    assert spans[1]["span_tokens"] == 9
+    # doc 2: 5 preceding tokens
+    assert (spans[2]["span_start"], spans[2]["span_end"]) == (6, 14)
+
+
+def test_duplicated_spans_detects_self_repetition(spark):
+    """A span repeated WITHIN one document is a duplicate too (total
+    occurrence count, not distinct-doc count)."""
+    phrase = "one two three four five six"
+    df = spark.createDataFrame(
+        [(1, f"{phrase} filler alpha beta gamma delta {phrase}")],
+        ["doc_id", "text"],
+    )
+    spans = dedup.duplicated_spans(df, "text", "doc_id", k=5).collect()
+    assert len(spans) == 2
+    assert all(r["span_tokens"] == 6 for r in spans)
+
+
+def test_duplicated_spans_short_docs_skipped(spark):
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "too short")], ["doc_id", "text"]
+    )
+    assert dedup.duplicated_spans(df, "text", "doc_id", k=5).count() == 0
+
+
+def test_strip_duplicated_spans_removes_all_occurrences(spark):
+    df = _span_docs(spark)
+    spans = dedup.duplicated_spans(df, "text", "doc_id", k=5)
+    out = {
+        r["doc_id"]: r
+        for r in dedup.strip_duplicated_spans(
+            df, spans, "text", "doc_id"
+        ).collect()
+    }
+    assert out[1]["clean_text"] == (
+        "unique opening about tide charts and estuaries closing words on birds"
+    )
+    assert out[1]["tokens_kept"] == 11
+    assert "newsletter" not in out[2]["clean_text"]
+    # untouched doc passes through complete (normalized stream)
+    assert out[3]["tokens_kept"] == 13
+    assert out[3]["clean_text"].startswith("entirely fresh document")
+
+
+def test_duplicated_spans_shuffle_carries_hashes_not_text(spark):
+    """Plan shape: the df aggregate's exchange must not carry the
+    document text — only the 16-byte shingle key (and position/id on
+    the island side)."""
+    df = _span_docs(spark)
+    plan = (
+        dedup.duplicated_spans(df, "text", "doc_id", k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
