@@ -36,8 +36,10 @@ reject against each other's index entries). Index appends
 are at-least-once — a replayed batch appends its signatures twice.
 Duplicate index rows never change DECISIONS (the exact tier is a
 semi-join on fingerprints, the near tier distincts its candidate
-pairs), they only grow the index until the periodic compaction pass
-(``operators/maintenance.py``) rewrites it. That is the same
+pairs), they only grow the index until the compaction pass
+(``operators/maintenance.py``) rewrites it — scheduled from this loop
+every ``compact_every`` micro-batches, so a long-running stream's
+index stays bounded without manual maintenance. That is the same
 at-least-once-per-sink contract as the reference's four-sink consumer
 (``StreamProcessor.scala:148-192``).
 """
@@ -105,12 +107,25 @@ def dedup_ingest_batch(
     n: int = DEFAULT_SHINGLE_N,
     max_chars: int = 512,
     seed: int = 42,
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` body. Separated from the stream
     wiring so the SAME function can run on static frames — the batch
     form IS the streaming oracle (pytest pins stream == batch over a
     multi-batch fixture where batch N near-dups batch N−1's
-    admissions)."""
+    admissions).
+
+    ``compact_every`` (VERDICT r7 item 7): run
+    :func:`~..operators.maintenance.compact_dedup_index` after every
+    N-th micro-batch, bounding the index growth that at-least-once
+    appends cause under replays — without it a long-running stream
+    compacts only when an operator remembers to. Scheduling the pass
+    INSIDE ``foreachBatch`` keeps the single-writer contract for free:
+    Structured Streaming serializes micro-batches, so compaction never
+    races an append. Keyed on ``batch_id`` (not a local counter), so a
+    crash-replayed trigger batch re-runs its compaction — idempotent
+    (the pass is a dedup rewrite; the swap crash-window is covered by
+    ``heal_swap``, which both compaction entry points run first)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -155,6 +170,11 @@ def dedup_ingest_batch(
             .select(id_col, text_col)
         )
         append_to_dedup_index(durable, text_col, id_col, index_path)
+        # 4 (optional): scheduled index maintenance — see docstring
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            from ..operators.maintenance import compact_dedup_index
+
+            compact_dedup_index(spark, index_path)
 
     return process
 
@@ -176,10 +196,13 @@ def start_dedup_ingest(
     n: int = DEFAULT_SHINGLE_N,
     max_chars: int = 512,
     seed: int = 42,
+    compact_every: int | None = 32,
 ) -> StreamingQuery:
     """Wire the ingest loop onto an NDJSON directory stream (same
     source contract as the trip consumer: schema-applied, ``*.json``
-    glob, ``maxFilesPerTrigger`` throttle, checkpointed offsets)."""
+    glob, ``maxFilesPerTrigger`` throttle, checkpointed offsets).
+    ``compact_every`` defaults ON for the long-running stream form
+    (every 32 micro-batches) — see :func:`dedup_ingest_batch`."""
     stream = create_file_stream(
         spark, input_dir, schema, "json", max_files_per_trigger
     )
@@ -195,6 +218,7 @@ def start_dedup_ingest(
             n,
             max_chars,
             seed,
+            compact_every,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:

@@ -274,3 +274,53 @@ def test_boilerplate_scrub_stream_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(outdir).collect()
     }
     assert streamed == {k: v["text_clean"] for k, v in out.items()}
+
+
+def test_scheduled_compaction_bounds_index_under_replays(spark, tmp_path):
+    """VERDICT r7 item 7: with compact_every=N wired into the ingest
+    loop, running >= 2N batches WITH forced replays must keep the
+    index row count bounded (== docs whose signatures ever reached the
+    index — no replay-duplicate rows survive past a compaction tick)
+    and leave serve decisions unchanged."""
+    from pyspark.sql import functions as F
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.dedup import (
+        incremental_dedup_indexed,
+    )
+
+    corpus_path, index_path = _setup_store(spark, tmp_path)
+    N = 2
+    process = ingest.dedup_ingest_batch(
+        corpus_path, index_path, threshold=0.8, compact_every=N
+    )
+    texts = [TEXT_B, TEXT_B_NEAR, TEXT_C, TEXT_A + " extra tail tokens",
+             TEXT_C + " with a different ending clause"]
+    for b in range(2 * N + 1):  # 5 batches > 2N
+        batch = spark.createDataFrame(
+            [(100 + b, texts[b])], ["doc_id", "text"]
+        )
+        process(batch, b)
+        process(batch, b)  # forced replay: double-append every batch
+    # batches 1 and 3 ticked compaction (batch_id+1 % 2 == 0); batch 4
+    # replayed after the last tick, so only ITS duplicates may remain
+    admitted = _admitted_ids(spark, corpus_path)
+    sigs = spark.read.parquet(f"{index_path}/signatures")
+    n_rows = sigs.count()
+    n_docs = sigs.select("doc_id").distinct().count()
+    # bounded: at most one un-compacted replay batch of slack, never
+    # 2× growth (without scheduling, 10 appends → ~2 rows per doc)
+    assert n_rows <= n_docs + 2
+    # decisions unchanged: a fresh serve pass classifies a known
+    # near-dup and a known-new doc exactly as before compaction
+    corpus = spark.read.parquet(corpus_path).select("doc_id", "text")
+    probe = spark.createDataFrame(
+        [(900, TEXT_B.replace("cold", "cool")), (901, "wholly novel words "
+          "about glaciers calving into quiet fjords at dawn")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["decision"] for r in incremental_dedup_indexed(
+        index_path, corpus, probe, "text", "doc_id", threshold=0.8
+    ).collect()}
+    assert got[900] == "dup_near"
+    assert got[901] == "new"
+    assert 100 in admitted and 102 in admitted
