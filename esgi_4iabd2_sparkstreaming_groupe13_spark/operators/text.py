@@ -419,3 +419,111 @@ def gopher_filter_report(
         n_failed.cast("long").alias("n_failed"),
         failed.alias("failed_rules"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier (fastText-style scoring, new r9)
+# ---------------------------------------------------------------------------
+
+#: Hashed feature dimension for the linear quality scorer. 128 buckets
+#: over word uni+bigrams — the deployment shape of a fastText-style
+#: quality classifier (hash features, average-pool, one linear unit).
+QUALITY_CLF_DIM = 128
+
+#: Fixed-point scale for the weight integers: weights live in
+#: [-2.0, 2.0] as ints in [-2000, 2000]. INTEGER accumulation makes
+#: the dot product order-independent and bit-exact across engines —
+#: the one double division + sigmoid happens once per document.
+QUALITY_CLF_SCALE = 1000
+
+
+def quality_clf_weights(
+    dim: int = QUALITY_CLF_DIM, seed: int = 7
+) -> list[int]:
+    """Deterministic stand-in for a TRAINED weight vector: the same
+    frozen LCG as the MinHash permutation family (Numerical Recipes
+    constants — interpreter-independent forever). A production
+    pipeline drops its fastText/logistic weights in here; every
+    consumer (Spark expression, DuckDB oracle, tests) reads THIS list,
+    so the literals cannot drift between engines."""
+    state = seed & 0xFFFFFFFF
+    out = []
+    for _ in range(dim):
+        state = (1664525 * state + 1013904223) & 0xFFFFFFFF
+        out.append(int(state % (2 * QUALITY_CLF_SCALE + 1)) - QUALITY_CLF_SCALE)
+    return out
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: list[int] | None = None,
+    bias: int = 0,
+    dim: int = QUALITY_CLF_DIM,
+) -> DataFrame:
+    """fastText-style linear quality score — the trained-scorer layer
+    production corpus pipelines put ABOVE the Gopher rule filter
+    (rules catch pathologies; a learned scorer ranks the remainder).
+
+    Model: hashed bag of word UNIGRAMS + BIGRAMS (md5 → ``dim``
+    buckets), average-pooled, one linear unit + sigmoid:
+
+        score = σ(bias/S + mean_over_features(w[bucket]/S))
+
+    Scale shape: ZERO shuffles — per-row higher-order expressions
+    only (tokenize → hash → integer fold over a literal weight
+    array). The dot product accumulates in INTEGERS (fixed-point
+    weights), so the fold is order-independent and the oracle can
+    reproduce it bit-exactly; the division and sigmoid are one
+    double op per document (transcendental → plain 6dp round is
+    cross-engine safe). Weight lookup is ``element_at`` into a
+    128-literal array column — codegen keeps it in the generated
+    function, no join, no broadcast.
+
+    Returns ``(id, n_features, quality_score, keep)`` with
+    ``keep = score >= 0.5``.
+    """
+    w = weights if weights is not None else quality_clf_weights(dim)
+    if len(w) != dim:
+        raise ValueError(f"weights length {len(w)} != dim {dim}")
+    warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
+    from ..functions.hashing import md5_int
+
+    toks = token_array(F.col(text_col))
+
+    def bucket(col: Column) -> Column:
+        return F.pmod(md5_int(col), F.lit(dim))
+
+    uni = F.transform(toks, bucket)
+    # bigram build: pair token i with token i+1. Guarded — sequence(1, 0)
+    # is DESCENDING in Spark, so single-token docs need the empty branch.
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: bucket(
+                F.concat_ws(
+                    "\x1f", F.element_at(toks, i), F.element_at(toks, i + 1)
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    feats = F.concat(uni, bi)
+    n_feat = F.size(feats)
+    acc = F.aggregate(
+        feats,
+        F.lit(0).cast("long"),
+        lambda a, b: a + F.element_at(warr, b.cast("int") + 1),
+    )
+    s = float(QUALITY_CLF_SCALE)
+    z = F.lit(bias / s) + (acc.cast("double") / s) / n_feat.cast("double")
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return df.select(
+        F.col(id_col),
+        n_feat.cast("long").alias("n_features"),
+        F.when(n_feat > 0, score).otherwise(F.lit(0.5)).alias("quality_score"),
+        F.when(n_feat > 0, score >= 0.5)
+        .otherwise(F.lit(True))
+        .alias("keep"),
+    )

@@ -3425,6 +3425,57 @@ def q_span_strip(spark, sf_dir):
     )
 
 
+def q_quality_score(spark, sf_dir):
+    """fastText-style linear quality classifier (VERDICT r7 item 5):
+    hashed uni+bigram features, average pooling, one linear unit +
+    sigmoid — the trained-scorer layer above the Gopher rules.
+    Zero-shuffle narrow plan: integer fixed-point dot product over a
+    literal weight array, one double sigmoid per doc. See
+    text.quality_classifier_score."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.quality_classifier_score(docs, "text", "doc_id")
+
+
+def _quality_score_oracle() -> str:
+    from ..operators.text import (
+        QUALITY_CLF_DIM,
+        QUALITY_CLF_SCALE,
+        quality_clf_weights,
+    )
+
+    d, s = QUALITY_CLF_DIM, float(QUALITY_CLF_SCALE)
+    w = quality_clf_weights()  # the SAME literal list the Spark side embeds
+    wlist = "[" + ", ".join(str(x) for x in w) + "]"
+    uni = f"list_transform(t, x -> {md5_int_sql('x')} % {d})"
+    big = (
+        f"CASE WHEN len(t) >= 2 THEN list_transform("
+        f"generate_series(1, len(t) - 1), "
+        f"i -> {md5_int_sql('(t[i] || chr(31) || t[i+1])')} % {d}) "
+        f"ELSE [] END"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {token_array_sql('text')} AS t FROM documents
+),
+wts AS (SELECT {wlist}::BIGINT[] AS w),
+feats AS (
+  SELECT doc_id, list_concat({uni}, {big}) AS f FROM toks
+),
+scored AS (
+  SELECT doc_id, len(f) AS n_features,
+         round(1.0 / (1.0 + exp(-(0.0 +
+           (list_sum(list_transform(f, b -> w[b + 1]))::DOUBLE / {s})
+           / len(f)))), 6) AS sc
+  FROM feats, wts
+  WHERE len(f) > 0
+)
+SELECT t.doc_id, CAST(coalesce(s.n_features, 0) AS BIGINT) AS n_features,
+       coalesce(s.sc, 0.5) AS quality_score,
+       coalesce(s.sc >= 0.5, TRUE) AS keep
+FROM toks t LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def _span_cte(k: int) -> str:
     """Shared CTE chain for the span-dedup oracles: toks → positional
     shingles (same md5-over-chr(31)-joined-tokens key as the Spark
@@ -4617,6 +4668,8 @@ FROM q
 """
 
 
+ORACLES["q_quality_score"] = _quality_score_oracle()
+
 ORACLES["q_substring_dedup"] = f"""
 WITH {_span_cte(SPAN_DEDUP_K)}
 SELECT doc_id, span_start, span_end,
@@ -4701,6 +4754,7 @@ QUERIES: list[QuerySpec] = [
     # ---- NEW in r9 (substring-level span dedup) ----
     QuerySpec("q_substring_dedup", q_substring_dedup, ORACLES["q_substring_dedup"], True),
     QuerySpec("q_span_strip", q_span_strip, ORACLES["q_span_strip"]),
+    QuerySpec("q_quality_score", q_quality_score, ORACLES["q_quality_score"], True),
     # ---- oldest r6-verified entries ----
     QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
     QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),
@@ -4718,11 +4772,11 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_session_window", q_session_window, ORACLES["q_session_window"]),
     QuerySpec("q_admission_filter", q_admission_filter, ORACLES["q_admission_filter"]),
     QuerySpec("q_top_ngram", q_top_ngram, ORACLES["q_top_ngram"], True),
-    QuerySpec("q_vocab_stats", q_vocab_stats, ORACLES["q_vocab_stats"], True),
     # ==== driver 50-entry verification window ends here ====
-    # r6-verified queue (rotate in first in r10 — q_edit_verify and
-    # q_rate_anomaly were displaced from the window tail by the two
-    # new r9 entries above):
+    # r6-verified queue (rotate in first in r10 — q_vocab_stats,
+    # q_edit_verify and q_rate_anomaly were displaced from the window
+    # tail by the three new r9 entries above):
+    QuerySpec("q_vocab_stats", q_vocab_stats, ORACLES["q_vocab_stats"], True),
     QuerySpec("q_edit_verify", q_edit_verify, ORACLES["q_edit_verify"]),
     QuerySpec("q_rate_anomaly", q_rate_anomaly, ORACLES["q_rate_anomaly"], True),
     QuerySpec("q_funnel", q_funnel, ORACLES["q_funnel"], True),

@@ -300,3 +300,61 @@ def test_gopher_filter_report_empty_rules_means_no_rules(spark):
     assert out[0]["passes"] is True
     assert out[0]["n_failed"] == 0
     assert out[0]["failed_rules"] == ""
+
+
+def test_quality_classifier_score_properties(spark):
+    """Linear quality scorer: deterministic scores in (0,1), keep
+    mirrors the 0.5 cut, n_features = unigrams + bigrams, and the
+    degenerate empty-text doc gets the neutral 0.5/keep verdict
+    instead of a NULL (division-by-zero guard)."""
+    import math
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.text import (
+        QUALITY_CLF_DIM,
+        QUALITY_CLF_SCALE,
+        quality_classifier_score,
+        quality_clf_weights,
+    )
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.functions.hashing import (
+        HASH_PRIME,  # noqa: F401 — import check only
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "word"),          # single token: no bigrams
+            (3, "!!! ???"),       # no tokens at all
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in quality_classifier_score(
+        df, "text", "doc_id"
+    ).collect()}
+    assert out[1]["n_features"] == 9 + 8
+    assert out[2]["n_features"] == 1
+    assert out[3]["n_features"] == 0
+    assert out[3]["quality_score"] == 0.5 and out[3]["keep"] is True
+    for r in out.values():
+        assert 0.0 < r["quality_score"] < 1.0
+        assert r["keep"] == (r["quality_score"] >= 0.5)
+
+    # brute-force replication of doc 2's score from the literals:
+    # one unigram, average pooling degenerates to w[bucket]/scale
+    import hashlib
+
+    bucket = int(hashlib.md5(b"word").hexdigest()[:15], 16) % QUALITY_CLF_DIM
+    w = quality_clf_weights()
+    z = (w[bucket] / QUALITY_CLF_SCALE) / 1
+    assert out[2]["quality_score"] == round(1 / (1 + math.exp(-z)), 6)
+
+
+def test_quality_classifier_plan_has_no_exchange(spark, sf_dir):
+    """The scorer is a pure per-row pipeline — its physical plan must
+    contain no Exchange (the zero-shuffle contract in the docstring)."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.plans import queries as Q
+
+    plan = (
+        Q.q_quality_score(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
