@@ -478,8 +478,20 @@ def quality_classifier_score(
     reproduce it bit-exactly; the division and sigmoid are one
     double op per document (transcendental → plain 6dp round is
     cross-engine safe). Weight lookup is ``element_at`` into a
-    128-literal array column — codegen keeps it in the generated
-    function, no join, no broadcast.
+    128-literal array column — constant-folded to one array literal,
+    no join, no broadcast.
+
+    Single-evaluation contract: the token array and the hashed
+    feature array are each bound as LAMBDA VARIABLES (the
+    ``element_at(transform(array(x), λ), 1)`` idiom — see
+    :func:`top_ngram_char_fraction`), and the three outputs that
+    depend on them come out of ONE bound struct; ``keep`` derives
+    from the ``quality_score`` column in a second projection that
+    Catalyst keeps separate (SPARK-36718: projects are not collapsed
+    when that would duplicate expensive expressions). A naive
+    per-column expression re-hashes every token 3–6× per row —
+    measured 27 s vs 4.5 s cold / 1.4 s steady (checksum-forced,
+    sf0.1).
 
     Returns ``(id, n_features, quality_score, keep)`` with
     ``keep = score >= 0.5``.
@@ -490,40 +502,55 @@ def quality_classifier_score(
     warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
     from ..functions.hashing import md5_int
 
-    toks = token_array(F.col(text_col))
-
     def bucket(col: Column) -> Column:
         return F.pmod(md5_int(col), F.lit(dim))
 
-    uni = F.transform(toks, bucket)
-    # bigram build: pair token i with token i+1. Guarded — sequence(1, 0)
-    # is DESCENDING in Spark, so single-token docs need the empty branch.
-    bi = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: bucket(
-                F.concat_ws(
-                    "\x1f", F.element_at(toks, i), F.element_at(toks, i + 1)
-                )
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    feats = F.concat(uni, bi)
-    n_feat = F.size(feats)
-    acc = F.aggregate(
-        feats,
-        F.lit(0).cast("long"),
-        lambda a, b: a + F.element_at(warr, b.cast("int") + 1),
-    )
     s = float(QUALITY_CLF_SCALE)
-    z = F.lit(bias / s) + (acc.cast("double") / s) / n_feat.cast("double")
-    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
-    return df.select(
+
+    def over_feats(feats: Column) -> Column:
+        n_feat = F.size(feats)
+        acc = F.aggregate(
+            feats,
+            F.lit(0).cast("long"),
+            lambda a, b: a + F.element_at(warr, b.cast("int") + 1),
+        )
+        z = F.lit(bias / s) + (acc.cast("double") / s) / n_feat.cast("double")
+        score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        return F.struct(
+            n_feat.cast("long").alias("n_features"),
+            F.when(n_feat > 0, score)
+            .otherwise(F.lit(0.5))
+            .alias("quality_score"),
+        )
+
+    def over_tokens(toks: Column) -> Column:
+        uni = F.transform(toks, bucket)
+        # bigram build: pair token i with token i+1. Guarded —
+        # sequence(1, 0) is DESCENDING in Spark, so single-token docs
+        # need the empty branch.
+        bi = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: bucket(
+                    F.concat_ws(
+                        "\x1f",
+                        F.element_at(toks, i),
+                        F.element_at(toks, i + 1),
+                    )
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        feats = F.concat(uni, bi)
+        return F.element_at(F.transform(F.array(feats), over_feats), 1)
+
+    qs = F.element_at(
+        F.transform(F.array(token_array(F.col(text_col))), over_tokens), 1
+    )
+    scored = df.select(F.col(id_col), qs.alias("_qs"))
+    return scored.select(
         F.col(id_col),
-        n_feat.cast("long").alias("n_features"),
-        F.when(n_feat > 0, score).otherwise(F.lit(0.5)).alias("quality_score"),
-        F.when(n_feat > 0, score >= 0.5)
-        .otherwise(F.lit(True))
-        .alias("keep"),
+        F.col("_qs.n_features").alias("n_features"),
+        F.col("_qs.quality_score").alias("quality_score"),
+        (F.col("_qs.quality_score") >= 0.5).alias("keep"),
     )
