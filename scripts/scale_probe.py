@@ -72,7 +72,9 @@ ALL_OPS = (
     "unigram_logprob count_by_key topk global_index rolling_sum cosine_topk "
     "cosine_pairs_exact cosine_rh_lsh cms ann_quantized doc_chunks "
     "bigram_logprob incremental_dedup incremental_indexed top_ngram "
-    "vocab_stats funnel snapshot_diff rate_anomaly equi_depth line_dedup transitions hll_rolling scd2"
+    "vocab_stats funnel snapshot_diff rate_anomaly equi_depth line_dedup "
+    "transitions hll_rolling scd2 prefix_jaccard gopher corpus_drift "
+    "substring_dedup quality_score embed_norm"
 ).split()
 
 
@@ -123,6 +125,11 @@ def main() -> None:
         "top_ngram",
         "vocab_stats",
         "line_dedup",
+        "prefix_jaccard",
+        "gopher",
+        "corpus_drift",
+        "substring_dedup",
+        "quality_score",
     )
     if want(*doc_ops):
         docs1 = load_table(spark, SF_DIR, "documents")
@@ -226,37 +233,45 @@ def main() -> None:
                 corpus.chunk_documents(docsN, "text", "doc_id"),
             ),
         }
-    if want("bigram_logprob", "top_ngram", "vocab_stats", "line_dedup"):
+    if want("bigram_logprob", "top_ngram", "vocab_stats", "line_dedup",
+            "prefix_jaccard", "gopher", "corpus_drift", "substring_dedup",
+            "quality_score"):
         # the shared docsN's md5-expanded copies are a single unbroken
         # hex token (fine for char-shingle ops, invisible to a BIGRAM
         # stream: <2 tokens → dropped). Build a token-rich scaled
         # corpus whose fake copies carry 24 word tokens each, so the
         # token stream itself grows ×factor.
-        tok_copies = [docs1]
-        for i in range(1, factor):
-            tok_copies.append(
-                docs1.withColumn(
-                    "doc_id", F.col("doc_id") + F.lit(i * 1_000_000)
-                ).withColumn(
-                    "text",
-                    F.concat_ws(
-                        " ",
-                        *[
-                            F.md5(
-                                F.concat_ws(
-                                    "_", F.col("doc_id"), F.lit(i), F.lit(j)
+        def build_tok_corpus(f: int, name: str):
+            tok_copies = [docs1]
+            for i in range(1, f):
+                tok_copies.append(
+                    docs1.withColumn(
+                        "doc_id", F.col("doc_id") + F.lit(i * 1_000_000)
+                    ).withColumn(
+                        "text",
+                        F.concat_ws(
+                            " ",
+                            *[
+                                F.md5(
+                                    F.concat_ws(
+                                        "_",
+                                        F.col("doc_id"),
+                                        F.lit(i),
+                                        F.lit(j),
+                                    )
                                 )
-                            )
-                            for j in range(24)
-                        ],
-                    ),
+                                for j in range(24)
+                            ],
+                        ),
+                    )
                 )
-            )
-        docsTok = tok_copies[0]
-        for c in tok_copies[1:]:
-            docsTok = docsTok.unionByName(c)
-        docsTok.write.mode("overwrite").parquet(f"{tmp}/docsTok.parquet")
-        docsTok = spark.read.parquet(f"{tmp}/docsTok.parquet")
+            out = tok_copies[0]
+            for c in tok_copies[1:]:
+                out = out.unionByName(c)
+            out.write.mode("overwrite").parquet(f"{tmp}/{name}.parquet")
+            return spark.read.parquet(f"{tmp}/{name}.parquet")
+
+        docsTok = build_tok_corpus(factor, "docsTok")
     if want("bigram_logprob"):
         results["bigram_logprob"] = {
             "t1": timed(
@@ -339,6 +354,104 @@ def main() -> None:
             "tN": timed(
                 f"linededup {factor}x",
                 _line_dedup(chunked_lines(docsTok), "text", "doc_id", 2),
+            ),
+        }
+
+    # prefix-filtered exact Jaccard over TOKEN-RICH corpora at TWO
+    # factors (factor/10 vs factor — same composition, 10× the fake
+    # docs). The fake copies are 24 all-unique tokens per doc — every
+    # fake token is globally rarest (df=1), so each fake doc pays its
+    # narrow per-doc work (tokenize, df-count, prefix build) but
+    # contributes ZERO candidate pairs; the real copy-0 (constant in
+    # both corpora) carries the genuine near-dup pairs. The probe pins
+    # the candidate bound: candidate volume is Σ prefix-token df², NOT
+    # corpus², so tN/t1 must stay far below the 10× corpus ratio
+    # (≈1× once the constant real-pair verify work dominates).
+    # NOTE do not probe docs1 alone as t1: a 5000-row input AQE-
+    # coalesces to ONE shuffle partition, so the verify stage runs
+    # single-threaded and the "1×" number is a parallelism artifact
+    # (132 s vs 18.5 s at 10× — see BASELINE.md r9).
+    if want("prefix_jaccard"):
+        docsTokS = build_tok_corpus(max(2, factor // 10), "docsTokS")
+        results["prefix_jaccard"] = {
+            "t1": timed(
+                f"prefixjac {max(2, factor // 10)}x",
+                dedup.prefix_jaccard_pairs(docsTokS, "text", "doc_id", 0.9),
+            ),
+            "tN": timed(
+                f"prefixjac {factor}x",
+                dedup.prefix_jaccard_pairs(docsTok, "text", "doc_id", 0.9),
+            ),
+        }
+
+    # Gopher rule filter: zero-shuffle narrow projection chain — the
+    # probe pins that per-row signal extraction stays linear
+    if want("gopher"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import text as _text
+
+        results["gopher"] = {
+            "t1": timed(
+                "gopher 1x", _text.gopher_filter_report(docs1, "text", "doc_id")
+            ),
+            "tN": timed(
+                f"gopher {factor}x",
+                _text.gopher_filter_report(docsTok, "text", "doc_id"),
+            ),
+        }
+
+    # corpus drift (KL/JSD between two slices): the divergence sum
+    # aggregates VOCAB rows. The fake copies' tokens are all unique,
+    # so the joint vocab grows ×factor — worst case for the final
+    # divergence aggregate, while term counting keeps map-side combine
+    if want("corpus_drift"):
+        results["corpus_drift"] = {
+            "t1": timed(
+                "drift 1x",
+                corpus.term_divergence(
+                    docs1.filter(F.col("doc_id") % 2 == 0),
+                    docs1.filter(F.col("doc_id") % 2 == 1),
+                    "text",
+                ),
+            ),
+            "tN": timed(
+                f"drift {factor}x",
+                corpus.term_divergence(
+                    docsTok.filter(F.col("doc_id") % 2 == 0),
+                    docsTok.filter(F.col("doc_id") % 2 == 1),
+                    "text",
+                ),
+            ),
+        }
+
+    # substring span dedup: the df aggregate's shuffle carries one row
+    # per DISTINCT k-token shingle. Fake copies are all-unique tokens
+    # → every fake shingle is distinct (zero combine leverage — worst
+    # case for the contract "shuffle volume tracks distinct
+    # shingles"); real copy-0 keeps genuine repeated spans.
+    if want("substring_dedup"):
+        results["substring_dedup"] = {
+            "t1": timed(
+                "spans 1x", dedup.duplicated_spans(docs1, "text", "doc_id", 5)
+            ),
+            "tN": timed(
+                f"spans {factor}x",
+                dedup.duplicated_spans(docsTok, "text", "doc_id", 5),
+            ),
+        }
+
+    # linear quality classifier: zero-shuffle — per-row hash + integer
+    # fold over a literal weight array; must track the scan linearly
+    if want("quality_score"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import text as _text
+
+        results["quality_score"] = {
+            "t1": timed(
+                "qclf 1x",
+                _text.quality_classifier_score(docs1, "text", "doc_id"),
+            ),
+            "tN": timed(
+                f"qclf {factor}x",
+                _text.quality_classifier_score(docsTok, "text", "doc_id"),
             ),
         }
 
@@ -622,6 +735,25 @@ def main() -> None:
         results["cosine_topk"] = {
             "t1": timed("cosine 1x", similarity.brute_force_topk(em1, [0, 1, 2], 5)),
             "tN": timed(f"cosine {factor}x", similarity.brute_force_topk(emN, [0, 1, 2], 5)),
+        }
+
+    # per-dimension z-score standardization: the only exchange is the
+    # dim-keyed aggregate (64 rows out at ANY corpus size); the
+    # normalization is a narrow transform — wall time must track the
+    # two scans linearly. Verbatim copies are fine here (the operator
+    # is distribution-insensitive; stats just repeat).
+    if want("embed_norm"):
+        emZ = scaled(em1, factor, ["vec_id"], 10_000_000)
+        emZ.write.mode("overwrite").parquet(f"{tmp}/emZ.parquet")
+        emZ = spark.read.parquet(f"{tmp}/emZ.parquet")
+        results["embed_norm"] = {
+            "t1": timed(
+                "znorm 1x", similarity.embed_standardize(em1, "vec_id", "embedding")
+            ),
+            "tN": timed(
+                f"znorm {factor}x",
+                similarity.embed_standardize(emZ, "vec_id", "embedding"),
+            ),
         }
 
     # --- embeddings: threshold pairs — exact tier vs RH-LSH tier ---
