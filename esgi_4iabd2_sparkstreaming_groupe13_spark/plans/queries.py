@@ -4721,7 +4721,7 @@ QUERIES: list[QuerySpec] = [
     # ==== driver 50-entry verification window (r9) ====
     # ---- last driver-green in round 5 (most stale) ----
     QuerySpec("q_tpch_q1", q_tpch_q1, ORACLES["q_tpch_q1"], True),
-    QuerySpec("q_tpch_q2", q_tpch_q2, ORACLES["q_tpch_q2"], True),
+    QuerySpec("q_tpch_q2", q_tpch_q2, ORACLES["q_tpch_q2"]),
     QuerySpec("q_tpch_q3", q_tpch_q3, ORACLES["q_tpch_q3"], True),
     QuerySpec("q_tpch_q4", q_tpch_q4, ORACLES["q_tpch_q4"], True),
     QuerySpec("q_tpch_q5", q_tpch_q5, ORACLES["q_tpch_q5"], True),
@@ -4776,12 +4776,12 @@ QUERIES: list[QuerySpec] = [
     # r6-verified queue (rotate in first in r10 — q_vocab_stats,
     # q_edit_verify and q_rate_anomaly were displaced from the window
     # tail by the three new r9 entries above):
-    QuerySpec("q_vocab_stats", q_vocab_stats, ORACLES["q_vocab_stats"], True),
+    QuerySpec("q_vocab_stats", q_vocab_stats, ORACLES["q_vocab_stats"]),
     QuerySpec("q_edit_verify", q_edit_verify, ORACLES["q_edit_verify"]),
     QuerySpec("q_rate_anomaly", q_rate_anomaly, ORACLES["q_rate_anomaly"], True),
     QuerySpec("q_funnel", q_funnel, ORACLES["q_funnel"], True),
-    QuerySpec("q_snapshot_diff", q_snapshot_diff, ORACLES["q_snapshot_diff"], True),
-    QuerySpec("q_correlation", q_correlation, ORACLES["q_correlation"], True),
+    QuerySpec("q_snapshot_diff", q_snapshot_diff, ORACLES["q_snapshot_diff"]),
+    QuerySpec("q_correlation", q_correlation, ORACLES["q_correlation"]),
     QuerySpec("q_retention", q_retention, ORACLES["q_retention"], True),
     QuerySpec("q_corpus_report", q_corpus_report, ORACLES["q_corpus_report"]),
     QuerySpec("q_bigram_logprob", q_bigram_logprob, ORACLES["q_bigram_logprob"], True),
@@ -4848,8 +4848,8 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_corpus_drift", q_corpus_drift, ORACLES["q_corpus_drift"], True),
     QuerySpec("q_decayed", q_decayed, ORACLES["q_decayed"], True),
     QuerySpec("q_hll_rolling", q_hll_rolling, ORACLES["q_hll_rolling"], True),
-    QuerySpec("q_gopher", q_gopher, ORACLES["q_gopher"], True),
-    QuerySpec("q_funnel_window", q_funnel_window, ORACLES["q_funnel_window"], True),
+    QuerySpec("q_gopher", q_gopher, ORACLES["q_gopher"]),
+    QuerySpec("q_funnel_window", q_funnel_window, ORACLES["q_funnel_window"]),
     QuerySpec("q_grouping_sets", q_grouping_sets, ORACLES["q_grouping_sets"]),
     QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
     QuerySpec("q_pivot_status", q_pivot_status, ORACLES["q_pivot_status"]),
@@ -4859,7 +4859,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_global_index", q_global_index, ORACLES["q_global_index"], True),
     QuerySpec("q_ann_recall", q_ann_recall, ORACLES["q_ann_recall"]),
     QuerySpec("q_ann_quantized_recall", q_ann_quantized_recall, ORACLES["q_ann_quantized_recall"]),
-    QuerySpec("q_doc_chunks", q_doc_chunks, ORACLES["q_doc_chunks"], True),
+    QuerySpec("q_doc_chunks", q_doc_chunks, ORACLES["q_doc_chunks"]),
     QuerySpec("q_embed_centroid", q_embed_centroid, ORACLES["q_embed_centroid"]),
     QuerySpec("q_containment", q_containment, ORACLES["q_containment"]),
     QuerySpec("q_weighted_sample", q_weighted_sample, ORACLES["q_weighted_sample"]),
