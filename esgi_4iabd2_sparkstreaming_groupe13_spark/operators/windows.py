@@ -258,6 +258,94 @@ def lag_lead_delta(
     )
 
 
+def lag_lead_delta_skew_safe(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    value_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """:func:`lag_lead_delta` output, bit-identical, without the skew
+    trap: ``Window.partitionBy(group)`` ships EVERY row of a group
+    into one task, so a whale group (one user with 10% of a 100 TB
+    event stream) serializes into a single sort no cluster size can
+    help — the same single-task wall :func:`equi_depth_bins` hit with
+    per-group NTILE, and one Catalyst does NOT rewrite (WindowGroupLimit
+    only covers rank-then-limit shapes; lag/lead needs every row).
+
+    Scale-safe form (the :func:`global_row_index` partition-boundary
+    technique extended to analytic functions):
+
+    1. range-partition on ``(group, *order)`` — a group's rows land
+       CONTIGUOUS across partitions, each partition memory-bounded;
+    2. one local WindowExec per ``(partition, group)`` computes
+       lag/lead/row_number — no row of a big group ever needs the
+       other partitions' rows except at the two seams;
+    3. a per-``(partition, group)`` bounds frame (first/last value +
+       row count — ≤ P rows per group, METADATA-sized) gets its
+       neighbours' seam values from a tiny window over itself, and is
+       broadcast-joined back: the first row of each chunk takes the
+       previous chunk's last value, the last row takes the next
+       chunk's first value.
+
+    Seam patching keys on ``row_number == 1`` / ``== count``, NOT on
+    ``lag IS NULL`` — a null VALUE in the previous row must stay
+    null, not trigger a patch. ``order_cols`` must be a total order
+    within each group (the :func:`lag_lead_delta` contract already);
+    ``num_partitions`` forces the range-partition count (tests split
+    small frames; production leaves the session default).
+
+    Cost trade vs the plain window: one extra tiny aggregate + a
+    broadcast join, in exchange for per-task work bounded by
+    partition size instead of group size. Measured at 100× with a
+    90%-one-user skew: see BASELINE.md round 9.
+    """
+    ords = [F.col(c) for c in order_cols]
+    parted = (
+        df.repartitionByRange(num_partitions, F.col(part_col), *ords)
+        if num_partitions is not None
+        else df.repartitionByRange(F.col(part_col), *ords)
+    )
+    with_pid = parted.withColumn("_pid", F.spark_partition_id())
+    wl = Window.partitionBy("_pid", part_col).orderBy(*ords)
+    local = with_pid.select(
+        part_col,
+        *order_cols,
+        value_col,
+        F.col("_pid"),
+        F.row_number().over(wl).alias("_rn"),
+        F.lag(value_col).over(wl).alias("_lv"),
+        F.lead(value_col).over(wl).alias("_nv"),
+    )
+    bounds = with_pid.groupBy("_pid", part_col).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.min_by(F.col(value_col), F.struct(*ords)).alias("_first"),
+        F.max_by(F.col(value_col), F.struct(*ords)).alias("_last"),
+    )
+    wb = Window.partitionBy(part_col).orderBy("_pid")
+    seams = bounds.select(
+        F.col("_pid"),
+        F.col(part_col),
+        F.col("_cnt"),
+        F.lag("_last").over(wb).alias("_prev_last"),
+        F.lead("_first").over(wb).alias("_next_first"),
+    )
+    prev = F.when(F.col("_rn") == 1, F.col("_prev_last")).otherwise(
+        F.col("_lv")
+    )
+    nxt = F.when(F.col("_rn") == F.col("_cnt"), F.col("_next_first")).otherwise(
+        F.col("_nv")
+    )
+    return local.join(F.broadcast(seams), ["_pid", part_col]).select(
+        part_col,
+        *order_cols,
+        value_col,
+        prev.alias("prev_value"),
+        nxt.alias("next_value"),
+        (F.col(value_col) - prev).alias("delta_prev"),
+    )
+
+
 def rolling_sum(
     df: DataFrame,
     part_col: str,

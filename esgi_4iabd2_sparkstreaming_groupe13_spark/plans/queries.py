@@ -1051,6 +1051,22 @@ def q_window_frames(spark, sf_dir):
     )
 
 
+def q_skew_lag(spark, sf_dir):
+    """Skew-safe lag/lead/delta (new r9): SAME oracle SQL (and
+    therefore same hashes) as q_window_frames, through the
+    range-partition + seam-patch physical plan instead of
+    Window.partitionBy(group) — per-task work bounded by partition
+    size, not group size, so a whale group cannot serialize into one
+    task. See windows.lag_lead_delta_skew_safe and the BASELINE.md
+    round-9 skew probe."""
+    return windows.lag_lead_delta_skew_safe(
+        _t(spark, sf_dir, "orders"),
+        "o_custkey",
+        ["o_orderdate", "o_orderkey"],
+        "o_totalprice",
+    )
+
+
 def q_rate_anomaly(spark, sf_dir):
     """Per-type daily event-rate anomaly scan (new r6): trailing-7-day
     z-score with the current bucket excluded from its own baseline.
@@ -4670,6 +4686,10 @@ FROM q
 
 ORACLES["q_quality_score"] = _quality_score_oracle()
 
+# q_skew_lag shares q_window_frames's oracle VERBATIM: the skew-safe
+# rewrite must be bit-identical to the plain partitioned window.
+ORACLES["q_skew_lag"] = ORACLES["q_window_frames"]
+
 ORACLES["q_substring_dedup"] = f"""
 WITH {_span_cte(SPAN_DEDUP_K)}
 SELECT doc_id, span_start, span_end,
@@ -4708,9 +4728,11 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # ROUND 5 (q_tpch_q1 .. q_date_parts — three rounds stale, the oldest
 # in the registry), then (b) the oldest 19 of the r6-verified block
 # (q_string_funcs .. q_rate_anomaly). Any NEW r9 queries are inserted
-# into the window displacing its tail. Behind the window, the queue
-# for r10 rotation in order of staleness: the remaining 30 r6-verified
-# entries (q_funnel .. q_total_count), the 3 rows-only entries, then
+# into the window displacing its tail (displaced so far: q_vocab_stats,
+# q_edit_verify, q_rate_anomaly, q_top_ngram). Behind the window, the
+# queue for r10 rotation in order of staleness: the displaced-plus-
+# remaining r6-verified entries (q_top_ngram .. q_total_count), the 3
+# rows-only entries, then
 # the 50-entry r7/r8-verified block (q_equi_depth ..
 # q_bloom_contamination — freshest: driver-green in BOTH r7 and r8).
 # scripts/oracle_check.py still runs the whole list every round and
@@ -4771,11 +4793,13 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_sessionize", q_sessionize, ORACLES["q_sessionize"], True),
     QuerySpec("q_session_window", q_session_window, ORACLES["q_session_window"]),
     QuerySpec("q_admission_filter", q_admission_filter, ORACLES["q_admission_filter"]),
-    QuerySpec("q_top_ngram", q_top_ngram, ORACLES["q_top_ngram"], True),
+    # ---- NEW in r9 (skew-safe analytic window rewrite) ----
+    QuerySpec("q_skew_lag", q_skew_lag, ORACLES["q_skew_lag"], True),
     # ==== driver 50-entry verification window ends here ====
     # r6-verified queue (rotate in first in r10 — q_vocab_stats,
-    # q_edit_verify and q_rate_anomaly were displaced from the window
-    # tail by the three new r9 entries above):
+    # q_edit_verify, q_rate_anomaly and q_top_ngram were displaced
+    # from the window tail by the four new r9 entries above):
+    QuerySpec("q_top_ngram", q_top_ngram, ORACLES["q_top_ngram"], True),
     QuerySpec("q_vocab_stats", q_vocab_stats, ORACLES["q_vocab_stats"]),
     QuerySpec("q_edit_verify", q_edit_verify, ORACLES["q_edit_verify"]),
     QuerySpec("q_rate_anomaly", q_rate_anomaly, ORACLES["q_rate_anomaly"], True),

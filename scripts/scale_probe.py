@@ -74,6 +74,7 @@ ALL_OPS = (
     "bigram_logprob incremental_dedup incremental_indexed top_ngram "
     "vocab_stats funnel snapshot_diff rate_anomaly equi_depth line_dedup "
     "transitions hll_rolling scd2 prefix_jaccard gopher corpus_drift "
+    "skew_lag "
     "substring_dedup quality_score embed_norm"
 ).split()
 
@@ -559,7 +560,7 @@ def main() -> None:
     # --- events: funnel (one user-key shuffle; users scale with the
     # corpus via the id offsets) and snapshot diff (full-outer key
     # join) — both must track ~linear ---
-    if want("funnel", "snapshot_diff", "rate_anomaly", "transitions", "hll_rolling", "scd2"):
+    if want("funnel", "snapshot_diff", "rate_anomaly", "transitions", "hll_rolling", "scd2", "skew_lag"):
         evA = load_table(spark, SF_DIR, "events")
         evAN = scaled(evA, factor, ["event_id", "user_id"], 100_000_000)
         evAN.write.mode("overwrite").parquet(f"{tmp}/evAN.parquet")
@@ -616,6 +617,43 @@ def main() -> None:
                 event_transitions(evAN, "ts", "user_id", "event_type", "event_id"),
             ),
         }
+    # skew-safe lag/lead A/B: SAME skewed frame (90% of rows forced
+    # into ONE whale user) through the plain partitionBy(group) window
+    # vs the range-partition + seam-patch rewrite. The plain form
+    # serializes the whale group into a single task's sort no matter
+    # the cluster size; the rewrite's per-task work is bounded by
+    # partition size. Outputs are bit-identical (q_skew_lag shares
+    # q_window_frames's oracle).
+    if want("skew_lag"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.functions.hashing import (
+            md5_int,
+        )
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.windows import (
+            lag_lead_delta,
+            lag_lead_delta_skew_safe,
+        )
+
+        evSkew = evAN.withColumn(
+            "user_id",
+            F.when(
+                md5_int(F.col("event_id").cast("string")) % 10 < 9, F.lit(0)
+            ).otherwise(F.col("user_id")),
+        )
+        evSkew.write.mode("overwrite").parquet(f"{tmp}/evSkew.parquet")
+        evSkew = spark.read.parquet(f"{tmp}/evSkew.parquet")
+        results["skew_lag"] = {
+            "t1": timed(
+                f"plain window, {factor}x skewed",
+                lag_lead_delta(evSkew, "user_id", ["ts", "event_id"], "value"),
+            ),
+            "tN": timed(
+                f"seam-patch rewrite, {factor}x skewed",
+                lag_lead_delta_skew_safe(
+                    evSkew, "user_id", ["ts", "event_id"], "value"
+                ),
+            ),
+        }
+
     # rolling HLL: event volume feeds ONE register aggregate; the
     # window/estimator run over the fixed days x 512 grid, so wall
     # time should track the aggregate's input alone

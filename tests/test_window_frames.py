@@ -339,3 +339,72 @@ def test_funnel_conversion_window_binds(spark):
     ).collect()}
     assert unbounded == {7: 3, 8: 3}
     assert bounded == {7: 1, 8: 3}
+
+
+def test_skew_safe_lag_lead_matches_plain(spark):
+    """The skew-safe rewrite must be BIT-IDENTICAL to the plain
+    partitioned window on every row — probed with forced partition
+    splits so seam patching actually fires (num_partitions far above
+    rows-per-group), including null values in the value column (the
+    rn==1/rn==cnt guards must not confuse 'previous value is null'
+    with 'no previous row')."""
+    rows = []
+    for g, n in [("a", 37), ("b", 3), ("c", 1), ("d", 12)]:
+        for i in range(n):
+            amount = None if (g == "a" and i % 5 == 0) else float(i * 7 % 23)
+            rows.append((g, i, amount))
+    df = spark.createDataFrame(rows, "grp string, seq int, amount double")
+    plain = windows.lag_lead_delta(df, "grp", ["seq"], "amount")
+    safe = windows.lag_lead_delta_skew_safe(
+        df, "grp", ["seq"], "amount", num_partitions=9
+    )
+    key = lambda r: (r["grp"], r["seq"])
+    assert sorted(map(tuple, plain.collect()), key=lambda t: (t[0], t[1])) \
+        == sorted(map(tuple, safe.collect()), key=lambda t: (t[0], t[1]))
+
+
+def test_skew_safe_lag_lead_hot_group(spark):
+    """One group holding every row (the whale-user shape the operator
+    exists for): seams between EVERY pair of adjacent partitions must
+    chain correctly end to end."""
+    df = spark.createDataFrame(
+        [("u", i, float(i)) for i in range(200)],
+        "grp string, seq int, amount double",
+    )
+    out = sorted(
+        windows.lag_lead_delta_skew_safe(
+            df, "grp", ["seq"], "amount", num_partitions=16
+        ).collect(),
+        key=lambda r: r["seq"],
+    )
+    assert len(out) == 200
+    assert out[0].prev_value is None and out[-1].next_value is None
+    for prev_r, r in zip(out, out[1:]):
+        assert r.prev_value == prev_r.amount
+        assert prev_r.next_value == r.amount
+        assert r.delta_prev == 1.0
+
+
+def test_skew_safe_lag_lead_plan_shape(spark, sf_dir):
+    """Plan contract: the data-sized path goes through ONE range
+    partitioning (no hash exchange keyed on the group alone — that is
+    the skew trap) and the seam frame comes back via a broadcast hash
+    join, so no stage's task count is bounded by group cardinality."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.plans.queries import (
+        q_skew_lag,
+    )
+
+    plan = q_skew_lag(spark, sf_dir)._jdf.queryExecution().toString()
+    assert "rangepartitioning" in plan
+    assert "BroadcastHashJoin" in plan or "broadcast" in plan
+    # the plain-window shape this operator replaces must NOT appear:
+    # an exchange hash-partitioned on o_custkey ALONE (the seam-frame
+    # window hashes on it, but over metadata rows; the data-sized
+    # window hashes on (_pid, o_custkey))
+    import re
+
+    data_hash = re.findall(r"hashpartitioning\(o_custkey[^,]*, 32\)", plan)
+    # every o_custkey-only hash exchange must sit above the tiny
+    # bounds aggregate, never above the full scan; the window over
+    # data rows must carry _pid in its key
+    assert "hashpartitioning(_pid" in plan
