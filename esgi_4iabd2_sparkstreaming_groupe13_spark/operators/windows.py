@@ -346,6 +346,79 @@ def lag_lead_delta_skew_safe(
     )
 
 
+def grouped_running_sum_skew_safe(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    value_col: str,
+    num_partitions: int | None = None,
+    acc_type: str = "decimal(18,2)",
+) -> DataFrame:
+    """Per-group cumulative sum (``SUM OVER (PARTITION BY g ORDER BY o
+    ROWS UNBOUNDED PRECEDING)``) without the whale-group single-task
+    sort — the running-sum member of the skew-safe window family
+    (:func:`lag_lead_delta_skew_safe` covers lag/lead;
+    :func:`global_row_index` / :func:`global_running_sum` cover the
+    GLOBAL un-grouped case this generalizes).
+
+    Shape: range-partition on ``(group, *order)`` → local running sum
+    per ``(partition, group)`` → per-``(partition, group)`` chunk
+    totals (metadata-sized) get each chunk's EXCLUSIVE prefix via a
+    tiny window over the bounds frame → broadcast join adds the base
+    back. Decimal accumulation (``acc_type``) keeps chunked addition
+    exact and order-independent, so the result is bit-identical to the
+    plain window and to the SQL oracle.
+
+    Null semantics match SQL ``SUM``: nulls never contribute, and the
+    running sum is null only while NO non-null value has appeared yet
+    in the group — ``coalesce(base + local, base, local)`` merges the
+    chunk base (null iff all prior chunks all-null) with the local
+    prefix (null iff no non-null yet in this chunk).
+    """
+    ords = [F.col(c) for c in order_cols]
+    parted = (
+        df.repartitionByRange(num_partitions, F.col(part_col), *ords)
+        if num_partitions is not None
+        else df.repartitionByRange(F.col(part_col), *ords)
+    )
+    with_pid = parted.withColumn("_pid", F.spark_partition_id())
+    acc = F.col(value_col).cast(acc_type)
+    wl = (
+        Window.partitionBy("_pid", part_col)
+        .orderBy(*ords)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = with_pid.select(
+        part_col,
+        *order_cols,
+        value_col,
+        F.col("_pid"),
+        F.sum(acc).over(wl).alias("_local"),
+    )
+    bounds = with_pid.groupBy("_pid", part_col).agg(F.sum(acc).alias("_tot"))
+    wb = (
+        Window.partitionBy(part_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = bounds.select(
+        F.col("_pid"),
+        F.col(part_col),
+        F.sum("_tot").over(wb).alias("_base"),
+    )
+    total = F.coalesce(
+        (F.col("_base") + F.col("_local")).cast(acc_type),
+        F.col("_base"),
+        F.col("_local"),
+    )
+    return local.join(F.broadcast(bases), ["_pid", part_col]).select(
+        part_col,
+        *order_cols,
+        value_col,
+        total.cast("double").alias("running_sum"),
+    )
+
+
 def rolling_sum(
     df: DataFrame,
     part_col: str,

@@ -1067,6 +1067,18 @@ def q_skew_lag(spark, sf_dir):
     )
 
 
+def q_skew_running(spark, sf_dir):
+    """Skew-safe per-group running sum (new r9): the cumulative-sum
+    member of the skew-safe window family. Decimal accumulation keeps
+    the chunked addition bit-identical to the plain window oracle."""
+    return windows.grouped_running_sum_skew_safe(
+        _t(spark, sf_dir, "orders"),
+        "o_custkey",
+        ["o_orderdate", "o_orderkey"],
+        "o_totalprice",
+    )
+
+
 def q_rate_anomaly(spark, sf_dir):
     """Per-type daily event-rate anomaly scan (new r6): trailing-7-day
     z-score with the current bucket excluded from its own baseline.
@@ -4690,6 +4702,15 @@ ORACLES["q_quality_score"] = _quality_score_oracle()
 # rewrite must be bit-identical to the plain partitioned window.
 ORACLES["q_skew_lag"] = ORACLES["q_window_frames"]
 
+ORACLES["q_skew_running"] = """
+SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS running_sum
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
 ORACLES["q_substring_dedup"] = f"""
 WITH {_span_cte(SPAN_DEDUP_K)}
 SELECT doc_id, span_start, span_end,
@@ -4729,7 +4750,8 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # in the registry), then (b) the oldest 19 of the r6-verified block
 # (q_string_funcs .. q_rate_anomaly). Any NEW r9 queries are inserted
 # into the window displacing its tail (displaced so far: q_vocab_stats,
-# q_edit_verify, q_rate_anomaly, q_top_ngram). Behind the window, the
+# q_edit_verify, q_rate_anomaly, q_top_ngram, q_admission_filter).
+# Behind the window, the
 # queue for r10 rotation in order of staleness: the displaced-plus-
 # remaining r6-verified entries (q_top_ngram .. q_total_count), the 3
 # rows-only entries, then
@@ -4792,13 +4814,15 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_corpus_select", q_corpus_select, ORACLES["q_corpus_select"]),
     QuerySpec("q_sessionize", q_sessionize, ORACLES["q_sessionize"], True),
     QuerySpec("q_session_window", q_session_window, ORACLES["q_session_window"]),
-    QuerySpec("q_admission_filter", q_admission_filter, ORACLES["q_admission_filter"]),
-    # ---- NEW in r9 (skew-safe analytic window rewrite) ----
+    # ---- NEW in r9 (skew-safe analytic window rewrites) ----
     QuerySpec("q_skew_lag", q_skew_lag, ORACLES["q_skew_lag"], True),
+    QuerySpec("q_skew_running", q_skew_running, ORACLES["q_skew_running"], True),
     # ==== driver 50-entry verification window ends here ====
     # r6-verified queue (rotate in first in r10 — q_vocab_stats,
-    # q_edit_verify, q_rate_anomaly and q_top_ngram were displaced
-    # from the window tail by the four new r9 entries above):
+    # q_edit_verify, q_rate_anomaly, q_top_ngram and
+    # q_admission_filter were displaced from the window tail by the
+    # five new r9 entries above):
+    QuerySpec("q_admission_filter", q_admission_filter, ORACLES["q_admission_filter"]),
     QuerySpec("q_top_ngram", q_top_ngram, ORACLES["q_top_ngram"], True),
     QuerySpec("q_vocab_stats", q_vocab_stats, ORACLES["q_vocab_stats"]),
     QuerySpec("q_edit_verify", q_edit_verify, ORACLES["q_edit_verify"]),

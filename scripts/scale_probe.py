@@ -74,7 +74,7 @@ ALL_OPS = (
     "bigram_logprob incremental_dedup incremental_indexed top_ngram "
     "vocab_stats funnel snapshot_diff rate_anomaly equi_depth line_dedup "
     "transitions hll_rolling scd2 prefix_jaccard gopher corpus_drift "
-    "skew_lag "
+    "skew_lag skew_runsum "
     "substring_dedup quality_score embed_norm"
 ).split()
 
@@ -560,7 +560,7 @@ def main() -> None:
     # --- events: funnel (one user-key shuffle; users scale with the
     # corpus via the id offsets) and snapshot diff (full-outer key
     # join) — both must track ~linear ---
-    if want("funnel", "snapshot_diff", "rate_anomaly", "transitions", "hll_rolling", "scd2", "skew_lag"):
+    if want("funnel", "snapshot_diff", "rate_anomaly", "transitions", "hll_rolling", "scd2", "skew_lag", "skew_runsum"):
         evA = load_table(spark, SF_DIR, "events")
         evAN = scaled(evA, factor, ["event_id", "user_id"], 100_000_000)
         evAN.write.mode("overwrite").parquet(f"{tmp}/evAN.parquet")
@@ -624,11 +624,12 @@ def main() -> None:
     # the cluster size; the rewrite's per-task work is bounded by
     # partition size. Outputs are bit-identical (q_skew_lag shares
     # q_window_frames's oracle).
-    if want("skew_lag"):
+    if want("skew_lag", "skew_runsum"):
         from esgi_4iabd2_sparkstreaming_groupe13_spark.functions.hashing import (
             md5_int,
         )
         from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.windows import (
+            grouped_running_sum_skew_safe,
             lag_lead_delta,
             lag_lead_delta_skew_safe,
         )
@@ -641,6 +642,7 @@ def main() -> None:
         )
         evSkew.write.mode("overwrite").parquet(f"{tmp}/evSkew.parquet")
         evSkew = spark.read.parquet(f"{tmp}/evSkew.parquet")
+    if want("skew_lag"):
         results["skew_lag"] = {
             "t1": timed(
                 f"plain window, {factor}x skewed",
@@ -649,6 +651,37 @@ def main() -> None:
             "tN": timed(
                 f"seam-patch rewrite, {factor}x skewed",
                 lag_lead_delta_skew_safe(
+                    evSkew, "user_id", ["ts", "event_id"], "value"
+                ),
+            ),
+        }
+
+    # skew-safe running sum A/B on the same whale-skewed frame: the
+    # plain cumulative window pays the identical single-task sort as
+    # plain lag/lead; the chunked-decimal rewrite spreads it.
+    if want("skew_runsum"):
+        from pyspark.sql import Window as _W
+
+        _w = (
+            _W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(_W.unboundedPreceding, 0)
+        )
+        plain_rs = evSkew.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(_w)
+            .cast("double")
+            .alias("running_sum"),
+        )
+        results["skew_runsum"] = {
+            "t1": timed(f"plain cumsum window, {factor}x skewed", plain_rs),
+            "tN": timed(
+                f"chunked rewrite, {factor}x skewed",
+                grouped_running_sum_skew_safe(
                     evSkew, "user_id", ["ts", "event_id"], "value"
                 ),
             ),

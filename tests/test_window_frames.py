@@ -408,3 +408,42 @@ def test_skew_safe_lag_lead_plan_shape(spark, sf_dir):
     # bounds aggregate, never above the full scan; the window over
     # data rows must carry _pid in its key
     assert "hashpartitioning(_pid" in plan
+
+
+def test_skew_safe_running_sum_matches_plain(spark):
+    """Chunked decimal accumulation + null-aware base merge must equal
+    the plain cumulative window bit-for-bit — including a group whose
+    FIRST chunk is entirely null (running sum stays null until the
+    first non-null value, exactly like SQL SUM)."""
+    from pyspark.sql import Window as W
+
+    rows = []
+    for g, n in [("a", 40), ("b", 5), ("c", 1)]:
+        for i in range(n):
+            v = None if (g == "a" and i < 12) else float((i * 13) % 97) / 4
+            rows.append((g, i, v))
+    df = spark.createDataFrame(rows, "grp string, seq int, amount double")
+    w = (
+        W.partitionBy("grp")
+        .orderBy("seq")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    plain = df.select(
+        "grp",
+        "seq",
+        "amount",
+        F.sum(F.col("amount").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_sum"),
+    )
+    safe = windows.grouped_running_sum_skew_safe(
+        df, "grp", ["seq"], "amount", num_partitions=11
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, safe.collect())
+    )
+    # leading all-null chunk: rows 0..11 of group a must be null
+    out = {(r.grp, r.seq): r.running_sum for r in safe.collect()}
+    assert all(out[("a", i)] is None for i in range(12))
+    assert out[("a", 12)] is not None
