@@ -784,6 +784,46 @@ def dedup_clusters(
     )
 
 
+def dedup_best_reps(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Quality-aware dedup manifest (new r9): one row per near-dup
+    cluster naming the member a pipeline should KEEP — the
+    highest-quality copy, not the min-id one. :func:`dedup_clusters`'
+    min-id representative is arbitrary; production dedup keeps the
+    best version of a duplicated page (quality-ranked, e.g. the copy
+    without boilerplate truncation), so the manifest ranks members by
+    (:func:`~..operators.text.quality_classifier_score` DESC, id ASC)
+    — a total order, since the score is already rounded to 6 dp.
+
+    Scale shape: the cluster labels and per-doc scores are both
+    id-keyed corpus-sized frames — one equi-join on id, then one
+    cluster-keyed aggregate whose ``max_by`` carries an 8-byte id +
+    double per row (no text moves). Returns
+    ``(cluster_id, best_doc_id, best_score, n_members)`` for every
+    cluster including singletons.
+    """
+    from .text import quality_classifier_score
+
+    clusters = dedup_clusters(df, text_col, id_col, threshold, **lsh_kwargs)
+    scores = quality_classifier_score(df, text_col, id_col).select(
+        F.col(id_col), F.col("quality_score")
+    )
+    j = clusters.join(scores, id_col)
+    return j.groupBy(F.col("cluster_rep").alias("cluster_id")).agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col("quality_score"), (-F.col(id_col)).alias("_nid")),
+        ).alias("best_doc_id"),
+        F.max("quality_score").alias("best_score"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
 def simhash_expr(text: Column, bits: int = SIMHASH_BITS) -> Column:
     """SimHash fingerprint of a text as a ``bits``-wide long.
 

@@ -1738,6 +1738,19 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_best_rep(spark, sf_dir):
+    """Quality-aware dedup manifest (new r9): per near-dup cluster,
+    the member to KEEP ranked by (quality_classifier_score DESC,
+    doc_id ASC) — production dedup keeps the best copy, not the
+    min-id one. Composes dedup_clusters (LSH -> CC) with the linear
+    quality scorer; oracle re-derives both sides independently
+    (recursive-CTE transitive closure + the literal-weight dot
+    product)."""
+    return dedup.dedup_best_reps(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.9
+    )
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash_fingerprints(
         _t(spark, sf_dir, "documents"), "text", "doc_id"
@@ -3464,7 +3477,11 @@ def q_quality_score(spark, sf_dir):
     return text.quality_classifier_score(docs, "text", "doc_id")
 
 
-def _quality_score_oracle() -> str:
+def _quality_score_ctes() -> str:
+    """Shared CTE chain (no leading WITH) computing the linear quality
+    classifier per doc: toks -> wts (literal weight array) -> feats ->
+    scored. Composable into larger oracles (q_best_rep joins it onto
+    the cluster CTEs)."""
     from ..operators.text import (
         QUALITY_CLF_DIM,
         QUALITY_CLF_SCALE,
@@ -3481,8 +3498,7 @@ def _quality_score_oracle() -> str:
         f"i -> {md5_int_sql('(t[i] || chr(31) || t[i+1])')} % {d}) "
         f"ELSE [] END"
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, {token_array_sql('text')} AS t FROM documents
 ),
 wts AS (SELECT {wlist}::BIGINT[] AS w),
@@ -3496,12 +3512,48 @@ scored AS (
            / len(f)))), 6) AS sc
   FROM feats, wts
   WHERE len(f) > 0
-)
+)"""
+
+
+def _quality_score_oracle() -> str:
+    return f"""
+WITH {_quality_score_ctes()}
 SELECT t.doc_id, CAST(coalesce(s.n_features, 0) AS BIGINT) AS n_features,
        coalesce(s.sc, 0.5) AS quality_score,
        coalesce(s.sc >= 0.5, TRUE) AS keep
 FROM toks t LEFT JOIN scored s USING (doc_id)
 """
+
+
+def _best_rep_oracle(threshold: float) -> str:
+    """Cluster CTEs (recursive transitive closure -> rep) + the
+    quality-score CTEs + per-cluster arg-max by (score DESC, id ASC)."""
+    return (
+        _clusters_cte(threshold)
+        + ",\n"
+        + _quality_score_ctes()
+        + """,
+qs AS (
+  SELECT dd.doc_id, coalesce(s.sc, 0.5) AS quality_score
+  FROM documents dd LEFT JOIN scored s USING (doc_id)
+),
+jj AS (
+  SELECT r.cluster_rep, r.doc_id, q.quality_score
+  FROM rep r JOIN qs q USING (doc_id)
+),
+rk AS (
+  SELECT cluster_rep, doc_id, quality_score,
+         row_number() OVER (PARTITION BY cluster_rep
+                            ORDER BY quality_score DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster_rep) AS nm,
+         max(quality_score) OVER (PARTITION BY cluster_rep) AS mx
+  FROM jj
+)
+SELECT cluster_rep AS cluster_id, doc_id AS best_doc_id,
+       mx AS best_score, CAST(nm AS BIGINT) AS n_members
+FROM rk WHERE rn = 1
+"""
+    )
 
 
 def _span_cte(k: int) -> str:
@@ -4191,6 +4243,7 @@ WHERE {md5_int_sql("('wsample:' || CAST(doc_id AS VARCHAR))")} % 1000000
 """,
     "q_minhash_sig": _minhash_sig_oracle(),
     "q_dedup_clusters": _dedup_clusters_oracle(0.9),
+    "q_best_rep": _best_rep_oracle(0.9),
     "q_corpus_select": _corpus_select_oracle(0.9),
     "q_sentiment": _sentiment_oracle(),
     "q_minhash_lsh": _jaccard_pairs_oracle(0.9),
@@ -4750,8 +4803,8 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # in the registry), then (b) the oldest 19 of the r6-verified block
 # (q_string_funcs .. q_rate_anomaly). Any NEW r9 queries are inserted
 # into the window displacing its tail (displaced so far: q_vocab_stats,
-# q_edit_verify, q_rate_anomaly, q_top_ngram, q_admission_filter).
-# Behind the window, the
+# q_edit_verify, q_rate_anomaly, q_top_ngram, q_admission_filter,
+# q_session_window). Behind the window, the
 # queue for r10 rotation in order of staleness: the displaced-plus-
 # remaining r6-verified entries (q_top_ngram .. q_total_count), the 3
 # rows-only entries, then
@@ -4813,15 +4866,17 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_dedup_clusters", q_dedup_clusters, ORACLES["q_dedup_clusters"]),
     QuerySpec("q_corpus_select", q_corpus_select, ORACLES["q_corpus_select"]),
     QuerySpec("q_sessionize", q_sessionize, ORACLES["q_sessionize"], True),
-    QuerySpec("q_session_window", q_session_window, ORACLES["q_session_window"]),
-    # ---- NEW in r9 (skew-safe analytic window rewrites) ----
+    # ---- NEW in r9 (skew-safe analytic window rewrites; quality-
+    # aware dedup manifest) ----
     QuerySpec("q_skew_lag", q_skew_lag, ORACLES["q_skew_lag"], True),
     QuerySpec("q_skew_running", q_skew_running, ORACLES["q_skew_running"], True),
+    QuerySpec("q_best_rep", q_best_rep, ORACLES["q_best_rep"], True),
     # ==== driver 50-entry verification window ends here ====
     # r6-verified queue (rotate in first in r10 — q_vocab_stats,
-    # q_edit_verify, q_rate_anomaly, q_top_ngram and
-    # q_admission_filter were displaced from the window tail by the
-    # five new r9 entries above):
+    # q_edit_verify, q_rate_anomaly, q_top_ngram, q_admission_filter
+    # and q_session_window were displaced from the window tail by the
+    # six new r9 entries above):
+    QuerySpec("q_session_window", q_session_window, ORACLES["q_session_window"]),
     QuerySpec("q_admission_filter", q_admission_filter, ORACLES["q_admission_filter"]),
     QuerySpec("q_top_ngram", q_top_ngram, ORACLES["q_top_ngram"], True),
     QuerySpec("q_vocab_stats", q_vocab_stats, ORACLES["q_vocab_stats"]),

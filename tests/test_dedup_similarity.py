@@ -714,3 +714,44 @@ def test_duplicated_spans_shuffle_carries_hashes_not_text(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_dedup_best_reps_picks_quality_not_min_id(spark):
+    """The manifest must rank cluster members by (quality_score DESC,
+    id ASC) — NOT keep the min id. Doc 11 is a near-dup of doc 10 with
+    a higher classifier score (verified against the scorer itself), so
+    the cluster labelled by min-id 10 must name 11 as its keeper;
+    singletons keep themselves with n_members == 1."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.text import (
+        quality_classifier_score,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old "
+        "river bank while morning light settles on the quiet water"
+    )
+    rows = [
+        (10, base + " zzqx"),          # near-dup pair, lower score
+        (11, base),                    # near-dup pair member
+        (30, "completely unrelated text about spark shuffles and "
+             "partition boundaries in distributed execution engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {
+        r["doc_id"]: r["quality_score"]
+        for r in quality_classifier_score(df, "text", "doc_id").collect()
+    }
+    out = {
+        r["cluster_id"]: r
+        for r in dedup.dedup_best_reps(
+            df, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    pair = out[10]
+    assert pair["n_members"] == 2
+    expected = 11 if scores[11] > scores[10] else 10
+    if scores[11] == scores[10]:
+        expected = 10  # tie -> min id
+    assert pair["best_doc_id"] == expected
+    assert pair["best_score"] == max(scores[10], scores[11])
+    assert out[30]["best_doc_id"] == 30 and out[30]["n_members"] == 1
