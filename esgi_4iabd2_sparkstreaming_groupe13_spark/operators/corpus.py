@@ -369,6 +369,69 @@ def cap_per_stratum(
     )
 
 
+#: Salt for mixture-quota selection — independent of the sampling,
+#: capping and splitting salts for the same non-correlation reason.
+MIX_SALT = "mix:"
+
+
+def mix_to_proportions(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    targets: dict[str, float],
+    total_rows: int,
+) -> DataFrame:
+    """Compose a training MIXTURE (new r9): from each stratum
+    (language, domain, quality tier) keep
+    ``quota_b = min(available_b, floor(targets[b] * total_rows))``
+    rows — the static data-mixing stage pipelines run to hit target
+    proportions (e.g. rebalancing languages before tokenization).
+    Strata absent from ``targets`` contribute nothing; under-supplied
+    strata are clamped to availability (the caller compares the output
+    histogram to the request to see the shortfall).
+
+    Selection inside a stratum is by salted id-hash rank — the same
+    auditable determinism contract as :func:`cap_per_stratum` (a doc's
+    survival is a pure function of its id, stable under re-runs and
+    repartitioning), on an independent salt.
+
+    Scale shape: ranks come from
+    :func:`~.windows.scale_safe_group_ranks` (range-partition + local
+    offsets + metadata broadcast), NOT ``row_number().over(
+    partitionBy(stratum))`` — the quota bound is a per-stratum COLUMN,
+    so Catalyst's WindowGroupLimit cannot prune the window form and a
+    whale stratum would serialize into one task's sort. Quotas are
+    pure expressions over the targets literal and the ``_grp_n``
+    metadata that rides the rank join — no extra aggregate, no second
+    shuffle.
+    """
+    from .windows import scale_safe_group_ranks
+
+    h = md5_int(
+        F.concat(F.lit(MIX_SALT), F.col(id_col).cast("string"))
+    ).alias("_mix_h")
+    ranked = scale_safe_group_ranks(
+        df.select("*", h), stratum_col, ["_mix_h", id_col]
+    )
+    target_map = F.create_map(
+        *[
+            F.lit(x)
+            for key in sorted(targets)
+            for x in (key, float(targets[key]))
+        ]
+    )
+    quota = F.least(
+        F.col("_grp_n"),
+        F.floor(
+            F.coalesce(
+                target_map[F.col(stratum_col)], F.lit(0.0)
+            )
+            * F.lit(float(total_rows))
+        ).cast("long"),
+    )
+    return ranked.filter(F.col("_rank") <= quota).select(*df.columns)
+
+
 #: Salt for train/val/test assignment — independent of the sampling
 #: and capping hashes so split membership never correlates with them.
 SPLIT_SALT = "split:"

@@ -669,40 +669,30 @@ def funnel_stages(
     return out.withColumn("stages_completed", stage.cast("long"))
 
 
-def equi_depth_bins(
+def scale_safe_group_ranks(
     df: DataFrame,
     part_col: str,
     order_cols: list[str],
-    value_col: str,
-    n_bins: int = 10,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Per-group equi-depth (equal-frequency) binning — the decile
-    profile a pipeline builds to calibrate features or stratify
-    sampling: the NTILE(``n_bins``) allocation over a TOTAL order,
-    then per-bin count / min / max of the value.
+    """Per-group 1-based ranks over a TOTAL order without the
+    per-group single-task sort ``row_number().over(partitionBy(g))``
+    pays (factored out of :func:`equi_depth_bins`' r7 rewrite so
+    every rank-bounded selection — NTILE allocation, mixture quotas —
+    shares one audited implementation).
 
-    Determinism contract: ``order_cols`` must end in a unique key —
-    the NTILE allocation (larger buckets first, SQL standard,
-    identical in Spark and DuckDB) is only reproducible over a total
-    order, and the rank derivation below additionally relies on it
-    (task retries must replay the identical row sequence).
+    Technique: range-partition by (group, order) and sort within
+    partitions — a group's rows flow in order across partitions;
+    derive partition-local offsets from ``monotonically_increasing_id``
+    (documented ``pid << 33 | row_offset`` layout); lift to per-group
+    global ranks via (partition, group) metadata — row count + the
+    group's first local offset, at most P + G rows, window-scanned as
+    metadata and broadcast back. ``order_cols`` must end in a unique
+    key (total order: task retries must replay the identical row
+    sequence).
 
-    Scale shape (r7 rewrite — the r6 form was literal
-    ``ntile().over(Window.partitionBy(group))``, which serializes each
-    group into ONE partition's sort; the 100× probe measured 86 s on
-    3 groups = 3 tasks no matter how many executors): range-partition
-    by (group, order) so a group SPANS partitions in sorted order,
-    derive partition-local ranks from ``monotonically_increasing_id``
-    (documented ``pid << 33 | row_offset`` layout, offsets in sorted
-    row-flow order — the :func:`global_row_index` technique), lift
-    them to per-group global ranks via (partition, group) count
-    metadata — at most P+G rows, window-scanned as metadata and
-    broadcast back — and compute the NTILE bucket arithmetically from
-    (rank, group size): with q = n div k, rem = n mod k, the first
-    ``rem`` buckets hold q+1 rows. Output is bit-identical to NTILE
-    (oracle-pinned); wall time now scales with the CLUSTER, not the
-    largest group.
+    Returns the input columns plus ``_rank`` (1-based within group)
+    and ``_grp_n`` (group size).
     """
     order = [F.col(part_col)] + [F.col(c) for c in order_cols]
     parted = (
@@ -743,6 +733,50 @@ def equi_depth_bins(
         + (F.col("_local_rn0") - F.col("_grp_start"))
         + F.lit(1)
     )
+    return joined.withColumn("_rank", rank.cast("long")).drop(
+        "_mid", "_pid", "_local_rn0", "_grp_start", "_grp_base"
+    )
+
+
+def equi_depth_bins(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    value_col: str,
+    n_bins: int = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group equi-depth (equal-frequency) binning — the decile
+    profile a pipeline builds to calibrate features or stratify
+    sampling: the NTILE(``n_bins``) allocation over a TOTAL order,
+    then per-bin count / min / max of the value.
+
+    Determinism contract: ``order_cols`` must end in a unique key —
+    the NTILE allocation (larger buckets first, SQL standard,
+    identical in Spark and DuckDB) is only reproducible over a total
+    order, and the rank derivation below additionally relies on it
+    (task retries must replay the identical row sequence).
+
+    Scale shape (r7 rewrite — the r6 form was literal
+    ``ntile().over(Window.partitionBy(group))``, which serializes each
+    group into ONE partition's sort; the 100× probe measured 86 s on
+    3 groups = 3 tasks no matter how many executors): range-partition
+    by (group, order) so a group SPANS partitions in sorted order,
+    derive partition-local ranks from ``monotonically_increasing_id``
+    (documented ``pid << 33 | row_offset`` layout, offsets in sorted
+    row-flow order — the :func:`global_row_index` technique), lift
+    them to per-group global ranks via (partition, group) count
+    metadata — at most P+G rows, window-scanned as metadata and
+    broadcast back — and compute the NTILE bucket arithmetically from
+    (rank, group size): with q = n div k, rem = n mod k, the first
+    ``rem`` buckets hold q+1 rows. Output is bit-identical to NTILE
+    (oracle-pinned); wall time now scales with the CLUSTER, not the
+    largest group.
+    """
+    joined = scale_safe_group_ranks(
+        df, part_col, order_cols, num_partitions
+    )
+    rank = F.col("_rank")
     n = F.col("_grp_n")
     k = F.lit(n_bins)
     q = F.floor(n / k)

@@ -2164,6 +2164,25 @@ def q_embed_dedup(spark, sf_dir):
 DOMAIN_CAP = 30
 
 
+#: Target mixture for q_mix: rebalance languages toward an
+#: en-heavy mix over a 400-row budget. fr/zh/es quotas exceed some
+#: strata's availability at small sf — exercising the least() clamp.
+MIX_TARGETS = {"en": 0.4, "zh": 0.2, "es": 0.2, "fr": 0.2}
+MIX_TOTAL = 400
+
+
+def q_mix(spark, sf_dir):
+    """Static data-mixing stage (new r9): per-language quotas
+    floor(target * budget) clamped to availability, selected by
+    salted id-hash rank via the scale-safe group-rank machinery (the
+    quota is a per-stratum column, so WindowGroupLimit cannot prune
+    the naive window form). See corpus.mix_to_proportions."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.mix_to_proportions(
+        docs, "doc_id", "lang", MIX_TARGETS, MIX_TOTAL
+    ).select("doc_id", "lang", "source")
+
+
 def q_domain_cap(spark, sf_dir):
     """Source/domain capping: keep at most DOMAIN_CAP docs per source,
     selected by salted id-hash rank — deterministic, auditable, one
@@ -4621,6 +4640,21 @@ SELECT doc_id, md5(redacted) AS redacted_md5,
          AS n_redactions
 FROM red
 """,
+    "q_mix": f"""
+WITH h AS (
+  SELECT doc_id, lang, source,
+         {md5_int_sql("('mix:' || CAST(doc_id AS VARCHAR))")} AS hx
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang ORDER BY hx, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM h
+)
+SELECT doc_id, lang, source FROM r
+WHERE rk <= least(n, CAST(floor(
+        CASE lang WHEN 'en' THEN 0.4 WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.2 WHEN 'zh' THEN 0.2 ELSE 0.0 END * {MIX_TOTAL}) AS BIGINT))
+""",
     "q_domain_cap": f"""
 SELECT doc_id, source, lang FROM (
   SELECT doc_id, source, lang,
@@ -4804,7 +4838,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # (q_string_funcs .. q_rate_anomaly). Any NEW r9 queries are inserted
 # into the window displacing its tail (displaced so far: q_vocab_stats,
 # q_edit_verify, q_rate_anomaly, q_top_ngram, q_admission_filter,
-# q_session_window). Behind the window, the
+# q_session_window, q_corpus_select). Behind the window, the
 # queue for r10 rotation in order of staleness: the displaced-plus-
 # remaining r6-verified entries (q_top_ngram .. q_total_count), the 3
 # rows-only entries, then
@@ -4864,18 +4898,19 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_join_multiway", q_join_multiway, ORACLES["q_join_multiway"], True),
     QuerySpec("q_simhash", q_simhash, ORACLES["q_simhash"], True),
     QuerySpec("q_dedup_clusters", q_dedup_clusters, ORACLES["q_dedup_clusters"]),
-    QuerySpec("q_corpus_select", q_corpus_select, ORACLES["q_corpus_select"]),
     QuerySpec("q_sessionize", q_sessionize, ORACLES["q_sessionize"], True),
     # ---- NEW in r9 (skew-safe analytic window rewrites; quality-
-    # aware dedup manifest) ----
+    # aware dedup manifest; mixture quotas) ----
     QuerySpec("q_skew_lag", q_skew_lag, ORACLES["q_skew_lag"], True),
     QuerySpec("q_skew_running", q_skew_running, ORACLES["q_skew_running"], True),
     QuerySpec("q_best_rep", q_best_rep, ORACLES["q_best_rep"], True),
+    QuerySpec("q_mix", q_mix, ORACLES["q_mix"], True),
     # ==== driver 50-entry verification window ends here ====
     # r6-verified queue (rotate in first in r10 — q_vocab_stats,
-    # q_edit_verify, q_rate_anomaly, q_top_ngram, q_admission_filter
-    # and q_session_window were displaced from the window tail by the
-    # six new r9 entries above):
+    # q_edit_verify, q_rate_anomaly, q_top_ngram, q_admission_filter,
+    # q_session_window and q_corpus_select were displaced from the
+    # window tail by the seven new r9 entries above):
+    QuerySpec("q_corpus_select", q_corpus_select, ORACLES["q_corpus_select"]),
     QuerySpec("q_session_window", q_session_window, ORACLES["q_session_window"]),
     QuerySpec("q_admission_filter", q_admission_filter, ORACLES["q_admission_filter"]),
     QuerySpec("q_top_ngram", q_top_ngram, ORACLES["q_top_ngram"], True),

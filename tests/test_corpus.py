@@ -355,3 +355,36 @@ def test_term_divergence_zero_for_identical_and_positive_for_disjoint(spark):
     # symmetry of JSD
     rev = term_divergence(b, a, "text").collect()[0]
     assert abs(diff["jsd"] - rev["jsd"]) < 1e-9
+
+
+def test_mix_to_proportions_quotas_and_clamp(spark):
+    """Quota = min(available, floor(target * total)); strata absent
+    from the targets contribute nothing; selection is a deterministic
+    pure function of the id (same survivors on re-run)."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.corpus import (
+        mix_to_proportions,
+    )
+
+    rows = (
+        [(i, "en") for i in range(100)]
+        + [(200 + i, "fr") for i in range(10)]
+        + [(300 + i, "xx") for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mix_to_proportions(
+        df, "doc_id", "lang", {"en": 0.5, "fr": 0.3}, 100
+    )
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # en: floor(.5*100)=50 of 100; fr: floor(.3*100)=30 clamped to 10
+    assert by_lang == {"en": 50, "fr": 10}
+    # deterministic survivors
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in mix_to_proportions(
+        df, "doc_id", "lang", {"en": 0.5, "fr": 0.3}, 100
+    ).collect())
+    assert ids1 == ids2
+    # schema passes through unchanged (internals dropped)
+    assert out.columns == ["doc_id", "lang"]
