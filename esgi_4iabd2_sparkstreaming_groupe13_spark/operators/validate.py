@@ -153,3 +153,122 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
     return agg_row.select(F.explode(report).alias("_r")).select(
         "_r.check", "_r.metric", "_r.passed"
     )
+
+
+_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "float",
+                     "double", "decimal")
+#: fixed-width microsecond format for temporal min/max — an EXPLICIT
+#: format on both engine sides (Spark date_format vs DuckDB strftime)
+#: instead of a bare CAST, whose trailing-zero trimming is an
+#: engine-formatting detail no oracle should depend on
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """Per-column profile of a table — the "what is in this extract"
+    report a pipeline materializes next to every ingest (and the
+    input a human consults before writing :func:`validate` checks):
+    row count, null count, EXACT distinct count, min/max, mean.
+
+    One aggregate pass regardless of column count (the
+    :func:`validate` design contract): every statistic compiles to an
+    aggregate expression over one scan; the exact distinct counts ride
+    Spark's count-distinct Expand — N profiled columns cost an N-way
+    map-side expansion of the scan, still one job, no joins. Profile a
+    SUBSET via ``columns`` when the table is very wide.
+
+    Long-format output, one row per column, type-stable across column
+    dtypes: ``(column, dtype, n_rows, n_nulls, n_distinct, min_num,
+    max_num, mean, min_str, max_str)`` — numerics fill the double
+    slots (mean decimal-accumulated then 6 dp half-away rounded, the
+    cross-engine ratio contract), strings fill min/max_str, temporal
+    columns format into min/max_str with an explicit fixed-width
+    microsecond pattern (bare casts trim trailing zeros differently
+    across engines). The single-row aggregate explodes into the
+    report rows driver-free."""
+    # canonical dtype labels: the same parquet column reads as
+    # `timestamp` or `timestamp_ntz` depending on the file's physical
+    # annotation (see sources/batch.py) — a profile report (and its
+    # oracle) should name the FAMILY, not the session-dependent flavor
+    dtypes = {
+        c: ("timestamp" if t == "timestamp_ntz" else t)
+        for c, t in df.dtypes
+    }
+    cols = columns if columns is not None else df.columns
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_pt_rows")]
+    for i, c in enumerate(cols):
+        dt = dtypes[c]
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"_pt_{i}_nn"))
+        aggs.append(F.count_distinct(col).alias(f"_pt_{i}_nd"))
+        if dt.startswith(_NUMERIC_PREFIXES):
+            aggs.append(F.min(col).cast("double").alias(f"_pt_{i}_min"))
+            aggs.append(F.max(col).cast("double").alias(f"_pt_{i}_max"))
+            aggs.append(
+                F.sum(col.cast("decimal(38,6)")).alias(f"_pt_{i}_sum")
+            )
+        elif dt in ("timestamp", "timestamp_ntz", "date"):
+            aggs.append(
+                F.date_format(F.min(col), _TS_FMT_SPARK).alias(
+                    f"_pt_{i}_mins"
+                )
+            )
+            aggs.append(
+                F.date_format(F.max(col), _TS_FMT_SPARK).alias(
+                    f"_pt_{i}_maxs"
+                )
+            )
+        elif dt == "string":
+            aggs.append(F.min(col).alias(f"_pt_{i}_mins"))
+            aggs.append(F.max(col).alias(f"_pt_{i}_maxs"))
+        # other dtypes (arrays, structs, binary): counts only
+    row = df.agg(*aggs)
+
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = []
+    for i, c in enumerate(cols):
+        dt = dtypes[c]
+        is_num = dt.startswith(_NUMERIC_PREFIXES)
+        has_str = dt in ("timestamp", "timestamp_ntz", "date", "string")
+        nn = F.col(f"_pt_{i}_nn")
+        # ONE explicit double division over the exact decimal sum (the
+        # cross-engine ratio contract: both engines perform the same
+        # double op, then the same half-away rounding — never each
+        # engine's own decimal-division scale rules)
+        mean = (
+            round_half_away(
+                F.col(f"_pt_{i}_sum").cast("double")
+                / nn.cast("double"),
+                6,
+            )
+            if is_num
+            else null_d
+        )
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(dt).alias("dtype"),
+                F.col("_pt_rows").cast("long").alias("n_rows"),
+                (F.col("_pt_rows") - nn).cast("long").alias("n_nulls"),
+                F.col(f"_pt_{i}_nd").cast("long").alias("n_distinct"),
+                (F.col(f"_pt_{i}_min") if is_num else null_d).alias(
+                    "min_num"
+                ),
+                (F.col(f"_pt_{i}_max") if is_num else null_d).alias(
+                    "max_num"
+                ),
+                mean.alias("mean"),
+                (F.col(f"_pt_{i}_mins") if has_str else null_s).alias(
+                    "min_str"
+                ),
+                (F.col(f"_pt_{i}_maxs") if has_str else null_s).alias(
+                    "max_str"
+                ),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("_p")).select(
+        "_p.*"
+    )

@@ -2269,6 +2269,49 @@ def q_edit_verify(spark, sf_dir):
 VALID_EVENT_TYPES = ["click", "view", "purchase", "signup"]
 
 
+def q_profile(spark, sf_dir):
+    """Per-column table profile (new r9): row/null/exact-distinct
+    counts, min/max, decimal-accumulated mean — ONE aggregate pass
+    for every profiled column (distinct counts ride the count-distinct
+    Expand), exploded into a long-format report. The what-is-in-this-
+    extract report a pipeline stores next to every ingest. See
+    validate.profile_table."""
+    return validate.profile_table(_t(spark, sf_dir, "orders"))
+
+
+def _profile_oracle() -> str:
+    numeric = [("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+               ("o_totalprice", "double")]
+    temporal = [("o_orderdate", "timestamp")]
+    strings = [("o_orderstatus", "string"), ("o_orderpriority", "string")]
+    parts = []
+    for c, dt in numeric:
+        mean = round_half_away_sql(
+            f"(CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE)"
+            f" / CAST(count({c}) AS DOUBLE))", 6
+        )
+        parts.append(f"""SELECT '{c}' AS column, '{dt}' AS dtype,
+  count(*) AS n_rows, count(*) - count({c}) AS n_nulls,
+  count(DISTINCT {c}) AS n_distinct,
+  CAST(min({c}) AS DOUBLE) AS min_num, CAST(max({c}) AS DOUBLE) AS max_num,
+  {mean} AS mean,
+  NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM orders""")
+    for c, dt in temporal:
+        parts.append(f"""SELECT '{c}' AS column, '{dt}' AS dtype,
+  count(*) AS n_rows, count(*) - count({c}) AS n_nulls,
+  count(DISTINCT {c}) AS n_distinct,
+  NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num, NULL::DOUBLE AS mean,
+  strftime(min({c}), '%Y-%m-%d %H:%M:%S.%f') AS min_str,
+  strftime(max({c}), '%Y-%m-%d %H:%M:%S.%f') AS max_str FROM orders""")
+    for c, dt in strings:
+        parts.append(f"""SELECT '{c}' AS column, '{dt}' AS dtype,
+  count(*) AS n_rows, count(*) - count({c}) AS n_nulls,
+  count(DISTINCT {c}) AS n_distinct,
+  NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num, NULL::DOUBLE AS mean,
+  min({c}) AS min_str, max({c}) AS max_str FROM orders""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_validation(spark, sf_dir):
     """Deequ-style declarative expectation suite (new r6): six checks
     compiled into ONE global aggregate pass over events — report size
@@ -4640,6 +4683,7 @@ SELECT doc_id, md5(redacted) AS redacted_md5,
          AS n_redactions
 FROM red
 """,
+    "q_profile": _profile_oracle(),
     "q_mix": f"""
 WITH h AS (
   SELECT doc_id, lang, source,
@@ -4838,7 +4882,8 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # (q_string_funcs .. q_rate_anomaly). Any NEW r9 queries are inserted
 # into the window displacing its tail (displaced so far: q_vocab_stats,
 # q_edit_verify, q_rate_anomaly, q_top_ngram, q_admission_filter,
-# q_session_window, q_corpus_select). Behind the window, the
+# q_session_window, q_corpus_select, q_sessionize). Behind the
+# window, the
 # queue for r10 rotation in order of staleness: the displaced-plus-
 # remaining r6-verified entries (q_top_ngram .. q_total_count), the 3
 # rows-only entries, then
@@ -4898,18 +4943,20 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_join_multiway", q_join_multiway, ORACLES["q_join_multiway"], True),
     QuerySpec("q_simhash", q_simhash, ORACLES["q_simhash"], True),
     QuerySpec("q_dedup_clusters", q_dedup_clusters, ORACLES["q_dedup_clusters"]),
-    QuerySpec("q_sessionize", q_sessionize, ORACLES["q_sessionize"], True),
     # ---- NEW in r9 (skew-safe analytic window rewrites; quality-
-    # aware dedup manifest; mixture quotas) ----
+    # aware dedup manifest; mixture quotas; table profiler) ----
     QuerySpec("q_skew_lag", q_skew_lag, ORACLES["q_skew_lag"], True),
     QuerySpec("q_skew_running", q_skew_running, ORACLES["q_skew_running"], True),
     QuerySpec("q_best_rep", q_best_rep, ORACLES["q_best_rep"], True),
     QuerySpec("q_mix", q_mix, ORACLES["q_mix"], True),
+    QuerySpec("q_profile", q_profile, ORACLES["q_profile"], True),
     # ==== driver 50-entry verification window ends here ====
     # r6-verified queue (rotate in first in r10 — q_vocab_stats,
     # q_edit_verify, q_rate_anomaly, q_top_ngram, q_admission_filter,
-    # q_session_window and q_corpus_select were displaced from the
-    # window tail by the seven new r9 entries above):
+    # q_session_window, q_corpus_select and q_sessionize were
+    # displaced from the window tail by the eight new r9 entries
+    # above):
+    QuerySpec("q_sessionize", q_sessionize, ORACLES["q_sessionize"], True),
     QuerySpec("q_corpus_select", q_corpus_select, ORACLES["q_corpus_select"]),
     QuerySpec("q_session_window", q_session_window, ORACLES["q_session_window"]),
     QuerySpec("q_admission_filter", q_admission_filter, ORACLES["q_admission_filter"]),

@@ -74,7 +74,7 @@ ALL_OPS = (
     "bigram_logprob incremental_dedup incremental_indexed top_ngram "
     "vocab_stats funnel snapshot_diff rate_anomaly equi_depth line_dedup "
     "transitions hll_rolling scd2 prefix_jaccard gopher corpus_drift "
-    "skew_lag skew_runsum "
+    "skew_lag skew_runsum mix "
     "substring_dedup quality_score embed_norm"
 ).split()
 
@@ -131,6 +131,7 @@ def main() -> None:
         "corpus_drift",
         "substring_dedup",
         "quality_score",
+        "mix",
     )
     if want(*doc_ops):
         docs1 = load_table(spark, SF_DIR, "documents")
@@ -236,7 +237,7 @@ def main() -> None:
         }
     if want("bigram_logprob", "top_ngram", "vocab_stats", "line_dedup",
             "prefix_jaccard", "gopher", "corpus_drift", "substring_dedup",
-            "quality_score"):
+            "quality_score", "mix"):
         # the shared docsN's md5-expanded copies are a single unbroken
         # hex token (fine for char-shingle ops, invisible to a BIGRAM
         # stream: <2 tokens → dropped). Build a token-rich scaled
@@ -684,6 +685,56 @@ def main() -> None:
                 grouped_running_sum_skew_safe(
                     evSkew, "user_id", ["ts", "event_id"], "value"
                 ),
+            ),
+        }
+
+    # mixture-quota A/B on the scaled corpus: the naive form ranks
+    # with row_number().over(partitionBy(stratum)) — the quota bound
+    # is a per-stratum COLUMN, so WindowGroupLimit cannot prune and
+    # the biggest language serializes into one task — vs the
+    # scale-safe group-rank machinery mix_to_proportions uses.
+    if want("mix"):
+        from pyspark.sql import Window as _W
+
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.functions.hashing import (
+            md5_int as _md5i,
+        )
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.corpus import (
+            MIX_SALT,
+            mix_to_proportions,
+        )
+
+        mtargets = {"en": 0.4, "zh": 0.2, "es": 0.2, "fr": 0.2}
+        mtotal = 400 * 100  # scale the budget with the corpus
+        _h = _md5i(
+            F.concat(F.lit(MIX_SALT), F.col("doc_id").cast("string"))
+        )
+        _wn = _W.partitionBy("lang").orderBy(_h.asc(), F.col("doc_id").asc())
+        _tm = F.create_map(
+            *[F.lit(x) for k in sorted(mtargets) for x in (k, mtargets[k])]
+        )
+        _cnt = F.count(F.lit(1)).over(_W.partitionBy("lang"))
+        naive = (
+            docsTok.withColumn("_rk", F.row_number().over(_wn))
+            .withColumn("_n", _cnt)
+            .filter(
+                F.col("_rk")
+                <= F.least(
+                    F.col("_n"),
+                    F.floor(
+                        F.coalesce(_tm[F.col("lang")], F.lit(0.0)) * mtotal
+                    ).cast("long"),
+                )
+            )
+            .select("doc_id", "lang")
+        )
+        results["mix"] = {
+            "t1": timed(f"naive rank window, {factor}x", naive),
+            "tN": timed(
+                f"scale-safe quotas, {factor}x",
+                mix_to_proportions(
+                    docsTok, "doc_id", "lang", mtargets, mtotal
+                ).select("doc_id", "lang"),
             ),
         }
 

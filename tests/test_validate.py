@@ -93,3 +93,55 @@ def test_rare_violation_not_masked_by_rounding(spark):
     ).collect()}
     assert out["uniqueness(k)"] == (1.0, False)
     assert out["completeness(v)"] == (1.0, False)
+
+
+def test_profile_table_stats(spark):
+    """Per-column stats: null/distinct counts exact, mean over
+    non-null values only, temporal min/max in the fixed-width
+    microsecond format, non-profiled slots null."""
+    import datetime as dt
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.validate import (
+        profile_table,
+    )
+
+    rows = [
+        (1, 10.0, "b", dt.datetime(2024, 3, 1, 12, 0, 0)),
+        (2, None, "a", dt.datetime(2024, 3, 2, 12, 30, 15, 250000)),
+        (3, 20.0, "a", None),
+        (4, 30.0, None, dt.datetime(2024, 3, 1, 12, 0, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, v double, s string, ts timestamp"
+    )
+    out = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(out) == {"id", "v", "s", "ts"}
+    assert all(r["n_rows"] == 4 for r in out.values())
+    assert out["v"]["n_nulls"] == 1 and out["v"]["n_distinct"] == 3
+    assert out["v"]["mean"] == 20.0  # mean over the 3 non-null values
+    assert (out["v"]["min_num"], out["v"]["max_num"]) == (10.0, 30.0)
+    assert out["v"]["min_str"] is None
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert (out["s"]["min_str"], out["s"]["max_str"]) == ("a", "b")
+    assert out["s"]["mean"] is None and out["s"]["min_num"] is None
+    assert out["ts"]["n_nulls"] == 1 and out["ts"]["n_distinct"] == 2
+    assert out["ts"]["min_str"] == "2024-03-01 12:00:00.000000"
+    assert out["ts"]["max_str"] == "2024-03-02 12:30:15.250000"
+    assert out["id"]["n_distinct"] == 4 and out["id"]["n_nulls"] == 0
+
+
+def test_profile_table_single_scan(spark):
+    """The profiler's contract: ONE aggregate job over one scan no
+    matter how many columns — the plan holds a single source relation
+    (the count-distinct Expand is below the aggregate, not a second
+    scan)."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.validate import (
+        profile_table,
+    )
+
+    df = spark.range(100).selectExpr(
+        "id", "id * 2 AS a", "CAST(id AS STRING) AS s"
+    )
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range (0, 100") == 1
+    assert "Expand" in plan  # multi-distinct rides the standard Expand
