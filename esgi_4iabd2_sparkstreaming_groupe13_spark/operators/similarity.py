@@ -950,3 +950,258 @@ def embedding_centroids(
             "centroid_val",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index lifecycle (new r9): build / serve / append / drift
+# ---------------------------------------------------------------------------
+
+def _assign_with_sim(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, vec, cell_id, csim) nearest-centroid assignment — the
+    :func:`ivf_assign` top-1 with the winning similarity kept (build
+    stats and drift reports need it)."""
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "cell_id",
+        cosine_expr(F.col(vec_col), F.col("cvec")).alias("csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cell_id"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .drop("r")
+    )
+
+
+def _stats_dir(index_dir: str) -> str:
+    return index_dir.rstrip("/") + "__stats"
+
+
+def ivf_index_build(
+    spark,
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF INVERTED LISTS as a parquet table
+    partitioned by ``cell_id`` — the serve-side half of the quantizer
+    lifecycle :func:`kmeans_fit_or_load` began. :func:`ivf_topk`
+    re-assigns the whole corpus on every query; at 100 TB the
+    assignment is corpus-sized work that belongs in a build/append
+    job, and cell-partitioned layout means an ``nprobe``-cell probe
+    READS ONLY THOSE CELLS' FILES (partition pruning at the scan —
+    the scan cost tracks the probed fraction, not the corpus).
+
+    Alongside the lists, ``<index_dir>__stats`` records the build's
+    assignment-quality baseline (vector count + mean cosine
+    dissimilarity to the assigned centroid) — the reference point
+    :func:`ivf_drift_report` compares incoming batches against to
+    decide when the frozen quantizer has drifted enough to retrain.
+    """
+    assigned = _assign_with_sim(embeddings, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
+        index_dir
+    )
+    built = spark.read.parquet(index_dir)
+    stats = built.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        round_half_away(
+            F.sum(
+                (F.lit(1.0) - F.col("csim")).cast("decimal(38,12)")
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_dissim"),
+    )
+    stats.write.mode("overwrite").parquet(_stats_dir(index_dir))
+
+
+def ivf_index_append(
+    spark,
+    new_embeddings: DataFrame,
+    centroids: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index growth: assign ONLY the new vectors against
+    the frozen centroid model and append their rows into the
+    cell-partitioned lists — work tracks the batch, never the corpus
+    (the dedup-index serve contract, applied to the vector index).
+    Appends are at-least-once under replays; the serve path's
+    ``dropDuplicates(id)`` makes replayed rows harmless, and
+    ``maintenance.compact_directory`` reclaims them offline. The
+    build baseline in ``__stats`` is deliberately NOT updated —
+    drift is always measured against the distribution the quantizer
+    was TRAINED on."""
+    assigned = _assign_with_sim(
+        new_embeddings, centroids, id_col, vec_col
+    )
+    assigned.write.mode("append").partitionBy("cell_id").parquet(index_dir)
+
+
+def ivf_index_topk(
+    spark,
+    index_dir: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k served FROM the persisted index: rank the query
+    against the ``nprobe`` best cells' lists only. ``queries`` is a
+    ``(query_id, qvec)`` frame (runtime input, not index content).
+
+    Scale shape: probe cells come from a queries × k-centroids
+    broadcast product (metadata-sized); the DISTINCT probed cell ids
+    are collected to the driver (≤ nprobe × |queries| values) and
+    pushed as a LITERAL ``cell_id IN (...)`` predicate so partition
+    pruning eliminates every unprobed cell's files at the scan —
+    the one collect is bounded by the query batch, never the corpus.
+    ``dropDuplicates(id)`` absorbs at-least-once append replays
+    before ranking. Output matches :func:`ivf_topk`:
+    (query_id, neighbor_id, cosine, rank)."""
+    qcells = queries.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "qvec",
+        "cell_id",
+        cosine_expr(F.col("qvec"), F.col("cvec")).alias("csim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("csim"), F.asc("cell_id")
+    )
+    probes = (
+        qcells.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= nprobe)
+        .select("query_id", "qvec", "cell_id")
+    )
+    cell_ids = [
+        r["cell_id"] for r in probes.select("cell_id").distinct().collect()
+    ]
+    lists = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("cell_id").isin(cell_ids))
+        .dropDuplicates([id_col])
+    )
+    scored = (
+        lists.join(F.broadcast(probes), "cell_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                cosine_expr(F.col("qvec"), F.col(vec_col)), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_index_recall_checked(
+    spark,
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    index_dir: str,
+    query_ids: list[int],
+    k: int,
+    min_recall: float = 0.2,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ann_recall_checked`'s oracle contract, with the
+    approximate tier served from the PERSISTED index: per query the
+    EXACT brute-force top-k ids (hash-matched by the SQL oracle) plus
+    the index-served recall-floor boolean. Identical output schema,
+    so the registry gates the whole build/serve lifecycle."""
+    exact = brute_force_topk(embeddings, query_ids, k, id_col, vec_col)
+    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    approx = ivf_index_topk(
+        spark, index_dir, centroids, queries, k, nprobe, id_col, vec_col
+    )
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    per_q = hits.groupBy("query_id").agg(F.count("*").alias("n_hits"))
+    topk_str = F.concat_ws(
+        ",",
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("rank", "neighbor_id"))),
+            lambda s: s["neighbor_id"].cast("string"),
+        ),
+    )
+    base = exact.groupBy("query_id").agg(topk_str.alias("exact_topk"))
+    return base.join(per_q, "query_id", "left").select(
+        "query_id",
+        "exact_topk",
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            >= F.lit(min_recall * k)
+        ).alias("recall_floor_ok"),
+    )
+
+
+def ivf_drift_report(
+    spark,
+    batch: DataFrame,
+    centroids: DataFrame,
+    index_dir: str,
+    retrain_ratio: float = 1.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantizer drift monitor: assign the incoming batch against the
+    FROZEN centroids and compare its mean cosine dissimilarity to the
+    build-time baseline recorded by :func:`ivf_index_build`. A batch
+    drawn from the training distribution lands near ratio 1.0; a
+    shifted distribution assigns poorly (ratio grows) and
+    ``retrain`` trips at ``retrain_ratio`` — the signal a pipeline
+    uses to schedule a quantizer refit + index rebuild instead of
+    silently serving a stale model. One row out; batch-sized work."""
+    assigned = _assign_with_sim(batch, centroids, id_col, vec_col)
+    batch_stats = assigned.agg(
+        F.count(F.lit(1)).cast("long").alias("batch_n"),
+        round_half_away(
+            F.sum(
+                (F.lit(1.0) - F.col("csim")).cast("decimal(38,12)")
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("batch_mean_dissim"),
+    )
+    build = spark.read.parquet(_stats_dir(index_dir)).select(
+        F.col("n_vectors").alias("build_n"),
+        F.col("mean_dissim").alias("build_mean_dissim"),
+    )
+    ratio = F.round(
+        F.col("batch_mean_dissim") / F.col("build_mean_dissim"), 6
+    )
+    return batch_stats.crossJoin(F.broadcast(build)).select(
+        "batch_n",
+        "batch_mean_dissim",
+        "build_n",
+        "build_mean_dissim",
+        ratio.alias("drift_ratio"),
+        (ratio > retrain_ratio).alias("retrain"),
+    )

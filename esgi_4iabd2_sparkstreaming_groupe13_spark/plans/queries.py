@@ -1898,6 +1898,56 @@ def _trained_centroids(spark, sf_dir):
     )
 
 
+def _ivf_index_dir(spark, sf_dir):
+    """Serve-path access to the PERSISTED IVF inverted lists: build
+    once per corpus version (same size+mtime keying and stale-version
+    pruning as the quantizer model), then every serve query reads the
+    cell-partitioned table. Lives beside the k-means model it is
+    derived from — a regenerated corpus invalidates both together."""
+    import glob
+    import shutil
+
+    path = _kmeans_model_path(sf_dir) + "_ivfidx"
+    cents = _trained_centroids(spark, sf_dir)
+    prefix = os.path.join(
+        os.path.dirname(path), _kmeans_model_prefix(sf_dir) + "_"
+    )
+    for stale in glob.glob(prefix + "*_ivfidx*"):
+        keep = os.path.abspath(stale) in (
+            os.path.abspath(path),
+            os.path.abspath(path + "__stats"),
+        )
+        if not keep:
+            shutil.rmtree(stale, ignore_errors=True)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")) or not os.path.exists(
+        os.path.join(path + "__stats", "_SUCCESS")
+    ):
+        similarity.ivf_index_build(
+            spark, _t(spark, sf_dir, "embeddings"), cents, path
+        )
+    return path, cents
+
+
+def q_ivf_index(spark, sf_dir):
+    """Persisted-IVF-index serve gate (new r9): the q_ann_recall
+    oracle contract (exact top-5 hash-matched by DuckDB + recall-floor
+    boolean) with the approximate tier served FROM the
+    cell-partitioned inverted lists — probing reads only the probed
+    cells' files (partition pruning), and the registry row gates the
+    whole build/serve lifecycle instead of the in-flight assignment
+    path. See similarity.ivf_index_build / ivf_index_topk."""
+    path, cents = _ivf_index_dir(spark, sf_dir)
+    return similarity.ivf_index_recall_checked(
+        spark,
+        _t(spark, sf_dir, "embeddings"),
+        cents,
+        path,
+        QUERY_VEC_IDS,
+        k=5,
+        nprobe=4,
+    )
+
+
 def q_ann_recall(spark, sf_dir):
     """ANN quality gate: recall@5 of the IVF tier vs the exact
     brute-force tier, using the TRAINED spherical-k-means quantizer
@@ -4316,6 +4366,11 @@ WHERE {md5_int_sql("('wsample:' || CAST(doc_id AS VARCHAR))")} % 1000000
     # brute-force top-5 per query; the IVF recall-floor boolean must
     # be TRUE (IVF itself is not SQL-replicable — see q_ann_recall)
     "q_ann_recall": _ann_recall_oracle(5),
+    # identical exact side again: the index-served tier differs only in
+    # WHERE the approximate candidates come from (persisted inverted
+    # lists); the hash-matched exact top-5 + floor boolean contract is
+    # unchanged
+    "q_ivf_index": _ann_recall_oracle(5),
     # identical exact side — the quantized query differs only in which
     # corpus representation the (non-SQL-replicable) approximate tier
     # searches; the hash-matched exact top-5 and the floor boolean are
@@ -4882,8 +4937,8 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # (q_string_funcs .. q_rate_anomaly). Any NEW r9 queries are inserted
 # into the window displacing its tail (displaced so far: q_vocab_stats,
 # q_edit_verify, q_rate_anomaly, q_top_ngram, q_admission_filter,
-# q_session_window, q_corpus_select, q_sessionize). Behind the
-# window, the
+# q_session_window, q_corpus_select, q_sessionize,
+# q_dedup_clusters). Behind the window, the
 # queue for r10 rotation in order of staleness: the displaced-plus-
 # remaining r6-verified entries (q_top_ngram .. q_total_count), the 3
 # rows-only entries, then
@@ -4942,9 +4997,10 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_join_fact_dim", q_join_fact_dim, ORACLES["q_join_fact_dim"], True),
     QuerySpec("q_join_multiway", q_join_multiway, ORACLES["q_join_multiway"], True),
     QuerySpec("q_simhash", q_simhash, ORACLES["q_simhash"], True),
-    QuerySpec("q_dedup_clusters", q_dedup_clusters, ORACLES["q_dedup_clusters"]),
     # ---- NEW in r9 (skew-safe analytic window rewrites; quality-
-    # aware dedup manifest; mixture quotas; table profiler) ----
+    # aware dedup manifest; mixture quotas; table profiler; persisted
+    # IVF index serve gate) ----
+    QuerySpec("q_ivf_index", q_ivf_index, ORACLES["q_ivf_index"], True),
     QuerySpec("q_skew_lag", q_skew_lag, ORACLES["q_skew_lag"], True),
     QuerySpec("q_skew_running", q_skew_running, ORACLES["q_skew_running"], True),
     QuerySpec("q_best_rep", q_best_rep, ORACLES["q_best_rep"], True),
@@ -4956,6 +5012,7 @@ QUERIES: list[QuerySpec] = [
     # q_session_window, q_corpus_select and q_sessionize were
     # displaced from the window tail by the eight new r9 entries
     # above):
+    QuerySpec("q_dedup_clusters", q_dedup_clusters, ORACLES["q_dedup_clusters"]),
     QuerySpec("q_sessionize", q_sessionize, ORACLES["q_sessionize"], True),
     QuerySpec("q_corpus_select", q_corpus_select, ORACLES["q_corpus_select"]),
     QuerySpec("q_session_window", q_session_window, ORACLES["q_session_window"]),

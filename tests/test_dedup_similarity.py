@@ -755,3 +755,126 @@ def test_dedup_best_reps_picks_quality_not_min_id(spark):
     assert pair["best_doc_id"] == expected
     assert pair["best_score"] == max(scores[10], scores[11])
     assert out[30]["best_doc_id"] == 30 and out[30]["n_members"] == 1
+
+
+@pytest.fixture(scope="module")
+def ivf_index(spark, sf_dir, tmp_path_factory):
+    """Built IVF index over the sf embeddings with stride centroids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _ = similarity.ivf_assign(emb, 50)
+    idx = str(tmp_path_factory.mktemp("ivfidx") / "index")
+    similarity.ivf_index_build(spark, emb, cents, idx)
+    return emb, cents, idx
+
+
+def test_ivf_index_topk_matches_inflight(spark, sf_dir, ivf_index):
+    """Serving from the persisted cell-partitioned lists must return
+    EXACTLY what the in-flight assignment path returns — same
+    centroids, same probes, same ranks."""
+    emb, cents, idx = ivf_index
+    qids = [r["vec_id"] for r in emb.select("vec_id").limit(3).collect()]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    served = similarity.ivf_index_topk(
+        spark, idx, cents, queries, k=5, nprobe=4
+    )
+    inflight = similarity.ivf_topk(
+        emb, qids, 5, nprobe=4, centroids=cents
+    )
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, inflight.collect())
+    )
+
+
+def test_ivf_index_append_equals_rebuild_and_tolerates_replay(
+    spark, sf_dir, tmp_path
+):
+    """build(half) + append(rest) must serve identically to
+    build(full); appending the same batch twice (an at-least-once
+    replay) must not change any result."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _ = similarity.ivf_assign(emb, 50)
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    similarity.ivf_index_build(spark, half, cents, inc)
+    similarity.ivf_index_append(spark, rest, cents, inc)
+    similarity.ivf_index_build(spark, emb, cents, full)
+    qids = [r["vec_id"] for r in emb.select("vec_id").limit(3).collect()]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    a = similarity.ivf_index_topk(spark, inc, cents, queries, 5, 4)
+    b = similarity.ivf_index_topk(spark, full, cents, queries, 5, 4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # replay the append — dropDuplicates on the serve path absorbs it
+    similarity.ivf_index_append(spark, rest, cents, inc)
+    c = similarity.ivf_index_topk(spark, inc, cents, queries, 5, 4)
+    assert sorted(map(tuple, c.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ivf_index_probe_prunes_partitions(spark, sf_dir, ivf_index):
+    """The 100 TB claim: an nprobe-cell probe must reach the scan as a
+    PartitionFilters predicate on cell_id — unprobed cells' files are
+    never read."""
+    emb, cents, idx = ivf_index
+    qids = [r["vec_id"] for r in emb.select("vec_id").limit(1).collect()]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    plan = (
+        similarity.ivf_index_topk(spark, idx, cents, queries, 5, 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*cell_id", plan)
+    assert m, plan[:2000]
+
+
+def test_ivf_drift_report_flags_shifted_batch(spark, tmp_path):
+    """A batch from the training distribution reads ratio ~1 (no
+    retrain); a batch from a DIFFERENT distribution must trip the
+    retrain signal. Planted geometry makes drift unambiguous: training
+    vectors hug axes e0/e1 (the two centroids), the drifted batch
+    points along e7 — near-zero cosine to every centroid. (A negated
+    isotropic batch is NOT drift for a symmetric corpus — measured
+    ratio 1.03 — which is itself the point: the monitor keys on
+    assignment quality, not raw vector identity.)"""
+    dim = 8
+
+    def axis_vec(axis, perturb_axis, eps=0.1):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v[perturb_axis] = eps
+        return v
+
+    train = [
+        (i, axis_vec(i % 2, 2 + (i % 6)))
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(
+        train, "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * (dim - 1)),
+         (1, [0.0, 1.0] + [0.0] * (dim - 2))],
+        "cell_id long, cvec array<double>",
+    )
+    idx = str(tmp_path / "drift_idx")
+    similarity.ivf_index_build(spark, emb, cents, idx)
+    same = similarity.ivf_drift_report(spark, emb, cents, idx).collect()[0]
+    assert abs(same["drift_ratio"] - 1.0) < 1e-6
+    assert same["retrain"] is False
+    drifted = spark.createDataFrame(
+        [(1000 + i, axis_vec(7, 2)) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    bad = similarity.ivf_drift_report(
+        spark, drifted, cents, idx
+    ).collect()[0]
+    assert bad["drift_ratio"] > 1.5 and bad["retrain"] is True
