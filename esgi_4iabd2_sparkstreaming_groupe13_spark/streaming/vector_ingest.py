@@ -164,3 +164,50 @@ def start_vector_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def rebuild_on_drift(
+    spark: SparkSession,
+    centroids_path: str,
+    index_path: str,
+    k: int,
+    max_iterations: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """The scheduled job on the other side of the marker hand-off:
+    if ``RETRAIN_REQUESTED`` is raised, refit the quantizer on the
+    CURRENT index contents (dedup'd — appends are at-least-once),
+    atomically replace the centroid model, rebuild the inverted lists
+    + drift baseline against the new geometry, and lower the marker.
+    Returns whether a rebuild ran.
+
+    Ordering matters: the marker comes down LAST, after both tables
+    are durably rewritten — a crash mid-rebuild leaves the marker up,
+    so the next scheduled run redoes the (idempotent, overwrite-mode)
+    rebuild instead of silently serving a half-replaced model. Run it
+    from the maintenance scheduler, never inside the ingest loop —
+    Structured Streaming serializes foreachBatch calls, so a stream
+    restart between batches is the natural quiesce point."""
+    from ..operators.similarity import kmeans_fit
+
+    marker = os.path.join(
+        os.path.dirname(index_path) or ".", RETRAIN_MARKER
+    )
+    if not os.path.exists(marker):
+        return False
+    corpus = (
+        spark.read.parquet(index_path)
+        .select(id_col, vec_col)
+        .dropDuplicates([id_col])
+    )
+    cents, _, _ = kmeans_fit(
+        corpus, k, max_iterations, id_col=id_col, vec_col=vec_col
+    )
+    cents.write.mode("overwrite").parquet(centroids_path)
+    durable_cents = spark.read.parquet(centroids_path)
+    ivf_index_build(
+        spark, corpus, durable_cents, index_path, id_col, vec_col
+    )
+    os.remove(marker)
+    return True

@@ -194,3 +194,41 @@ def test_replayed_vector_batch_is_serve_idempotent(spark, tmp_path):
     process(batch, 0)  # replay
     assert _served(spark, paths, [0, 100]) == first
     assert spark.read.parquet(paths["monitor"]).count() == n_mon == 1
+
+
+def test_rebuild_on_drift_consumes_marker_and_adapts(spark, tmp_path):
+    """The scheduled rebuild: consumes the marker, refits on the
+    (dedup'd) index contents, rebuilds lists + baseline — after which
+    the formerly-drifted distribution assigns well (its direction is
+    now a centroid) and the marker is down. No-op when no marker."""
+    paths = _setup_store(spark, tmp_path)
+    process = vector_ingest.vector_ingest_batch(
+        paths["cents"], paths["index"], paths["monitor"]
+    )
+    process(
+        spark.createDataFrame(
+            DRIFTED, "vec_id long, embedding array<double>"
+        ),
+        0,
+    )
+    marker = os.path.join(
+        os.path.dirname(paths["index"]), vector_ingest.RETRAIN_MARKER
+    )
+    assert os.path.exists(marker)
+    ran = vector_ingest.rebuild_on_drift(
+        spark, paths["cents"], paths["index"], k=3
+    )
+    assert ran is True and not os.path.exists(marker)
+    cents2 = spark.read.parquet(paths["cents"])
+    assert cents2.count() == 3
+    drifted_df = spark.createDataFrame(
+        DRIFTED, "vec_id long, embedding array<double>"
+    )
+    post = similarity.ivf_drift_report(
+        spark, drifted_df, cents2, paths["index"]
+    ).collect()[0]
+    assert post["retrain"] is False
+    # idle no-op
+    assert vector_ingest.rebuild_on_drift(
+        spark, paths["cents"], paths["index"], k=3
+    ) is False
