@@ -48,6 +48,7 @@ from ..operators import (
     corpus,
     dedup,
     joins,
+    linkage,
     ordering,
     projections as proj,
     sets,
@@ -2360,6 +2361,117 @@ def _profile_oracle() -> str:
   NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num, NULL::DOUBLE AS mean,
   min({c}) AS min_str, max({c}) AS max_str FROM orders""")
     return "\nUNION ALL\n".join(parts)
+
+
+#: Entity-resolution registry parameters (shared by the pair and
+#: cluster entries AND their oracles — one definition, two engines).
+ER_THRESHOLD = 0.75
+ER_NAME_W = 0.8
+ER_BAL_W = 0.2
+ER_BAL_SCALE = 1000.0
+
+
+def q_entity_match(spark, sf_dir):
+    """Record-linkage match pairs (new r9): customers blocked on
+    (nation, market segment), scored 0.8·levenshtein-name-similarity
+    + 0.2·account-balance proximity, kept at ≥ 0.75 — the structured-
+    record sibling of the text near-dup tiers (master-data dedup).
+    See linkage.entity_match_pairs for the Σ|block|² scale contract
+    and the whale-block guard."""
+    cust = _t(spark, sf_dir, "customer")
+    return linkage.entity_match_pairs(
+        cust,
+        "c_custkey",
+        ["c_nationkey", "c_mktsegment"],
+        string_fields=[("c_name", ER_NAME_W)],
+        numeric_fields=[("c_acctbal", ER_BAL_W, ER_BAL_SCALE)],
+        threshold=ER_THRESHOLD,
+    )
+
+
+def q_entity_clusters(spark, sf_dir):
+    """Entity ids from record-linkage edges (new r9): the match pairs
+    of q_entity_match → connected components → every customer labeled
+    with its entity's min custkey (singletons label themselves). The
+    golden-record grouping step of an MDM pipeline."""
+    cust = _t(spark, sf_dir, "customer")
+    return linkage.entity_match_clusters(
+        cust,
+        "c_custkey",
+        ["c_nationkey", "c_mktsegment"],
+        string_fields=[("c_name", ER_NAME_W)],
+        numeric_fields=[("c_acctbal", ER_BAL_W, ER_BAL_SCALE)],
+        threshold=ER_THRESHOLD,
+    )
+
+
+def _entity_scored_cte() -> str:
+    """Shared oracle prefix mirroring linkage.entity_match_pairs on
+    customers: block key (unit-separator concat, NUL-sentinel nulls),
+    whale-block guard, blocked self-join, weighted levenshtein +
+    balance-proximity score rounded by the engine-exact helper."""
+    sim = (
+        "CASE WHEN na IS NULL OR nb IS NULL THEN 0.0"
+        " WHEN greatest(len(na), len(nb)) = 0 THEN 1.0"
+        " ELSE 1.0 - CAST(levenshtein(na, nb) AS DOUBLE)"
+        " / CAST(greatest(len(na), len(nb)) AS DOUBLE) END"
+    )
+    prox = (
+        "CASE WHEN ba IS NULL OR bb IS NULL THEN 0.0"
+        " ELSE greatest(0.0, 1.0 - abs(CAST(ba AS DOUBLE)"
+        f" - CAST(bb AS DOUBLE)) / {ER_BAL_SCALE}) END"
+    )
+    score = round_half_away_sql(
+        f"0.0 + {ER_NAME_W} * ({sim}) + {ER_BAL_W} * ({prox})", 6
+    )
+    return f"""
+WITH c AS (
+  SELECT c_custkey, c_name, c_acctbal,
+         concat_ws(chr(31),
+           coalesce(CAST(c_nationkey AS VARCHAR), chr(0) || 'null'),
+           coalesce(CAST(c_mktsegment AS VARCHAR), chr(0) || 'null')) AS bk
+  FROM customer
+), sizes AS (
+  SELECT bk, count(*) AS bn FROM c GROUP BY 1
+), adm AS (
+  SELECT c.* FROM c JOIN sizes USING (bk) WHERE bn <= 10000
+), cand AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         a.c_name AS na, b.c_name AS nb,
+         a.c_acctbal AS ba, b.c_acctbal AS bb
+  FROM adm a JOIN adm b ON a.bk = b.bk AND a.c_custkey < b.c_custkey
+), scored AS (
+  SELECT id_a, id_b, {score} AS score FROM cand
+)"""
+
+
+def _entity_match_oracle() -> str:
+    return (
+        _entity_scored_cte()
+        + f"\nSELECT id_a, id_b, score FROM scored WHERE score >= {ER_THRESHOLD}"
+    )
+
+
+def _entity_clusters_oracle() -> str:
+    """Match edges → recursive-CTE transitive closure → min-label
+    per node (the _clusters_cte pattern over linkage edges)."""
+    return (
+        _entity_scored_cte().replace("WITH c AS", "WITH RECURSIVE c AS")
+        + f"""
+, pairs AS (
+  SELECT id_a, id_b FROM scored WHERE score >= {ER_THRESHOLD}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(node, comp) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS c_custkey, min(comp) AS entity_id FROM reach GROUP BY node
+"""
+    )
 
 
 def q_validation(spark, sf_dir):
@@ -4739,6 +4851,8 @@ SELECT doc_id, md5(redacted) AS redacted_md5,
 FROM red
 """,
     "q_profile": _profile_oracle(),
+    "q_entity_match": _entity_match_oracle(),
+    "q_entity_clusters": _entity_clusters_oracle(),
     "q_mix": f"""
 WITH h AS (
   SELECT doc_id, lang, source,
@@ -4937,8 +5051,8 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # (q_string_funcs .. q_rate_anomaly). Any NEW r9 queries are inserted
 # into the window displacing its tail (displaced so far: q_vocab_stats,
 # q_edit_verify, q_rate_anomaly, q_top_ngram, q_admission_filter,
-# q_session_window, q_corpus_select, q_sessionize,
-# q_dedup_clusters). Behind the window, the
+# q_session_window, q_corpus_select, q_sessionize, q_dedup_clusters,
+# q_simhash, q_join_multiway). Behind the window, the
 # queue for r10 rotation in order of staleness: the displaced-plus-
 # remaining r6-verified entries (q_top_ngram .. q_total_count), the 3
 # rows-only entries, then
@@ -4995,11 +5109,11 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_domain_cap", q_domain_cap, ORACLES["q_domain_cap"]),
     QuerySpec("q_cosine_pairs", q_cosine_pairs, ORACLES["q_cosine_pairs"]),
     QuerySpec("q_join_fact_dim", q_join_fact_dim, ORACLES["q_join_fact_dim"], True),
-    QuerySpec("q_join_multiway", q_join_multiway, ORACLES["q_join_multiway"], True),
-    QuerySpec("q_simhash", q_simhash, ORACLES["q_simhash"], True),
     # ---- NEW in r9 (skew-safe analytic window rewrites; quality-
     # aware dedup manifest; mixture quotas; table profiler; persisted
-    # IVF index serve gate) ----
+    # IVF index serve gate; record-linkage entity resolution) ----
+    QuerySpec("q_entity_match", q_entity_match, ORACLES["q_entity_match"], True),
+    QuerySpec("q_entity_clusters", q_entity_clusters, ORACLES["q_entity_clusters"]),
     QuerySpec("q_ivf_index", q_ivf_index, ORACLES["q_ivf_index"], True),
     QuerySpec("q_skew_lag", q_skew_lag, ORACLES["q_skew_lag"], True),
     QuerySpec("q_skew_running", q_skew_running, ORACLES["q_skew_running"], True),
@@ -5007,11 +5121,13 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_mix", q_mix, ORACLES["q_mix"], True),
     QuerySpec("q_profile", q_profile, ORACLES["q_profile"], True),
     # ==== driver 50-entry verification window ends here ====
-    # r6-verified queue (rotate in first in r10 — q_vocab_stats,
-    # q_edit_verify, q_rate_anomaly, q_top_ngram, q_admission_filter,
-    # q_session_window, q_corpus_select and q_sessionize were
-    # displaced from the window tail by the eight new r9 entries
-    # above):
+    # r6-verified queue (rotate in first in r10 — q_join_multiway,
+    # q_simhash, q_vocab_stats, q_edit_verify, q_rate_anomaly,
+    # q_top_ngram, q_admission_filter, q_session_window,
+    # q_corpus_select and q_sessionize were displaced from the window
+    # tail by the ten new r9 entries above):
+    QuerySpec("q_join_multiway", q_join_multiway, ORACLES["q_join_multiway"], True),
+    QuerySpec("q_simhash", q_simhash, ORACLES["q_simhash"], True),
     QuerySpec("q_dedup_clusters", q_dedup_clusters, ORACLES["q_dedup_clusters"]),
     QuerySpec("q_sessionize", q_sessionize, ORACLES["q_sessionize"], True),
     QuerySpec("q_corpus_select", q_corpus_select, ORACLES["q_corpus_select"]),
