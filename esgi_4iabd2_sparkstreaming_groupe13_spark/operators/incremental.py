@@ -1,0 +1,277 @@
+"""Incremental aggregate-state maintenance (mergeable partial
+aggregates — the materialized-rollup story made executable).
+
+A 100 TB pipeline cannot recompute its per-key rollups from raw events
+on every refresh; it maintains a STATE table of mergeable partial
+aggregates and folds each new slice in. Every statistic here is chosen
+to be associative + commutative so that::
+
+    finalize(merge(build(A), build(B))) == finalize(build(A ∪ B))
+
+bit-for-bit — the property the pytest suite pins and the DuckDB oracle
+exploits (the oracle computes the direct one-pass form; the registry
+entry runs the split-build-merge form):
+
+* ``n_rows`` / ``n_nonnull``  — longs, merge by SUM
+* ``sum_dec``                 — DECIMAL(38,6) accumulation (exact,
+                                order-independent; the repo-wide rule
+                                for cross-engine sums)
+* ``min_v`` / ``max_v``       — merge by MIN / MAX
+* ``regs``                    — HyperLogLog registers (dense
+                                ``array<int>`` of 2^b rhos, md5 family
+                                — same geometry as
+                                ``sketches.rolling_distinct_hll``),
+                                merge by element-wise MAX; distinct
+                                counts are the one statistic that is
+                                NOT distributive exactly, so the state
+                                carries the sketch, never the answer
+
+Scale shape: ``build`` is a two-level aggregate (partial per
+(key, register) — shuffle rows ≤ keys × 2^b regardless of event
+volume — then per key); ``merge`` unions state tables (keys-sized, not
+data-sized) and folds registers with ``zip_with``; ``finalize`` is a
+narrow per-row projection over the state. The raw data is touched
+exactly once, at build time.
+
+``maintain_agg_state`` adds the durable loop: an idempotence ledger of
+folded batch ids (at-least-once replays are no-ops — double-merging a
+batch would double counts and sums) and the two-rename swap publish
+from :mod:`maintenance` (crash windows self-heal on the next pass).
+
+The reference system recomputes its aggregates per micro-batch from
+the batch alone (`/root/reference/src/main/scala` consumer — no
+cross-batch state); this module is part of the M4(d) extension tier.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int, round_half_away
+from .sketches import HLL_BITS
+
+#: State-table value columns, in schema order (after the key columns).
+STATE_COLS = ["n_rows", "n_nonnull", "sum_dec", "min_v", "max_v", "regs"]
+
+
+def _hll_reg_rho(distinct_col: str, b: int):
+    m = 1 << b
+    rest_bits = 60 - b
+    h = md5_int(
+        F.concat(F.lit("hll:"), F.col(distinct_col).cast("string"))
+    )
+    bucket = (h % m).cast("int")
+    rest = F.shiftright(h, b)
+    rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits + 1) - F.length(F.bin(rest))
+    )
+    return bucket, rho
+
+
+def build_agg_state(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    distinct_col: str,
+    b: int = HLL_BITS,
+) -> DataFrame:
+    """Per-key mergeable state for one slice of data.
+
+    Two-level aggregate: stage 1 groups by (keys, register) — partial
+    counts/sums/min/max ride along, so the shuffle after map-side
+    combine carries ≤ |keys| × 2^b rows however large the slice — and
+    stage 2 collapses to one row per key, packing the sparse
+    (register, rho) entries into a dense ``array<int>`` of length 2^b.
+    Rows with a NULL ``distinct_col`` count toward every statistic but
+    contribute no register (NULL is not a member of the distinct set).
+    """
+    m = 1 << b
+    reg, rho = _hll_reg_rho(distinct_col, b)
+    v = F.col(value_col)
+    st1 = (
+        df.select(
+            *[F.col(k) for k in keys],
+            v.alias("_v"),
+            reg.alias("_reg"),
+            rho.alias("_rho"),
+        )
+        .groupBy(*keys, "_reg")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count("_v").alias("_nn"),
+            F.sum(F.col("_v").cast("decimal(38,6)")).alias("_sum"),
+            F.min("_v").alias("_min"),
+            F.max("_v").alias("_max"),
+            F.max("_rho").alias("_mrho"),
+        )
+    )
+    entries = F.filter(
+        F.collect_list(F.struct(F.col("_reg"), F.col("_mrho"))),
+        lambda s: s["_reg"].isNotNull(),
+    )
+    regmap = F.map_from_entries(entries)
+    return st1.groupBy(*keys).agg(
+        F.sum("_n").alias("n_rows"),
+        F.sum("_nn").alias("n_nonnull"),
+        F.coalesce(
+            F.sum("_sum"), F.lit(0).cast("decimal(38,6)")
+        ).alias("sum_dec"),
+        F.min("_min").alias("min_v"),
+        F.max("_max").alias("max_v"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            _dense_lookup(regmap),
+        ).alias("regs"),
+    )
+
+
+def _dense_lookup(regmap):
+    # closure factory, not a default-arg lambda (PySpark arity gotcha)
+    def look(i):
+        return F.coalesce(F.element_at(regmap, i.cast("int")), F.lit(0))
+
+    return look
+
+
+def merge_agg_states(*states: DataFrame) -> DataFrame:
+    """Union state tables and fold to one row per key: counts and
+    decimal sums add, min/max nest, registers take the element-wise
+    MAX (``zip_with``-folded over the per-key state rows). Input is
+    keys-sized — this never touches raw data."""
+    if not states:
+        raise ValueError("merge_agg_states needs at least one state")
+    unioned = states[0]
+    for s in states[1:]:
+        unioned = unioned.unionByName(s)
+    keys = [c for c in unioned.columns if c not in STATE_COLS]
+    merged_regs = F.aggregate(
+        F.collect_list("regs"),
+        F.element_at(F.collect_list("regs"), 1),
+        lambda acc, x: F.zip_with(
+            acc, x, lambda a, r: F.greatest(a, r)
+        ),
+    )
+    return unioned.groupBy(*keys).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_nonnull").alias("n_nonnull"),
+        F.sum("sum_dec").cast("decimal(38,6)").alias("sum_dec"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+        merged_regs.alias("regs"),
+    )
+
+
+def finalize_agg_state(state: DataFrame, b: int = HLL_BITS) -> DataFrame:
+    """Readable aggregates from a state table: exact count / sum /
+    mean / min / max plus the HLL distinct estimate (integer-scaled
+    harmonic sum in DECIMAL, the standard small-range correction, the
+    engine-exact rounding helper — the
+    ``sketches.rolling_distinct_hll`` formula over this state's
+    registers). Narrow per-row projection; no shuffle."""
+    m = 1 << b
+    keys = [c for c in state.columns if c not in STATE_COLS]
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = float(alpha * m * m * float(1 << 60))
+    s = F.expr(
+        "CAST(aggregate(transform(regs, r -> CAST(shiftleft(CAST(1 AS"
+        " BIGINT), 60 - r) AS DECIMAL(38,0))), CAST(0 AS"
+        " DECIMAL(38,0)), (acc, x) -> acc + x) AS DOUBLE)"
+    )
+    v = F.size(F.filter(F.col("regs"), lambda r: r == 0))
+    raw = F.lit(num) / s
+    small = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / v.cast("double")
+    )
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0), small).otherwise(raw)
+    mean = F.when(
+        F.col("n_nonnull") > 0,
+        round_half_away(
+            F.col("sum_dec").cast("double")
+            / F.col("n_nonnull").cast("double"),
+            6,
+        ),
+    )
+    return state.select(
+        *keys,
+        F.col("n_rows"),
+        F.col("n_nonnull"),
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        mean.alias("mean_value"),
+        F.col("min_v").alias("min_value"),
+        F.col("max_v").alias("max_value"),
+        round_half_away(est, 3).alias("est_distinct"),
+    )
+
+
+def maintain_agg_state(
+    batch_df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    distinct_col: str,
+    state_path: str,
+    batch_id: int,
+    b: int = HLL_BITS,
+) -> bool:
+    """Fold one batch into the persisted state table, exactly once.
+
+    At-least-once delivery makes naive folding wrong in a way dedup
+    serving never is: re-merging a replayed batch silently DOUBLES its
+    counts and sums. The ledger table under ``state_path/ledger``
+    records folded batch ids; a replay is detected there and skipped
+    (returns False). Both tables publish via the two-rename swap from
+    :mod:`maintenance` (write tmp → swap), and every call heals a
+    stranded swap first, so a crash between renames costs nothing but
+    a retry.
+    """
+    from .maintenance import _swap_suffix, heal_swap
+
+    import glob as _glob
+
+    spark = batch_df.sparkSession
+    state_dir = os.path.join(state_path, "state")
+    ledger_dir = os.path.join(state_path, "ledger")
+    for d in (state_dir, ledger_dir):
+        # first-ever call has nothing to heal; heal_swap raises on a
+        # missing dir with no swap siblings
+        if (
+            os.path.isdir(d)
+            or _glob.glob(f"{d}__compact_*")
+            or _glob.glob(f"{d}__old_*")
+        ):
+            heal_swap(d)
+
+    batch_state = build_agg_state(batch_df, keys, value_col, distinct_col, b)
+    if os.path.isdir(ledger_dir):
+        done = spark.read.parquet(ledger_dir)
+        if done.filter(F.col("batch_id") == batch_id).limit(1).count() > 0:
+            return False
+        merged = merge_agg_states(
+            spark.read.parquet(state_dir), batch_state
+        )
+        ledger = done.unionByName(
+            spark.createDataFrame([(batch_id,)], "batch_id long")
+        )
+    else:
+        merged = batch_state
+        ledger = spark.createDataFrame([(batch_id,)], "batch_id long")
+
+    for target, frame in ((state_dir, merged), (ledger_dir, ledger)):
+        tmp = f"{target}__compact_{_swap_suffix()}"
+        frame.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(target):
+            old = f"{target}__old_{_swap_suffix()}"
+            os.rename(target, old)
+            try:
+                os.rename(tmp, target)
+            except OSError:
+                os.rename(old, target)
+                raise
+            import shutil
+
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(tmp, target)
+    return True

@@ -2452,6 +2452,98 @@ def _entity_match_oracle() -> str:
     )
 
 
+def q_agg_state(spark, sf_dir):
+    """Incremental aggregate-state maintenance (new r9): events split
+    into two slices (event_id parity), each built into a mergeable
+    per-type state (counts, DECIMAL sum, min/max, HLL registers),
+    merged, finalized — exercising the
+    finalize(merge(build(A), build(B))) == direct-one-pass property
+    the oracle computes from the full table. The materialized-rollup
+    refresh path of a 100 TB pipeline: raw data touched once per
+    slice, merges touch only keys-sized state."""
+    from ..operators import incremental
+
+    ev = _t(spark, sf_dir, "events")
+    a = incremental.build_agg_state(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ["event_type"], "value", "user_id",
+    )
+    b = incremental.build_agg_state(
+        ev.filter(F.col("event_id") % 2 == 1),
+        ["event_type"], "value", "user_id",
+    )
+    return incremental.finalize_agg_state(
+        incremental.merge_agg_states(a, b)
+    )
+
+
+def _agg_state_oracle(b: int = 9) -> str:
+    """Direct one-pass mirror of the split-build-merge-finalize
+    pipeline (merging is exact for every statistic, so the oracle
+    needs no split): same md5 HLL registers as _hll_rolling_oracle,
+    grouped by event_type; absent registers contribute rho=0 terms
+    (2^60 each) to the harmonic sum and count toward the small-range
+    zero-register tally."""
+    m = 1 << b
+    rest_bits = 60 - b
+    h = md5_int_sql("('hll:' || CAST(user_id AS VARCHAR))")
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = repr(float(alpha * m * m * float(1 << 60)))
+    est = (
+        f"CASE WHEN ({num} / s) <= {2.5 * m!r} AND v > 0 "
+        f"THEN {float(m)!r} * ln({float(m)!r} / CAST(v AS DOUBLE)) "
+        f"ELSE {num} / s END"
+    )
+    mean = round_half_away_sql(
+        "(CAST(sum_dec AS DOUBLE) / CAST(n_nonnull AS DOUBLE))", 6
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type, value,
+         CAST(({h}) % {m} AS INT) AS reg,
+         (({h}) >> {b}) AS rest
+  FROM events
+), rh AS (
+  SELECT event_type, reg,
+         CASE WHEN rest = 0 THEN {rest_bits + 1}
+              ELSE {rest_bits + 1} - len(bin(rest)) END AS rho
+  FROM base WHERE reg IS NOT NULL
+), regs AS (
+  SELECT event_type, reg, max(rho) AS rho FROM rh GROUP BY 1, 2
+), hll AS (
+  SELECT event_type,
+         CAST(SUM(CAST((CAST(1 AS BIGINT) << (60 - rho))
+                       AS DECIMAL(38,0)))
+              + CAST({m} - count(*) AS DECIMAL(38,0))
+                * CAST((CAST(1 AS BIGINT) << 60) AS DECIMAL(38,0))
+              AS DOUBLE) AS s,
+         {m} - count(*) AS v
+  FROM regs GROUP BY 1
+), stats AS (
+  SELECT event_type,
+         count(*) AS n_rows,
+         count(value) AS n_nonnull,
+         SUM(CAST(value AS DECIMAL(38,6))) AS sum_dec,
+         min(value) AS min_value,
+         max(value) AS max_value
+  FROM events GROUP BY 1
+), j AS (
+  -- LEFT join + all-zero-register defaults: a key whose user_id is
+  -- all NULL still finalizes (s = m·2^60, v = m), as in Spark
+  SELECT st.*,
+         coalesce(h.s, {repr(float(m) * float(1 << 60))}) AS s,
+         coalesce(h.v, {m}) AS v
+  FROM stats st LEFT JOIN hll h USING (event_type)
+)
+SELECT event_type, n_rows, n_nonnull,
+       CAST(sum_dec AS DOUBLE) AS sum_value,
+       CASE WHEN n_nonnull > 0 THEN {mean} END AS mean_value,
+       min_value, max_value,
+       {round_half_away_sql(est, 3)} AS est_distinct
+FROM j
+"""
+
+
 def _entity_clusters_oracle() -> str:
     """Match edges → recursive-CTE transitive closure → min-label
     per node (the _clusters_cte pattern over linkage edges)."""
@@ -4853,6 +4945,7 @@ FROM red
     "q_profile": _profile_oracle(),
     "q_entity_match": _entity_match_oracle(),
     "q_entity_clusters": _entity_clusters_oracle(),
+    "q_agg_state": _agg_state_oracle(),
     "q_mix": f"""
 WITH h AS (
   SELECT doc_id, lang, source,
@@ -5052,7 +5145,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # into the window displacing its tail (displaced so far: q_vocab_stats,
 # q_edit_verify, q_rate_anomaly, q_top_ngram, q_admission_filter,
 # q_session_window, q_corpus_select, q_sessionize, q_dedup_clusters,
-# q_simhash, q_join_multiway). Behind the window, the
+# q_simhash, q_join_multiway, q_join_fact_dim). Behind the window, the
 # queue for r10 rotation in order of staleness: the displaced-plus-
 # remaining r6-verified entries (q_top_ngram .. q_total_count), the 3
 # rows-only entries, then
@@ -5108,12 +5201,13 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_embed_dedup", q_embed_dedup, ORACLES["q_embed_dedup"]),
     QuerySpec("q_domain_cap", q_domain_cap, ORACLES["q_domain_cap"]),
     QuerySpec("q_cosine_pairs", q_cosine_pairs, ORACLES["q_cosine_pairs"]),
-    QuerySpec("q_join_fact_dim", q_join_fact_dim, ORACLES["q_join_fact_dim"], True),
     # ---- NEW in r9 (skew-safe analytic window rewrites; quality-
     # aware dedup manifest; mixture quotas; table profiler; persisted
-    # IVF index serve gate; record-linkage entity resolution) ----
+    # IVF index serve gate; record-linkage entity resolution;
+    # incremental aggregate-state maintenance) ----
     QuerySpec("q_entity_match", q_entity_match, ORACLES["q_entity_match"], True),
     QuerySpec("q_entity_clusters", q_entity_clusters, ORACLES["q_entity_clusters"]),
+    QuerySpec("q_agg_state", q_agg_state, ORACLES["q_agg_state"], True),
     QuerySpec("q_ivf_index", q_ivf_index, ORACLES["q_ivf_index"], True),
     QuerySpec("q_skew_lag", q_skew_lag, ORACLES["q_skew_lag"], True),
     QuerySpec("q_skew_running", q_skew_running, ORACLES["q_skew_running"], True),
@@ -5121,11 +5215,13 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_mix", q_mix, ORACLES["q_mix"], True),
     QuerySpec("q_profile", q_profile, ORACLES["q_profile"], True),
     # ==== driver 50-entry verification window ends here ====
-    # r6-verified queue (rotate in first in r10 — q_join_multiway,
-    # q_simhash, q_vocab_stats, q_edit_verify, q_rate_anomaly,
-    # q_top_ngram, q_admission_filter, q_session_window,
-    # q_corpus_select and q_sessionize were displaced from the window
-    # tail by the ten new r9 entries above):
+    # r6-verified queue (rotate in first in r10 — q_join_fact_dim,
+    # q_join_multiway, q_simhash, q_vocab_stats, q_edit_verify,
+    # q_rate_anomaly, q_top_ngram, q_admission_filter,
+    # q_session_window, q_corpus_select and q_sessionize were
+    # displaced from the window tail by the eleven new r9 entries
+    # above):
+    QuerySpec("q_join_fact_dim", q_join_fact_dim, ORACLES["q_join_fact_dim"], True),
     QuerySpec("q_join_multiway", q_join_multiway, ORACLES["q_join_multiway"], True),
     QuerySpec("q_simhash", q_simhash, ORACLES["q_simhash"], True),
     QuerySpec("q_dedup_clusters", q_dedup_clusters, ORACLES["q_dedup_clusters"]),
