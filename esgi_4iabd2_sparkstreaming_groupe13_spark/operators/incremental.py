@@ -164,6 +164,25 @@ def merge_agg_states(*states: DataFrame) -> DataFrame:
     )
 
 
+def _hll_estimate(col_name: str, b: int):
+    """HLL estimate expression over a dense register ARRAY column:
+    integer-scaled harmonic sum folded in DECIMAL (exact), standard
+    small-range correction — the ``sketches.rolling_distinct_hll``
+    formula applied to an array instead of grid rows."""
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = float(alpha * m * m * float(1 << 60))
+    s = F.expr(
+        f"CAST(aggregate(transform({col_name}, r -> CAST(shiftleft("
+        "CAST(1 AS BIGINT), 60 - r) AS DECIMAL(38,0))), CAST(0 AS"
+        " DECIMAL(38,0)), (acc, x) -> acc + x) AS DOUBLE)"
+    )
+    v = F.size(F.filter(F.col(col_name), lambda r: r == 0))
+    raw = F.lit(num) / s
+    small = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+    return F.when((raw <= F.lit(2.5 * m)) & (v > 0), small).otherwise(raw)
+
+
 def finalize_agg_state(state: DataFrame, b: int = HLL_BITS) -> DataFrame:
     """Readable aggregates from a state table: exact count / sum /
     mean / min / max plus the HLL distinct estimate (integer-scaled
@@ -171,21 +190,8 @@ def finalize_agg_state(state: DataFrame, b: int = HLL_BITS) -> DataFrame:
     engine-exact rounding helper — the
     ``sketches.rolling_distinct_hll`` formula over this state's
     registers). Narrow per-row projection; no shuffle."""
-    m = 1 << b
     keys = [c for c in state.columns if c not in STATE_COLS]
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    num = float(alpha * m * m * float(1 << 60))
-    s = F.expr(
-        "CAST(aggregate(transform(regs, r -> CAST(shiftleft(CAST(1 AS"
-        " BIGINT), 60 - r) AS DECIMAL(38,0))), CAST(0 AS"
-        " DECIMAL(38,0)), (acc, x) -> acc + x) AS DOUBLE)"
-    )
-    v = F.size(F.filter(F.col("regs"), lambda r: r == 0))
-    raw = F.lit(num) / s
-    small = F.lit(float(m)) * F.log(
-        F.lit(float(m)) / v.cast("double")
-    )
-    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0), small).otherwise(raw)
+    est = _hll_estimate("regs", b)
     mean = F.when(
         F.col("n_nonnull") > 0,
         round_half_away(
@@ -203,6 +209,56 @@ def finalize_agg_state(state: DataFrame, b: int = HLL_BITS) -> DataFrame:
         F.col("min_v").alias("min_value"),
         F.col("max_v").alias("max_value"),
         round_half_away(est, 3).alias("est_distinct"),
+    )
+
+
+def state_overlap(state: DataFrame, b: int = HLL_BITS) -> DataFrame:
+    """Pairwise distinct-set overlap between slices, straight from a
+    STATE table (single key column): inclusion–exclusion over HLL
+    registers — ``|A ∩ B| ≈ est(A) + est(B) − est(A ∪ B)``, where the
+    union sketch is the element-wise register MAX (exact sketch union,
+    the property that makes HLL mergeable).
+
+    The audience-overlap / cross-slice-contamination question ("how
+    many users do slices A and B share?") answered WITHOUT touching
+    raw data: input is |slices| state rows, work is |slices|² × 2^b
+    array cells — metadata-sized at any corpus scale. Estimate error
+    compounds (three ±1.04/√m estimates), so small overlaps of large
+    sets can read negative; values are reported as-is rather than
+    clamped, so the caller sees the sketch's actual resolution.
+
+    Returns (slice_a, slice_b, est_a, est_b, est_union, est_overlap),
+    slice_a < slice_b, estimates rounded 3 dp engine-exactly.
+    """
+    keys = [c for c in state.columns if c not in STATE_COLS]
+    if len(keys) != 1:
+        raise ValueError(
+            f"state_overlap needs a single-key state, got keys={keys}"
+        )
+    k = keys[0]
+    a = state.select(
+        F.col(k).alias("slice_a"), F.col("regs").alias("ra")
+    )
+    bb = state.select(
+        F.col(k).alias("slice_b"), F.col("regs").alias("rb")
+    )
+    paired = (
+        a.crossJoin(bb)
+        .filter(F.col("slice_a") < F.col("slice_b"))
+        .withColumn(
+            "ru", F.zip_with("ra", "rb", lambda x, y: F.greatest(x, y))
+        )
+    )
+    ea = _hll_estimate("ra", b)
+    eb = _hll_estimate("rb", b)
+    eu = _hll_estimate("ru", b)
+    return paired.select(
+        "slice_a",
+        "slice_b",
+        round_half_away(ea, 3).alias("est_a"),
+        round_half_away(eb, 3).alias("est_b"),
+        round_half_away(eu, 3).alias("est_union"),
+        round_half_away(ea + eb - eu, 3).alias("est_overlap"),
     )
 
 

@@ -2544,6 +2544,91 @@ FROM j
 """
 
 
+def q_overlap(spark, sf_dir):
+    """Cross-slice distinct-user overlap from STATE ONLY (new r9):
+    per-event-type HLL states → pairwise inclusion–exclusion with
+    exact sketch union (element-wise register MAX). The audience-
+    overlap question answered from metadata-sized inputs — raw events
+    are touched once, at state-build time."""
+    from ..operators import incremental
+
+    ev = _t(spark, sf_dir, "events")
+    state = incremental.build_agg_state(
+        ev, ["event_type"], "value", "user_id"
+    )
+    return incremental.state_overlap(state)
+
+
+def _overlap_oracle(b: int = 9) -> str:
+    """Mirror of build_agg_state registers + state_overlap pairing:
+    identical md5 registers, dense pair×register grid, per-pair
+    harmonic sums for A, B, and the register-MAX union."""
+    m = 1 << b
+    rest_bits = 60 - b
+    h = md5_int_sql("('hll:' || CAST(user_id AS VARCHAR))")
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = repr(float(alpha * m * m * float(1 << 60)))
+
+    def est(s: str, v: str) -> str:
+        return (
+            f"CASE WHEN ({num} / {s}) <= {2.5 * m!r} AND {v} > 0 "
+            f"THEN {float(m)!r} * ln({float(m)!r} / CAST({v} AS DOUBLE)) "
+            f"ELSE {num} / {s} END"
+        )
+
+    def sv(rho: str, tag: str) -> str:
+        return (
+            f"CAST(SUM(CAST((CAST(1 AS BIGINT) << (60 - {rho}))"
+            f" AS DECIMAL(38,0))) AS DOUBLE) AS s_{tag},\n"
+            f"         SUM(CASE WHEN {rho} = 0 THEN 1 ELSE 0 END) AS v_{tag}"
+        )
+
+    ea, eb, eu = est("s_a", "v_a"), est("s_b", "v_b"), est("s_u", "v_u")
+    return f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(({h}) % {m} AS INT) AS reg,
+         (({h}) >> {b}) AS rest
+  FROM events
+), rh AS (
+  SELECT event_type, reg,
+         CASE WHEN rest = 0 THEN {rest_bits + 1}
+              ELSE {rest_bits + 1} - len(bin(rest)) END AS rho
+  FROM base WHERE reg IS NOT NULL
+), regs AS (
+  SELECT event_type, reg, max(rho) AS rho FROM rh GROUP BY 1, 2
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), prs AS (
+  SELECT a.event_type AS slice_a, b.event_type AS slice_b
+  FROM types a JOIN types b ON a.event_type < b.event_type
+), grid AS (
+  SELECT slice_a, slice_b, i AS reg
+  FROM prs, unnest(generate_series(0, {m - 1})) t(i)
+), cells AS (
+  SELECT g.slice_a, g.slice_b,
+         coalesce(ra.rho, 0) AS rho_a,
+         coalesce(rb.rho, 0) AS rho_b,
+         greatest(coalesce(ra.rho, 0), coalesce(rb.rho, 0)) AS rho_u
+  FROM grid g
+  LEFT JOIN regs ra ON ra.event_type = g.slice_a AND ra.reg = g.reg
+  LEFT JOIN regs rb ON rb.event_type = g.slice_b AND rb.reg = g.reg
+), agg AS (
+  SELECT slice_a, slice_b,
+         {sv("rho_a", "a")},
+         {sv("rho_b", "b")},
+         {sv("rho_u", "u")}
+  FROM cells GROUP BY 1, 2
+)
+SELECT slice_a, slice_b,
+       {round_half_away_sql(ea, 3)} AS est_a,
+       {round_half_away_sql(eb, 3)} AS est_b,
+       {round_half_away_sql(eu, 3)} AS est_union,
+       {round_half_away_sql(f"(({ea}) + ({eb}) - ({eu}))", 3)} AS est_overlap
+FROM agg
+"""
+
+
 def _entity_clusters_oracle() -> str:
     """Match edges → recursive-CTE transitive closure → min-label
     per node (the _clusters_cte pattern over linkage edges)."""
@@ -4946,6 +5031,7 @@ FROM red
     "q_entity_match": _entity_match_oracle(),
     "q_entity_clusters": _entity_clusters_oracle(),
     "q_agg_state": _agg_state_oracle(),
+    "q_overlap": _overlap_oracle(),
     "q_mix": f"""
 WITH h AS (
   SELECT doc_id, lang, source,
@@ -5145,7 +5231,8 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # into the window displacing its tail (displaced so far: q_vocab_stats,
 # q_edit_verify, q_rate_anomaly, q_top_ngram, q_admission_filter,
 # q_session_window, q_corpus_select, q_sessionize, q_dedup_clusters,
-# q_simhash, q_join_multiway, q_join_fact_dim). Behind the window, the
+# q_simhash, q_join_multiway, q_join_fact_dim, q_cosine_pairs).
+# Behind the window, the
 # queue for r10 rotation in order of staleness: the displaced-plus-
 # remaining r6-verified entries (q_top_ngram .. q_total_count), the 3
 # rows-only entries, then
@@ -5200,7 +5287,6 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_tfidf_topterms", q_tfidf_topterms, ORACLES["q_tfidf_topterms"], True),
     QuerySpec("q_embed_dedup", q_embed_dedup, ORACLES["q_embed_dedup"]),
     QuerySpec("q_domain_cap", q_domain_cap, ORACLES["q_domain_cap"]),
-    QuerySpec("q_cosine_pairs", q_cosine_pairs, ORACLES["q_cosine_pairs"]),
     # ---- NEW in r9 (skew-safe analytic window rewrites; quality-
     # aware dedup manifest; mixture quotas; table profiler; persisted
     # IVF index serve gate; record-linkage entity resolution;
@@ -5208,6 +5294,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_entity_match", q_entity_match, ORACLES["q_entity_match"], True),
     QuerySpec("q_entity_clusters", q_entity_clusters, ORACLES["q_entity_clusters"]),
     QuerySpec("q_agg_state", q_agg_state, ORACLES["q_agg_state"], True),
+    QuerySpec("q_overlap", q_overlap, ORACLES["q_overlap"]),
     QuerySpec("q_ivf_index", q_ivf_index, ORACLES["q_ivf_index"], True),
     QuerySpec("q_skew_lag", q_skew_lag, ORACLES["q_skew_lag"], True),
     QuerySpec("q_skew_running", q_skew_running, ORACLES["q_skew_running"], True),
@@ -5215,12 +5302,13 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_mix", q_mix, ORACLES["q_mix"], True),
     QuerySpec("q_profile", q_profile, ORACLES["q_profile"], True),
     # ==== driver 50-entry verification window ends here ====
-    # r6-verified queue (rotate in first in r10 — q_join_fact_dim,
-    # q_join_multiway, q_simhash, q_vocab_stats, q_edit_verify,
-    # q_rate_anomaly, q_top_ngram, q_admission_filter,
+    # r6-verified queue (rotate in first in r10 — q_cosine_pairs,
+    # q_join_fact_dim, q_join_multiway, q_simhash, q_vocab_stats,
+    # q_edit_verify, q_rate_anomaly, q_top_ngram, q_admission_filter,
     # q_session_window, q_corpus_select and q_sessionize were
-    # displaced from the window tail by the eleven new r9 entries
+    # displaced from the window tail by the twelve new r9 entries
     # above):
+    QuerySpec("q_cosine_pairs", q_cosine_pairs, ORACLES["q_cosine_pairs"]),
     QuerySpec("q_join_fact_dim", q_join_fact_dim, ORACLES["q_join_fact_dim"], True),
     QuerySpec("q_join_multiway", q_join_multiway, ORACLES["q_join_multiway"], True),
     QuerySpec("q_simhash", q_simhash, ORACLES["q_simhash"], True),

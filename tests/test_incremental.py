@@ -119,3 +119,38 @@ def test_maintain_heals_stranded_swap(spark, tmp_path):
     )
     healed = spark.read.parquet(state_dir)
     assert healed.count() == 3  # keys a, b, c survived the crash window
+
+
+def test_state_overlap_inclusion_exclusion(spark):
+    # slice X: users 0..999; slice Y: users 500..1499 → true overlap 500
+    df = (
+        spark.range(1000)
+        .select(
+            F.lit("X").alias("k"),
+            F.lit(1.0).alias("v"),
+            F.concat(F.lit("u"), F.col("id")).alias("u"),
+        )
+        .unionByName(
+            spark.range(500, 1500).select(
+                F.lit("Y").alias("k"),
+                F.lit(1.0).alias("v"),
+                F.concat(F.lit("u"), F.col("id")).alias("u"),
+            )
+        )
+    )
+    state = inc.build_agg_state(df, ["k"], "v", "u")
+    row = inc.state_overlap(state).collect()
+    assert len(row) == 1 and (row[0]["slice_a"], row[0]["slice_b"]) == ("X", "Y")
+    r = row[0]
+    # union sketch == sketch of union: est_union must EQUAL the
+    # finalize estimate of a state built over the union of users
+    direct_union = inc.finalize_agg_state(
+        inc.build_agg_state(
+            df.select(F.lit("all").alias("k"), "v", "u"), ["k"], "v", "u"
+        )
+    ).collect()[0]["est_distinct"]
+    assert abs(r["est_union"] - direct_union) < 1e-9
+    # inclusion-exclusion identity holds on the rounded outputs
+    assert abs((r["est_a"] + r["est_b"] - r["est_union"]) - r["est_overlap"]) < 1e-3
+    # three compounded estimates: generous 15% relative envelope
+    assert abs(r["est_overlap"] - 500) / 500 < 0.15
