@@ -2369,6 +2369,15 @@ ER_THRESHOLD = 0.75
 ER_NAME_W = 0.8
 ER_BAL_W = 0.2
 ER_BAL_SCALE = 1000.0
+#: Registry discipline (q_ngram_jaccard precedent): the synthetic
+#: master shares its 125 (nation, segment) blocks at every SF, so
+#: block SIZE grows with SF and candidate volume grows with SF² —
+#: the quadratic-by-contract axis. The registry entry runs on a
+#: bounded id slice to keep the bench measuring the plan shape, not
+#: the contract's quadratic term; scale_probe's entity_match row
+#: covers the production axis (more blocks, constant size: 10.4× at
+#: 100× rows).
+ER_MAX_ID = 5000
 
 
 def q_entity_match(spark, sf_dir):
@@ -2378,7 +2387,9 @@ def q_entity_match(spark, sf_dir):
     record sibling of the text near-dup tiers (master-data dedup).
     See linkage.entity_match_pairs for the Σ|block|² scale contract
     and the whale-block guard."""
-    cust = _t(spark, sf_dir, "customer")
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= ER_MAX_ID
+    )
     return linkage.entity_match_pairs(
         cust,
         "c_custkey",
@@ -2394,7 +2405,9 @@ def q_entity_clusters(spark, sf_dir):
     of q_entity_match → connected components → every customer labeled
     with its entity's min custkey (singletons label themselves). The
     golden-record grouping step of an MDM pipeline."""
-    cust = _t(spark, sf_dir, "customer")
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= ER_MAX_ID
+    )
     return linkage.entity_match_clusters(
         cust,
         "c_custkey",
@@ -2430,7 +2443,7 @@ WITH c AS (
          concat_ws(chr(31),
            coalesce(CAST(c_nationkey AS VARCHAR), chr(0) || 'null'),
            coalesce(CAST(c_mktsegment AS VARCHAR), chr(0) || 'null')) AS bk
-  FROM customer
+  FROM customer WHERE c_custkey <= {ER_MAX_ID}
 ), sizes AS (
   SELECT bk, count(*) AS bn FROM c GROUP BY 1
 ), adm AS (
@@ -2642,7 +2655,7 @@ def _entity_clusters_oracle() -> str:
   UNION ALL
   SELECT id_b AS src, id_a AS dst FROM pairs
 ), reach(node, comp) AS (
-  SELECT c_custkey, c_custkey FROM customer
+  SELECT c_custkey, c_custkey FROM customer WHERE c_custkey <= {ER_MAX_ID}
   UNION
   SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
 )

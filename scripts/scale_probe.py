@@ -75,7 +75,7 @@ ALL_OPS = (
     "vocab_stats funnel snapshot_diff rate_anomaly equi_depth line_dedup "
     "transitions hll_rolling scd2 prefix_jaccard gopher corpus_drift "
     "skew_lag skew_runsum mix "
-    "substring_dedup quality_score embed_norm"
+    "substring_dedup quality_score embed_norm entity_match agg_state"
 ).split()
 
 
@@ -982,6 +982,60 @@ def main() -> None:
         results["ann_quantized"] = {
             "t1": timed("ann-q 1x", quantized_serve(p1)),
             "tN": timed(f"ann-q {factor}x", quantized_serve(pN)),
+        }
+
+    # Entity resolution: candidates are Σ|block|² BY CONTRACT, so the
+    # honest scale axis is MORE BLOCKS of constant size (more regions/
+    # segments as the master grows), not fatter blocks — the custkey
+    # AND nationkey offsets give every copy disjoint ids and disjoint
+    # blocks. (Fatter blocks = the quadratic contract; the whale
+    # guard, not cluster size, is the defense there.)
+    if want("entity_match"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.linkage import (
+            entity_match_pairs,
+        )
+
+        cu1 = load_table(spark, SF_DIR, "customer")
+        cuN = scaled(
+            cu1, factor, ["c_custkey", "c_nationkey"], 100_000_000
+        )
+
+        def ematch(d):
+            return entity_match_pairs(
+                d,
+                "c_custkey",
+                ["c_nationkey", "c_mktsegment"],
+                string_fields=[("c_name", 0.8)],
+                numeric_fields=[("c_acctbal", 0.2, 1000.0)],
+                threshold=0.75,
+            )
+
+        results["entity_match"] = {
+            "t1": timed("ematch 1x", ematch(cu1)),
+            "tN": timed(f"ematch {factor}x", ematch(cuN)),
+        }
+
+    # Incremental agg-state build: the post-combine shuffle is
+    # ≤ keys × 512 rows at ANY event volume (user pool unchanged
+    # across copies — the all-time-rollup refresh scenario), so wall
+    # must track the scan, never the aggregate state
+    if want("agg_state"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.incremental import (
+            build_agg_state,
+            finalize_agg_state,
+        )
+
+        ag1 = load_table(spark, SF_DIR, "events")
+        agN = scaled(ag1, factor, ["event_id"], 100_000_000)
+
+        def aggst(d):
+            return finalize_agg_state(
+                build_agg_state(d, ["event_type"], "value", "user_id")
+            )
+
+        results["agg_state"] = {
+            "t1": timed("aggstate 1x", aggst(ag1)),
+            "tN": timed(f"aggstate {factor}x", aggst(agN)),
         }
 
     for op, r in results.items():
