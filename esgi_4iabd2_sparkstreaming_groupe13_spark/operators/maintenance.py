@@ -359,3 +359,70 @@ def scd2_apply(
         F.col(f"_r.{current_col}").alias(current_col),
     )
     return merged.unionByName(closed_hist)
+
+
+def cdc_apply(
+    snapshot,
+    changes,
+    key_cols: list[str],
+    value_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+):
+    """Apply a change-data-capture log to a snapshot, last-write-wins
+    — the third member of the maintenance family
+    (:func:`snapshot_diff` classifies, :func:`scd2_apply` versions,
+    this one MATERIALIZES the current state from a change log, the
+    shape every CDC reader — Debezium-style op/seq records — lands
+    on a lakehouse):
+
+    * ``changes``: (key_cols…, ``seq_col``, ``op_col`` ∈
+      {'I','U','D'}, value_cols…). Contract: (key, seq) is unique and
+      ``seq`` totally orders each key's changes (the reader's log
+      offset / LSN);
+    * the latest change per key wins: I/U upsert the payload
+      (an upsert to an absent key inserts — CDC logs replay from
+      arbitrary offsets, so I-vs-U is advisory, never trusted),
+      D deletes the key;
+    * keys untouched by the log pass through unchanged.
+
+    Scale shape: one key shuffle collapses the log to ≤ 1 row per
+    CHANGED key (``max_by`` over seq — map-side combinable, so a
+    billion-row log with a million distinct keys shuffles a million
+    rows), then ONE full-outer key join against the snapshot.
+    Unchanged snapshot rows never fan out, nothing is window-sorted.
+
+    Returns key_cols + value_cols.
+    """
+    from pyspark.sql import functions as F
+
+    latest = changes.groupBy(*key_cols).agg(
+        F.max_by(
+            F.struct(F.col(op_col).alias("_op"), *[F.col(c) for c in value_cols]),
+            F.col(seq_col),
+        ).alias("_ch")
+    )
+    s = snapshot.select(
+        *[F.col(c).alias(f"_ks_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_vs_{c}") for c in value_cols],
+        F.lit(1).alias("_in_snap"),
+    )
+    c = latest.select(
+        *[F.col(k).alias(f"_kc_{k}") for k in key_cols],
+        F.col("_ch"),
+    )
+    on = [s[f"_ks_{k}"].eqNullSafe(c[f"_kc_{k}"]) for k in key_cols]
+    j = s.join(c, on, "full_outer")
+    deleted = F.col("_ch").isNotNull() & (F.col("_ch._op") == "D")
+    return j.filter(~deleted).select(
+        *[
+            F.coalesce(F.col(f"_ks_{k}"), F.col(f"_kc_{k}")).alias(k)
+            for k in key_cols
+        ],
+        *[
+            F.when(
+                F.col("_ch").isNull(), F.col(f"_vs_{v}")
+            ).otherwise(F.col(f"_ch.{v}")).alias(v)
+            for v in value_cols
+        ],
+    )

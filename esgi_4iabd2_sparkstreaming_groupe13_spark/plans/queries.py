@@ -2642,6 +2642,80 @@ FROM agg
 """
 
 
+def q_cdc(spark, sf_dir):
+    """CDC log application (new r9): a deterministic Debezium-style
+    change log derived from the customer master — two overlapping
+    update generations (last-write-wins on seq), deletes that
+    supersede earlier updates, inserts of new keys — materialized
+    against the snapshot with maintenance.cdc_apply (one map-side-
+    combinable max_by shuffle + one full-outer key join)."""
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select("c_custkey", "c_name", "c_acctbal")
+    k = F.col("c_custkey")
+
+    def ch(flt, seq, op, key, name, bal):
+        return base.filter(flt).select(
+            key.alias("c_custkey"),
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+            name.alias("c_name"),
+            bal.alias("c_acctbal"),
+        )
+
+    changes = (
+        ch(k % 7 == 0, 1, "U", k, F.col("c_name"),
+           F.col("c_acctbal") + F.lit(100.0))
+        .unionByName(ch(k % 21 == 0, 2, "U", k, F.col("c_name"),
+                        F.col("c_acctbal") + F.lit(200.0)))
+        .unionByName(ch(k % 11 == 0, 3, "D", k, F.col("c_name"),
+                        F.col("c_acctbal")))
+        .unionByName(ch(k % 13 == 0, 1, "I", k + F.lit(1_000_000),
+                        F.concat(F.lit("new#"), k.cast("string")),
+                        F.lit(0.0)))
+    )
+    return maintenance.cdc_apply(
+        base, changes, ["c_custkey"], ["c_name", "c_acctbal"], "seq", "op"
+    )
+
+
+def _cdc_oracle() -> str:
+    """Mirror of q_cdc: identical literal change log, row_number over
+    seq DESC for last-write-wins (equivalent to max_by under the
+    unique-(key, seq) contract), full-outer merge, D filtered."""
+    return """
+WITH base AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer
+), changes AS (
+  SELECT c_custkey, 1 AS seq, 'U' AS op, c_name,
+         c_acctbal + 100.0 AS c_acctbal
+  FROM base WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, 2, 'U', c_name, c_acctbal + 200.0
+  FROM base WHERE c_custkey % 21 = 0
+  UNION ALL
+  SELECT c_custkey, 3, 'D', c_name, c_acctbal
+  FROM base WHERE c_custkey % 11 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 1, 'I',
+         'new#' || CAST(c_custkey AS VARCHAR), 0.0
+  FROM base WHERE c_custkey % 13 = 0
+), latest AS (
+  SELECT c_custkey, op, c_name, c_acctbal FROM (
+    SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                 ORDER BY seq DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1
+)
+SELECT coalesce(b.c_custkey, l.c_custkey) AS c_custkey,
+       CASE WHEN l.c_custkey IS NULL THEN b.c_name
+            ELSE l.c_name END AS c_name,
+       CASE WHEN l.c_custkey IS NULL THEN b.c_acctbal
+            ELSE l.c_acctbal END AS c_acctbal
+FROM base b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
+WHERE l.op IS NULL OR l.op != 'D'
+"""
+
+
 def _entity_clusters_oracle() -> str:
     """Match edges → recursive-CTE transitive closure → min-label
     per node (the _clusters_cte pattern over linkage edges)."""
@@ -5045,6 +5119,7 @@ FROM red
     "q_entity_clusters": _entity_clusters_oracle(),
     "q_agg_state": _agg_state_oracle(),
     "q_overlap": _overlap_oracle(),
+    "q_cdc": _cdc_oracle(),
     "q_mix": f"""
 WITH h AS (
   SELECT doc_id, lang, source,
@@ -5244,8 +5319,8 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # into the window displacing its tail (displaced so far: q_vocab_stats,
 # q_edit_verify, q_rate_anomaly, q_top_ngram, q_admission_filter,
 # q_session_window, q_corpus_select, q_sessionize, q_dedup_clusters,
-# q_simhash, q_join_multiway, q_join_fact_dim, q_cosine_pairs).
-# Behind the window, the
+# q_simhash, q_join_multiway, q_join_fact_dim, q_cosine_pairs,
+# q_domain_cap). Behind the window, the
 # queue for r10 rotation in order of staleness: the displaced-plus-
 # remaining r6-verified entries (q_top_ngram .. q_total_count), the 3
 # rows-only entries, then
@@ -5299,7 +5374,6 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_hash_sample", q_hash_sample, ORACLES["q_hash_sample"]),
     QuerySpec("q_tfidf_topterms", q_tfidf_topterms, ORACLES["q_tfidf_topterms"], True),
     QuerySpec("q_embed_dedup", q_embed_dedup, ORACLES["q_embed_dedup"]),
-    QuerySpec("q_domain_cap", q_domain_cap, ORACLES["q_domain_cap"]),
     # ---- NEW in r9 (skew-safe analytic window rewrites; quality-
     # aware dedup manifest; mixture quotas; table profiler; persisted
     # IVF index serve gate; record-linkage entity resolution;
@@ -5308,6 +5382,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_entity_clusters", q_entity_clusters, ORACLES["q_entity_clusters"]),
     QuerySpec("q_agg_state", q_agg_state, ORACLES["q_agg_state"], True),
     QuerySpec("q_overlap", q_overlap, ORACLES["q_overlap"]),
+    QuerySpec("q_cdc", q_cdc, ORACLES["q_cdc"]),
     QuerySpec("q_ivf_index", q_ivf_index, ORACLES["q_ivf_index"], True),
     QuerySpec("q_skew_lag", q_skew_lag, ORACLES["q_skew_lag"], True),
     QuerySpec("q_skew_running", q_skew_running, ORACLES["q_skew_running"], True),
@@ -5315,12 +5390,13 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_mix", q_mix, ORACLES["q_mix"], True),
     QuerySpec("q_profile", q_profile, ORACLES["q_profile"], True),
     # ==== driver 50-entry verification window ends here ====
-    # r6-verified queue (rotate in first in r10 — q_cosine_pairs,
-    # q_join_fact_dim, q_join_multiway, q_simhash, q_vocab_stats,
-    # q_edit_verify, q_rate_anomaly, q_top_ngram, q_admission_filter,
-    # q_session_window, q_corpus_select and q_sessionize were
-    # displaced from the window tail by the twelve new r9 entries
-    # above):
+    # r6-verified queue (rotate in first in r10 — q_domain_cap,
+    # q_cosine_pairs, q_join_fact_dim, q_join_multiway, q_simhash,
+    # q_vocab_stats, q_edit_verify, q_rate_anomaly, q_top_ngram,
+    # q_admission_filter, q_session_window, q_corpus_select and
+    # q_sessionize were displaced from the window tail by the
+    # thirteen new r9 entries above):
+    QuerySpec("q_domain_cap", q_domain_cap, ORACLES["q_domain_cap"]),
     QuerySpec("q_cosine_pairs", q_cosine_pairs, ORACLES["q_cosine_pairs"]),
     QuerySpec("q_join_fact_dim", q_join_fact_dim, ORACLES["q_join_fact_dim"], True),
     QuerySpec("q_join_multiway", q_join_multiway, ORACLES["q_join_multiway"], True),

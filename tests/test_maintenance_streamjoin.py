@@ -375,3 +375,59 @@ def test_compact_directory_self_heals_stranded_swap(spark, tmp_path):
     assert stats["rows"] == 8
     assert spark.read.parquet(str(live)).count() == 8
     assert {p.name for p in tmp_path.iterdir()} == {"t"}
+
+
+def test_cdc_apply_all_populations(spark):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.maintenance import (
+        cdc_apply,
+    )
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        ["k", "name", "bal"],
+    )
+    # k=1 untouched; k=2 two updates (seq 2 wins); k=3 update then
+    # DELETE (seq 3 wins); k=4 delete-to-absent-key sibling below;
+    # k=5 upsert to ABSENT key (op 'U' still inserts); k=6 insert
+    changes = spark.createDataFrame(
+        [
+            (2, 1, "U", "b1", 21.0),
+            (2, 2, "U", "b2", 22.0),
+            (3, 1, "U", "c1", 31.0),
+            (3, 3, "D", None, None),
+            (5, 1, "U", "e", 50.0),
+            (6, 1, "I", "f", 60.0),
+            (99, 1, "D", None, None),  # delete of a key nobody has
+        ],
+        ["k", "seq", "op", "name", "bal"],
+    )
+    out = {
+        r["k"]: (r["name"], r["bal"])
+        for r in cdc_apply(
+            snap, changes, ["k"], ["name", "bal"], "seq", "op"
+        ).collect()
+    }
+    assert out == {
+        1: ("a", 10.0),
+        2: ("b2", 22.0),
+        4: ("d", 40.0),
+        5: ("e", 50.0),
+        6: ("f", 60.0),
+    }
+
+
+def test_cdc_apply_empty_log_is_identity(spark):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.maintenance import (
+        cdc_apply,
+    )
+
+    snap = spark.createDataFrame([(1, "a", 1.0)], ["k", "name", "bal"])
+    empty = snap.select(
+        "k",
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        "name",
+        "bal",
+    ).limit(0)
+    out = cdc_apply(snap, empty, ["k"], ["name", "bal"]).collect()
+    assert [(r["k"], r["name"], r["bal"]) for r in out] == [(1, "a", 1.0)]
