@@ -756,3 +756,95 @@ def weighted_sample(
         F.concat(F.lit(salt), F.col(id_col).cast("string"))
     ) % resolution
     return df.filter(bucket < F.round(w * resolution).cast("long"))
+
+
+def bm25_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 against a literal query-term set:
+    (id, score, rank) — the keyword-retrieval tier a corpus pipeline
+    runs for targeted slice extraction ("pull the docs about X") and
+    as the sparse half of hybrid sparse+dense retrieval next to the
+    cosine/ANN operators (operators/similarity.py).
+
+    Scoring is the Lucene/Robertson variant with the +1 IDF floor
+    (idf = ln(1 + (N − df + 0.5)/(df + 0.5)), always positive):
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Determinism contract (same rules as tfidf_top_terms): each
+    per-term partial is rounded to 6 dp (transcendental output —
+    boundary probability ~0) and accumulated as DECIMAL(18,6), so the
+    per-document sum is reduction-order-independent and hash-matches
+    any engine; ranking ties break on id ascending.
+
+    Scale shape: one explode → two hash aggregates (doc lengths over
+    ALL tokens, tf over QUERY tokens only — the isin filter prunes the
+    tf shuffle to |terms| keys' worth of rows); df and the (N, avgdl)
+    scalars ride as broadcasts (|terms| rows and 1 row); the final
+    top-k is a rank over doc-level rows. Nothing quadratic, no state
+    proportional to vocabulary.
+    """
+    terms = sorted(set(query_terms))
+    toks = df.select(
+        F.col(id_col), F.explode(token_array(F.col(text_col))).alias("term")
+    )
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("dl").alias("_sumdl")
+    )
+    partial = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_part",
+            F.round(
+                F.col("_idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        1.0
+                        - b
+                        + b
+                        * F.col("dl")
+                        / (F.col("_sumdl").cast("double") / F.col("_n"))
+                    )
+                ),
+                6,
+            ).cast("decimal(18,6)"),
+        )
+    )
+    scored = partial.groupBy(id_col).agg(
+        F.sum("_part").cast("double").alias("score")
+    )
+    # Total-ordered limit compiles to TakeOrderedAndProject (per-
+    # partition top-k + k-row merge), NOT a single-partition global
+    # sort; the ordinal window then runs over k rows only.
+    topk = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return topk.select(
+        id_col, "score", F.row_number().over(w).cast("long").alias("rank")
+    )

@@ -801,3 +801,81 @@ def equi_depth_bins(
             "bin_max",
         )
     )
+
+
+def gap_fill_forward(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    bucket_unit: str = "hour",
+) -> DataFrame:
+    """Time-series regularization — resample each key onto a dense,
+    shared time grid and forward-fill gaps: the step that turns an
+    irregular event stream into the aligned per-(key, bucket) series
+    downstream feature pipelines and anomaly monitors consume.
+
+    Output per (key, grid bucket): ``n_obs`` (0 in gaps),
+    ``filled_sum`` (the bucket's decimal-exact value sum, with gaps
+    carrying the most recent observed bucket's sum forward; null
+    before a key's first observation), ``is_gap``.
+
+    Scale shape: the only event-volume shuffle is the per-bucket
+    partial+final hash aggregate; everything after runs on GRID rows
+    — |keys| × (time range / step), a function of calendar span, not
+    data volume. The grid is built distributed (explode of a
+    ``sequence()`` per key, bounds riding as a 1-row broadcast), the
+    observed buckets join back on (key, bucket), and the forward-fill
+    is ``last(ignorenulls)`` over a per-key window whose partition
+    size is bounded by the grid, balanced across keys by
+    construction. If the grid itself is extreme (decade-long range at
+    1-second step with few keys), the same chunked-prefix rewrite as
+    :func:`grouped_running_sum_skew_safe` applies — forward-fill is a
+    running ``last`` — but at any realistic step the window input is
+    metadata-sized.
+
+    Determinism: bucket sums accumulate in DECIMAL(18,2) and surface
+    as double; forward-fill copies values without arithmetic, so the
+    filled series is bit-identical in any engine.
+    """
+    per = (
+        df.groupBy(
+            F.col(key_col).alias("_key"),
+            F.date_trunc(bucket_unit, F.col(ts_col)).alias("bucket_ts"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_n_obs"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_sum"),
+        )
+    )
+    bounds = per.agg(
+        F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi")
+    )
+    grid = (
+        per.select("_key")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "_key",
+            F.explode(
+                F.sequence(
+                    F.col("_lo"), F.col("_hi"), F.expr(f"interval {step}")
+                )
+            ).alias("bucket_ts"),
+        )
+    )
+    joined = grid.join(per, ["_key", "bucket_ts"], "left")
+    w = (
+        Window.partitionBy("_key")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        F.col("_key").alias(key_col),
+        "bucket_ts",
+        F.coalesce("_n_obs", F.lit(0)).cast("long").alias("n_obs"),
+        F.last("_sum", ignorenulls=True).over(w).cast("double")
+        .alias("filled_sum"),
+        F.col("_n_obs").isNull().alias("is_gap"),
+    )

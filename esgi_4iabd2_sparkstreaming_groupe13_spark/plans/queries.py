@@ -2363,6 +2363,109 @@ def _profile_oracle() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+#: BM25 registry parameters — ONE definition consumed by both the
+#: Spark callable and the DuckDB oracle (GOPHER_RULES precedent).
+BM25_TERMS = ["hash", "join", "vector"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_K = 10
+
+
+def q_bm25(spark, sf_dir):
+    """Keyword retrieval (new r9): top-10 documents by BM25 (Lucene
+    +1-floor IDF variant) against a literal query-term set — the
+    sparse half of hybrid retrieval next to q_cosine_topk/q_ann_recall
+    (dense). One explode, tf pruned to query terms before its shuffle,
+    df/N/avgdl broadcast, per-term partials decimal-accumulated so the
+    doc score is reduction-order-free; top-k via TakeOrderedAndProject
+    (never a single-partition global sort). See corpus.bm25_scores."""
+    return corpus.bm25_scores(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        BM25_TERMS,
+        k1=BM25_K1,
+        b=BM25_B,
+        k=BM25_K,
+    )
+
+
+#: Gap-fill registry parameters — the value>180 slice leaves ~7% of
+#: the 5×720 (type, hour) grid observed at sf0.01, so the entry
+#: exercises real gaps, leading-null stretches, AND carried fills.
+GAP_FILL_MIN_VALUE = 180
+
+
+def q_gap_fill(spark, sf_dir):
+    """Time-series regularization (new r9): resample a sparse event
+    slice onto the dense shared (event_type, hour) grid and forward-
+    fill each type's bucket sums across gaps — the aligned-series
+    step feature pipelines and monitors consume. Event-volume work is
+    one hash aggregate; everything after runs on grid rows (calendar
+    span × keys, not data volume). See windows.gap_fill_forward."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value") > GAP_FILL_MIN_VALUE
+    )
+    return windows.gap_fill_forward(ev, "ts", "event_type", "value")
+
+
+def _gap_fill_oracle() -> str:
+    return f"""
+WITH per AS (
+  SELECT event_type AS k, date_trunc('hour', ts) AS bucket_ts,
+         count(*) AS n_obs, SUM(CAST(value AS DECIMAL(18,2))) AS s
+  FROM events WHERE value > {GAP_FILL_MIN_VALUE} GROUP BY 1, 2
+), bounds AS (
+  SELECT min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM per
+), grid AS (
+  SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM (SELECT DISTINCT k FROM per) CROSS JOIN bounds
+)
+SELECT g.k AS event_type, g.bucket_ts,
+       CAST(coalesce(p.n_obs, 0) AS BIGINT) AS n_obs,
+       CAST(last_value(p.s IGNORE NULLS) OVER (
+         PARTITION BY g.k ORDER BY g.bucket_ts
+         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS filled_sum,
+       p.n_obs IS NULL AS is_gap
+FROM grid g LEFT JOIN per p ON g.k = p.k AND g.bucket_ts = p.bucket_ts
+"""
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_TERMS)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), doclen AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({terms}) GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n, sum(dl) AS sumdl FROM doclen
+), partials AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(1.0 + (n - df + 0.5) / (df + 0.5))
+           * (tf * ({BM25_K1} + 1.0))
+           / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl
+                / (CAST(sumdl AS DOUBLE) / n))),
+           6) AS DECIMAL(18,6)) AS part
+  FROM tf JOIN dfreq USING (term) JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+), scored AS (
+  SELECT doc_id, CAST(sum(part) AS DOUBLE) AS score
+  FROM partials GROUP BY 1
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank
+FROM scored ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
+
+
 #: Entity-resolution registry parameters (shared by the pair and
 #: cluster entries AND their oracles — one definition, two engines).
 ER_THRESHOLD = 0.75
@@ -4756,6 +4859,8 @@ WHERE {md5_int_sql("('wsample:' || CAST(doc_id AS VARCHAR))")} % 1000000
     "q_cosine_lsh": _cosine_lsh_oracle(0.9),
     "q_hash_sample": _hash_sample_oracle(),
     "q_tfidf_topterms": _tfidf_oracle(3),
+    "q_bm25": _bm25_oracle(),
+    "q_gap_fill": _gap_fill_oracle(),
     "q_token_packing": _token_packing_oracle(PACK_BUDGET_TOKENS),
     "q_embed_dedup": _embed_dedup_oracle(0.9),
     # the oracle asserts the HLL estimate's 3×rsd envelope via the
@@ -5372,8 +5477,6 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
     QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),
     QuerySpec("q_hash_sample", q_hash_sample, ORACLES["q_hash_sample"]),
-    QuerySpec("q_tfidf_topterms", q_tfidf_topterms, ORACLES["q_tfidf_topterms"], True),
-    QuerySpec("q_embed_dedup", q_embed_dedup, ORACLES["q_embed_dedup"]),
     # ---- NEW in r9 (skew-safe analytic window rewrites; quality-
     # aware dedup manifest; mixture quotas; table profiler; persisted
     # IVF index serve gate; record-linkage entity resolution;
@@ -5389,6 +5492,10 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_best_rep", q_best_rep, ORACLES["q_best_rep"], True),
     QuerySpec("q_mix", q_mix, ORACLES["q_mix"], True),
     QuerySpec("q_profile", q_profile, ORACLES["q_profile"], True),
+    # ---- NEW in r9, second batch (BM25 keyword retrieval; time-
+    # series gap-fill) ----
+    QuerySpec("q_bm25", q_bm25, ORACLES["q_bm25"], True),
+    QuerySpec("q_gap_fill", q_gap_fill, ORACLES["q_gap_fill"], True),
     # ==== driver 50-entry verification window ends here ====
     # r6-verified queue (rotate in first in r10 — q_domain_cap,
     # q_cosine_pairs, q_join_fact_dim, q_join_multiway, q_simhash,
@@ -5396,6 +5503,8 @@ QUERIES: list[QuerySpec] = [
     # q_admission_filter, q_session_window, q_corpus_select and
     # q_sessionize were displaced from the window tail by the
     # thirteen new r9 entries above):
+    QuerySpec("q_tfidf_topterms", q_tfidf_topterms, ORACLES["q_tfidf_topterms"], True),
+    QuerySpec("q_embed_dedup", q_embed_dedup, ORACLES["q_embed_dedup"]),
     QuerySpec("q_domain_cap", q_domain_cap, ORACLES["q_domain_cap"]),
     QuerySpec("q_cosine_pairs", q_cosine_pairs, ORACLES["q_cosine_pairs"]),
     QuerySpec("q_join_fact_dim", q_join_fact_dim, ORACLES["q_join_fact_dim"], True),

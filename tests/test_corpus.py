@@ -388,3 +388,38 @@ def test_mix_to_proportions_quotas_and_clamp(spark):
     assert ids1 == ids2
     # schema passes through unchanged (internals dropped)
     assert out.columns == ["doc_id", "lang"]
+
+
+def test_bm25_scores_hand_computed(spark):
+    import math
+
+    out = corpus.bm25_scores(
+        _docs(spark), "text", "doc_id", ["alpha", "delta"], k=5
+    )
+    rows = {r.doc_id: (r.score, r.rank) for r in out.collect()}
+    # corpus: N=5, dl = {1:3, 2:3, 3:4, 4:5, 5:6}, avgdl = 21/5
+    # df(alpha)=3 (docs 1,2,5), df(delta)=2 (docs 3,5)
+    n, avgdl, k1, b = 5, 21 / 5, 1.2, 0.75
+
+    def part(tf, df, dl):
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        return round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+
+    expected = {
+        1: part(1, 3, 3),
+        2: part(2, 3, 3),
+        3: part(3, 2, 4),
+        5: round(part(1, 3, 6) + part(1, 2, 6), 6),
+    }
+    assert set(rows) == set(expected)  # doc 4 matches no term
+    for d, exp in expected.items():
+        assert abs(rows[d][0] - exp) < 1e-9, (d, rows[d][0], exp)
+    # rank ordering: score desc, doc_id asc
+    ordered = sorted(rows.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    assert [kv[1][1] for kv in ordered] == [1, 2, 3, 4]
+
+
+def test_bm25_top_k_truncates(spark):
+    out = corpus.bm25_scores(_docs(spark), "text", "doc_id", ["alpha"], k=2)
+    assert out.count() == 2
+    assert [r.rank for r in out.orderBy("rank").collect()] == [1, 2]

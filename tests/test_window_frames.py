@@ -447,3 +447,36 @@ def test_skew_safe_running_sum_matches_plain(spark):
     out = {(r.grp, r.seq): r.running_sum for r in safe.collect()}
     assert all(out[("a", i)] is None for i in range(12))
     assert out[("a", 12)] is not None
+
+
+def test_gap_fill_forward_semantics(spark):
+    from datetime import datetime as dt
+
+    rows = [
+        # key "a": observed hours 01 and 04 -> gaps at 02, 03, 05
+        ("a", dt(2024, 1, 1, 1, 15), 10.0),
+        ("a", dt(2024, 1, 1, 1, 45), 20.0),
+        ("a", dt(2024, 1, 1, 4, 5), 7.0),
+        # key "b": first observation at hour 03 -> leading nulls 01, 02
+        ("b", dt(2024, 1, 1, 3, 30), 5.0),
+        # key "c" fixes the global grid span [01:00 .. 05:00]
+        ("c", dt(2024, 1, 1, 5, 0), 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = windows.gap_fill_forward(df, "ts", "k", "v")
+    got = {
+        (r.k, r.bucket_ts.hour): (r.n_obs, r.filled_sum, r.is_gap)
+        for r in out.collect()
+    }
+    # dense grid: 3 keys x 5 hours
+    assert len(got) == 15
+    assert got[("a", 1)] == (2, 30.0, False)
+    assert got[("a", 2)] == (0, 30.0, True)      # carried forward
+    assert got[("a", 3)] == (0, 30.0, True)
+    assert got[("a", 4)] == (1, 7.0, False)      # new observation wins
+    assert got[("a", 5)] == (0, 7.0, True)
+    # leading gaps before a key's first observation stay null
+    assert got[("b", 1)] == (0, None, True)
+    assert got[("b", 2)] == (0, None, True)
+    assert got[("b", 3)] == (1, 5.0, False)
+    assert got[("c", 5)] == (1, 1.0, False)
