@@ -91,3 +91,29 @@ def project_existing(df: DataFrame, wanted: list[str]) -> DataFrame:
     only the desired columns that actually exist."""
     present = [c for c in wanted if c in df.columns]
     return df.select(*present)
+
+
+def unpivot_long(
+    df: DataFrame,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_col: str = "measure",
+    value_col: str = "value",
+) -> DataFrame:
+    """Wide→long reshape (melt) — the inverse of pivot: one output row
+    per (id, measure) with the measure name in ``var_col``. The shape
+    feature stores and long-format metric tables want when a pipeline
+    emits N parallel numeric columns.
+
+    Uses the native ``DataFrame.unpivot`` (Catalyst ``Expand`` — a
+    zero-shuffle narrow per-row expansion, same physical shape as
+    grouping sets), with every value column cast to double first so
+    the unified value column has one type regardless of the input mix
+    (the native op requires a least common type; an int/double mix
+    would otherwise fail analysis).
+    """
+    widened = df.select(
+        *[F.col(c) for c in id_cols],
+        *[F.col(c).cast("double").alias(c) for c in value_cols],
+    )
+    return widened.unpivot(id_cols, value_cols, var_col, value_col)

@@ -2390,6 +2390,35 @@ def q_bm25(spark, sf_dir):
     )
 
 
+#: Unpivot registry slice — high-quantity lines only, keeping the
+#: long-format result gate-sized (4 measures × ~6k rows at sf0.01).
+UNPIVOT_MIN_QTY = 45
+UNPIVOT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_unpivot(spark, sf_dir):
+    """Wide→long reshape (new r9): melt the four lineitem measures
+    into (orderkey, linenumber, measure, value) rows — native unpivot
+    compiles to a zero-shuffle Expand, the inverse of q_pivot_status.
+    See projections.unpivot_long."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > UNPIVOT_MIN_QTY
+    )
+    return proj.unpivot_long(
+        li, ["l_orderkey", "l_linenumber"], UNPIVOT_MEASURES
+    )
+
+
+def _unpivot_oracle() -> str:
+    arms = "\nUNION ALL\n".join(
+        f"SELECT l_orderkey, l_linenumber, '{m}' AS measure, "
+        f"CAST({m} AS DOUBLE) AS value FROM lineitem "
+        f"WHERE l_quantity > {UNPIVOT_MIN_QTY}"
+        for m in UNPIVOT_MEASURES
+    )
+    return arms
+
+
 #: Gap-fill registry parameters — the value>180 slice leaves ~7% of
 #: the 5×720 (type, hour) grid observed at sf0.01, so the entry
 #: exercises real gaps, leading-null stretches, AND carried fills.
@@ -4861,6 +4890,7 @@ WHERE {md5_int_sql("('wsample:' || CAST(doc_id AS VARCHAR))")} % 1000000
     "q_tfidf_topterms": _tfidf_oracle(3),
     "q_bm25": _bm25_oracle(),
     "q_gap_fill": _gap_fill_oracle(),
+    "q_unpivot": _unpivot_oracle(),
     "q_token_packing": _token_packing_oracle(PACK_BUDGET_TOKENS),
     "q_embed_dedup": _embed_dedup_oracle(0.9),
     # the oracle asserts the HLL estimate's 3×rsd envelope via the
@@ -5476,7 +5506,6 @@ QUERIES: list[QuerySpec] = [
     # ---- oldest r6-verified entries ----
     QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
     QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),
-    QuerySpec("q_hash_sample", q_hash_sample, ORACLES["q_hash_sample"]),
     # ---- NEW in r9 (skew-safe analytic window rewrites; quality-
     # aware dedup manifest; mixture quotas; table profiler; persisted
     # IVF index serve gate; record-linkage entity resolution;
@@ -5496,6 +5525,7 @@ QUERIES: list[QuerySpec] = [
     # series gap-fill) ----
     QuerySpec("q_bm25", q_bm25, ORACLES["q_bm25"], True),
     QuerySpec("q_gap_fill", q_gap_fill, ORACLES["q_gap_fill"], True),
+    QuerySpec("q_unpivot", q_unpivot, ORACLES["q_unpivot"]),
     # ==== driver 50-entry verification window ends here ====
     # r6-verified queue (rotate in first in r10 — q_domain_cap,
     # q_cosine_pairs, q_join_fact_dim, q_join_multiway, q_simhash,
@@ -5503,6 +5533,7 @@ QUERIES: list[QuerySpec] = [
     # q_admission_filter, q_session_window, q_corpus_select and
     # q_sessionize were displaced from the window tail by the
     # thirteen new r9 entries above):
+    QuerySpec("q_hash_sample", q_hash_sample, ORACLES["q_hash_sample"]),
     QuerySpec("q_tfidf_topterms", q_tfidf_topterms, ORACLES["q_tfidf_topterms"], True),
     QuerySpec("q_embed_dedup", q_embed_dedup, ORACLES["q_embed_dedup"]),
     QuerySpec("q_domain_cap", q_domain_cap, ORACLES["q_domain_cap"]),

@@ -273,3 +273,26 @@ def test_time_decayed_agg_weights(spark):
     assert out["a"]["decayed_value"] == 15.0
     assert out["b"]["decayed_count"] == 0.25
     assert out["b"]["decayed_value"] == 1.0
+
+
+def test_unpivot_long_melts_and_casts(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 10, 1.5), (2, "y", 20, 2.5)],
+        ["id", "tag", "a", "b"],
+    )
+    out = proj.unpivot_long(df, ["id"], ["a", "b"])
+    rows = {(r.id, r.measure): r.value for r in out.collect()}
+    # int column 'a' unified to double alongside 'b'; tag dropped
+    assert rows == {
+        (1, "a"): 10.0, (1, "b"): 1.5, (2, "a"): 20.0, (2, "b"): 2.5,
+    }
+    assert out.columns == ["id", "measure", "value"]
+    assert dict(out.dtypes)["value"] == "double"
+
+
+def test_unpivot_expand_is_narrow(spark):
+    df = spark.createDataFrame([(1, 2.0, 3.0)], ["id", "a", "b"])
+    plan = proj.unpivot_long(
+        df, ["id"], ["a", "b"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # Expand only — zero shuffle
