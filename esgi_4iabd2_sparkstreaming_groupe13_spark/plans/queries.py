@@ -48,6 +48,7 @@ from ..operators import (
     corpus,
     dedup,
     joins,
+    layout,
     linkage,
     ordering,
     projections as proj,
@@ -2388,6 +2389,49 @@ def q_bm25(spark, sf_dir):
         b=BM25_B,
         k=BM25_K,
     )
+
+
+#: Z-order registry parameters: custkey fits 16 bits directly at any
+#: shipped SF (14,999 at sf0.1); dates bucket as day offsets from the
+#: corpus epoch. ONE definition for both engines.
+ZORDER_BITS = 16
+ZORDER_EPOCH = "1995-01-01"
+
+
+def q_zorder(spark, sf_dir):
+    """Z-order clustering key (new r9): the Morton interleave of
+    (custkey, order-date day offset) every row would be laid out by —
+    the expression half of the OPTIMIZE ZORDER maintenance pass
+    (layout.zorder_write range-partitions + sorts on this key so box
+    predicates on either dimension prune files). Pure shift/and/or
+    arithmetic, zero shuffle, engine-portable. This entry verifies the
+    interleave arithmetic over raw dims; production layouts bucket-
+    ALIGN dims to equal bit widths first (layout.py docstring +
+    test_layout.py, where the misaligned-width locality trap is
+    pinned). See operators/layout.py."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        layout.z_value(
+            [
+                F.col("o_custkey"),
+                F.datediff(F.col("o_orderdate"), F.lit(ZORDER_EPOCH)),
+            ],
+            bits=ZORDER_BITS,
+        ).alias("zval"),
+    )
+
+
+def _zorder_oracle() -> str:
+    z = layout.z_value_sql(
+        [
+            "o_custkey",
+            f"datediff('day', DATE '{ZORDER_EPOCH}', "
+            f"CAST(o_orderdate AS DATE))",
+        ],
+        bits=ZORDER_BITS,
+    )
+    return f"SELECT o_orderkey, {z} AS zval FROM orders"
 
 
 #: Unpivot registry slice — high-quantity lines only, keeping the
@@ -4891,6 +4935,7 @@ WHERE {md5_int_sql("('wsample:' || CAST(doc_id AS VARCHAR))")} % 1000000
     "q_bm25": _bm25_oracle(),
     "q_gap_fill": _gap_fill_oracle(),
     "q_unpivot": _unpivot_oracle(),
+    "q_zorder": _zorder_oracle(),
     "q_token_packing": _token_packing_oracle(PACK_BUDGET_TOKENS),
     "q_embed_dedup": _embed_dedup_oracle(0.9),
     # the oracle asserts the HLL estimate's 3×rsd envelope via the
@@ -5505,7 +5550,6 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_quality_score", q_quality_score, ORACLES["q_quality_score"], True),
     # ---- oldest r6-verified entries ----
     QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
-    QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),
     # ---- NEW in r9 (skew-safe analytic window rewrites; quality-
     # aware dedup manifest; mixture quotas; table profiler; persisted
     # IVF index serve gate; record-linkage entity resolution;
@@ -5526,6 +5570,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_bm25", q_bm25, ORACLES["q_bm25"], True),
     QuerySpec("q_gap_fill", q_gap_fill, ORACLES["q_gap_fill"], True),
     QuerySpec("q_unpivot", q_unpivot, ORACLES["q_unpivot"]),
+    QuerySpec("q_zorder", q_zorder, ORACLES["q_zorder"], True),
     # ==== driver 50-entry verification window ends here ====
     # r6-verified queue (rotate in first in r10 — q_domain_cap,
     # q_cosine_pairs, q_join_fact_dim, q_join_multiway, q_simhash,
@@ -5533,6 +5578,7 @@ QUERIES: list[QuerySpec] = [
     # q_admission_filter, q_session_window, q_corpus_select and
     # q_sessionize were displaced from the window tail by the
     # thirteen new r9 entries above):
+    QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),
     QuerySpec("q_hash_sample", q_hash_sample, ORACLES["q_hash_sample"]),
     QuerySpec("q_tfidf_topterms", q_tfidf_topterms, ORACLES["q_tfidf_topterms"], True),
     QuerySpec("q_embed_dedup", q_embed_dedup, ORACLES["q_embed_dedup"]),
