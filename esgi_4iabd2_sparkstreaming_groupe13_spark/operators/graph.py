@@ -225,3 +225,82 @@ def _connected_components_star(
         )
     )
     return out
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Global triangle census over an undirected graph — one row
+    (n_edges, n_wedges, n_triangles). Triangles are the unit of
+    clustering-coefficient / community-density analysis over derived
+    graphs (co-occurrence, near-dup adjacency, entity links).
+
+    Scale design — degree orientation (the standard MapReduce
+    triangle trick): counting by joining raw adjacency on shared
+    endpoints explodes on hubs (a degree-d node contributes d²
+    wedges). Instead every undirected edge is directed from its
+    lower- to its higher-(degree, id) endpoint, which provably bounds
+    every out-degree by O(√m); wedges are then built only from each
+    node's OUT-neighbors (Σ C(outdeg, 2) ≤ O(m^1.5) total, no hub
+    blow-up) with the (deg, id) order enforced between the two
+    neighbors, and a wedge closes iff its (v, w) pair exists in the
+    same oriented edge set — each triangle counted exactly once from
+    its minimum-rank corner. All integer arithmetic end to end.
+
+    Inputs may contain duplicates, self-loops, or either orientation;
+    they are canonicalized (least/greatest + distinct) first.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        e.join(deg.withColumnsRenamed({"node": "a", "deg": "deg_a"}), "a")
+        .join(deg.withColumnsRenamed({"node": "b", "deg": "deg_b"}), "b")
+    )
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias(
+            "deg_hi"
+        ),
+    )
+    left = oriented.withColumnsRenamed(
+        {"hi": "v", "deg_hi": "deg_v"}
+    )
+    right = oriented.withColumnsRenamed(
+        {"hi": "w", "deg_hi": "deg_w"}
+    )
+    wedges = left.join(right, "lo").filter(
+        (F.col("deg_v") < F.col("deg_w"))
+        | ((F.col("deg_v") == F.col("deg_w")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(
+        F.col("lo").alias("v"), F.col("hi").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"], "left_semi")
+    n_edges = e.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_edges")
+    )
+    n_wedges = wedges.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_wedges")
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_triangles")
+    )
+    return n_edges.crossJoin(F.broadcast(n_wedges)).crossJoin(
+        F.broadcast(n_tri)
+    )

@@ -47,6 +47,7 @@ from ..operators import (
     aggregations as agg,
     corpus,
     dedup,
+    graph,
     joins,
     layout,
     linkage,
@@ -2389,6 +2390,66 @@ def q_bm25(spark, sf_dir):
         b=BM25_B,
         k=BM25_K,
     )
+
+
+#: Triangle-census registry slice: the co-purchase graph over the
+#: low-partkey half keeps the gate run proportionate (the full sf0.01
+#: graph is 116k edges / ~3M wedges; the slice ~29k / ~850k). The
+#: scale contract is the degree orientation itself (wedges ≤ O(m^1.5)
+#: regardless of hub skew), probed on the full graph.
+TRI_MAX_PART = 1000
+
+
+def q_triangles(spark, sf_dir):
+    """Triangle census (new r9): parts co-purchased on the same order
+    form an undirected graph; count its edges/wedges/triangles via
+    degree orientation — out-degrees bounded O(√m), so wedge volume
+    never explodes on hub parts. All-integer, one row out. See
+    graph.triangle_count."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") < TRI_MAX_PART
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = a.join(b, "l_orderkey").filter(F.col("pa") < F.col("pb"))
+    return graph.triangle_count(edges, "pa", "pb")
+
+
+def _triangles_oracle() -> str:
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey < {TRI_MAX_PART}
+), e AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+  ) GROUP BY 1
+), oriented AS (
+  SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END
+           AS lo,
+         CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END
+           AS hi,
+         CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg
+              ELSE da.deg END AS deg_hi
+  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+), wedges AS (
+  SELECT l.hi AS v, r.hi AS w
+  FROM oriented l JOIN oriented r ON l.lo = r.lo
+  WHERE (l.deg_hi, l.hi) < (r.deg_hi, r.hi)
+), tri AS (
+  SELECT count(*) AS n_triangles FROM wedges
+  WHERE EXISTS (SELECT 1 FROM oriented o
+                WHERE o.lo = wedges.v AND o.hi = wedges.w)
+)
+SELECT (SELECT count(*) FROM e) AS n_edges,
+       (SELECT count(*) FROM wedges) AS n_wedges,
+       n_triangles
+FROM tri
+"""
 
 
 #: Z-order registry parameters: custkey fits 16 bits directly at any
@@ -4936,6 +4997,7 @@ WHERE {md5_int_sql("('wsample:' || CAST(doc_id AS VARCHAR))")} % 1000000
     "q_gap_fill": _gap_fill_oracle(),
     "q_unpivot": _unpivot_oracle(),
     "q_zorder": _zorder_oracle(),
+    "q_triangles": _triangles_oracle(),
     "q_token_packing": _token_packing_oracle(PACK_BUDGET_TOKENS),
     "q_embed_dedup": _embed_dedup_oracle(0.9),
     # the oracle asserts the HLL estimate's 3×rsd envelope via the
@@ -5548,8 +5610,6 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_substring_dedup", q_substring_dedup, ORACLES["q_substring_dedup"], True),
     QuerySpec("q_span_strip", q_span_strip, ORACLES["q_span_strip"]),
     QuerySpec("q_quality_score", q_quality_score, ORACLES["q_quality_score"], True),
-    # ---- oldest r6-verified entries ----
-    QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
     # ---- NEW in r9 (skew-safe analytic window rewrites; quality-
     # aware dedup manifest; mixture quotas; table profiler; persisted
     # IVF index serve gate; record-linkage entity resolution;
@@ -5571,6 +5631,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_gap_fill", q_gap_fill, ORACLES["q_gap_fill"], True),
     QuerySpec("q_unpivot", q_unpivot, ORACLES["q_unpivot"]),
     QuerySpec("q_zorder", q_zorder, ORACLES["q_zorder"], True),
+    QuerySpec("q_triangles", q_triangles, ORACLES["q_triangles"], True),
     # ==== driver 50-entry verification window ends here ====
     # r6-verified queue (rotate in first in r10 — q_domain_cap,
     # q_cosine_pairs, q_join_fact_dim, q_join_multiway, q_simhash,
@@ -5578,6 +5639,7 @@ QUERIES: list[QuerySpec] = [
     # q_admission_filter, q_session_window, q_corpus_select and
     # q_sessionize were displaced from the window tail by the
     # thirteen new r9 entries above):
+    QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
     QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),
     QuerySpec("q_hash_sample", q_hash_sample, ORACLES["q_hash_sample"]),
     QuerySpec("q_tfidf_topterms", q_tfidf_topterms, ORACLES["q_tfidf_topterms"], True),

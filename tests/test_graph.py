@@ -109,3 +109,39 @@ def test_star_randomized_against_bruteforce(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_triangle_count_known_graph(spark):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # K4 on {1,2,3,4} (4 triangles) + pendant 5-1 + disjoint edge 6-7,
+    # fed with duplicates, reversed orientations, and a self-loop
+    edges = [
+        (1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (3, 4), (2, 4),
+        (5, 1), (6, 7), (7, 6), (3, 3),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    row = triangle_count(df).first()
+    assert row.n_edges == 8       # 6 in K4 + pendant + disjoint
+    assert row.n_triangles == 4   # C(4,3) in K4
+    # degree orientation: wedge count is Sum C(outdeg, 2); every
+    # triangle needs a wedge, so wedges >= triangles
+    assert row.n_wedges >= row.n_triangles
+
+
+def test_triangle_count_no_triangles(spark):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # a path graph: degree orientation points both end edges INTO
+    # the middle, so no node keeps 2 out-edges — the oriented wedge
+    # count is 0 (that pruning is exactly why orientation scales;
+    # every triangle still survives via its min-rank corner)
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], ["src", "dst"]
+    )
+    row = triangle_count(df).first()
+    assert (row.n_edges, row.n_wedges, row.n_triangles) == (3, 0, 0)
