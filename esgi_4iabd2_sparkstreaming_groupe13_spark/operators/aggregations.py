@@ -433,3 +433,91 @@ def cohort_retention(
         .groupBy(f"cohort_{bucket}", "period_offset")
         .agg(F.countDistinct(user_col).cast("long").alias("n_active"))
     )
+
+
+def association_rules(
+    tx: DataFrame,
+    tx_col: str,
+    item_col: str,
+    min_support_count: int = 5,
+    min_confidence: float = 0.1,
+) -> DataFrame:
+    """Market-basket association rules over (transaction, item) rows:
+    for every directed pair of co-occurring frequent items, emit
+    (antecedent, consequent, pair_support, confidence, lift) — the
+    co-occurrence mining a pipeline runs on tags, domains, or items
+    to surface "rows with X also carry Y" structure.
+
+    Scale design (Apriori's monotonicity, DataFrame-shaped): item
+    supports are one hash aggregate; items below ``min_support_count``
+    are semi-joined OUT before any pairing (a pair can't be frequent
+    if either member isn't — the prune that keeps the pair space
+    honest); pair generation is a per-transaction self-join, bounded
+    by Σ C(basket_size, 2) — basket size is the data-model bound
+    (lines per order ≤ 13 here), never the catalog; pair supports cut
+    again at ``min_support_count`` BEFORE the rule join. Supports
+    join back broadcast (the frequent-item table is small by
+    construction).
+
+    Determinism: confidence and lift are integer ratios —
+    boundary-reachable, so both round half-away (engine-exact);
+    output is total-ordered by the (antecedent, consequent) key.
+    """
+    baskets = tx.select(
+        F.col(tx_col).alias("_tx"), F.col(item_col).alias("_item")
+    ).distinct()
+    n_tx = baskets.agg(
+        F.countDistinct("_tx").alias("_n_tx")
+    )
+    supp = baskets.groupBy("_item").agg(
+        F.count(F.lit(1)).alias("_supp")
+    )
+    frequent = supp.filter(F.col("_supp") >= min_support_count)
+    fitems = baskets.join(
+        F.broadcast(frequent.select("_item")), "_item", "left_semi"
+    )
+    a = fitems.select("_tx", F.col("_item").alias("_ia"))
+    b = fitems.select("_tx", F.col("_item").alias("_ib"))
+    pairs = (
+        a.join(b, "_tx")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .groupBy("_ia", "_ib")
+        .agg(F.count(F.lit(1)).alias("pair_support"))
+        .filter(F.col("pair_support") >= min_support_count)
+    )
+    directed = pairs.select(
+        F.col("_ia").alias("antecedent"),
+        F.col("_ib").alias("consequent"),
+        "pair_support",
+    ).unionByName(
+        pairs.select(
+            F.col("_ib").alias("antecedent"),
+            F.col("_ia").alias("consequent"),
+            "pair_support",
+        )
+    )
+    sa = frequent.withColumnsRenamed(
+        {"_item": "antecedent", "_supp": "_supp_a"}
+    )
+    sc = frequent.withColumnsRenamed(
+        {"_item": "consequent", "_supp": "_supp_c"}
+    )
+    scored = (
+        directed.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sc), "consequent")
+        .crossJoin(F.broadcast(n_tx))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_support",
+            round_half_away(
+                F.col("pair_support").cast("double") / F.col("_supp_a"), 6
+            ).alias("confidence"),
+            round_half_away(
+                (F.col("pair_support") * F.col("_n_tx")).cast("double")
+                / (F.col("_supp_a") * F.col("_supp_c")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.filter(F.col("confidence") >= min_confidence)

@@ -26,6 +26,8 @@ exact.
 
 from __future__ import annotations
 
+import math
+
 from dataclasses import dataclass
 from typing import Callable
 
@@ -272,3 +274,55 @@ def profile_table(
     return row.select(F.explode(F.array(*structs)).alias("_p")).select(
         "_p.*"
     )
+
+
+#: ln(1 + 1/d) / ln(10) for d = 1..9, precomputed in Python so BOTH
+#: engines consume identical double literals (no cross-engine
+#: transcendental evaluation in the hot path).
+BENFORD_SHARES: dict[int, float] = {
+    d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)
+}
+
+
+def benford_audit(df: DataFrame, cols: list[str]) -> DataFrame:
+    """First-significant-digit distribution audit per column — one
+    row per (column, digit 1-9) with observed counts and shares next
+    to the Benford expectation. Fabricated, truncated, or unit-mixed
+    numeric feeds drift from Benford on naturally-spanning magnitudes
+    (amounts, populations); bounded or discrete columns legitimately
+    don't — the audit reports, callers judge (like profile_table).
+
+    The digit comes from ``floor(|v| / 10^floor(log10 |v|))`` — pure
+    double arithmetic, identical in any IEEE engine (zero/null values
+    are excluded; exact powers of 10 are the only boundary-sensitive
+    inputs and land on exact doubles either way). One aggregate pass
+    per column, unioned long-format: O(9 × columns) output rows.
+    """
+    parts = []
+    for c in cols:
+        v = F.abs(F.col(c))
+        digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v))))
+        per = (
+            df.filter(F.col(c).isNotNull() & (F.col(c) != 0))
+            .groupBy(digit.cast("long").alias("digit"))
+            .agg(F.count(F.lit(1)).alias("n_obs"))
+        )
+        total = per.agg(F.sum("n_obs").alias("_n"))
+        share = F.lit(0.0)
+        for d, p in BENFORD_SHARES.items():
+            share = F.when(F.col("digit") == d, F.lit(p)).otherwise(share)
+        parts.append(
+            per.crossJoin(F.broadcast(total)).select(
+                F.lit(c).alias("column"),
+                "digit",
+                "n_obs",
+                round_half_away(
+                    F.col("n_obs").cast("double") / F.col("_n"), 6
+                ).alias("obs_share"),
+                F.round(share, 6).alias("benford_share"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -879,3 +879,79 @@ def gap_fill_forward(
         .alias("filled_sum"),
         F.col("_n_obs").isNull().alias("is_gap"),
     )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    part_col: str,
+    value_col: str,
+    tiebreak_cols: list[str],
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization summary — clamp each group's values at
+    its exact empirical ``lo``/``hi`` quantiles and report (group,
+    n_rows, lo_cut, hi_cut, n_below, n_above, winsor_mean): the
+    robust-moment profile feature pipelines use where raw means are
+    outlier-dominated (and the audit of HOW MUCH each group was
+    clipped).
+
+    Exact quantile definition (mirrors q_median_exact's rank style,
+    engine-portable): the cut value is the one at 1-based rank
+    ``greatest(1, ceil(q × n))`` in the (value, tiebreak…) total
+    order. ``tiebreak_cols`` must make the order unique.
+
+    Scale shape: per-group ranks come from
+    :func:`scale_safe_group_ranks` (range-partition + metadata lift —
+    no per-group single-task sort, whale groups span partitions), the
+    two cut rows per group reduce to a 2×|groups| broadcast, and the
+    final pass is one hash aggregate with DECIMAL-accumulated clamped
+    sums. Two full-data exchanges total (rank layout + final agg).
+    """
+    ranked = scale_safe_group_ranks(
+        df.select(part_col, value_col, *tiebreak_cols),
+        part_col,
+        [value_col, *tiebreak_cols],
+    )
+    lo_rank = F.greatest(
+        F.lit(1), F.ceil(F.lit(lo) * F.col("_grp_n"))
+    ).cast("long")
+    hi_rank = F.greatest(
+        F.lit(1), F.ceil(F.lit(hi) * F.col("_grp_n"))
+    ).cast("long")
+    cuts = (
+        ranked.filter(
+            (F.col("_rank") == lo_rank) | (F.col("_rank") == hi_rank)
+        )
+        .groupBy(part_col)
+        .agg(
+            F.min(
+                F.when(F.col("_rank") == lo_rank, F.col(value_col))
+            ).alias("lo_cut"),
+            F.max(
+                F.when(F.col("_rank") == hi_rank, F.col(value_col))
+            ).alias("hi_cut"),
+        )
+    )
+    with_cuts = df.select(part_col, value_col).join(
+        F.broadcast(cuts), part_col
+    )
+    clamped = F.least(
+        F.greatest(F.col(value_col), F.col("lo_cut")), F.col("hi_cut")
+    )
+    return with_cuts.groupBy(part_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("lo_cut").alias("lo_cut"),
+        F.min("hi_cut").alias("hi_cut"),
+        F.sum(
+            (F.col(value_col) < F.col("lo_cut")).cast("long")
+        ).alias("n_below"),
+        F.sum(
+            (F.col(value_col) > F.col("hi_cut")).cast("long")
+        ).alias("n_above"),
+        round_half_away(
+            F.sum(clamped.cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("winsor_mean"),
+    )

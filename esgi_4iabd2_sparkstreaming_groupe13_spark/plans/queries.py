@@ -2392,6 +2392,167 @@ def q_bm25(spark, sf_dir):
     )
 
 
+#: Winsorization registry parameters (quantile cut points, shared by
+#: Spark + oracle).
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def q_winsorize(spark, sf_dir):
+    """Robust-moment profile (new r9): per-returnflag winsorized
+    price stats — values clamped at the group's exact empirical
+    5th/95th-percentile cut points (rank-based, q_median_exact
+    style), with clip counts and the DECIMAL-accumulated clamped
+    mean. Ranks come from the scale-safe range-partition lift (no
+    whale-group single-task sort). See windows.winsorize_stats."""
+    return windows.winsorize_stats(
+        _t(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        lo=WINSOR_LO,
+        hi=WINSOR_HI,
+    )
+
+
+def _winsorize_oracle() -> str:
+    mean = round_half_away_sql(
+        "(CAST(SUM(CAST(least(greatest(l.l_extendedprice, c.lo_cut),"
+        " c.hi_cut) AS DECIMAL(18,2))) AS DOUBLE) / count(*))",
+        6,
+    )
+    return f"""
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         row_number() OVER (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+), cuts AS (
+  SELECT l_returnflag,
+         min(CASE WHEN rn = greatest(1, CAST(ceil({WINSOR_LO} * n)
+                                      AS BIGINT)) THEN v END) AS lo_cut,
+         max(CASE WHEN rn = greatest(1, CAST(ceil({WINSOR_HI} * n)
+                                      AS BIGINT)) THEN v END) AS hi_cut
+  FROM ranked GROUP BY 1
+)
+SELECT l.l_returnflag, count(*) AS n_rows,
+       min(c.lo_cut) AS lo_cut, min(c.hi_cut) AS hi_cut,
+       CAST(SUM(CASE WHEN l.l_extendedprice < c.lo_cut
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       CAST(SUM(CASE WHEN l.l_extendedprice > c.hi_cut
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       {mean} AS winsor_mean
+FROM lineitem l JOIN cuts c USING (l_returnflag)
+GROUP BY 1
+"""
+
+
+#: Association-rule registry parameters: supplier co-occurrence on
+#: orders (100 suppliers at sf0.01 — every pair co-occurs; the
+#: support cut keeps the ruleset selective).
+ASSOC_MIN_SUP = 30
+ASSOC_MIN_CONF = 0.04
+
+
+def q_assoc_rules(spark, sf_dir):
+    """Market-basket rules (new r9): suppliers co-occurring on the
+    same order, Apriori-pruned (infrequent items semi-joined out
+    BEFORE pairing; pair space bounded by Σ C(basket, 2)), scored
+    with confidence + lift (integer ratios, half-away rounded).
+    See aggregations.association_rules."""
+    return agg.association_rules(
+        _t(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_suppkey",
+        min_support_count=ASSOC_MIN_SUP,
+        min_confidence=ASSOC_MIN_CONF,
+    )
+
+
+def _assoc_rules_oracle() -> str:
+    conf = round_half_away_sql(
+        "(CAST(p.c AS DOUBLE) / sa._supp)", 6
+    )
+    lift = round_half_away_sql(
+        "(CAST(p.c * n._n_tx AS DOUBLE) / (sa._supp * sc._supp))", 6
+    )
+    return f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS tx, l_suppkey AS item FROM lineitem
+), n AS (
+  SELECT count(DISTINCT tx) AS _n_tx FROM b
+), supp AS (
+  SELECT item, count(*) AS _supp FROM b GROUP BY 1
+), freq AS (
+  SELECT * FROM supp WHERE _supp >= {ASSOC_MIN_SUP}
+), fb AS (
+  SELECT b.tx, b.item FROM b
+  WHERE EXISTS (SELECT 1 FROM freq f WHERE f.item = b.item)
+), pairs AS (
+  SELECT a.item AS ia, c.item AS ib, count(*) AS c
+  FROM fb a JOIN fb c ON a.tx = c.tx AND a.item < c.item
+  GROUP BY 1, 2 HAVING count(*) >= {ASSOC_MIN_SUP}
+), directed AS (
+  SELECT ia AS antecedent, ib AS consequent, c FROM pairs
+  UNION ALL
+  SELECT ib AS antecedent, ia AS consequent, c FROM pairs
+)
+SELECT p.antecedent, p.consequent, p.c AS pair_support,
+       {conf} AS confidence, {lift} AS lift
+FROM directed p
+JOIN freq sa ON sa.item = p.antecedent
+JOIN freq sc ON sc.item = p.consequent
+CROSS JOIN n
+WHERE {conf} >= {ASSOC_MIN_CONF}
+"""
+
+
+#: Benford-audit registry columns (naturally-spanning + discrete, so
+#: the report shows both a conforming and a non-conforming shape).
+BENFORD_COLS = ["l_extendedprice", "l_quantity"]
+
+
+def q_benford(spark, sf_dir):
+    """First-digit Benford audit (new r9): per-(column, digit)
+    observed shares next to the Benford expectation — the fabricated-
+    feed / unit-mix tripwire a pipeline runs over numeric columns.
+    One aggregate pass per column, 9×columns output rows. See
+    validate.benford_audit."""
+    return validate.benford_audit(
+        _t(spark, sf_dir, "lineitem"), BENFORD_COLS
+    )
+
+
+def _benford_oracle() -> str:
+    from ..operators.validate import BENFORD_SHARES
+
+    share_case = (
+        "CASE digit "
+        + " ".join(
+            f"WHEN {d} THEN round({p!r}, 6)"
+            for d, p in BENFORD_SHARES.items()
+        )
+        + " END"
+    )
+    parts = []
+    for c in BENFORD_COLS:
+        obs = round_half_away_sql(
+            "(CAST(n_obs AS DOUBLE) / sum(n_obs) OVER ())", 6
+        )
+        parts.append(f"""
+SELECT '{c}' AS column, digit, n_obs, {obs} AS obs_share,
+       {share_case} AS benford_share
+FROM (
+  SELECT CAST(floor(abs({c}) / power(10.0, floor(log10(abs({c})))))
+              AS BIGINT) AS digit,
+         count(*) AS n_obs
+  FROM lineitem WHERE {c} IS NOT NULL AND {c} <> 0
+  GROUP BY 1
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
 #: Triangle-census registry slice: the co-purchase graph over the
 #: low-partkey half keeps the gate run proportionate (the full sf0.01
 #: graph is 116k edges / ~3M wedges; the slice ~29k / ~850k). The
@@ -4998,6 +5159,9 @@ WHERE {md5_int_sql("('wsample:' || CAST(doc_id AS VARCHAR))")} % 1000000
     "q_unpivot": _unpivot_oracle(),
     "q_zorder": _zorder_oracle(),
     "q_triangles": _triangles_oracle(),
+    "q_winsorize": _winsorize_oracle(),
+    "q_assoc_rules": _assoc_rules_oracle(),
+    "q_benford": _benford_oracle(),
     "q_token_packing": _token_packing_oracle(PACK_BUDGET_TOKENS),
     "q_embed_dedup": _embed_dedup_oracle(0.9),
     # the oracle asserts the HLL estimate's 3×rsd envelope via the
@@ -5562,9 +5726,13 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # q_edit_verify, q_rate_anomaly, q_top_ngram, q_admission_filter,
 # q_session_window, q_corpus_select, q_sessionize, q_dedup_clusters,
 # q_simhash, q_join_multiway, q_join_fact_dim, q_cosine_pairs,
-# q_domain_cap). Behind the window, the
-# queue for r10 rotation in order of staleness: the displaced-plus-
-# remaining r6-verified entries (q_top_ngram .. q_total_count), the 3
+# q_domain_cap; second r9 batch — q_bm25, q_gap_fill, q_unpivot,
+# q_zorder, q_triangles displaced the last five r6-verified entries
+# q_string_funcs, q_case_buckets, q_hash_sample, q_tfidf_topterms,
+# q_embed_dedup — the window is now 31 r5-stale + 19 brand-new).
+# Behind the window, the
+# queue for r10 rotation in order of staleness: the displaced
+# r6-verified entries (q_string_funcs .. q_total_count), the 3
 # rows-only entries, then
 # the 50-entry r7/r8-verified block (q_equi_depth ..
 # q_bloom_contamination — freshest: driver-green in BOTH r7 and r8).
@@ -5633,6 +5801,13 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_zorder", q_zorder, ORACLES["q_zorder"], True),
     QuerySpec("q_triangles", q_triangles, ORACLES["q_triangles"], True),
     # ==== driver 50-entry verification window ends here ====
+    # NEW in r9 but outside the full window (the window already holds
+    # the 31 r5-stale entries + 19 new r9 ops): first in the r10
+    # queue, so they get their first driver rows next round; local
+    # oracle coverage (CORRECTNESS_local_r09) covers them this round.
+    QuerySpec("q_winsorize", q_winsorize, ORACLES["q_winsorize"], True),
+    QuerySpec("q_assoc_rules", q_assoc_rules, ORACLES["q_assoc_rules"], True),
+    QuerySpec("q_benford", q_benford, ORACLES["q_benford"]),
     # r6-verified queue (rotate in first in r10 — q_domain_cap,
     # q_cosine_pairs, q_join_fact_dim, q_join_multiway, q_simhash,
     # q_vocab_stats, q_edit_verify, q_rate_anomaly, q_top_ngram,

@@ -75,7 +75,8 @@ ALL_OPS = (
     "vocab_stats funnel snapshot_diff rate_anomaly equi_depth line_dedup "
     "transitions hll_rolling scd2 prefix_jaccard gopher corpus_drift "
     "skew_lag skew_runsum mix "
-    "substring_dedup quality_score embed_norm entity_match agg_state"
+    "substring_dedup quality_score embed_norm entity_match agg_state "
+    "bm25 gap_fill triangles"
 ).split()
 
 
@@ -1036,6 +1037,76 @@ def main() -> None:
         results["agg_state"] = {
             "t1": timed("aggstate 1x", aggst(ag1)),
             "tN": timed(f"aggstate {factor}x", aggst(agN)),
+        }
+
+    # BM25: verbatim text copies with offset ids — every per-doc
+    # quantity (tf, dl) is unchanged and df/N grow together, so the
+    # corpus axis is the explode + two hash aggregates: expect ~linear
+    if want("bm25"):
+        bd1 = load_table(spark, SF_DIR, "documents")
+        bdN = scaled(bd1, factor, ["doc_id"], 100_000_000)
+
+        def bm25(d):
+            return corpus.bm25_scores(
+                d, "text", "doc_id", ["hash", "join", "vector"], k=10
+            )
+
+        results["bm25"] = {
+            "t1": timed("bm25 1x", bm25(bd1)),
+            "tN": timed(f"bm25 {factor}x", bm25(bdN)),
+        }
+
+    # Gap-fill: more events over the SAME calendar span and key set —
+    # the grid (keys × hours) is constant, so everything after the
+    # per-bucket aggregate is fixed-size and wall must track the scan
+    if want("gap_fill"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.windows import (
+            gap_fill_forward,
+        )
+
+        gf1 = load_table(spark, SF_DIR, "events")
+        gfN = scaled(gf1, factor, ["event_id"], 100_000_000)
+
+        def gfill(d):
+            return gap_fill_forward(
+                d.filter(F.col("value") > 180), "ts", "event_type", "value"
+            )
+
+        results["gap_fill"] = {
+            "t1": timed("gap_fill 1x", gfill(gf1)),
+            "tN": timed(f"gap_fill {factor}x", gfill(gfN)),
+        }
+
+    # Triangle census, catalog-growth axis: disjoint (orderkey,
+    # partkey) copies — edges and oriented wedges grow ×factor, so
+    # wall should track edge volume (~linear). The other axis (same
+    # catalog, more orders ⇒ densifying graph) grows wedges
+    # super-linearly BY CONTRACT — that is graph densification, not
+    # data volume, and the degree orientation's O(m^1.5) bound is
+    # exactly the guard. The partkey< slice keeps the 1× graph
+    # probe-sized (sf0.1's full co-purchase graph is already 1.2M
+    # edges / 41M wedges).
+    if want("triangles"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.graph import (
+            triangle_count,
+        )
+
+        tl1 = load_table(spark, SF_DIR, "lineitem").filter(
+            F.col("l_partkey") < 6000
+        )
+        tlN = scaled(tl1, factor, ["l_orderkey", "l_partkey"], 100_000_000)
+
+        def tri(d):
+            a = d.select("l_orderkey", F.col("l_partkey").alias("pa"))
+            b = d.select("l_orderkey", F.col("l_partkey").alias("pb"))
+            edges = a.join(b, "l_orderkey").filter(
+                F.col("pa") < F.col("pb")
+            )
+            return triangle_count(edges, "pa", "pb")
+
+        results["triangles"] = {
+            "t1": timed("triangles 1x", tri(tl1)),
+            "tN": timed(f"triangles {factor}x", tri(tlN)),
         }
 
     for op, r in results.items():

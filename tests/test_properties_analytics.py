@@ -400,3 +400,30 @@ def test_time_decayed_agg_matches_bruteforce(spark, rows):
     for k in want_count:
         assert abs(got[k]["decayed_count"] - want_count[k]) < 1e-8
         assert abs(got[k]["decayed_value"] - want_value[k]) < 1e-8
+
+
+def test_association_rules_hand_computed(spark):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.aggregations import (
+        association_rules,
+    )
+
+    # 4 baskets; x,y co-occur in 2; z appears once (pruned by support)
+    tx = [
+        (1, "x"), (1, "y"), (1, "z"),
+        (2, "x"), (2, "y"),
+        (3, "x"),
+        (4, "y"),
+        (1, "x"),  # duplicate line: baskets are DISTINCT item sets
+    ]
+    df = spark.createDataFrame(tx, ["tx", "item"])
+    out = association_rules(
+        df, "tx", "item", min_support_count=2, min_confidence=0.0
+    )
+    rules = {(r.antecedent, r.consequent): r for r in out.collect()}
+    # z never reaches pairing (support 1 < 2): no rule mentions it
+    assert set(rules) == {("x", "y"), ("y", "x")}
+    r = rules[("x", "y")]
+    # supp(x)=3, supp(y)=3, supp(xy)=2, n_tx=4
+    assert r.pair_support == 2
+    assert abs(r.confidence - round(2 / 3, 6)) < 1e-9
+    assert abs(r.lift - round(2 * 4 / (3 * 3), 6)) < 1e-9

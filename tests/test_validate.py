@@ -145,3 +145,21 @@ def test_profile_table_single_scan(spark):
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Range (0, 100") == 1
     assert "Expand" in plan  # multi-distinct rides the standard Expand
+
+
+def test_benford_audit_digits_and_shares(spark):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.validate import (
+        BENFORD_SHARES,
+        benford_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (19.5,), (0.002,), (-345.0,), (912.0,), (0.0,), (None,)],
+        ["x"],
+    )
+    rows = {r.digit: r for r in benford_audit(df, ["x"]).collect()}
+    # digits: 1 (1.0), 1 (19.5), 2 (0.002), 3 (-345 via abs), 9 (912);
+    # zero and null excluded
+    assert {d: r.n_obs for d, r in rows.items()} == {1: 2, 2: 1, 3: 1, 9: 1}
+    assert abs(rows[1].obs_share - 0.4) < 1e-9
+    assert abs(rows[1].benford_share - round(BENFORD_SHARES[1], 6)) < 1e-12

@@ -480,3 +480,25 @@ def test_gap_fill_forward_semantics(spark):
     assert got[("b", 2)] == (0, None, True)
     assert got[("b", 3)] == (1, 5.0, False)
     assert got[("c", 5)] == (1, 1.0, False)
+
+
+def test_winsorize_stats_hand_computed(spark):
+    # group "a": values 1..20 -> lo rank ceil(.05*20)=1 -> cut 1;
+    # hi rank ceil(.95*20)=19 -> cut 19; one value (20) above.
+    rows = [("a", float(v), v) for v in range(1, 21)]
+    rows += [("b", 100.0, 1), ("b", 200.0, 2)]  # tiny group
+    df = spark.createDataFrame(rows, ["g", "v", "id"])
+    out = {
+        r.g: r
+        for r in windows.winsorize_stats(df, "g", "v", ["id"]).collect()
+    }
+    a = out["a"]
+    assert (a.n_rows, a.lo_cut, a.hi_cut) == (20, 1.0, 19.0)
+    assert (a.n_below, a.n_above) == (0, 1)
+    # clamped sum = sum(1..19) + 19 = 209
+    assert abs(a.winsor_mean - 209 / 20) < 1e-9
+    b = out["b"]
+    # n=2: lo rank 1, hi rank 2 -> cuts are min/max, nothing clipped
+    assert (b.lo_cut, b.hi_cut, b.n_below, b.n_above) == (
+        100.0, 200.0, 0, 0,
+    )
