@@ -304,3 +304,83 @@ def triangle_count(
     return n_edges.crossJoin(F.broadcast(n_wedges)).crossJoin(
         F.broadcast(n_tri)
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a DIRECTED edge list (callers
+    symmetrize for undirected graphs): (node, rank) after exactly
+    ``iterations`` power steps — the influence/centrality scoring a
+    pipeline runs over derived graphs (citation/link/co-occurrence)
+    to weight sources or pick cluster exemplars.
+
+    Semantics: r ← (1−d)/n + d·(Σ_in r/outdeg + dangling_mass/n),
+    uniform init 1/n, dangling (no-out-edge) mass redistributed
+    uniformly every step so Σr stays 1. Fixed iteration count (not a
+    convergence test) keeps the plan deterministic and re-runnable.
+
+    Scale shape: each step is ONE shuffle (contributions grouped by
+    dst) plus two broadcast-sized frames (the scalar dangling mass
+    and the node→rank join is on the nodes table, |V| rows, not
+    edges); ranks are localCheckpoint-ed per step so the plan doesn't
+    grow with iterations (the standard iterative-DataFrame trap, same
+    treatment as connected_components). Edge volume is touched
+    ``iterations`` times — on a cluster, persist the (src, outdeg)-
+    annotated edges once and reuse.
+
+    Determinism: double arithmetic with per-dst sums; ranks are
+    rounded to 6 dp only at the END. Reduction order can perturb the
+    last ulps (~1e-15) — like the transcendental outputs, a 6-dp
+    boundary flip has probability ~0 (oracle-checked in practice).
+    """
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionAll(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy(F.col("_src").alias("node")).agg(
+        F.count(F.lit(1)).alias("_outdeg")
+    )
+    annotated = e.join(
+        outdeg.withColumnsRenamed({"node": "_src"}), "_src"
+    ).localCheckpoint()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        with_rank = annotated.join(
+            ranks.withColumnsRenamed({"node": "_src"}), "_src"
+        )
+        contrib = with_rank.groupBy(
+            F.col("_dst").alias("node")
+        ).agg(F.sum(F.col("rank") / F.col("_outdeg")).alias("_in"))
+        # dangling mass: rank sitting on nodes with no out-edges
+        dangling = (
+            ranks.join(outdeg, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_in"), F.lit(0.0))
+                        + F.col("_dm") / n
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

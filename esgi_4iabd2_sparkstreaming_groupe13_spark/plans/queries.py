@@ -2392,6 +2392,75 @@ def q_bm25(spark, sf_dir):
     )
 
 
+#: PageRank registry parameters — fixed power iterations over the
+#: symmetrized supplier co-purchase graph (undirected ⇒ no dangling
+#: mass; the operator still handles dangling for directed callers).
+PR_DAMPING = 0.85
+PR_ITERS = 5
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (new r9): influence scores over the
+    symmetrized supplier co-purchase graph — 5 power steps, dangling
+    mass redistributed, one contribution shuffle per step with
+    localCheckpoint lineage truncation (the CC treatment). See
+    graph.pagerank."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("s"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("t"))
+    half = a.join(b, "l_orderkey").filter(F.col("s") < F.col("t"))
+    edges = half.select("s", "t").unionByName(
+        half.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    )
+    return graph.pagerank(
+        edges, "s", "t", damping=PR_DAMPING, iterations=PR_ITERS
+    )
+
+
+def _pagerank_oracle() -> str:
+    d = PR_DAMPING
+    steps = []
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        steps.append(f"""r{k} AS (
+  SELECT n.node,
+         (1.0 - {d}) / nn.n + {d} * coalesce(c.sum_in, 0.0) AS rank
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.t AS node, sum(r.rank / deg.outdeg) AS sum_in
+    FROM e JOIN {prev} r ON r.node = e.s
+           JOIN deg ON deg.node = e.s
+    GROUP BY 1
+  ) c ON c.node = n.node
+)""")
+        prev = f"r{k}"
+    chain = ", ".join(steps)
+    return f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), h AS (
+  SELECT a.l_suppkey AS s, b.l_suppkey AS t
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+), e AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT s, t FROM h UNION ALL SELECT t AS s, s AS t FROM h
+  )
+), nodes AS (
+  SELECT DISTINCT s AS node FROM e
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), deg AS (
+  SELECT s AS node, count(*) AS outdeg FROM e GROUP BY 1
+), r0 AS (
+  SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn
+), {chain}
+SELECT node, round(rank, 6) AS rank FROM {prev}
+"""
+
+
 #: Winsorization registry parameters (quantile cut points, shared by
 #: Spark + oracle).
 WINSOR_LO = 0.05
@@ -5160,6 +5229,7 @@ WHERE {md5_int_sql("('wsample:' || CAST(doc_id AS VARCHAR))")} % 1000000
     "q_zorder": _zorder_oracle(),
     "q_triangles": _triangles_oracle(),
     "q_winsorize": _winsorize_oracle(),
+    "q_pagerank": _pagerank_oracle(),
     "q_assoc_rules": _assoc_rules_oracle(),
     "q_benford": _benford_oracle(),
     "q_token_packing": _token_packing_oracle(PACK_BUDGET_TOKENS),
@@ -5798,7 +5868,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_bm25", q_bm25, ORACLES["q_bm25"], True),
     QuerySpec("q_gap_fill", q_gap_fill, ORACLES["q_gap_fill"], True),
     QuerySpec("q_unpivot", q_unpivot, ORACLES["q_unpivot"]),
-    QuerySpec("q_zorder", q_zorder, ORACLES["q_zorder"], True),
+    QuerySpec("q_zorder", q_zorder, ORACLES["q_zorder"]),
     QuerySpec("q_triangles", q_triangles, ORACLES["q_triangles"], True),
     # ==== driver 50-entry verification window ends here ====
     # NEW in r9 but outside the full window (the window already holds
@@ -5808,6 +5878,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_winsorize", q_winsorize, ORACLES["q_winsorize"], True),
     QuerySpec("q_assoc_rules", q_assoc_rules, ORACLES["q_assoc_rules"], True),
     QuerySpec("q_benford", q_benford, ORACLES["q_benford"]),
+    QuerySpec("q_pagerank", q_pagerank, ORACLES["q_pagerank"], True),
     # r6-verified queue (rotate in first in r10 — q_domain_cap,
     # q_cosine_pairs, q_join_fact_dim, q_join_multiway, q_simhash,
     # q_vocab_stats, q_edit_verify, q_rate_anomaly, q_top_ngram,

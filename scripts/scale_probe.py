@@ -76,7 +76,7 @@ ALL_OPS = (
     "transitions hll_rolling scd2 prefix_jaccard gopher corpus_drift "
     "skew_lag skew_runsum mix "
     "substring_dedup quality_score embed_norm entity_match agg_state "
-    "bm25 gap_fill triangles"
+    "bm25 gap_fill triangles pagerank"
 ).split()
 
 
@@ -1107,6 +1107,34 @@ def main() -> None:
         results["triangles"] = {
             "t1": timed("triangles 1x", tri(tl1)),
             "tN": timed(f"triangles {factor}x", tri(tlN)),
+        }
+
+    # PageRank, disjoint-subgraph axis: each power step is one
+    # contribution shuffle over edge volume — expect ~linear in
+    # edges; the iteration count is the fixed multiplier
+    if want("pagerank"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.graph import (
+            pagerank,
+        )
+
+        pl1 = load_table(spark, SF_DIR, "lineitem").filter(
+            F.col("l_partkey") < 6000
+        )
+        plN = scaled(pl1, factor, ["l_orderkey", "l_partkey"], 100_000_000)
+
+        def prank(d):
+            li = d.select("l_orderkey", "l_partkey").distinct()
+            a = li.select("l_orderkey", F.col("l_partkey").alias("s"))
+            b = li.select("l_orderkey", F.col("l_partkey").alias("t"))
+            half = a.join(b, "l_orderkey").filter(F.col("s") < F.col("t"))
+            edges = half.select("s", "t").unionByName(
+                half.select(F.col("t").alias("s"), F.col("s").alias("t"))
+            )
+            return pagerank(edges, "s", "t", iterations=5)
+
+        results["pagerank"] = {
+            "t1": timed("pagerank 1x", prank(pl1)),
+            "tN": timed(f"pagerank {factor}x", prank(plN)),
         }
 
     for op, r in results.items():

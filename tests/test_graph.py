@@ -145,3 +145,33 @@ def test_triangle_count_no_triangles(spark):
     )
     row = triangle_count(df).first()
     assert (row.n_edges, row.n_wedges, row.n_triangles) == (3, 0, 0)
+
+
+def test_pagerank_hand_computed_with_dangling(spark):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.graph import (
+        pagerank,
+    )
+
+    # 1 -> 2 -> 3, node 3 dangling; d=0.5, 2 iterations, by hand:
+    # r1 = (2/9, 7/18, 7/18); r2 = (25/108, 37/108, 46/108)
+    df = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    out = {r.node: r.rank for r in pagerank(
+        df, damping=0.5, iterations=2
+    ).collect()}
+    assert abs(out[1] - round(25 / 108, 6)) < 1e-9
+    assert abs(out[2] - round(37 / 108, 6)) < 1e-9
+    assert abs(out[3] - round(46 / 108, 6)) < 1e-9
+    assert abs(sum(out.values()) - 1.0) < 1e-5  # mass conserved
+
+
+def test_pagerank_symmetric_graph_uniform(spark):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.graph import (
+        pagerank,
+    )
+
+    # a 4-cycle is vertex-transitive: every rank must stay 1/4
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    edges += [(b, a) for a, b in edges]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = [r.rank for r in pagerank(df, iterations=3).collect()]
+    assert all(abs(r - 0.25) < 1e-9 for r in out)
