@@ -76,3 +76,32 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the columnar alternative where the lake standard is
+    ORC (Hive-lineage estates). Same pushdown/pruning behavior as
+    parquet from Spark's side; built-in, no extra jars."""
+    df.write.mode(mode).orc(path)
+
+
+def load_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan with predicate pushdown + column pruning, same caller
+    contract as the parquet path: select/filter on the result so the
+    scan prunes."""
+    return spark.read.orc(path)
+
+
+def load_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read across parquet generations: later writers
+    may ADD columns; ``mergeSchema`` unions the schemas and older
+    files surface the new columns as nulls — the standard additive-
+    evolution contract of a parquet lake (renames/retypes are NOT
+    reconciled; that is a rewrite, see operators/maintenance.py).
+
+    Scale note: schema merging reads FOOTERS of all files (driver-side
+    metadata pass, no data scan); at very large file counts pin a
+    summary schema instead — the option is per-read, not global, for
+    exactly that reason.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

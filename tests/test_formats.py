@@ -46,3 +46,42 @@ def test_orc_filter_pushdown(spark, sf_dir, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,30" in plan
     assert q.count() == li.filter(F.col("l_quantity") >= 30.0).count()
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.sources.batch import (
+        load_orc,
+        load_table,
+        write_orc,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = load_orc(spark, path)
+    assert back.count() == orders.count()
+    assert dict(back.dtypes) == dict(orders.dtypes)
+    # predicate reaches the ORC scan (pushdown, not post-filter only)
+    plan = (
+        back.filter(F.col("o_custkey") == 7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "o_custkey" in plan.split("Scan orc")[1].split("\n")[0]
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.sources.batch import (
+        load_parquet_evolving,
+    )
+
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.parquet(v1)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "name", "score"]
+    ).write.parquet(v2)
+    df = load_parquet_evolving(spark, v1, v2)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    # the old generation surfaces the added column as null
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
