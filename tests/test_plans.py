@@ -332,3 +332,18 @@ def test_hll_rolling_touches_events_once(spark, sf_dir):
     # register table; the FileScan printed inside each InMemoryRelation
     # block executes once, on cache fill
     assert p.count("InMemoryTableScan") >= 2
+
+
+def test_bm25_topk_is_take_ordered(spark, sf_dir):
+    # the final top-k must be TakeOrderedAndProject (distributed
+    # per-partition top-k + k-row merge), never a global Sort
+    p = plan_of(spark, sf_dir, Q.q_bm25)
+    assert "TakeOrderedAndProject" in p
+
+
+def test_gap_fill_grid_bounds_ride_broadcast(spark, sf_dir):
+    # the (lo, hi) bounds and the key x sequence grid join back via
+    # broadcast — the event-volume side shuffles only for its bucket
+    # aggregate
+    p = plan_of(spark, sf_dir, Q.q_gap_fill)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
