@@ -117,3 +117,33 @@ def unpivot_long(
         *[F.col(c).cast("double").alias(c) for c in value_cols],
     )
     return widened.unpivot(id_cols, value_cols, var_col, value_col)
+
+
+def variant_extract(
+    df: DataFrame,
+    json_col: str,
+    fields: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Semi-structured JSON extraction through Spark 4's VARIANT type
+    (F9 modernization; the reference parses JSON strings per access,
+    ``StreamProcessor.scala:95-105``).
+
+    ``fields`` maps output column name → (variant path like ``$.k``,
+    target type like ``long``). The payload is parsed ONCE with
+    ``parse_json`` into Variant's binary encoding, then every field is
+    read with ``try_variant_get`` — at scale this beats N×
+    ``get_json_object`` calls, which each re-tokenize the raw string
+    per field per row. ``try_`` semantics on BOTH steps (parse and
+    get): malformed documents, missing paths, and failed casts yield
+    NULL instead of failing the job, matching the PERMISSIVE posture
+    of the batch sources. Pure per-row expression — zero shuffles,
+    fully codegen'd, and column-prunable down to ``json_col``.
+    """
+    v = F.try_parse_json(F.col(json_col))
+    return df.select(
+        *[c for c in df.columns if c != json_col],
+        *[
+            F.try_variant_get(v, path, typ).alias(out)
+            for out, (path, typ) in fields.items()
+        ],
+    )

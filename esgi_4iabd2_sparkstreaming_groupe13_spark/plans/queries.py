@@ -169,6 +169,16 @@ def q_json_extract(spark, sf_dir):
     )
 
 
+def q_json_variant(spark, sf_dir):
+    """F9 through Spark 4's VARIANT type: the payload is parsed once
+    (``parse_json``) into the binary variant encoding and fields read
+    with ``try_variant_get`` — same answer as ``q_json_extract``'s
+    per-field string path (the shared oracle pins that), but the parse
+    cost is paid once per row instead of once per field at scale."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "props")
+    return proj.variant_extract(ev, "props", {"k_val": ("$.k", "long")})
+
+
 def q_global_index(spark, sf_dir):
     """W1, scale-safe: two-pass contiguous global index == row_number."""
     ev = _t(spark, sf_dir, "events").select("event_id", "ts")
@@ -4592,6 +4602,11 @@ GROUP BY 1 ORDER BY trip_count DESC, l_suppkey ASC LIMIT 10
         "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) "
         "AS k_val FROM events"
     ),
+    # same answer through Spark's VARIANT path — one oracle pins both
+    "q_json_variant": (
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) "
+        "AS k_val FROM events"
+    ),
     "q_global_index": """
 SELECT event_id, CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT)
        AS row_idx
@@ -5879,6 +5894,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_assoc_rules", q_assoc_rules, ORACLES["q_assoc_rules"], True),
     QuerySpec("q_benford", q_benford, ORACLES["q_benford"]),
     QuerySpec("q_pagerank", q_pagerank, ORACLES["q_pagerank"], True),
+    QuerySpec("q_json_variant", q_json_variant, ORACLES["q_json_variant"]),
     # r6-verified queue (rotate in first in r10 — q_domain_cap,
     # q_cosine_pairs, q_join_fact_dim, q_join_multiway, q_simhash,
     # q_vocab_stats, q_edit_verify, q_rate_anomaly, q_top_ngram,

@@ -241,3 +241,31 @@ def sessionize_batch_oracle(events: DataFrame, gap_seconds: int = 1800) -> DataF
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native streaming exact dedup: ``dropDuplicatesWithinWatermark``
+    keeps the FIRST arrival of each key and drops re-deliveries that
+    arrive within the event-time watermark (T7 surface; the reference
+    has no cross-batch dedup — its at-least-once file sink re-emits on
+    replay, ``StreamProcessor.scala:131-138``).
+
+    Contrast with the ``ingest.py`` persisted-index loop: that one
+    remembers ids FOREVER (a corpus-wide contract, state on disk);
+    this one bounds state by the watermark delay — the right tool when
+    duplicates only come from delivery retries/replays, which cluster
+    within minutes of the original. State per key is evicted once the
+    watermark passes its event time, so a 1000-executor job holds only
+    (delay × arrival-rate) keys in the state store regardless of how
+    long the stream has been running — the unbounded-key version of
+    plain ``dropDuplicates`` on a stream would OOM the state store at
+    100 TB.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
