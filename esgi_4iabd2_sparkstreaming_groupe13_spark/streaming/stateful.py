@@ -269,3 +269,88 @@ def dedup_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+#: running per-key aggregate state for ``running_stats``
+_RUNNING_STATE_SCHEMA = "n bigint, total double, last_us bigint"
+
+RUNNING_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("sum_value", T.DoubleType(), True),
+        T.StructField("last_us", T.LongType(), True),
+    ]
+)
+
+
+class _RunningStatsProcessor:
+    """StatefulProcessor maintaining (count, sum, max event-time µs)
+    per user across micro-batches; emits the UPDATED running totals for
+    every key touched in a batch. Duck-typed against
+    ``pyspark.sql.streaming.stateful_processor.StatefulProcessor`` so
+    importing this module never requires the streaming extras."""
+
+    def init(self, handle) -> None:
+        self._agg = handle.getValueState("agg", _RUNNING_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, total, last = 0, 0.0, None
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+            if len(pdf):
+                m = int(pdf["ts_us"].max())
+                last = m if last is None or m > last else last
+        if self._agg.exists():
+            p_n, p_total, p_last = self._agg.get()
+            n += p_n
+            total += p_total
+            if p_last is not None and (last is None or p_last > last):
+                last = p_last
+        self._agg.update((n, total, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [total],
+                "last_us": [last],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_stats(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Cross-batch running per-user aggregates via Spark 4's
+    ``transformWithStateInPandas`` (the successor stateful API to
+    ``applyInPandasWithState`` — typed state variables on the RocksDB
+    state store; T7 surface, beyond the reference which keeps no
+    cross-batch state).
+
+    Emits one row per (touched user, micro-batch) carrying the running
+    ``(n_events, sum_value, last_us)`` AFTER folding that batch — so
+    the max-``n_events`` row per user equals the all-time batch
+    aggregate, which is what the stream==batch test pins. State is one
+    fixed-width tuple per user: executors shard it by the groupBy key
+    and a 1000-executor job holds |users| tuples total, independent of
+    event volume.
+
+    Environment note: the transformWithState state-server protocol
+    needs ``google.protobuf`` at runtime (StateMessage_pb2), which
+    this sandbox lacks — the e2e test importorskips on it (same
+    posture as the Kafka source) and the executed stateful path here
+    remains ``sessionize``'s applyInPandasWithState.
+    """
+    prepared = events.select(
+        F.col("user_id"),
+        F.col("value").cast("double").alias("value"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+    )
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        _RunningStatsProcessor(),
+        RUNNING_STATS_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
