@@ -848,3 +848,37 @@ def bm25_scores(
     return topk.select(
         id_col, "score", F.row_number().over(w).cast("long").alias("rank")
     )
+
+
+SHUFFLE_SALT = "shuffle:"
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str,
+    pos_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global permutation — the training-data shuffle
+    that breaks source/temporal locality before examples are packed
+    into a fixed epoch order (documents arrive grouped by crawl/domain;
+    a model trained in that order sees non-stationary batches).
+
+    Each row's sort key is the salted id-hash ``md5('shuffle:'||id)``;
+    the contiguous 1-based position comes from the two-pass
+    ``global_row_index`` machinery (range-repartition on the hash +
+    partition-local sort + broadcast per-partition offsets), so the
+    permutation costs ONE range exchange at any scale — never a
+    single-partition window. Deterministic by construction: same ids →
+    same permutation across re-runs, engines, and partition layouts
+    (id appended as the tiebreaker makes the order total even under
+    hash collisions).
+    """
+    from .windows import global_row_index
+
+    keyed = df.withColumn(
+        "_shuffle_key",
+        md5_int(F.concat(F.lit(SHUFFLE_SALT), F.col(id_col).cast("string"))),
+    )
+    return global_row_index(
+        keyed, ["_shuffle_key", id_col], index_col=pos_col
+    ).drop("_shuffle_key")

@@ -3279,6 +3279,16 @@ def q_split_assign(spark, sf_dir):
     return corpus.split_assign(_t(spark, sf_dir, "documents"), "doc_id")
 
 
+def q_global_shuffle(spark, sf_dir):
+    """Deterministic training-data permutation: contiguous epoch
+    position by salted id-hash order — one range exchange via the
+    two-pass global_row_index machinery, never a single-partition
+    window. The oracle replays the same md5 order as a row_number."""
+    return corpus.global_shuffle(
+        _t(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
+
+
 def q_split_leakage(spark, sf_dir):
     """Leakage-safe split (new r7): bucket on the CONTENT sha256, not
     the id — exact/reformatted duplicates land in the same split, so a
@@ -5519,6 +5529,13 @@ FROM w
         WINNOW_MIN_SHARED, dedup.WINNOW_K, dedup.WINNOW_W, WINNOW_MAX_FP_DF
     ),
     "q_split_assign": _split_assign_oracle(80, 10),
+    "q_global_shuffle": f"""
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY {md5_int_sql("('shuffle:' || CAST(doc_id AS VARCHAR))")},
+                  doc_id) AS BIGINT) AS shuffle_pos
+FROM documents
+""",
     "q_corpus_report": f"""
 WITH s AS (
   SELECT doc_id,
@@ -5895,6 +5912,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_benford", q_benford, ORACLES["q_benford"]),
     QuerySpec("q_pagerank", q_pagerank, ORACLES["q_pagerank"], True),
     QuerySpec("q_json_variant", q_json_variant, ORACLES["q_json_variant"]),
+    QuerySpec("q_global_shuffle", q_global_shuffle, ORACLES["q_global_shuffle"]),
     # r6-verified queue (rotate in first in r10 — q_domain_cap,
     # q_cosine_pairs, q_join_fact_dim, q_join_multiway, q_simhash,
     # q_vocab_stats, q_edit_verify, q_rate_anomaly, q_top_ngram,
