@@ -5910,7 +5910,11 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_winsorize", q_winsorize, ORACLES["q_winsorize"], True),
     QuerySpec("q_assoc_rules", q_assoc_rules, ORACLES["q_assoc_rules"], True),
     QuerySpec("q_benford", q_benford, ORACLES["q_benford"]),
-    QuerySpec("q_pagerank", q_pagerank, ORACLES["q_pagerank"], True),
+    # pagerank: oracle-gated but NOT headline — 5 eager iterations cost
+    # ~11.5 s at sf0.1, and the slate already carries an iterative-graph
+    # representative (q_best_rep's CC pipeline); the scale story lives
+    # in BASELINE.md's 25× end-to-end probe row + PLANS pin.
+    QuerySpec("q_pagerank", q_pagerank, ORACLES["q_pagerank"]),
     QuerySpec("q_json_variant", q_json_variant, ORACLES["q_json_variant"]),
     QuerySpec("q_global_shuffle", q_global_shuffle, ORACLES["q_global_shuffle"]),
     # r6-verified queue (rotate in first in r10 — q_domain_cap,

@@ -76,7 +76,7 @@ ALL_OPS = (
     "transitions hll_rolling scd2 prefix_jaccard gopher corpus_drift "
     "skew_lag skew_runsum mix "
     "substring_dedup quality_score embed_norm entity_match agg_state "
-    "bm25 gap_fill triangles pagerank"
+    "bm25 gap_fill triangles pagerank global_shuffle"
 ).split()
 
 
@@ -1037,6 +1037,23 @@ def main() -> None:
         results["agg_state"] = {
             "t1": timed("aggstate 1x", aggst(ag1)),
             "tN": timed(f"aggstate {factor}x", aggst(agN)),
+        }
+
+    # Global shuffle (epoch permutation): ONE range exchange on the
+    # salted hash + broadcast per-partition offsets — expect ~linear
+    # in rows with no single-task tail (the whole point vs a global
+    # row_number window)
+    if want("global_shuffle"):
+        gs1 = load_table(spark, SF_DIR, "events").select("event_id")
+        gsN = scaled(gs1, factor, ["event_id"], 100_000_000)
+
+        results["global_shuffle"] = {
+            "t1": timed(
+                "gshuffle 1x", corpus.global_shuffle(gs1, "event_id")
+            ),
+            "tN": timed(
+                f"gshuffle {factor}x", corpus.global_shuffle(gsN, "event_id")
+            ),
         }
 
     # BM25: verbatim text copies with offset ids — every per-doc
