@@ -347,3 +347,51 @@ def test_gap_fill_grid_bounds_ride_broadcast(spark, sf_dir):
     # aggregate
     p = plan_of(spark, sf_dir, Q.q_gap_fill)
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
+    """The 100 TB dim-join lever: when the filtered dim is too big to
+    broadcast, Spark's InjectRuntimeFilter plants a bloom semi-join
+    reduction — ``might_contain(<agg subquery>, xxhash64(key))`` — on
+    the fact side, pruning fact rows BEFORE the join shuffle. At bench
+    scale every dim broadcasts (so the rule correctly stays out of
+    every headline plan); this pin forces the shuffle-join shape the
+    way a 100 TB run would hit it (broadcast off, scan threshold down)
+    and asserts both the injection and answer-equality with the
+    untouched plan."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+
+    def q():
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    baseline = {(r["o_orderpriority"], r["n"]) for r in q().collect()}
+
+    prev_scan = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "1b",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = q()
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt[:2000]
+        assert {(r["o_orderpriority"], r["n"]) for r in j.collect()} == baseline
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_scan,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
