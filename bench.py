@@ -90,7 +90,19 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(
         app_name="bench",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # A 60+-query slate accumulates shuffle files and broadcast
+            # blocks: the ContextCleaner only releases them after the
+            # driver JVM garbage-collects the owning references, and a
+            # large idle heap can go the whole run without a full GC —
+            # late-slate queries then read slower for reasons that have
+            # nothing to do with their plans (measured: q_best_rep
+            # 12.4 s in-slate vs 7.9 s standalone steady). Forcing the
+            # cleaner's periodic GC from its 30 min default keeps
+            # executor state flat across the slate.
+            "spark.cleaner.periodicGC.interval": "45s",
+        },
     )
 
     # Warm the JVM/session so the first measured query doesn't pay

@@ -5833,7 +5833,10 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # q_string_funcs, q_case_buckets, q_hash_sample, q_tfidf_topterms,
 # q_embed_dedup — the window is now 31 r5-stale + 19 brand-new).
 # Behind the window, the
-# queue for r10 rotation in order of staleness: the displaced
+# queue for r10 rotation in order of staleness: FIRST the r9 entries
+# that never got a driver row (q_winsorize, q_assoc_rules, q_benford,
+# q_pagerank, q_json_variant, q_global_shuffle — local-oracle-green
+# only), then the displaced
 # r6-verified entries (q_string_funcs .. q_total_count), the 3
 # rows-only entries, then
 # the 50-entry r7/r8-verified block (q_equi_depth ..
