@@ -875,10 +875,13 @@ def global_shuffle(
     """
     from .windows import global_row_index
 
+    # collision-proof temp name: withColumn would silently overwrite
+    # (and drop would then destroy) a caller column of the same name
+    key = "_shuffle_key"
+    while key in df.columns:
+        key += "_"
     keyed = df.withColumn(
-        "_shuffle_key",
+        key,
         md5_int(F.concat(F.lit(SHUFFLE_SALT), F.col(id_col).cast("string"))),
     )
-    return global_row_index(
-        keyed, ["_shuffle_key", id_col], index_col=pos_col
-    ).drop("_shuffle_key")
+    return global_row_index(keyed, [key, id_col], index_col=pos_col).drop(key)

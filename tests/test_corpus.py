@@ -423,3 +423,33 @@ def test_bm25_top_k_truncates(spark):
     out = corpus.bm25_scores(_docs(spark), "text", "doc_id", ["alpha"], k=2)
     assert out.count() == 2
     assert [r.rank for r in out.orderBy("rank").collect()] == [1, 2]
+
+
+def test_global_shuffle_is_bijective_and_deterministic(spark):
+    n = 500
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    out1 = corpus.global_shuffle(df, "doc_id")
+    pos1 = {r["doc_id"]: r["shuffle_pos"] for r in out1.collect()}
+    # a permutation: every position 1..n exactly once
+    assert sorted(pos1.values()) == list(range(1, n + 1))
+    # deterministic under a different partition layout
+    pos2 = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in corpus.global_shuffle(df.repartition(13), "doc_id").collect()
+    }
+    assert pos1 == pos2
+    # actually shuffled: not the identity order
+    assert pos1 != {i: i + 1 for i in range(n)}
+
+
+def test_global_shuffle_preserves_caller_shuffle_key_column(spark):
+    df = (
+        spark.range(50)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("_shuffle_key", F.col("doc_id") * 2)
+    )
+    out = corpus.global_shuffle(df, "doc_id")
+    assert "_shuffle_key" in out.columns
+    assert {r["doc_id"]: r["_shuffle_key"] for r in out.collect()} == {
+        i: i * 2 for i in range(50)
+    }

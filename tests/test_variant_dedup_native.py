@@ -67,8 +67,13 @@ def test_dedup_within_watermark_drops_replayed_rows(spark, sf_dir, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .json(src)
     )
+    # watermark must exceed the table's full event-time span (30 days):
+    # files are dispatched in mtime order, which is RACY across the
+    # concurrently-committed part files — if a late-range file lands
+    # first, a small watermark would silently drop the early-range
+    # originals as late data and the test would flake on file ordering
     deduped = dedup_within_watermark(
-        stream, ["event_id"], ts_col="ts", watermark="24 hours"
+        stream, ["event_id"], ts_col="ts", watermark="60 days"
     )
     q = (
         deduped.writeStream.format("memory")
