@@ -326,3 +326,45 @@ def benford_audit(df: DataFrame, cols: list[str]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def fk_audit(
+    edges: list[tuple[DataFrame, str, DataFrame, str, str]],
+) -> DataFrame:
+    """Referential-integrity audit: for each (child, fk_col, parent,
+    pk_col, edge_name), count child rows whose foreign key has no
+    parent (NULL fks excluded — completeness() owns those) — the
+    cross-TABLE complement of the single-table expectation suite,
+    run before a snapshot is published so downstream joins can assume
+    closed references instead of silently dropping rows.
+
+    One left-anti join per declared edge (shuffled on the key, or
+    broadcast when the parent key set is small — Catalyst/AQE picks),
+    then a 1-row count per edge unioned into the long report. Orphan
+    SAMPLES are deliberately not collected here: at 100 TB an orphan
+    list can itself be huge — the count is the gate; a targeted
+    anti-join query fetches examples once the gate fails.
+    """
+    parts = []
+    for child, fk, parent, pk, name in edges:
+        orphans = (
+            child.select(F.col(fk).alias("_fk"))
+            .filter(F.col("_fk").isNotNull())
+            .join(
+                parent.select(F.col(pk).alias("_fk")).distinct(),
+                "_fk",
+                "left_anti",
+            )
+        )
+        parts.append(
+            orphans.agg(
+                F.lit(name).alias("edge"),
+                F.count(F.lit(1)).alias("orphan_count"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "edge", "orphan_count", (F.col("orphan_count") == 0).alias("passed")
+    )

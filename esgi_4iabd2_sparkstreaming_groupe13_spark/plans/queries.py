@@ -3215,6 +3215,37 @@ SELECT node AS c_custkey, min(comp) AS entity_id FROM reach GROUP BY node
     )
 
 
+#: TPC-H referential edges for q_fk_audit: (child, fk, parent, pk)
+FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def q_fk_audit(spark, sf_dir):
+    """Cross-table referential-integrity audit (new r9): orphan-FK
+    counts for every declared edge of the star schema — one left-anti
+    join per edge, counts only (orphan samples are a follow-up query
+    by design; see validate.fk_audit). All six TPC-H edges are closed,
+    so every row gates green — the audit's cost is the anti-joins."""
+    return validate.fk_audit(
+        [
+            (
+                _t(spark, sf_dir, c),
+                fk,
+                _t(spark, sf_dir, p),
+                pk,
+                f"{c}.{fk}->{p}",
+            )
+            for c, fk, p, pk in FK_EDGES
+        ]
+    )
+
+
 def q_validation(spark, sf_dir):
     """Deequ-style declarative expectation suite (new r6): six checks
     compiled into ONE global aggregate pass over events — report size
@@ -5339,6 +5370,13 @@ FROM c
     "q_repetition": _repetition_oracle(),
     "q_top_ngram": _top_ngram_oracle(),
     "q_validation": _validation_oracle(),
+    "q_fk_audit": "\nUNION ALL\n".join(
+        f"""SELECT '{c}.{fk}->{p}' AS edge, count(*) AS orphan_count,
+       count(*) = 0 AS passed
+FROM {c} ch WHERE ch.{fk} IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM {p} pa WHERE pa.{pk} = ch.{fk})"""
+        for c, fk, p, pk in FK_EDGES
+    ),
     "q_line_dedup": _line_dedup_oracle(),
     "q_scd2": _scd2_oracle(),
     "q_transitions": _transitions_oracle(),
@@ -5920,6 +5958,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_pagerank", q_pagerank, ORACLES["q_pagerank"]),
     QuerySpec("q_json_variant", q_json_variant, ORACLES["q_json_variant"]),
     QuerySpec("q_global_shuffle", q_global_shuffle, ORACLES["q_global_shuffle"]),
+    QuerySpec("q_fk_audit", q_fk_audit, ORACLES["q_fk_audit"]),
     # r6-verified queue (rotate in first in r10 — q_domain_cap,
     # q_cosine_pairs, q_join_fact_dim, q_join_multiway, q_simhash,
     # q_vocab_stats, q_edit_verify, q_rate_anomaly, q_top_ngram,

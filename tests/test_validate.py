@@ -163,3 +163,20 @@ def test_benford_audit_digits_and_shares(spark):
     assert {d: r.n_obs for d, r in rows.items()} == {1: 2, 2: 1, 3: 1, 9: 1}
     assert abs(rows[1].obs_share - 0.4) < 1e-9
     assert abs(rows[1].benford_share - round(BENFORD_SHARES[1], 6)) < 1e-12
+
+
+def test_fk_audit_counts_planted_orphans(spark):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.validate import (
+        fk_audit,
+    )
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    child = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 99), (4, 98), (5, None)], "id long, fk long"
+    )
+    out = {
+        r["edge"]: (r["orphan_count"], r["passed"])
+        for r in fk_audit([(child, "fk", parent, "pk", "child->parent")]).collect()
+    }
+    # two orphans (99, 98); the NULL fk is completeness's job, not ours
+    assert out == {"child->parent": (2, False)}
