@@ -345,13 +345,23 @@ def fk_audit(
     list can itself be huge — the count is the gate; a targeted
     anti-join query fetches examples once the gate fails.
     """
+    if not edges:
+        raise ValueError(
+            "fk_audit needs at least one (child, fk, parent, pk, name) "
+            "edge — a dynamically-built empty list is a caller bug, not "
+            "a clean report"
+        )
     parts = []
     for child, fk, parent, pk, name in edges:
+        # no .distinct() on the parent key: left-anti semantics are
+        # unaffected by right-side duplicates, and pk columns are
+        # unique by contract — deduping would add a full aggregate +
+        # exchange per edge for zero effect on the result
         orphans = (
             child.select(F.col(fk).alias("_fk"))
             .filter(F.col("_fk").isNotNull())
             .join(
-                parent.select(F.col(pk).alias("_fk")).distinct(),
+                parent.select(F.col(pk).alias("_fk")),
                 "_fk",
                 "left_anti",
             )

@@ -3223,6 +3223,7 @@ FK_EDGES = [
     ("orders", "o_custkey", "customer", "c_custkey"),
     ("customer", "c_nationkey", "nation", "n_nationkey"),
     ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
 ]
 
 
@@ -3230,7 +3231,7 @@ def q_fk_audit(spark, sf_dir):
     """Cross-table referential-integrity audit (new r9): orphan-FK
     counts for every declared edge of the star schema — one left-anti
     join per edge, counts only (orphan samples are a follow-up query
-    by design; see validate.fk_audit). All six TPC-H edges are closed,
+    by design; see validate.fk_audit). All seven TPC-H edges are closed,
     so every row gates green — the audit's cost is the anti-joins."""
     return validate.fk_audit(
         [
