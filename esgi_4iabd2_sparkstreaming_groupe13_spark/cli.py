@@ -74,6 +74,53 @@ def _dashboard(args: argparse.Namespace) -> int:
         time.sleep(args.refresh)
 
 
+def _publish(args: argparse.Namespace) -> int:
+    from .operators.publish import publish_dataset
+    from .session import get_spark
+
+    spark = get_spark(app_name="publish")
+    df = spark.read.format(args.format).load(args.source)
+    manifest = publish_dataset(df, args.out, fmt=args.format)
+    print(
+        f"published {manifest['row_count']} rows -> {args.out} "
+        f"(checksum {manifest['checksum_xor_xxhash64']})"
+    )
+    return 0
+
+
+def _verify(args: argparse.Namespace) -> int:
+    from .operators.publish import verify_manifest
+    from .session import get_spark
+
+    spark = get_spark(app_name="verify")
+    try:
+        checks = verify_manifest(spark, args.input)
+    except Exception as exc:  # unreadable/emptied dataset is a FAIL, not a crash
+        print(f"verify failed to read {args.input}: {exc}", file=sys.stderr)
+        return 1
+    for name, ok in checks.items():
+        print(f"{name}: {'PASS' if ok else 'FAIL'}")
+    return 0 if checks["ok"] else 1
+
+
+def _compact(args: argparse.Namespace) -> int:
+    from .operators.maintenance import compact_directory
+    from .session import get_spark
+
+    spark = get_spark(app_name="compact")
+    stats = compact_directory(
+        spark,
+        args.input,
+        fmt=args.format,
+        target_file_bytes=args.target_mb << 20,
+    )
+    print(
+        f"compacted {args.input}: {stats['files_before']} -> "
+        f"{stats['files_after']} files ({stats['rows']} rows)"
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="esgi_4iabd2_sparkstreaming_groupe13_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -114,6 +161,32 @@ def build_parser() -> argparse.ArgumentParser:
     da.add_argument("--refresh", type=float, default=5.0)
     da.add_argument("--watch", action="store_true", help="poll forever (like the reference)")
     da.set_defaults(fn=_dashboard)
+
+    pu = sub.add_parser(
+        "publish",
+        help="atomically publish a dataset with an audit manifest",
+    )
+    pu.add_argument("--source", required=True, help="input dataset path")
+    pu.add_argument("--out", required=True, help="publish target path")
+    pu.add_argument("--format", default="parquet")
+    pu.set_defaults(fn=_publish)
+
+    ve = sub.add_parser(
+        "verify",
+        help="verify a published dataset against its _MANIFEST.json "
+        "(exit 1 on any failed check)",
+    )
+    ve.add_argument("--input", required=True, help="published dataset path")
+    ve.set_defaults(fn=_verify)
+
+    cp = sub.add_parser(
+        "compact",
+        help="rewrite a sink directory into target-sized files (swap-in)",
+    )
+    cp.add_argument("--input", required=True, help="sink directory")
+    cp.add_argument("--format", default="json")
+    cp.add_argument("--target-mb", type=int, default=128)
+    cp.set_defaults(fn=_compact)
     return p
 
 

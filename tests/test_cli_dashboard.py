@@ -14,6 +14,9 @@ def test_cli_parser_covers_three_services():
         (["producer", "--source", "s.csv", "--out", "o"], "_producer"),
         (["consumer", "--input", "i", "--out", "o"], "_consumer"),
         (["dashboard", "--input", "i"], "_dashboard"),
+        (["publish", "--source", "s", "--out", "o"], "_publish"),
+        (["verify", "--input", "i"], "_verify"),
+        (["compact", "--input", "i"], "_compact"),
     ]:
         args = p.parse_args(argv)
         assert args.fn.__name__ == fn_name

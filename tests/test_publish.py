@@ -152,3 +152,20 @@ def test_verify_reports_value_checks_under_extra_column(spark, sf_dir, tmp_path)
     assert not checks["schema_match"]
     assert checks["row_count_match"] and checks["checksum_match"]
     assert not checks["ok"]
+
+
+def test_cli_publish_verify_roundtrip(spark, sf_dir, tmp_path, capsys):
+    """python -m <pkg> publish / verify drive the same operators; the
+    verify exit code is the shell-level gate (0 ok, 1 failed)."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.cli import main
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "ds")
+    load_table(spark, sf_dir, "events").select("event_id", "value").repartition(
+        4
+    ).write.parquet(src)
+    assert main(["publish", "--source", src, "--out", out]) == 0
+    assert main(["verify", "--input", out]) == 0
+    parts = glob.glob(os.path.join(out, "part-*.parquet"))
+    os.remove(parts[0])
+    assert main(["verify", "--input", out]) == 1
