@@ -885,3 +885,196 @@ def global_shuffle(
         md5_int(F.concat(F.lit(SHUFFLE_SALT), F.col(id_col).cast("string"))),
     )
     return global_row_index(keyed, [key, id_col], index_col=pos_col).drop(key)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting + CCNet perplexity buckets (new r9, 4th batch)
+# ---------------------------------------------------------------------------
+
+#: Hashed feature dimension for DSIR importance weights. 256 buckets of
+#: word uni+bigrams — small enough that the per-bucket log-ratio table
+#: collapses to ONE broadcast array row, large enough that the
+#: likelihood ratio is informative (DSIR's published configs use 1e4;
+#: the bucket count is a quality knob, not a correctness one).
+DSIR_DIM = 256
+
+#: Fixed-point scale for per-feature log-ratio contributions: micros.
+#: Integer accumulation makes the per-document sum order-independent
+#: and bit-exact across engines (same idiom as the quality classifier's
+#: fixed-point weights).
+DSIR_SCALE = 1_000_000
+
+
+def dsir_importance(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target,
+    dim: int = DSIR_DIM,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much it resembles a TARGET slice under two hashed
+    bag-of-ngram "language models" — the data-selection layer a
+    pipeline runs when it wants "more data that looks like Wikipedia"
+    out of a web crawl, without training a classifier.
+
+    Model: features are the shared hashed uni+bigram buckets
+    (:func:`..operators.text.hashed_uni_bigram_buckets`, md5 → ``dim``).
+    Bucket distributions for the target slice (rows where ``target``
+    is true) and the raw remainder get add-one smoothing:
+    ``p[b] = (count_b + 1) / (total + dim)``. A document's log
+    importance weight is the sum over its FEATURE INSTANCES of
+    ``ln p_target(b) − ln p_raw(b)``.
+
+    Engine parity: each bucket's log-ratio is rounded ONCE to integer
+    micros (``round((ln pt − ln pr) · 1e6)`` as BIGINT); per-document
+    accumulation is an integer fold — order-independent, exact — and
+    the single division back to a double happens once per document.
+
+    Scale shape: two corpus scans (the same contract as
+    :func:`unigram_logprob` — distributions first, scoring second) and
+    the corpus itself NEVER shuffles. Scan 1 explodes features into a
+    ``groupBy(bucket)`` hash aggregate: map-side combine means the
+    shuffle carries at most ``dim`` partial rows per task, not token
+    volume. The bucket→log-ratio table (``dim`` rows) folds into a
+    one-row array via ``array_sort(collect_list(struct))`` and rides a
+    broadcast crossJoin; scan 2 scores each document with a zero-
+    shuffle integer fold over that literal-like array (``element_at``
+    lookup, no join). Output is narrow per-doc rows.
+
+    Returns ``(id, n_features, log_weight)``; docs with zero tokens
+    get ``n_features = 0, log_weight = 0.0``.
+    """
+    from .text import hashed_uni_bigram_buckets
+
+    feats = hashed_uni_bigram_buckets(token_array(F.col(text_col)), dim)
+    is_t = F.coalesce(target, F.lit(False))
+
+    # scan 1: per-bucket instance counts, target vs raw
+    inst = df.select(is_t.alias("_is_t"), F.explode(feats).alias("_b"))
+    counts = inst.groupBy("_b").agg(
+        F.sum(F.col("_is_t").cast("long")).alias("_ct"),
+        F.sum((~F.col("_is_t")).cast("long")).alias("_cr"),
+    )
+    # totals derive from the 256-row count table — no third corpus scan
+    totals = counts.agg(
+        F.coalesce(F.sum("_ct"), F.lit(0)).alias("_tt"),
+        F.coalesce(F.sum("_cr"), F.lit(0)).alias("_tr"),
+    )
+    grid = df.sparkSession.range(dim).select(F.col("id").alias("_b"))
+    d = float(dim)
+    pt = (F.coalesce(F.col("_ct"), F.lit(0)) + 1).cast("double") / (
+        F.col("_tt") + d
+    )
+    pr = (F.coalesce(F.col("_cr"), F.lit(0)) + 1).cast("double") / (
+        F.col("_tr") + d
+    )
+    ratio = (
+        grid.join(counts, "_b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_b",
+            F.round((F.log(pt) - F.log(pr)) * DSIR_SCALE)
+            .cast("long")
+            .alias("_r"),
+        )
+    )
+    rarr = ratio.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("_b").alias("b"), F.col("_r").alias("r"))
+                )
+            ),
+            lambda s: s["r"],
+        ).alias("_rarr")
+    )
+
+    # scan 2: zero-shuffle scoring fold. The feature array is bound as
+    # a lambda variable so size + fold share ONE evaluation per row
+    # (the element_at(transform(array(x), λ), 1) idiom).
+    def over_feats(f):
+        acc = F.aggregate(
+            f,
+            F.lit(0).cast("long"),
+            lambda a, b: a + F.element_at(F.col("_rarr"), b.cast("int") + 1),
+        )
+        return F.struct(
+            F.size(f).cast("long").alias("n_features"),
+            round_half_away(
+                acc.cast("double") / F.lit(float(DSIR_SCALE)), 6
+            ).alias("log_weight"),
+        )
+
+    st = F.element_at(F.transform(F.array(feats), over_feats), 1)
+    return (
+        df.crossJoin(F.broadcast(rarr))
+        .select(F.col(id_col), st.alias("_s"))
+        .select(
+            F.col(id_col),
+            F.col("_s.n_features").alias("n_features"),
+            F.col("_s.log_weight").alias("log_weight"),
+        )
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020): rank every document WITHIN its language by the cheap LM
+    quality proxy (:func:`unigram_logprob`'s mean token corpus
+    log-probability) and cut each language into ``n_buckets``
+    equal-frequency tiers — ``head`` (most probable text, lowest
+    perplexity), ``middle``, ``tail``. Production pipelines keep
+    head+middle and drop or down-weight tail, per language, so
+    low-resource languages are not graded on the high-resource
+    languages' curve.
+
+    Bucket allocation is the SQL-standard NTILE over the total order
+    ``(avg_logprob ASC, id)`` — bucket ``n_buckets`` holds the
+    highest log-prob (head) documents. Computed ARITHMETICALLY from
+    scale-safe per-group ranks (:func:`..operators.windows.
+    scale_safe_group_ranks` — range-partitioned, never a per-language
+    single-task sort), bit-identical to ``ntile()`` by the same
+    derivation :func:`..operators.windows.equi_depth_bins` pins
+    against its oracle.
+
+    Scale shape: the unigram LM costs its two token-stream passes;
+    ranking then operates on ONE ROW PER DOCUMENT (id, lang, score) —
+    the range exchange and metadata broadcast of the rank machinery
+    never touch token volume. Zero-token documents drop out with the
+    LM contract.
+
+    Returns ``(id, group, n_tokens, avg_logprob, bucket, ppl_bucket)``.
+    """
+    from .windows import scale_safe_group_ranks
+
+    lp = unigram_logprob(df, text_col, id_col)
+    labeled = df.select(F.col(id_col), F.col(group_col)).join(lp, id_col)
+    ranked = scale_safe_group_ranks(
+        labeled, group_col, ["avg_logprob", id_col]
+    )
+    rank, n, k = F.col("_rank"), F.col("_grp_n"), F.lit(n_buckets)
+    q = F.floor(n / k)
+    rem = n % k
+    big = q + F.lit(1)
+    bucket = F.when(rank <= big * rem, F.ceil(rank / big)).otherwise(
+        rem + F.ceil((rank - big * rem) / q)
+    )
+    return ranked.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col("n_tokens"),
+        F.col("avg_logprob"),
+        bucket.cast("long").alias("bucket"),
+        F.when(bucket == n_buckets, F.lit("head"))
+        .when(bucket == 1, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+        .alias("ppl_bucket"),
+    )

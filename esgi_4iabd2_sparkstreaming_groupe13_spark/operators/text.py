@@ -421,6 +421,39 @@ def gopher_filter_report(
     )
 
 
+def hashed_uni_bigram_buckets(toks: Column, dim: int) -> Column:
+    """Hashed bag-of-ngrams feature buckets in ``[0, dim)``: every word
+    UNIGRAM plus every adjacent BIGRAM (tokens joined on ``\\x1f``)
+    hashed with the shared md5 family — the feature map under both the
+    fastText-style quality scorer and the DSIR importance weigher, so
+    the two layers score the SAME representation of a document.
+
+    Pure per-row expression (no shuffle, no UDF). The bigram build is
+    guarded: ``sequence(1, 0)`` is DESCENDING in Spark, so single-token
+    docs need the explicit empty branch.
+    """
+    from ..functions.hashing import md5_int
+
+    def bucket(col: Column) -> Column:
+        return F.pmod(md5_int(col), F.lit(dim))
+
+    uni = F.transform(toks, bucket)
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: bucket(
+                F.concat_ws(
+                    "\x1f",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.concat(uni, bi)
+
+
 # ---------------------------------------------------------------------------
 # Linear quality classifier (fastText-style scoring, new r9)
 # ---------------------------------------------------------------------------
@@ -500,10 +533,6 @@ def quality_classifier_score(
     if len(w) != dim:
         raise ValueError(f"weights length {len(w)} != dim {dim}")
     warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
-    from ..functions.hashing import md5_int
-
-    def bucket(col: Column) -> Column:
-        return F.pmod(md5_int(col), F.lit(dim))
 
     s = float(QUALITY_CLF_SCALE)
 
@@ -524,24 +553,7 @@ def quality_classifier_score(
         )
 
     def over_tokens(toks: Column) -> Column:
-        uni = F.transform(toks, bucket)
-        # bigram build: pair token i with token i+1. Guarded —
-        # sequence(1, 0) is DESCENDING in Spark, so single-token docs
-        # need the empty branch.
-        bi = F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: bucket(
-                    F.concat_ws(
-                        "\x1f",
-                        F.element_at(toks, i),
-                        F.element_at(toks, i + 1),
-                    )
-                ),
-            ),
-        ).otherwise(F.array().cast("array<bigint>"))
-        feats = F.concat(uni, bi)
+        feats = hashed_uni_bigram_buckets(toks, dim)
         return F.element_at(F.transform(F.array(feats), over_feats), 1)
 
     qs = F.element_at(

@@ -3541,6 +3541,29 @@ def q_embed_centroid(spark, sf_dir):
     )
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (new r9, 4th batch): hashed uni+bigram
+    likelihood-ratio score of every document against the English slice
+    — "select raw docs that look like the target corpus". Corpus never
+    shuffles: one bucket-count aggregate (≤256 groups, map-side
+    combined) + a broadcast log-ratio array folded per row in integer
+    micros. See corpus.dsir_importance."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.dsir_importance(
+        docs, "text", "doc_id", target=F.col("lang") == "en"
+    )
+
+
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet-style per-language perplexity tertiles (new r9, 4th
+    batch): rank docs within each language by mean unigram corpus
+    log-prob, cut into head/middle/tail by arithmetic NTILE over
+    scale-safe group ranks (never a per-language single-task sort).
+    See corpus.perplexity_buckets."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.perplexity_buckets(docs, "text", "doc_id", "lang")
+
+
 # ====================================================================
 # DuckDB oracle SQL
 # ====================================================================
@@ -5812,6 +5835,76 @@ FROM q
 
 ORACLES["q_quality_score"] = _quality_score_oracle()
 
+
+def _dsir_oracle() -> str:
+    """Mirror of corpus.dsir_importance: same md5 uni+bigram buckets,
+    same add-one smoothing, same integer-micros log-ratio fold."""
+    d = corpus.DSIR_DIM
+    s = corpus.DSIR_SCALE
+    uni = f"list_transform(t, x -> {md5_int_sql('x')} % {d})"
+    big = (
+        f"CASE WHEN len(t) >= 2 THEN list_transform("
+        f"generate_series(1, len(t) - 1), "
+        f"i -> {md5_int_sql('(t[i] || chr(31) || t[i+1])')} % {d}) "
+        f"ELSE [] END"
+    )
+    wsum = (
+        f"coalesce(list_sum(list_transform(f, b -> arr[b + 1])), 0)"
+        f" / {float(s)!r}"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, (lang = 'en') AS is_t, list_concat({uni}, {big}) AS f
+  FROM (SELECT doc_id, lang, {_TOKS} AS t FROM documents)
+), inst AS (
+  SELECT is_t, unnest(f) AS b FROM base
+), cnt AS (
+  SELECT b, count(*) FILTER (WHERE is_t) AS ct,
+         count(*) FILTER (WHERE NOT is_t) AS cr
+  FROM inst GROUP BY b
+), tot AS (
+  SELECT coalesce(sum(ct), 0) AS tt, coalesce(sum(cr), 0) AS tr FROM cnt
+), grid AS (
+  SELECT u.b, coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+  FROM (SELECT unnest(range(0, {d})) AS b) u LEFT JOIN cnt USING (b)
+), ratio AS (
+  SELECT b, CAST(round((ln((ct + 1.0) / (tt + {float(d)!r})) -
+                        ln((cr + 1.0) / (tr + {float(d)!r})))
+                 * {float(s)!r}) AS BIGINT) AS r
+  FROM grid CROSS JOIN tot
+), rarr AS (
+  SELECT list(r ORDER BY b) AS arr FROM ratio
+)
+SELECT doc_id, CAST(len(f) AS BIGINT) AS n_features,
+       {round_half_away_sql(wsum, 6)} AS log_weight
+FROM base CROSS JOIN rarr
+"""
+
+
+ORACLES["q_dsir_weights"] = _dsir_oracle()
+
+# CCNet perplexity tertiles chain onto the unigram-LM oracle; the
+# native ntile() pins the arithmetic-NTILE derivation the same way
+# q_equi_depth does.
+ORACLES["q_ppl_buckets"] = f"""
+WITH lp AS (
+  SELECT * FROM ({ORACLES["q_unigram_logprob"]})
+), j AS (
+  SELECT d.doc_id, d.lang, lp.n_tokens, lp.avg_logprob
+  FROM documents d JOIN lp USING (doc_id)
+), b AS (
+  SELECT *, ntile(3) OVER (PARTITION BY lang
+                           ORDER BY avg_logprob, doc_id) AS bucket
+  FROM j
+)
+SELECT doc_id, lang, n_tokens, avg_logprob,
+       CAST(bucket AS BIGINT) AS bucket,
+       CASE WHEN bucket = 3 THEN 'head'
+            WHEN bucket = 1 THEN 'tail'
+            ELSE 'middle' END AS ppl_bucket
+FROM b
+"""
+
 # q_skew_lag shares q_window_frames's oracle VERBATIM: the skew-safe
 # rewrite must be bit-identical to the plain partitioned window.
 ORACLES["q_skew_lag"] = ORACLES["q_window_frames"]
@@ -5874,7 +5967,8 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # Behind the window, the
 # queue for r10 rotation in order of staleness: FIRST the r9 entries
 # that never got a driver row (q_winsorize, q_assoc_rules, q_benford,
-# q_pagerank, q_json_variant, q_global_shuffle — local-oracle-green
+# q_pagerank, q_json_variant, q_global_shuffle, q_fk_audit,
+# q_dsir_weights, q_ppl_buckets — local-oracle-green
 # only), then the displaced
 # r6-verified entries (q_string_funcs .. q_total_count), the 3
 # rows-only entries, then
@@ -5960,6 +6054,8 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_json_variant", q_json_variant, ORACLES["q_json_variant"]),
     QuerySpec("q_global_shuffle", q_global_shuffle, ORACLES["q_global_shuffle"]),
     QuerySpec("q_fk_audit", q_fk_audit, ORACLES["q_fk_audit"]),
+    QuerySpec("q_dsir_weights", q_dsir_weights, ORACLES["q_dsir_weights"]),
+    QuerySpec("q_ppl_buckets", q_ppl_buckets, ORACLES["q_ppl_buckets"]),
     # r6-verified queue (rotate in first in r10 — q_domain_cap,
     # q_cosine_pairs, q_join_fact_dim, q_join_multiway, q_simhash,
     # q_vocab_stats, q_edit_verify, q_rate_anomaly, q_top_ngram,

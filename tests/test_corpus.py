@@ -453,3 +453,96 @@ def test_global_shuffle_preserves_caller_shuffle_key_column(spark):
     assert {r["doc_id"]: r["_shuffle_key"] for r in out.collect()} == {
         i: i * 2 for i in range(50)
     }
+
+
+def test_dsir_importance_ranks_target_like_docs_higher(spark):
+    """A raw doc written in the target slice's vocabulary must score a
+    higher log importance weight than a raw doc written in the raw
+    remainder's vocabulary — the defining property of the likelihood
+    ratio (target vocab ⇒ p_t ≫ p_r per feature)."""
+    rows = [
+        # target slice: distinctive vocab
+        (1, "wiki wiki article article reference", "en"),
+        (2, "article wiki reference wiki article", "en"),
+        # raw remainder: mostly spam vocab
+        (3, "spam casino casino pills spam", "fr"),
+        (4, "casino pills spam casino pills", "fr"),
+        # raw docs to score: one target-like, one raw-like
+        (5, "wiki article reference", "fr"),
+        (6, "spam casino pills", "de"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {
+        r["doc_id"]: r
+        for r in corpus.dsir_importance(
+            df, "text", "doc_id", target=F.col("lang") == "en"
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    assert out[5]["log_weight"] > out[6]["log_weight"]
+    assert out[5]["log_weight"] > 0 > out[6]["log_weight"]
+    # features = unigrams + bigrams: n tokens -> 2n - 1
+    assert out[5]["n_features"] == 5
+
+
+def test_dsir_importance_zero_token_doc_gets_zero_weight(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "", "fr"), (3, "alpha", "fr")],
+        ["doc_id", "text", "lang"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in corpus.dsir_importance(
+            df, "text", "doc_id", target=F.col("lang") == "en"
+        ).collect()
+    }
+    assert out[2]["n_features"] == 0
+    assert out[2]["log_weight"] == 0.0
+    # single-token doc: unigram only, no bigram
+    assert out[3]["n_features"] == 1
+
+
+def test_dsir_importance_deterministic_under_repartition(spark):
+    df = _docs(spark)
+    a = corpus.dsir_importance(
+        df, "text", "doc_id", target=F.col("lang") == "en"
+    ).collect()
+    b = corpus.dsir_importance(
+        df.repartition(7), "text", "doc_id", target=F.col("lang") == "en"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_perplexity_buckets_tiers_and_allocation(spark):
+    """9 docs in one language split 3/3/3; the head tier must hold the
+    highest mean log-prob (most 'common-token' text), tail the lowest,
+    and every max(avg_logprob) of a lower tier <= min of the next."""
+    common = "the the the the"          # high corpus frequency tokens
+    rows = [(i, common, "en") for i in range(6)]
+    rows += [(6, "the rare1", "en"), (7, "the rare2", "en"),
+             (8, "rare3 rare4", "en")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = corpus.perplexity_buckets(df, "text", "doc_id", "lang").collect()
+    assert len(out) == 9
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["ppl_bucket"], []).append(r["avg_logprob"])
+    assert {len(v) for v in by_bucket.values()} == {3}
+    assert max(by_bucket["tail"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["head"])
+    # the all-common docs are the most probable -> head is all-common
+    assert min(by_bucket["head"]) == max(r["avg_logprob"] for r in out)
+
+
+def test_perplexity_buckets_per_group_independent(spark):
+    """Tiers are cut WITHIN each language: a 'bad' doc in a language of
+    its own still lands in that language's head tier."""
+    rows = [(i, "a a a a", "en") for i in range(3)]
+    rows += [(3, "b c", "en"), (4, "d e", "en"), (5, "f g", "en")]
+    rows += [(6, "zz yy xx", "fr")]  # sole fr doc
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r["doc_id"]: r for r in
+           corpus.perplexity_buckets(df, "text", "doc_id", "lang").collect()}
+    assert out[6]["ppl_bucket"] == "tail"  # ntile bucket 1 of a 1-row group
+    en_buckets = {out[i]["ppl_bucket"] for i in range(6)}
+    assert en_buckets == {"head", "middle", "tail"}
