@@ -76,7 +76,7 @@ ALL_OPS = (
     "transitions hll_rolling scd2 prefix_jaccard gopher corpus_drift "
     "skew_lag skew_runsum mix "
     "substring_dedup quality_score embed_norm entity_match agg_state "
-    "bm25 gap_fill triangles pagerank global_shuffle"
+    "bm25 gap_fill triangles pagerank global_shuffle dsir ppl_buckets"
 ).split()
 
 
@@ -133,6 +133,8 @@ def main() -> None:
         "substring_dedup",
         "quality_score",
         "mix",
+        "dsir",
+        "ppl_buckets",
     )
     if want(*doc_ops):
         docs1 = load_table(spark, SF_DIR, "documents")
@@ -238,7 +240,7 @@ def main() -> None:
         }
     if want("bigram_logprob", "top_ngram", "vocab_stats", "line_dedup",
             "prefix_jaccard", "gopher", "corpus_drift", "substring_dedup",
-            "quality_score", "mix"):
+            "quality_score", "mix", "dsir", "ppl_buckets"):
         # the shared docsN's md5-expanded copies are a single unbroken
         # hex token (fine for char-shingle ops, invisible to a BIGRAM
         # stream: <2 tokens → dropped). Build a token-rich scaled
@@ -402,6 +404,41 @@ def main() -> None:
             ),
         }
 
+    # DSIR importance weights: two corpus scans, corpus never
+    # shuffles — the bucket-count aggregate map-side combines to 256
+    # groups and the score fold rides a broadcast array. Must track
+    # ~linear even though the fake copies' features are all unique
+    # (bucketing caps the distribution table at dim rows regardless).
+    if want("dsir"):
+        results["dsir"] = {
+            "t1": timed(
+                "dsir 1x",
+                corpus.dsir_importance(
+                    docs1, "text", "doc_id", F.col("lang") == "en"
+                ),
+            ),
+            "tN": timed(
+                f"dsir {factor}x",
+                corpus.dsir_importance(
+                    docsTok, "text", "doc_id", F.col("lang") == "en"
+                ),
+            ),
+        }
+    # CCNet perplexity tertiles: the unigram LM's token-key shuffle
+    # dominates; the rank machinery only ever sees one row per doc.
+    # Fake copies are all-unique tokens — worst case for the term
+    # frequency aggregate (zero combine leverage), like vocab_stats.
+    if want("ppl_buckets"):
+        results["ppl_buckets"] = {
+            "t1": timed(
+                "pplbuckets 1x",
+                corpus.perplexity_buckets(docs1, "text", "doc_id", "lang"),
+            ),
+            "tN": timed(
+                f"pplbuckets {factor}x",
+                corpus.perplexity_buckets(docsTok, "text", "doc_id", "lang"),
+            ),
+        }
     # corpus drift (KL/JSD between two slices): the divergence sum
     # aggregates VOCAB rows. The fake copies' tokens are all unique,
     # so the joint vocab grows ×factor — worst case for the final
