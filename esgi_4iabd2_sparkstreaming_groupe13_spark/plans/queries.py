@@ -3564,6 +3564,89 @@ def q_ppl_buckets(spark, sf_dir):
     return corpus.perplexity_buckets(docs, "text", "doc_id", "lang")
 
 
+#: attribution window for q_stream_join: clicks within 4 h of a view
+STREAM_JOIN_LAG_S = 4 * 3600
+
+
+def q_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (new r9, 5th batch):
+    replay the view and click event slices as two NDJSON file streams
+    (3 files each, maxFilesPerTrigger=1 → matches must cross
+    micro-batch state, not just co-batch rows), join them live on
+    user within [view_ts, view_ts + 4 h], drain with availableNow.
+    Equals the batch interval join — exactly the DuckDB oracle. The
+    35-day watermark delay exceeds the corpus' 30-day span, so no
+    legitimate pair can be dropped by replay file order; production
+    sets the delay to the stream's real disorder bound and the state
+    store evicts on the watermark + lag horizon (streaming/joins.py).
+    Timestamps ride the wire as unix micros (NDJSON's ISO format
+    truncates to millis) and come back as BIGINT output columns, so
+    both engines compare integers."""
+    import tempfile
+
+    from ..streaming.joins import stream_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.unix_micros(F.col("ts")).alias("view_us"),
+        F.col("user_id").alias("view_user"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.unix_micros(F.col("ts")).alias("click_us"),
+        F.col("user_id").alias("click_user"),
+    )
+    workdir = tempfile.mkdtemp(prefix="stream_join_")
+    vsrc, csrc = f"{workdir}/views", f"{workdir}/clicks"
+    sink, ckpt = f"{workdir}/sink", f"{workdir}/ckpt"
+    views.repartition(3).write.mode("overwrite").json(vsrc)
+    clicks.repartition(3).write.mode("overwrite").json(csrc)
+
+    def rd(path, schema):
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(path)
+        )
+        # rebuild the event-time column the watermark needs
+        us = [c for c in raw.columns if c.endswith("_us")][0]
+        return raw.withColumn(us[:-3] + "_ts", F.timestamp_micros(F.col(us)))
+
+    joined = stream_interval_join(
+        rd(vsrc, views.schema),
+        rd(csrc, clicks.schema),
+        left_key="view_user",
+        right_key="click_user",
+        left_ts="view_ts",
+        right_ts="click_ts",
+        max_lag_seconds=STREAM_JOIN_LAG_S,
+        watermark_delay="35 days",
+    ).select("view_id", "click_id", "view_user", "view_us", "click_us")
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", sink)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(sink)
+    return out.select(
+        "view_id",
+        "click_id",
+        F.col("view_user").alias("user_id"),
+        "view_us",
+        "click_us",
+        # exact integer division — float-divide-then-cast rounds
+        # differently across engines at representation boundaries
+        F.expr("(click_us - view_us) div 1000000").alias("lag_s"),
+    )
+
+
 # ====================================================================
 # DuckDB oracle SQL
 # ====================================================================
@@ -5905,6 +5988,25 @@ SELECT doc_id, lang, n_tokens, avg_logprob,
 FROM b
 """
 
+# The stream-stream join drains to exactly the batch interval join.
+# Comparison rides integer micros end to end (epoch_us / unix_micros)
+# — no cross-engine timestamp or interval semantics in the compared
+# values, and the 4 h bound is applied in micros on both sides.
+ORACLES["q_stream_join"] = f"""
+WITH v AS (
+  SELECT event_id AS view_id, epoch_us(ts) AS view_us, user_id
+  FROM events WHERE event_type = 'view'
+), c AS (
+  SELECT event_id AS click_id, epoch_us(ts) AS click_us, user_id
+  FROM events WHERE event_type = 'click'
+)
+SELECT v.view_id, c.click_id, v.user_id, v.view_us, c.click_us,
+       (c.click_us - v.view_us) // 1000000 AS lag_s
+FROM v JOIN c ON v.user_id = c.user_id
+            AND c.click_us >= v.view_us
+            AND c.click_us <= v.view_us + {STREAM_JOIN_LAG_S * 1_000_000}
+"""
+
 # q_skew_lag shares q_window_frames's oracle VERBATIM: the skew-safe
 # rewrite must be bit-identical to the plain partitioned window.
 ORACLES["q_skew_lag"] = ORACLES["q_window_frames"]
@@ -5968,7 +6070,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # queue for r10 rotation in order of staleness: FIRST the r9 entries
 # that never got a driver row (q_winsorize, q_assoc_rules, q_benford,
 # q_pagerank, q_json_variant, q_global_shuffle, q_fk_audit,
-# q_dsir_weights, q_ppl_buckets — local-oracle-green
+# q_dsir_weights, q_ppl_buckets, q_stream_join — local-oracle-green
 # only), then the displaced
 # r6-verified entries (q_string_funcs .. q_total_count), the 3
 # rows-only entries, then
@@ -6056,6 +6158,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_fk_audit", q_fk_audit, ORACLES["q_fk_audit"]),
     QuerySpec("q_dsir_weights", q_dsir_weights, ORACLES["q_dsir_weights"]),
     QuerySpec("q_ppl_buckets", q_ppl_buckets, ORACLES["q_ppl_buckets"]),
+    QuerySpec("q_stream_join", q_stream_join, ORACLES["q_stream_join"]),
     # r6-verified queue (rotate in first in r10 — q_domain_cap,
     # q_cosine_pairs, q_join_fact_dim, q_join_multiway, q_simhash,
     # q_vocab_stats, q_edit_verify, q_rate_anomaly, q_top_ngram,
