@@ -395,3 +395,31 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
             prev_scan,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+
+
+def test_dsir_scoring_never_shuffles_corpus(spark, sf_dir):
+    """DSIR's contract (ARCHITECTURE.md): the only hash exchanges carry
+    ≤dim bucket partials, the log-ratio table and totals ride broadcast
+    cross-joins, and the scoring scan folds a broadcast array — the
+    corpus itself must never reach a sort-merge join or a range
+    exchange at any scale."""
+    p = plan_of(spark, sf_dir, Q.q_dsir_weights)
+    assert "SortMergeJoin" not in p
+    assert "Exchange rangepartitioning" not in p
+    assert "WindowExec" not in p
+    # totals + log-ratio array: exactly the two broadcast cross-joins
+    assert p.count("BroadcastNestedLoopJoin") == 2
+    # bucket-count partial/final pair is the only hash-keyed shuffle
+    # family; growth here means a corpus-keyed exchange crept in
+    assert p.count("Exchange hashpartitioning") == 2
+
+
+def test_ppl_buckets_ranks_ride_range_exchanges(spark, sf_dir):
+    """Perplexity tertiles rank one row per document through the
+    scale-safe group-rank machinery: both window passes must ride
+    range exchanges (never a per-language single-task sort) and no
+    sort-merge join may touch the token stream."""
+    p = plan_of(spark, sf_dir, Q.q_ppl_buckets)
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange rangepartitioning") == 2
+    assert p.count("Window ") == 2
