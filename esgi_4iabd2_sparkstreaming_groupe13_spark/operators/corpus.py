@@ -944,11 +944,25 @@ def dsir_importance(
     lookup, no join). Output is narrow per-doc rows.
 
     Returns ``(id, n_features, log_weight)``; docs with zero tokens
-    get ``n_features = 0, log_weight = 0.0``.
+    (including NULL text — coalesced to empty, like NULL targets) get
+    ``n_features = 0, log_weight = 0.0``.
     """
     from .text import hashed_uni_bigram_buckets
 
-    feats = hashed_uni_bigram_buckets(token_array(F.col(text_col)), dim)
+    # Bind the token array as a lambda variable (the
+    # element_at(transform(array(x), λ), 1) idiom): the bigram builder
+    # reads element_at(toks, i) and element_at(toks, i+1) per bigram,
+    # and HOF lambdas get no common-subexpression elimination — an
+    # unbound token_array expression re-tokenizes the document per
+    # element access, O(n²) chars per doc (the measured 27 s vs 4.5 s
+    # trap on quality_classifier_score's docstring).
+    def over_tokens(toks):
+        return hashed_uni_bigram_buckets(toks, dim)
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    feats = F.element_at(
+        F.transform(F.array(token_array(txt)), over_tokens), 1
+    )
     is_t = F.coalesce(target, F.lit(False))
 
     # scan 1: per-bucket instance counts, target vs raw
@@ -1037,13 +1051,20 @@ def perplexity_buckets(
     languages' curve.
 
     Bucket allocation is the SQL-standard NTILE over the total order
-    ``(avg_logprob ASC, id)`` — bucket ``n_buckets`` holds the
-    highest log-prob (head) documents. Computed ARITHMETICALLY from
-    scale-safe per-group ranks (:func:`..operators.windows.
-    scale_safe_group_ranks` — range-partitioned, never a per-language
-    single-task sort), bit-identical to ``ntile()`` by the same
-    derivation :func:`..operators.windows.equi_depth_bins` pins
-    against its oracle.
+    ``(avg_logprob DESC, id)`` — bucket 1 holds the highest log-prob
+    (head) documents. Ranking DESCENDS from the head so a language
+    with FEWER than ``n_buckets`` documents lands entirely in the
+    RETENTION tiers (1 doc → head; 2 docs → head, middle): tiny
+    languages must never be classed into the drop tier by the
+    degenerate allocation, or the per-language cut defeats exactly
+    the low-resource protection it exists for. Computed
+    ARITHMETICALLY from scale-safe per-group ranks
+    (:func:`..operators.windows.scale_safe_group_ranks` —
+    range-partitioned, never a per-language single-task sort) via
+    :func:`..operators.windows.ntile_from_rank`, bit-identical to
+    ``ntile()`` by the derivation
+    :func:`..operators.windows.equi_depth_bins` pins against its
+    oracle.
 
     Scale shape: the unigram LM costs its two token-stream passes;
     ranking then operates on ONE ROW PER DOCUMENT (id, lang, score) —
@@ -1051,21 +1072,22 @@ def perplexity_buckets(
     never touch token volume. Zero-token documents drop out with the
     LM contract.
 
-    Returns ``(id, group, n_tokens, avg_logprob, bucket, ppl_bucket)``.
+    Returns ``(id, group, n_tokens, avg_logprob, bucket, ppl_bucket)``
+    with ``bucket`` 1-based from the head.
     """
-    from .windows import scale_safe_group_ranks
+    from .windows import ntile_from_rank, scale_safe_group_ranks
 
     lp = unigram_logprob(df, text_col, id_col)
     labeled = df.select(F.col(id_col), F.col(group_col)).join(lp, id_col)
+    # rank 1 = highest avg_logprob: scale_safe_group_ranks orders
+    # ascending, so feed it the negated score (exact for doubles)
     ranked = scale_safe_group_ranks(
-        labeled, group_col, ["avg_logprob", id_col]
+        labeled.withColumn("_neg_lp", -F.col("avg_logprob")),
+        group_col,
+        ["_neg_lp", id_col],
     )
-    rank, n, k = F.col("_rank"), F.col("_grp_n"), F.lit(n_buckets)
-    q = F.floor(n / k)
-    rem = n % k
-    big = q + F.lit(1)
-    bucket = F.when(rank <= big * rem, F.ceil(rank / big)).otherwise(
-        rem + F.ceil((rank - big * rem) / q)
+    bucket = ntile_from_rank(
+        F.col("_rank"), F.col("_grp_n"), F.lit(n_buckets)
     )
     return ranked.select(
         F.col(id_col),
@@ -1073,8 +1095,8 @@ def perplexity_buckets(
         F.col("n_tokens"),
         F.col("avg_logprob"),
         bucket.cast("long").alias("bucket"),
-        F.when(bucket == n_buckets, F.lit("head"))
-        .when(bucket == 1, F.lit("tail"))
+        F.when(bucket == 1, F.lit("head"))
+        .when(bucket == n_buckets, F.lit("tail"))
         .otherwise(F.lit("middle"))
         .alias("ppl_bucket"),
     )

@@ -738,6 +738,24 @@ def scale_safe_group_ranks(
     )
 
 
+def ntile_from_rank(rank: Column, n: Column, k: Column) -> Column:
+    """SQL-standard ``NTILE(k)`` bucket computed ARITHMETICALLY from a
+    1-based ``rank`` and group size ``n`` (no window, no per-group
+    single-task sort): with ``q = n div k`` and ``rem = n mod k``, the
+    first ``rem`` buckets hold ``q + 1`` rows, the rest ``q`` — the
+    larger-buckets-first allocation both Spark and DuckDB implement.
+    Bit-identical to ``ntile()`` over the same total order; the one
+    audited copy of the derivation :func:`equi_depth_bins` pins
+    against its oracle (every rank-to-bucket consumer — equi-depth
+    bins, perplexity tertiles — must share it, not restate it)."""
+    q = F.floor(n / k)
+    rem = n % k
+    big = q + F.lit(1)
+    return F.when(rank <= big * rem, F.ceil(rank / big)).otherwise(
+        rem + F.ceil((rank - big * rem) / q)
+    )
+
+
 def equi_depth_bins(
     df: DataFrame,
     part_col: str,
@@ -776,15 +794,9 @@ def equi_depth_bins(
     joined = scale_safe_group_ranks(
         df, part_col, order_cols, num_partitions
     )
-    rank = F.col("_rank")
-    n = F.col("_grp_n")
-    k = F.lit(n_bins)
-    q = F.floor(n / k)
-    rem = n % k
-    big = q + F.lit(1)
-    bin_expr = F.when(
-        rank <= big * rem, F.ceil(rank / big)
-    ).otherwise(rem + F.ceil((rank - big * rem) / q))
+    bin_expr = ntile_from_rank(
+        F.col("_rank"), F.col("_grp_n"), F.lit(n_bins)
+    )
     return (
         joined.withColumn("_bin", bin_expr)
         .groupBy(part_col, "_bin")

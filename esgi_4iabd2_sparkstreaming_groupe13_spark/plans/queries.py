@@ -5976,14 +5976,17 @@ WITH lp AS (
   SELECT d.doc_id, d.lang, lp.n_tokens, lp.avg_logprob
   FROM documents d JOIN lp USING (doc_id)
 ), b AS (
+  -- rank DESCENDS from the head so a sub-tertile-sized language lands
+  -- in the retention tiers, never the drop tier (see
+  -- corpus.perplexity_buckets)
   SELECT *, ntile(3) OVER (PARTITION BY lang
-                           ORDER BY avg_logprob, doc_id) AS bucket
+                           ORDER BY avg_logprob DESC, doc_id) AS bucket
   FROM j
 )
 SELECT doc_id, lang, n_tokens, avg_logprob,
        CAST(bucket AS BIGINT) AS bucket,
-       CASE WHEN bucket = 3 THEN 'head'
-            WHEN bucket = 1 THEN 'tail'
+       CASE WHEN bucket = 1 THEN 'head'
+            WHEN bucket = 3 THEN 'tail'
             ELSE 'middle' END AS ppl_bucket
 FROM b
 """

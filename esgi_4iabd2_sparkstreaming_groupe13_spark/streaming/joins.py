@@ -78,6 +78,13 @@ def stream_interval_join(
             f"{sorted(overlap)} — rename one side before joining"
         )
     lag = int(max_lag_seconds)
+    if lag < 0:
+        raise ValueError(
+            f"max_lag_seconds must be >= 0; got {lag} — a negative lag "
+            "makes the bound unsatisfiable and the stream emits zero "
+            "matches forever with no error (for 'right BEFORE left' "
+            "semantics, swap the sides)"
+        )
     lw = left.withWatermark(left_ts, watermark_delay)
     rw = right.withWatermark(right_ts, watermark_delay)
     cond = (

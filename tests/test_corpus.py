@@ -543,6 +543,33 @@ def test_perplexity_buckets_per_group_independent(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
     out = {r["doc_id"]: r for r in
            corpus.perplexity_buckets(df, "text", "doc_id", "lang").collect()}
-    assert out[6]["ppl_bucket"] == "tail"  # ntile bucket 1 of a 1-row group
+    # degenerate group: ranking descends from the head, so the single
+    # doc of a 1-doc language is RETAINED (head), never drop-tiered
+    assert out[6]["ppl_bucket"] == "head"
+    assert out[6]["bucket"] == 1
     en_buckets = {out[i]["ppl_bucket"] for i in range(6)}
     assert en_buckets == {"head", "middle", "tail"}
+
+
+def test_perplexity_buckets_sub_tertile_groups_favor_retention(spark):
+    """A 2-doc language fills head+middle — the drop tier must stay
+    empty for every language smaller than n_buckets."""
+    rows = [(0, "a common", "de"), (1, "zz qq", "de")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r["doc_id"]: r for r in
+           corpus.perplexity_buckets(df, "text", "doc_id", "lang").collect()}
+    assert {out[0]["ppl_bucket"], out[1]["ppl_bucket"]} == {"head", "middle"}
+
+
+def test_dsir_importance_null_text_is_zero_token(spark):
+    """NULL text follows the zero-token contract: (0, 0.0), matching
+    the oracle's coalesce — not (-1, NULL) from size(NULL)."""
+    df = spark.createDataFrame(
+        [(0, "the data pipeline", "en"), (1, None, "en")],
+        ["doc_id", "text", "lang"],
+    )
+    out = {r["doc_id"]: r for r in corpus.dsir_importance(
+        df, "text", "doc_id", target=F.col("lang") == "en"
+    ).collect()}
+    assert out[1]["n_features"] == 0
+    assert out[1]["log_weight"] == 0.0

@@ -184,6 +184,17 @@ def test_guard_rejects_overlapping_columns(spark):
         )
 
 
+def test_guard_rejects_negative_lag(spark):
+    """A sign-error lag makes the bound unsatisfiable — the stream
+    would emit zero matches forever with no error; it must raise."""
+    l = spark.createDataFrame([(1,)], ["a"])
+    r = spark.createDataFrame([(1,)], ["b"])
+    with pytest.raises(ValueError, match="max_lag_seconds"):
+        stream_interval_join(
+            l, r, "a", "b", "a", "b", -60, "1 minute"
+        )
+
+
 def test_guard_rejects_unsupported_how(spark):
     l = spark.createDataFrame([(1,)], ["a"])
     r = spark.createDataFrame([(1,)], ["b"])
