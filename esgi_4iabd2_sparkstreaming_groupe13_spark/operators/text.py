@@ -431,27 +431,38 @@ def hashed_uni_bigram_buckets(toks: Column, dim: int) -> Column:
     Pure per-row expression (no shuffle, no UDF). The bigram build is
     guarded: ``sequence(1, 0)`` is DESCENDING in Spark, so single-token
     docs need the explicit empty branch.
-    """
+
+    Single-evaluation: the bigram lambda dereferences the token array
+    per gram (``element_at(t, i)`` / ``element_at(t, i+1)``), so this
+    function OWNS the binding obligation — ``toks`` is re-bound as a
+    lambda variable internally, and a caller passing a raw
+    ``token_array(text)`` expression still tokenizes once per row
+    (unbound, the re-tokenization is O(tokens²) chars per doc — the
+    trap :func:`word_ngrams_from_tokens` documents, measured 120 s vs
+    9.6 s on dsir's 100× probe)."""
     from ..functions.hashing import md5_int
 
     def bucket(col: Column) -> Column:
         return F.pmod(md5_int(col), F.lit(dim))
 
-    uni = F.transform(toks, bucket)
-    bi = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: bucket(
-                F.concat_ws(
-                    "\x1f",
-                    F.element_at(toks, i),
-                    F.element_at(toks, i + 1),
-                )
+    def over_tokens(t: Column) -> Column:
+        uni = F.transform(t, bucket)
+        bi = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: bucket(
+                    F.concat_ws(
+                        "\x1f",
+                        F.element_at(t, i),
+                        F.element_at(t, i + 1),
+                    )
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    return F.concat(uni, bi)
+        ).otherwise(F.array().cast("array<bigint>"))
+        return F.concat(uni, bi)
+
+    return F.element_at(F.transform(F.array(toks), over_tokens), 1)
 
 
 # ---------------------------------------------------------------------------
@@ -556,8 +567,12 @@ def quality_classifier_score(
         feats = hashed_uni_bigram_buckets(toks, dim)
         return F.element_at(F.transform(F.array(feats), over_feats), 1)
 
+    # NULL text follows the zero-token contract (0 features, neutral
+    # 0.5) — size/aggregate over a NULL array would yield (-1, 0.5),
+    # diverging from the oracle's LEFT JOIN coalesce
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     qs = F.element_at(
-        F.transform(F.array(token_array(F.col(text_col))), over_tokens), 1
+        F.transform(F.array(token_array(txt)), over_tokens), 1
     )
     scored = df.select(F.col(id_col), qs.alias("_qs"))
     return scored.select(

@@ -5937,8 +5937,10 @@ def _dsir_oracle() -> str:
     )
     return f"""
 WITH base AS (
+  -- coalesce: NULL text follows the zero-token contract (0, 0.0) on
+  -- both engines, not NULL-propagated n_features
   SELECT doc_id, (lang = 'en') AS is_t, list_concat({uni}, {big}) AS f
-  FROM (SELECT doc_id, lang, {_TOKS} AS t FROM documents)
+  FROM (SELECT doc_id, lang, coalesce({_TOKS}, []) AS t FROM documents)
 ), inst AS (
   SELECT is_t, unnest(f) AS b FROM base
 ), cnt AS (

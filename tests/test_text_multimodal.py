@@ -324,6 +324,7 @@ def test_quality_classifier_score_properties(spark):
             (1, "the quick brown fox jumps over the lazy dog"),
             (2, "word"),          # single token: no bigrams
             (3, "!!! ???"),       # no tokens at all
+            (4, None),            # NULL text follows the zero-token path
         ],
         ["doc_id", "text"],
     )
@@ -334,6 +335,9 @@ def test_quality_classifier_score_properties(spark):
     assert out[2]["n_features"] == 1
     assert out[3]["n_features"] == 0
     assert out[3]["quality_score"] == 0.5 and out[3]["keep"] is True
+    # NULL text == zero tokens, not (-1, ...) from size(NULL)
+    assert out[4]["n_features"] == 0
+    assert out[4]["quality_score"] == 0.5 and out[4]["keep"] is True
     for r in out.values():
         assert 0.0 < r["quality_score"] < 1.0
         assert r["keep"] == (r["quality_score"] >= 0.5)
