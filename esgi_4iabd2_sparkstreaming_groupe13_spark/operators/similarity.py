@@ -1205,3 +1205,138 @@ def ivf_drift_report(
         ratio.alias("drift_ratio"),
         (ratio > retrain_ratio).alias("retrain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (r9)
+# ---------------------------------------------------------------------------
+
+#: Default JL output dimensionality (64-dim corpus embeddings → 16).
+JL_OUT_DIM = 16
+
+#: Fixed-point scale for embedding components inside the projection
+#: fold: micros. Long accumulation is order-independent and bit-exact
+#: across engines (the dsir/quality-classifier idiom).
+JL_SCALE = 1_000_000
+
+
+def jl_sign_matrix(
+    out_dim: int, in_dim: int, seed: str = "jl:"
+) -> list[list[int]]:
+    """Deterministic ±1 sign matrix for the JL projection, derived
+    PYTHON-SIDE from the shared md5 family (``md5(seed:o:j)`` low bit)
+    so both engines consume the identical literal — the
+    quality-classifier weight-vector pattern, not a runtime RNG
+    (``rand()`` differs per engine, partitioning, and retry).
+
+    Achlioptas (2003) shows ±1 entries satisfy the JL lemma with the
+    same ``1/√k`` scaling as Gaussian projections — and integer signs
+    keep the dot product in exact fixed-point arithmetic.
+    """
+    import hashlib
+
+    return [
+        [
+            1
+            - 2
+            * (
+                int(
+                    hashlib.md5(
+                        f"{seed}{o}:{j}".encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                % 2
+            )
+            for j in range(in_dim)
+        ]
+        for o in range(out_dim)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int = JL_OUT_DIM,
+    seed: str = "jl:",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: map each embedding to
+    ``out_dim`` dimensions via a literal ±1 sign matrix scaled by
+    ``1/√out_dim`` — the dimensionality-reduction step a 100 TB
+    embedding pipeline runs BEFORE LSH banding or IVF training, since
+    every downstream distance computation then costs ``out_dim/in_dim``
+    of the original (pairwise distances preserved within the JL ε).
+
+    Engine parity: components are rounded once to integer micros; each
+    output coordinate is a LONG fold over (micros × ±1) — exact and
+    order-independent. The final ``/ (scale·√k)`` is where naive 6dp
+    float rounding BREAKS parity: for a perfect-square ``out_dim`` the
+    divisor is an integer (16 → 4·10⁶) and every dot with
+    ``dot ≡ 2 (mod 4)`` sits EXACTLY on a .5 boundary at 6dp — the
+    observed failure mode, the two engines' double representations
+    round such ties in different directions on ~¼ of coordinates. So
+    when ``scale·√k`` is integral the half-away rounding happens in
+    EXACT INTEGER arithmetic (``sgn·((|dot| + d/2) div d)`` micros,
+    then one exact integer-to-double division); the float path only
+    remains for irrational ``√k``, where ties have measure zero. The
+    micros array is bound as a lambda variable so the per-component
+    rounding runs once per row, not once per output dimension (see
+    :func:`..operators.text.hashed_uni_bigram_buckets`).
+
+    Scale shape: pure per-row narrow transform — zero shuffle, the
+    sign matrix constant-folds into the plan (out_dim × in_dim
+    literals), nothing is broadcast or joined. NULL vectors propagate
+    NULL (no embedding → no projection).
+
+    Returns ``(id, jlvec array<double>)``.
+    """
+    import math
+
+    signs = jl_sign_matrix(out_dim, in_dim, seed)
+    marr = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in signs]
+    )
+    root = math.isqrt(out_dim)
+    # the dot is already in micros (components × JL_SCALE), so the
+    # output coordinate in micros is dot/√k — the integer divisor is
+    # √k alone, and the one float division by JL_SCALE comes last
+    denom = root if root * root == out_dim else None
+
+    def exact_micros(dot: Column) -> Column:
+        # half-away-from-zero round of dot/denom in pure long
+        # arithmetic; (a − a mod d) / d is an exact integer, so the
+        # double division below cannot misround
+        half = F.lit(denom // 2)
+        a = F.abs(dot) + half
+        q = ((a - F.pmod(a, F.lit(denom))) / F.lit(denom)).cast("long")
+        return F.when(dot < 0, -q).otherwise(q)
+
+    def over_mic(mic: Column) -> Column:
+        def coord(o: Column) -> Column:
+            dot = F.aggregate(
+                F.sequence(F.lit(1), F.lit(in_dim)),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc
+                + F.element_at(mic, j)
+                * F.element_at(F.element_at(marr, o), j),
+            )
+            if denom is not None:
+                return exact_micros(dot).cast("double") / F.lit(
+                    float(JL_SCALE)
+                )
+            inv = 1.0 / (float(JL_SCALE) * math.sqrt(out_dim))
+            return F.round(dot.cast("double") * F.lit(inv), 6)
+
+        return F.transform(F.sequence(F.lit(1), F.lit(out_dim)), coord)
+
+    mic_expr = F.transform(
+        F.col(vec_col),
+        lambda v: F.round(v.cast("double") * JL_SCALE).cast("long"),
+    )
+    jl = F.element_at(F.transform(F.array(mic_expr), over_mic), 1)
+    # transform-over-sequence yields a NON-NULL array of NULL coords
+    # for a NULL input vector; the contract is NULL in → NULL out
+    jl = F.when(F.col(vec_col).isNotNull(), jl)
+    return df.select(F.col(id_col), jl.alias("jlvec"))

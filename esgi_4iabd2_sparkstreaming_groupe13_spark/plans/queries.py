@@ -3647,6 +3647,28 @@ def q_stream_join(spark, sf_dir):
     )
 
 
+#: embeddings-table input dimensionality for q_jl_project
+JL_IN_DIM = 64
+
+
+def q_jl_project(spark, sf_dir):
+    """Johnson–Lindenstrauss ±1 random projection (new r9, 5th batch):
+    64-dim embeddings → 16 dims through a deterministic literal sign
+    matrix, integer-micros dot products. Zero-shuffle narrow plan —
+    the dim-reduction step that makes every downstream LSH/IVF
+    distance 4× cheaper. Long format (vec_id, dim, value) — the
+    embed_norm pattern for the gate's array limitation."""
+    jl = similarity.jl_project(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        in_dim=JL_IN_DIM,
+    )
+    return jl.select(
+        "vec_id", F.posexplode("jlvec").alias("dim", "value")
+    ).withColumn("dim", F.col("dim").cast("long"))
+
+
 # ====================================================================
 # DuckDB oracle SQL
 # ====================================================================
@@ -6012,6 +6034,47 @@ FROM v JOIN c ON v.user_id = c.user_id
             AND c.click_us <= v.view_us + {STREAM_JOIN_LAG_S * 1_000_000}
 """
 
+
+def _jl_oracle() -> str:
+    """Mirror of similarity.jl_project: the SAME Python-generated ±1
+    literal matrix, integer-micros dot, and the exact-integer
+    half-away rounding of dot/(scale·√k) — 16 is a perfect square, so
+    the whole pipeline is integer until one exact final division (a
+    naive round(dot·inv, 6) puts every dot ≡ 2 (mod 4) on a .5
+    boundary both engines break differently)."""
+    import math
+
+    signs = similarity.jl_sign_matrix(similarity.JL_OUT_DIM, JL_IN_DIM)
+    mat = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(v) for v in row) + "]" for row in signs
+        )
+        + "]"
+    )
+    # the dot is in micros already — the integer divisor is √k alone
+    denom = math.isqrt(similarity.JL_OUT_DIM)
+    return f"""
+WITH m AS (SELECT {mat} AS mat), d AS (
+  SELECT e.vec_id, CAST(o - 1 AS BIGINT) AS dim,
+         list_sum(list_transform(generate_series(1, {JL_IN_DIM}),
+             j -> CAST(round(CAST(e.embedding[j] AS DOUBLE) * {similarity.JL_SCALE})
+                       AS BIGINT) * mat[o][j])) AS dot
+  FROM embeddings e
+  CROSS JOIN m
+  CROSS JOIN generate_series(1, {similarity.JL_OUT_DIM}) AS t(o)
+)
+SELECT vec_id, dim,
+       CAST(CASE WHEN dot < 0
+                 THEN -((abs(dot) + {denom // 2}) // {denom})
+                 ELSE (abs(dot) + {denom // 2}) // {denom} END
+            AS DOUBLE) / {float(similarity.JL_SCALE)!r} AS value
+FROM d
+"""
+
+
+ORACLES["q_jl_project"] = _jl_oracle()
+
 # q_skew_lag shares q_window_frames's oracle VERBATIM: the skew-safe
 # rewrite must be bit-identical to the plain partitioned window.
 ORACLES["q_skew_lag"] = ORACLES["q_window_frames"]
@@ -6075,8 +6138,8 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # queue for r10 rotation in order of staleness: FIRST the r9 entries
 # that never got a driver row (q_winsorize, q_assoc_rules, q_benford,
 # q_pagerank, q_json_variant, q_global_shuffle, q_fk_audit,
-# q_dsir_weights, q_ppl_buckets, q_stream_join — local-oracle-green
-# only), then the displaced
+# q_dsir_weights, q_ppl_buckets, q_stream_join, q_jl_project —
+# local-oracle-green only), then the displaced
 # r6-verified entries (q_string_funcs .. q_total_count), the 3
 # rows-only entries, then
 # the 50-entry r7/r8-verified block (q_equi_depth ..
@@ -6164,6 +6227,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_dsir_weights", q_dsir_weights, ORACLES["q_dsir_weights"]),
     QuerySpec("q_ppl_buckets", q_ppl_buckets, ORACLES["q_ppl_buckets"]),
     QuerySpec("q_stream_join", q_stream_join, ORACLES["q_stream_join"]),
+    QuerySpec("q_jl_project", q_jl_project, ORACLES["q_jl_project"]),
     # r6-verified queue (rotate in first in r10 — q_domain_cap,
     # q_cosine_pairs, q_join_fact_dim, q_join_multiway, q_simhash,
     # q_vocab_stats, q_edit_verify, q_rate_anomaly, q_top_ngram,

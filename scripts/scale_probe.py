@@ -76,7 +76,7 @@ ALL_OPS = (
     "transitions hll_rolling scd2 prefix_jaccard gopher corpus_drift "
     "skew_lag skew_runsum mix "
     "substring_dedup quality_score embed_norm entity_match agg_state "
-    "bm25 gap_fill triangles pagerank global_shuffle dsir ppl_buckets"
+    "bm25 gap_fill triangles pagerank global_shuffle dsir ppl_buckets jl"
 ).split()
 
 
@@ -913,6 +913,24 @@ def main() -> None:
             "tN": timed(
                 f"znorm {factor}x",
                 similarity.embed_standardize(emZ, "vec_id", "embedding"),
+            ),
+        }
+
+    # JL random projection: pure per-row narrow transform over a
+    # literal sign matrix — zero exchanges at any factor; wall must be
+    # scan-bound (≈ linear in rows / flat per core until saturation).
+    if want("jl"):
+        emJ = scaled(em1, factor, ["vec_id"], 10_000_000)
+        emJ.write.mode("overwrite").parquet(f"{tmp}/emJ.parquet")
+        emJ = spark.read.parquet(f"{tmp}/emJ.parquet")
+        results["jl"] = {
+            "t1": timed(
+                "jl 1x",
+                similarity.jl_project(em1, "vec_id", "embedding", in_dim=64),
+            ),
+            "tN": timed(
+                f"jl {factor}x",
+                similarity.jl_project(emJ, "vec_id", "embedding", in_dim=64),
             ),
         }
 

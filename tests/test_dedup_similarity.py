@@ -878,3 +878,60 @@ def test_ivf_drift_report_flags_shifted_batch(spark, tmp_path):
         spark, drifted, cents, idx
     ).collect()[0]
     assert bad["drift_ratio"] > 1.5 and bad["retrain"] is True
+
+
+def test_jl_projection_preserves_norms_and_is_deterministic(spark):
+    """JL with a ±1 sign matrix (Achlioptas): E[||f(x)||²] = ||x||², so
+    the mean squared-norm ratio over many vectors must sit near 1
+    (variance O(1/k)); the projection is a pure function of the
+    literal matrix, so repartitioning cannot change a single value."""
+    import math
+    import random
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.similarity import (
+        jl_project,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(64)])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["jlvec"] for r in jl_project(
+        df, "vec_id", "embedding", in_dim=64
+    ).collect()}
+    assert all(len(v) == 16 for v in out.values())
+    ratios = []
+    for i, vec in rows:
+        orig = sum(x * x for x in vec)
+        proj = sum(x * x for x in out[i])
+        ratios.append(proj / orig)
+    mean = sum(ratios) / len(ratios)
+    assert 0.9 < mean < 1.1, mean  # E = 1, sd ≈ sqrt(2/16)/sqrt(400)
+
+    out2 = {r["vec_id"]: r["jlvec"] for r in jl_project(
+        df.repartition(13), "vec_id", "embedding", in_dim=64
+    ).collect()}
+    assert out == out2
+
+
+def test_jl_projection_null_vector_propagates_null(spark):
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.similarity import (
+        jl_project,
+    )
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    df = spark.createDataFrame([(0, [0.5] * 64), (1, None)], schema)
+    out = {r["vec_id"]: r["jlvec"] for r in jl_project(
+        df, "vec_id", "embedding", in_dim=64
+    ).collect()}
+    assert out[0] is not None and len(out[0]) == 16
+    assert out[1] is None

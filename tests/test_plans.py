@@ -423,3 +423,11 @@ def test_ppl_buckets_ranks_ride_range_exchanges(spark, sf_dir):
     assert "SortMergeJoin" not in p
     assert p.count("Exchange rangepartitioning") == 2
     assert p.count("Window ") == 2
+
+
+def test_jl_projection_zero_exchange(spark, sf_dir):
+    """The JL projection is a pure per-row transform over a literal
+    sign matrix — no shuffle, no join, no broadcast at any scale."""
+    p = plan_of(spark, sf_dir, Q.q_jl_project)
+    assert "Exchange" not in p
+    assert "Join" not in p
