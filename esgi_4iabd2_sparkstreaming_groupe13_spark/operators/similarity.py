@@ -1294,24 +1294,66 @@ def jl_project(
     """
     import math
 
+    root = math.isqrt(out_dim)
+    denom = root if root * root == out_dim else None
+    if denom is not None:
+        # the dot is already in micros (components × JL_SCALE), so
+        # the output coordinate in micros is dot/√k — the integer
+        # divisor is √k alone, and the one float division by
+        # JL_SCALE comes last
+        def finalize(dot: Column) -> Column:
+            return _div_half_away(dot, denom).cast("double") / F.lit(
+                float(JL_SCALE)
+            )
+
+    else:
+        inv = 1.0 / (float(JL_SCALE) * math.sqrt(out_dim))
+
+        def finalize(dot: Column) -> Column:
+            return F.round(dot.cast("double") * F.lit(inv), 6)
+
+    jl = _jl_fold(vec_col, in_dim, out_dim, seed, finalize)
+    return df.select(F.col(id_col), jl.alias("jlvec"))
+
+
+def _div_half_away(dot: Column, denom: int) -> Column:
+    """Half-away-from-zero round of ``dot/denom`` in pure long
+    arithmetic; (a − a mod d) / d is an exact integer, so any later
+    long→double conversion cannot misround a tie."""
+    half = F.lit(denom // 2)
+    a = F.abs(dot) + half
+    q = ((a - F.pmod(a, F.lit(denom))) / F.lit(denom)).cast("long")
+    return F.when(dot < 0, -q).otherwise(q)
+
+
+def _div_half_away_col(s: Column, d: Column) -> Column:
+    """Column-denominator variant of :func:`_div_half_away` (d > 0):
+    ⌊(2|s| + d) / 2d⌋ is the half-away-from-zero round of |s|/d in
+    exact long arithmetic."""
+    a = F.abs(s) * 2 + d
+    d2 = d * 2
+    q = ((a - F.pmod(a, d2)) / d2).cast("long")
+    return F.when(s < 0, -q).otherwise(q)
+
+
+def _jl_fold(
+    vec_col: str,
+    in_dim: int,
+    out_dim: int,
+    seed: str,
+    finalize,
+) -> Column:
+    """The shared JL projection fold: per output coordinate, a LONG
+    fold of (input micros × literal ±1 sign), passed through
+    ``finalize(dot_long)``. The micros array is bound as a lambda
+    variable so the per-component input rounding runs once per row,
+    not once per output dimension. NULL input vector → NULL output
+    (transform-over-sequence would otherwise yield a non-NULL array
+    of NULL coords)."""
     signs = jl_sign_matrix(out_dim, in_dim, seed)
     marr = F.array(
         *[F.array(*[F.lit(v) for v in row]) for row in signs]
     )
-    root = math.isqrt(out_dim)
-    # the dot is already in micros (components × JL_SCALE), so the
-    # output coordinate in micros is dot/√k — the integer divisor is
-    # √k alone, and the one float division by JL_SCALE comes last
-    denom = root if root * root == out_dim else None
-
-    def exact_micros(dot: Column) -> Column:
-        # half-away-from-zero round of dot/denom in pure long
-        # arithmetic; (a − a mod d) / d is an exact integer, so the
-        # double division below cannot misround
-        half = F.lit(denom // 2)
-        a = F.abs(dot) + half
-        q = ((a - F.pmod(a, F.lit(denom))) / F.lit(denom)).cast("long")
-        return F.when(dot < 0, -q).otherwise(q)
 
     def over_mic(mic: Column) -> Column:
         def coord(o: Column) -> Column:
@@ -1322,12 +1364,7 @@ def jl_project(
                 + F.element_at(mic, j)
                 * F.element_at(F.element_at(marr, o), j),
             )
-            if denom is not None:
-                return exact_micros(dot).cast("double") / F.lit(
-                    float(JL_SCALE)
-                )
-            inv = 1.0 / (float(JL_SCALE) * math.sqrt(out_dim))
-            return F.round(dot.cast("double") * F.lit(inv), 6)
+            return finalize(dot)
 
         return F.transform(F.sequence(F.lit(1), F.lit(out_dim)), coord)
 
@@ -1335,8 +1372,308 @@ def jl_project(
         F.col(vec_col),
         lambda v: F.round(v.cast("double") * JL_SCALE).cast("long"),
     )
-    jl = F.element_at(F.transform(F.array(mic_expr), over_mic), 1)
-    # transform-over-sequence yields a NON-NULL array of NULL coords
-    # for a NULL input vector; the contract is NULL in → NULL out
-    jl = F.when(F.col(vec_col).isNotNull(), jl)
-    return df.select(F.col(id_col), jl.alias("jlvec"))
+    out = F.element_at(F.transform(F.array(mic_expr), over_mic), 1)
+    return F.when(F.col(vec_col).isNotNull(), out)
+
+
+def _jl_micros(
+    vec_col: str,
+    in_dim: int,
+    out_dim: int,
+    seed: str,
+) -> Column:
+    """JL coordinates as EXACT integer micros (``array<long>``) — the
+    all-integer tier :func:`semdedup` builds on, so every downstream
+    sum/dot stays in order-independent long arithmetic. Requires a
+    perfect-square ``out_dim`` (integral √k is what keeps the
+    coordinate division exact)."""
+    import math
+
+    root = math.isqrt(out_dim)
+    if root * root != out_dim:
+        raise ValueError(
+            f"_jl_micros requires a perfect-square out_dim; got {out_dim}"
+        )
+    return _jl_fold(
+        vec_col, in_dim, out_dim, seed, lambda dot: _div_half_away(dot, root)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup in JL space (r9)
+# ---------------------------------------------------------------------------
+
+#: Coarse cell count for semdedup = 2^SEMDEDUP_CELL_BITS. 8 bits →
+#: 256 cells; scale n_cell_bits with the corpus so cells stay at the
+#: target size (the K of SemDeDup's k-means).
+SEMDEDUP_CELL_BITS = 8
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    out_dim: int = JL_OUT_DIM,
+    n_cell_bits: int = SEMDEDUP_CELL_BITS,
+    block_size: int = 256,
+    jl_seed: str = "jl:",
+    cell_seed: str = "cell:",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication that restricts the pairwise search to CLUSTERS —
+    the trick that takes embedding dedup from O(N²) to O(Σ n_c²) —
+    then, inside every duplicate group, KEEPS the member with the
+    LOWEST cosine similarity to its cluster centroid (the paper's
+    keep-rule: near-dup groups huddle around cluster centers, so the
+    outermost member carries the most marginal information) and drops
+    the rest. Contrast :func:`embedding_dedup_clusters`, which pairs
+    via banded RH-LSH and keeps the min-id representative.
+
+    Spark-first composition, all stages exact integer arithmetic:
+
+    1. JL-reduce ``in_dim → out_dim`` via :func:`_jl_micros` — every
+       later distance costs ``out_dim/in_dim`` of the original, and
+       coordinates are exact longs (micros), so sums and dots are
+       order-independent and engine-portable.
+    2. Cluster = coarse random-hyperplane cell: ``n_cell_bits`` sign
+       bits of ⟨mic, ±1 row⟩ (literal md5-derived matrix, seed
+       ``cell_seed``) → cell id in [0, 2^bits). A deterministic,
+       trainingless stand-in for the paper's k-means: both put
+       near-collinear vectors in the same cluster, and the literal
+       matrix means DuckDB reproduces the assignment bit-for-bit.
+    3. Cell centroid = per-dimension MEAN of member micros, rounded
+       half-away back to integer micros (exact long arithmetic) — so
+       centroid components stay in the same micros range as member
+       components no matter how large the cell, which is what keeps
+       the downstream folds inside long range (raw SUMS overflowed
+       ‖S‖² at the 100× probe: ~200 correlated members × 1.6e7
+       micros squared passes 2⁶³).
+    4. Within-cell exact-cosine pairs ≥ threshold, block-tiled: a
+       per-cell dense rank tiles each cell into ``block_size`` rows,
+       so one oversized cell spreads over (n_c/block)² tasks instead
+       of a single quadratic straggler (the cosine_threshold_pairs
+       geometry, keyed by (cell, bi, bj)).
+    5. Connected components over the near-dup edges (edges never
+       cross cells, so components are cell-local), then per
+       component keep = argmin (centroid_sim, id).
+
+    Parity: cosines are built from three exact-long folds (num, ‖a‖²,
+    ‖c‖²) converted to double ONCE each — long→double conversion,
+    sqrt, and division are all correctly rounded in IEEE 754, so both
+    engines produce bit-identical similarities and therefore identical
+    threshold and argmin decisions; no rounding idiom needed anywhere.
+    Long-overflow envelope: with the centroid rounded to mean micros,
+    every fold operand is bounded by per-vector micros (|mic_j| ≤
+    in_dim·scale·max|x|/√k), so dots stay ≤ k·max², independent of
+    cell size; the only cell-size-bounded quantity is the centroid
+    SUM itself, safe to ~10¹¹ members per cell.
+
+    Scale shape: one narrow projection scan; one ≤2^bits-group
+    centroid aggregate (map-side combined); one broadcast of ≤2^bits
+    centroid rows; the tiled pair join shuffles only 16-dim micros
+    vectors (out_dim/in_dim of the raw payload); CC runs over the
+    sparse edge set; the final argmin is one component-keyed window
+    over (id, sim) rows.
+
+    Returns ``(id, cell, group_rep, keep)`` for every non-NULL
+    vector: ``group_rep`` = min id in the near-dup group (singletons
+    are their own group and keep themselves), ``keep`` = the
+    SemDeDup retention decision.
+    """
+    from .graph import connected_components
+
+    members, pairs = _semdedup_frames(
+        embeddings,
+        threshold,
+        id_col,
+        vec_col,
+        in_dim,
+        out_dim,
+        n_cell_bits,
+        block_size,
+        jl_seed,
+        cell_seed,
+    )
+    comp = connected_components(
+        members.select(F.col("_id").alias("node")), pairs, "node", "id_a", "id_b"
+    )
+    keep_w = Window.partitionBy("group_rep").orderBy("_csim", "_id")
+    return (
+        members.join(comp, members["_id"] == comp["node"])
+        .select(
+            "_id",
+            "_cell",
+            "_csim",
+            F.col("component").alias("group_rep"),
+        )
+        .withColumn("keep", F.row_number().over(keep_w) == 1)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_cell").alias("cell"),
+            "group_rep",
+            "keep",
+        )
+    )
+
+
+def _semdedup_frames(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int,
+    n_cell_bits: int,
+    block_size: int,
+    jl_seed: str,
+    cell_seed: str,
+) -> tuple[DataFrame, DataFrame]:
+    """semdedup stages 1-4: ``(members, pairs)`` — members =
+    (_id, _cell, _mic, _na, _csim) per non-NULL vector, pairs = the
+    within-cell near-dup edges. Split out so the tiled-join plan
+    shape is testable directly (connected_components materializes its
+    iterations, hiding the pair join from the final plan)."""
+    from .caching import track_persist
+
+    if not 0 < n_cell_bits <= 62:
+        raise ValueError(f"n_cell_bits out of range: {n_cell_bits}")
+
+    mic = _jl_micros(vec_col, in_dim, out_dim, jl_seed)
+    src = embeddings.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), mic.alias("_mic")
+    )
+
+    cell_rows = jl_sign_matrix(n_cell_bits, out_dim, cell_seed)
+
+    def lit_dot(row: list[int]) -> Column:
+        h = F.array(*[F.lit(v) for v in row])
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(out_dim)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.element_at(F.col("_mic"), j) * F.element_at(h, j),
+        )
+
+    cell = None
+    for i, row in enumerate(cell_rows):
+        bit = (lit_dot(row) >= 0).cast("long") * F.lit(1 << i)
+        cell = bit if cell is None else cell + bit
+    # ‖mic‖² once per member — reused by both the centroid sim and
+    # every pair sim this member participates in
+    na = F.aggregate(
+        F.col("_mic"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x * x,
+    )
+    src = track_persist(
+        src.select("_id", "_mic", cell.alias("_cell"), na.alias("_na"))
+    )
+
+    # 3. centroid = half-away-rounded MEAN micros (exact longs;
+    # ≤ 2^bits groups). Rounding the mean back to micros keeps
+    # centroid components in the per-vector micros range — raw sums
+    # overflow ‖S‖² in large cells (see docstring).
+    cent = (
+        src.select(
+            "_cell",
+            *[
+                F.element_at("_mic", j + 1).alias(f"_m{j}")
+                for j in range(out_dim)
+            ],
+        )
+        .groupBy("_cell")
+        .agg(
+            *[F.sum(f"_m{j}").alias(f"_s{j}") for j in range(out_dim)],
+            F.count(F.lit(1)).alias("_cn"),
+        )
+        .select(
+            "_cell",
+            F.array(
+                *[
+                    _div_half_away_col(F.col(f"_s{j}"), F.col("_cn"))
+                    for j in range(out_dim)
+                ]
+            ).alias("_cent"),
+        )
+    )
+
+    def cos_from_longs(num: Column, n2a: Column, n2b: Column) -> Column:
+        return F.when((n2a == 0) | (n2b == 0), F.lit(0.0)).otherwise(
+            num.cast("double")
+            / (F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double")))
+        )
+
+    def arr_dot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def arr_norm2(a: Column) -> Column:
+        return F.aggregate(
+            a, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        )
+
+    members = src.join(F.broadcast(cent), "_cell").select(
+        "_id",
+        "_cell",
+        "_mic",
+        "_na",
+        cos_from_longs(
+            arr_dot(F.col("_mic"), F.col("_cent")),
+            F.col("_na"),
+            arr_norm2(F.col("_cent")),
+        ).alias("_csim"),
+    )
+    members = track_persist(members)
+
+    # 4. block-tiled within-cell pairs (per-cell dense rank → tiles)
+    w = Window.partitionBy("_cell").orderBy("_id")
+    ranked = members.select(
+        "_id",
+        "_cell",
+        "_mic",
+        "_na",
+        F.floor((F.row_number().over(w) - 1) / block_size).alias("_blk"),
+    ).withColumn(
+        "_nb", F.max("_blk").over(Window.partitionBy("_cell")) + 1
+    )
+    a = ranked.select(
+        F.col("_id").alias("id_a"),
+        F.col("_cell"),
+        F.col("_mic").alias("ma"),
+        F.col("_na").alias("naa"),
+        F.col("_blk").alias("_bi"),
+        F.explode(F.sequence(F.col("_blk"), F.col("_nb") - 1)).alias("_bj"),
+    )
+    b = ranked.select(
+        F.col("_id").alias("id_b"),
+        F.col("_cell").alias("_cell2"),
+        F.col("_mic").alias("mb"),
+        F.col("_na").alias("nab"),
+        F.col("_blk").alias("_bj2"),
+        F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("_bi2"),
+    )
+    pairs = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("_cell") == F.col("_cell2"))
+            & (F.col("_bi") == F.col("_bi2"))
+            & (F.col("_bj") == F.col("_bj2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn(
+            "_sim",
+            cos_from_longs(
+                arr_dot(F.col("ma"), F.col("mb")),
+                F.col("naa"),
+                F.col("nab"),
+            ),
+        )
+        .filter(F.col("_sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+    return members, pairs

@@ -3669,6 +3669,22 @@ def q_jl_project(spark, sf_dir):
     ).withColumn("dim", F.col("dim").cast("long"))
 
 
+#: semdedup near-dup threshold (cosine in the 16-dim JL space)
+SEMDEDUP_T = 0.9
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, new r9, 6th batch) over the
+    planted corpus: JL-reduce 64→16, coarse hyperplane cells as the
+    clusters, within-cell exact-cosine near-dup groups, keep the
+    member with the LOWEST similarity to its cell centroid. Every
+    stage exact integer micros — the oracle replicates the decisions
+    bit-for-bit. Output: one retention decision per vector."""
+    return similarity.semdedup(
+        _lsh_corpus(spark, sf_dir), threshold=SEMDEDUP_T, in_dim=JL_IN_DIM
+    )
+
+
 # ====================================================================
 # DuckDB oracle SQL
 # ====================================================================
@@ -6075,6 +6091,124 @@ FROM d
 
 ORACLES["q_jl_project"] = _jl_oracle()
 
+
+def _semdedup_oracle() -> str:
+    """Mirror of similarity.semdedup over the planted corpus: the
+    SAME Python-generated literal matrices (JL signs + coarse cell
+    hyperplanes), the same all-integer micros pipeline, and cosines
+    assembled from exact-long folds cast to double once each — both
+    engines' threshold and argmin decisions are bit-identical, so no
+    rounding idiom appears anywhere. Clusters are the coarse cells;
+    the recursive CTE is the transitive closure of the within-cell
+    near-dup edges (the _embed_dedup_oracle reach shape); keep =
+    row_number() == 1 by (centroid_sim, id) inside each group."""
+    import math
+
+    out_dim = similarity.JL_OUT_DIM
+    cell_bits = similarity.SEMDEDUP_CELL_BITS
+    scale = similarity.JL_SCALE
+    denom = math.isqrt(out_dim)
+
+    def lit(mat: list[list[int]]) -> str:
+        return (
+            "["
+            + ", ".join(
+                "[" + ", ".join(str(v) for v in row) + "]" for row in mat
+            )
+            + "]"
+        )
+
+    jlmat = lit(similarity.jl_sign_matrix(out_dim, JL_IN_DIM, "jl:"))
+    cellmat = lit(similarity.jl_sign_matrix(cell_bits, out_dim, "cell:"))
+
+    def mean_micros(j: int) -> str:
+        # half-away-rounded MEAN micros: ⌊(2|S| + n) / 2n⌋ with S's
+        # sign — the exact-long form similarity._div_half_away_col
+        # computes (centroid components stay in per-vector micros
+        # range, the overflow guard)
+        s = f"CAST(sum(mic[{j + 1}]) AS BIGINT)"
+        q = f"((2 * abs({s}) + count(*)) // (2 * count(*)))"
+        return f"CAST(CASE WHEN {s} < 0 THEN -{q} ELSE {q} END AS BIGINT)"
+
+    cent_sums = ", ".join(mean_micros(j) for j in range(out_dim))
+
+    def ldot(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(generate_series(1, {out_dim}), "
+            f"j -> {a}[j] * {b}[j])) AS BIGINT)"
+        )
+
+    def lnorm2(a: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform({a}, x -> x * x)) AS BIGINT)"
+        )
+
+    def cosine(num: str, n2a: str, n2b: str) -> str:
+        return (
+            f"CASE WHEN {n2a} = 0 OR {n2b} = 0 THEN 0.0 "
+            f"ELSE CAST({num} AS DOUBLE) / "
+            f"(sqrt(CAST({n2a} AS DOUBLE)) * sqrt(CAST({n2b} AS DOUBLE))) END"
+        )
+
+    return f"""
+WITH RECURSIVE c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+         list_transform(embedding, x -> x * 1.2 + 0.01) AS embedding
+  FROM embeddings WHERE vec_id < {PLANT_N}
+), jm AS (SELECT {jlmat} AS jlmat), cm AS (SELECT {cellmat} AS cellmat),
+dots AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, {out_dim}), o ->
+           CAST(list_sum(list_transform(generate_series(1, {JL_IN_DIM}),
+             j -> CAST(round(CAST(embedding[j] AS DOUBLE) * {scale})
+                       AS BIGINT) * jlmat[o][j])) AS BIGINT)) AS dots
+  FROM c CROSS JOIN jm
+), micv AS (
+  SELECT vec_id,
+         list_transform(dots, d -> CASE WHEN d < 0
+             THEN -((abs(d) + {denom // 2}) // {denom})
+             ELSE (abs(d) + {denom // 2}) // {denom} END) AS mic
+  FROM dots
+), cel AS (
+  SELECT vec_id, mic,
+         CAST(list_sum(list_transform(generate_series(1, {cell_bits}), i ->
+           CASE WHEN list_sum(list_transform(generate_series(1, {out_dim}),
+                    j -> mic[j] * cellmat[i][j])) >= 0
+                THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS cell,
+         {lnorm2('mic')} AS na
+  FROM micv CROSS JOIN cm
+), cent AS (
+  SELECT cell, [{cent_sums}] AS cent FROM cel GROUP BY cell
+), mem AS (
+  SELECT v.vec_id, v.cell, v.mic, v.na,
+         {cosine(ldot('v.mic', 't.cent'), 'v.na', lnorm2('t.cent'))} AS csim
+  FROM cel v JOIN cent t USING (cell)
+), pr AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM mem x JOIN mem y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE {cosine(ldot('x.mic', 'y.mic'), 'x.na', 'y.na')} >= {SEMDEDUP_T}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pr
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pr
+), reach(node, comp) AS (
+  SELECT vec_id, vec_id FROM mem
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node
+), grp AS (
+  SELECT node, min(comp) AS group_rep FROM reach GROUP BY node
+)
+SELECT m.vec_id, m.cell, g.group_rep,
+       (row_number() OVER (
+          PARTITION BY g.group_rep ORDER BY m.csim, m.vec_id) = 1) AS keep
+FROM mem m JOIN grp g ON g.node = m.vec_id
+"""
+
+
+ORACLES["q_semdedup"] = _semdedup_oracle()
+
 # q_skew_lag shares q_window_frames's oracle VERBATIM: the skew-safe
 # rewrite must be bit-identical to the plain partitioned window.
 ORACLES["q_skew_lag"] = ORACLES["q_window_frames"]
@@ -6138,8 +6272,8 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # queue for r10 rotation in order of staleness: FIRST the r9 entries
 # that never got a driver row (q_winsorize, q_assoc_rules, q_benford,
 # q_pagerank, q_json_variant, q_global_shuffle, q_fk_audit,
-# q_dsir_weights, q_ppl_buckets, q_stream_join, q_jl_project —
-# local-oracle-green only), then the displaced
+# q_dsir_weights, q_ppl_buckets, q_stream_join, q_jl_project,
+# q_semdedup — local-oracle-green only), then the displaced
 # r6-verified entries (q_string_funcs .. q_total_count), the 3
 # rows-only entries, then
 # the 50-entry r7/r8-verified block (q_equi_depth ..
@@ -6228,6 +6362,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_ppl_buckets", q_ppl_buckets, ORACLES["q_ppl_buckets"]),
     QuerySpec("q_stream_join", q_stream_join, ORACLES["q_stream_join"]),
     QuerySpec("q_jl_project", q_jl_project, ORACLES["q_jl_project"]),
+    QuerySpec("q_semdedup", q_semdedup, ORACLES["q_semdedup"]),
     # r6-verified queue (rotate in first in r10 — q_domain_cap,
     # q_cosine_pairs, q_join_fact_dim, q_join_multiway, q_simhash,
     # q_vocab_stats, q_edit_verify, q_rate_anomaly, q_top_ngram,

@@ -19,6 +19,7 @@ the linear operators are already pinned by the 10–20× suite, so a
 from __future__ import annotations
 
 import json
+import math
 import sys
 import tempfile
 import time
@@ -76,7 +77,8 @@ ALL_OPS = (
     "transitions hll_rolling scd2 prefix_jaccard gopher corpus_drift "
     "skew_lag skew_runsum mix "
     "substring_dedup quality_score embed_norm entity_match agg_state "
-    "bm25 gap_fill triangles pagerank global_shuffle dsir ppl_buckets jl"
+    "bm25 gap_fill triangles pagerank global_shuffle dsir ppl_buckets jl "
+    "semdedup"
 ).split()
 
 
@@ -980,7 +982,7 @@ def main() -> None:
             )
         )
 
-    if want("cosine_pairs_exact", "cosine_rh_lsh", "ann_quantized"):
+    if want("cosine_pairs_exact", "cosine_rh_lsh", "ann_quantized", "semdedup"):
         em1d = em1.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
         )
@@ -1010,6 +1012,30 @@ def main() -> None:
         results["cosine_rh_lsh"] = {
             "t1": timed("rh-lsh 1x", similarity.rh_lsh_pairs(p1, 0.9)),
             "tN": timed(f"rh-lsh {factor}x", similarity.rh_lsh_pairs(pN, 0.9)),
+        }
+
+    # --- embeddings: SemDeDup — cluster-scoped pairing in JL space.
+    # Operating contract: the cell count (2^bits) scales with the
+    # corpus so per-cell size stays at the target (the K of the
+    # paper's k-means). Probe BOTH that operational point (bits grown
+    # by log2(factor): cell size ~constant → ~linear wall) and the
+    # fixed-bits worst case (cell size ×factor → within-cell pair
+    # work ×factor², spread across tasks by the block tiling but not
+    # reduced by it).
+    if want("semdedup"):
+        bits = 8 + max(0, math.ceil(math.log2(factor)))
+        results["semdedup"] = {
+            "t1": timed(
+                "semdedup 1x", similarity.semdedup(p1, 0.9, in_dim=64)
+            ),
+            "tN": timed(
+                f"semdedup {factor}x bits={bits}",
+                similarity.semdedup(pN, 0.9, in_dim=64, n_cell_bits=bits),
+            ),
+            "tN_fixed_bits": timed(
+                f"semdedup {factor}x bits=8",
+                similarity.semdedup(pN, 0.9, in_dim=64),
+            ),
         }
 
     # --- embeddings: the int8 + trained-IVF SERVE tier (r4's newest

@@ -935,3 +935,78 @@ def test_jl_projection_null_vector_propagates_null(spark):
     ).collect()}
     assert out[0] is not None and len(out[0]) == 16
     assert out[1] is None
+
+
+def _semdedup_corpus(spark, extra=()):
+    """Near-isotropic base + whatever the test plants: semdedup needs
+    enough background members per cell for centroids to be
+    meaningful."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(64)])
+        for i in range(300)
+    ]
+    rows += list(extra)
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_semdedup_one_keep_per_group_and_singletons(spark):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.similarity import (
+        semdedup,
+    )
+
+    planted = [
+        (9000 + i, [x * 1.2 + 0.01 for x in [0.1 * ((i + j) % 7 - 3) for j in range(64)]])
+        for i in range(3)
+    ]
+    df = _semdedup_corpus(spark, planted)
+    res = semdedup(df, 0.9, in_dim=64).collect()
+    assert len(res) == df.count()
+    groups = {}
+    for r in res:
+        groups.setdefault(r["group_rep"], []).append(r)
+    # exactly one keeper everywhere; singletons keep themselves
+    for members in groups.values():
+        assert sum(1 for m in members if m["keep"]) == 1
+        if len(members) == 1:
+            assert members[0]["keep"]
+    # rep = min id of the group
+    for rep, members in groups.items():
+        assert rep == min(m["vec_id"] for m in members)
+
+
+def test_semdedup_keeps_centroid_farthest_member(spark):
+    """The SemDeDup keep-rule: inside a near-dup group, the survivor
+    is the member farthest (lowest cosine) from the cell centroid —
+    four copies of a base direction plus one angled outlier must keep
+    the outlier and drop the copies."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.similarity import (
+        semdedup,
+    )
+
+    base = [1.0] + [0.0] * 63
+    tilt = [1.0, 0.0, 0.2] + [0.0] * 61  # cos(base, tilt) ≈ 0.981
+    planted = [(9001 + i, list(base)) for i in range(4)] + [(9000, tilt)]
+    df = _semdedup_corpus(spark, planted)
+    res = {r["vec_id"]: r for r in semdedup(df, 0.9, in_dim=64).collect()}
+    group = {i for i in (9000, 9001, 9002, 9003, 9004)
+             if res[i]["group_rep"] == res[9000]["group_rep"]}
+    # the planted five must cluster together (same cell: near-identical
+    # directions agree on every coarse sign bit here)
+    assert group == {9000, 9001, 9002, 9003, 9004}
+    kept = [i for i in group if res[i]["keep"]]
+    assert kept == [9000], kept  # the angled outlier survives
+
+
+def test_semdedup_identical_vectors_tie_break_by_id(spark):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.similarity import (
+        semdedup,
+    )
+
+    v = [0.3 * ((j % 5) - 2) for j in range(64)]
+    df = _semdedup_corpus(spark, [(9100, list(v)), (9101, list(v))])
+    res = {r["vec_id"]: r for r in semdedup(df, 0.9, in_dim=64).collect()}
+    assert res[9100]["group_rep"] == res[9101]["group_rep"] == res[9100]["group_rep"]
+    assert res[9100]["keep"] and not res[9101]["keep"]

@@ -431,3 +431,30 @@ def test_jl_projection_zero_exchange(spark, sf_dir):
     p = plan_of(spark, sf_dir, Q.q_jl_project)
     assert "Exchange" not in p
     assert "Join" not in p
+
+
+def test_semdedup_pairs_shuffle_hash_centroids_broadcast(spark, sf_dir):
+    """semdedup's quadratic stage must ride the tiled ShuffledHashJoin
+    (never a broadcast nested loop — the OOM shape at corpus scale),
+    and the ≤2^bits centroid table joins broadcast. Pinned on the
+    pair-generation frame: connected_components materializes its
+    iterations, so the final plan hides the pair join."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.similarity import (
+        _semdedup_frames,
+    )
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.sources.batch import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    members, pairs = _semdedup_frames(
+        emb, 0.9, "vec_id", "embedding", 64, 16, 8, 256, "jl:", "cell:"
+    )
+    pp = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in pp
+    assert "ShuffledHashJoin" in pp
+    mp = members._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in mp
+    assert "BroadcastHashJoin" in mp
+    # the full query (CC included) must never broadcast-nested-loop
+    assert "BroadcastNestedLoopJoin" not in plan_of(spark, sf_dir, Q.q_semdedup)
