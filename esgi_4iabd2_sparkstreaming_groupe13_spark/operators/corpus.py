@@ -1100,3 +1100,56 @@ def perplexity_buckets(
         .otherwise(F.lit("middle"))
         .alias("ppl_bucket"),
     )
+
+
+def rrf_fusion(
+    ranked_lists: list[DataFrame],
+    id_col: str,
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR 2009): merge
+    N ranked retrieval lists into one by ``Σ_lists 1/(k_rrf + rank)``
+    — the standard glue for hybrid sparse+dense retrieval (a BM25
+    list from :func:`bm25_scores` fused with a cosine list from
+    ``similarity.brute_force_topk``). Rank-based fusion needs no
+    score calibration between retrievers, which is exactly why
+    production hybrid search defaults to it; ``k_rrf = 60`` is the
+    paper's constant. Items missing from a list simply contribute
+    nothing (no imputation).
+
+    Determinism contract (the bm25/tfidf idiom): each list's
+    reciprocal-rank partial is rounded to 6 dp and accumulated as
+    DECIMAL(18,6), so the fused score is reduction-order-independent
+    and engine-portable; final ties break on id ascending.
+
+    Scale shape: the inputs are already top-depth lists (k·queries
+    rows each), so fusion is metadata-sized at any corpus scale — one
+    union, one hash aggregate over ≤ Σ|lists| rows, and a
+    TakeOrderedAndProject top-k. The corpus-scale work lives in the
+    retrievers, not here.
+
+    Returns ``(id, rrf_score, rank)`` for the fused top-``k``.
+    """
+    if not ranked_lists:
+        raise ValueError("rrf_fusion needs at least one ranked list")
+    part = F.round(
+        F.lit(1.0) / (F.lit(k_rrf) + F.col(rank_col).cast("double")), 6
+    ).cast("decimal(18,6)")
+    contribs = None
+    for lst in ranked_lists:
+        c = lst.select(F.col(id_col), part.alias("_part"))
+        contribs = c if contribs is None else contribs.unionByName(c)
+    scored = contribs.groupBy(id_col).agg(
+        F.sum("_part").cast("double").alias("rrf_score")
+    )
+    topk = scored.orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return topk.select(
+        id_col,
+        "rrf_score",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

@@ -3672,6 +3672,33 @@ def q_jl_project(spark, sf_dir):
 #: semdedup near-dup threshold (cosine in the 16-dim JL space)
 SEMDEDUP_T = 0.9
 
+#: RRF constants: the paper's k, per-retriever candidate depth, and
+#: the dense-query vector id (its embedding is the "query")
+RRF_K = 60
+RRF_DEPTH = 50
+RRF_QUERY_VEC = 0
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion (new r9, 6th
+    batch): the BM25 top-50 (sparse) and the exact-cosine top-50 for
+    one query embedding (dense) fused by Σ 1/(60+rank) — rank-based,
+    so no score calibration between retrievers. Fusion itself is
+    metadata-sized (two 50-row lists); the corpus-scale work lives in
+    the two retriever plans, both already pinned. See
+    corpus.rrf_fusion."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    sparse = corpus.bm25_scores(
+        docs, "text", "doc_id", BM25_TERMS, k1=BM25_K1, b=BM25_B, k=RRF_DEPTH
+    ).select("doc_id", "rank")
+    dense = similarity.brute_force_topk(
+        emb, [RRF_QUERY_VEC], k=RRF_DEPTH
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return corpus.rrf_fusion(
+        [sparse, dense], "doc_id", k_rrf=RRF_K, k=BM25_K
+    )
+
 
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023, new r9, 6th batch) over the
@@ -6209,6 +6236,74 @@ FROM mem m JOIN grp g ON g.node = m.vec_id
 
 ORACLES["q_semdedup"] = _semdedup_oracle()
 
+
+def _hybrid_rrf_oracle() -> str:
+    """Mirror of q_hybrid_rrf: the q_bm25 oracle's pipeline at depth
+    RRF_DEPTH, the q_cosine_topk oracle's dense scan for the single
+    query vector, then the same 6dp-rounded DECIMAL(18,6) reciprocal-
+    rank accumulation."""
+    terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_TERMS)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), doclen AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({terms}) GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n, sum(dl) AS sumdl FROM doclen
+), partials AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln(1.0 + (n - df + 0.5) / (df + 0.5))
+           * (tf * ({BM25_K1} + 1.0))
+           / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl
+                / (CAST(sumdl AS DOUBLE) / n))),
+           6) AS DECIMAL(18,6)) AS part
+  FROM tf JOIN dfreq USING (term) JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+), sparse AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS rank
+  FROM (SELECT doc_id, CAST(sum(part) AS DOUBLE) AS score
+        FROM partials GROUP BY 1)
+  ORDER BY rank LIMIT {RRF_DEPTH}
+), q AS (
+  SELECT embedding AS qvec FROM embeddings WHERE vec_id = {RRF_QUERY_VEC}
+), dense AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT)
+           AS rank
+  FROM (SELECT e.vec_id, {{cos}} AS cosine
+        FROM q, embeddings e WHERE e.vec_id != {RRF_QUERY_VEC})
+  ORDER BY rank LIMIT {RRF_DEPTH}
+), contribs AS (
+  SELECT doc_id,
+         CAST(round(1.0 / ({RRF_K} + CAST(rank AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS part
+  FROM sparse
+  UNION ALL
+  SELECT doc_id,
+         CAST(round(1.0 / ({RRF_K} + CAST(rank AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS part
+  FROM dense
+), scored AS (
+  SELECT doc_id, CAST(sum(part) AS DOUBLE) AS rrf_score
+  FROM contribs GROUP BY 1
+)
+SELECT doc_id, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+         AS rank
+FROM scored ORDER BY rrf_score DESC, doc_id LIMIT {BM25_K}
+""".replace("{cos}", _COS.replace("cvec", "e.embedding"))
+
+
+ORACLES["q_hybrid_rrf"] = _hybrid_rrf_oracle()
+
 # q_skew_lag shares q_window_frames's oracle VERBATIM: the skew-safe
 # rewrite must be bit-identical to the plain partitioned window.
 ORACLES["q_skew_lag"] = ORACLES["q_window_frames"]
@@ -6273,7 +6368,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # that never got a driver row (q_winsorize, q_assoc_rules, q_benford,
 # q_pagerank, q_json_variant, q_global_shuffle, q_fk_audit,
 # q_dsir_weights, q_ppl_buckets, q_stream_join, q_jl_project,
-# q_semdedup — local-oracle-green only), then the displaced
+# q_semdedup, q_hybrid_rrf — local-oracle-green only), then the displaced
 # r6-verified entries (q_string_funcs .. q_total_count), the 3
 # rows-only entries, then
 # the 50-entry r7/r8-verified block (q_equi_depth ..
@@ -6363,6 +6458,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_stream_join", q_stream_join, ORACLES["q_stream_join"]),
     QuerySpec("q_jl_project", q_jl_project, ORACLES["q_jl_project"]),
     QuerySpec("q_semdedup", q_semdedup, ORACLES["q_semdedup"]),
+    QuerySpec("q_hybrid_rrf", q_hybrid_rrf, ORACLES["q_hybrid_rrf"]),
     # r6-verified queue (rotate in first in r10 — q_domain_cap,
     # q_cosine_pairs, q_join_fact_dim, q_join_multiway, q_simhash,
     # q_vocab_stats, q_edit_verify, q_rate_anomaly, q_top_ngram,

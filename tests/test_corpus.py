@@ -3,6 +3,7 @@ similarity.embedding_dedup_clusters)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import corpus
@@ -573,3 +574,35 @@ def test_dsir_importance_null_text_is_zero_token(spark):
     ).collect()}
     assert out[1]["n_features"] == 0
     assert out[1]["log_weight"] == 0.0
+
+
+def test_rrf_fusion_hand_computed(spark):
+    """RRF = Σ round(1/(k+rank), 6): doc 10 appears rank 1 in both
+    lists (2·1/61), doc 20 only sparse rank 2 (1/62), doc 30 only
+    dense rank 2 — fused order and exact scores are hand-checkable."""
+    sparse = spark.createDataFrame([(10, 1), (20, 2)], ["doc_id", "rank"])
+    dense = spark.createDataFrame([(10, 1), (30, 2)], ["doc_id", "rank"])
+    out = corpus.rrf_fusion([sparse, dense], "doc_id", k_rrf=60, k=10)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    r61 = round(1.0 / 61, 6)
+    r62 = round(1.0 / 62, 6)
+    assert rows[10]["rrf_score"] == pytest.approx(2 * r61, abs=1e-12)
+    assert rows[20]["rrf_score"] == pytest.approx(r62, abs=1e-12)
+    assert rows[30]["rrf_score"] == pytest.approx(r62, abs=1e-12)
+    assert rows[10]["rank"] == 1
+    # equal scores tie-break on id ascending
+    assert rows[20]["rank"] == 2 and rows[30]["rank"] == 3
+
+
+def test_rrf_fusion_requires_a_list(spark):
+    with pytest.raises(ValueError, match="at least one"):
+        corpus.rrf_fusion([], "doc_id")
+
+
+def test_rrf_fusion_top_k_truncates_and_single_list_is_identityish(spark):
+    lst = spark.createDataFrame(
+        [(i, i) for i in range(1, 8)], ["doc_id", "rank"]
+    )
+    out = corpus.rrf_fusion([lst], "doc_id", k=3).collect()
+    assert [r["doc_id"] for r in out] == [1, 2, 3]  # rank order preserved
+    assert [r["rank"] for r in out] == [1, 2, 3]
