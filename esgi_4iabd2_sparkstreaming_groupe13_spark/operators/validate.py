@@ -378,3 +378,89 @@ def fk_audit(
     return out.select(
         "edge", "orphan_count", (F.col("orphan_count") == 0).alias("passed")
     )
+
+
+#: PSI rule-of-thumb thresholds: < 0.1 stable, 0.1–0.2 moderate
+#: shift, > 0.2 significant shift (retrain / investigate).
+PSI_SHIFT_THRESHOLD = 0.2
+
+
+def psi_report(
+    df: DataFrame,
+    value_col: str,
+    slice_col: str,
+    ref_slice: str,
+    bin_edges: list[float],
+    threshold: float = PSI_SHIFT_THRESHOLD,
+) -> DataFrame:
+    """Population Stability Index per slice vs a reference slice —
+    the standard ML-monitoring drift gate for a numeric feature
+    (does tomorrow's n_chars/quality/length distribution still look
+    like the training corpus?). PSI = Σ_bins (pᵢ − qᵢ)·ln(pᵢ/qᵢ)
+    over fixed bins; > 0.2 conventionally means significant shift.
+
+    Bins are LITERAL edges (k edges → k+1 bins, bin = how many edges
+    the value exceeds — a pure integer expression, no quantile
+    estimation at scoring time), which is also the deployment
+    contract: edges are frozen from the reference corpus once, then
+    every monitoring run scores against the same frozen bins.
+    Smoothing is add-half (Laplace): p̃ᵢ = (cᵢ + 0.5)/(n + 0.5·B), so
+    empty bins contribute finite, engine-identical terms.
+
+    Determinism contract: per-bin PSI terms are rounded to 6 dp and
+    accumulated as DECIMAL(18,6) (the bm25/tfidf idiom), so the
+    per-slice sum is reduction-order-independent and matches DuckDB.
+
+    Scale shape: one narrow scan → groupBy(slice, bin) partial-
+    aggregated counts (≤ slices·(B+1) rows after the combine), the
+    reference row-set broadcast back onto the bin grid; nothing else
+    moves. NULL values are excluded (a NULL feature is a completeness
+    failure, not a distribution shift).
+
+    Returns ``(slice, psi, shifted)`` for every non-reference slice.
+    """
+    if not bin_edges or sorted(bin_edges) != list(bin_edges):
+        raise ValueError("bin_edges must be a non-empty ascending list")
+    nbins = len(bin_edges) + 1
+
+    v = F.col(value_col).cast("double")
+    bin_expr = None
+    for e in bin_edges:
+        t = (v > F.lit(float(e))).cast("int")
+        bin_expr = t if bin_expr is None else bin_expr + t
+    src = df.filter(F.col(value_col).isNotNull() & F.col(slice_col).isNotNull())
+    counts = src.groupBy(
+        F.col(slice_col).alias("slice"), bin_expr.alias("bin")
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+    # dense (slice × bin) grid so empty bins get their smoothed mass:
+    # slices × (B+1) rows — metadata-sized at any corpus scale
+    slices = counts.select("slice").distinct()
+    grid = slices.crossJoin(
+        src.sparkSession.range(nbins).select(F.col("id").cast("int").alias("bin"))
+    )
+    full = grid.join(counts, ["slice", "bin"], "left").select(
+        "slice", "bin", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    totals = full.groupBy("slice").agg(F.sum("c").alias("n"))
+    full = full.join(totals, "slice")
+
+    ref = full.filter(F.col("slice") == ref_slice).select(
+        "bin",
+        F.col("c").alias("rc"),
+        F.col("n").alias("rn"),
+    )
+    cur = full.filter(F.col("slice") != ref_slice)
+    smooth = 0.5 * nbins
+    p = (F.col("c") + 0.5) / (F.col("n") + F.lit(smooth))
+    q = (F.col("rc") + 0.5) / (F.col("rn") + F.lit(smooth))
+    term = F.round((p - q) * F.log(p / q), 6).cast("decimal(18,6)")
+    return (
+        cur.join(F.broadcast(ref), "bin")
+        .select("slice", term.alias("_t"))
+        .groupBy("slice")
+        .agg(F.sum("_t").cast("double").alias("psi"))
+        .select(
+            "slice", "psi", (F.col("psi") > threshold).alias("shifted")
+        )
+    )

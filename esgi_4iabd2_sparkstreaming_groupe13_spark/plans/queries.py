@@ -3678,6 +3678,26 @@ RRF_K = 60
 RRF_DEPTH = 50
 RRF_QUERY_VEC = 0
 
+#: PSI monitoring: frozen doc-length bin edges + the reference slice
+PSI_EDGES = [100.0, 200.0, 300.0, 400.0, 500.0]
+PSI_REF_SLICE = "en"
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index drift report (new r9, 6th batch):
+    per-language doc-length distributions scored against the frozen
+    'en' reference bins — the ML-monitoring drift gate (PSI > 0.2 =
+    significant shift). Pure integer binning against literal edges,
+    add-half smoothing, 6dp DECIMAL term accumulation. See
+    validate.psi_report."""
+    return validate.psi_report(
+        _t(spark, sf_dir, "documents"),
+        "n_chars",
+        "lang",
+        PSI_REF_SLICE,
+        PSI_EDGES,
+    )
+
 
 def q_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval via Reciprocal Rank Fusion (new r9, 6th
@@ -6304,6 +6324,57 @@ FROM scored ORDER BY rrf_score DESC, doc_id LIMIT {BM25_K}
 
 ORACLES["q_hybrid_rrf"] = _hybrid_rrf_oracle()
 
+
+def _psi_oracle() -> str:
+    """Mirror of validate.psi_report: same literal edges, integer
+    binning, dense grid with add-half smoothing, 6dp DECIMAL terms."""
+    nbins = len(PSI_EDGES) + 1
+    smooth = 0.5 * nbins
+    bin_expr = " + ".join(
+        f"CASE WHEN v > {e} THEN 1 ELSE 0 END" for e in PSI_EDGES
+    )
+
+    def prob(c: str, n: str) -> str:
+        return f"(({c} + 0.5) / ({n} + {smooth}))"
+
+    p = prob("f.c", "f.n")
+    q = prob("r.rc", "r.rn")
+    return f"""
+WITH src AS (
+  SELECT lang AS slice, CAST(n_chars AS DOUBLE) AS v FROM documents
+  WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+), binned AS (
+  SELECT slice, ({bin_expr}) AS bin FROM src
+), counts AS (
+  SELECT slice, bin, count(*) AS c FROM binned GROUP BY 1, 2
+), grid AS (
+  SELECT s.slice, g.bin
+  FROM (SELECT DISTINCT slice FROM counts) s
+  CROSS JOIN (SELECT unnest(generate_series(0, {nbins - 1})) AS bin) g
+), filled AS (
+  SELECT g.slice, g.bin, COALESCE(c.c, 0) AS c
+  FROM grid g LEFT JOIN counts c USING (slice, bin)
+), tot AS (
+  SELECT slice, CAST(sum(c) AS BIGINT) AS n FROM filled GROUP BY 1
+), fl AS (
+  SELECT f.slice, f.bin, f.c, t.n FROM filled f JOIN tot t USING (slice)
+), ref AS (
+  SELECT bin, c AS rc, n AS rn FROM fl WHERE slice = '{PSI_REF_SLICE}'
+), terms AS (
+  SELECT f.slice,
+         CAST(round(({p} - {q}) * ln({p} / {q}), 6)
+              AS DECIMAL(18,6)) AS t
+  FROM fl f JOIN ref r USING (bin) WHERE f.slice != '{PSI_REF_SLICE}'
+), scored AS (
+  SELECT slice, CAST(sum(t) AS DOUBLE) AS psi FROM terms GROUP BY 1
+)
+SELECT slice, psi, (psi > {validate.PSI_SHIFT_THRESHOLD}) AS shifted
+FROM scored
+"""
+
+
+ORACLES["q_psi_drift"] = _psi_oracle()
+
 # q_skew_lag shares q_window_frames's oracle VERBATIM: the skew-safe
 # rewrite must be bit-identical to the plain partitioned window.
 ORACLES["q_skew_lag"] = ORACLES["q_window_frames"]
@@ -6368,7 +6439,8 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # that never got a driver row (q_winsorize, q_assoc_rules, q_benford,
 # q_pagerank, q_json_variant, q_global_shuffle, q_fk_audit,
 # q_dsir_weights, q_ppl_buckets, q_stream_join, q_jl_project,
-# q_semdedup, q_hybrid_rrf — local-oracle-green only), then the displaced
+# q_semdedup, q_hybrid_rrf, q_psi_drift — local-oracle-green only),
+# then the displaced
 # r6-verified entries (q_string_funcs .. q_total_count), the 3
 # rows-only entries, then
 # the 50-entry r7/r8-verified block (q_equi_depth ..
@@ -6459,6 +6531,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_jl_project", q_jl_project, ORACLES["q_jl_project"]),
     QuerySpec("q_semdedup", q_semdedup, ORACLES["q_semdedup"]),
     QuerySpec("q_hybrid_rrf", q_hybrid_rrf, ORACLES["q_hybrid_rrf"]),
+    QuerySpec("q_psi_drift", q_psi_drift, ORACLES["q_psi_drift"]),
     # r6-verified queue (rotate in first in r10 — q_domain_cap,
     # q_cosine_pairs, q_join_fact_dim, q_join_multiway, q_simhash,
     # q_vocab_stats, q_edit_verify, q_rate_anomaly, q_top_ngram,

@@ -180,3 +180,68 @@ def test_fk_audit_counts_planted_orphans(spark):
     }
     # two orphans (99, 98); the NULL fk is completeness's job, not ours
     assert out == {"child->parent": (2, False)}
+
+
+def test_psi_identical_distributions_not_shifted(spark):
+    """Same distribution in both slices → every (p−q) term is 0 →
+    PSI exactly 0.0 and not shifted."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.validate import (
+        psi_report,
+    )
+
+    rows = [("ref", v) for v in (50, 150, 250, 350, 450, 550)] + [
+        ("cur", v) for v in (50, 150, 250, 350, 450, 550)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    out = psi_report(
+        df, "val", "grp", "ref", [100.0, 200.0, 300.0, 400.0, 500.0]
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["slice"] == "cur"
+    assert out[0]["psi"] == 0.0 and out[0]["shifted"] is False
+
+
+def test_psi_shifted_slice_flags(spark):
+    """Reference spread across bins, current slice concentrated in
+    ONE bin → PSI far above 0.2; hand-check against the same add-half
+    smoothed formula."""
+    import math
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.validate import (
+        psi_report,
+    )
+
+    ref_vals = [50, 150, 250, 350, 450, 550]          # one per bin
+    cur_vals = [50] * 6                                # all in bin 0
+    rows = [("ref", v) for v in ref_vals] + [("cur", v) for v in cur_vals]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    out = psi_report(
+        df, "val", "grp", "ref", [100.0, 200.0, 300.0, 400.0, 500.0]
+    ).collect()[0]
+    assert out["shifted"] is True
+    nbins, smooth = 6, 3.0
+    expected = 0.0
+    for b in range(nbins):
+        c = 6 if b == 0 else 0
+        p = (c + 0.5) / (6 + smooth)
+        q = (1 + 0.5) / (6 + smooth)
+        expected += round((p - q) * math.log(p / q), 6)
+    assert out["psi"] == pytest.approx(expected, abs=1e-9)
+
+
+def test_psi_rejects_unsorted_edges_and_skips_nulls(spark):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.validate import (
+        psi_report,
+    )
+
+    with pytest.raises(ValueError, match="ascending"):
+        psi_report(
+            spark.createDataFrame([("a", 1)], ["grp", "val"]),
+            "val", "grp", "a", [5.0, 1.0],
+        )
+    rows = [("ref", 50), ("ref", 150), ("cur", 50), ("cur", 150),
+            ("cur", None)]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    out = psi_report(df, "val", "grp", "ref", [100.0]).collect()[0]
+    # the NULL row is excluded: cur matches ref exactly → PSI 0
+    assert out["psi"] == 0.0
