@@ -464,3 +464,93 @@ def psi_report(
             "slice", "psi", (F.col("psi") > threshold).alias("shifted")
         )
     )
+
+
+def freeze_reference_bins(
+    df: DataFrame, value_col: str, bin_edges: list[float]
+) -> list[int]:
+    """Collect the frozen reference bin counts — run ONCE over the
+    reference corpus at deploy time. The result is B+1 longs
+    (metadata-sized however large the corpus), which then ride every
+    monitoring run as literals: scoring never re-reads the reference.
+    """
+    if not bin_edges or sorted(bin_edges) != list(bin_edges):
+        raise ValueError("bin_edges must be a non-empty ascending list")
+    v = F.col(value_col).cast("double")
+    bin_expr = None
+    for e in bin_edges:
+        t = (v > F.lit(float(e))).cast("int")
+        bin_expr = t if bin_expr is None else bin_expr + t
+    rows = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(bin_expr.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    counts = [0] * (len(bin_edges) + 1)
+    for r in rows:
+        counts[r["bin"]] = r["c"]
+    return counts
+
+
+def psi_vs_reference(
+    df: DataFrame,
+    value_col: str,
+    bin_edges: list[float],
+    ref_counts: list[int],
+    threshold: float = PSI_SHIFT_THRESHOLD,
+) -> DataFrame:
+    """One-row PSI of ``df``'s ``value_col`` distribution against a
+    FROZEN reference histogram (:func:`freeze_reference_bins`) — the
+    scoring half of drift monitoring: the reference never re-scans,
+    the monitored frame pays one narrow scan into a ≤B+1-row partial
+    aggregate. Same add-half smoothing and 6dp DECIMAL term
+    accumulation as :func:`psi_report`.
+
+    Returns ``(n, psi, shifted)`` — one row, metadata-sized.
+    """
+    if not bin_edges or sorted(bin_edges) != list(bin_edges):
+        raise ValueError("bin_edges must be a non-empty ascending list")
+    nbins = len(bin_edges) + 1
+    if len(ref_counts) != nbins:
+        raise ValueError(
+            f"ref_counts must have {nbins} entries; got {len(ref_counts)}"
+        )
+    if sum(ref_counts) <= 0:
+        raise ValueError("reference histogram is empty")
+
+    spark = df.sparkSession
+    v = F.col(value_col).cast("double")
+    bin_expr = None
+    for e in bin_edges:
+        t = (v > F.lit(float(e))).cast("int")
+        bin_expr = t if bin_expr is None else bin_expr + t
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(bin_expr.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ref = spark.createDataFrame(
+        [(i, int(c)) for i, c in enumerate(ref_counts)], ["bin", "rc"]
+    )
+    filled = ref.join(counts, "bin", "left").select(
+        "bin", "rc", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    rn = float(sum(ref_counts))
+    smooth = 0.5 * nbins
+    # the batch total joins back as a broadcast scalar (no collect)
+    tot = filled.agg(F.sum("c").alias("n"))
+    p = (F.col("c") + 0.5) / (F.col("n") + F.lit(smooth))
+    q = (F.col("rc") + 0.5) / (F.lit(rn) + F.lit(smooth))
+    term = F.round((p - q) * F.log(p / q), 6).cast("decimal(18,6)")
+    return (
+        filled.crossJoin(F.broadcast(tot))
+        .select("n", term.alias("_t"))
+        .groupBy("n")
+        .agg(F.sum("_t").cast("double").alias("psi"))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            "psi",
+            (F.col("psi") > threshold).alias("shifted"),
+        )
+    )
