@@ -1318,21 +1318,19 @@ def jl_project(
 
 def _div_half_away(dot: Column, denom: int) -> Column:
     """Half-away-from-zero round of ``dot/denom`` in pure long
-    arithmetic; (a − a mod d) / d is an exact integer, so any later
-    long→double conversion cannot misround a tie."""
-    half = F.lit(denom // 2)
-    a = F.abs(dot) + half
-    q = ((a - F.pmod(a, F.lit(denom))) / F.lit(denom)).cast("long")
+    arithmetic: SQL integral ``div``, never IEEE double division —
+    a double quotient of operands above 2⁵³ silently misrounds by
+    one ulp (verified), diverging from the oracle's exact ``//``."""
+    a = F.abs(dot) + F.lit(denom // 2)
+    q = F.call_function("div", a, F.lit(denom))
     return F.when(dot < 0, -q).otherwise(q)
 
 
 def _div_half_away_col(s: Column, d: Column) -> Column:
     """Column-denominator variant of :func:`_div_half_away` (d > 0):
-    ⌊(2|s| + d) / 2d⌋ is the half-away-from-zero round of |s|/d in
-    exact long arithmetic."""
-    a = F.abs(s) * 2 + d
-    d2 = d * 2
-    q = ((a - F.pmod(a, d2)) / d2).cast("long")
+    ⌊(2|s| + d) div 2d⌋ is the half-away-from-zero round of |s|/d in
+    exact long arithmetic (same no-double-division rule)."""
+    q = F.call_function("div", F.abs(s) * 2 + d, d * 2)
     return F.when(s < 0, -q).otherwise(q)
 
 

@@ -385,6 +385,21 @@ def fk_audit(
 PSI_SHIFT_THRESHOLD = 0.2
 
 
+def _bin_expr(value_col: str, bin_edges: list[float]):
+    """THE binning contract, shared by the reference freeze, the
+    slice report, and the frozen-reference scorer (bin = how many
+    literal edges the value strictly exceeds): one definition, so the
+    reference histogram and every scoring run can never skew."""
+    if not bin_edges or sorted(bin_edges) != list(bin_edges):
+        raise ValueError("bin_edges must be a non-empty ascending list")
+    v = F.col(value_col).cast("double")
+    expr = None
+    for e in bin_edges:
+        t = (v > F.lit(float(e))).cast("int")
+        expr = t if expr is None else expr + t
+    return expr
+
+
 def psi_report(
     df: DataFrame,
     value_col: str,
@@ -419,18 +434,11 @@ def psi_report(
 
     Returns ``(slice, psi, shifted)`` for every non-reference slice.
     """
-    if not bin_edges or sorted(bin_edges) != list(bin_edges):
-        raise ValueError("bin_edges must be a non-empty ascending list")
     nbins = len(bin_edges) + 1
-
-    v = F.col(value_col).cast("double")
-    bin_expr = None
-    for e in bin_edges:
-        t = (v > F.lit(float(e))).cast("int")
-        bin_expr = t if bin_expr is None else bin_expr + t
     src = df.filter(F.col(value_col).isNotNull() & F.col(slice_col).isNotNull())
     counts = src.groupBy(
-        F.col(slice_col).alias("slice"), bin_expr.alias("bin")
+        F.col(slice_col).alias("slice"),
+        _bin_expr(value_col, bin_edges).alias("bin"),
     ).agg(F.count(F.lit(1)).alias("c"))
 
     # dense (slice × bin) grid so empty bins get their smoothed mass:
@@ -453,10 +461,21 @@ def psi_report(
     cur = full.filter(F.col("slice") != ref_slice)
     smooth = 0.5 * nbins
     p = (F.col("c") + 0.5) / (F.col("n") + F.lit(smooth))
-    q = (F.col("rc") + 0.5) / (F.col("rn") + F.lit(smooth))
+    # an absent reference slice must fail LOUDLY at execution, not
+    # silently return an empty (monitor-gone-dark) report: left join
+    # + raise_error when the reference bin row is missing
+    q = F.when(
+        F.col("rn").isNull(),
+        F.raise_error(
+            F.lit(
+                f"psi_report: reference slice {ref_slice!r} has no "
+                f"non-NULL {value_col!r} rows"
+            )
+        ).cast("double"),
+    ).otherwise((F.col("rc") + 0.5) / (F.col("rn") + F.lit(smooth)))
     term = F.round((p - q) * F.log(p / q), 6).cast("decimal(18,6)")
     return (
-        cur.join(F.broadcast(ref), "bin")
+        cur.join(F.broadcast(ref), "bin", "left")
         .select("slice", term.alias("_t"))
         .groupBy("slice")
         .agg(F.sum("_t").cast("double").alias("psi"))
@@ -474,16 +493,9 @@ def freeze_reference_bins(
     (metadata-sized however large the corpus), which then ride every
     monitoring run as literals: scoring never re-reads the reference.
     """
-    if not bin_edges or sorted(bin_edges) != list(bin_edges):
-        raise ValueError("bin_edges must be a non-empty ascending list")
-    v = F.col(value_col).cast("double")
-    bin_expr = None
-    for e in bin_edges:
-        t = (v > F.lit(float(e))).cast("int")
-        bin_expr = t if bin_expr is None else bin_expr + t
     rows = (
         df.filter(F.col(value_col).isNotNull())
-        .groupBy(bin_expr.alias("bin"))
+        .groupBy(_bin_expr(value_col, bin_edges).alias("bin"))
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     )
@@ -509,8 +521,6 @@ def psi_vs_reference(
 
     Returns ``(n, psi, shifted)`` — one row, metadata-sized.
     """
-    if not bin_edges or sorted(bin_edges) != list(bin_edges):
-        raise ValueError("bin_edges must be a non-empty ascending list")
     nbins = len(bin_edges) + 1
     if len(ref_counts) != nbins:
         raise ValueError(
@@ -520,14 +530,9 @@ def psi_vs_reference(
         raise ValueError("reference histogram is empty")
 
     spark = df.sparkSession
-    v = F.col(value_col).cast("double")
-    bin_expr = None
-    for e in bin_edges:
-        t = (v > F.lit(float(e))).cast("int")
-        bin_expr = t if bin_expr is None else bin_expr + t
     counts = (
         df.filter(F.col(value_col).isNotNull())
-        .groupBy(bin_expr.alias("bin"))
+        .groupBy(_bin_expr(value_col, bin_edges).alias("bin"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
     ref = spark.createDataFrame(

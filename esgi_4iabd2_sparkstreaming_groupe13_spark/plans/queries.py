@@ -6104,7 +6104,11 @@ def _jl_oracle() -> str:
     half-away rounding of dot/(scale·√k) — 16 is a perfect square, so
     the whole pipeline is integer until one exact final division (a
     naive round(dot·inv, 6) puts every dot ≡ 2 (mod 4) on a .5
-    boundary both engines break differently)."""
+    boundary both engines break differently). NULL mirror: a NULL
+    vector is dropped (Spark's posexplode drops the NULL jlvec), and
+    a vector with any NULL COMPONENT yields NULL coordinates (Spark's
+    fold NULL-propagates; DuckDB's list_sum would silently SKIP the
+    NULL element, so the CASE forces the dot to NULL)."""
     import math
 
     signs = similarity.jl_sign_matrix(similarity.JL_OUT_DIM, JL_IN_DIM)
@@ -6120,12 +6124,15 @@ def _jl_oracle() -> str:
     return f"""
 WITH m AS (SELECT {mat} AS mat), d AS (
   SELECT e.vec_id, CAST(o - 1 AS BIGINT) AS dim,
-         list_sum(list_transform(generate_series(1, {JL_IN_DIM}),
-             j -> CAST(round(CAST(e.embedding[j] AS DOUBLE) * {similarity.JL_SCALE})
-                       AS BIGINT) * mat[o][j])) AS dot
+         CASE WHEN len(list_filter(e.embedding, x -> x IS NULL)) > 0
+              THEN NULL
+              ELSE list_sum(list_transform(generate_series(1, {JL_IN_DIM}),
+                j -> CAST(round(CAST(e.embedding[j] AS DOUBLE) * {similarity.JL_SCALE})
+                          AS BIGINT) * mat[o][j])) END AS dot
   FROM embeddings e
   CROSS JOIN m
   CROSS JOIN generate_series(1, {similarity.JL_OUT_DIM}) AS t(o)
+  WHERE e.embedding IS NOT NULL
 )
 SELECT vec_id, dim,
        CAST(CASE WHEN dot < 0
@@ -6200,10 +6207,11 @@ def _semdedup_oracle() -> str:
     return f"""
 WITH RECURSIVE c AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  WHERE embedding IS NOT NULL
   UNION ALL
   SELECT vec_id + {PLANT_OFFSET} AS vec_id,
          list_transform(embedding, x -> x * 1.2 + 0.01) AS embedding
-  FROM embeddings WHERE vec_id < {PLANT_N}
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id < {PLANT_N}
 ), jm AS (SELECT {jlmat} AS jlmat), cm AS (SELECT {cellmat} AS cellmat),
 dots AS (
   SELECT vec_id,

@@ -16,6 +16,7 @@ idempotence contract).
 from __future__ import annotations
 
 import json
+import sys
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -66,9 +67,21 @@ def drift_monitored_batch(
                 .write.mode("overwrite")
                 .text(f"{report_dir}/b{batch_id}")
             )
-            if row["shifted"] and on_shift is not None:
-                on_shift(batch_id, row["psi"])
+            # the wrapped body runs BEFORE the alert hook, and the
+            # hook is exception-isolated: a failing alert path (Slack
+            # 500, network timeout) must never fail the micro-batch —
+            # that would block exactly the drifted data the module
+            # contract says flows through
             on_batch(batch_df, batch_id)
+            if row["shifted"] and on_shift is not None:
+                try:
+                    on_shift(batch_id, row["psi"])
+                except Exception as exc:  # noqa: BLE001
+                    print(
+                        f"drift_monitored_batch: on_shift failed for "
+                        f"batch {batch_id}: {exc!r}",
+                        file=sys.stderr,
+                    )
         finally:
             batch_df.unpersist()
 

@@ -1008,5 +1008,25 @@ def test_semdedup_identical_vectors_tie_break_by_id(spark):
     v = [0.3 * ((j % 5) - 2) for j in range(64)]
     df = _semdedup_corpus(spark, [(9100, list(v)), (9101, list(v))])
     res = {r["vec_id"]: r for r in semdedup(df, 0.9, in_dim=64).collect()}
-    assert res[9100]["group_rep"] == res[9101]["group_rep"] == res[9100]["group_rep"]
+    assert res[9100]["group_rep"] == res[9101]["group_rep"] == 9100
     assert res[9100]["keep"] and not res[9101]["keep"]
+
+
+def test_div_half_away_exact_above_double_precision(spark):
+    """Long quotients above 2^53 must come from SQL integral div, not
+    IEEE double division (which misrounds by one ulp there and would
+    diverge from the oracle's exact `//`)."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.similarity import (
+        _div_half_away,
+        _div_half_away_col,
+    )
+    from pyspark.sql import functions as F
+
+    k = 18014398509481985  # > 2^53
+    df = spark.createDataFrame([(k * 6,)], ["s"])
+    got = df.select(
+        _div_half_away(F.col("s"), 6).alias("a"),
+        _div_half_away_col(F.col("s"), F.lit(3)).alias("b"),
+    ).collect()[0]
+    assert got["a"] == k  # round(6k/6)
+    assert got["b"] == 2 * k  # round(6k/3)

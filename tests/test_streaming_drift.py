@@ -91,3 +91,28 @@ def test_drift_monitor_replay_overwrites_report(spark, tmp_path):
     monitor(batch, 3)  # crash-replay
     rows = spark.read.text(f"{rdir}/b3").collect()
     assert len(rows) == 1  # overwritten, not appended
+
+
+def test_drift_monitor_failing_alert_hook_never_blocks_batch(spark, tmp_path):
+    """The alert hook is exception-isolated and runs AFTER the wrapped
+    body: a raising on_shift (Slack 500, network timeout) must not
+    fail the micro-batch — blocking drifted-but-valid data is the
+    exact failure mode the monitor exists to avoid."""
+    rdir = str(tmp_path / "drift3")
+    seen = []
+
+    def bad_hook(bid, psi):
+        raise RuntimeError("alerting endpoint down")
+
+    monitor = drift_monitored_batch(
+        lambda df, bid: seen.append(bid),
+        "n_chars",
+        EDGES,
+        [1, 1, 1, 1, 1, 1],
+        rdir,
+        on_shift=bad_hook,
+    )
+    monitor(_frame(spark, [50] * 6), 5)  # shifted batch
+    assert seen == [5]  # body ran despite the raising hook
+    r = json.loads(spark.read.text(f"{rdir}/b5").collect()[0]["value"])
+    assert r["shifted"] is True

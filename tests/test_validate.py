@@ -245,3 +245,15 @@ def test_psi_rejects_unsorted_edges_and_skips_nulls(spark):
     out = psi_report(df, "val", "grp", "ref", [100.0]).collect()[0]
     # the NULL row is excluded: cur matches ref exactly → PSI 0
     assert out["psi"] == 0.0
+
+
+def test_psi_missing_reference_slice_fails_loudly(spark):
+    """An absent reference slice must raise at execution, not return
+    an empty (monitor-gone-dark) report."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    rows = [("cur", 50), ("cur", 150)]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    out = V.psi_report(df, "val", "grp", "missing_ref", [100.0])
+    with pytest.raises(SparkRuntimeException, match="missing_ref"):
+        out.collect()
