@@ -74,6 +74,34 @@ def _dashboard(args: argparse.Namespace) -> int:
         time.sleep(args.refresh)
 
 
+def _prep(args: argparse.Namespace) -> int:
+    import json
+
+    from .operators.caching import release_cached
+    from .operators.pipeline import PrepConfig, prep_corpus
+    from .operators.publish import publish_dataset
+    from .session import get_spark
+
+    spark = get_spark(app_name="prep")
+    docs = spark.read.parquet(args.source)
+    cfg = PrepConfig(
+        text_col=args.text_col,
+        id_col=args.id_col,
+        quality_min=args.quality_min,
+        near_dup_threshold=args.near_dup_threshold,
+        redact=not args.no_redact,
+        train_pct=args.train_pct,
+        val_pct=args.val_pct,
+        shuffle=not args.no_shuffle,
+    )
+    prepared, report = prep_corpus(docs, cfg)
+    manifest = publish_dataset(prepared, args.out)
+    release_cached()
+    report["published_rows"] = manifest["row_count"]
+    print(json.dumps(report, sort_keys=True))
+    return 0
+
+
 def _publish(args: argparse.Namespace) -> int:
     from .operators.publish import publish_dataset
     from .session import get_spark
@@ -161,6 +189,23 @@ def build_parser() -> argparse.ArgumentParser:
     da.add_argument("--refresh", type=float, default=5.0)
     da.add_argument("--watch", action="store_true", help="poll forever (like the reference)")
     da.set_defaults(fn=_dashboard)
+
+    pp = sub.add_parser(
+        "prep",
+        help="run the full corpus-prep pipeline (filter → dedup → "
+        "scrub → split/shuffle) and publish atomically",
+    )
+    pp.add_argument("--source", required=True, help="documents parquet path")
+    pp.add_argument("--out", required=True, help="publish target path")
+    pp.add_argument("--text-col", default="text")
+    pp.add_argument("--id-col", default="doc_id")
+    pp.add_argument("--quality-min", type=float, default=0.5)
+    pp.add_argument("--near-dup-threshold", type=float, default=0.9)
+    pp.add_argument("--no-redact", action="store_true")
+    pp.add_argument("--train-pct", type=int, default=90)
+    pp.add_argument("--val-pct", type=int, default=5)
+    pp.add_argument("--no-shuffle", action="store_true")
+    pp.set_defaults(fn=_prep)
 
     pu = sub.add_parser(
         "publish",

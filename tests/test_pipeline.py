@@ -1,0 +1,131 @@
+"""End-to-end corpus-prep pipeline: every stage drops what it should,
+the audit report accounts for every document, and the output is
+deterministic across re-runs."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.caching import (
+    release_cached,
+)
+from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.pipeline import (
+    PrepConfig,
+    prep_corpus,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far "
+    "away into the deep dark forest to hide from all the hunters "
+    "while the moon rises slowly over the quiet sleeping valley"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                   # exact dup of 0
+        (2, BASE.replace("quick", "swift")),         # near dup of 0
+        (3, "tiny doc"),                             # gopher: too short
+        (4, "contact me at alice@example.com or 10.1.2.3 today please "
+            "because this message repeats itself again and again and "
+            "again for no particular reason at all in this long text"),
+        (5, "completely different content about spark query engines and "
+            "their adaptive execution strategies at petabyte scale with "
+            "columnar storage formats and vectorized readers throughout"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+RULES = [("too_short", "n_tokens < 5")]
+
+
+def test_prep_corpus_stages_and_report(corpus):
+    out, report = prep_corpus(
+        corpus,
+        PrepConfig(gopher_rules=RULES, quality_min=None),
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    release_cached()
+    assert report["input_docs"] == 6
+    assert report["after_gopher"] == 5            # doc 3 dropped
+    assert report["after_exact_dedup"] == 4       # dup 1 collapsed into 0
+    assert report["after_near_dedup"] == 3        # near-dup pair → 1 kept
+    assert report["output_docs"] == 3
+    assert 3 not in rows and 1 not in rows
+    assert len({0, 2} & set(rows)) == 1           # one of the near-dups
+    assert 4 in rows and 5 in rows
+    # PII scrubbed in place
+    assert "alice@example.com" not in rows[4]["text"]
+    assert "<EMAIL>" in rows[4]["text"] and "<IP>" in rows[4]["text"]
+    assert report["pii_redactions"] >= 2
+    # organized: split + audit bucket + epoch order
+    for r in rows.values():
+        assert r["split"] in ("train", "val", "test")
+        assert 0 <= r["bucket"] < 100
+    assert sorted(r["shuffle_pos"] for r in rows.values()) == [1, 2, 3]
+
+
+def test_prep_corpus_quality_stage_drops_low_scores(corpus, spark):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.text import (
+        quality_classifier_score,
+    )
+
+    scores = {
+        r["doc_id"]: r["quality_score"]
+        for r in quality_classifier_score(corpus, "text", "doc_id").collect()
+    }
+    lowest = min(scores, key=scores.get)
+    cut = sorted(scores.values())[1]  # threshold drops exactly the lowest
+    out, report = prep_corpus(
+        corpus,
+        PrepConfig(
+            gopher_rules=[], quality_min=cut,
+            near_dup_threshold=None, redact=False, shuffle=False,
+        ),
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    release_cached()
+    assert report["after_quality"] == 5
+    assert lowest not in kept
+
+
+def test_prep_corpus_deterministic_across_runs(corpus):
+    cfg = PrepConfig(gopher_rules=RULES, quality_min=None)
+    a, _ = prep_corpus(corpus, cfg)
+    fst = sorted(
+        (r["doc_id"], r["split"], r["shuffle_pos"]) for r in a.collect()
+    )
+    release_cached()
+    b, _ = prep_corpus(corpus.repartition(7), cfg)
+    snd = sorted(
+        (r["doc_id"], r["split"], r["shuffle_pos"]) for r in b.collect()
+    )
+    release_cached()
+    assert fst == snd
+
+
+def test_prep_cli_publishes_with_manifest(corpus, spark, tmp_path, capsys):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.cli import main
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.publish import (
+        verify_manifest,
+    )
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "prepared")
+    corpus.write.parquet(src)
+    rc = main([
+        "prep", "--source", src, "--out", out,
+        "--quality-min", "0.0", "--near-dup-threshold", "0.9",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["published_rows"] == report["output_docs"]
+    checks = verify_manifest(spark, out)
+    assert all(checks.values()), checks
+    published = spark.read.parquet(out)
+    assert published.count() == report["published_rows"]
+    assert "split" in published.columns and "shuffle_pos" in published.columns
