@@ -47,6 +47,29 @@ def row_number_slice(
     )
 
 
+def _pinned_local(local: DataFrame) -> DataFrame:
+    """Materialize the ``(_pid, _local_rn0 | _local_sum)`` frame ONCE
+    before its two consumers (the per-partition metadata aggregate and
+    the final broadcast-rejoin) read it.
+
+    This is a CORRECTNESS requirement, not a cache optimization: the
+    `_pid` values come from the physical layout of the range exchange,
+    and under AQE the partition COUNT of an un-materialized exchange
+    is decided per execution from runtime statistics — two executions
+    of the same plan can coalesce to different layouts (observed: a
+    composed pipeline at 20× lost 97% of its rows, nondeterministically,
+    because the offsets branch saw one layout and the rejoin recomputed
+    under another, so most `_pid`s had no offset row and the inner join
+    silently dropped them). Persisting pins ONE layout for both
+    consumers — and saves recomputing the full upstream plan besides.
+    Registered with the tracked-persist registry; query entry points
+    release it after their action like every other operator persist.
+    """
+    from .caching import track_persist
+
+    return track_persist(local)
+
+
 def _partition_base_offsets(
     counts: DataFrame, value_col: str, acc_type: str = "decimal(28,6)"
 ) -> DataFrame:
@@ -131,12 +154,16 @@ def global_row_index(
         else df.repartitionByRange(*order)
     ).sortWithinPartitions(*order)
 
-    local = parted.withColumn(
-        "_mid", F.monotonically_increasing_id()
-    ).select(
-        "*",
-        F.shiftright(F.col("_mid"), 33).cast("int").alias("_pid"),
-        F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)).alias("_local_rn0"),
+    local = _pinned_local(
+        parted.withColumn(
+            "_mid", F.monotonically_increasing_id()
+        ).select(
+            "*",
+            F.shiftright(F.col("_mid"), 33).cast("int").alias("_pid"),
+            F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)).alias(
+                "_local_rn0"
+            ),
+        )
     )
 
     # One row per partition — driver-size metadata, not data.
@@ -203,7 +230,9 @@ def global_running_sum(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = with_pid.withColumn("_local_sum", F.sum(value_col).over(local_w))
+    local = _pinned_local(
+        with_pid.withColumn("_local_sum", F.sum(value_col).over(local_w))
+    )
     offsets = _partition_base_offsets(
         local.groupBy("_pid").agg(F.sum(value_col).alias("_tot")),
         "_tot",
@@ -700,12 +729,16 @@ def scale_safe_group_ranks(
         if num_partitions
         else df.repartitionByRange(*order)
     ).sortWithinPartitions(*order)
-    local = parted.withColumn(
-        "_mid", F.monotonically_increasing_id()
-    ).select(
-        "*",
-        F.shiftright(F.col("_mid"), 33).cast("int").alias("_pid"),
-        F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)).alias("_local_rn0"),
+    local = _pinned_local(
+        parted.withColumn(
+            "_mid", F.monotonically_increasing_id()
+        ).select(
+            "*",
+            F.shiftright(F.col("_mid"), 33).cast("int").alias("_pid"),
+            F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)).alias(
+                "_local_rn0"
+            ),
+        )
     )
     # (partition, group) metadata: row count, plus the group's FIRST
     # local offset in that partition (min local id — no prefix scan

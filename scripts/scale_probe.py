@@ -78,7 +78,7 @@ ALL_OPS = (
     "skew_lag skew_runsum mix "
     "substring_dedup quality_score embed_norm entity_match agg_state "
     "bm25 gap_fill triangles pagerank global_shuffle dsir ppl_buckets jl "
-    "semdedup"
+    "semdedup prep"
 ).split()
 
 
@@ -137,6 +137,7 @@ def main() -> None:
         "mix",
         "dsir",
         "ppl_buckets",
+        "prep",
     )
     if want(*doc_ops):
         docs1 = load_table(spark, SF_DIR, "documents")
@@ -242,7 +243,7 @@ def main() -> None:
         }
     if want("bigram_logprob", "top_ngram", "vocab_stats", "line_dedup",
             "prefix_jaccard", "gopher", "corpus_drift", "substring_dedup",
-            "quality_score", "mix", "dsir", "ppl_buckets"):
+            "quality_score", "mix", "dsir", "ppl_buckets", "prep"):
         # the shared docsN's md5-expanded copies are a single unbroken
         # hex token (fine for char-shingle ops, invisible to a BIGRAM
         # stream: <2 tokens → dropped). Build a token-rich scaled
@@ -279,6 +280,40 @@ def main() -> None:
             return spark.read.parquet(f"{tmp}/{name}.parquet")
 
         docsTok = build_tok_corpus(factor, "docsTok")
+    # --- documents: the composed prep pipeline. Each stage is probed
+    # on its own elsewhere; this row pins the COMPOSITION at scale —
+    # per-stage audit counts plus 8-byte-id semi-join handoffs must
+    # not add a super-linear term on top of the member stages. Custom
+    # short-doc rule keeps the 24-token fake copies in play (the
+    # published Gopher floor would drop every synthetic doc at the
+    # gate and measure an empty pipeline).
+    if want("prep"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.caching import (
+            release_cached,
+        )
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.pipeline import (
+            PrepConfig,
+            prep_corpus,
+        )
+
+        cfgP = PrepConfig(
+            gopher_rules=[("too_short", "n_tokens < 2")], quality_min=0.3
+        )
+
+        def run_prep(d, label):
+            t0 = time.perf_counter()
+            out, rep = prep_corpus(d, cfgP)
+            timed(label, out)
+            release_cached()
+            dt = round(time.perf_counter() - t0, 2)
+            print(f"# {label} total (stages+force): {dt}s {rep}", file=sys.stderr)
+            return dt
+
+        results["prep"] = {
+            "t1": run_prep(docs1, "prep 1x"),
+            "tN": run_prep(docsTok, f"prep {factor}x"),
+        }
+
     if want("bigram_logprob"):
         results["bigram_logprob"] = {
             "t1": timed(

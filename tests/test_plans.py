@@ -86,33 +86,31 @@ def test_global_index_single_full_data_exchange(spark, sf_dir):
     assert p.count("Exchange rangepartitioning") >= 1
 
 
-def test_global_index_executed_plan_reuses_range_exchange(spark, sf_dir):
-    """VERDICT r5 #2: the single-shuffle guarantee (and, more
-    importantly, the OFFSET-CORRECTNESS guarantee — both branches must
-    see the SAME range boundaries) rests on AQE canonical-equality
-    exchange reuse. The static plan legitimately shows two independent
-    rangepartitioning Exchanges; at execution the offsets branch must
-    resolve to a ReusedExchange of the data branch's shuffle. If a
-    future edit breaks canonicalization (e.g. divergent projections on
-    the two branches), the branches would sample range boundaries
-    INDEPENDENTLY — a silent correctness risk, not just a 2× shuffle —
-    so this test pins the EXECUTED (AQE-final) plan."""
+def test_global_index_offsets_and_data_read_one_pinned_layout(spark, sf_dir):
+    """The offset-correctness guarantee: both consumers of the
+    (_pid, local-rank) frame — the per-partition offsets aggregate and
+    the final rejoin — must see ONE physical layout. The r5 version of
+    this test pinned AQE canonical-equality exchange reuse
+    (ReusedExchange), which turned out to be INSUFFICIENT: in a
+    composed pipeline at 20x the two branches' shuffle READS coalesced
+    to different partition counts and the inner join nondeterministically
+    dropped 97% of rows. The contract is now a materialized pin
+    (operators/windows.py:_pinned_local): both branches read the same
+    InMemoryTableScan, and no live rangepartitioning exchange remains
+    in the outer plan."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.caching import (
+        release_cached,
+    )
+
     df = Q.q_global_index(spark, sf_dir)
     df.collect()  # AQE finalizes only once this exact frame executes
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in p
-    # the plan string appends the pre-AQE "== Initial Plan ==" section
-    # (which legitimately shows two independent exchanges) — the
-    # contract lives in the FINAL segment only
-    final = p.split("== Initial Plan ==")[0]
-    assert "ReusedExchange" in final, f"offsets branch no longer reuses:\n{p}"
-    materialized = sum(
-        1
-        for line in final.splitlines()
-        if "Exchange rangepartitioning" in line
-        and "ReusedExchange" not in line
-    )
-    assert materialized == 1, f"expected one live range shuffle:\n{p}"
+    # the nested cached plan renders its own "== Initial Plan =="
+    # marker, so section-splitting is unreliable — the pin is simply:
+    # BOTH the data branch and the offsets branch read the cache
+    assert p.count("InMemoryTableScan") >= 2, f"branches not pinned:\n{p}"
+    release_cached()
 
 
 @pytest.mark.parametrize(

@@ -296,3 +296,39 @@ def test_unpivot_expand_is_narrow(spark):
         df, ["id"], ["a", "b"]
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # Expand only — zero shuffle
+
+
+def test_global_index_layout_is_pinned_once(spark, sf_dir):
+    """The (_pid, local-rank) frame must be MATERIALIZED before its
+    two consumers read it: under AQE, two executions of the same
+    un-materialized range exchange can coalesce to different partition
+    layouts, and the offsets-vs-rejoin mismatch silently DROPS rows
+    (observed: a composed pipeline at 20x lost 97% of its output,
+    nondeterministically). The pin shows up as an InMemoryTableScan in
+    the executed plan."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.caching import (
+        release_cached,
+    )
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.windows import (
+        global_row_index,
+        global_running_sum,
+        scale_safe_group_ranks,
+    )
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.sources.batch import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for out in (
+        global_row_index(docs.select("doc_id"), ["doc_id"]),
+        global_running_sum(
+            docs.select("doc_id", "n_chars"), ["doc_id"], "n_chars"
+        ),
+        scale_safe_group_ranks(
+            docs.select("doc_id", "lang"), "lang", ["doc_id"]
+        ),
+    ):
+        p = out._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in p, p[:2000]
+        assert out.count() == docs.count()
+    release_cached()
