@@ -87,7 +87,8 @@ def _prep(args: argparse.Namespace) -> int:
     cfg = PrepConfig(
         text_col=args.text_col,
         id_col=args.id_col,
-        quality_min=args.quality_min,
+        gopher_rules=[] if args.no_gopher else None,
+        quality_min=None if args.no_quality else args.quality_min,
         near_dup_threshold=args.near_dup_threshold,
         redact=not args.no_redact,
         train_pct=args.train_pct,
@@ -95,6 +96,13 @@ def _prep(args: argparse.Namespace) -> int:
         shuffle=not args.no_shuffle,
     )
     prepared, report = prep_corpus(docs, cfg)
+    if report["output_docs"] == 0:
+        print(
+            "prep: 0 documents survived the pipeline — with short-"
+            "document corpora the published Gopher word floor drops "
+            "everything; consider --no-gopher or custom thresholds",
+            file=sys.stderr,
+        )
     manifest = publish_dataset(prepared, args.out)
     release_cached()
     report["published_rows"] = manifest["row_count"]
@@ -200,6 +208,15 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--text-col", default="text")
     pp.add_argument("--id-col", default="doc_id")
     pp.add_argument("--quality-min", type=float, default=0.5)
+    pp.add_argument(
+        "--no-gopher", action="store_true",
+        help="skip the Gopher rule filter (the published word floor "
+        "drops everything on short-document corpora)",
+    )
+    pp.add_argument(
+        "--no-quality", action="store_true",
+        help="skip the trained quality-scorer gate",
+    )
     pp.add_argument("--near-dup-threshold", type=float, default=0.9)
     pp.add_argument("--no-redact", action="store_true")
     pp.add_argument("--train-pct", type=int, default=90)

@@ -789,6 +789,7 @@ def dedup_best_reps(
     text_col: str,
     id_col: str,
     threshold: float,
+    scores: DataFrame | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """Quality-aware dedup manifest (new r9): one row per near-dup
@@ -806,13 +807,18 @@ def dedup_best_reps(
     double per row (no text moves). Returns
     ``(cluster_id, best_doc_id, best_score, n_members)`` for every
     cluster including singletons.
+
+    ``scores``: optional precomputed ``(id, quality_score)`` frame —
+    a pipeline that already ran the classifier for its own quality
+    gate passes it here instead of paying the full per-document
+    scoring scan a second time (operators/pipeline.py does).
     """
     from .text import quality_classifier_score
 
     clusters = dedup_clusters(df, text_col, id_col, threshold, **lsh_kwargs)
-    scores = quality_classifier_score(df, text_col, id_col).select(
-        F.col(id_col), F.col("quality_score")
-    )
+    if scores is None:
+        scores = quality_classifier_score(df, text_col, id_col)
+    scores = scores.select(F.col(id_col), F.col("quality_score"))
     j = clusters.join(scores, id_col)
     return j.groupBy(F.col("cluster_rep").alias("cluster_id")).agg(
         F.max_by(

@@ -84,12 +84,18 @@ def prep_corpus(
         keep = verdicts.filter(F.col("passes")).select(c.id_col)
         cur = advance(cur.join(keep, c.id_col, "left_semi"), "after_gopher")
 
+    scores = None
     if c.quality_min is not None:
-        keep = (
-            quality_classifier_score(cur, c.text_col, c.id_col)
-            .filter(F.col("quality_score") >= c.quality_min)
-            .select(c.id_col)
+        # persisted: the near-dup keep-rule reuses these scores
+        # instead of paying the full classifier scan a second time
+        scores = track_persist(
+            quality_classifier_score(cur, c.text_col, c.id_col).select(
+                c.id_col, "quality_score"
+            )
         )
+        keep = scores.filter(
+            F.col("quality_score") >= c.quality_min
+        ).select(c.id_col)
         cur = advance(cur.join(keep, c.id_col, "left_semi"), "after_quality")
 
     keep = dedup_exact_content(cur, c.text_col, c.id_col).select(c.id_col)
@@ -97,7 +103,7 @@ def prep_corpus(
 
     if c.near_dup_threshold is not None:
         best = dedup_best_reps(
-            cur, c.text_col, c.id_col, c.near_dup_threshold
+            cur, c.text_col, c.id_col, c.near_dup_threshold, scores=scores
         ).select(F.col("best_doc_id").alias(c.id_col))
         cur = advance(cur.join(best, c.id_col, "left_semi"), "after_near_dedup")
 

@@ -1475,10 +1475,11 @@ def semdedup(
     sparse edge set; the final argmin is one component-keyed window
     over (id, sim) rows.
 
-    Returns ``(id, cell, group_rep, keep)`` for every non-NULL
-    vector: ``group_rep`` = min id in the near-dup group (singletons
-    are their own group and keep themselves), ``keep`` = the
-    SemDeDup retention decision.
+    Returns ``(id, cell, group_rep, keep)`` for every vector that is
+    non-NULL and has no NULL component (both exclusions explicit and
+    oracle-mirrored): ``group_rep`` = min id in the near-dup group
+    (singletons are their own group and keep themselves), ``keep`` =
+    the SemDeDup retention decision.
     """
     from .graph import connected_components
 
@@ -1539,9 +1540,16 @@ def _semdedup_frames(
         raise ValueError(f"n_cell_bits out of range: {n_cell_bits}")
 
     mic = _jl_micros(vec_col, in_dim, out_dim, jl_seed)
-    src = embeddings.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("_id"), mic.alias("_mic")
-    )
+    # NULL contract, explicit on BOTH axes: NULL vectors are excluded,
+    # and so are vectors with any NULL COMPONENT — without this filter
+    # they fall out ANYWAY (NULL mic → NULL cell → dropped by the
+    # null-rejecting centroid equi-join), but silently and in a way
+    # the DuckDB oracle (whose list_sum SKIPS null elements) would not
+    # reproduce; the filter makes the drop a stated, mirrored rule
+    src = embeddings.filter(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    ).select(F.col(id_col).alias("_id"), mic.alias("_mic"))
 
     cell_rows = jl_sign_matrix(n_cell_bits, out_dim, cell_seed)
 

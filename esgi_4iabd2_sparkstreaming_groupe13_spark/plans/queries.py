@@ -6208,10 +6208,14 @@ def _semdedup_oracle() -> str:
 WITH RECURSIVE c AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
   WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
   UNION ALL
   SELECT vec_id + {PLANT_OFFSET} AS vec_id,
          list_transform(embedding, x -> x * 1.2 + 0.01) AS embedding
-  FROM embeddings WHERE embedding IS NOT NULL AND vec_id < {PLANT_N}
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND vec_id < {PLANT_N}
 ), jm AS (SELECT {jlmat} AS jlmat), cm AS (SELECT {cellmat} AS cellmat),
 dots AS (
   SELECT vec_id,

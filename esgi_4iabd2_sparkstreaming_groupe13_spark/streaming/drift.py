@@ -67,12 +67,13 @@ def drift_monitored_batch(
                 .write.mode("overwrite")
                 .text(f"{report_dir}/b{batch_id}")
             )
-            # the wrapped body runs BEFORE the alert hook, and the
-            # hook is exception-isolated: a failing alert path (Slack
-            # 500, network timeout) must never fail the micro-batch —
-            # that would block exactly the drifted data the module
-            # contract says flows through
-            on_batch(batch_df, batch_id)
+            # the alert hook fires BEFORE the wrapped body (a failing
+            # sink must not suppress the drift alert — the alert is
+            # most valuable exactly when downstream is unhealthy) and
+            # is exception-isolated (a failing alert path — Slack 500,
+            # network timeout — must never fail the micro-batch: that
+            # would block exactly the drifted data the module contract
+            # says flows through)
             if row["shifted"] and on_shift is not None:
                 try:
                     on_shift(batch_id, row["psi"])
@@ -82,6 +83,7 @@ def drift_monitored_batch(
                         f"batch {batch_id}: {exc!r}",
                         file=sys.stderr,
                     )
+            on_batch(batch_df, batch_id)
         finally:
             batch_df.unpersist()
 

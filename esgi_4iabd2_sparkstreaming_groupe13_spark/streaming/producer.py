@@ -33,6 +33,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.caching import release_cached
 from ..operators.windows import global_row_index
 
 #: Marker filename for the "source loaded but zero valid rows" failure
@@ -123,6 +124,10 @@ def stage_batches(
         .json(stage_dir)
     )
     n = batched.select(F.max("batch_no")).first()[0]
+    # global_row_index pins its (_pid, rank) frame in executor storage
+    # (tracked persist); the staging write + max() above were its last
+    # consumers, so release it before the long-lived pacing loop
+    release_cached()
     return int(n) + 1 if n is not None else 0
 
 

@@ -119,11 +119,15 @@ def test_prep_cli_publishes_with_manifest(corpus, spark, tmp_path, capsys):
     corpus.write.parquet(src)
     rc = main([
         "prep", "--source", src, "--out", out,
-        "--quality-min", "0.0", "--near-dup-threshold", "0.9",
+        "--no-gopher", "--no-quality", "--near-dup-threshold", "0.9",
     ])
     assert rc == 0
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["published_rows"] == report["output_docs"]
+    # the pipeline must actually SURVIVE docs (the first version of
+    # this test ran the default Gopher 50-word floor, dropped all six
+    # fixture docs, and asserted vacuously on an empty publish)
+    assert report["published_rows"] >= 3
     checks = verify_manifest(spark, out)
     assert all(checks.values()), checks
     published = spark.read.parquet(out)

@@ -107,9 +107,12 @@ def test_global_index_offsets_and_data_read_one_pinned_layout(spark, sf_dir):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in p
     # the nested cached plan renders its own "== Initial Plan =="
-    # marker, so section-splitting is unreliable — the pin is simply:
-    # BOTH the data branch and the offsets branch read the cache
-    assert p.count("InMemoryTableScan") >= 2, f"branches not pinned:\n{p}"
+    # marker, so section-splitting is unreliable. The executed-plan
+    # string renders BOTH the final and initial sections, so a healthy
+    # two-branch pin yields ≥4 InMemoryTableScan occurrences; a
+    # single-branch regression (one consumer rebuilt from the raw
+    # exchange) yields only 2 — threshold between them
+    assert p.count("InMemoryTableScan") >= 4, f"branches not pinned:\n{p}"
     release_cached()
 
 

@@ -116,3 +116,26 @@ def test_drift_monitor_failing_alert_hook_never_blocks_batch(spark, tmp_path):
     assert seen == [5]  # body ran despite the raising hook
     r = json.loads(spark.read.text(f"{rdir}/b5").collect()[0]["value"])
     assert r["shifted"] is True
+
+
+def test_drift_monitor_alert_fires_even_when_body_fails(spark, tmp_path):
+    """The alert fires BEFORE the wrapped body: a failing sink must
+    not suppress the drift alert — the alert matters most exactly
+    when downstream is unhealthy."""
+    rdir = str(tmp_path / "drift4")
+    shifts = []
+
+    def failing_body(df, bid):
+        raise RuntimeError("sink outage")
+
+    monitor = drift_monitored_batch(
+        failing_body,
+        "n_chars",
+        EDGES,
+        [1, 1, 1, 1, 1, 1],
+        rdir,
+        on_shift=lambda bid, psi: shifts.append(bid),
+    )
+    with pytest.raises(RuntimeError, match="sink outage"):
+        monitor(_frame(spark, [50] * 6), 9)
+    assert shifts == [9]  # the alert escaped before the body failed
