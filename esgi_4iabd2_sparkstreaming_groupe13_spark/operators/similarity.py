@@ -703,6 +703,7 @@ def kmeans_fit(
     tol: float = 1e-4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> tuple[DataFrame, int, float]:
     """Spherical k-means (Lloyd's) over a vector column — trains the
     IVF coarse quantizer that :func:`ivf_topk`'s docstring promises
@@ -731,21 +732,47 @@ def kmeans_fit(
     ulp; argmin ties break on cell_id. Empty cells keep their
     previous centroid.
 
+    ``metric``: ``"cosine"`` (the default — spherical k-means: inputs
+    and centroids L2-normalized, the IVF coarse-quantizer form) or
+    ``"l2"`` (plain Lloyd's over raw vectors: no normalization,
+    squared-euclidean assignment, raw means as centroids — the form
+    product-quantization codebooks need, where SUBVECTOR norms carry
+    real distance information that normalizing would destroy; shift
+    is then the max squared centroid movement, so pass a tol in the
+    data's scale).
+
     Returns ``(centroids, n_iterations, final_shift)`` with centroids
-    ``(cell_id int, cvec array<double>)`` L2-normalized.
+    ``(cell_id int, cvec array<double>)`` (L2-normalized iff cosine).
     """
     from ..functions.hashing import md5_int
+
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be 'cosine' or 'l2'; got {metric!r}")
+    l2 = metric == "l2"
+
+    def sim(a: Column, b: Column) -> Column:
+        # a HIGHER value always means CLOSER, so seeding/assignment/
+        # tie-break logic below is metric-agnostic
+        if l2:
+            return -F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        return cosine_expr(a, b)
 
     norm = norm_expr(F.col("_v"))
     src = embeddings.select(
         F.col(id_col).alias("_vid"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    ).select(
-        "_vid",
-        F.when(norm > 0, F.transform("_v", lambda x: x / norm))
-        .otherwise(F.col("_v"))
-        .alias("_v"),
     )
+    if not l2:
+        src = src.select(
+            "_vid",
+            F.when(norm > 0, F.transform("_v", lambda x: x / norm))
+            .otherwise(F.col("_v"))
+            .alias("_v"),
+        )
     first = (
         src.withColumn(
             "_h",
@@ -760,7 +787,7 @@ def kmeans_fit(
         closest = (
             src.crossJoin(F.broadcast(cents))
             .groupBy("_vid")
-            .agg(F.max(cosine_expr(F.col("_v"), F.col("cvec"))).alias("_cl"))
+            .agg(F.max(sim(F.col("_v"), F.col("cvec"))).alias("_cl"))
         )
         farthest = (
             closest.orderBy(F.asc("_cl"), F.asc("_vid"))
@@ -777,7 +804,7 @@ def kmeans_fit(
             "_vid",
             "_v",
             "cell_id",
-            cosine_expr(F.col("_v"), F.col("cvec")).alias("_csim"),
+            sim(F.col("_v"), F.col("cvec")).alias("_csim"),
         )
         wa = Window.partitionBy("_vid").orderBy(
             F.desc("_csim"), F.asc("cell_id")
@@ -808,13 +835,16 @@ def kmeans_fit(
                 F.transform("_pm", lambda s: s["m"]).alias("_raw"),
             )
         )
-        rnorm = norm_expr(F.col("_raw"))
-        stepped = raw.select(
-            "cell_id",
-            F.when(rnorm > 0, F.transform("_raw", lambda x: x / rnorm))
-            .otherwise(F.col("_raw"))
-            .alias("_new"),
-        )
+        if l2:
+            stepped = raw.select("cell_id", F.col("_raw").alias("_new"))
+        else:
+            rnorm = norm_expr(F.col("_raw"))
+            stepped = raw.select(
+                "cell_id",
+                F.when(rnorm > 0, F.transform("_raw", lambda x: x / rnorm))
+                .otherwise(F.col("_raw"))
+                .alias("_new"),
+            )
         merged = (
             cents.withColumnRenamed("cvec", "_old")
             .join(stepped, "cell_id", "left")
@@ -825,14 +855,12 @@ def kmeans_fit(
             )
             .localCheckpoint()
         )
-        shift = (
-            merged.agg(
-                F.max(
-                    F.lit(1.0) - cosine_expr(F.col("cvec"), F.col("_old"))
-                )
-            ).first()[0]
-            or 0.0
+        shift_expr = (
+            -sim(F.col("cvec"), F.col("_old"))
+            if l2
+            else F.lit(1.0) - cosine_expr(F.col("cvec"), F.col("_old"))
         )
+        shift = merged.agg(F.max(shift_expr)).first()[0] or 0.0
         cents = merged.select("cell_id", "cvec")
         if shift < tol:
             break
@@ -1683,3 +1711,256 @@ def _semdedup_frames(
         .select("id_a", "id_b")
     )
     return members, pairs
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (r9) — the IVF-PQ compression tier
+# ---------------------------------------------------------------------------
+
+#: Default PQ geometry: 4 subspaces × 16 centroids (4-bit codes) —
+#: a 64-dim float64 vector compresses 512 bytes → 4 code bytes.
+PQ_M = 4
+PQ_K = 16
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    in_dim: int,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iterations: int = 8,
+) -> DataFrame:
+    """Train product-quantization codebooks (Jégou et al. 2011): split
+    each vector into ``m`` contiguous subvectors and fit an L2
+    k-means codebook of ``k`` centroids per subspace — the compression
+    tier FAISS pairs with IVF, taking per-vector storage from
+    ``in_dim`` floats to ``m`` small codes while approximate distances
+    remain computable from per-query lookup tables (:func:`pq_adc_topk`).
+
+    Subspace codebooks use ``metric="l2"`` (plain Lloyd's): subvector
+    NORMS carry real distance information that spherical k-means'
+    normalization would destroy. ``m`` driver-loop fits over
+    corpus-sized frames, each the audited :func:`kmeans_fit` shape —
+    training is fit-once-per-corpus-version (:func:`pq_fit_or_load`),
+    never a serve-path cost.
+
+    Returns ``(sub_id int, cell_id int, cvec array<double>)`` —
+    m·k rows, metadata-sized for any sane geometry.
+    """
+    if in_dim % m != 0:
+        raise ValueError(f"in_dim {in_dim} not divisible by m {m}")
+    sub_dim = in_dim // m
+    out = None
+    for s in range(m):
+        sub = embeddings.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col).cast("array<double>"),
+                    s * sub_dim + 1, sub_dim).alias("_sv"),
+        )
+        cents, _, _ = kmeans_fit(
+            sub, k, max_iterations, 1e-9, id_col, "_sv", metric="l2"
+        )
+        part = cents.select(
+            F.lit(s).alias("sub_id"), "cell_id", "cvec"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def pq_fit_or_load(
+    spark,
+    embeddings: DataFrame,
+    in_dim: int,
+    model_path: str,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    **train_kwargs,
+) -> DataFrame:
+    """Train/serve split for the PQ codebooks — the
+    :func:`kmeans_fit_or_load` contract: load the persisted m·k-row
+    codebook table when present and well-formed (schema + exact row
+    count), refit-and-overwrite otherwise. ``pq_train`` is
+    deterministic, so load-vs-refit is bit-identical."""
+    import os
+
+    if os.path.exists(os.path.join(model_path, "_SUCCESS")):
+        cb = spark.read.parquet(model_path)
+        fields = {f.name: f.dataType.simpleString() for f in cb.schema}
+        if (
+            fields.get("sub_id") is not None
+            and fields.get("cell_id") is not None
+            and fields.get("cvec") == "array<double>"
+            and len(cb.take(m * k + 1)) == m * k
+        ):
+            return cb
+    cb = pq_train(embeddings, in_dim, m, k, **train_kwargs)
+    cb.write.mode("overwrite").parquet(model_path)
+    return spark.read.parquet(model_path)
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    in_dim: int,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as its per-subspace nearest-centroid codes:
+    ``(id, codes array<int> length m)``.
+
+    Shape: explode to (id, sub_id, subvector) — m narrow rows per
+    vector — broadcast-join the m·k codebook rows, argmin squared-L2
+    per (id, sub) with cell_id tie-break, then collect the m codes
+    back into order. The only shuffle carries (id, sub, code) triples.
+    """
+    if in_dim % m != 0:
+        raise ValueError(f"in_dim {in_dim} not divisible by m {m}")
+    sub_dim = in_dim // m
+    subs = embeddings.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).select(
+        id_col,
+        "sub_id",
+        F.slice(
+            "_v", F.col("sub_id") * sub_dim + 1, F.lit(sub_dim)
+        ).alias("_sv"),
+    )
+    best = (
+        subs.join(F.broadcast(codebooks), "sub_id")
+        .groupBy(id_col, "sub_id")
+        .agg(
+            F.min(
+                F.struct(
+                    _sq_dist(F.col("_sv"), F.col("cvec")).alias("_d"),
+                    F.col("cell_id").alias("_c"),
+                )
+            )["_c"].alias("code")
+        )
+    )
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int,
+    in_dim: int,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query build
+    the (sub, cell) → squared-distance lookup table (m·k rows,
+    broadcast), then every encoded vector's approximate distance is
+    the SUM of m table lookups — the corpus side never touches floats
+    wider than its codes. Queries: ``(query_id, qvec)``.
+
+    Returns ``(query_id, neighbor_id, adc_dist, rank)``; ties break on
+    neighbor id. Self-matches are NOT excluded (caller filters if the
+    queries come from the corpus)."""
+    if in_dim % m != 0:
+        raise ValueError(f"in_dim {in_dim} not divisible by m {m}")
+    sub_dim = in_dim // m
+    table = (
+        queries.crossJoin(F.broadcast(codebooks))
+        .select(
+            "query_id",
+            "sub_id",
+            F.col("cell_id").alias("code"),
+            _sq_dist(
+                F.slice(
+                    F.col("qvec").cast("array<double>"),
+                    F.col("sub_id") * sub_dim + 1,
+                    F.lit(sub_dim),
+                ),
+                F.col("cvec"),
+            ).alias("_d"),
+        )
+    )
+    exploded = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("sub_id", "code"),
+    )
+    scored = (
+        exploded.join(F.broadcast(table), ["sub_id", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("_d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def pq_recall_checked(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    query_ids: list[int],
+    k: int,
+    in_dim: int,
+    m: int = PQ_M,
+    min_recall: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PQ tier's registry contract, same shape as
+    :func:`ann_recall_checked`: per query the EXACT brute-force top-k
+    (SQL-expressible → DuckDB hash-matches it) plus a recall-floor
+    boolean the oracle asserts TRUE — catastrophic PQ breakage (wrong
+    join, empty codebook, mis-sliced subvector) reddens the row, while
+    the exact recall VALUE stays a pytest gate. Compression here is
+    lossy BY DESIGN (4 codes per vector), so the floor is the sanity
+    bound, not the quality bar."""
+    exact = brute_force_topk(embeddings, query_ids, k, id_col, vec_col)
+    codes = pq_encode(embeddings, codebooks, in_dim, m, id_col, vec_col)
+    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    # k+1 then self-filter: a corpus query's own code is distance 0
+    approx = pq_adc_topk(
+        codes, codebooks, queries, k + 1, in_dim, m, id_col
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    per_q = hits.groupBy("query_id").agg(F.count("*").alias("n_hits"))
+    topk_str = F.concat_ws(
+        ",",
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("rank", "neighbor_id"))),
+            lambda s: s["neighbor_id"].cast("string"),
+        ),
+    )
+    base = exact.groupBy("query_id").agg(topk_str.alias("exact_topk"))
+    return base.join(per_q, "query_id", "left").select(
+        "query_id",
+        "exact_topk",
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            >= F.lit(min_recall * k)
+        ).alias("recall_floor_ok"),
+    )

@@ -1030,3 +1030,140 @@ def test_div_half_away_exact_above_double_precision(spark):
     ).collect()[0]
     assert got["a"] == k  # round(6k/6)
     assert got["b"] == 2 * k  # round(6k/3)
+
+
+def test_kmeans_l2_recovers_separated_cluster_means(spark):
+    """metric='l2' (plain Lloyd's) must place centroids at the raw
+    MEANS of well-separated clusters — no normalization anywhere
+    (subvector norms carry distance information in the PQ use-case)."""
+    rows = []
+    for i in range(40):
+        rows.append((i, [10.0 + 0.01 * (i % 5), 0.0]))       # cluster A
+        rows.append((100 + i, [0.0, -3.0 - 0.01 * (i % 5)]))  # cluster B
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents, _, _ = similarity.kmeans_fit(
+        df, k=2, max_iterations=10, metric="l2"
+    )
+    got = sorted(tuple(r["cvec"]) for r in cents.collect())
+    assert abs(got[0][1] - (-3.02)) < 0.05 and abs(got[0][0]) < 0.01
+    assert abs(got[1][0] - 10.02) < 0.05 and abs(got[1][1]) < 0.01
+    with pytest.raises(ValueError, match="metric"):
+        similarity.kmeans_fit(df, k=2, metric="manhattan")
+
+
+def test_pq_encode_deterministic_and_bounded(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_train(emb, 64, m=8, max_iterations=4)
+    codes = similarity.pq_encode(emb, cb, 64, m=8)
+    rows = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    assert all(len(c) == 8 for c in rows.values())
+    assert all(0 <= x < 16 for c in rows.values() for x in c)
+    again = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity.pq_encode(
+            emb.repartition(7), cb, 64, m=8
+        ).collect()
+    }
+    assert rows == again
+
+
+@pytest.fixture(scope="module")
+def pq16(spark, sf_dir):
+    """One 16x16 codebook shared by the reconstruction and recall
+    gates — training is the expensive part (16 sub-space fits)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb, similarity.pq_train(emb, 64, m=16, max_iterations=6)
+
+
+def test_pq_quantization_reduces_reconstruction_error(pq16):
+    """Decoded PQ centroids must reconstruct vectors far better than
+    the zero vector: mean squared reconstruction error < 60% of the
+    mean squared norm (a broken codebook or mis-sliced subvector
+    sends this to ~100%)."""
+    emb, cb = pq16
+    books = {}
+    for r in cb.collect():
+        books[(r["sub_id"], r["cell_id"])] = list(r["cvec"])
+    codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity.pq_encode(emb, cb, 64, m=16).collect()
+    }
+    tot_err = tot_norm = 0.0
+    for r in emb.select("vec_id", "embedding").collect():
+        v = [float(x) for x in r["embedding"]]
+        rec = []
+        for s, code in enumerate(codes[r["vec_id"]]):
+            rec.extend(books[(s, code)])
+        tot_err += sum((a - b) ** 2 for a, b in zip(v, rec))
+        tot_norm += sum(a * a for a in v)
+    assert tot_err / tot_norm < 0.6, tot_err / tot_norm
+
+
+def test_pq_fit_or_load_round_trip_and_geometry_refit(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "pq_model")
+    first = similarity.pq_fit_or_load(
+        spark, emb, 64, path, m=4, max_iterations=2
+    )
+    a = sorted(
+        (r["sub_id"], r["cell_id"], tuple(r["cvec"])) for r in first.collect()
+    )
+    # load path: a poisoned source frame must not be recomputed from
+    second = similarity.pq_fit_or_load(
+        spark, emb.limit(0), 64, path, m=4, max_iterations=2
+    )
+    b = sorted(
+        (r["sub_id"], r["cell_id"], tuple(r["cvec"])) for r in second.collect()
+    )
+    assert a == b and len(a) == 64
+    # geometry mismatch (different m) must refit, never serve silently
+    refit = similarity.pq_fit_or_load(
+        spark, emb, 64, path, m=8, max_iterations=2
+    )
+    assert refit.count() == 8 * 16
+    assert spark.read.parquet(path).count() == 8 * 16
+
+
+def test_pq_recall_gate_mean_floor(pq16):
+    """Registry-gate quality bar: at the 16x16 geometry mean recall@5
+    across the registry queries must clear 0.2 (lossy by design — the
+    bar catches catastrophic breakage, not ANN-grade quality)."""
+    emb, cb = pq16
+    exact = similarity.brute_force_topk(emb, [0, 1, 2, 3, 4], 5)
+    codes = similarity.pq_encode(emb, cb, 64, m=16)
+    q = emb.filter(F.col("vec_id").isin([0, 1, 2, 3, 4])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    approx = similarity.pq_adc_topk(codes, cb, q, 6, 64, m=16).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    mean = len(e & a) / len(e)
+    assert mean >= 0.2, mean
+
+
+def test_model_prune_keeps_same_version_derived_artifacts(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """_trained_centroids prunes stale model VERSIONS but must keep
+    artifacts DERIVED from the current version (…_ivfidx, …_pq): the
+    pre-fix equality check deleted the persisted IVF index on every
+    call, silently re-paying the index build each serve query."""
+    import os
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.plans import queries as Q
+
+    monkeypatch.setenv("SPARK_GRAFT_MODEL_DIR", str(tmp_path))
+    cur = Q._kmeans_model_path(sf_dir)
+    derived = [cur + "_ivfidx", cur + "_ivfidx__stats", cur + "_pq"]
+    stale = os.path.join(
+        os.path.dirname(cur), Q._kmeans_model_prefix(sf_dir) + "_999_old"
+    )
+    for d in derived + [stale, stale + "_pq"]:
+        os.makedirs(d, exist_ok=True)
+    Q._trained_centroids(spark, sf_dir)
+    for d in derived:
+        assert os.path.exists(d), d
+    assert not os.path.exists(stale)
+    assert not os.path.exists(stale + "_pq")
