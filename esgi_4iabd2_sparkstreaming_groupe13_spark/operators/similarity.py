@@ -460,6 +460,40 @@ def _recall_hit_counts(
     return exact, per_q
 
 
+def _recall_contract(
+    exact: DataFrame, approx: DataFrame, k: int, min_recall: float
+) -> DataFrame:
+    """THE oracle-checkable recall contract, shared by the IVF,
+    persisted-index, and PQ gates: per query the exact top-k ids
+    (comma-joined in rank order — SQL-reproducible, hash-matched) plus
+    a recall-floor boolean the oracle asserts TRUE. Hits count via a
+    left-semi join FROM the exact side, so recall is only ever
+    under-stated. One copy — a tie-break or floor tweak reaches every
+    gate or none."""
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    per_q = hits.groupBy("query_id").agg(F.count("*").alias("n_hits"))
+    topk_str = F.concat_ws(
+        ",",
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("rank", "neighbor_id"))),
+            lambda s: s["neighbor_id"].cast("string"),
+        ),
+    )
+    base = exact.groupBy("query_id").agg(topk_str.alias("exact_topk"))
+    return base.join(per_q, "query_id", "left").select(
+        "query_id",
+        "exact_topk",
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            >= F.lit(min_recall * k)
+        ).alias("recall_floor_ok"),
+    )
+
+
 def ann_recall_checked(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -492,29 +526,16 @@ def ann_recall_checked(
     Cost: identical to :func:`ann_recall` plus a k-row-per-query
     collect_list — both tiers' outputs are k rows per query.
     """
-    exact, per_q = _recall_hit_counts(
-        embeddings, query_ids, k, id_col, vec_col, search_embeddings,
+    exact = brute_force_topk(embeddings, query_ids, k, id_col, vec_col)
+    approx = ivf_topk(
+        search_embeddings if search_embeddings is not None else embeddings,
+        query_ids,
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
         **ivf_kwargs,
     )
-    topk_str = F.concat_ws(
-        ",",
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("rank", "neighbor_id"))),
-            lambda s: s["neighbor_id"].cast("string"),
-        ),
-    )
-    base = exact.groupBy("query_id").agg(topk_str.alias("exact_topk"))
-    return (
-        base.join(per_q, "query_id", "left")
-        .select(
-            "query_id",
-            "exact_topk",
-            (
-                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
-                >= F.lit(min_recall * k)
-            ).alias("recall_floor_ok"),
-        )
-    )
+    return _recall_contract(exact, approx, k, min_recall)
 
 
 def embedding_dedup_clusters(
@@ -752,13 +773,11 @@ def kmeans_fit(
 
     def sim(a: Column, b: Column) -> Column:
         # a HIGHER value always means CLOSER, so seeding/assignment/
-        # tie-break logic below is metric-agnostic
+        # tie-break logic below is metric-agnostic. The l2 branch uses
+        # THE _sq_dist (the expression pq_encode/pq_adc_topk score
+        # with) so train and serve metrics can never drift apart.
         if l2:
-            return -F.aggregate(
-                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+            return -_sq_dist(a, b)
         return cosine_expr(a, b)
 
     norm = norm_expr(F.col("_v"))
@@ -1166,28 +1185,7 @@ def ivf_index_recall_checked(
     approx = ivf_index_topk(
         spark, index_dir, centroids, queries, k, nprobe, id_col, vec_col
     )
-    hits = exact.join(
-        approx.select("query_id", "neighbor_id"),
-        ["query_id", "neighbor_id"],
-        "left_semi",
-    )
-    per_q = hits.groupBy("query_id").agg(F.count("*").alias("n_hits"))
-    topk_str = F.concat_ws(
-        ",",
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("rank", "neighbor_id"))),
-            lambda s: s["neighbor_id"].cast("string"),
-        ),
-    )
-    base = exact.groupBy("query_id").agg(topk_str.alias("exact_topk"))
-    return base.join(per_q, "query_id", "left").select(
-        "query_id",
-        "exact_topk",
-        (
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
-            >= F.lit(min_recall * k)
-        ).alias("recall_floor_ok"),
-    )
+    return _recall_contract(exact, approx, k, min_recall)
 
 
 def ivf_drift_report(
@@ -1800,9 +1798,18 @@ def pq_fit_or_load(
             fields.get("sub_id") is not None
             and fields.get("cell_id") is not None
             and fields.get("cvec") == "array<double>"
-            and len(cb.take(m * k + 1)) == m * k
         ):
-            return cb
+            rows = cb.take(m * k + 1)
+            # the FULL geometry must match, not just the row product:
+            # a 32x8 table also has 256 rows, and a codebook trained
+            # at a different in_dim has the wrong sub-vector width —
+            # zip_with would NULL-pad every distance downstream
+            if (
+                len(rows) == m * k
+                and {r["sub_id"] for r in rows} == set(range(m))
+                and all(len(r["cvec"]) == in_dim // m for r in rows)
+            ):
+                return cb
     cb = pq_train(embeddings, in_dim, m, k, **train_kwargs)
     cb.write.mode("overwrite").parquet(model_path)
     return spark.read.parquet(model_path)
@@ -1924,43 +1931,36 @@ def pq_recall_checked(
     min_recall: float = 0.2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """The PQ tier's registry contract, same shape as
     :func:`ann_recall_checked`: per query the EXACT brute-force top-k
     (SQL-expressible → DuckDB hash-matches it) plus a recall-floor
     boolean the oracle asserts TRUE — catastrophic PQ breakage (wrong
     join, empty codebook, mis-sliced subvector) reddens the row, while
-    the exact recall VALUE stays a pytest gate. Compression here is
-    lossy BY DESIGN (4 codes per vector), so the floor is the sanity
+    the exact recall VALUE stays a pytest gate. ``codes`` optionally
+    supplies a PERSISTED code table (the serve path) so the gate
+    never re-encodes the corpus per invocation. Compression here is
+    lossy BY DESIGN (m small codes per vector), so the floor is the sanity
     bound, not the quality bar."""
     exact = brute_force_topk(embeddings, query_ids, k, id_col, vec_col)
-    codes = pq_encode(embeddings, codebooks, in_dim, m, id_col, vec_col)
+    if codes is None:
+        codes = pq_encode(embeddings, codebooks, in_dim, m, id_col, vec_col)
     queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    # k+1 then self-filter: a corpus query's own code is distance 0
-    approx = pq_adc_topk(
-        codes, codebooks, queries, k + 1, in_dim, m, id_col
-    ).filter(F.col("neighbor_id") != F.col("query_id"))
-    hits = exact.join(
-        approx.select("query_id", "neighbor_id"),
-        ["query_id", "neighbor_id"],
-        "left_semi",
+    # k+1 then self-filter, then RE-RANK to exactly k: ADC
+    # self-distance is the quantization error (not 0), and with heavy
+    # exact duplication self can even fall outside the k+1 window —
+    # the re-rank guarantees the floor is judged against k candidates
+    # whether or not self appeared
+    w_rerank = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
     )
-    per_q = hits.groupBy("query_id").agg(F.count("*").alias("n_hits"))
-    topk_str = F.concat_ws(
-        ",",
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("rank", "neighbor_id"))),
-            lambda s: s["neighbor_id"].cast("string"),
-        ),
+    approx = (
+        pq_adc_topk(codes, codebooks, queries, k + 1, in_dim, m, id_col)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_rr", F.row_number().over(w_rerank))
+        .filter(F.col("_rr") <= k)
     )
-    base = exact.groupBy("query_id").agg(topk_str.alias("exact_topk"))
-    return base.join(per_q, "query_id", "left").select(
-        "query_id",
-        "exact_topk",
-        (
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
-            >= F.lit(min_recall * k)
-        ).alias("recall_floor_ok"),
-    )
+    return _recall_contract(exact, approx, k, min_recall)

@@ -1928,8 +1928,12 @@ def _trained_pq_codebooks(spark, sf_dir):
     prefix = os.path.join(
         os.path.dirname(path), _kmeans_model_prefix(sf_dir) + "_"
     )
-    for stale in glob.glob(prefix + "*_pq"):
-        if os.path.abspath(stale) != os.path.abspath(path):
+    # prefix-keyed keep (the _trained_centroids rule): artifacts
+    # DERIVED from the current _pq path (the persisted codes table)
+    # must survive the stale-version prune
+    cur = os.path.abspath(path)
+    for stale in glob.glob(prefix + "*_pq*"):
+        if not os.path.abspath(stale).startswith(cur):
             shutil.rmtree(stale, ignore_errors=True)
     return similarity.pq_fit_or_load(
         spark,
@@ -1939,6 +1943,22 @@ def _trained_pq_codebooks(spark, sf_dir):
         m=PQ_REG_M,
         max_iterations=KMEANS_MAX_ITER,
     )
+
+
+def _trained_pq_codes(spark, sf_dir, emb, codebooks):
+    """Serve-path access to the PERSISTED PQ codes: encode once per
+    (corpus version, geometry) and read the code table thereafter —
+    the _ivfidx pattern; re-encoding the whole corpus per serve query
+    is the silently-re-paid-build shape the model store exists to
+    avoid. Keyed under the _pq model path (so the version prunes of
+    both _trained_centroids and _trained_pq_codebooks keep it) with
+    the geometry in the name (a PQ_REG_M change re-encodes)."""
+    path = _kmeans_model_path(sf_dir) + f"_pq_codes_m{PQ_REG_M}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        similarity.pq_encode(
+            emb, codebooks, JL_IN_DIM, m=PQ_REG_M
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def _ivf_index_dir(spark, sf_dir):
@@ -3721,15 +3741,18 @@ PQ_REG_M = 16
 
 
 def q_pq_recall(spark, sf_dir):
-    """Product-quantization serve gate (new r9, 6th batch): recall@5
-    of ADC search over 4×16 PQ codes (512 bytes → 4 per vector) vs
-    the exact tier — the q_ann_recall contract shape: the EXACT top-5
-    ids hash-match the oracle, the PQ recall floor rides as a boolean
-    the oracle asserts TRUE (ADC itself isn't SQL-expressible without
-    re-implementing the operator; the recall value is a pytest gate).
-    Serve path: codebooks load from the persisted model table."""
+    """Product-quantization serve gate (new r9, 7th batch): recall@10
+    of ADC search over 16×16 PQ codes (512-byte vectors → 16 code
+    bytes) vs the exact tier — the q_ann_recall contract SHAPE: the
+    EXACT top-10 ids hash-match the oracle, the PQ recall floor
+    (≥0.1) rides as a boolean the oracle asserts TRUE (ADC itself
+    isn't SQL-expressible without re-implementing the operator; the
+    mean-recall quality bar is a pytest gate). Serve path: codebooks
+    AND codes load from persisted model tables — no per-invocation
+    training or corpus re-encode."""
     emb = _t(spark, sf_dir, "embeddings")
     cb = _trained_pq_codebooks(spark, sf_dir)
+    codes = _trained_pq_codes(spark, sf_dir, emb, cb)
     return similarity.pq_recall_checked(
         emb,
         cb,
@@ -3738,6 +3761,7 @@ def q_pq_recall(spark, sf_dir):
         in_dim=JL_IN_DIM,
         m=PQ_REG_M,
         min_recall=0.1,
+        codes=codes,
     )
 
 
@@ -6445,10 +6469,10 @@ FROM scored
 
 ORACLES["q_psi_drift"] = _psi_oracle()
 
-# q_pq_recall shares q_ann_recall's oracle VERBATIM: the hash-checked
-# payload is the same exact brute-force top-5 (same queries, same
-# rounding/tie-break rules), and the approximate tier's floor boolean
-# is asserted TRUE by the oracle in both.
+# q_pq_recall shares q_ann_recall's oracle BUILDER at its own depth
+# (k=10 vs the IVF gate's k=5): the hash-checked payload is the exact
+# brute-force top-10 under the same rounding/tie-break rules, and the
+# approximate tier's floor boolean is asserted TRUE.
 ORACLES["q_pq_recall"] = _ann_recall_oracle(10)
 
 # q_skew_lag shares q_window_frames's oracle VERBATIM: the skew-safe
