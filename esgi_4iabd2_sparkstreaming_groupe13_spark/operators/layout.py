@@ -32,9 +32,11 @@ def z_value(cols: list[Column], bits: int = 16) -> Column:
     bucket column (non-negative ints; callers map raw values to
     bucket ranks first — identity for ids that already fit, datediff
     for dates, quantile rank for skewed doubles). Values are clamped
-    to the ``bits``-bit ceiling so an out-of-range straggler degrades
-    locality instead of corrupting the curve (clamped rows sort last
-    within their prefix, they don't scatter).
+    to [0, 2^bits - 1] so an out-of-range straggler degrades locality
+    instead of corrupting the curve: high clamps sort last within
+    their prefix, and negative inputs (e.g. a datediff before the
+    epoch anchor) clamp to 0 rather than interleaving two's-complement
+    sign bits that would scatter them across the curve.
 
     Bit i of column j lands at output bit ``i * n_cols + j`` —
     n_cols × bits total (≤ 63 enforced), so the result is one long:
@@ -48,7 +50,10 @@ def z_value(cols: list[Column], bits: int = 16) -> Column:
     ceiling = (1 << bits) - 1
     out = F.lit(0).cast("long")
     for j, c in enumerate(cols):
-        v = F.least(c.cast("long"), F.lit(ceiling))
+        v = F.greatest(
+            F.lit(0).cast("long"),
+            F.least(c.cast("long"), F.lit(ceiling)),
+        )
         for i in range(bits):
             bit = F.shiftright(v.bitwiseAND(F.lit(1 << i)), i)
             out = out.bitwiseOR(F.shiftleft(bit, i * n + j))
@@ -62,7 +67,7 @@ def z_value_sql(exprs: list[str], bits: int = 16) -> str:
     ceiling = (1 << bits) - 1
     terms = []
     for j, e in enumerate(exprs):
-        v = f"least(CAST({e} AS BIGINT), {ceiling})"
+        v = f"greatest(CAST(0 AS BIGINT), least(CAST({e} AS BIGINT), {ceiling}))"
         for i in range(bits):
             terms.append(f"((({v} >> {i}) & 1) << {i * n + j})")
     return "(" + " | ".join(terms) + ")"

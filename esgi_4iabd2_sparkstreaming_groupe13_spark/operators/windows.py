@@ -848,6 +848,52 @@ def equi_depth_bins(
     )
 
 
+#: Fixed-length grid units gap_fill_forward accepts (month/year vary
+#: in length, so a dense arithmetic grid can't align to them).
+_GAP_FILL_UNIT_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def _validate_gap_fill_step(step: str, bucket_unit: str) -> None:
+    """``step`` is interpolated into ``F.expr`` and must stay
+    consistent with ``bucket_unit``: a step that is not a positive
+    whole multiple of the bucket unit (e.g. '30 minutes' with
+    bucket_unit='hour') produces grid points that never match any
+    observed ``date_trunc`` bucket, silently reporting every grid row
+    as a gap. The strict shape check also keeps arbitrary SQL out of
+    the interval expression."""
+    import re
+
+    bu = bucket_unit.lower()
+    if bu not in _GAP_FILL_UNIT_SECONDS:
+        raise ValueError(
+            f"bucket_unit {bucket_unit!r} unsupported: fixed-length "
+            f"units only ({sorted(_GAP_FILL_UNIT_SECONDS)})"
+        )
+    m = re.fullmatch(
+        r"\s*(\d+)\s+(second|minute|hour|day|week)s?\s*", step.lower()
+    )
+    if not m:
+        raise ValueError(
+            f"step {step!r} must look like '<N> <unit>' with unit in "
+            f"{sorted(_GAP_FILL_UNIT_SECONDS)}"
+        )
+    n, unit = int(m.group(1)), m.group(2)
+    step_s = n * _GAP_FILL_UNIT_SECONDS[unit]
+    if n <= 0 or step_s % _GAP_FILL_UNIT_SECONDS[bu] != 0:
+        raise ValueError(
+            f"step {step!r} ({step_s}s) is not a positive whole "
+            f"multiple of bucket_unit {bucket_unit!r} "
+            f"({_GAP_FILL_UNIT_SECONDS[bu]}s): grid points would "
+            "never align with observed buckets"
+        )
+
+
 def gap_fill_forward(
     df: DataFrame,
     ts_col: str,
@@ -884,6 +930,7 @@ def gap_fill_forward(
     as double; forward-fill copies values without arithmetic, so the
     filled series is bit-identical in any engine.
     """
+    _validate_gap_fill_step(step, bucket_unit)
     per = (
         df.groupBy(
             F.col(key_col).alias("_key"),
@@ -952,7 +999,13 @@ def winsorize_stats(
     two cut rows per group reduce to a 2×|groups| broadcast, and the
     final pass is one hash aggregate with DECIMAL-accumulated clamped
     sums. Two full-data exchanges total (rank layout + final agg).
+
+    NULL ``value_col`` rows are excluded up front (matching the
+    NULL-exclusion contract of psi_report/benford_audit): otherwise
+    NULLs would enter the rank order — a cut rank could land on a
+    NULL row — and inflate the winsor_mean denominator.
     """
+    df = df.filter(F.col(value_col).isNotNull())
     ranked = scale_safe_group_ranks(
         df.select(part_col, value_col, *tiebreak_cols),
         part_col,

@@ -2557,6 +2557,7 @@ WITH ranked AS (
              ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
          count(*) OVER (PARTITION BY l_returnflag) AS n
   FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
 ), cuts AS (
   SELECT l_returnflag,
          min(CASE WHEN rn = greatest(1, CAST(ceil({WINSOR_LO} * n)
@@ -2573,6 +2574,7 @@ SELECT l.l_returnflag, count(*) AS n_rows,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
        {mean} AS winsor_mean
 FROM lineitem l JOIN cuts c USING (l_returnflag)
+WHERE l.l_extendedprice IS NOT NULL
 GROUP BY 1
 """
 
@@ -3632,6 +3634,8 @@ def q_stream_join(spark, sf_dir):
     Timestamps ride the wire as unix micros (NDJSON's ISO format
     truncates to millis) and come back as BIGINT output columns, so
     both engines compare integers."""
+    import atexit
+    import shutil
     import tempfile
 
     from ..streaming.joins import stream_interval_join
@@ -3648,6 +3652,11 @@ def q_stream_join(spark, sf_dir):
         F.col("user_id").alias("click_user"),
     )
     workdir = tempfile.mkdtemp(prefix="stream_join_")
+    # The sink read below is lazy (the harness collects after we
+    # return), so the dir must outlive this call — clean at process
+    # exit instead, so repeated gate/bench runs don't accumulate
+    # stream_join_* temp trees.
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
     vsrc, csrc = f"{workdir}/views", f"{workdir}/clicks"
     sink, ckpt = f"{workdir}/sink", f"{workdir}/ckpt"
     views.repartition(3).write.mode("overwrite").json(vsrc)

@@ -33,6 +33,26 @@ def test_z_value_clamps_overflow(spark):
     assert z.first().z == _interleave2(65535, 7)
 
 
+def test_z_value_clamps_negative_to_zero(spark):
+    # a pre-epoch datediff bucket must clamp to 0, not interleave
+    # two's-complement sign bits that scatter it across the curve
+    df = spark.createDataFrame([(-5, 7), (-1, -1)], ["x", "y"])
+    got = sorted(
+        r.z
+        for r in df.select(
+            layout.z_value([F.col("x"), F.col("y")]).alias("z")
+        ).collect()
+    )
+    assert got == sorted([_interleave2(0, 7), _interleave2(0, 0)])
+    # the SQL mirror replays the identical clamp
+    import duckdb
+
+    expr = layout.z_value_sql(["-5", "7"])
+    assert duckdb.sql(f"SELECT {expr} AS z").fetchone()[0] == _interleave2(
+        0, 7
+    )
+
+
 def test_z_value_locality(spark):
     # points near each other in (x, y) get nearby z-values: the
     # max z-gap within a 2x2 cell is far below the global range

@@ -482,6 +482,31 @@ def test_gap_fill_forward_semantics(spark):
     assert got[("c", 5)] == (1, 1.0, False)
 
 
+def test_gap_fill_forward_rejects_misaligned_step(spark):
+    import pytest
+
+    from datetime import datetime as dt
+
+    df = spark.createDataFrame(
+        [("a", dt(2024, 1, 1, 1), 1.0)], ["k", "ts", "v"]
+    )
+    # 30-minute grid points never match hour-truncated buckets
+    with pytest.raises(ValueError, match="multiple"):
+        windows.gap_fill_forward(
+            df, "ts", "k", "v", step="30 minutes", bucket_unit="hour"
+        )
+    # free-form SQL can't reach F.expr through `step`
+    with pytest.raises(ValueError, match="must look like"):
+        windows.gap_fill_forward(
+            df, "ts", "k", "v", step="1 hour); DROP TABLE x"
+        )
+    # a coarser-but-aligned step is fine: 2-hour grid on hour buckets
+    out = windows.gap_fill_forward(
+        df, "ts", "k", "v", step="2 hours", bucket_unit="hour"
+    )
+    assert out.count() == 1
+
+
 def test_winsorize_stats_hand_computed(spark):
     # group "a": values 1..20 -> lo rank ceil(.05*20)=1 -> cut 1;
     # hi rank ceil(.95*20)=19 -> cut 19; one value (20) above.
@@ -502,3 +527,14 @@ def test_winsorize_stats_hand_computed(spark):
     assert (b.lo_cut, b.hi_cut, b.n_below, b.n_above) == (
         100.0, 200.0, 0, 0,
     )
+
+
+def test_winsorize_stats_excludes_null_values(spark):
+    # NULL values must not enter the rank order (a cut rank landing on
+    # a NULL row) nor the winsor_mean denominator
+    rows = [("a", float(v), v) for v in range(1, 21)]
+    rows += [("a", None, 100 + i) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, v double, id int")
+    out = windows.winsorize_stats(df, "g", "v", ["id"]).first()
+    assert (out.n_rows, out.lo_cut, out.hi_cut) == (20, 1.0, 19.0)
+    assert abs(out.winsor_mean - 209 / 20) < 1e-9
