@@ -37,6 +37,7 @@ def connected_components(
     dst_col: str = "dst",
     max_iterations: int = 20,
     algorithm: str = "label_prop",
+    fallback_to_star: bool = True,
 ) -> DataFrame:
     """Label every node with the minimum node id reachable from it.
 
@@ -50,9 +51,16 @@ def connected_components(
     alternating large-star/small-star — right for deep chains; see
     module docstring).
 
-    Raises ``RuntimeError`` if the loop hits ``max_iterations`` without
-    reaching the fixpoint — silently returning partially-propagated
-    labels would split long near-dup chains into separate clusters.
+    If label propagation hits ``max_iterations`` without reaching the
+    fixpoint (a component's diameter exceeds the cap — a template-
+    lineage or quotation-chain corpus can legitimately produce 20+-hop
+    chains), it does NOT return the partially-propagated labels (that
+    would silently split long chains into separate clusters): with
+    ``fallback_to_star`` (default) it discards the partial state and
+    re-solves with the star algorithm, whose O(log diameter) rounds
+    finish any chain the cap stopped; with ``fallback_to_star=False``
+    it raises ``RuntimeError`` instead (for callers that treat
+    non-convergence as a data-quality signal).
     """
     if algorithm == "star":
         return _connected_components_star(
@@ -111,6 +119,22 @@ def connected_components(
         if changed == 0:
             break
     if changed != 0:
+        if fallback_to_star:
+            import warnings
+
+            warnings.warn(
+                f"connected_components(label_prop) hit the "
+                f"{max_iterations}-iteration cap with {changed} labels "
+                "still changing (component diameter exceeds the cap) — "
+                "re-solving with algorithm='star' (O(log diameter) "
+                "rounds)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            labels.unpersist()
+            return _connected_components_star(
+                nodes, edges, node_col, src_col, dst_col, max_iterations
+            )
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             f"iterations ({changed} labels still changing) — a component's "

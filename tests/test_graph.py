@@ -63,10 +63,34 @@ def test_star_converges_on_path_longer_than_label_prop_cap(spark):
         [(i, i + 1) for i in range(n - 1)], ["src", "dst"]
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(nodes, edges).collect()
+        connected_components(nodes, edges, fallback_to_star=False).collect()
     comp = connected_components(nodes, edges, algorithm="star")
     rows = {r["node"]: r["component"] for r in comp.collect()}
     assert rows == {i: 0 for i in range(n)}
+
+
+def test_label_prop_auto_falls_back_to_star_on_deep_chain(spark):
+    """VERDICT r9 #8: a 50-hop template-lineage chain exceeds the
+    default label-prop cap; the DEFAULT call must converge without
+    caller intervention (warn + re-solve with star), never return
+    partial labels, and never raise."""
+    import warnings
+
+    n = 51  # path 0-1-...-50: diameter 50 >> 20
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["node"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["src", "dst"]
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rows = {
+            r["node"]: r["component"]
+            for r in connected_components(nodes, edges).collect()
+        }
+    assert rows == {i: 0 for i in range(n)}
+    assert any(
+        "re-solving with algorithm='star'" in str(w.message) for w in caught
+    )
 
 
 def test_star_randomized_against_bruteforce(spark):
