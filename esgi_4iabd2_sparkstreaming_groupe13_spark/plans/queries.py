@@ -54,6 +54,7 @@ from ..operators import (
     ordering,
     projections as proj,
     sets,
+    shards,
     similarity,
     maintenance,
     sketches,
@@ -2264,6 +2265,29 @@ def q_token_packing(spark, sf_dir):
     )
 
 
+#: shard budget for q_shard_assign: 4 packing bins per shard file
+SHARD_TOKENS = 16_384
+
+
+def q_shard_assign(spark, sf_dir):
+    """Tokenizer-shard assignment (new r10): roll the 4096-token
+    packing bins into 16384-token shard files by the same next-fit
+    running-sum arithmetic — bins never split across shards, shard
+    ids are dense, every assignment is a pure function of doc ids.
+    The physical export (dir-per-shard layout, per-shard checksum
+    manifest, atomic publish) rides shards.export_token_shards;
+    this entry pins the oracle-checkable assignment arithmetic."""
+    packed = corpus.pack_sequences(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        budget_tokens=PACK_BUDGET_TOKENS,
+    )
+    return shards.assign_token_shards(
+        packed, tokens_per_shard=SHARD_TOKENS
+    )
+
+
 def q_embed_dedup(spark, sf_dir):
     """Embedding-space dedup decision: RH-LSH near-dup pairs at t=0.9
     over the planted corpus → connected components → min-id
@@ -4164,6 +4188,31 @@ FROM sized
 """
 
 
+def _shard_assign_oracle(budget: int, shard: int) -> str:
+    """Replays pack_sequences' next-fit arithmetic at both
+    granularities: doc→bin by doc_id order, then bin→shard by bin_id
+    order — the exclusive running sum / floor-divide at each level."""
+    return f"""
+WITH sized AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+), packed AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
+                    / {budget}) AS BIGINT) AS bin_id
+  FROM sized
+), bins AS (
+  SELECT bin_id, sum(n_tokens) AS bin_tokens FROM packed GROUP BY 1
+), shard_of_bin AS (
+  SELECT bin_id,
+         CAST(floor((sum(bin_tokens) OVER (ORDER BY bin_id) - bin_tokens)
+                    / {shard}) AS BIGINT) AS shard_id
+  FROM bins
+)
+SELECT p.doc_id, p.n_tokens, p.bin_id, s.shard_id
+FROM packed p JOIN shard_of_bin s USING (bin_id)
+"""
+
+
 def _embed_dedup_oracle(threshold: float) -> str:
     """Exact all-pairs cosine edges over the planted corpus →
     recursive transitive closure → min-label representative (the same
@@ -5572,6 +5621,9 @@ WHERE {md5_int_sql("('wsample:' || CAST(doc_id AS VARCHAR))")} % 1000000
     "q_assoc_rules": _assoc_rules_oracle(),
     "q_benford": _benford_oracle(),
     "q_token_packing": _token_packing_oracle(PACK_BUDGET_TOKENS),
+    "q_shard_assign": _shard_assign_oracle(
+        PACK_BUDGET_TOKENS, SHARD_TOKENS
+    ),
     "q_embed_dedup": _embed_dedup_oracle(0.9),
     # the oracle asserts the HLL estimate's 3×rsd envelope via the
     # boolean Spark computed — a sketch drifting out of bound turns
@@ -6533,11 +6585,13 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # item 1): the window leads with (a) the 15 r9 entries that had NEVER
 # had a driver row (q_winsorize .. q_pq_recall — all judge-verified
 # green in the r9 verdict, so this is artifact hygiene, not risk),
-# then (b) the oldest 35 of the 49-entry block whose last driver row
-# is ROUND 6 (q_string_funcs .. q_hll_distinct). Any NEW r10 queries
-# are inserted into the window displacing its tail.
+# then the NEW r10 entries (q_shard_assign), then (b) the oldest of
+# the 49-entry block whose last driver row is ROUND 6
+# (q_string_funcs .. q_token_histogram). Any NEW r10 queries are
+# inserted into the window displacing its tail (displaced so far:
+# q_hll_distinct).
 # Behind the window, the queue for r11 rotation in order of
-# staleness: the 14 remaining r6-verified entries (q_hll_groups ..
+# staleness: the 15 remaining r6-verified entries (q_hll_distinct ..
 # q_total_count), the 3 rows-only entries, the 50-entry
 # r7/r8-verified block (q_equi_depth .. q_bloom_contamination), and
 # finally the 50 entries of the r9 window (q_tpch_q1 .. q_triangles
@@ -6570,8 +6624,11 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_hybrid_rrf", q_hybrid_rrf, ORACLES["q_hybrid_rrf"]),
     QuerySpec("q_psi_drift", q_psi_drift, ORACLES["q_psi_drift"]),
     QuerySpec("q_pq_recall", q_pq_recall, ORACLES["q_pq_recall"]),
-    # ---- oldest 35 of the r6-verified block (last driver row r6 —
-    # three rounds stale, the oldest in the registry) ----
+    # ---- NEW in r10 (tokenizer-shard export assignment) ----
+    QuerySpec("q_shard_assign", q_shard_assign, ORACLES["q_shard_assign"], True),
+    # ---- oldest 34 of the r6-verified block (last driver row r6 —
+    # three rounds stale, the oldest in the registry; q_hll_distinct
+    # was displaced from the window tail by q_shard_assign) ----
     QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
     QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),
     QuerySpec("q_hash_sample", q_hash_sample, ORACLES["q_hash_sample"]),
@@ -6606,9 +6663,9 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_winnow_pairs", q_winnow_pairs, ORACLES["q_winnow_pairs"]),
     QuerySpec("q_split_assign", q_split_assign, ORACLES["q_split_assign"]),
     QuerySpec("q_token_histogram", q_token_histogram, ORACLES["q_token_histogram"]),
-    QuerySpec("q_hll_distinct", q_hll_distinct, ORACLES["q_hll_distinct"]),
     # ==== driver 50-entry verification window ends here ====
-    # ---- r11 queue head: the 14 remaining r6-verified entries ----
+    # ---- r11 queue head: the 15 remaining r6-verified entries ----
+    QuerySpec("q_hll_distinct", q_hll_distinct, ORACLES["q_hll_distinct"]),
     QuerySpec("q_hll_groups", q_hll_groups, ORACLES["q_hll_groups"]),
     QuerySpec("q_cms_heavy", q_cms_heavy, ORACLES["q_cms_heavy"]),
     QuerySpec("q_minhash_est", q_minhash_est, ORACLES["q_minhash_est"]),

@@ -78,7 +78,7 @@ ALL_OPS = (
     "skew_lag skew_runsum mix "
     "substring_dedup quality_score embed_norm entity_match agg_state "
     "bm25 gap_fill triangles pagerank global_shuffle dsir ppl_buckets jl "
-    "semdedup prep"
+    "semdedup prep shard_assign"
 ).split()
 
 
@@ -119,6 +119,7 @@ def main() -> None:
         "simhash_pairs",
         "tfidf_topterms",
         "token_packing",
+        "shard_assign",
         "contamination",
         "unigram_logprob",
         "cms",
@@ -204,6 +205,24 @@ def main() -> None:
             "tN": timed(
                 f"pack {factor}x", corpus.pack_sequences(docsN, "text", "doc_id")
             ),
+        }
+    # shard assignment on top of packing: one extra bin-level hash agg
+    # + bin-frame running sum + one doc-level join — the added cost
+    # over bare packing must stay a small constant factor and track
+    # ~linear (the running sum runs over BINS, budget× fewer rows)
+    if want("shard_assign"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import (
+            shards as shards_op,
+        )
+
+        def shard_assign(d):
+            return shards_op.assign_token_shards(
+                corpus.pack_sequences(d, "text", "doc_id")
+            )
+
+        results["shard_assign"] = {
+            "t1": timed("shard_assign 1x", shard_assign(docs1)),
+            "tN": timed(f"shard_assign {factor}x", shard_assign(docsN)),
         }
 
     def contam(d):
