@@ -78,7 +78,7 @@ ALL_OPS = (
     "skew_lag skew_runsum mix "
     "substring_dedup quality_score embed_norm entity_match agg_state "
     "bm25 gap_fill triangles pagerank global_shuffle dsir ppl_buckets jl "
-    "semdedup prep shard_assign"
+    "semdedup prep shard_assign pq_adc"
 ).split()
 
 
@@ -1036,7 +1036,8 @@ def main() -> None:
             )
         )
 
-    if want("cosine_pairs_exact", "cosine_rh_lsh", "ann_quantized", "semdedup"):
+    if want("cosine_pairs_exact", "cosine_rh_lsh", "ann_quantized", "semdedup",
+            "pq_adc"):
         em1d = em1.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
         )
@@ -1118,6 +1119,51 @@ def main() -> None:
         results["ann_quantized"] = {
             "t1": timed("ann-q 1x", quantized_serve(p1)),
             "tN": timed(f"ann-q {factor}x", quantized_serve(pN)),
+        }
+
+    # --- embeddings: the PQ/ADC serve tier (r9's newest shape). The
+    # lifecycle under test mirrors ann_quantized: codebooks are fit
+    # ONCE on the 1× corpus and reused at N× (retrains are scheduled,
+    # never serve-path). Two serve-side costs, probed separately:
+    # ENCODE (per-vector m-way explode + broadcast argmin — paid once
+    # per ingested vector, must track ~linear) and ADC SEARCH (fixed
+    # query set; per-(query, vector) distance = m broadcast table
+    # lookups + one (query, neighbor) partial agg — corpus side never
+    # touches floats wider than its m code ints, must track ~linear
+    # in corpus size). Codes are parquet-materialized between the two
+    # timings so search never re-bills encoding.
+    if want("pq_adc"):
+        cb = similarity.pq_train(em1d, in_dim=64).localCheckpoint()
+        qrows = [
+            (r["vec_id"], r["embedding"])
+            for r in em1d.orderBy("vec_id").limit(10).collect()
+        ]
+        queries = spark.createDataFrame(
+            qrows, "query_id long, qvec array<double>"
+        )
+
+        def encode_to(d, name):
+            t0 = time.perf_counter()
+            similarity.pq_encode(d, cb, in_dim=64).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/{name}.parquet")
+            dt = round(time.perf_counter() - t0, 2)
+            print(f"# pq-encode {name}: {dt}s", file=sys.stderr)
+            return spark.read.parquet(f"{tmp}/{name}.parquet"), dt
+
+        codes1, enc1 = encode_to(p1, "pq_codes_1x")
+        codesN, encN = encode_to(pN, f"pq_codes_{factor}x")
+        results["pq_adc"] = {
+            "t1": timed(
+                "pq-adc 1x",
+                similarity.pq_adc_topk(codes1, cb, queries, 5, in_dim=64),
+            ),
+            "tN": timed(
+                f"pq-adc {factor}x",
+                similarity.pq_adc_topk(codesN, cb, queries, 5, in_dim=64),
+            ),
+            "encode_t1": enc1,
+            "encode_tN": encN,
         }
 
     # Entity resolution: candidates are Σ|block|² BY CONTRACT, so the
