@@ -6605,8 +6605,8 @@ QUERIES: list[QuerySpec] = [
     # ---- first driver rows EVER for these 15 r9 entries (judge-
     # verified green in the r9 verdict; now the official artifact
     # covers them too) ----
-    QuerySpec("q_winsorize", q_winsorize, ORACLES["q_winsorize"], True),
-    QuerySpec("q_assoc_rules", q_assoc_rules, ORACLES["q_assoc_rules"], True),
+    QuerySpec("q_winsorize", q_winsorize, ORACLES["q_winsorize"]),
+    QuerySpec("q_assoc_rules", q_assoc_rules, ORACLES["q_assoc_rules"]),
     QuerySpec("q_benford", q_benford, ORACLES["q_benford"]),
     # pagerank: oracle-gated but NOT headline — 5 eager iterations cost
     # ~11.5 s at sf0.1, and the slate already carries an iterative-graph
@@ -6644,16 +6644,16 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_corpus_select", q_corpus_select, ORACLES["q_corpus_select"]),
     QuerySpec("q_session_window", q_session_window, ORACLES["q_session_window"]),
     QuerySpec("q_admission_filter", q_admission_filter, ORACLES["q_admission_filter"]),
-    QuerySpec("q_top_ngram", q_top_ngram, ORACLES["q_top_ngram"], True),
+    QuerySpec("q_top_ngram", q_top_ngram, ORACLES["q_top_ngram"]),
     QuerySpec("q_vocab_stats", q_vocab_stats, ORACLES["q_vocab_stats"]),
     QuerySpec("q_edit_verify", q_edit_verify, ORACLES["q_edit_verify"]),
-    QuerySpec("q_rate_anomaly", q_rate_anomaly, ORACLES["q_rate_anomaly"], True),
-    QuerySpec("q_funnel", q_funnel, ORACLES["q_funnel"], True),
+    QuerySpec("q_rate_anomaly", q_rate_anomaly, ORACLES["q_rate_anomaly"]),
+    QuerySpec("q_funnel", q_funnel, ORACLES["q_funnel"]),
     QuerySpec("q_snapshot_diff", q_snapshot_diff, ORACLES["q_snapshot_diff"]),
     QuerySpec("q_correlation", q_correlation, ORACLES["q_correlation"]),
-    QuerySpec("q_retention", q_retention, ORACLES["q_retention"], True),
+    QuerySpec("q_retention", q_retention, ORACLES["q_retention"]),
     QuerySpec("q_corpus_report", q_corpus_report, ORACLES["q_corpus_report"]),
-    QuerySpec("q_bigram_logprob", q_bigram_logprob, ORACLES["q_bigram_logprob"], True),
+    QuerySpec("q_bigram_logprob", q_bigram_logprob, ORACLES["q_bigram_logprob"]),
     QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),
     QuerySpec("q_incremental_dedup", q_incremental_dedup, ORACLES["q_incremental_dedup"]),
     QuerySpec("q_fingerprint", q_fingerprint, ORACLES["q_fingerprint"]),
@@ -6708,15 +6708,15 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_event_window", q_event_window, ORACLES["q_event_window"], True),
     QuerySpec("q_rollup", q_rollup, ORACLES["q_rollup"], True),
     QuerySpec("q_minhash_lsh", q_minhash_lsh, ORACLES["q_minhash_lsh"], True),
-    QuerySpec("q_validation", q_validation, ORACLES["q_validation"], True),
-    QuerySpec("q_line_dedup", q_line_dedup, ORACLES["q_line_dedup"], True),
+    QuerySpec("q_validation", q_validation, ORACLES["q_validation"]),
+    QuerySpec("q_line_dedup", q_line_dedup, ORACLES["q_line_dedup"]),
     QuerySpec("q_scd2", q_scd2, ORACLES["q_scd2"], True),
     QuerySpec("q_split_leakage", q_split_leakage, ORACLES["q_split_leakage"]),
-    QuerySpec("q_embed_norm", q_embed_norm, ORACLES["q_embed_norm"], True),
+    QuerySpec("q_embed_norm", q_embed_norm, ORACLES["q_embed_norm"]),
     QuerySpec("q_prefix_jaccard", q_prefix_jaccard, ORACLES["q_prefix_jaccard"], True),
-    QuerySpec("q_transitions", q_transitions, ORACLES["q_transitions"], True),
+    QuerySpec("q_transitions", q_transitions, ORACLES["q_transitions"]),
     QuerySpec("q_corpus_drift", q_corpus_drift, ORACLES["q_corpus_drift"], True),
-    QuerySpec("q_decayed", q_decayed, ORACLES["q_decayed"], True),
+    QuerySpec("q_decayed", q_decayed, ORACLES["q_decayed"]),
     QuerySpec("q_hll_rolling", q_hll_rolling, ORACLES["q_hll_rolling"], True),
     QuerySpec("q_gopher", q_gopher, ORACLES["q_gopher"]),
     QuerySpec("q_funnel_window", q_funnel_window, ORACLES["q_funnel_window"]),
@@ -6778,7 +6778,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_cdc", q_cdc, ORACLES["q_cdc"]),
     QuerySpec("q_ivf_index", q_ivf_index, ORACLES["q_ivf_index"], True),
     QuerySpec("q_skew_lag", q_skew_lag, ORACLES["q_skew_lag"], True),
-    QuerySpec("q_skew_running", q_skew_running, ORACLES["q_skew_running"], True),
+    QuerySpec("q_skew_running", q_skew_running, ORACLES["q_skew_running"]),
     QuerySpec("q_best_rep", q_best_rep, ORACLES["q_best_rep"], True),
     QuerySpec("q_mix", q_mix, ORACLES["q_mix"], True),
     QuerySpec("q_profile", q_profile, ORACLES["q_profile"], True),

@@ -322,15 +322,42 @@ def main() -> None:
         def run_prep(d, label):
             t0 = time.perf_counter()
             out, rep = prep_corpus(d, cfgP)
-            timed(label, out)
+            # rows-EXACT across two independent forces of the composed
+            # plan (VERDICT r9 #4): the AQE reader-coalescing row-loss
+            # bug was only visible in composition, as a count/checksum
+            # that changed between forces of the same frame — pin that
+            # failure mode at every probed scale, not just in pytest
+            def force_sig(frame):
+                row = frame.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.bit_xor(
+                        F.xxhash64(F.struct(*frame.columns))
+                    ).alias("ck"),
+                ).collect()[0]
+                return row["n"], row["ck"]
+
+            sig1 = force_sig(out)
+            sig2 = force_sig(out)
+            assert sig1 == sig2, (
+                f"{label}: composed pipeline unstable across forces "
+                f"{sig1} vs {sig2}"
+            )
             release_cached()
             dt = round(time.perf_counter() - t0, 2)
-            print(f"# {label} total (stages+force): {dt}s {rep}", file=sys.stderr)
-            return dt
+            print(
+                f"# {label} total (stages+2 forces): {dt}s "
+                f"rows={sig1[0]} {rep}",
+                file=sys.stderr,
+            )
+            return dt, sig1[0]
 
+        t1, rows1 = run_prep(docs1, "prep 1x")
+        tN, rowsN = run_prep(docsTok, f"prep {factor}x")
         results["prep"] = {
-            "t1": run_prep(docs1, "prep 1x"),
-            "tN": run_prep(docsTok, f"prep {factor}x"),
+            "t1": t1,
+            "tN": tN,
+            "rows_1x": rows1,
+            "rows_Nx": rowsN,
         }
 
     if want("bigram_logprob"):
