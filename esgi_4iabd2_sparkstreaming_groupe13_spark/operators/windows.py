@@ -64,9 +64,18 @@ def _pinned_local(local: DataFrame) -> DataFrame:
     consumers — and saves recomputing the full upstream plan besides.
     Registered with the tracked-persist registry; query entry points
     release it after their action like every other operator persist.
+
+    ``SPARK_GRAFT_UNPIN_LOCAL=1`` bypasses the pin — MEASUREMENT
+    ONLY (it re-exposes the AQE layout race above): it exists so the
+    layout-pin's steady-state cost can be A/B'd on the same commit
+    (BASELINE.md r10). Never set it in a correctness-bearing run.
     """
+    import os
+
     from .caching import track_persist
 
+    if os.environ.get("SPARK_GRAFT_UNPIN_LOCAL") == "1":
+        return local
     return track_persist(local)
 
 
