@@ -44,6 +44,8 @@ from esgi_4iabd2_sparkstreaming_groupe13_spark.streaming.synthetic import (
 STREAM_BENCH_ROWS = 50_000
 STREAM_BENCH_FILES = 8  # → 8 micro-batches at maxFilesPerTrigger=1
 
+_LOAD_AVG_START = 0.0  # sampled at the top of main()
+
 
 def force(df) -> int:
     """Materialize every column of every row: xor-fold a 64-bit hash of
@@ -86,6 +88,8 @@ def bench_stream(spark) -> dict[str, float]:
 
 
 def main() -> None:
+    global _LOAD_AVG_START
+    _LOAD_AVG_START = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(
@@ -174,6 +178,11 @@ def main() -> None:
     print(f"# stream: {stream_stats}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Self-adjudicating provenance (VERDICT r9 #2): record the rep
+    # count, whether the layout pin was bypassed, and the 1-minute load
+    # average sampled BEFORE the run — so a reader can tell a one-pass
+    # contended capture from a REPS=3 idle steady capture without
+    # cross-referencing BASELINE.md prose.
     print(
         json.dumps(
             {
@@ -182,6 +191,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "reps": reps,
+                "unpinned": os.environ.get("SPARK_GRAFT_UNPIN_LOCAL") == "1",
+                "load_avg_start": _LOAD_AVG_START,
                 **stream_stats,
             }
         )
