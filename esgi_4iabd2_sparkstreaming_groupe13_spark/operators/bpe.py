@@ -98,14 +98,35 @@ def _initial_symbols(word: Column) -> Column:
 
 
 def _adjacent_pairs(syms: Column) -> Column:
-    """array<struct<sym_left,sym_right>> of adjacent symbol pairs."""
-    idx = F.sequence(F.lit(1), F.size(syms) - 1)
-    return F.transform(
-        idx,
+    """array<struct<sym_left,sym_right>> of adjacent symbol pairs.
+
+    A fully-merged word has ONE symbol and no pairs — guarded
+    explicitly because ``sequence(1, 0)`` is a DESCENDING sequence in
+    Spark, not an empty one.
+    """
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(syms) - 1),
         lambda i: F.struct(
             F.element_at(syms, i).alias("sym_left"),
             F.element_at(syms, i + 1).alias("sym_right"),
         ),
+    )
+    empty = F.array().cast(
+        "array<struct<sym_left:string,sym_right:string>>"
+    )
+    return F.when(F.size(syms) < 2, empty).otherwise(pairs)
+
+
+def initial_pair_counts(words: DataFrame) -> DataFrame:
+    """Round-zero symbol-pair frequencies over a (word, cnt) table —
+    the corpus-visible face of the training loop (each later round has
+    the identical plan shape, just over evolved segmentations):
+    vocab-frame explode + map-side-combining hash agg."""
+    w = words.select("cnt", _initial_symbols(F.col("word")).alias("syms"))
+    return (
+        w.select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "cnt")
+        .groupBy("p.sym_left", "p.sym_right")
+        .agg(F.sum("cnt").alias("pair_count"))
     )
 
 

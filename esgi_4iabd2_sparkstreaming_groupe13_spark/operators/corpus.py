@@ -432,6 +432,86 @@ def mix_to_proportions(
     return ranked.filter(F.col("_rank") <= quota).select(*df.columns)
 
 
+#: Salt for temperature-sampled mixing — independent of MIX_SALT so a
+#: doc's survival under q_mix and q_temperature_mix never correlates.
+TMIX_SALT = "tmix:"
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    total_rows: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-smoothed mixture sampling (the UNIMAX / mT5-style
+    multilingual rebalance): instead of caller-fixed targets
+    (:func:`mix_to_proportions`), quotas derive from the OBSERVED
+    stratum distribution raised to ``alpha`` ∈ (0, 1] —
+
+        quota_b = min(n_b, floor(total_rows · n_b^alpha / Σ_c n_c^alpha))
+
+    alpha=1 reproduces the natural distribution; alpha→0 approaches
+    uniform; 0.5 is the common multilingual-pretraining setting.
+    Selection inside a stratum is by salted id-hash rank (same
+    auditable determinism contract as the other mixing stages: a doc's
+    survival is a pure function of its id and the corpus histogram).
+
+    Scale shape: ranks ride :func:`~.windows.scale_safe_group_ranks`
+    (no per-stratum single-task window sort); the smoothing denominator
+    is one map-side-combining count agg reduced to a 1-row broadcast.
+
+    Engine-parity note (why alpha=0.5 is the oracle-checked point):
+    sqrt is correctly rounded in IEEE 754 on every engine, so
+    floor(total · sqrt(n) / Σ) is bit-identical in Spark and DuckDB
+    when composed in this exact operation order; pow(x, alpha) for
+    general alpha carries no such guarantee (quota boundaries could
+    flip a row in the last ulp). The denominator sums per-stratum
+    doubles rounded half-away at 6 dp in DECIMAL(38,6) — order-
+    independent, mirroring the oracle recipe used throughout.
+    """
+    from .windows import scale_safe_group_ranks
+
+    def smooth(c):
+        c = c.cast("double")
+        if alpha == 0.5:
+            return F.sqrt(c)
+        return F.pow(c, F.lit(float(alpha)))
+
+    h = md5_int(
+        F.concat(F.lit(TMIX_SALT), F.col(id_col).cast("string"))
+    ).alias("_tmix_h")
+    ranked = scale_safe_group_ranks(
+        df.select("*", h), stratum_col, ["_tmix_h", id_col]
+    )
+    denom = (
+        df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.sum(
+                round_half_away(smooth(F.col("_n")), 6).cast(
+                    "decimal(38,6)"
+                )
+            )
+            .cast("double")
+            .alias("_denom")
+        )
+    )
+    quota = F.least(
+        F.col("_grp_n"),
+        F.floor(
+            F.lit(float(total_rows))
+            * smooth(F.col("_grp_n"))
+            / F.col("_denom")
+        ).cast("long"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(denom))
+        .filter(F.col("_rank") <= quota)
+        .select(*df.columns)
+    )
+
+
 #: Salt for train/val/test assignment — independent of the sampling
 #: and capping hashes so split membership never correlates with them.
 SPLIT_SALT = "split:"

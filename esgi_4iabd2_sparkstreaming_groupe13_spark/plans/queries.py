@@ -45,6 +45,7 @@ from ..functions.hashing import (
 )
 from ..operators import (
     aggregations as agg,
+    bpe,
     corpus,
     dedup,
     graph,
@@ -4921,6 +4922,104 @@ spans AS (
 )"""
 
 
+# --------------------------------------------------------------------
+# BPE tokenizer training / encoding (operators/bpe.py)
+# --------------------------------------------------------------------
+
+BPE_PAIRS_TOP = 30
+BPE_TRAIN_MERGES = 24
+
+#: Learned once on the sf0.001 word frequencies and FROZEN as a
+#: rank-ordered literal (creation-ordered by construction — every
+#: composite component appears as an earlier merge's output). The
+#: encode query and its oracle share this table, so the gate checks
+#: ENCODE semantics as a pure function of the data, independent of
+#: training.
+BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("e", "r"),
+    ("e", "</w>"),
+    ("n", "</w>"),
+    ("o", "r"),
+    ("t", "</w>"),
+    ("er", "</w>"),
+    ("o", "w"),
+    ("ow", "</w>"),
+    ("l", "u"),
+    ("i", "n"),
+    ("y", "</w>"),
+    ("a", "r"),
+    ("p", "ar"),
+    ("g", "</w>"),
+    ("a", "s"),
+    ("h", "</w>"),
+]
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """Round-zero BPE pair statistics: the corpus-scale face of
+    tokenizer training (one tokenize→explode→count pass builds the
+    word-frequency table; every merge round after it reuses this exact
+    plan shape over the vocab frame). Top pairs on a total order."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = bpe.initial_pair_counts(bpe.word_frequencies(docs, "text"))
+    return (
+        pairs.orderBy(F.desc("pair_count"), "sym_left", "sym_right")
+        .limit(BPE_PAIRS_TOP)
+        .select(
+            "sym_left",
+            "sym_right",
+            F.col("pair_count").cast("long").alias("pair_count"),
+        )
+    )
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Learned BPE merge table (24 merges). Iterative DataFrame
+    algorithm — the argmax pair feeds the next round's segmentation,
+    so not SQL-expressible: rows-only for the driver, with exactness
+    pinned by tests/test_bpe.py against an independent pure-Python
+    reference (merge table, order, counts, and final segmentation all
+    exact, plus hypothesis-random corpora)."""
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = bpe.bpe_train(
+        bpe.word_frequencies(docs, "text"), num_merges=BPE_TRAIN_MERGES
+    )
+    return merges
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Encode the corpus with the frozen merge table; per-language
+    document/word/subword-token totals. Exercises the full encode
+    path: explode occurrences → distinct words → Arrow-batched
+    per-word encoder (vocab-sized Python) → word-key join back →
+    per-doc then per-lang agg."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = bpe.bpe_encode_counts(
+        docs, "doc_id", "text", BPE_FIXED_MERGES, extra_cols=["lang"]
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+#: Budget for q_temperature_mix — same budget as q_mix so the two
+#: mixing stages are directly comparable in the artifact.
+TMIX_TOTAL = 400
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-smoothed (alpha=0.5) language rebalance over a
+    400-row budget: quotas derive from the observed histogram, not
+    caller targets — see corpus.temperature_mix for the scale shape
+    and the sqrt-only engine-parity contract."""
+    docs = _t(spark, sf_dir, "documents")
+    return corpus.temperature_mix(
+        docs, "doc_id", "lang", TMIX_TOTAL, alpha=0.5
+    ).select("doc_id", "lang", "source")
+
+
 def _split_assign_oracle(train_pct: int, val_pct: int) -> str:
     bucket = md5_int_sql("('split:' || CAST(doc_id AS VARCHAR))")
     return f"""
@@ -6600,6 +6699,88 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # writes CORRECTNESS_local_rN.json (full registry, driver format) so
 # the judge can audit "all green NOW" without re-running.
 
+_BPE_MERGE_VALUES = ",\n  ".join(
+    f"({i + 1}, ' {a} {b} ', ' {a}{b} ')"
+    for i, (a, b) in enumerate(BPE_FIXED_MERGES)
+)
+
+ORACLES["q_bpe_pairs"] = f"""
+WITH w AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+  GROUP BY word
+), p AS (
+  SELECT substr(word, CAST(i AS INTEGER), 1) AS sym_left,
+         CASE WHEN i = length(word) THEN '</w>'
+              ELSE substr(word, CAST(i AS INTEGER) + 1, 1) END AS sym_right,
+         cnt
+  FROM w, unnest(generate_series(1, CAST(length(word) AS BIGINT))) AS t(i)
+)
+SELECT sym_left, sym_right, CAST(sum(cnt) AS BIGINT) AS pair_count
+FROM p GROUP BY 1, 2
+ORDER BY pair_count DESC, sym_left, sym_right
+LIMIT {BPE_PAIRS_TOP}
+"""
+
+# Encode with the frozen creation-ordered merge table, replayed as a
+# recursive state machine: one state row per (word, merge index);
+# replace() applies all leftmost non-overlapping occurrences per step
+# and the index only advances once the pair no longer occurs (the
+# per-rank fixpoint — required when merged symbols abut, e.g. 'aaaa'
+# under (a,a): ' a a a a ' → ' aa a a ' → ' aa aa ').
+ORACLES["q_bpe_encode"] = f"""
+WITH RECURSIVE tok AS (
+  SELECT lang, doc_id, unnest({_TOKS}) AS word FROM documents
+), docw AS (
+  SELECT lang, doc_id, word, CAST(count(*) AS BIGINT) AS n_occ
+  FROM tok GROUP BY 1, 2, 3
+), dw AS (
+  SELECT DISTINCT word FROM docw
+), merges(i, pat, rep) AS (
+  VALUES {_BPE_MERGE_VALUES}
+), enc(word, s, i) AS (
+  SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ', 1
+  FROM dw
+  UNION ALL
+  SELECT e.word,
+         CASE WHEN contains(e.s, m.pat)
+              THEN replace(e.s, m.pat, m.rep) ELSE e.s END,
+         CASE WHEN contains(e.s, m.pat) THEN e.i ELSE e.i + 1 END
+  FROM enc e JOIN merges m ON m.i = e.i
+), done AS (
+  SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_toks
+  FROM enc WHERE i = {len(BPE_FIXED_MERGES) + 1}
+)
+SELECT lang,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(n_occ) AS BIGINT) AS n_words,
+       CAST(sum(n_occ * n_toks) AS BIGINT) AS n_tokens
+FROM docw JOIN done USING (word)
+GROUP BY lang
+"""
+
+ORACLES["q_temperature_mix"] = f"""
+WITH h AS (
+  SELECT doc_id, lang, source,
+         {md5_int_sql("('tmix:' || CAST(doc_id AS VARCHAR))")} AS hx
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang ORDER BY hx, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM h
+), d AS (
+  SELECT CAST(SUM(CAST(
+           {round_half_away_sql("sqrt(CAST(n AS DOUBLE))", 6)}
+         AS DECIMAL(38,6))) AS DOUBLE) AS denom
+  FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+)
+SELECT doc_id, lang, source FROM r CROSS JOIN d
+WHERE rk <= least(n, CAST(floor(
+        CAST({TMIX_TOTAL} AS DOUBLE) * sqrt(CAST(n AS DOUBLE)) / denom
+      ) AS BIGINT))
+"""
+
 QUERIES: list[QuerySpec] = [
     # ==== driver 50-entry verification window (r10) ====
     # ---- first driver rows EVER for these 15 r9 entries (judge-
@@ -6624,8 +6805,15 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_hybrid_rrf", q_hybrid_rrf, ORACLES["q_hybrid_rrf"]),
     QuerySpec("q_psi_drift", q_psi_drift, ORACLES["q_psi_drift"]),
     QuerySpec("q_pq_recall", q_pq_recall, ORACLES["q_pq_recall"]),
-    # ---- NEW in r10 (tokenizer-shard export assignment) ----
+    # ---- NEW in r10 (tokenizer-shard export assignment; BPE
+    # tokenizer training/encoding; temperature-smoothed mixing) ----
     QuerySpec("q_shard_assign", q_shard_assign, ORACLES["q_shard_assign"], True),
+    QuerySpec("q_bpe_pairs", q_bpe_pairs, ORACLES["q_bpe_pairs"]),
+    # bpe_merges: iterative (argmax feeds the next round) — rows-only,
+    # exactness pinned by tests/test_bpe.py vs a pure-Python reference
+    QuerySpec("q_bpe_merges", q_bpe_merges, None),
+    QuerySpec("q_bpe_encode", q_bpe_encode, ORACLES["q_bpe_encode"], True),
+    QuerySpec("q_temperature_mix", q_temperature_mix, ORACLES["q_temperature_mix"]),
     # ---- oldest 34 of the r6-verified block (last driver row r6 —
     # three rounds stale, the oldest in the registry; q_hll_distinct
     # was displaced from the window tail by q_shard_assign) ----
@@ -6659,12 +6847,14 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_fingerprint", q_fingerprint, ORACLES["q_fingerprint"]),
     QuerySpec("q_dedup_exact_content", q_dedup_exact_content, ORACLES["q_dedup_exact_content"]),
     QuerySpec("q_repetition", q_repetition, ORACLES["q_repetition"]),
+    # ==== driver 50-entry verification window ends here ====
+    # ---- r11 queue head: the 4 r6-verified entries displaced from
+    # the window tail by the r10 newcomers (q_bpe_pairs/merges/encode,
+    # q_temperature_mix), then the 15 remaining r6-verified entries ----
     QuerySpec("q_winnow_fp", q_winnow_fp, ORACLES["q_winnow_fp"]),
     QuerySpec("q_winnow_pairs", q_winnow_pairs, ORACLES["q_winnow_pairs"]),
     QuerySpec("q_split_assign", q_split_assign, ORACLES["q_split_assign"]),
     QuerySpec("q_token_histogram", q_token_histogram, ORACLES["q_token_histogram"]),
-    # ==== driver 50-entry verification window ends here ====
-    # ---- r11 queue head: the 15 remaining r6-verified entries ----
     QuerySpec("q_hll_distinct", q_hll_distinct, ORACLES["q_hll_distinct"]),
     QuerySpec("q_hll_groups", q_hll_groups, ORACLES["q_hll_groups"]),
     QuerySpec("q_cms_heavy", q_cms_heavy, ORACLES["q_cms_heavy"]),

@@ -78,7 +78,7 @@ ALL_OPS = (
     "skew_lag skew_runsum mix "
     "substring_dedup quality_score embed_norm entity_match agg_state "
     "bm25 gap_fill triangles pagerank global_shuffle dsir ppl_buckets jl "
-    "semdedup prep shard_assign pq_adc"
+    "semdedup prep shard_assign pq_adc bpe"
 ).split()
 
 
@@ -139,6 +139,7 @@ def main() -> None:
         "dsir",
         "ppl_buckets",
         "prep",
+        "bpe",
     )
     if want(*doc_ops):
         docs1 = load_table(spark, SF_DIR, "documents")
@@ -492,6 +493,59 @@ def main() -> None:
     # groups and the score fold rides a broadcast array. Must track
     # ~linear even though the fake copies' features are all unique
     # (bucketing caps the distribution table at dim rows regardless).
+    # BPE tokenizer: three tiers with different scale axes. The
+    # corpus-scale pass (word_frequencies + round-0 pair counts)
+    # tracks input bytes ~linearly; the TRAINING LOOP must NOT — its
+    # per-round cost is bounded by the surviving vocabulary, and
+    # min_count=2 prunes the fake copies' unique 384-char hex words
+    # (each appears exactly once), so the loop's input stays the real
+    # corpus's vocab at any factor — the designed behavior at web
+    # scale, where the singleton tail is most of distinct words but
+    # none of the pair weight. ENCODE grows with the distinct-word
+    # dimension (worst case here: every fake doc adds one new word;
+    # real corpora grow vocab sub-linearly per Heaps' law).
+    if want("bpe"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import bpe
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.plans.queries import (
+            BPE_FIXED_MERGES,
+        )
+
+        results["bpe"] = {
+            "pairs_t1": timed(
+                "bpe-pairs 1x",
+                bpe.initial_pair_counts(bpe.word_frequencies(docs1, "text")),
+            ),
+            "pairs_tN": timed(
+                f"bpe-pairs {factor}x",
+                bpe.initial_pair_counts(bpe.word_frequencies(docsN, "text")),
+            ),
+        }
+
+        def train_wall(df, label):
+            t0 = time.perf_counter()
+            merges, _ = bpe.bpe_train(
+                bpe.word_frequencies(df, "text"), num_merges=8, min_count=2
+            )
+            n = merges.count()
+            dt = round(time.perf_counter() - t0, 2)
+            print(f"# {label}: {dt}s ({n} merges)", file=sys.stderr)
+            return dt
+
+        results["bpe"]["train_t1"] = train_wall(docs1, "bpe-train 1x")
+        results["bpe"]["train_tN"] = train_wall(
+            docsN, f"bpe-train {factor}x"
+        )
+        results["bpe"]["encode_t1"] = timed(
+            "bpe-encode 1x",
+            bpe.bpe_encode_counts(docs1, "doc_id", "text", BPE_FIXED_MERGES),
+        )
+        results["bpe"]["encode_tN"] = timed(
+            f"bpe-encode {factor}x",
+            bpe.bpe_encode_counts(docsN, "doc_id", "text", BPE_FIXED_MERGES),
+        )
+        results["bpe"]["t1"] = results["bpe"]["pairs_t1"]
+        results["bpe"]["tN"] = results["bpe"]["pairs_tN"]
+
     if want("dsir"):
         results["dsir"] = {
             "t1": timed(

@@ -391,6 +391,64 @@ def test_mix_to_proportions_quotas_and_clamp(spark):
     assert out.columns == ["doc_id", "lang"]
 
 
+def test_temperature_mix_quotas_and_determinism(spark):
+    """quota_b = min(n_b, floor(total * n_b^alpha / sum n_c^alpha)) —
+    alpha=0.5 flattens the head stratum relative to its natural share;
+    alpha=1.0 reproduces proportional-to-size quotas; survivors are a
+    deterministic pure function of the id."""
+    import math
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.corpus import (
+        temperature_mix,
+    )
+
+    sizes = {"en": 400, "fr": 100, "xx": 25}
+    rows = []
+    base = 0
+    for lang, n in sizes.items():
+        rows += [(base + i, lang) for i in range(n)]
+        base += 1000
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    out = temperature_mix(df, "doc_id", "lang", 100, alpha=0.5)
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    denom = sum(
+        math.floor(math.sqrt(n) * 1e6 + 0.5) / 1e6 for n in sizes.values()
+    )
+    want = {
+        lang: min(n, int(100.0 * math.sqrt(n) / denom))
+        for lang, n in sizes.items()
+    }
+    assert by_lang == want
+    # natural share of en is 400/525 = 76%; sqrt smoothing gives
+    # 20/(20+10+5) = 57% — the head stratum is demoted
+    assert by_lang["en"] / sum(by_lang.values()) < sizes["en"] / sum(
+        sizes.values()
+    )
+
+    # alpha=1 → proportional to size
+    out1 = temperature_mix(df, "doc_id", "lang", 105, alpha=1.0)
+    by1 = {
+        r["lang"]: r["n"]
+        for r in out1.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by1 == {"en": 80, "fr": 20, "xx": 5}
+
+    # deterministic survivors under repartitioning
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in temperature_mix(
+            df.repartition(13), "doc_id", "lang", 100, alpha=0.5
+        ).collect()
+    )
+    assert ids1 == ids2
+    assert out.columns == ["doc_id", "lang"]
+
+
 def test_bm25_scores_hand_computed(spark):
     import math
 
