@@ -262,6 +262,176 @@ def state_overlap(state: DataFrame, b: int = HLL_BITS) -> DataFrame:
     )
 
 
+#: Histogram-state value columns (after the key columns).
+HIST_STATE_COLS = ["h_rows", "h_nonnull", "hist"]
+
+
+def _hist_bin(value_col: str, lo: float, hi: float, n_bins: int):
+    """Dense bin index for a double value: 0 = underflow (< lo),
+    1..n_bins = in-range, n_bins+1 = overflow (≥ hi), NULL = NULL.
+    Pure double arithmetic over LITERAL edges — identical IEEE ops in
+    Spark and DuckDB, so bin membership is bit-stable cross-engine."""
+    width = (float(hi) - float(lo)) / int(n_bins)
+    v = F.col(value_col).cast("double")
+    pos = (
+        F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("long")
+        + F.lit(1).cast("long")
+    )
+    return (
+        F.when(v.isNull(), F.lit(None).cast("long"))
+        .when(v < F.lit(float(lo)), F.lit(0).cast("long"))
+        .when(v >= F.lit(float(hi)), F.lit(int(n_bins) + 1).cast("long"))
+        .otherwise(pos)
+    )
+
+
+def build_hist_state(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Per-key mergeable DISTRIBUTION state: a fixed-edge histogram
+    (``array<long>`` of n_bins+2 counts — underflow, n_bins in-range
+    bins, overflow) plus row/non-null counts.
+
+    The quantile companion to :func:`build_agg_state`: quantiles are
+    not distributive, so — exactly like distinct counts riding HLL
+    registers — the state carries a mergeable sketch (bin counts sum
+    element-wise, EXACTLY) and only :func:`hist_quantiles` estimates.
+    Estimate error is bounded by one bin width, a fixed, caller-chosen
+    resolution (vs the probabilistic error of sampling sketches) —
+    the right trade when the value domain is known, which is the
+    common case for monitored metrics.
+
+    Scale shape mirrors build_agg_state: stage 1 groups by
+    (keys, bin) — after map-side combine the shuffle carries
+    ≤ |keys| × (n_bins+2) rows however large the slice — stage 2
+    packs one dense array row per key. NULL values count toward
+    ``h_rows`` only.
+    """
+    idx = _hist_bin(value_col, lo, hi, n_bins)
+    st1 = (
+        df.select(*[F.col(k) for k in keys], idx.alias("_bin"))
+        .groupBy(*keys, "_bin")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    entries = F.filter(
+        F.collect_list(F.struct(F.col("_bin"), F.col("_n"))),
+        lambda s: s["_bin"].isNotNull(),
+    )
+    binmap = F.map_from_entries(entries)
+
+    def look(i):
+        return F.coalesce(
+            F.element_at(binmap, i.cast("long")), F.lit(0).cast("long")
+        )
+
+    return st1.groupBy(*keys).agg(
+        F.sum("_n").alias("h_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("_bin").isNotNull(), F.col("_n"))),
+            F.lit(0),
+        ).alias("h_nonnull"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(int(n_bins) + 1)), look
+        ).alias("hist"),
+    )
+
+
+def merge_hist_states(*states: DataFrame) -> DataFrame:
+    """Union histogram states and fold to one row per key: counts add,
+    bin arrays sum element-wise — EXACT merge (unlike HLL, no estimate
+    lives in the state), so merge==one-pass is bit-trivial and the
+    pytest pins it. Input is keys-sized; raw data is never touched."""
+    if not states:
+        raise ValueError("merge_hist_states needs at least one state")
+    unioned = states[0]
+    for s in states[1:]:
+        unioned = unioned.unionByName(s)
+    keys = [c for c in unioned.columns if c not in HIST_STATE_COLS]
+    # Fold TAIL onto HEAD: seeding the fold with element 1 and then
+    # folding the whole list would add the first slice twice — silent
+    # with the HLL register MAX-merge this mirrors, corrupting for sums.
+    lst = F.collect_list("hist")
+    merged = F.aggregate(
+        F.slice(lst, 2, F.size(lst) - 1),
+        F.element_at(lst, 1),
+        lambda acc, x: F.zip_with(acc, x, lambda a, r: a + r),
+    )
+    return unioned.groupBy(*keys).agg(
+        F.sum("h_rows").alias("h_rows"),
+        F.sum("h_nonnull").alias("h_nonnull"),
+        merged.alias("hist"),
+    )
+
+
+def hist_quantiles(
+    state: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Quantile estimates from a histogram state, for each q in
+    ``qs`` (0 < q ≤ 1): type-1 target rank ``ceil(q·N)`` over the
+    cumulative bin walk, linear interpolation inside the landing bin;
+    underflow lands at ``lo``, overflow at ``hi`` (the histogram's
+    honest resolution at the edges). Keys with no non-null values are
+    dropped. Error ≤ one bin width by construction.
+
+    All arithmetic is engine-portable by the repo rules: integer
+    targets and cumulative counts (exact), one double interpolation
+    composed in a fixed operation order, rounded half-away at 6 dp.
+    The walk runs over the STATE (|keys| × (n_bins+2) rows — metadata-
+    sized at any corpus scale), so the per-key window sort here is
+    never a data-volume concern.
+    """
+    from pyspark.sql.window import Window
+
+    width = (float(hi) - float(lo)) / int(n_bins)
+    keys = [c for c in state.columns if c not in HIST_STATE_COLS]
+    bins = state.select(
+        *keys,
+        F.col("h_nonnull").alias("_N"),
+        F.posexplode("hist").alias("pos", "cnt"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bins = bins.withColumn("cum", F.sum("cnt").over(w))
+    qcol = F.explode(
+        F.array(*[F.lit(float(q)).cast("double") for q in qs])
+    ).alias("q")
+    qbins = bins.select(*keys, "_N", "pos", "cnt", "cum", qcol)
+    target = F.ceil(F.col("q") * F.col("_N").cast("double")).cast("long")
+    hit = qbins.filter((F.col("_N") > 0) & (F.col("cum") >= target))
+    agg = hit.groupBy(*keys, "q", "_N").agg(
+        F.min_by(F.struct("pos", "cnt", "cum"), F.col("pos")).alias("_b")
+    )
+    pos = F.col("_b.pos")
+    cnt = F.col("_b.cnt")
+    cum = F.col("_b.cum")
+    tgt = F.ceil(F.col("q") * F.col("_N").cast("double")).cast("long")
+    left = F.lit(float(lo)) + (pos - 1).cast("double") * F.lit(width)
+    frac = (tgt - cum + cnt).cast("double") / cnt.cast("double")
+    est = (
+        F.when(pos == 0, F.lit(float(lo)))
+        .when(pos == int(n_bins) + 1, F.lit(float(hi)))
+        .otherwise(left + F.lit(width) * frac)
+    )
+    return agg.select(
+        *keys,
+        F.col("q"),
+        F.col("_N").alias("n_used"),
+        round_half_away(est, 6).alias("est_q"),
+    )
+
+
 def maintain_agg_state(
     batch_df: DataFrame,
     keys: list[str],
@@ -282,11 +452,55 @@ def maintain_agg_state(
     stranded swap first, so a crash between renames costs nothing but
     a retry.
     """
+    batch_state = build_agg_state(batch_df, keys, value_col, distinct_col, b)
+    return _fold_state(
+        batch_df.sparkSession,
+        batch_state,
+        merge_agg_states,
+        state_path,
+        batch_id,
+    )
+
+
+def maintain_hist_state(
+    batch_df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    state_path: str,
+    batch_id: int,
+) -> bool:
+    """Fold one batch into a persisted histogram state, exactly once —
+    the same ledger + two-rename swap loop as :func:`maintain_agg_state`
+    (a replayed batch would double bin counts and silently shift every
+    downstream quantile). Returns False on a detected replay."""
+    batch_state = build_hist_state(batch_df, keys, value_col, lo, hi, n_bins)
+    return _fold_state(
+        batch_df.sparkSession,
+        batch_state,
+        merge_hist_states,
+        state_path,
+        batch_id,
+    )
+
+
+def _fold_state(
+    spark: SparkSession,
+    batch_state: DataFrame,
+    merge_fn,
+    state_path: str,
+    batch_id: int,
+) -> bool:
+    """Shared exactly-once fold: heal stranded swaps, veto replayed
+    batch ids via the ledger, merge the batch state into the persisted
+    state with ``merge_fn``, publish both tables via the two-rename
+    swap (crash windows self-heal on the next pass)."""
     from .maintenance import _swap_suffix, heal_swap
 
     import glob as _glob
 
-    spark = batch_df.sparkSession
     state_dir = os.path.join(state_path, "state")
     ledger_dir = os.path.join(state_path, "ledger")
     for d in (state_dir, ledger_dir):
@@ -299,14 +513,11 @@ def maintain_agg_state(
         ):
             heal_swap(d)
 
-    batch_state = build_agg_state(batch_df, keys, value_col, distinct_col, b)
     if os.path.isdir(ledger_dir):
         done = spark.read.parquet(ledger_dir)
         if done.filter(F.col("batch_id") == batch_id).limit(1).count() > 0:
             return False
-        merged = merge_agg_states(
-            spark.read.parquet(state_dir), batch_state
-        )
+        merged = merge_fn(spark.read.parquet(state_dir), batch_state)
         ledger = done.unionByName(
             spark.createDataFrame([(batch_id,)], "batch_id long")
         )

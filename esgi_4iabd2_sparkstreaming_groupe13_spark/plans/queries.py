@@ -3044,6 +3044,86 @@ def q_agg_state(spark, sf_dir):
     )
 
 
+#: q_state_quantiles geometry: events.value spans 0.01–490; 100 bins
+#: of width 5.0 over [0, 500) — exact double edges (integers), so bin
+#: membership is bit-stable cross-engine.
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 500.0, 100
+HIST_QS = [0.5, 0.95, 0.99]
+
+
+def q_state_quantiles(spark, sf_dir):
+    """Mergeable histogram-quantile state (new r10): the incremental
+    family's distribution statistic. Events split into two slices
+    (event_id parity), each built into a per-type fixed-bin histogram
+    state, merged (bin counts sum EXACTLY — unlike HLL, nothing is
+    estimated until finalize), then p50/p95/p99 estimated by the
+    cumulative walk + in-bin interpolation. The oracle computes the
+    identical walk from the raw table one-pass — the
+    quantiles(merge(build(A), build(B))) == quantiles(build(A ∪ B))
+    refresh property, error ≤ one bin width by construction."""
+    from ..operators import incremental
+
+    ev = _t(spark, sf_dir, "events")
+    a = incremental.build_hist_state(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ["event_type"], "value", HIST_LO, HIST_HI, HIST_BINS,
+    )
+    b = incremental.build_hist_state(
+        ev.filter(F.col("event_id") % 2 == 1),
+        ["event_type"], "value", HIST_LO, HIST_HI, HIST_BINS,
+    )
+    return incremental.hist_quantiles(
+        incremental.merge_hist_states(a, b),
+        HIST_QS, HIST_LO, HIST_HI, HIST_BINS,
+    )
+
+
+def _state_quantiles_oracle() -> str:
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+    over = HIST_BINS + 1
+    est = (
+        f"CASE WHEN pos = 0 THEN {HIST_LO!r} "
+        f"WHEN pos = {over} THEN {HIST_HI!r} "
+        f"ELSE ({HIST_LO!r} + CAST(pos - 1 AS DOUBLE) * {width!r}) "
+        f"+ {width!r} * (CAST(tgt - cum + cnt AS DOUBLE) "
+        f"/ CAST(cnt AS DOUBLE)) END"
+    )
+    qvals = ", ".join(f"(CAST({q!r} AS DOUBLE))" for q in HIST_QS)
+    return f"""
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN value IS NULL THEN NULL
+              WHEN CAST(value AS DOUBLE) < {HIST_LO!r} THEN 0
+              WHEN CAST(value AS DOUBLE) >= {HIST_HI!r} THEN {over}
+              ELSE CAST(floor((CAST(value AS DOUBLE) - {HIST_LO!r})
+                              / {width!r}) AS BIGINT) + 1 END AS pos
+  FROM events
+), h AS (
+  SELECT event_type, pos, CAST(count(*) AS BIGINT) AS cnt
+  FROM b WHERE pos IS NOT NULL GROUP BY 1, 2
+), nn AS (
+  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1
+), c AS (
+  SELECT event_type, pos, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY pos) AS cum
+  FROM h
+), qv(q) AS (VALUES {qvals}),
+t AS (
+  SELECT event_type, q, n,
+         CAST(ceil(q * CAST(n AS DOUBLE)) AS BIGINT) AS tgt
+  FROM nn CROSS JOIN qv WHERE n > 0
+), hit AS (
+  SELECT t.event_type, t.q, t.n, t.tgt, c.pos, c.cnt, c.cum,
+         row_number() OVER (
+           PARTITION BY t.event_type, t.q ORDER BY c.pos) AS rn
+  FROM t JOIN c ON c.event_type = t.event_type AND c.cum >= t.tgt
+)
+SELECT event_type, q, n AS n_used,
+       {round_half_away_sql(est, 6)} AS est_q
+FROM hit WHERE rn = 1
+"""
+
+
 def _agg_state_oracle(b: int = 9) -> str:
     """Direct one-pass mirror of the split-build-merge-finalize
     pipeline (merging is exact for every statistic, so the oracle
@@ -6098,6 +6178,7 @@ FROM red
     "q_entity_match": _entity_match_oracle(),
     "q_entity_clusters": _entity_clusters_oracle(),
     "q_agg_state": _agg_state_oracle(),
+    "q_state_quantiles": _state_quantiles_oracle(),
     "q_overlap": _overlap_oracle(),
     "q_cdc": _cdc_oracle(),
     "q_mix": f"""
@@ -6814,6 +6895,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_bpe_merges", q_bpe_merges, None),
     QuerySpec("q_bpe_encode", q_bpe_encode, ORACLES["q_bpe_encode"], True),
     QuerySpec("q_temperature_mix", q_temperature_mix, ORACLES["q_temperature_mix"]),
+    QuerySpec("q_state_quantiles", q_state_quantiles, ORACLES["q_state_quantiles"]),
     # ---- oldest 34 of the r6-verified block (last driver row r6 —
     # three rounds stale, the oldest in the registry; q_hll_distinct
     # was displaced from the window tail by q_shard_assign) ----
@@ -6846,11 +6928,11 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_incremental_dedup", q_incremental_dedup, ORACLES["q_incremental_dedup"]),
     QuerySpec("q_fingerprint", q_fingerprint, ORACLES["q_fingerprint"]),
     QuerySpec("q_dedup_exact_content", q_dedup_exact_content, ORACLES["q_dedup_exact_content"]),
-    QuerySpec("q_repetition", q_repetition, ORACLES["q_repetition"]),
     # ==== driver 50-entry verification window ends here ====
-    # ---- r11 queue head: the 4 r6-verified entries displaced from
+    # ---- r11 queue head: the 5 r6-verified entries displaced from
     # the window tail by the r10 newcomers (q_bpe_pairs/merges/encode,
     # q_temperature_mix), then the 15 remaining r6-verified entries ----
+    QuerySpec("q_repetition", q_repetition, ORACLES["q_repetition"]),
     QuerySpec("q_winnow_fp", q_winnow_fp, ORACLES["q_winnow_fp"]),
     QuerySpec("q_winnow_pairs", q_winnow_pairs, ORACLES["q_winnow_pairs"]),
     QuerySpec("q_split_assign", q_split_assign, ORACLES["q_split_assign"]),

@@ -154,3 +154,119 @@ def test_state_overlap_inclusion_exclusion(spark):
     assert abs((r["est_a"] + r["est_b"] - r["est_union"]) - r["est_overlap"]) < 1e-3
     # three compounded estimates: generous 15% relative envelope
     assert abs(r["est_overlap"] - 500) / 500 < 0.15
+
+
+def test_hist_merge_equals_one_pass_exactly(spark):
+    """quantiles(merge(build(A), build(B), build(C))) must equal
+    quantiles(build(A∪B∪C)) bit-for-bit: the bin-count merge is exact
+    (element-wise long sums), so not even rounding may differ. Also
+    guards the fold seam: merging 3 slices where slice 1 is largest
+    catches any first-element double-count."""
+    rows = [(i % 4, float(i % 97)) for i in range(900)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    parts = [df.filter(F.col("k") % 3 == r) for r in range(3)]
+    states = [
+        inc.build_hist_state(p, ["k"], "v", 0.0, 100.0, 20) for p in parts
+    ]
+    merged = inc.merge_hist_states(*states)
+    direct = inc.build_hist_state(df, ["k"], "v", 0.0, 100.0, 20)
+    qs = [0.5, 0.9, 1.0]
+    got = {
+        (r["k"], r["q"]): (r["n_used"], r["est_q"])
+        for r in inc.hist_quantiles(merged, qs, 0.0, 100.0, 20).collect()
+    }
+    want = {
+        (r["k"], r["q"]): (r["n_used"], r["est_q"])
+        for r in inc.hist_quantiles(direct, qs, 0.0, 100.0, 20).collect()
+    }
+    assert got == want
+    # and the merged STATE itself is identical to the one-pass state
+    ms = {r["k"]: (r["h_rows"], r["h_nonnull"], r["hist"]) for r in merged.collect()}
+    ds = {r["k"]: (r["h_rows"], r["h_nonnull"], r["hist"]) for r in direct.collect()}
+    assert ms == ds
+
+
+def test_hist_state_null_and_edge_routing(spark):
+    df = spark.createDataFrame(
+        [(1, None), (1, -3.0), (1, 0.0), (1, 99.99), (1, 100.0), (1, 55.0)],
+        "k long, v double",
+    )
+    st = inc.build_hist_state(df, ["k"], "v", 0.0, 100.0, 10)
+    r = st.collect()[0]
+    assert r["h_rows"] == 6 and r["h_nonnull"] == 5
+    hist = r["hist"]
+    assert len(hist) == 12
+    assert hist[0] == 1          # -3.0 underflow
+    assert hist[11] == 1         # 100.0 overflow (hi is exclusive)
+    assert hist[1] == 1          # 0.0 lands in the first in-range bin
+    assert hist[10] == 1         # 99.99 in the last in-range bin
+    assert hist[6] == 1          # 55.0
+    assert sum(hist) == 5
+
+
+def test_hist_quantiles_values_and_edges(spark):
+    """Hand-checked interpolation: 10 values 1..10 in [0,10)x10 bins
+    (one value per bin) — p50 target=5 lands in the bin holding 5
+    (edges [5,6)), frac=1 → est=6.0; p1 target=1 → est=2.0 (value 1
+    sits in bin [1,2)); overflow probe clamps at hi."""
+    df = spark.createDataFrame(
+        [(1, float(i)) for i in range(1, 11)], "k long, v double"
+    )
+    st = inc.build_hist_state(df, ["k"], "v", 0.0, 10.0, 10)
+    got = {
+        r["q"]: r["est_q"]
+        for r in inc.hist_quantiles(
+            st, [0.01, 0.5, 1.0], 0.0, 10.0, 10
+        ).collect()
+    }
+    assert got[0.01] == 2.0
+    assert got[0.5] == 6.0
+    # q=1: target=10 → value 10.0 is overflow (hi exclusive) → clamp
+    assert got[1.0] == 10.0
+    # error-bound property on a denser grid: estimate within one bin
+    # width of the exact type-1 quantile
+    import random
+
+    rnd = random.Random(7)
+    vals = [rnd.uniform(0, 500) for _ in range(5000)]
+    df2 = spark.createDataFrame([(1, v) for v in vals], "k long, v double")
+    st2 = inc.build_hist_state(df2, ["k"], "v", 0.0, 500.0, 100)
+    for r in inc.hist_quantiles(st2, [0.5, 0.95], 0.0, 500.0, 100).collect():
+        exact = sorted(vals)[math.ceil(r["q"] * len(vals)) - 1]
+        assert abs(r["est_q"] - exact) <= 5.0 + 1e-9, (r["q"], r["est_q"], exact)
+
+
+def test_hist_all_null_key_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, None), (1, None), (2, 3.0)], "k long, v double"
+    )
+    st = inc.build_hist_state(df, ["k"], "v", 0.0, 10.0, 5)
+    out = inc.hist_quantiles(st, [0.5], 0.0, 10.0, 5)
+    assert [r["k"] for r in out.collect()] == [2]
+
+
+def test_maintain_hist_replay_idempotent(spark, tmp_path):
+    """Durable histogram fold: batch 0, batch 1, then batch 1 REPLAYED
+    — the ledger vetoes the replay (returns False) and the state after
+    the replay equals the state after the first fold of batch 1."""
+    p = str(tmp_path / "hist_state")
+    b0 = spark.createDataFrame(
+        [(1, float(v)) for v in (1, 2, 3, 4)], "k long, v double"
+    )
+    b1 = spark.createDataFrame(
+        [(1, float(v)) for v in (5, 6)], "k long, v double"
+    )
+    assert inc.maintain_hist_state(b0, ["k"], "v", 0.0, 10.0, 10, p, 0)
+    assert inc.maintain_hist_state(b1, ["k"], "v", 0.0, 10.0, 10, p, 1)
+    after = spark.read.parquet(os.path.join(p, "state")).collect()
+    assert inc.maintain_hist_state(b1, ["k"], "v", 0.0, 10.0, 10, p, 1) is False
+    replay = spark.read.parquet(os.path.join(p, "state")).collect()
+    assert sorted(map(str, after)) == sorted(map(str, replay))
+    r = after[0]
+    assert r["h_rows"] == 6 and sum(r["hist"]) == 6
+    # quantiles read straight off the persisted state
+    q = inc.hist_quantiles(
+        spark.read.parquet(os.path.join(p, "state")), [0.5], 0.0, 10.0, 10
+    ).collect()[0]
+    # values 1..6, target ceil(.5*6)=3 → bin [3,4), frac 1 → 4.0
+    assert q["est_q"] == 4.0
