@@ -802,6 +802,126 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+#: Stupid-backoff discount (Brants et al. 2007's empirical constant).
+BACKOFF_ALPHA = 0.4
+
+
+def backoff_logprob(
+    score_df: DataFrame,
+    train_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    alpha: float = BACKOFF_ALPHA,
+) -> DataFrame:
+    """Stupid-backoff bigram LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation") of one corpus against an
+    LM trained on ANOTHER — the held-out perplexity-filter shape
+    [[bigram_logprob]] cannot express (scoring the training corpus
+    never backs off: every observed bigram has count ≥ 1). Per scored
+    bigram instance::
+
+        S(w2|w1) = c(w1,w2) / c(w1·)                 if seen in train
+                 = alpha · (c(w2)+1) / (N + V)        otherwise
+
+    (add-one-smoothed train unigram under the backoff — the unseen-
+    word floor stupid backoff leaves unspecified). Returns per-doc
+    (n_bigrams, avg_backoff_logprob, backoff_rate); docs with < 2
+    tokens drop. The backoff RATE is the quality signal pipelines
+    threshold on alongside the mean: high rate = vocabulary/domain
+    shift from the reference corpus, independent of the probability
+    mass itself.
+
+    Engine parity mirrors [[bigram_logprob]]: each instance log is
+    rounded to 6 dp FIRST, accumulated in DECIMAL(18,6) (exact,
+    order-independent), means/rates rounded engine-exactly
+    (``backoff_rate`` is a ratio of integers — rationals go through
+    ``round_half_away``).
+
+    Scale shape: both corpora reduce to (w1, w2, count) / (w, count)
+    tables via map-side-combined hash aggregates BEFORE any join, so
+    the three LEFT joins carry per-doc DISTINCT-bigram volume probed
+    against train-vocab-sized builds; the (N, V) scalars ride a 1-row
+    broadcast. Nothing quadratic, nothing instance-volume past the
+    first aggregate.
+    """
+
+    def bigrams(df: DataFrame, *cols: str) -> DataFrame:
+        a = token_array(F.col(text_col))
+        return (
+            df.select(
+                *[F.col(c) for c in cols],
+                a.alias("_a"),
+                F.size(a).alias("_n"),
+            )
+            .where(F.col("_n") >= 2)
+            .select(
+                *cols,
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("_a"), 1, F.col("_n") - 1).alias("w1"),
+                        F.slice(F.col("_a"), 2, F.col("_n") - 1).alias("w2"),
+                    )
+                ).alias("_bg"),
+            )
+            .select(
+                *cols,
+                F.col("_bg.w1").alias("_w1"),
+                F.col("_bg.w2").alias("_w2"),
+            )
+        )
+
+    f2 = (
+        bigrams(train_df)
+        .groupBy("_w1", "_w2")
+        .agg(F.count(F.lit(1)).alias("_c2"))
+    )
+    f1 = f2.groupBy("_w1").agg(F.sum("_c2").alias("_c1"))
+    tu = (
+        train_df.select(
+            F.explode(token_array(F.col(text_col))).alias("_w2")
+        )
+        .groupBy("_w2")
+        .agg(F.count(F.lit(1)).alias("_cu"))
+    )
+    scal = tu.agg(
+        F.sum("_cu").cast("long").alias("_nn"),
+        F.count(F.lit(1)).alias("_vv"),
+    )
+
+    pairs = (
+        bigrams(score_df, id_col)
+        .groupBy(id_col, "_w1", "_w2")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    j = (
+        pairs.join(f2, ["_w1", "_w2"], "left")
+        .join(f1, "_w1", "left")
+        .join(tu, "_w2", "left")
+        .crossJoin(F.broadcast(scal))
+    )
+    seen = F.col("_c2").isNotNull()
+    s_seen = F.col("_c2").cast("double") / F.col("_c1")
+    s_back = F.lit(float(alpha)) * (
+        (F.coalesce(F.col("_cu"), F.lit(0)) + 1).cast("double")
+        / (F.col("_nn") + F.col("_vv")).cast("double")
+    )
+    logp = F.round(
+        F.log(F.when(seen, s_seen).otherwise(s_back)), 6
+    ).cast("decimal(18,6)")
+    backed = F.when(seen, F.lit(0)).otherwise(F.col("_cnt"))
+    return j.groupBy(id_col).agg(
+        F.sum("_cnt").cast("long").alias("n_bigrams"),
+        round_half_away(
+            F.sum(logp * F.col("_cnt")).cast("double") / F.sum("_cnt"),
+            6,
+        ).alias("avg_backoff_logprob"),
+        round_half_away(
+            F.sum(backed).cast("double") / F.sum("_cnt").cast("double"),
+            6,
+        ).alias("backoff_rate"),
+    )
+
+
 #: Salt for weighted sampling — independent of every other md5-keyed
 #: decision on the same ids (uniform sampling, capping, splits).
 WEIGHTED_SALT = "wsample:"

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
+    md5_int,
     md5_int_sql,
     minhash_sql_elems,
     round_half_away,
@@ -3076,6 +3077,75 @@ def q_state_quantiles(spark, sf_dir):
         incremental.merge_hist_states(a, b),
         HIST_QS, HIST_LO, HIST_HI, HIST_BINS,
     )
+
+
+#: q_backoff_logprob split: md5('bk:'||id) % 100 < 70 trains the LM,
+#: the rest is scored — deterministic, independent of every other
+#: salted decision on the same ids.
+BACKOFF_TRAIN_PCT = 70
+
+
+def q_backoff_logprob(spark, sf_dir):
+    """Stupid-backoff held-out LM scoring (new r10): a bigram LM
+    trained on a 70% id-hash slice scores the other 30% — unseen
+    bigrams back off to alpha x the add-one train unigram, and the
+    per-doc BACKOFF RATE surfaces vocabulary/domain shift as its own
+    signal. See corpus.backoff_logprob for the plan shape."""
+    docs = _t(spark, sf_dir, "documents")
+    h = md5_int(
+        F.concat(F.lit("bk:"), F.col("doc_id").cast("string"))
+    ) % 100
+    train = docs.filter(h < BACKOFF_TRAIN_PCT)
+    score = docs.filter(h >= BACKOFF_TRAIN_PCT)
+    return corpus.backoff_logprob(score, train, "text", "doc_id")
+
+
+def _backoff_oracle() -> str:
+    hb = md5_int_sql("('bk:' || CAST(doc_id AS VARCHAR))")
+    dec = "CAST(round(lp, 6) AS DECIMAL(18,6))"
+    avg = f"CAST(SUM({dec}) AS DOUBLE) / count(*)"
+    rate = "CAST(SUM(bo) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks, ({hb} % 100) AS hsplit FROM documents
+), tbg AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM d, unnest(range(1, len(toks))) u(i)
+  WHERE hsplit < {BACKOFF_TRAIN_PCT} AND len(toks) >= 2
+), f2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM tbg GROUP BY 1, 2
+), f1 AS (
+  SELECT w1, count(*) AS c1 FROM tbg GROUP BY 1
+), tu AS (
+  SELECT w2, count(*) AS cu FROM (
+    SELECT unnest(toks) AS w2 FROM d WHERE hsplit < {BACKOFF_TRAIN_PCT}
+  ) GROUP BY 1
+), sc AS (
+  SELECT CAST(sum(cu) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS vv
+  FROM tu
+), sbg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM d, unnest(range(1, len(toks))) u(i)
+  WHERE hsplit >= {BACKOFF_TRAIN_PCT} AND len(toks) >= 2
+), sj AS (
+  SELECT s.doc_id,
+         ln(CASE WHEN f2.c2 IS NOT NULL
+                 THEN CAST(f2.c2 AS DOUBLE) / f1.c1
+                 ELSE {corpus.BACKOFF_ALPHA!r} *
+                      (CAST(COALESCE(tu.cu, 0) + 1 AS DOUBLE)
+                       / CAST(sc.nn + sc.vv AS DOUBLE)) END) AS lp,
+         CASE WHEN f2.c2 IS NULL THEN 1 ELSE 0 END AS bo
+  FROM sbg s
+  LEFT JOIN f2 USING (w1, w2)
+  LEFT JOIN f1 USING (w1)
+  LEFT JOIN tu ON tu.w2 = s.w2
+  CROSS JOIN sc
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       {round_half_away_sql(avg, 6)} AS avg_backoff_logprob,
+       {round_half_away_sql(rate, 6)} AS backoff_rate
+FROM sj GROUP BY doc_id
+"""
 
 
 def _state_quantiles_oracle() -> str:
@@ -6179,6 +6249,7 @@ FROM red
     "q_entity_clusters": _entity_clusters_oracle(),
     "q_agg_state": _agg_state_oracle(),
     "q_state_quantiles": _state_quantiles_oracle(),
+    "q_backoff_logprob": _backoff_oracle(),
     "q_overlap": _overlap_oracle(),
     "q_cdc": _cdc_oracle(),
     "q_mix": f"""
@@ -6896,6 +6967,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_bpe_encode", q_bpe_encode, ORACLES["q_bpe_encode"], True),
     QuerySpec("q_temperature_mix", q_temperature_mix, ORACLES["q_temperature_mix"]),
     QuerySpec("q_state_quantiles", q_state_quantiles, ORACLES["q_state_quantiles"]),
+    QuerySpec("q_backoff_logprob", q_backoff_logprob, ORACLES["q_backoff_logprob"]),
     # ---- oldest 34 of the r6-verified block (last driver row r6 —
     # three rounds stale, the oldest in the registry; q_hll_distinct
     # was displaced from the window tail by q_shard_assign) ----
@@ -6927,11 +6999,11 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),
     QuerySpec("q_incremental_dedup", q_incremental_dedup, ORACLES["q_incremental_dedup"]),
     QuerySpec("q_fingerprint", q_fingerprint, ORACLES["q_fingerprint"]),
-    QuerySpec("q_dedup_exact_content", q_dedup_exact_content, ORACLES["q_dedup_exact_content"]),
     # ==== driver 50-entry verification window ends here ====
-    # ---- r11 queue head: the 5 r6-verified entries displaced from
+    # ---- r11 queue head: the 6 r6-verified entries displaced from
     # the window tail by the r10 newcomers (q_bpe_pairs/merges/encode,
     # q_temperature_mix), then the 15 remaining r6-verified entries ----
+    QuerySpec("q_dedup_exact_content", q_dedup_exact_content, ORACLES["q_dedup_exact_content"]),
     QuerySpec("q_repetition", q_repetition, ORACLES["q_repetition"]),
     QuerySpec("q_winnow_fp", q_winnow_fp, ORACLES["q_winnow_fp"]),
     QuerySpec("q_winnow_pairs", q_winnow_pairs, ORACLES["q_winnow_pairs"]),

@@ -664,3 +664,61 @@ def test_rrf_fusion_top_k_truncates_and_single_list_is_identityish(spark):
     out = corpus.rrf_fusion([lst], "doc_id", k=3).collect()
     assert [r["doc_id"] for r in out] == [1, 2, 3]  # rank order preserved
     assert [r["rank"] for r in out] == [1, 2, 3]
+
+
+def test_backoff_logprob_hand_computed(spark):
+    """Train LM: 'a b a b c' (bigrams ab,ba,ab,bc → c2(a,b)=2,
+    c2(b,a)=1, c2(b,c)=1; c1(a)=2, c1(b)=2; unigrams a:2 b:2 c:1,
+    N=5, V=3). Score doc 'a b x': (a,b) seen → ln(2/2)=0;
+    (b,x) unseen, x unseen → ln(0.4 * (0+1)/(5+3)) = ln(0.05);
+    backoff_rate = 1/2."""
+    import math
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.corpus import (
+        backoff_logprob,
+    )
+
+    train = spark.createDataFrame(
+        [(100, "a b a b c")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(1, "a b x"), (2, "a b"), (3, "z")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in backoff_logprob(score, train, "text", "doc_id").collect()
+    }
+    # doc 3 has one token → no bigrams → dropped
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    lp_seen = round(math.log(2 / 2), 6)
+    lp_back = round(math.log(0.4 * ((0 + 1) / (5 + 3))), 6)
+    want_avg = math.floor(-(lp_seen + lp_back) / 2 * 1e6 + 0.5) / -1e6
+    assert r1["n_bigrams"] == 2
+    assert abs(r1["avg_backoff_logprob"] - (lp_seen + lp_back) / 2) < 1e-6
+    assert r1["backoff_rate"] == 0.5
+    r2 = out[2]
+    assert r2["n_bigrams"] == 1
+    assert r2["avg_backoff_logprob"] == 0.0  # ln(2/2) = 0
+    assert r2["backoff_rate"] == 0.0
+
+
+def test_backoff_seen_unigram_backoff_branch(spark):
+    """Unseen bigram over SEEN words backs off to the smoothed train
+    unigram of w2: score 'c a' against 'a b a b c' — (c,a) unseen,
+    a seen twice → ln(0.4 * (2+1)/(5+3))."""
+    import math
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.corpus import (
+        backoff_logprob,
+    )
+
+    train = spark.createDataFrame(
+        [(100, "a b a b c")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame([(1, "c a")], "doc_id long, text string")
+    r = backoff_logprob(score, train, "text", "doc_id").collect()[0]
+    assert r["backoff_rate"] == 1.0
+    assert abs(
+        r["avg_backoff_logprob"] - math.log(0.4 * (3 / 8))
+    ) < 1e-6
