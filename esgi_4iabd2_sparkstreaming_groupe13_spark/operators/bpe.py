@@ -223,6 +223,56 @@ def bpe_train(
     return merges_df, w
 
 
+def bpe_fit_or_load(
+    spark: SparkSession,
+    words: DataFrame,
+    model_path: str,
+    num_merges: int,
+    **train_kwargs,
+) -> list[tuple[str, str]]:
+    """Train/serve split for the merge table — the same persisted-model
+    contract as the IVF/PQ codebooks (`similarity.kmeans_fit_or_load`):
+    a tokenizer is a MODEL with its own lifecycle — trained once per
+    corpus version, then reused by every encode/packing/shard-export
+    run. Loads the persisted table when present and well-formed
+    (schema + creation-order verified via :func:`encode_word_fn`),
+    refits-and-overwrites otherwise. ``bpe_train`` is deterministic
+    (total argmax tie-break), so load-vs-refit is bit-identical.
+
+    Returns the rank-ordered merge list (the form every encode entry
+    point consumes)."""
+    import os
+
+    def _load() -> list[tuple[str, str]] | None:
+        if not os.path.exists(os.path.join(model_path, "_SUCCESS")):
+            return None
+        m = spark.read.parquet(model_path)
+        fields = {f.name: f.dataType.simpleString() for f in m.schema}
+        want = {f.name: f.dataType.simpleString() for f in MERGES_SCHEMA}
+        if not all(fields.get(k) == v for k, v in want.items()):
+            return None
+        rows = m.orderBy("rank").collect()
+        if len(rows) > num_merges or [r["rank"] for r in rows] != list(
+            range(len(rows))
+        ):
+            return None
+        pairs = [(r["sym_left"], r["sym_right"]) for r in rows]
+        try:
+            _assert_creation_ordered(pairs)
+        except ValueError:
+            return None
+        return pairs
+
+    cached = _load()
+    if cached is not None:
+        return cached
+    merges_df, _ = bpe_train(words, num_merges, **train_kwargs)
+    merges_df.write.mode("overwrite").parquet(model_path)
+    loaded = _load()
+    assert loaded is not None, "freshly written merge table failed to load"
+    return loaded
+
+
 def bpe_vocab(vocab_words: DataFrame) -> DataFrame:
     """(symbol, freq) over the final segmentation — the learned
     subword vocabulary with corpus frequencies."""

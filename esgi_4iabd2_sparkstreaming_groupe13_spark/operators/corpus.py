@@ -118,8 +118,26 @@ def pack_sequences(
         F.col(id_col),
         F.size(token_array(F.col(text_col))).cast("long").alias("n_tokens"),
     )
+    return pack_by_counts(sized, id_col, "n_tokens", budget_tokens)
+
+
+def pack_by_counts(
+    counts: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget_tokens: int,
+) -> DataFrame:
+    """Next-fit bin assignment over a PRE-COUNTED (id, n_tokens) frame
+    — the packing arithmetic of :func:`pack_sequences` factored out so
+    any tokenizer can supply the counts (whitespace words there;
+    learned-BPE subword counts in ``q_bpe_packing`` — a trainer's bins
+    are measured in MODEL tokens, not words). Same two-pass scale-safe
+    global running sum, no single-partition window."""
     running = global_running_sum(
-        sized, [id_col], "n_tokens", sum_col="_cum"
+        counts.select(F.col(id_col), F.col(tokens_col).alias("n_tokens")),
+        [id_col],
+        "n_tokens",
+        sum_col="_cum",
     )
     return running.select(
         F.col(id_col),

@@ -5154,6 +5154,27 @@ def q_bpe_encode(spark, sf_dir):
     )
 
 
+#: q_bpe_packing bin budget, in SUBWORD tokens of the frozen merge
+#: table (a trainer's bins are measured in model tokens, not words).
+BPE_PACK_BUDGET = 2048
+
+
+def q_bpe_packing(spark, sf_dir):
+    """Tokenizer-aware sequence packing (composed r10 last mile):
+    per-doc SUBWORD counts under the frozen merge table feed the same
+    next-fit running-sum bin assignment as q_token_packing — the
+    composition a trainer actually consumes. Oracle replays both
+    halves: the recursive-CTE encode for the counts, the exclusive
+    running sum for the bins."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = bpe.bpe_encode_counts(
+        docs, "doc_id", "text", BPE_FIXED_MERGES
+    )
+    return corpus.pack_by_counts(
+        counts, "doc_id", "n_tokens", BPE_PACK_BUDGET
+    )
+
+
 #: Budget for q_temperature_mix — same budget as q_mix so the two
 #: mixing stages are directly comparable in the artifact.
 TMIX_TOTAL = 400
@@ -6879,8 +6900,9 @@ LIMIT {BPE_PAIRS_TOP}
 # replace() applies all leftmost non-overlapping occurrences per step
 # and the index only advances once the pair no longer occurs (the
 # per-rank fixpoint — required when merged symbols abut, e.g. 'aaaa'
-# under (a,a): ' a a a a ' → ' aa a a ' → ' aa aa ').
-ORACLES["q_bpe_encode"] = f"""
+# under (a,a): ' a a a a ' → ' aa a a ' → ' aa aa '). Shared by the
+# q_bpe_encode and q_bpe_packing oracles.
+_BPE_ENC_CTES = f"""
 WITH RECURSIVE tok AS (
   SELECT lang, doc_id, unnest({_TOKS}) AS word FROM documents
 ), docw AS (
@@ -6902,13 +6924,27 @@ WITH RECURSIVE tok AS (
 ), done AS (
   SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_toks
   FROM enc WHERE i = {len(BPE_FIXED_MERGES) + 1}
-)
+)"""
+
+ORACLES["q_bpe_encode"] = f"""{_BPE_ENC_CTES}
 SELECT lang,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        CAST(sum(n_occ) AS BIGINT) AS n_words,
        CAST(sum(n_occ * n_toks) AS BIGINT) AS n_tokens
 FROM docw JOIN done USING (word)
 GROUP BY lang
+"""
+
+ORACLES["q_bpe_packing"] = f"""{_BPE_ENC_CTES}
+, sized AS (
+  SELECT doc_id, CAST(sum(n_occ * n_toks) AS BIGINT) AS n_tokens
+  FROM docw JOIN done USING (word)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
+                  / {BPE_PACK_BUDGET}) AS BIGINT) AS bin_id
+FROM sized
 """
 
 ORACLES["q_temperature_mix"] = f"""
@@ -6968,6 +7004,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_temperature_mix", q_temperature_mix, ORACLES["q_temperature_mix"]),
     QuerySpec("q_state_quantiles", q_state_quantiles, ORACLES["q_state_quantiles"]),
     QuerySpec("q_backoff_logprob", q_backoff_logprob, ORACLES["q_backoff_logprob"]),
+    QuerySpec("q_bpe_packing", q_bpe_packing, ORACLES["q_bpe_packing"]),
     # ---- oldest 34 of the r6-verified block (last driver row r6 —
     # three rounds stale, the oldest in the registry; q_hll_distinct
     # was displaced from the window tail by q_shard_assign) ----
@@ -6998,11 +7035,11 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_bigram_logprob", q_bigram_logprob, ORACLES["q_bigram_logprob"]),
     QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),
     QuerySpec("q_incremental_dedup", q_incremental_dedup, ORACLES["q_incremental_dedup"]),
-    QuerySpec("q_fingerprint", q_fingerprint, ORACLES["q_fingerprint"]),
     # ==== driver 50-entry verification window ends here ====
-    # ---- r11 queue head: the 6 r6-verified entries displaced from
+    # ---- r11 queue head: the 7 r6-verified entries displaced from
     # the window tail by the r10 newcomers (q_bpe_pairs/merges/encode,
     # q_temperature_mix), then the 15 remaining r6-verified entries ----
+    QuerySpec("q_fingerprint", q_fingerprint, ORACLES["q_fingerprint"]),
     QuerySpec("q_dedup_exact_content", q_dedup_exact_content, ORACLES["q_dedup_exact_content"]),
     QuerySpec("q_repetition", q_repetition, ORACLES["q_repetition"]),
     QuerySpec("q_winnow_fp", q_winnow_fp, ORACLES["q_winnow_fp"]),

@@ -220,3 +220,24 @@ def test_train_property_parity(spark_global, corpus, k):
 @pytest.fixture(scope="module")
 def spark_global(spark):
     return spark
+
+
+def test_fit_or_load_persists_and_reloads(spark, words_df, tmp_path):
+    import os
+
+    path = str(tmp_path / "bpe_model")
+    m1 = bpe.bpe_fit_or_load(spark, words_df, path, num_merges=6)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    want, _ = ref_train(CORPUS, 6)
+    assert m1 == [(a, b) for _, a, b, _ in want]
+    # second call loads (corrupting the words frame proves no refit)
+    empty = spark.createDataFrame([], "word string, cnt long")
+    m2 = bpe.bpe_fit_or_load(spark, empty, path, num_merges=6)
+    assert m2 == m1
+    # malformed model (bad creation order) triggers a refit
+    bad = spark.createDataFrame(
+        [(0, "th", "e", 5), (1, "t", "h", 9)], bpe.MERGES_SCHEMA
+    )
+    bad.write.mode("overwrite").parquet(path)
+    m3 = bpe.bpe_fit_or_load(spark, words_df, path, num_merges=6)
+    assert m3 == m1
