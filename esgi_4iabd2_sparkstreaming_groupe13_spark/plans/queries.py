@@ -6863,11 +6863,17 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # inserted into the window displacing its tail (displaced so far:
 # q_hll_distinct).
 # Behind the window, the queue for r11 rotation in order of
-# staleness: the 15 remaining r6-verified entries (q_hll_distinct ..
-# q_total_count), the 3 rows-only entries, the 50-entry
-# r7/r8-verified block (q_equi_depth .. q_bloom_contamination), and
-# finally the 50 entries of the r9 window (q_tpch_q1 .. q_triangles
-# — freshest, driver-green in r9).
+# staleness: the 6 r6-verified entries the r10 newcomers displaced
+# from the window tail (q_dedup_exact_content .. q_token_histogram),
+# the 15 remaining r6-verified entries (q_hll_distinct ..
+# q_total_count), the rows-only entries, the 50-entry r7/r8-verified
+# block (q_equi_depth .. q_bloom_contamination), and finally the 50
+# entries of the r9 window (q_tpch_q1 .. q_triangles — freshest,
+# driver-green in r9). The 7 oracle-backed r10 newcomers
+# (q_shard_assign, q_bpe_pairs/encode/packing, q_temperature_mix,
+# q_state_quantiles, q_backoff_logprob) sit INSIDE the r10 window so
+# their first driver rows land in CORRECTNESS_r10; q_bpe_merges is
+# rows-only and stays out (gate slots are for oracle checks).
 # scripts/oracle_check.py still runs the whole list every round and
 # writes CORRECTNESS_local_rN.json (full registry, driver format) so
 # the judge can audit "all green NOW" without re-running.
@@ -6997,9 +7003,6 @@ QUERIES: list[QuerySpec] = [
     # tokenizer training/encoding; temperature-smoothed mixing) ----
     QuerySpec("q_shard_assign", q_shard_assign, ORACLES["q_shard_assign"], True),
     QuerySpec("q_bpe_pairs", q_bpe_pairs, ORACLES["q_bpe_pairs"]),
-    # bpe_merges: iterative (argmax feeds the next round) — rows-only,
-    # exactness pinned by tests/test_bpe.py vs a pure-Python reference
-    QuerySpec("q_bpe_merges", q_bpe_merges, None),
     QuerySpec("q_bpe_encode", q_bpe_encode, ORACLES["q_bpe_encode"], True),
     QuerySpec("q_temperature_mix", q_temperature_mix, ORACLES["q_temperature_mix"]),
     QuerySpec("q_state_quantiles", q_state_quantiles, ORACLES["q_state_quantiles"]),
@@ -7035,11 +7038,16 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_bigram_logprob", q_bigram_logprob, ORACLES["q_bigram_logprob"]),
     QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),
     QuerySpec("q_incremental_dedup", q_incremental_dedup, ORACLES["q_incremental_dedup"]),
+    QuerySpec("q_fingerprint", q_fingerprint, ORACLES["q_fingerprint"]),
     # ==== driver 50-entry verification window ends here ====
-    # ---- r11 queue head: the 7 r6-verified entries displaced from
+    # bpe_merges: iterative (argmax feeds the next round) — rows-only,
+    # exactness pinned by tests/test_bpe.py vs a pure-Python reference.
+    # Kept OUT of the driver window: rows-only entries must not burn
+    # gate slots (tests/test_text_multimodal.py guard).
+    QuerySpec("q_bpe_merges", q_bpe_merges, None),
+    # ---- r11 queue head: the 6 r6-verified entries displaced from
     # the window tail by the r10 newcomers (q_bpe_pairs/merges/encode,
     # q_temperature_mix), then the 15 remaining r6-verified entries ----
-    QuerySpec("q_fingerprint", q_fingerprint, ORACLES["q_fingerprint"]),
     QuerySpec("q_dedup_exact_content", q_dedup_exact_content, ORACLES["q_dedup_exact_content"]),
     QuerySpec("q_repetition", q_repetition, ORACLES["q_repetition"]),
     QuerySpec("q_winnow_fp", q_winnow_fp, ORACLES["q_winnow_fp"]),

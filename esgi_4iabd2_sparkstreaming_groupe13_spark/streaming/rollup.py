@@ -103,3 +103,81 @@ def serve_rollup(spark: SparkSession, state_path: str) -> DataFrame:
     return finalize_agg_state(
         spark.read.parquet(os.path.join(state_path, "state"))
     )
+
+
+def hist_rollup_batch(
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    state_path: str,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` body for the DISTRIBUTION rollup (new r10):
+    each micro-batch folds into the persisted per-key histogram state
+    of :func:`..operators.incremental.maintain_hist_state` — same
+    ledger-vetoed exactly-once contract as :func:`rollup_batch`, and
+    the veto is just as load-bearing (a replayed batch would double
+    bin counts and silently shift every served quantile)."""
+    from ..operators.incremental import maintain_hist_state
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        maintain_hist_state(
+            batch_df, keys, value_col, lo, hi, n_bins, state_path, batch_id
+        )
+
+    return process
+
+
+def start_hist_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    keys: list[str] | None = None,
+    value_col: str = "value",
+    max_files_per_trigger: int | None = 1,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming quantile maintenance: per-key p50/p95/p99 over the
+    stream's whole history at per-batch cost — served from the
+    keys × (bins+2)-sized state, never by rescanning events."""
+    stream = create_file_stream(
+        spark, input_dir, ROLLUP_STREAM_SCHEMA, "json", max_files_per_trigger
+    )
+    writer = stream.writeStream.foreachBatch(
+        hist_rollup_batch(
+            keys or ["event_type"], value_col, lo, hi, n_bins, state_path
+        )
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def serve_hist_quantiles(
+    spark: SparkSession,
+    state_path: str,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Quantile dashboard read straight from the persisted histogram
+    state — keys-sized scan, zero raw-event IO."""
+    import os
+
+    from ..operators.incremental import hist_quantiles
+
+    return hist_quantiles(
+        spark.read.parquet(os.path.join(state_path, "state")),
+        qs,
+        lo,
+        hi,
+        n_bins,
+    )

@@ -78,7 +78,7 @@ ALL_OPS = (
     "skew_lag skew_runsum mix "
     "substring_dedup quality_score embed_norm entity_match agg_state "
     "bm25 gap_fill triangles pagerank global_shuffle dsir ppl_buckets jl "
-    "semdedup prep shard_assign pq_adc bpe"
+    "semdedup prep shard_assign pq_adc bpe hist_state"
 ).split()
 
 
@@ -1299,6 +1299,35 @@ def main() -> None:
         results["agg_state"] = {
             "t1": timed("aggstate 1x", aggst(ag1)),
             "tN": timed(f"aggstate {factor}x", aggst(agN)),
+        }
+
+    # Histogram-quantile state: build is a (key, bin) hash agg whose
+    # post-combine shuffle is bounded by keys × (bins+2) rows at ANY
+    # input size — expect ~linear scan-bound wall; the quantile walk
+    # runs over the keys-sized state and must stay flat.
+    if want("hist_state"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.incremental import (
+            build_hist_state,
+            hist_quantiles,
+        )
+
+        hv1 = load_table(spark, SF_DIR, "events")
+        hvN = scaled(hv1, factor, ["event_id"], 100_000_000)
+
+        def histq(d):
+            return hist_quantiles(
+                build_hist_state(
+                    d, ["event_type"], "value", 0.0, 500.0, 100
+                ),
+                [0.5, 0.95, 0.99],
+                0.0,
+                500.0,
+                100,
+            )
+
+        results["hist_state"] = {
+            "t1": timed("histstate 1x", histq(hv1)),
+            "tN": timed(f"histstate {factor}x", histq(hvN)),
         }
 
     # Global shuffle (epoch permutation): ONE range exchange on the

@@ -128,3 +128,46 @@ def test_replayed_batch_function_is_noop(spark, tmp_path):
         "view": 2,
         "click": 1,
     }
+
+
+def test_hist_stream_equals_batch_quantiles(spark, tmp_path):
+    """Streaming histogram rollup: state + served quantiles after the
+    availableNow drain equal a from-scratch one-pass build over all
+    events, bit-for-bit (the exact-merge property end to end)."""
+    src = tmp_path / "hsrc"
+    _write_batches(src)
+    state_path = str(tmp_path / "hstate")
+    q = rollup.start_hist_rollup(
+        spark,
+        str(src),
+        state_path,
+        str(tmp_path / "hckpt"),
+        lo=0.0,
+        hi=16.0,
+        n_bins=8,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    served = {
+        (r["event_type"], r["q"]): (r["n_used"], r["est_q"])
+        for r in rollup.serve_hist_quantiles(
+            spark, state_path, [0.5, 1.0], 0.0, 16.0, 8
+        ).collect()
+    }
+    direct = {
+        (r["event_type"], r["q"]): (r["n_used"], r["est_q"])
+        for r in inc.hist_quantiles(
+            inc.build_hist_state(
+                _all_events(spark), ["event_type"], "value", 0.0, 16.0, 8
+            ),
+            [0.5, 1.0],
+            0.0,
+            16.0,
+            8,
+        ).collect()
+    }
+    assert served == direct
+    # NULL value (event 5) excluded from every histogram: click n=1
+    assert served[("click", 0.5)][0] == 1
+    ledger = spark.read.parquet(os.path.join(state_path, "ledger"))
+    assert ledger.count() == 3
