@@ -92,6 +92,48 @@ def load_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def load_media_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Directory-of-media-files batch source via Spark's native
+    ``binaryFile`` format — the REAL ingestion path for the multimodal
+    tier (``operators/multimodal.py`` synthesizes payloads for its
+    oracle gates; a crawl lands as files).
+
+    Returns (media_id, path, mod_time, n_bytes, payload): ``media_id``
+    is the md5 integer of the file path — deterministic across runs
+    and engines, so downstream joins/dedup key on it exactly like the
+    synthetic tier — and the schema feeds
+    ``multimodal.media_header_metadata`` unchanged.
+
+    Scale notes: binaryFile caps one file per row (never splits), so
+    partition sizing is by-bytes — pipe through
+    ``multimodal.repartition_for_payloads`` before wide payload work;
+    ``pathGlobFilter`` prunes at LISTING time (no payload read for
+    filtered-out files); header parsing downstream reads O(header)
+    bytes per row.
+    """
+    from ..functions.hashing import md5_int
+
+    reader = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true" if recursive else "false")
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    return df.select(
+        md5_int(F.col("path")).alias("media_id"),
+        F.col("path"),
+        F.col("modificationTime").alias("mod_time"),
+        F.col("length").alias("n_bytes"),
+        F.col("content").alias("payload"),
+    )
+
+
 def load_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
     """Schema-evolution read across parquet generations: later writers
     may ADD columns; ``mergeSchema`` unions the schemas and older

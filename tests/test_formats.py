@@ -85,3 +85,48 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     rows = {r.id: (r.name, r.score) for r in df.collect()}
     # the old generation surfaces the added column as null
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_load_media_dir_binaryfile_roundtrip(spark, tmp_path):
+    """binaryFile ingestion: real files on disk → (media_id, path,
+    n_bytes, payload) → the header parser — the non-synthetic media
+    path end to end, with glob pruning at listing time."""
+    import struct
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import multimodal
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.sources.batch import (
+        load_media_dir,
+    )
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00"
+           + b"\x00\x00\x00\x00")
+    wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100,
+                                   176400, 4, 16))
+    d = tmp_path / "media"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.png").write_bytes(png)
+    (d / "sub" / "b.wav").write_bytes(wav)
+    (d / "notes.txt").write_text("not media")
+
+    media = load_media_dir(spark, str(d), glob="*.{png,wav}")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in media.collect()}
+    # glob pruned the .txt at listing time; recursion found sub/b.wav
+    assert set(rows) == {"a.png", "b.wav"}
+    assert rows["a.png"]["n_bytes"] == len(png)
+    assert bytes(rows["b.wav"]["payload"]) == wav
+    # ids deterministic across a second read
+    again = {r["path"].rsplit("/", 1)[-1]: r["media_id"]
+             for r in load_media_dir(spark, str(d), glob="*.{png,wav}").collect()}
+    assert {k: v["media_id"] for k, v in rows.items()} == again
+
+    parsed = {
+        r["path"].rsplit("/", 1)[-1]: r
+        for r in multimodal.media_header_metadata(
+            media.select("media_id", "payload")
+        ).join(media.select("media_id", "path"), "media_id").collect()
+    }
+    assert (parsed["a.png"]["format"], parsed["a.png"]["width"]) == ("png", 640)
+    assert (parsed["b.wav"]["format"], parsed["b.wav"]["sample_rate"]) == ("wav", 44100)
