@@ -157,6 +157,33 @@ def _compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def _rollup(args: argparse.Namespace) -> int:
+    from .session import get_spark
+    from .streaming import rollup as R
+
+    spark = get_spark(app_name="rollup")
+    if args.kind == "agg":
+        q = R.start_rollup_maintenance(
+            spark, args.input, args.state, args.checkpoint,
+            available_now=True,
+        )
+        q.awaitTermination()
+        out = R.serve_rollup(spark, args.state)
+    else:
+        q = R.start_hist_rollup(
+            spark, args.input, args.state, args.checkpoint,
+            lo=args.lo, hi=args.hi, n_bins=args.bins,
+            available_now=True,
+        )
+        q.awaitTermination()
+        out = R.serve_hist_quantiles(
+            spark, args.state, [0.5, 0.95, 0.99],
+            args.lo, args.hi, args.bins,
+        )
+    out.orderBy(out.columns[0]).show(50, truncate=False)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="esgi_4iabd2_sparkstreaming_groupe13_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -249,6 +276,23 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--format", default="json")
     cp.add_argument("--target-mb", type=int, default=128)
     cp.set_defaults(fn=_compact)
+
+    ro = sub.add_parser(
+        "rollup",
+        help="drain an NDJSON event dir into the persisted incremental "
+        "state (exactly-once ledger) and print the served rollup",
+    )
+    ro.add_argument("--input", required=True, help="NDJSON event directory")
+    ro.add_argument("--state", required=True, help="state-table root path")
+    ro.add_argument("--checkpoint", required=True)
+    ro.add_argument(
+        "--kind", choices=["agg", "hist"], default="agg",
+        help="agg = counts/sum/min/max/HLL; hist = quantile histogram",
+    )
+    ro.add_argument("--lo", type=float, default=0.0)
+    ro.add_argument("--hi", type=float, default=500.0)
+    ro.add_argument("--bins", type=int, default=100)
+    ro.set_defaults(fn=_rollup)
     return p
 
 

@@ -17,6 +17,11 @@ def test_cli_parser_covers_three_services():
         (["publish", "--source", "s", "--out", "o"], "_publish"),
         (["verify", "--input", "i"], "_verify"),
         (["compact", "--input", "i"], "_compact"),
+        (
+            ["rollup", "--input", "i", "--state", "s",
+             "--checkpoint", "c", "--kind", "hist"],
+            "_rollup",
+        ),
     ]:
         args = p.parse_args(argv)
         assert args.fn.__name__ == fn_name
