@@ -148,6 +148,55 @@ def pack_by_counts(
     )
 
 
+#: Document separator for materialized training sequences (GPT-style
+#: end-of-document sentinel; spaces keep word tokenization stable).
+EOD_SEP = " <|eod|> "
+
+
+def materialize_bins(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    budget_tokens: int = 4096,
+    eod: str = EOD_SEP,
+) -> DataFrame:
+    """Turn :func:`pack_sequences` bin IDs into the SEQUENCES a trainer
+    consumes: per bin, member docs concatenated in id order with an
+    end-of-document sentinel — (bin_id, n_docs, bin_tokens, seq_text).
+
+    Determinism (and hence the DuckDB oracle): member order inside a
+    bin is the same id order the packing ran on — Spark sorts the
+    collected (id, text) structs (``array_sort`` orders by the leading
+    field), the oracle uses ``string_agg(... ORDER BY id)``. NULL
+    texts are not part of the contract (the prep pipeline scrubs
+    before packing): Spark's array_join and DuckDB's string_agg skip
+    NULLs differently, so feed non-null text.
+
+    Scale shape: one id-key join (packing output back to text) and one
+    bin-key hash aggregate. The collected payload per group — and
+    therefore the output ROW size — is bounded by the token budget
+    (bins hold ≈ budget tokens by construction), so the aggregate
+    cannot produce a whale row however large the corpus; row count
+    shrinks ≈ budget× from the input.
+    """
+    packed = pack_sequences(df, text_col, id_col, budget_tokens)
+    joined = df.select(F.col(id_col), F.col(text_col)).join(
+        packed, id_col
+    )
+    members = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("i"), F.col(text_col).alias("t"))
+        )
+    )
+    return joined.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        F.array_join(
+            F.transform(members, lambda s: s["t"]), eod
+        ).alias("seq_text"),
+    )
+
+
 def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
     """Distinct word-level n-grams (space-joined) of a token array.
 

@@ -5175,6 +5175,19 @@ def q_bpe_packing(spark, sf_dir):
     )
 
 
+def q_pack_materialize(spark, sf_dir):
+    """Materialized training sequences (new r10): pack_sequences bin
+    ids turned into the per-bin EOD-joined text a trainer consumes —
+    (bin_id, n_docs, bin_tokens, seq_text), member order = the id
+    order the packing ran on. Output row size is bounded by the token
+    budget (a bin holds ≈ budget tokens by construction), so the
+    aggregate cannot produce a whale row at any corpus size."""
+    return corpus.materialize_bins(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        PACK_BUDGET_TOKENS,
+    )
+
+
 #: Budget for q_temperature_mix — same budget as q_mix so the two
 #: mixing stages are directly comparable in the artifact.
 TMIX_TOTAL = 400
@@ -5891,6 +5904,21 @@ WHERE {md5_int_sql("('wsample:' || CAST(doc_id AS VARCHAR))")} % 1000000
     "q_assoc_rules": _assoc_rules_oracle(),
     "q_benford": _benford_oracle(),
     "q_token_packing": _token_packing_oracle(PACK_BUDGET_TOKENS),
+    "q_pack_materialize": f"""
+WITH sized AS (
+  SELECT doc_id, text, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, text, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
+                    / {PACK_BUDGET_TOKENS}) AS BIGINT) AS bin_id
+  FROM sized
+)
+SELECT bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       string_agg(text, ' <|eod|> ' ORDER BY doc_id) AS seq_text
+FROM packed GROUP BY bin_id
+""",
     "q_shard_assign": _shard_assign_oracle(
         PACK_BUDGET_TOKENS, SHARD_TOKENS
     ),
@@ -6863,15 +6891,16 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # inserted into the window displacing its tail (displaced so far:
 # q_hll_distinct).
 # Behind the window, the queue for r11 rotation in order of
-# staleness: the 6 r6-verified entries the r10 newcomers displaced
-# from the window tail (q_dedup_exact_content .. q_token_histogram),
+# staleness: the 7 r6-verified entries the r10 newcomers displaced
+# from the window tail (q_fingerprint .. q_token_histogram),
 # the 15 remaining r6-verified entries (q_hll_distinct ..
 # q_total_count), the rows-only entries, the 50-entry r7/r8-verified
 # block (q_equi_depth .. q_bloom_contamination), and finally the 50
 # entries of the r9 window (q_tpch_q1 .. q_triangles — freshest,
-# driver-green in r9). The 7 oracle-backed r10 newcomers
-# (q_shard_assign, q_bpe_pairs/encode/packing, q_temperature_mix,
-# q_state_quantiles, q_backoff_logprob) sit INSIDE the r10 window so
+# driver-green in r9). The 8 oracle-backed r10 newcomers
+# (q_shard_assign, q_bpe_pairs/encode/packing, q_pack_materialize,
+# q_temperature_mix, q_state_quantiles, q_backoff_logprob) sit INSIDE
+# the r10 window so
 # their first driver rows land in CORRECTNESS_r10; q_bpe_merges is
 # rows-only and stays out (gate slots are for oracle checks).
 # scripts/oracle_check.py still runs the whole list every round and
@@ -7008,6 +7037,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_state_quantiles", q_state_quantiles, ORACLES["q_state_quantiles"]),
     QuerySpec("q_backoff_logprob", q_backoff_logprob, ORACLES["q_backoff_logprob"]),
     QuerySpec("q_bpe_packing", q_bpe_packing, ORACLES["q_bpe_packing"]),
+    QuerySpec("q_pack_materialize", q_pack_materialize, ORACLES["q_pack_materialize"]),
     # ---- oldest 34 of the r6-verified block (last driver row r6 —
     # three rounds stale, the oldest in the registry; q_hll_distinct
     # was displaced from the window tail by q_shard_assign) ----
@@ -7038,14 +7068,14 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_bigram_logprob", q_bigram_logprob, ORACLES["q_bigram_logprob"]),
     QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),
     QuerySpec("q_incremental_dedup", q_incremental_dedup, ORACLES["q_incremental_dedup"]),
-    QuerySpec("q_fingerprint", q_fingerprint, ORACLES["q_fingerprint"]),
     # ==== driver 50-entry verification window ends here ====
     # bpe_merges: iterative (argmax feeds the next round) — rows-only,
     # exactness pinned by tests/test_bpe.py vs a pure-Python reference.
     # Kept OUT of the driver window: rows-only entries must not burn
     # gate slots (tests/test_text_multimodal.py guard).
     QuerySpec("q_bpe_merges", q_bpe_merges, None),
-    # ---- r11 queue head: the 6 r6-verified entries displaced from
+    QuerySpec("q_fingerprint", q_fingerprint, ORACLES["q_fingerprint"]),
+    # ---- r11 queue head: the 7 r6-verified entries displaced from
     # the window tail by the r10 newcomers (q_bpe_pairs/merges/encode,
     # q_temperature_mix), then the 15 remaining r6-verified entries ----
     QuerySpec("q_dedup_exact_content", q_dedup_exact_content, ORACLES["q_dedup_exact_content"]),

@@ -722,3 +722,26 @@ def test_backoff_seen_unigram_backoff_branch(spark):
     assert abs(
         r["avg_backoff_logprob"] - math.log(0.4 * (3 / 8))
     ) < 1e-6
+
+
+def test_materialize_bins_order_and_budget_bound(spark):
+    """Member order inside a bin is id order; every doc appears exactly
+    once across bins; the EOD join reassembles the exact texts."""
+    rows = [(i, f"tok{i} " * (i % 4 + 1)) for i in range(1, 13)]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    out = corpus.materialize_bins(df, "text", "doc_id", budget_tokens=6)
+    got = {r["bin_id"]: r for r in out.collect()}
+    # replay the packing arithmetic in python
+    cum, bins = 0, {}
+    for i, t in rows:
+        n = len(t.split())
+        bins.setdefault(cum // 6, []).append((i, t.strip(), n))
+        cum += n
+    assert set(got) == set(bins)
+    for b, members in bins.items():
+        r = got[b]
+        assert r["n_docs"] == len(members)
+        assert r["bin_tokens"] == sum(n for _, _, n in members)
+        assert r["seq_text"] == corpus.EOD_SEP.join(t for _, t, _ in members)
