@@ -869,6 +869,66 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+#: Salt for curriculum within-tier shuffling — independent of every
+#: other md5-keyed decision on the same ids.
+CURRICULUM_SALT = "curr:"
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_tiers: int = 4,
+    salt: str = CURRICULUM_SALT,
+) -> DataFrame:
+    """Deterministic curriculum ordering: equi-depth quality tiers
+    (tier 0 = highest score) with a salted-hash shuffle INSIDE each
+    tier — the "easy/clean first, shuffled within difficulty band"
+    epoch order curriculum-training pipelines feed the trainer, as a
+    pure function of (id, score distribution): re-runs, task retries,
+    and repartitioning reproduce the identical sequence, and a new
+    salt gives a fresh within-tier permutation without touching tier
+    membership.
+
+    (id, tier, curriculum_pos): tier = exact integral
+    ``((rank-1)·T) div N`` over the global score rank (total order:
+    score DESC, id) — integer arithmetic, never a double division;
+    curriculum_pos = the contiguous global index in
+    (tier, shuffle-hash, id) order. ``score_col`` must be non-null.
+
+    Scale shape: two scale-safe global indexes (one range exchange
+    each, no single-partition window — `global_row_index`) plus a
+    1-row broadcast count. Nothing else moves.
+    """
+    from .windows import global_row_index
+
+    scored = df.select(
+        F.col(id_col),
+        F.col(score_col).alias("_score"),
+    ).withColumn("_negs", -F.col("_score"))
+    ranked = global_row_index(scored, ["_negs", id_col], index_col="_rk")
+    n = scored.agg(F.count(F.lit(1)).alias("_n"))
+    tiered = ranked.crossJoin(F.broadcast(n)).select(
+        F.col(id_col),
+        F.call_function(
+            "div",
+            (F.col("_rk") - 1) * F.lit(int(n_tiers)),
+            F.col("_n"),
+        ).alias("tier"),
+        md5_int(
+            F.concat(F.lit(salt), F.col(id_col).cast("string"))
+        ).alias("_shuf"),
+    )
+    out = global_row_index(
+        tiered, ["tier", "_shuf", id_col], index_col="curriculum_pos"
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("tier").cast("long").alias("tier"),
+        F.col("curriculum_pos").cast("long").alias("curriculum_pos"),
+    )
+
+
 #: Stupid-backoff discount (Brants et al. 2007's empirical constant).
 BACKOFF_ALPHA = 0.4
 

@@ -5188,6 +5188,17 @@ def q_pack_materialize(spark, sf_dir):
     )
 
 
+def q_curriculum(spark, sf_dir):
+    """Deterministic curriculum epoch order (new r10): equi-depth
+    quality tiers (n_chars as the registry's score proxy; any numeric
+    score column works) shuffled within tier by salted id-hash —
+    tier = exact integral ((rank-1)*4) div N, position = scale-safe
+    global index over (tier, hash, id). See corpus.curriculum_order."""
+    return corpus.curriculum_order(
+        _t(spark, sf_dir, "documents"), "doc_id", "n_chars", n_tiers=4
+    )
+
+
 #: Budget for q_temperature_mix — same budget as q_mix so the two
 #: mixing stages are directly comparable in the artifact.
 TMIX_TOTAL = 400
@@ -5904,6 +5915,22 @@ WHERE {md5_int_sql("('wsample:' || CAST(doc_id AS VARCHAR))")} % 1000000
     "q_assoc_rules": _assoc_rules_oracle(),
     "q_benford": _benford_oracle(),
     "q_token_packing": _token_packing_oracle(PACK_BUDGET_TOKENS),
+    "q_curriculum": f"""
+WITH n AS (SELECT count(*) AS nn FROM documents),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+), t AS (
+  SELECT doc_id, ((rk - 1) * 4) // nn AS tier,
+         {md5_int_sql("('curr:' || CAST(doc_id AS VARCHAR))")} AS shuf
+  FROM r CROSS JOIN n
+)
+SELECT doc_id, CAST(tier AS BIGINT) AS tier,
+       CAST(row_number() OVER (ORDER BY tier, shuf, doc_id) AS BIGINT)
+         AS curriculum_pos
+FROM t
+""",
     "q_pack_materialize": f"""
 WITH sized AS (
   SELECT doc_id, text, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
@@ -6891,16 +6918,16 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # inserted into the window displacing its tail (displaced so far:
 # q_hll_distinct).
 # Behind the window, the queue for r11 rotation in order of
-# staleness: the 7 r6-verified entries the r10 newcomers displaced
-# from the window tail (q_fingerprint .. q_token_histogram),
+# staleness: the 8 r6-verified entries the r10 newcomers displaced
+# from the window tail (q_incremental_dedup .. q_token_histogram),
 # the 15 remaining r6-verified entries (q_hll_distinct ..
 # q_total_count), the rows-only entries, the 50-entry r7/r8-verified
 # block (q_equi_depth .. q_bloom_contamination), and finally the 50
 # entries of the r9 window (q_tpch_q1 .. q_triangles — freshest,
-# driver-green in r9). The 8 oracle-backed r10 newcomers
+# driver-green in r9). The 9 oracle-backed r10 newcomers
 # (q_shard_assign, q_bpe_pairs/encode/packing, q_pack_materialize,
-# q_temperature_mix, q_state_quantiles, q_backoff_logprob) sit INSIDE
-# the r10 window so
+# q_curriculum, q_temperature_mix, q_state_quantiles,
+# q_backoff_logprob) sit INSIDE the r10 window so
 # their first driver rows land in CORRECTNESS_r10; q_bpe_merges is
 # rows-only and stays out (gate slots are for oracle checks).
 # scripts/oracle_check.py still runs the whole list every round and
@@ -7038,6 +7065,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_backoff_logprob", q_backoff_logprob, ORACLES["q_backoff_logprob"]),
     QuerySpec("q_bpe_packing", q_bpe_packing, ORACLES["q_bpe_packing"]),
     QuerySpec("q_pack_materialize", q_pack_materialize, ORACLES["q_pack_materialize"]),
+    QuerySpec("q_curriculum", q_curriculum, ORACLES["q_curriculum"]),
     # ---- oldest 34 of the r6-verified block (last driver row r6 —
     # three rounds stale, the oldest in the registry; q_hll_distinct
     # was displaced from the window tail by q_shard_assign) ----
@@ -7074,11 +7102,11 @@ QUERIES: list[QuerySpec] = [
     # Kept OUT of the driver window: rows-only entries must not burn
     # gate slots (tests/test_text_multimodal.py guard).
     QuerySpec("q_bpe_merges", q_bpe_merges, None),
-    QuerySpec("q_fingerprint", q_fingerprint, ORACLES["q_fingerprint"]),
-    # ---- r11 queue head: the 7 r6-verified entries displaced from
-    # the window tail by the r10 newcomers (q_bpe_pairs/merges/encode,
-    # q_temperature_mix), then the 15 remaining r6-verified entries ----
     QuerySpec("q_dedup_exact_content", q_dedup_exact_content, ORACLES["q_dedup_exact_content"]),
+    QuerySpec("q_fingerprint", q_fingerprint, ORACLES["q_fingerprint"]),
+    # ---- r11 queue head: the 8 r6-verified entries displaced from
+    # the window tail by the r10 newcomers, then the 15 remaining
+    # r6-verified entries ----
     QuerySpec("q_repetition", q_repetition, ORACLES["q_repetition"]),
     QuerySpec("q_winnow_fp", q_winnow_fp, ORACLES["q_winnow_fp"]),
     QuerySpec("q_winnow_pairs", q_winnow_pairs, ORACLES["q_winnow_pairs"]),

@@ -745,3 +745,39 @@ def test_materialize_bins_order_and_budget_bound(spark):
         assert r["n_docs"] == len(members)
         assert r["bin_tokens"] == sum(n for _, _, n in members)
         assert r["seq_text"] == corpus.EOD_SEP.join(t for _, t, _ in members)
+
+
+def test_curriculum_order_tiers_and_determinism(spark):
+    """Equi-depth tiers over the score rank (tier 0 = best); every
+    position 1..N used exactly once; within-tier order follows the
+    salted hash; identical output under repartitioning; a different
+    salt re-permutes within tiers but never changes tier membership."""
+    rows = [(i, (i * 37) % 100) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, score long")
+    out = corpus.curriculum_order(df, "doc_id", "score", n_tiers=4)
+    got = {r["doc_id"]: (r["tier"], r["curriculum_pos"]) for r in out.collect()}
+    # python replay
+    ranked = sorted(rows, key=lambda r: (-r[1], r[0]))
+    tiers = {doc: (rk * 4) // 40 for rk, (doc, _) in enumerate(ranked)}
+    assert {d: t for d, (t, _) in got.items()} == tiers
+    assert sorted(p for _, p in got.values()) == list(range(1, 41))
+    # positions ascend with tier
+    by_pos = sorted(got.values(), key=lambda tp: tp[1])
+    assert [t for t, _ in by_pos] == sorted(t for t, _ in by_pos)
+    # deterministic under repartitioning
+    got2 = {
+        r["doc_id"]: (r["tier"], r["curriculum_pos"])
+        for r in corpus.curriculum_order(
+            df.repartition(7), "doc_id", "score", n_tiers=4
+        ).collect()
+    }
+    assert got2 == got
+    # fresh salt: same tiers, different within-tier permutation
+    got3 = {
+        r["doc_id"]: (r["tier"], r["curriculum_pos"])
+        for r in corpus.curriculum_order(
+            df, "doc_id", "score", n_tiers=4, salt="curr2:"
+        ).collect()
+    }
+    assert {d: t for d, (t, _) in got3.items()} == tiers
+    assert got3 != got
