@@ -78,7 +78,7 @@ ALL_OPS = (
     "skew_lag skew_runsum mix "
     "substring_dedup quality_score embed_norm entity_match agg_state "
     "bm25 gap_fill triangles pagerank global_shuffle dsir ppl_buckets jl "
-    "semdedup prep shard_assign pq_adc bpe hist_state"
+    "semdedup prep shard_assign pq_adc bpe hist_state bpe_chain"
 ).split()
 
 
@@ -140,6 +140,7 @@ def main() -> None:
         "ppl_buckets",
         "prep",
         "bpe",
+        "bpe_chain",
     )
     if want(*doc_ops):
         docs1 = load_table(spark, SF_DIR, "documents")
@@ -545,6 +546,67 @@ def main() -> None:
         )
         results["bpe"]["t1"] = results["bpe"]["pairs_t1"]
         results["bpe"]["tN"] = results["bpe"]["pairs_tN"]
+
+    # Composed tokenizer last mile: BPE-encode counts → token-budget
+    # bins → shard assignment → per-shard summary, forced TWICE with a
+    # full equality assertion (ids/checksums/token totals) — the
+    # composition stability check the r9 AQE reader-coalescing row
+    # loss taught us to run on every multi-stage chain: single-stage
+    # probes cannot see a layout race between plan branches.
+    if want("bpe_chain"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import (
+            bpe as bpe_mod,
+            shards,
+        )
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.plans.queries import (
+            BPE_FIXED_MERGES,
+        )
+
+        def chain(d):
+            counts = bpe_mod.bpe_encode_counts(
+                d, "doc_id", "text", BPE_FIXED_MERGES
+            )
+            packed = corpus.pack_by_counts(
+                counts, "doc_id", "n_tokens", 2048
+            )
+            return shards.shard_summary(
+                shards.assign_token_shards(packed)
+            )
+
+        def chain_force(label, d):
+            t0 = time.perf_counter()
+            a = chain(d).collect()
+            dt = round(time.perf_counter() - t0, 2)
+            b = chain(d).collect()
+            key = lambda rows: sorted(  # noqa: E731
+                (
+                    r["shard_id"],
+                    r["n_docs"],
+                    r["n_bins"],
+                    r["n_tokens"],
+                    r["id_checksum"],
+                )
+                for r in rows
+            )
+            assert key(a) == key(b), (
+                f"{label}: composed chain UNSTABLE across two forces"
+            )
+            n_docs = sum(r["n_docs"] for r in a)
+            print(
+                f"# {label}: {dt}s ({len(a)} shards, {n_docs} docs, "
+                "two forces EXACT)",
+                file=sys.stderr,
+            )
+            return dt, n_docs
+
+        t1c, d1 = chain_force("bpe-chain 1x", docs1)
+        tNc, dN = chain_force(f"bpe-chain {factor}x", docsN)
+        results["bpe_chain"] = {
+            "t1": t1c,
+            "tN": tNc,
+            "docs_1x": d1,
+            "docs_Nx": dN,
+        }
 
     if want("dsir"):
         results["dsir"] = {
