@@ -5175,6 +5175,29 @@ def q_bpe_packing(spark, sf_dir):
     )
 
 
+def q_bpe_vocab(spark, sf_dir):
+    """Corpus subword vocabulary under the frozen merge table (new
+    r10): (symbol, freq, n_words) — the artifact shipped WITH a
+    tokenizer (unit frequencies drive vocab pruning and id
+    assignment). Same encode factoring as q_bpe_encode: the Arrow
+    encoder runs once per DISTINCT word; frequencies come from a JVM
+    join back to word counts, then one symbol-key hash agg."""
+    docs = _t(spark, sf_dir, "documents")
+    words = bpe.word_frequencies(docs, "text")
+    encoded = bpe.encode_words(
+        words.select("word").distinct(), BPE_FIXED_MERGES
+    )
+    return (
+        words.join(encoded.select("word", "toks"), "word")
+        .select("word", F.explode("toks").alias("symbol"), F.col("cnt"))
+        .groupBy("symbol")
+        .agg(
+            F.sum("cnt").cast("long").alias("freq"),
+            F.countDistinct("word").cast("long").alias("n_distinct_words"),
+        )
+    )
+
+
 def q_pack_materialize(spark, sf_dir):
     """Materialized training sequences (new r10): pack_sequences bin
     ids turned into the per-bin EOD-joined text a trainer consumes —
@@ -6918,16 +6941,16 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # inserted into the window displacing its tail (displaced so far:
 # q_hll_distinct).
 # Behind the window, the queue for r11 rotation in order of
-# staleness: the 8 r6-verified entries the r10 newcomers displaced
+# staleness: the 9 r6-verified entries the r10 newcomers displaced
 # from the window tail (q_incremental_dedup .. q_token_histogram),
 # the 15 remaining r6-verified entries (q_hll_distinct ..
 # q_total_count), the rows-only entries, the 50-entry r7/r8-verified
 # block (q_equi_depth .. q_bloom_contamination), and finally the 50
 # entries of the r9 window (q_tpch_q1 .. q_triangles — freshest,
-# driver-green in r9). The 9 oracle-backed r10 newcomers
-# (q_shard_assign, q_bpe_pairs/encode/packing, q_pack_materialize,
-# q_curriculum, q_temperature_mix, q_state_quantiles,
-# q_backoff_logprob) sit INSIDE the r10 window so
+# driver-green in r9). The 10 oracle-backed r10 newcomers
+# (q_shard_assign, q_bpe_pairs/encode/vocab/packing,
+# q_pack_materialize, q_curriculum, q_temperature_mix,
+# q_state_quantiles, q_backoff_logprob) sit INSIDE the r10 window so
 # their first driver rows land in CORRECTNESS_r10; q_bpe_merges is
 # rows-only and stays out (gate slots are for oracle checks).
 # scripts/oracle_check.py still runs the whole list every round and
@@ -6997,6 +7020,19 @@ FROM docw JOIN done USING (word)
 GROUP BY lang
 """
 
+ORACLES["q_bpe_vocab"] = f"""{_BPE_ENC_CTES}
+, wc AS (
+  SELECT word, CAST(sum(n_occ) AS BIGINT) AS cnt FROM docw GROUP BY 1
+), toksym AS (
+  SELECT word, unnest(string_split(trim(s), ' ')) AS symbol
+  FROM enc WHERE i = {len(BPE_FIXED_MERGES) + 1}
+)
+SELECT symbol, CAST(sum(cnt) AS BIGINT) AS freq,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_distinct_words
+FROM toksym JOIN wc USING (word)
+GROUP BY symbol
+"""
+
 ORACLES["q_bpe_packing"] = f"""{_BPE_ENC_CTES}
 , sized AS (
   SELECT doc_id, CAST(sum(n_occ * n_toks) AS BIGINT) AS n_tokens
@@ -7060,6 +7096,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_shard_assign", q_shard_assign, ORACLES["q_shard_assign"], True),
     QuerySpec("q_bpe_pairs", q_bpe_pairs, ORACLES["q_bpe_pairs"]),
     QuerySpec("q_bpe_encode", q_bpe_encode, ORACLES["q_bpe_encode"], True),
+    QuerySpec("q_bpe_vocab", q_bpe_vocab, ORACLES["q_bpe_vocab"]),
     QuerySpec("q_temperature_mix", q_temperature_mix, ORACLES["q_temperature_mix"]),
     QuerySpec("q_state_quantiles", q_state_quantiles, ORACLES["q_state_quantiles"]),
     QuerySpec("q_backoff_logprob", q_backoff_logprob, ORACLES["q_backoff_logprob"]),
@@ -7095,13 +7132,13 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_corpus_report", q_corpus_report, ORACLES["q_corpus_report"]),
     QuerySpec("q_bigram_logprob", q_bigram_logprob, ORACLES["q_bigram_logprob"]),
     QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),
-    QuerySpec("q_incremental_dedup", q_incremental_dedup, ORACLES["q_incremental_dedup"]),
     # ==== driver 50-entry verification window ends here ====
     # bpe_merges: iterative (argmax feeds the next round) — rows-only,
     # exactness pinned by tests/test_bpe.py vs a pure-Python reference.
     # Kept OUT of the driver window: rows-only entries must not burn
     # gate slots (tests/test_text_multimodal.py guard).
     QuerySpec("q_bpe_merges", q_bpe_merges, None),
+    QuerySpec("q_incremental_dedup", q_incremental_dedup, ORACLES["q_incremental_dedup"]),
     QuerySpec("q_dedup_exact_content", q_dedup_exact_content, ORACLES["q_dedup_exact_content"]),
     QuerySpec("q_fingerprint", q_fingerprint, ORACLES["q_fingerprint"]),
     # ---- r11 queue head: the 8 r6-verified entries displaced from
