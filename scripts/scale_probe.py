@@ -78,7 +78,7 @@ ALL_OPS = (
     "skew_lag skew_runsum mix "
     "substring_dedup quality_score embed_norm entity_match agg_state "
     "bm25 gap_fill triangles pagerank global_shuffle dsir ppl_buckets jl "
-    "semdedup prep shard_assign pq_adc bpe hist_state bpe_chain"
+    "semdedup prep shard_assign pq_adc bpe hist_state bpe_chain backoff"
 ).split()
 
 
@@ -546,6 +546,45 @@ def main() -> None:
         )
         results["bpe"]["t1"] = results["bpe"]["pairs_t1"]
         results["bpe"]["tN"] = results["bpe"]["pairs_tN"]
+
+    # Stupid-backoff held-out scoring: LM trained ONCE on the real 1×
+    # corpus, the scored side grows 100×. Fake copies get 12-word
+    # md5-chunk texts (the single-giant-token fixture would yield zero
+    # bigrams and measure nothing); every fake bigram is unseen, so
+    # this also stress-feeds the backoff branch. Expected shape:
+    # ~linear in scored docs — the train-side count tables are fixed
+    # and the scored side is one pre-aggregate + three LEFT probes.
+    if want("backoff"):
+        b1 = load_table(spark, SF_DIR, "documents")
+        bcopies = [b1]
+        for i in range(1, factor):
+            piece = F.md5(F.concat_ws("_", F.col("doc_id"), F.lit(i)))
+            bcopies.append(
+                b1.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(i * 1_000_000)
+                ).withColumn(
+                    "text",
+                    F.concat_ws(
+                        " ",
+                        *[F.substring(piece, 1 + 2 * j, 8) for j in range(12)],
+                    ),
+                )
+            )
+        bN = bcopies[0]
+        for c in bcopies[1:]:
+            bN = bN.unionByName(c)
+        bN.write.mode("overwrite").parquet(f"{tmp}/backoffN.parquet")
+        bN = spark.read.parquet(f"{tmp}/backoffN.parquet")
+        results["backoff"] = {
+            "t1": timed(
+                "backoff 1x",
+                corpus.backoff_logprob(b1, b1, "text", "doc_id"),
+            ),
+            "tN": timed(
+                f"backoff {factor}x",
+                corpus.backoff_logprob(bN, b1, "text", "doc_id"),
+            ),
+        }
 
     # Composed tokenizer last mile: BPE-encode counts → token-budget
     # bins → shard assignment → per-shard summary, forced TWICE with a
