@@ -240,11 +240,35 @@ def bpe_fit_or_load(
     (total argmax tie-break), so load-vs-refit is bit-identical.
 
     Returns the rank-ordered merge list (the form every encode entry
-    point consumes)."""
+    point consumes).
+
+    A fewer-than-requested persisted table is only valid when training
+    STOPPED EARLY at the same request — indistinguishable from a model
+    trained with a smaller ``num_merges`` by looking at rows alone
+    (serving that one would silently run every downstream encode on an
+    under-trained vocabulary). The sidecar ``_bpe_meta.json`` records
+    the config the table was trained under; load requires an exact
+    config match.
+    """
+    import json as _json
     import os
+
+    meta_path = os.path.join(model_path, "_bpe_meta.json")
+    want_meta = {
+        "num_merges": int(num_merges),
+        "min_count": int(train_kwargs.get("min_count", 1)),
+        "min_pair_count": int(train_kwargs.get("min_pair_count", 1)),
+    }
 
     def _load() -> list[tuple[str, str]] | None:
         if not os.path.exists(os.path.join(model_path, "_SUCCESS")):
+            return None
+        try:
+            with open(meta_path) as fh:
+                meta = _json.load(fh)
+        except (OSError, ValueError):
+            return None
+        if meta != want_meta:
             return None
         m = spark.read.parquet(model_path)
         fields = {f.name: f.dataType.simpleString() for f in m.schema}
@@ -268,6 +292,8 @@ def bpe_fit_or_load(
         return cached
     merges_df, _ = bpe_train(words, num_merges, **train_kwargs)
     merges_df.write.mode("overwrite").parquet(model_path)
+    with open(meta_path, "w") as fh:
+        _json.dump(want_meta, fh)
     loaded = _load()
     assert loaded is not None, "freshly written merge table failed to load"
     return loaded

@@ -498,6 +498,9 @@ def _fold_state(
     state with ``merge_fn``, publish both tables via the two-rename
     swap (crash windows self-heal on the next pass)."""
     from .maintenance import _swap_suffix, heal_swap
+    from .windows import refuse_unpinned
+
+    refuse_unpinned("a durable state fold")
 
     import glob as _glob
 

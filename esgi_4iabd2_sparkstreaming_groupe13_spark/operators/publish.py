@@ -148,19 +148,33 @@ def publish_dataset(
     staged = _read(spark, str(stage), fmt)
     manifest = _audit_stats(staged)
     manifest["format"] = fmt
-    # the manifest is the stage's COMMIT MARKER: heal_publish promotes
-    # a stage iff this file exists, so it must be written last
+    commit_stage(stage, target, manifest)
+    return manifest
+
+
+def commit_stage(stage: Path, target: Path, manifest: dict) -> None:
+    """Shared publish tail (this module + the shard exporter): write
+    ``_MANIFEST.json`` into the stage as its COMMIT MARKER —
+    ``heal_publish`` promotes a stage iff the file exists, so it must
+    be the LAST write — then promote via the two-rename swap. If the
+    second rename fails, the old tree is restored before re-raising
+    (heal would recover anyway, but restoring leaves no window where
+    neither tree is live — the same guarantee maintenance compaction
+    gives)."""
     with open(stage / MANIFEST_NAME, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
 
     if target.exists():
         old = target.with_name(f"{target.name}__old_{_swap_suffix()}")
         os.rename(target, old)
-        os.rename(stage, target)
+        try:
+            os.rename(stage, target)
+        except OSError:
+            os.rename(old, target)
+            raise
         shutil.rmtree(old)
     else:
         os.rename(stage, target)
-    return manifest
 
 
 def verify_manifest(spark: SparkSession, path: str) -> dict:

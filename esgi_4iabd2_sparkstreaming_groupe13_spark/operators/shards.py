@@ -41,8 +41,6 @@ the mandated beyond-parity LLM-pipeline surface.
 from __future__ import annotations
 
 import json
-import os
-import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,7 +48,7 @@ from pyspark.sql import functions as F
 
 from .corpus import pack_sequences
 from .maintenance import _swap_suffix
-from .publish import MANIFEST_NAME, heal_publish
+from .publish import MANIFEST_NAME, commit_stage, heal_publish
 from .windows import global_running_sum
 
 #: Default shard budget: 4 packing bins of 4096 tokens. Production
@@ -139,31 +137,41 @@ def export_token_shards(
     last as the commit marker → swap rename. ``heal_publish`` recovers
     a crash at any point.
     """
+    from .windows import refuse_unpinned
+
+    refuse_unpinned("export_token_shards")
     spark = docs.sparkSession
     packed = pack_sequences(docs, text_col, id_col, budget_tokens)
+    # persisted across the two actions below (the n_shards aggregate
+    # and the staged write): without it the whole corpus-level pack →
+    # bin-agg → assignment chain runs TWICE, roughly doubling the most
+    # expensive stage of the export
     assigned = assign_token_shards(
         packed, tokens_per_shard, id_col=id_col
-    )
-    payload = docs.select(id_col, text_col).join(assigned, id_col)
+    ).persist()
+    try:
+        payload = docs.select(id_col, text_col).join(assigned, id_col)
 
-    n_shards_row = assigned.agg(
-        F.coalesce(F.max("shard_id") + 1, F.lit(0)).alias("n")
-    ).first()
-    n_shards = int(n_shards_row["n"])
+        n_shards_row = assigned.agg(
+            F.coalesce(F.max("shard_id") + 1, F.lit(0)).alias("n")
+        ).first()
+        n_shards = int(n_shards_row["n"])
 
-    target = Path(path)
-    heal_publish(str(target))
-    stage = target.with_name(f"{target.name}__stage_{_swap_suffix()}")
-    writer = payload
-    if n_shards > 0:
-        writer = payload.repartitionByRange(
-            n_shards, "shard_id", "bin_id", id_col
-        ).sortWithinPartitions("shard_id", "bin_id", id_col)
-    (
-        writer.write.mode("errorifexists")
-        .partitionBy("shard_id")
-        .parquet(str(stage))
-    )
+        target = Path(path)
+        heal_publish(str(target))
+        stage = target.with_name(f"{target.name}__stage_{_swap_suffix()}")
+        writer = payload
+        if n_shards > 0:
+            writer = payload.repartitionByRange(
+                n_shards, "shard_id", "bin_id", id_col
+            ).sortWithinPartitions("shard_id", "bin_id", id_col)
+        (
+            writer.write.mode("errorifexists")
+            .partitionBy("shard_id")
+            .parquet(str(stage))
+        )
+    finally:
+        assigned.unpersist()
 
     manifest = _audit_shards(spark, str(stage), text_col, id_col)
     manifest.update(
@@ -172,20 +180,15 @@ def export_token_shards(
             "budget_tokens": budget_tokens,
             "tokens_per_shard": tokens_per_shard,
             "split": split,
+            # the columns the content checksums were computed over —
+            # verify_shards reads these instead of guessing positionally
+            "id_col": id_col,
+            "text_col": text_col,
         }
     )
-    # commit marker — heal_publish promotes a stage iff this exists,
-    # so it must be the LAST write into the stage
-    with open(stage / MANIFEST_NAME, "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
-
-    if target.exists():
-        old = target.with_name(f"{target.name}__old_{_swap_suffix()}")
-        os.rename(target, old)
-        os.rename(stage, target)
-        shutil.rmtree(old)
-    else:
-        os.rename(stage, target)
+    # manifest-as-commit-marker write + two-rename swap, shared with
+    # publish_dataset (one protocol, one implementation)
+    commit_stage(stage, target, manifest)
     return manifest
 
 
@@ -249,16 +252,30 @@ def verify_shards(spark: SparkSession, path: str) -> dict:
     an overall ``ok``."""
     with open(Path(path) / MANIFEST_NAME) as fh:
         manifest = json.load(fh)
-    if any(Path(path).rglob("*.parquet")):
-        # text/id column names aren't in the manifest schema dump —
-        # the payload always carries (id, text, n_tokens, bin_id) +
-        # the partition column; recover the data columns positionally
+    if "id_col" in manifest and "text_col" in manifest:
+        # the manifest records which columns its content checksums
+        # were computed over — never guess
+        id_col, text_col = manifest["id_col"], manifest["text_col"]
+    elif any(Path(path).rglob("*.parquet")):
+        # legacy manifest without column names: recover the two data
+        # columns positionally, refusing (rather than mis-checksumming)
+        # when the payload shape makes the guess ambiguous
         live = spark.read.parquet(path)
         data_cols = [
             c
             for c in live.columns
             if c not in ("n_tokens", "bin_id", "shard_id")
         ]
+        if len(data_cols) != 2:
+            return {
+                "ok": False,
+                "error": (
+                    "legacy manifest lacks id_col/text_col and the "
+                    f"payload has {len(data_cols)} data columns "
+                    f"({data_cols}) — cannot attribute checksums"
+                ),
+                "mismatched_shards": [],
+            }
         id_col, text_col = data_cols[0], data_cols[1]
     else:
         id_col = text_col = "_none"

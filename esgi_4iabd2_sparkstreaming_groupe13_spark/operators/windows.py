@@ -68,7 +68,9 @@ def _pinned_local(local: DataFrame) -> DataFrame:
     ``SPARK_GRAFT_UNPIN_LOCAL=1`` bypasses the pin — MEASUREMENT
     ONLY (it re-exposes the AQE layout race above): it exists so the
     layout-pin's steady-state cost can be A/B'd on the same commit
-    (BASELINE.md r10). Never set it in a correctness-bearing run.
+    (BASELINE.md r10). Never set it in a correctness-bearing run —
+    :func:`refuse_unpinned` enforces that in the oracle gate and the
+    durable writers (shard export, state folds).
     """
     import os
 
@@ -77,6 +79,25 @@ def _pinned_local(local: DataFrame) -> DataFrame:
     if os.environ.get("SPARK_GRAFT_UNPIN_LOCAL") == "1":
         return local
     return track_persist(local)
+
+
+def refuse_unpinned(context: str) -> None:
+    """Hard-fail a correctness-bearing entry point when the bench-only
+    layout-pin bypass is set in the environment: the env var is
+    process-global, so a shell that exported it for an A/B bench and
+    then runs the oracle gate or a durable export would silently
+    re-expose the AQE layout race `_pinned_local` exists to close
+    (nondeterministic row loss). Measurement code (bench.py,
+    scale_probe A/Bs) never calls this."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_UNPIN_LOCAL") == "1":
+        raise RuntimeError(
+            f"SPARK_GRAFT_UNPIN_LOCAL=1 is set but {context} is a "
+            "correctness-bearing run: the unpinned layout race can "
+            "silently lose rows. Unset the variable (it exists only "
+            "for same-commit layout-pin A/B benchmarks)."
+        )
 
 
 def _partition_base_offsets(

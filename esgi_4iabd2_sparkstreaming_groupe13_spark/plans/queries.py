@@ -6941,8 +6941,8 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # inserted into the window displacing its tail (displaced so far:
 # q_hll_distinct).
 # Behind the window, the queue for r11 rotation in order of
-# staleness: the 9 r6-verified entries the r10 newcomers displaced
-# from the window tail (q_incremental_dedup .. q_token_histogram),
+# staleness: the 10 r6-verified entries the r10 newcomers displaced
+# from the window tail (q_media_headers .. q_token_histogram),
 # the 15 remaining r6-verified entries (q_hll_distinct ..
 # q_total_count), the rows-only entries, the 50-entry r7/r8-verified
 # block (q_equi_depth .. q_bloom_contamination), and finally the 50
@@ -6982,11 +6982,19 @@ LIMIT {BPE_PAIRS_TOP}
 
 # Encode with the frozen creation-ordered merge table, replayed as a
 # recursive state machine: one state row per (word, merge index);
-# replace() applies all leftmost non-overlapping occurrences per step
-# and the index only advances once the pair no longer occurs (the
-# per-rank fixpoint — required when merged symbols abut, e.g. 'aaaa'
-# under (a,a): ' a a a a ' → ' aa a a ' → ' aa aa '). Shared by the
-# q_bpe_encode and q_bpe_packing oracles.
+# each step applies ONE leftmost occurrence (regexp_replace without
+# the 'g' flag — single-replacement semantics, verified against live
+# DuckDB) and the index only advances once the pair no longer occurs.
+# Iterated-leftmost-single ≡ the engine's scan-then-repeat fixpoint:
+# a merge output (left+right) is strictly longer than either part, so
+# replacing the leftmost pair can never create a new instance of the
+# SAME pair to its left. replace()-all would NOT be equivalent for
+# self-adjacent pairs — ' a a a a a ' under (a,a) replace-all reaches
+# [aa, a, aa] while the engine scan yields [aa, aa, a] (the shared
+# delimiter space is consumed across adjacent matches) — a divergence
+# a regenerated merge table containing any (x,x) pair would hit.
+# Symbols are [a-z0-9] plus '</w>', all regex-literal in RE2. Shared
+# by the q_bpe_encode / q_bpe_vocab / q_bpe_packing oracles.
 _BPE_ENC_CTES = f"""
 WITH RECURSIVE tok AS (
   SELECT lang, doc_id, unnest({_TOKS}) AS word FROM documents
@@ -7003,7 +7011,7 @@ WITH RECURSIVE tok AS (
   UNION ALL
   SELECT e.word,
          CASE WHEN contains(e.s, m.pat)
-              THEN replace(e.s, m.pat, m.rep) ELSE e.s END,
+              THEN regexp_replace(e.s, m.pat, m.rep) ELSE e.s END,
          CASE WHEN contains(e.s, m.pat) THEN e.i ELSE e.i + 1 END
   FROM enc e JOIN merges m ON m.i = e.i
 ), done AS (
@@ -7131,13 +7139,13 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_retention", q_retention, ORACLES["q_retention"]),
     QuerySpec("q_corpus_report", q_corpus_report, ORACLES["q_corpus_report"]),
     QuerySpec("q_bigram_logprob", q_bigram_logprob, ORACLES["q_bigram_logprob"]),
-    QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),
     # ==== driver 50-entry verification window ends here ====
     # bpe_merges: iterative (argmax feeds the next round) — rows-only,
     # exactness pinned by tests/test_bpe.py vs a pure-Python reference.
     # Kept OUT of the driver window: rows-only entries must not burn
     # gate slots (tests/test_text_multimodal.py guard).
     QuerySpec("q_bpe_merges", q_bpe_merges, None),
+    QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),
     QuerySpec("q_incremental_dedup", q_incremental_dedup, ORACLES["q_incremental_dedup"]),
     QuerySpec("q_dedup_exact_content", q_dedup_exact_content, ORACLES["q_dedup_exact_content"]),
     QuerySpec("q_fingerprint", q_fingerprint, ORACLES["q_fingerprint"]),

@@ -83,6 +83,11 @@ def _next_round(repo_root: str) -> int:
 
 
 def main() -> None:
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.windows import (
+        refuse_unpinned,
+    )
+
+    refuse_unpinned("the oracle correctness gate")
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark(app_name="oracle_check")

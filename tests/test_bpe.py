@@ -234,6 +234,13 @@ def test_fit_or_load_persists_and_reloads(spark, words_df, tmp_path):
     empty = spark.createDataFrame([], "word string, cnt long")
     m2 = bpe.bpe_fit_or_load(spark, empty, path, num_merges=6)
     assert m2 == m1
+    # a DIFFERENT requested config must refit, not serve the smaller
+    # model (the under-trained-tokenizer trap): asking for 10 merges
+    # over a 6-merge model retrains
+    m10 = bpe.bpe_fit_or_load(spark, words_df, path, num_merges=10)
+    want10, _ = ref_train(CORPUS, 10)
+    assert m10 == [(a, b) for _, a, b, _ in want10]
+    assert len(m10) > len(m1)
     # malformed model (bad creation order) triggers a refit
     bad = spark.createDataFrame(
         [(0, "th", "e", 5), (1, "t", "h", 9)], bpe.MERGES_SCHEMA
@@ -241,3 +248,39 @@ def test_fit_or_load_persists_and_reloads(spark, words_df, tmp_path):
     bad.write.mode("overwrite").parquet(path)
     m3 = bpe.bpe_fit_or_load(spark, words_df, path, num_merges=6)
     assert m3 == m1
+
+
+def test_oracle_recursion_matches_engine_for_self_pairs():
+    """The DuckDB replay must use leftmost-SINGLE replacement:
+    replace()-all diverges for self-adjacent pairs ((a,a) over
+    'aaaaa' gives [aa, a, aa] instead of the engine's [aa, aa, a]).
+    Pin the recursive transition against encode_word_fn on a merge
+    table that contains a self-pair and a composite self-pair."""
+    import duckdb
+
+    merges = [("a", "a"), ("aa", "aa"), ("b", "a")]
+    words = ["aaaaa", "aaaa", "aabaa", "bababa", "a", "baaab"]
+    vals = ",\n  ".join(
+        f"({i + 1}, ' {a} {b} ', ' {a}{b} ')"
+        for i, (a, b) in enumerate(merges)
+    )
+    wvals = ", ".join(f"('{w}')" for w in words)
+    sql = f"""
+WITH RECURSIVE dw(word) AS (VALUES {wvals}),
+merges(i, pat, rep) AS (VALUES {vals}),
+enc(word, s, i) AS (
+  SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> ', 1
+  FROM dw
+  UNION ALL
+  SELECT e.word,
+         CASE WHEN contains(e.s, m.pat)
+              THEN regexp_replace(e.s, m.pat, m.rep) ELSE e.s END,
+         CASE WHEN contains(e.s, m.pat) THEN e.i ELSE e.i + 1 END
+  FROM enc e JOIN merges m ON m.i = e.i
+)
+SELECT word, trim(s) FROM enc WHERE i = {len(merges) + 1}
+"""
+    got = {w: s.split(" ") for w, s in duckdb.connect().execute(sql).fetchall()}
+    enc = bpe.encode_word_fn(merges)
+    for w in words:
+        assert got[w] == enc(w), w

@@ -188,3 +188,50 @@ def test_export_empty_corpus(spark, tmp_path):
 def test_assign_rejects_bad_budget(spark):
     with pytest.raises(ValueError, match="positive"):
         shards.assign_token_shards(_assigned(spark), tokens_per_shard=0)
+
+
+def test_unpin_env_refused_by_correctness_entry_points(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_UNPIN_LOCAL is a bench-only bypass of the layout
+    pin; correctness-bearing entry points must hard-fail rather than
+    silently run under the AQE layout race it re-exposes."""
+    import pytest as _pytest
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import (
+        incremental as inc,
+    )
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.shards import (
+        export_token_shards,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_UNPIN_LOCAL", "1")
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(RuntimeError, match="correctness-bearing"):
+        export_token_shards(docs, str(tmp_path / "t"))
+    ev = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    with _pytest.raises(RuntimeError, match="correctness-bearing"):
+        inc.maintain_hist_state(
+            ev, ["k"], "v", 0.0, 10.0, 5, str(tmp_path / "s"), 0
+        )
+
+
+def test_verify_shards_reads_columns_from_manifest(spark, tmp_path):
+    """The manifest records which columns its content checksums cover;
+    verify must use them (not positional guessing), so an export whose
+    id/text names differ from the defaults still verifies."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.shards import (
+        export_token_shards,
+        verify_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2}") for i in range(20)],
+        "item_id long, body string",
+    )
+    path = str(tmp_path / "shards")
+    manifest = export_token_shards(
+        docs, path, text_col="body", id_col="item_id", budget_tokens=5
+    )
+    assert manifest["id_col"] == "item_id"
+    assert manifest["text_col"] == "body"
+    checks = verify_shards(spark, path)
+    assert checks["ok"], checks
