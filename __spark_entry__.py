@@ -38,3 +38,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return oracle_sql_map()
+
+
+def py_oracles() -> dict[str, Callable]:
+    """Python reference checkers for the four queries DuckDB cannot
+    express (iterative BPE train, binary feature extraction, k-means
+    model, approximate IVF search): ``checker(spark_result_pandas_df,
+    sf_dir) -> list[str]`` — empty list means pass. The driver's SQL
+    gate still records these as rows-only; ``scripts/oracle_check.py``
+    runs them as real pass/fail."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.plans.py_oracles import (
+        PY_ORACLES,
+    )
+
+    return dict(PY_ORACLES)

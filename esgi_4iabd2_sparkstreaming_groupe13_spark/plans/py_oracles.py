@@ -1,0 +1,326 @@
+"""Registered Python reference oracles for the queries DuckDB cannot
+express (VERDICT r10 item 2).
+
+Four registry entries were rows-only because their semantics are not
+ANSI-SQL-shaped: an iterative argmax loop (q_bpe_merges), an
+Arrow-batched binary feature extractor (q_media_features), an
+iterative clustering model (q_kmeans_cells), and an approximate
+search tier (q_ann_ivf). Each gets an INDEPENDENT pure-Python /
+numpy / DuckDB reference here — recomputed from the parquet inputs
+(never from engine internals), compared exactly against the Spark
+result — so `scripts/oracle_check.py` reports pass/fail for them
+instead of a rows-only shrug.
+
+Checker contract: ``check(spark_pdf, sf_dir) -> list[str]`` — empty
+list = pass; each string names one discrepancy. Determinism ground
+rules mirrored from the engine (all documented in the operators):
+
+* vector arithmetic is double-precision with SEQUENTIAL element
+  order (`similarity.dot_expr` folds left-to-right), replicated here
+  with an explicit per-dimension accumulation loop — bit-identical,
+  not merely close;
+* `F.round(x, 6)` (Spark: BigDecimal.valueOf(double) + HALF_UP over
+  the shortest decimal repr) is replicated with
+  Decimal(repr(x)).quantize(1e-6, ROUND_HALF_UP) — Python's repr is
+  the same shortest-roundtrip decimal class;
+* string tie-breaks are ASCII-only in these queries, where Spark's
+  UTF8-binary ordering equals Python's code-point ordering.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pandas as pd
+
+#: engine data-format constants mirrored (not imported) so the
+#: reference stays independent of the implementation under test
+_WORD_END = "</w>"
+_BPE_TRAIN_MERGES = 24
+_MEDIA_N = 96
+_ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+_ANN_K = 5
+_ANN_STRIDE = 50
+_ANN_NPROBE = 4
+
+
+# --------------------------------------------------------------------
+# shared exact-compare
+# --------------------------------------------------------------------
+
+def _diff(expected: pd.DataFrame, actual: pd.DataFrame, float_exact: bool = True) -> list[str]:
+    """Order-insensitive exact comparison, same convention as
+    scripts/oracle_check.py: sorted columns, sorted rows, exact values
+    (floats included — the engine's determinism rules make them
+    bit-identical)."""
+    problems: list[str] = []
+    if sorted(expected.columns) != sorted(actual.columns):
+        return [
+            f"columns: expected={sorted(expected.columns)} "
+            f"actual={sorted(actual.columns)}"
+        ]
+    if len(expected) != len(actual):
+        problems.append(f"rowcount: expected={len(expected)} actual={len(actual)}")
+        return problems
+    cols = sorted(expected.columns)
+    e = expected[cols].sort_values(by=cols, ignore_index=True)
+    a = actual[cols].sort_values(by=cols, ignore_index=True)
+    for col in cols:
+        ev, av = e[col], a[col]
+        if ev.dtype.kind == "f" or av.dtype.kind == "f":
+            ok = ((ev.isna() & av.isna()) | (ev.to_numpy() == av.to_numpy())).all()
+        else:
+            ok = ev.astype(object).equals(av.astype(object))
+        if not ok:
+            bad = [
+                (i, ev.iloc[i], av.iloc[i])
+                for i in range(len(ev))
+                if not (
+                    (pd.isna(ev.iloc[i]) and pd.isna(av.iloc[i]))
+                    or ev.iloc[i] == av.iloc[i]
+                )
+            ][:3]
+            problems.append(f"col {col}: mismatch, e.g. {bad}")
+    return problems
+
+
+def _read_parquet(path: str, sql: str | None = None) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        q = sql or f"SELECT * FROM read_parquet('{path}')"
+        return con.execute(q.replace("$P", path)).df()
+    finally:
+        con.close()
+
+
+# --------------------------------------------------------------------
+# q_bpe_merges — pure-Python BPE trainer over DuckDB word counts
+# --------------------------------------------------------------------
+
+def _ref_merge_word(syms: list[str], a: str, b: str) -> list[str]:
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_bpe_train(word_counts: dict[str, int], num_merges: int):
+    words = {w: list(w) + [_WORD_END] for w in word_counts}
+    merges = []
+    for rank in range(num_merges):
+        pairs: Counter = Counter()
+        for w, syms in words.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, cnt))
+        words = {w: _ref_merge_word(s, a, b) for w, s in words.items()}
+    return merges
+
+
+def check_bpe_merges(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
+    """Expected merge table from an independent trainer: DuckDB does
+    the corpus tokenization (same [a-z0-9]+ rule as token_array_sql),
+    pure Python runs the argmax loop with the engine's documented
+    tie-break (count DESC, then lexicographic (sym_left, sym_right))."""
+    wc = _read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        "SELECT t AS word, count(*) AS cnt FROM ("
+        "  SELECT unnest(list_filter("
+        "    string_split_regex(lower(text), '[^a-z0-9]+'),"
+        "    t -> len(t) > 0)) AS t"
+        "  FROM read_parquet('$P')"
+        ") GROUP BY t",
+    )
+    counts = dict(zip(wc["word"], wc["cnt"].astype(int)))
+    merges = _ref_bpe_train(counts, _BPE_TRAIN_MERGES)
+    expected = pd.DataFrame(
+        merges, columns=["rank", "sym_left", "sym_right", "pair_count"]
+    ).astype({"rank": "int64", "pair_count": "int64"})
+    return _diff(expected, spark_pdf)
+
+
+# --------------------------------------------------------------------
+# q_media_features — hashlib reconstruction of the synthetic payloads
+# --------------------------------------------------------------------
+
+def check_media_features(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
+    """synth_media(n=96) payloads are md5(str(id)) hex repeated 4× →
+    64 bytes; the fake decode emits an 8-bin (byte & 7) histogram.
+    Recompute every output field from hashlib + numpy."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for mid in range(_MEDIA_N):
+        payload = bytes.fromhex(hashlib.md5(str(mid).encode()).hexdigest() * 4)
+        buf = np.frombuffer(payload, dtype=np.uint8)
+        hist = np.bincount(buf & 7, minlength=8).astype(np.float64)
+        f0 = np.float32(hist[0] / hist.sum())
+        rows.append((mid, kinds[mid % 3], len(payload), 64, f0))
+    expected = pd.DataFrame(
+        rows, columns=["media_id", "kind", "n_bytes", "width", "f0"]
+    ).astype({"media_id": "int64", "n_bytes": "int64", "width": "int32"})
+    actual = spark_pdf.copy()
+    actual["f0"] = actual["f0"].astype(np.float32)
+    expected["f0"] = expected["f0"].astype(np.float32)
+    actual["width"] = actual["width"].astype("int32")
+    return _diff(expected, actual)
+
+
+# --------------------------------------------------------------------
+# shared vector math — bit-exact mirror of similarity.dot_expr
+# --------------------------------------------------------------------
+
+def _seq_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Left-to-right fold of elementwise double products, vectorized
+    over ROWS of `a` (2-D) against one vector `b` (1-D) — each
+    accumulation step is `acc + a[:, j] * b[j]` in float64, the exact
+    sequence `F.aggregate(zip_with(a, b, x*y), 0.0, acc+v)` performs
+    per row."""
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for j in range(a.shape[1]):
+        acc = acc + a[:, j] * b[j]
+    return acc
+
+
+def _seq_norm(a: np.ndarray) -> np.ndarray:
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for j in range(a.shape[1]):
+        acc = acc + a[:, j] * a[:, j]
+    return np.sqrt(acc)
+
+
+def _round6(x: float) -> float:
+    """Spark F.round(x, 6): HALF_UP over the shortest decimal repr."""
+    return float(
+        Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
+
+
+def _load_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    pdf = _read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        "SELECT vec_id, embedding FROM read_parquet('$P') ORDER BY vec_id",
+    )
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    # float32 storage → float64 per element, same as the cast("double")
+    mat = np.stack(
+        [np.asarray(v, dtype=np.float32).astype(np.float64) for v in pdf["embedding"]]
+    )
+    return ids, mat
+
+
+def _assign_cells(
+    mat: np.ndarray, cent_ids: np.ndarray, cent_mat: np.ndarray
+) -> np.ndarray:
+    """Nearest-centroid by cosine, ties → smallest cell_id (the
+    row_number window's (csim DESC, cell_id ASC) order). Returns the
+    winning cell_id per row of `mat`."""
+    norms = _seq_norm(mat)
+    order = np.argsort(cent_ids)  # ascending cell_id → first argmax wins ties
+    best_sim = np.full(mat.shape[0], -np.inf)
+    best_cell = np.zeros(mat.shape[0], dtype=np.int64)
+    for idx in order:
+        c = cent_mat[idx]
+        csim = _seq_dot(mat, c) / (norms * _seq_norm(c[None, :])[0])
+        take = csim > best_sim  # strict: earlier (smaller) id keeps ties
+        best_sim = np.where(take, csim, best_sim)
+        best_cell = np.where(take, cent_ids[idx], best_cell)
+    return best_cell
+
+
+def check_kmeans_cells(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
+    """Serve-path check for the trained quantizer: read the persisted
+    centroid MODEL TABLE (the fit itself is pinned by
+    tests/test_corpus.py's planted-cluster + determinism suite),
+    recompute every vector's nearest-centroid assignment in numpy with
+    the engine's exact fold order and tie-break, and compare per-cell
+    member counts."""
+    from .queries import KMEANS_K, _kmeans_model_path  # lazy: avoid cycle
+
+    model = _kmeans_model_path(sf_dir)
+    if not os.path.exists(os.path.join(model, "_SUCCESS")):
+        return [f"persisted centroid model missing at {model}"]
+    cents = _read_parquet(
+        model, "SELECT cell_id, cvec FROM read_parquet('$P/*.parquet')"
+    )
+    if len(cents) != KMEANS_K:
+        return [f"model has {len(cents)} centroids, expected {KMEANS_K}"]
+    cent_ids = cents["cell_id"].to_numpy(dtype=np.int64)
+    cent_mat = np.stack([np.asarray(v, dtype=np.float64) for v in cents["cvec"]])
+    _, mat = _load_embeddings(sf_dir)
+    cells = _assign_cells(mat, cent_ids, cent_mat)
+    uniq, counts = np.unique(cells, return_counts=True)
+    expected = pd.DataFrame({"cell_id": uniq, "n_members": counts}).astype(
+        {"cell_id": "int64", "n_members": "int64"}
+    )
+    return _diff(expected, spark_pdf)
+
+
+def check_ann_ivf(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
+    """Full exact replication of the stride-seeded IVF search: the
+    every-50th-vector centroid set, cosine cell assignment, top-4
+    probed cells per query, exact cosine rank (rounded 6 dp, ties →
+    neighbor_id) inside the probed subset. Deterministic end to end,
+    so the comparison is exact — not a recall floor."""
+    ids, mat = _load_embeddings(sf_dir)
+    cent_mask = ids % _ANN_STRIDE == 0
+    cent_ids, cent_mat = ids[cent_mask], mat[cent_mask]
+    cells = _assign_cells(mat, cent_ids, cent_mat)
+
+    norms = _seq_norm(mat)
+    cent_norms = _seq_norm(cent_mat)
+    rows = []
+    for qid in _ANN_QUERY_IDS:
+        qpos = int(np.where(ids == qid)[0][0])
+        qvec = mat[qpos]
+        qnorm = norms[qpos]
+        # top-nprobe cells: (csim DESC, cell_id ASC)
+        csim = _seq_dot(cent_mat, qvec) / (cent_norms * qnorm)
+        probe_order = sorted(
+            range(len(cent_ids)), key=lambda i: (-csim[i], cent_ids[i])
+        )[:_ANN_NPROBE]
+        probed = {int(cent_ids[i]) for i in probe_order}
+        cand = [
+            i
+            for i in range(len(ids))
+            if int(cells[i]) in probed and ids[i] != qid
+        ]
+        scored = [
+            (
+                _round6(
+                    _seq_dot(mat[i][None, :], qvec)[0] / (qnorm * norms[i])
+                ),
+                int(ids[i]),
+            )
+            for i in cand
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (cos, nid) in enumerate(scored[:_ANN_K], start=1):
+            rows.append((qid, nid, cos, rank))
+    expected = pd.DataFrame(
+        rows, columns=["query_id", "neighbor_id", "cosine", "rank"]
+    ).astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int64"})
+    return _diff(expected, spark_pdf)
+
+
+#: name → checker, consumed by plans.queries when building QUERIES
+PY_ORACLES = {
+    "q_bpe_merges": check_bpe_merges,
+    "q_media_features": check_media_features,
+    "q_kmeans_cells": check_kmeans_cells,
+    "q_ann_ivf": check_ann_ivf,
+}

@@ -66,14 +66,19 @@ from ..operators import (
 )
 from ..operators.dedup import SIMHASH_BITS
 from ..sources.batch import load_table
+from .py_oracles import PY_ORACLES
 
 
 @dataclass(frozen=True)
 class QuerySpec:
     name: str
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # DuckDB SQL; None → rows-only check
+    oracle: str | None  # DuckDB SQL; None → see py_oracle
     headline: bool = False  # included in bench.py
+    #: Python reference checker for non-SQL-expressible queries
+    #: (plans/py_oracles.py): (spark_result_pdf, sf_dir) -> [problems].
+    #: Only consulted when ``oracle`` is None; both None → rows-only.
+    py_oracle: Callable | None = None
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -7144,7 +7149,7 @@ QUERIES: list[QuerySpec] = [
     # exactness pinned by tests/test_bpe.py vs a pure-Python reference.
     # Kept OUT of the driver window: rows-only entries must not burn
     # gate slots (tests/test_text_multimodal.py guard).
-    QuerySpec("q_bpe_merges", q_bpe_merges, None),
+    QuerySpec("q_bpe_merges", q_bpe_merges, None, py_oracle=PY_ORACLES["q_bpe_merges"]),
     QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),
     QuerySpec("q_incremental_dedup", q_incremental_dedup, ORACLES["q_incremental_dedup"]),
     QuerySpec("q_dedup_exact_content", q_dedup_exact_content, ORACLES["q_dedup_exact_content"]),
@@ -7173,9 +7178,9 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_topk_desc", q_topk_desc, ORACLES["q_topk_desc"], True),
     QuerySpec("q_total_count", q_total_count, ORACLES["q_total_count"]),
     # rows-only by design (pytest quality gates, no SQL oracle):
-    QuerySpec("q_media_features", q_media_features, None),
-    QuerySpec("q_kmeans_cells", q_kmeans_cells, None),
-    QuerySpec("q_ann_ivf", q_ann_ivf, None),
+    QuerySpec("q_media_features", q_media_features, None, py_oracle=PY_ORACLES["q_media_features"]),
+    QuerySpec("q_kmeans_cells", q_kmeans_cells, None, py_oracle=PY_ORACLES["q_kmeans_cells"]),
+    QuerySpec("q_ann_ivf", q_ann_ivf, None, py_oracle=PY_ORACLES["q_ann_ivf"]),
     # r7/r8-verified block (driver-green twice):
     QuerySpec("q_equi_depth", q_equi_depth, ORACLES["q_equi_depth"]),
     QuerySpec("q_json_extract", q_json_extract, ORACLES["q_json_extract"]),

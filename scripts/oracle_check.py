@@ -102,6 +102,40 @@ def main() -> None:
     for spec in QUERIES:
         if only and spec.name not in only:
             continue
+        if spec.oracle is None and spec.py_oracle is not None:
+            # registered Python reference oracle (plans/py_oracles.py,
+            # VERDICT r10 item 2): a real pass/fail, not rows-only
+            err = None
+            problems: list[str] = []
+            spark_pdf = None
+            try:
+                spark_pdf = spec.fn(spark, sf_dir).toPandas()
+                problems = spec.py_oracle(spark_pdf, sf_dir)
+            except Exception as ex:
+                err = f"{type(ex).__name__}: {str(ex)[:300]}"
+                problems = [f"exception: {err}"]
+            finally:
+                release_cached()
+            results[spec.name] = {
+                "rows_match": not problems,
+                "schema_match": not problems,
+                "hash_match": not problems,
+                "spark_rows": None if spark_pdf is None else len(spark_pdf),
+                "oracle_rows": None if spark_pdf is None else len(spark_pdf),
+                "oracle_kind": "python",
+                "err": err,
+            }
+            if problems:
+                n_fail += 1
+                print(f"FAIL  {spec.name} (python oracle)")
+                for p in problems:
+                    print(f"      {p}")
+            else:
+                n_pass += 1
+                print(
+                    f"PASS  {spec.name} ({len(spark_pdf)} rows, python oracle)"
+                )
+            continue
         if spec.oracle is None:
             print(f"SKIP  {spec.name} (rows-only)")
             n_skip += 1
