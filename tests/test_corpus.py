@@ -781,3 +781,41 @@ def test_curriculum_order_tiers_and_determinism(spark):
     }
     assert {d: t for d, (t, _) in got3.items()} == tiers
     assert got3 != got
+
+
+def test_ngram_lambda_binding_tokenizes_once(spark):
+    """Regression pin for the r2 contamination fix (19.5 s -> 1.6 s,
+    BASELINE.md): word_ngrams_from_tokens must re-bind the token array
+    as a LAMBDA VARIABLE. If the tokenization is ever re-inlined (the
+    gram lambda referencing token_array(text) directly), Catalyst's
+    CollapseProject duplicates the split() per reference and the plan
+    re-tokenizes per gram index — O(tokens^2) per doc. The optimized
+    plan must contain EXACTLY ONE split() call; the broken shape shows
+    3+ (one per reference)."""
+    df = spark.createDataFrame([(1, "a b c d e f g")], "id long, text string")
+    plan = (
+        df.select(corpus.word_ngrams(F.col("text"), 5).alias("g"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("split(") == 1, plan
+
+
+def test_contamination_plan_tokenizes_each_side_once(spark):
+    """Same pin at the operator level. The printed logical plan is a
+    TREE (shared subtrees repeat per consumer branch), so the
+    known-good shape shows 5 split() occurrences — one per branch
+    referencing a gram pipeline, each evaluated once per row. The
+    re-inlined regression multiplies every one of those by the three
+    in-lambda references: measured 15. Pin the good count exactly."""
+    cand = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10, "quick brown fox jumps over")], "doc_id long, text string"
+    )
+    out = corpus.benchmark_contamination(cand, bench, "text", "doc_id", n=5)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 5, plan
