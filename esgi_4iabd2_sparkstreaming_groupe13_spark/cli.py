@@ -55,6 +55,10 @@ def _consumer(args: argparse.Namespace) -> int:
         max_files_per_trigger=args.max_files_per_trigger,
         trigger_seconds=args.trigger,
         enable_console=args.console,
+        # CLI default: idempotent (VERDICT r10 item 5) — the library
+        # dataclass default stays False for reference parity; operators
+        # who want the reference's plain-append semantics opt out.
+        idempotent_sinks=not args.plain_appends,
     )
     query = start_consumer(spark, cfg, available_now=args.available_now)
     print(f"consumer started: {args.input} -> {args.out}")
@@ -215,6 +219,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--available-now",
         action="store_true",
         help="drain existing files then exit (test/batch mode)",
+    )
+    co.add_argument(
+        "--plain-appends",
+        action="store_true",
+        help="reference-parity plain appends (at-least-once per sink "
+        "dir on crash-replay). Default is idempotent sinks: each sink "
+        "partitioned by batch_id with dynamic partition overwrite, so "
+        "a replayed micro-batch replaces its own partition "
+        "(exactly-once per directory).",
     )
     co.set_defaults(fn=_consumer)
 

@@ -128,3 +128,15 @@ def test_dashboard_app_render_requires_streamlit(tmp_path):
 
     with pytest.raises(RuntimeError, match="streamlit is not installed"):
         dashboard_app.render_streamlit(str(tmp_path))
+
+
+def test_cli_consumer_defaults_idempotent():
+    """VERDICT r10 item 5: the CLI defaults to idempotent sinks;
+    --plain-appends opts back into reference-parity appends."""
+    p = build_parser()
+    args = p.parse_args(["consumer", "--input", "a", "--out", "b"])
+    assert args.plain_appends is False  # → idempotent_sinks=True
+    args = p.parse_args(
+        ["consumer", "--input", "a", "--out", "b", "--plain-appends"]
+    )
+    assert args.plain_appends is True
