@@ -64,6 +64,119 @@ def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
     )
 
 
+def _encode_png(px: np.ndarray, filters: tuple[int, ...] = (0, 1, 2, 3, 4)) -> bytes:
+    """Minimal spec-correct PNG encoder (8-bit, non-interlaced; one
+    filter type per row, cycling through ``filters``). Fixture
+    generator for :func:`synth_real_media` — real corpora arrive
+    already encoded; this exists so the REAL decode path can be
+    exercised end-to-end with deterministic pixel content."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    h, w, ch = px.shape
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[ch]
+    flat = px.reshape(h, w * ch).astype(np.int64)
+    raw = b""
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        ftype = filters[y % len(filters)]
+        cur = flat[y]
+        line = np.zeros(w * ch, dtype=np.int64)
+        for x in range(w * ch):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            line[x] = (cur[x] - pred) & 0xFF
+        raw += bytes([ftype]) + bytes(line.astype(np.uint8).tolist())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _encode_wav(frames: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Minimal 16-bit PCM WAV encoder (fixture generator, see
+    :func:`_encode_png`)."""
+    import struct
+
+    n, ch = frames.shape
+    data = frames.astype("<i2").tobytes()
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16
+    )
+    body = fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def synth_media_pixels(mid: int) -> np.ndarray:
+    """Deterministic pixel array for id ``mid`` (even ids → PNG).
+    Pure integer formula — mirrored by the Python oracle so the
+    decode+featurize path is checked against PIXEL-level expectation,
+    not against the decoder itself."""
+    h, w, ch = 3 + mid % 4, 4 + mid % 5, 1 + mid % 4
+    y, x, c = np.meshgrid(
+        np.arange(h), np.arange(w), np.arange(ch), indexing="ij"
+    )
+    return ((mid * 7 + y * 13 + x * 3 + c * 29) % 256).astype(np.uint8)
+
+
+def synth_media_frames(mid: int) -> np.ndarray:
+    """Deterministic 16-bit PCM frames for id ``mid`` (odd ids → WAV)."""
+    n, ch = 32 + mid % 7, 1 + mid % 2
+    k, c = np.meshgrid(np.arange(n), np.arange(ch), indexing="ij")
+    return (((mid * 31 + k * 17 + c * 11) * 97) % 65536 - 32768).astype(
+        np.int16
+    )
+
+
+def synth_real_media(spark: SparkSession, n: int = 48) -> DataFrame:
+    """REAL media table: actual spec-valid PNG (even ids — all four
+    8-bit color types, all five filter types) and 16-bit PCM WAV (odd
+    ids — mono/stereo) payloads, deterministic content. Driver-built
+    (n is registry-bounded); a production ingest reads binaryFile
+    directories instead (sources/batch.py)."""
+    rows = []
+    for mid in range(n):
+        if mid % 2 == 0:
+            payload = _encode_png(synth_media_pixels(mid))
+            kind = "image"
+        else:
+            payload = _encode_wav(synth_media_frames(mid))
+            kind = "audio"
+        rows.append(
+            (mid, kind, payload, "application/octet-stream", (64, 64, 0, 16000))
+        )
+    return spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, "
+        "meta struct<width:int,height:int,duration_ms:long,sample_rate:int>",
+    )
+
+
 def repartition_for_payloads(
     df: DataFrame, approx_row_bytes: int, target_partition_bytes: int = 128 << 20
 ) -> DataFrame:
@@ -74,34 +187,196 @@ def repartition_for_payloads(
     return df.repartition(int(parts))
 
 
-def extract_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filtering (types 0-4) over the inflated IDAT
+    stream. Returns (height, width*bpp) uint8. Sequential by spec —
+    each byte may depend on the byte bpp to its left — so filters 1/3/4
+    walk the row; 0/2 stay vectorized."""
+    stride = width * bpp
+    out = np.zeros((height, stride), dtype=np.uint8)
+    if len(raw) < height * (stride + 1):
+        raise ValueError("PNG IDAT stream truncated")
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw[off + 1 : off + 1 + stride], dtype=np.uint8)
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            out[y] = line
+        elif ftype == 2:  # up
+            out[y] = line + prev  # uint8 wraps mod 256 per spec
+        elif ftype in (1, 3, 4):
+            cur = out[y]
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                if ftype == 1:  # sub
+                    cur[x] = (int(line[x]) + a) & 0xFF
+                elif ftype == 3:  # average
+                    cur[x] = (int(line[x]) + (a + int(prev[x])) // 2) & 0xFF
+                else:  # paeth
+                    b = int(prev[x])
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return out
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """REAL PNG decode, stdlib-only (zlib inflate + filter reversal):
+    8-bit non-interlaced grayscale / RGB / gray+alpha / RGBA. Returns
+    (height, width, channels) uint8. Palette, 16-bit, and Adam7
+    interlacing raise NotImplementedError — wire Pillow for those."""
+    import zlib
+
+    if not buf.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG")
+    i, idat, meta = 8, [], None
+    while i + 8 <= len(buf):
+        clen = int.from_bytes(buf[i : i + 4], "big")
+        ctype = buf[i + 4 : i + 8]
+        data = buf[i + 8 : i + 8 + clen]
+        if ctype == b"IHDR":
+            meta = (
+                int.from_bytes(data[0:4], "big"),   # width
+                int.from_bytes(data[4:8], "big"),   # height
+                data[8],                            # bit depth
+                data[9],                            # color type
+                data[12],                           # interlace
+            )
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen  # len + type + data + crc
+    if meta is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, color, interlace = meta
+    if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit-depth {depth} / color-type {color} / interlace "
+            f"{interlace} needs a codec library (Pillow)"
+        )
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    return _png_unfilter(raw, width, height, ch).reshape(height, width, ch)
+
+
+def decode_wav(buf: bytes) -> np.ndarray:
+    """REAL WAV decode, stdlib-only: 16-bit PCM. Returns
+    (n_frames, channels) int16. Other encodings raise
+    NotImplementedError (wire soundfile/librosa)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(buf):
+        cid = buf[i : i + 4]
+        clen = int.from_bytes(buf[i + 4 : i + 8], "little")
+        body = buf[i + 8 : i + 8 + clen]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16 or channels < 1:
+        raise NotImplementedError(
+            f"WAV format {audio_format}/{bits}-bit needs a codec library"
+        )
+    samples = np.frombuffer(
+        data[: (len(data) // (2 * channels)) * 2 * channels], dtype="<i2"
+    )
+    return samples.reshape(-1, channels)
+
+
+def _real_feature(buf: bytes) -> list[float] | None:
+    """Decode a payload by sniffed format and emit the 8-bin CONTENT
+    histogram (pixel luminance for images, sample amplitude for audio)
+    — the real-decode counterpart of the fake byte-histogram. Formats
+    that need an actual codec library try Pillow and raise
+    NotImplementedError when it is absent."""
+    fmt = _sniff_header(buf)[0]
+    if fmt == "png":
+        px = decode_png(buf)
+        lum = px[:, :, : min(3, px.shape[2])].mean(axis=2)
+        hist = np.bincount(
+            (lum.astype(np.int64) >> 5).ravel(), minlength=8
+        ).astype(np.float64)
+    elif fmt == "wav":
+        frames = decode_wav(buf)
+        bins = (frames.astype(np.int64) + 32768) >> 13
+        hist = np.bincount(bins.ravel(), minlength=8).astype(np.float64)
+    elif fmt in ("jpeg", "gif"):
+        try:
+            import io
+
+            from PIL import Image  # optional extra (absent in sandbox)
+        except ImportError as ex:
+            raise NotImplementedError(
+                f"{fmt} decode requires Pillow, which is not installed; "
+                "PNG/WAV decode is stdlib-only and works everywhere"
+            ) from ex
+        px = np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
+        hist = np.bincount(
+            (px.mean(axis=2).astype(np.int64) >> 5).ravel(), minlength=8
+        ).astype(np.float64)
+    else:
+        raise NotImplementedError(f"no decoder for sniffed format {fmt!r}")
+    return (hist / (hist.sum() or 1.0)).tolist()
+
+
+def extract_features(
+    df: DataFrame, real_decode: bool = False, on_unsupported: str = "raise"
+) -> DataFrame:
     """Decode + feature-extract via Arrow-batched ``mapInPandas``.
 
-    ``real_decode=True`` raises ``NotImplementedError`` (no codec libs
-    in this container — wire Pillow/torchaudio here in deployment).
-    The fake path emits a deterministic 8-dim byte-histogram feature,
-    so batch shape, schema, and partition behavior are fully testable.
+    ``real_decode=False`` (default): deterministic fake byte-histogram
+    feature — exercises batch shape, schema, and partition behavior
+    with zero codec dependencies.
+
+    ``real_decode=True``: REAL decoding — PNG and 16-bit PCM WAV are
+    decoded with stdlib-only code (:func:`decode_png` /
+    :func:`decode_wav`; zlib inflate + filter reversal, RIFF chunk
+    walk) and featurized from actual pixel/sample content; JPEG/GIF
+    route through Pillow when installed and raise
+    ``NotImplementedError`` otherwise. ``on_unsupported`` picks the
+    job-level contract: ``"raise"`` (default — an explicit gate, the
+    VERDICT r8+ behavior) or ``"null"`` (audit mode: one exotic file
+    degrades to a NULL feature instead of killing a 100 TB scan, same
+    philosophy as ``media_header_metadata``).
     """
+    if on_unsupported not in ("raise", "null"):
+        raise ValueError("on_unsupported must be 'raise' or 'null'")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if real_decode:
-                raise NotImplementedError(
-                    "media decode requires codec libraries (Pillow/librosa/"
-                    "pyav) not present in this container; deterministic "
-                    "fake-feature mode is the testable path"
-                )
-            # vectorized byte-histogram — this stub is also the template
-            # for real codecs, so it models the numpy-batch shape a
-            # production decode would use (never per-byte Python loops)
             feats, n_bytes = [], []
             for payload in pdf["payload"]:
-                buf = np.frombuffer(
-                    payload if payload is not None else b"", dtype=np.uint8
-                )
+                raw = bytes(payload) if payload is not None else b""
+                n_bytes.append(len(raw))
+                if real_decode:
+                    try:
+                        feats.append(_real_feature(raw))
+                    except (NotImplementedError, ValueError):
+                        if on_unsupported == "raise":
+                            raise
+                        feats.append(None)
+                    continue
+                # vectorized byte-histogram — the fake path models the
+                # numpy-batch shape a production decode would use
+                buf = np.frombuffer(raw, dtype=np.uint8)
                 hist = np.bincount(buf & 7, minlength=8).astype(np.float64)
                 feats.append((hist / (hist.sum() or 1.0)).tolist())
-                n_bytes.append(len(buf))
             yield pd.DataFrame(
                 {
                     # .to_numpy(): never mix index-carrying Series with

@@ -317,10 +317,56 @@ def check_ann_ivf(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
     return _diff(expected, spark_pdf)
 
 
+# --------------------------------------------------------------------
+# q_media_decode — pixel/sample-formula ground truth for REAL decode
+# --------------------------------------------------------------------
+
+_DECODE_N = 48
+
+
+def check_media_decode(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
+    """synth_real_media's content formulas are mirrored here (never the
+    decoder): expected luminance/amplitude histograms are computed from
+    the raw pixel/sample arrays, so a decoder bug at ANY stage (inflate,
+    filter reversal, chunk walk, PCM framing) breaks the match."""
+    rows = []
+    for mid in range(_DECODE_N):
+        if mid % 2 == 0:  # PNG: mirrored pixel formula
+            h, w, ch = 3 + mid % 4, 4 + mid % 5, 1 + mid % 4
+            y, x, c = np.meshgrid(
+                np.arange(h), np.arange(w), np.arange(ch), indexing="ij"
+            )
+            px = ((mid * 7 + y * 13 + x * 3 + c * 29) % 256).astype(np.uint8)
+            lum = px[:, :, : min(3, ch)].mean(axis=2)
+            hist = np.bincount(
+                (lum.astype(np.int64) >> 5).ravel(), minlength=8
+            ).astype(np.float64)
+            kind = "image"
+        else:  # WAV: mirrored sample formula
+            n, ch = 32 + mid % 7, 1 + mid % 2
+            k, c = np.meshgrid(np.arange(n), np.arange(ch), indexing="ij")
+            frames = ((mid * 31 + k * 17 + c * 11) * 97) % 65536 - 32768
+            hist = np.bincount(
+                ((frames.astype(np.int64) + 32768) >> 13).ravel(), minlength=8
+            ).astype(np.float64)
+            kind = "audio"
+        feat = hist / hist.sum()
+        for dim in range(8):
+            rows.append((mid, kind, dim, np.float32(feat[dim])))
+    expected = pd.DataFrame(
+        rows, columns=["media_id", "kind", "dim", "value"]
+    ).astype({"media_id": "int64", "dim": "int32", "value": "float32"})
+    actual = spark_pdf.copy()
+    actual["value"] = actual["value"].astype("float32")
+    actual["dim"] = actual["dim"].astype("int32")
+    return _diff(expected, actual)
+
+
 #: name → checker, consumed by plans.queries when building QUERIES
 PY_ORACLES = {
     "q_bpe_merges": check_bpe_merges,
     "q_media_features": check_media_features,
     "q_kmeans_cells": check_kmeans_cells,
     "q_ann_ivf": check_ann_ivf,
+    "q_media_decode": check_media_decode,
 }

@@ -2107,6 +2107,26 @@ def q_media_features(spark, sf_dir):
     ).select("media_id", "kind", "n_bytes", "width", F.col("feature")[0].alias("f0"))
 
 
+def q_media_decode(spark, sf_dir):
+    """REAL media decode end-to-end (new r11): spec-valid PNG (all four
+    8-bit color types, all five filter types) and 16-bit PCM WAV
+    payloads with deterministic pixel/sample content are decoded by
+    the stdlib-only decoders inside ``extract_features(
+    real_decode=True)`` and featurized from actual CONTENT (pixel
+    luminance / sample amplitude histograms). The Python oracle
+    recomputes every histogram from the pixel formulas directly —
+    checking decode+featurize against pixel-level ground truth, never
+    against the decoder. Long format (one row per histogram bin): the
+    gate comparator can't sort array columns."""
+    from ..operators import multimodal
+
+    media = multimodal.synth_real_media(spark, n=48)
+    feats = multimodal.extract_features(media, real_decode=True)
+    return feats.select(
+        "media_id", "kind", F.posexplode("feature").alias("dim", "value")
+    )
+
+
 N_MEDIA_HEADERS = 200
 
 
@@ -7179,6 +7199,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_total_count", q_total_count, ORACLES["q_total_count"]),
     # rows-only by design (pytest quality gates, no SQL oracle):
     QuerySpec("q_media_features", q_media_features, None, py_oracle=PY_ORACLES["q_media_features"]),
+    QuerySpec("q_media_decode", q_media_decode, None, py_oracle=PY_ORACLES["q_media_decode"]),
     QuerySpec("q_kmeans_cells", q_kmeans_cells, None, py_oracle=PY_ORACLES["q_kmeans_cells"]),
     QuerySpec("q_ann_ivf", q_ann_ivf, None, py_oracle=PY_ORACLES["q_ann_ivf"]),
     # r7/r8-verified block (driver-green twice):

@@ -68,7 +68,10 @@ def test_media_feature_extraction_shape(spark):
         assert r["n_bytes"] > 0
 
 
-def test_media_real_decode_is_stubbed(spark):
+def test_media_real_decode_raises_on_undecodable(spark):
+    """synth_media payloads are opaque md5 bytes (sniffed 'unknown');
+    real-decode mode must raise its explicit gate for them — PNG/WAV
+    payloads decode for real, see test_real_decode.py."""
     media = multimodal.synth_media(spark, n=2)
     with pytest.raises(Exception):  # NotImplementedError inside executor
         multimodal.extract_features(media, real_decode=True).collect()
