@@ -249,10 +249,27 @@ def bpe_fit_or_load(
     under-trained vocabulary). The sidecar ``_bpe_meta.json`` records
     the config the table was trained under; load requires an exact
     config match.
+
+    LOCAL-FILESYSTEM CONTRACT (ADVICE r10): the ``_SUCCESS`` probe and
+    the meta sidecar use ``os.path`` while the merge table goes
+    through Spark's Hadoop FS — with an ``s3://``/``hdfs://``
+    ``model_path`` the local probes would never see the table and
+    every call would silently refit. Same contract as ``publish.py``'s
+    rename-based commits (plain local-filesystem JSON + atomic
+    renames); a remote model store should front this with a local
+    staging dir or a metastore table. Non-local schemes are refused
+    loudly rather than degraded to refit-every-call.
     """
     import json as _json
     import os
 
+    if "://" in str(model_path) and not str(model_path).startswith("file://"):
+        raise ValueError(
+            f"bpe_fit_or_load requires a local-filesystem model_path "
+            f"(got {model_path!r}): the _SUCCESS/_bpe_meta.json probes "
+            "are os.path-based and would silently refit on every call "
+            "against a remote store"
+        )
     meta_path = os.path.join(model_path, "_bpe_meta.json")
     want_meta = {
         "num_merges": int(num_merges),

@@ -270,12 +270,19 @@ def _hist_bin(value_col: str, lo: float, hi: float, n_bins: int):
     """Dense bin index for a double value: 0 = underflow (< lo),
     1..n_bins = in-range, n_bins+1 = overflow (≥ hi), NULL = NULL.
     Pure double arithmetic over LITERAL edges — identical IEEE ops in
-    Spark and DuckDB, so bin membership is bit-stable cross-engine."""
+    Spark and DuckDB, so bin membership is bit-stable cross-engine.
+
+    The in-range position is clamped to ``n_bins`` (ADVICE r10): when
+    ``(hi-lo)/n_bins`` is inexact, a value one ulp below ``hi`` can
+    have ``floor((v-lo)/width)`` land ON ``n_bins`` — without the
+    clamp that in-range value would be misfiled into the overflow
+    slot. The oracle SQL applies the identical LEAST."""
     width = (float(hi) - float(lo)) / int(n_bins)
     v = F.col(value_col).cast("double")
-    pos = (
+    pos = F.least(
         F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("long")
-        + F.lit(1).cast("long")
+        + F.lit(1).cast("long"),
+        F.lit(int(n_bins)).cast("long"),
     )
     return (
         F.when(v.isNull(), F.lit(None).cast("long"))
@@ -391,6 +398,15 @@ def hist_quantiles(
     """
     from pyspark.sql.window import Window
 
+    bad = [q for q in qs if not (0.0 < float(q) <= 1.0)]
+    if bad:
+        # q > 1 would silently DROP the key (target rank exceeds every
+        # cumulative count); q <= 0 would silently return lo (ADVICE
+        # r10) — both are caller bugs, refuse loudly.
+        raise ValueError(
+            f"quantiles must be in (0, 1], got {bad} — q=1.0 is the "
+            "maximum (the histogram's type-1 upper bound)"
+        )
     width = (float(hi) - float(lo)) / int(n_bins)
     keys = [c for c in state.columns if c not in HIST_STATE_COLS]
     bins = state.select(

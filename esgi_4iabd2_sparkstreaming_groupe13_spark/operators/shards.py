@@ -252,14 +252,18 @@ def verify_shards(spark: SparkSession, path: str) -> dict:
     an overall ``ok``."""
     with open(Path(path) / MANIFEST_NAME) as fh:
         manifest = json.load(fh)
+    column_guess = None
     if "id_col" in manifest and "text_col" in manifest:
         # the manifest records which columns its content checksums
         # were computed over — never guess
-        id_col, text_col = manifest["id_col"], manifest["text_col"]
+        orderings = [(manifest["id_col"], manifest["text_col"])]
     elif any(Path(path).rglob("*.parquet")):
         # legacy manifest without column names: recover the two data
-        # columns positionally, refusing (rather than mis-checksumming)
-        # when the payload shape makes the guess ambiguous
+        # columns positionally. The writer's column ORDER is not
+        # recorded either, so try BOTH orderings (ADVICE r10 — a wrong
+        # positional guess used to surface as opaque per-shard
+        # checksum mismatches); still refuse outright when the payload
+        # shape makes even the column PAIR ambiguous.
         live = spark.read.parquet(path)
         data_cols = [
             c
@@ -276,24 +280,42 @@ def verify_shards(spark: SparkSession, path: str) -> dict:
                 ),
                 "mismatched_shards": [],
             }
-        id_col, text_col = data_cols[0], data_cols[1]
+        orderings = [
+            (data_cols[0], data_cols[1]),
+            (data_cols[1], data_cols[0]),
+        ]
     else:
-        id_col = text_col = "_none"
-    fresh = _audit_shards(spark, path, text_col, id_col)
-    bad = sorted(
-        k
-        for k in set(fresh["shards"]) | set(manifest["shards"])
-        if fresh["shards"].get(k) != manifest["shards"].get(k)
-    )
-    checks = {
-        "n_shards_match": fresh["n_shards"] == manifest["n_shards"],
-        "row_count_match": fresh["row_count"] == manifest["row_count"],
-        "total_tokens_match": fresh["total_tokens"]
-        == manifest["total_tokens"],
-        "shards_match": not bad,
-        "mismatched_shards": bad,
-    }
-    checks["ok"] = all(
-        v for k, v in checks.items() if k != "mismatched_shards"
-    )
+        orderings = [("_none", "_none")]
+
+    checks: dict = {}
+    for id_col, text_col in orderings:
+        fresh = _audit_shards(spark, path, text_col, id_col)
+        bad = sorted(
+            k
+            for k in set(fresh["shards"]) | set(manifest["shards"])
+            if fresh["shards"].get(k) != manifest["shards"].get(k)
+        )
+        checks = {
+            "n_shards_match": fresh["n_shards"] == manifest["n_shards"],
+            "row_count_match": fresh["row_count"] == manifest["row_count"],
+            "total_tokens_match": fresh["total_tokens"]
+            == manifest["total_tokens"],
+            "shards_match": not bad,
+            "mismatched_shards": bad,
+        }
+        checks["ok"] = all(
+            v for k, v in checks.items() if k != "mismatched_shards"
+        )
+        if len(orderings) > 1:
+            column_guess = {
+                "id_col": id_col,
+                "text_col": text_col,
+                "positional": True,
+            }
+        if checks["ok"]:
+            break
+    if column_guess is not None:
+        # surface WHICH ordering the report reflects, so a legacy
+        # mismatch is attributable instead of opaque
+        checks["column_guess"] = column_guess
     return checks

@@ -3190,8 +3190,9 @@ WITH b AS (
          CASE WHEN value IS NULL THEN NULL
               WHEN CAST(value AS DOUBLE) < {HIST_LO!r} THEN 0
               WHEN CAST(value AS DOUBLE) >= {HIST_HI!r} THEN {over}
-              ELSE CAST(floor((CAST(value AS DOUBLE) - {HIST_LO!r})
-                              / {width!r}) AS BIGINT) + 1 END AS pos
+              ELSE least(CAST(floor((CAST(value AS DOUBLE) - {HIST_LO!r})
+                              / {width!r}) AS BIGINT) + 1,
+                         CAST({HIST_BINS} AS BIGINT)) END AS pos
   FROM events
 ), h AS (
   SELECT event_type, pos, CAST(count(*) AS BIGINT) AS cnt

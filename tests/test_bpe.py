@@ -284,3 +284,10 @@ SELECT word, trim(s) FROM enc WHERE i = {len(merges) + 1}
     enc = bpe.encode_word_fn(merges)
     for w in words:
         assert got[w] == enc(w), w
+
+
+def test_fit_or_load_refuses_remote_model_path(spark, words_df):
+    """ADVICE r10: the _SUCCESS/_bpe_meta.json probes are os.path-based;
+    a remote scheme would silently refit on every call — refuse loudly."""
+    with pytest.raises(ValueError, match="local-filesystem"):
+        bpe.bpe_fit_or_load(spark, words_df, "s3://bucket/model", 4)

@@ -5,6 +5,8 @@ from __future__ import annotations
 import math
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import incremental as inc
@@ -270,3 +272,36 @@ def test_maintain_hist_replay_idempotent(spark, tmp_path):
     ).collect()[0]
     # values 1..6, target ceil(.5*6)=3 → bin [3,4), frac 1 → 4.0
     assert q["est_q"] == 4.0
+
+
+def test_hist_bin_edge_clamped_in_range(spark):
+    """ADVICE r10: with inexact width, a value one ulp below hi used
+    to land in the overflow slot (floor((v-lo)/width) == n_bins).
+    The clamp files it in bin n_bins on BOTH engines — verified here
+    against the mirrored DuckDB CASE."""
+    import math
+
+    import duckdb
+
+    lo, hi, n_bins = 0.0, 3.3, 3  # width 1.0999...8: floor hits n_bins
+    v = math.nextafter(hi, 0.0)
+    assert math.floor((v - lo) / ((hi - lo) / n_bins)) == n_bins  # the trap
+    df = spark.createDataFrame([(1, v)], "k long, value double")
+    state = inc.build_hist_state(df, ["k"], "value", lo, hi, n_bins)
+    hist = state.select("hist").first()[0]
+    assert hist[n_bins] == 1 and hist[n_bins + 1] == 0, hist
+    width = (hi - lo) / n_bins
+    duck = duckdb.connect().execute(
+        f"SELECT CASE WHEN CAST({v!r} AS DOUBLE) >= {hi!r} THEN {n_bins + 1} "
+        f"ELSE least(CAST(floor((CAST({v!r} AS DOUBLE) - {lo!r}) / {width!r}) "
+        f"AS BIGINT) + 1, CAST({n_bins} AS BIGINT)) END"
+    ).fetchone()[0]
+    assert duck == n_bins
+
+
+def test_hist_quantiles_rejects_out_of_domain_q(spark):
+    df = spark.createDataFrame([(1, 0.5)], "k long, value double")
+    state = inc.build_hist_state(df, ["k"], "value", 0.0, 1.0, 4)
+    for bad in ([1.5], [0.0], [-0.1], [0.5, 2.0]):
+        with pytest.raises(ValueError, match=r"\(0, 1\]"):
+            inc.hist_quantiles(state, bad, 0.0, 1.0, 4)

@@ -235,3 +235,51 @@ def test_verify_shards_reads_columns_from_manifest(spark, tmp_path):
     assert manifest["text_col"] == "body"
     checks = verify_shards(spark, path)
     assert checks["ok"], checks
+
+
+def test_verify_shards_legacy_manifest_tries_both_orderings(spark, tmp_path):
+    """ADVICE r10: a legacy manifest (no id_col/text_col) is verified
+    by trying BOTH positional orderings of the two data columns, and
+    the report surfaces which guess it used — a wrong first guess no
+    longer shows up as opaque per-shard checksum mismatches."""
+    import json as _json
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i + 1} w{i + 2}") for i in range(20)],
+        "item_id long, body string",
+    )
+    path = str(tmp_path / "shards_legacy")
+    shards.export_token_shards(
+        docs, path, text_col="body", id_col="item_id", budget_tokens=5
+    )
+    mpath = Path(path) / MANIFEST_NAME
+    with open(mpath) as fh:
+        m = _json.load(fh)
+    del m["id_col"], m["text_col"]
+    with open(mpath, "w") as fh:
+        _json.dump(m, fh)
+    checks = shards.verify_shards(spark, path)
+    assert checks["ok"], checks
+    assert checks["column_guess"]["positional"] is True
+    assert {checks["column_guess"]["id_col"], checks["column_guess"]["text_col"]} == {
+        "item_id",
+        "body",
+    }
+
+    # manifest whose checksums were computed under the SWAPPED roles:
+    # only the second ordering satisfies it — verify must find it
+    swapped = shards._audit_shards(spark, path, text_col="item_id", id_col="body")
+    m2 = dict(m)
+    m2.update(
+        {
+            "n_shards": swapped["n_shards"],
+            "row_count": swapped["row_count"],
+            "total_tokens": swapped["total_tokens"],
+            "shards": swapped["shards"],
+        }
+    )
+    with open(mpath, "w") as fh:
+        _json.dump(m2, fh)
+    checks2 = shards.verify_shards(spark, path)
+    assert checks2["ok"], checks2
+    assert checks2["column_guess"]["id_col"] == "body"
