@@ -60,3 +60,74 @@ def test_kafka_stream_plan_and_schema(spark):
         raise
     assert df.isStreaming
     assert df.schema == TRIP_SCHEMA
+
+
+def test_kafka_wire_contract_streaming_end_to_end(spark, tmp_path):
+    """K6 upgraded from batch-parse-only (VERDICT r10 item 3): execute
+    the Kafka VALUE contract inside an actual streaming query. The
+    connector jar cannot be vendored in this container (no network, no
+    cached artifact — attempt recorded in BASELINE.md r11), but
+    everything downstream of the socket is identical whichever source
+    feeds it: a parquet-backed stream carrying the exact Kafka wire
+    schema (key/value binary, topic, partition, offset, timestamp,
+    timestampType) is parsed by parse_kafka_value per micro-batch and
+    fanned out through the full 4-sink consumer, then checked against
+    the one-shot batch reference."""
+    from pyspark.sql import functions as F
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.streaming.processor import (
+        batch_reference_outputs,
+        process_batch,
+    )
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.streaming.synthetic import (
+        synthetic_trip_batch,
+    )
+
+    trips = synthetic_trip_batch(spark, 40, partitions=4)
+    wire = trips.select(
+        F.lit(None).cast("binary").alias("key"),
+        F.to_json(F.struct(*trips.columns)).cast("binary").alias("value"),
+        F.lit("trips").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).cast("int").alias("timestampType"),
+    )
+    src = str(tmp_path / "wire")
+    out = str(tmp_path / "out")
+    wire.write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        parse_kafka_value(stream, TRIP_SCHEMA)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda df, bid: process_batch(df, bid, out))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600)
+
+    raw = spark.read.json(f"{out}/raw")
+    assert raw.count() == 40
+    # streamed-union == one-shot batch on the combined agg (re-aggregated
+    # over location to erase the batch split)
+    got = {
+        (r["location_id"], r["aggregation_type"]): r["n"]
+        for r in spark.read.json(f"{out}/combined_agg")
+        .groupBy("location_id", "aggregation_type")
+        .agg(F.sum("trip_count").alias("n"))
+        .collect()
+    }
+    ref = {
+        (r["location_id"], r["aggregation_type"]): r["n"]
+        for r in batch_reference_outputs(trips)["combined_agg"]
+        .groupBy("location_id", "aggregation_type")
+        .agg(F.sum("trip_count").alias("n"))
+        .collect()
+    }
+    assert got == ref
