@@ -658,6 +658,7 @@ def minhash_lsh_pairs(
     n: int = DEFAULT_SHINGLE_N,
     max_chars: int = 512,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
@@ -673,8 +674,30 @@ def minhash_lsh_pairs(
     recall ≥ 1 − 2e−5 at j ≥ 0.93 and were verified set-equal to the
     exact pair set on the test corpora; raise ``n_hashes``/``bands``
     for lower thresholds.
+
+    ``max_bucket_size`` (new r11) is the HOT-BUCKET guard: "linear in
+    docs × bands" describes bucket EMISSION — the self-join then emits
+    |bucket|² candidates per key, so one boilerplate cluster of B
+    near-identical docs costs B² pairs in a single task (the current
+    sf0.1 corpus already carries a 115-doc band bucket ≈ 13 k
+    candidates from one key; at web scale B is millions). With a cap,
+    buckets above it are EXCLUDED from candidate generation: one
+    count aggregate + a semi-join on the same (band, bkey) key as the
+    self-join (AQE reuses the exchange). Precision stays 1.0
+    (survivors are still exact-verified). Recall: a pair is missed
+    only if EVERY bucket it shares is over-cap — by construction
+    that's the giant near-identical cluster, exactly the content a
+    pipeline should route through the exact-dedup/line-dedup tiers
+    (hash-groupBy handles verbatim copies at any scale) rather than
+    pairwise LSH. None (default) preserves the uncapped parity
+    semantics.
     """
     _require_band_geometry(n_hashes, bands)
+    if max_bucket_size is not None and max_bucket_size < 2:
+        raise ValueError(
+            f"max_bucket_size must be ≥ 2 (a pair needs both members "
+            f"in the bucket), got {max_bucket_size}"
+        )
     r = n_hashes // bands
     # Small-file inputs arrive as a handful of partitions; the per-doc
     # shingle+md5 work is embarrassingly parallel, so fan it out to the
@@ -693,6 +716,18 @@ def minhash_lsh_pairs(
     sigs = track_persist(_signatures_from_shingles(sh, id_col, n_hashes, seed))
 
     buckets = band_buckets(sigs, id_col, bands, r)
+    if max_bucket_size is not None:
+        under_cap = (
+            buckets.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= F.lit(int(max_bucket_size)))
+            .drop("_bn")
+        )
+        # persisted: the self-join consumes the capped frame twice, and
+        # without the persist each side would re-run the count+semi
+        buckets = track_persist(
+            buckets.join(under_cap, ["band", "bkey"], "left_semi")
+        )
     a = buckets.alias("a")
     b = buckets.alias("b")
     candidates = (

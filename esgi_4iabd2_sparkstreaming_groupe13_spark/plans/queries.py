@@ -1750,6 +1750,35 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
 
+#: q_lsh_capped hot-bucket cap — deliberately below the corpus's
+#: largest organic band bucket (measured 115 docs at sf0.1, 9 at
+#: sf0.01 in r11), so the cap actually FIRES at bench scale; the
+#: oracle mirrors the semantics exactly at any corpus, so the entry
+#: stays green whether or not a given regeneration has hot buckets.
+LSH_BUCKET_CAP = 24
+
+
+def q_lsh_capped(spark, sf_dir):
+    """Hot-bucket-capped LSH near-dup pairs (new r11): the 100 TB
+    guard for the banded self-join — a boilerplate cluster of B docs
+    sharing a band key emits B² candidates from ONE bucket (the sf0.1
+    corpus already carries a 115-doc bucket); buckets above the cap
+    are excluded from candidate generation, precision stays 1.0
+    (exact-verified), and the giant-cluster content is the
+    exact-dedup tier's job. The oracle replays the ENTIRE banding
+    pipeline in DuckDB — md5 shingle hashes, the 32 affine minhash
+    permutations, per-band md5 bucket keys, the count(*) <= cap
+    filter, and the exact-Jaccard verification — so the cap semantics
+    themselves are hash-checked, not just the surviving pairs."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        threshold=0.9,
+        max_bucket_size=LSH_BUCKET_CAP,
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """LSH pairs → connected components → per-doc cluster
     representative (iterative DataFrame label propagation; the oracle
@@ -4095,6 +4124,71 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 
+def _lsh_capped_oracle(
+    threshold: float,
+    cap: int,
+    n_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> str:
+    """Full DuckDB replay of the CAPPED banding pipeline (mirror of
+    ``dedup.minhash_lsh_pairs(max_bucket_size=cap)``): md5 shingle
+    ints → 32 affine minhash permutations → per-band md5 bucket keys →
+    buckets filtered to count ≤ cap → bucket self-join candidates →
+    exact-Jaccard verification. Unlike q_minhash_lsh's oracle (exact
+    all-pairs — valid because banding recall ≈ 1), this one must mirror
+    the BANDING itself: which pairs survive depends on bucket
+    geometry, not just true Jaccard."""
+    r = n_hashes // bands
+    elems = minhash_sql_elems("hv", n_hashes, seed)
+    sig_cols = ", ".join(f"({e}) AS m{i}" for i, e in enumerate(elems))
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS band, md5(concat_ws('_', "
+        + ", ".join(f"CAST(m{i * r + j} AS VARCHAR)" for j in range(r))
+        + ")) AS bkey FROM sig"
+        for i in range(bands)
+    )
+    jac = round_half_away_sql(
+        "CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)", 6
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_SHINGLES} AS shingles FROM documents
+), hs AS (
+  SELECT doc_id, list_transform(shingles, s -> {md5_int_sql('s')}) AS hv
+  FROM d
+), sig AS (
+  SELECT doc_id, {sig_cols} FROM hs
+), buckets AS (
+{band_selects}
+), under AS (
+  SELECT band, bkey FROM buckets GROUP BY band, bkey
+  HAVING count(*) <= {cap}
+), capped AS (
+  SELECT b.doc_id, b.band, b.bkey
+  FROM buckets b JOIN under u ON b.band = u.band AND b.bkey = u.bkey
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a
+  JOIN capped b ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM d
+), inter AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(da.shingles, db.shingles)) AS n_inter
+  FROM cand c
+  JOIN d da ON da.doc_id = c.id_a
+  JOIN d db ON db.doc_id = c.id_b
+)
+SELECT id_a, id_b, {jac} AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE {jac} >= {threshold}
+"""
+
+
 def _jaccard_pairs_oracle(threshold: float, id_filter: str = "TRUE") -> str:
     return f"""
 WITH d AS (
@@ -5933,6 +6027,7 @@ WHERE {md5_int_sql("('wsample:' || CAST(doc_id AS VARCHAR))")} % 1000000
     "q_corpus_select": _corpus_select_oracle(0.9),
     "q_sentiment": _sentiment_oracle(),
     "q_minhash_lsh": _jaccard_pairs_oracle(0.9),
+    "q_lsh_capped": _lsh_capped_oracle(0.9, LSH_BUCKET_CAP),
     "q_simhash": _simhash_oracle(),
     "q_simhash_pairs": _simhash_pairs_oracle(3),
     "q_cosine_topk": _cosine_topk_oracle(5),
@@ -7227,6 +7322,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_event_window", q_event_window, ORACLES["q_event_window"], True),
     QuerySpec("q_rollup", q_rollup, ORACLES["q_rollup"], True),
     QuerySpec("q_minhash_lsh", q_minhash_lsh, ORACLES["q_minhash_lsh"], True),
+    QuerySpec("q_lsh_capped", q_lsh_capped, ORACLES["q_lsh_capped"], True),
     QuerySpec("q_validation", q_validation, ORACLES["q_validation"]),
     QuerySpec("q_line_dedup", q_line_dedup, ORACLES["q_line_dedup"]),
     QuerySpec("q_scd2", q_scd2, ORACLES["q_scd2"], True),

@@ -79,7 +79,7 @@ ALL_OPS = (
     "substring_dedup quality_score embed_norm entity_match agg_state "
     "bm25 gap_fill triangles pagerank global_shuffle dsir ppl_buckets jl "
     "semdedup prep shard_assign pq_adc bpe hist_state bpe_chain backoff "
-    "profile ivf_index"
+    "profile ivf_index lsh_hot_bucket"
 ).split()
 
 
@@ -1636,6 +1636,57 @@ def main() -> None:
         )
         results["ivf_index_build"] = {"t1": tb1, "tN": tbN}
         results["ivf_index_serve"] = {"t1": ts1, "tN": tsN}
+
+    # --- documents: LSH hot-bucket pathology (q_lsh_capped, new r11).
+    # A boilerplate cluster of H identical docs shares EVERY band
+    # bucket: uncapped candidate emission is H²·bands rows out of one
+    # key (quadratic in H, concentrated in few tasks); with
+    # max_bucket_size the cluster is excluded and wall must stay ~flat
+    # in H. H1 = ~sqrt(factor)·100, HN = factor·100 — uncapped is
+    # probed at H1 only (its HN cost is the pathology being avoided).
+    if want("lsh_hot_bucket"):
+        base_docs = load_table(spark, SF_DIR, "documents")
+
+        def with_hot(h: int):
+            hot = (
+                spark.range(h)
+                .select(
+                    (F.col("id") + 50_000_000).alias("doc_id"),
+                    F.lit("boilerplate " * 40).alias("text"),
+                )
+            )
+            d = base_docs.select("doc_id", "text").unionByName(hot)
+            name = f"hotdocs_{h}.parquet"
+            d.write.mode("overwrite").parquet(f"{tmp}/{name}")
+            return spark.read.parquet(f"{tmp}/{name}")
+
+        h1 = max(2, int(100 * math.sqrt(factor)))
+        hN = 100 * factor
+        d1, dN = with_hot(h1), with_hot(hN)
+        results["lsh_hot_bucket_uncapped"] = {
+            "t1": timed(
+                f"lsh uncapped H={h1}",
+                dedup.minhash_lsh_pairs(d1, "text", "doc_id", 0.9),
+            ),
+            "tN": timed(
+                f"lsh uncapped H={h1} (rep)",
+                dedup.minhash_lsh_pairs(d1, "text", "doc_id", 0.9),
+            ),
+        }
+        results["lsh_hot_bucket_capped"] = {
+            "t1": timed(
+                f"lsh capped H={h1}",
+                dedup.minhash_lsh_pairs(
+                    d1, "text", "doc_id", 0.9, max_bucket_size=24
+                ),
+            ),
+            "tN": timed(
+                f"lsh capped H={hN}",
+                dedup.minhash_lsh_pairs(
+                    dN, "text", "doc_id", 0.9, max_bucket_size=24
+                ),
+            ),
+        }
 
     for op, r in results.items():
         r["ratio"] = round(r["tN"] / max(r["t1"], 0.01), 1)

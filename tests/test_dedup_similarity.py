@@ -1167,3 +1167,42 @@ def test_model_prune_keeps_same_version_derived_artifacts(
         assert os.path.exists(d), d
     assert not os.path.exists(stale)
     assert not os.path.exists(stale + "_pq")
+
+
+def test_lsh_hot_bucket_cap_semantics(spark):
+    """max_bucket_size (new r11): a planted boilerplate cluster whose
+    members share EVERY band bucket is excluded from candidate
+    generation under the cap, while organic near-dup pairs (small
+    buckets) are untouched. Precision is unaffected either way —
+    survivors are exact-verified."""
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    organic = [
+        (1, base + "alpha beta gamma delta"),
+        (2, base + "alpha beta gamma delt"),  # near-dup of 1
+        (3, "completely different content about spark shuffles etc"),
+    ]
+    hot = [(100 + i, "boilerplate " * 30) for i in range(12)]
+    df = spark.createDataFrame(organic + hot, "doc_id long, text string")
+
+    uncapped = dedup.minhash_lsh_pairs(df, "text", "doc_id", 0.9)
+    capped = dedup.minhash_lsh_pairs(
+        df, "text", "doc_id", 0.9, max_bucket_size=8
+    )
+    un = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    cp = {(r.id_a, r.id_b) for r in capped.collect()}
+    hot_pairs = {(a, b) for a in range(100, 112) for b in range(100, 112) if a < b}
+    # uncapped: organic near-dup AND all 66 hot pairs (exact copies)
+    assert (1, 2) in un
+    assert hot_pairs <= un
+    # capped: organic survives, the hot cluster's pairs are dropped
+    assert (1, 2) in cp
+    assert not (hot_pairs & cp)
+    # the dropped content is exactly what the exact-dedup tier catches
+    reps = dedup.dedup_exact(df, ["text"], "doc_id")
+    assert reps.count() == len(organic) + 1  # 12 copies -> 1 rep
+
+
+def test_lsh_cap_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        dedup.minhash_lsh_pairs(df, "text", "doc_id", 0.9, max_bucket_size=1)
