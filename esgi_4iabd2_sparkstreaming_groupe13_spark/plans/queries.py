@@ -7322,7 +7322,10 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_event_window", q_event_window, ORACLES["q_event_window"], True),
     QuerySpec("q_rollup", q_rollup, ORACLES["q_rollup"], True),
     QuerySpec("q_minhash_lsh", q_minhash_lsh, ORACLES["q_minhash_lsh"], True),
-    QuerySpec("q_lsh_capped", q_lsh_capped, ORACLES["q_lsh_capped"], True),
+    # not headline: the cap is opt-in scale machinery whose perf story
+    # lives in the lsh_hot_bucket probe row (BASELINE.md r11); benching
+    # it would just re-time q_minhash_lsh plus the cap overhead
+    QuerySpec("q_lsh_capped", q_lsh_capped, ORACLES["q_lsh_capped"]),
     QuerySpec("q_validation", q_validation, ORACLES["q_validation"]),
     QuerySpec("q_line_dedup", q_line_dedup, ORACLES["q_line_dedup"]),
     QuerySpec("q_scd2", q_scd2, ORACLES["q_scd2"], True),
