@@ -359,6 +359,8 @@ def extract_features(
         raise ValueError("on_unsupported must be 'raise' or 'null'")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
         for pdf in batches:
             feats, n_bytes = [], []
             for payload in pdf["payload"]:
@@ -367,7 +369,10 @@ def extract_features(
                 if real_decode:
                     try:
                         feats.append(_real_feature(raw))
-                    except (NotImplementedError, ValueError):
+                    except (NotImplementedError, ValueError, zlib.error):
+                        # zlib.error: valid magic + corrupt IDAT — in
+                        # audit mode one damaged file must degrade to
+                        # NULL, not kill a 100 TB scan
                         if on_unsupported == "raise":
                             raise
                         feats.append(None)

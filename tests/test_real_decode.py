@@ -213,3 +213,22 @@ def test_real_decode_jpeg_needs_pillow(spark):
     ) + b"\x03\x00\x00\x00"
     with pytest.raises(NotImplementedError, match="Pillow"):
         multimodal._real_feature(jpeg)
+
+
+def test_real_decode_null_mode_survives_corrupt_idat(spark):
+    """Valid PNG magic + corrupt IDAT raises zlib.error inside the
+    decoder; audit mode must degrade that file to a NULL feature, not
+    kill the scan."""
+    px = _rng_px(3, 3, 3)
+    good = encode_png(px)
+    # corrupt the IDAT payload bytes (keep signature + IHDR intact)
+    idat_at = good.index(b"IDAT")
+    corrupt = good[: idat_at + 4] + b"\x00" * 8 + good[idat_at + 12 :]
+    df = _media_df(spark, [("image", good), ("image", corrupt)])
+    rows = {
+        r["media_id"]: r["feature"]
+        for r in multimodal.extract_features(
+            df, real_decode=True, on_unsupported="null"
+        ).collect()
+    }
+    assert rows[0] is not None and rows[1] is None
