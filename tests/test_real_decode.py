@@ -232,3 +232,32 @@ def test_real_decode_null_mode_survives_corrupt_idat(spark):
         ).collect()
     }
     assert rows[0] is not None and rows[1] is None
+
+
+# ------------------------------------------------------------------
+# property-based round-trip (no Spark involved — pure codec)
+# ------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+        filters=st.lists(st.integers(0, 4), min_size=1, max_size=5),
+    )
+    def test_png_roundtrip_property(h, w, ch, seed, filters):
+        """decode(encode(px)) == px for arbitrary sizes, color types,
+        and per-row filter choices — the codec pair is lossless by
+        construction, so any disagreement is a decoder (or encoder)
+        filter-math bug."""
+        px = _rng_px(h, w, ch, seed=seed % 100000)
+        got = multimodal.decode_png(encode_png(px, filters=filters))
+        assert np.array_equal(got, px)
+
+except ImportError:  # pragma: no cover
+    pass
