@@ -64,6 +64,14 @@ def main() -> None:
         warm.agg(F.bit_xor(F.xxhash64(F.struct(*warm.columns)))).collect()
 
     by_name = {s.name: s for s in QUERIES}
+    # one untimed throwaway of the first named query: whole-stage-
+    # codegen JIT warmup, same methodology as bench.py (without it the
+    # first rep reads ~1.6x hot — visible in the r11 adjudication
+    # tables' rep-1 columns; min-of-reps already absorbed it)
+    first = by_name.get(names[0])
+    if first is not None:
+        force(first.fn(spark, sf_dir))
+        release_cached()
     out: dict[str, dict] = {}
     for name in names:
         spec = by_name.get(name)
