@@ -243,6 +243,8 @@ def decode_png(buf: bytes) -> np.ndarray:
         ctype = buf[i + 4 : i + 8]
         data = buf[i + 8 : i + 8 + clen]
         if ctype == b"IHDR":
+            if len(data) < 13:  # spec length; truncated file must not
+                raise ValueError("PNG IHDR truncated")  # IndexError
             meta = (
                 int.from_bytes(data[0:4], "big"),   # width
                 int.from_bytes(data[4:8], "big"),   # height

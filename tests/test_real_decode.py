@@ -261,3 +261,16 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_png_truncated_ihdr_degrades_not_crashes(spark):
+    """A PNG-magic file truncated mid-IHDR must raise ValueError (so
+    audit mode degrades it), never IndexError."""
+    truncated = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 5) + b"IHDR" + b"\x00" * 21
+    with pytest.raises(ValueError, match="IHDR"):
+        multimodal.decode_png(truncated)
+    df = _media_df(spark, [("image", truncated)])
+    rows = multimodal.extract_features(
+        df, real_decode=True, on_unsupported="null"
+    ).collect()
+    assert rows[0]["feature"] is None
