@@ -7197,82 +7197,16 @@ WHERE rk <= least(n, CAST(floor(
 """
 
 QUERIES: list[QuerySpec] = [
-    # ==== driver 50-entry verification window (r10) ====
-    # ---- first driver rows EVER for these 15 r9 entries (judge-
-    # verified green in the r9 verdict; now the official artifact
-    # covers them too) ----
-    QuerySpec("q_winsorize", q_winsorize, ORACLES["q_winsorize"]),
-    QuerySpec("q_assoc_rules", q_assoc_rules, ORACLES["q_assoc_rules"]),
-    QuerySpec("q_benford", q_benford, ORACLES["q_benford"]),
-    # pagerank: oracle-gated but NOT headline — 5 eager iterations cost
-    # ~11.5 s at sf0.1, and the slate already carries an iterative-graph
-    # representative (q_best_rep's CC pipeline); the scale story lives
-    # in BASELINE.md's 25× end-to-end probe row + PLANS pin.
-    QuerySpec("q_pagerank", q_pagerank, ORACLES["q_pagerank"]),
-    QuerySpec("q_json_variant", q_json_variant, ORACLES["q_json_variant"]),
-    QuerySpec("q_global_shuffle", q_global_shuffle, ORACLES["q_global_shuffle"]),
-    QuerySpec("q_fk_audit", q_fk_audit, ORACLES["q_fk_audit"]),
-    QuerySpec("q_dsir_weights", q_dsir_weights, ORACLES["q_dsir_weights"]),
-    QuerySpec("q_ppl_buckets", q_ppl_buckets, ORACLES["q_ppl_buckets"]),
-    QuerySpec("q_stream_join", q_stream_join, ORACLES["q_stream_join"]),
-    QuerySpec("q_jl_project", q_jl_project, ORACLES["q_jl_project"]),
-    QuerySpec("q_semdedup", q_semdedup, ORACLES["q_semdedup"]),
-    QuerySpec("q_hybrid_rrf", q_hybrid_rrf, ORACLES["q_hybrid_rrf"]),
-    QuerySpec("q_psi_drift", q_psi_drift, ORACLES["q_psi_drift"]),
-    QuerySpec("q_pq_recall", q_pq_recall, ORACLES["q_pq_recall"]),
-    # ---- NEW in r10 (tokenizer-shard export assignment; BPE
-    # tokenizer training/encoding; temperature-smoothed mixing) ----
-    QuerySpec("q_shard_assign", q_shard_assign, ORACLES["q_shard_assign"], True),
-    QuerySpec("q_bpe_pairs", q_bpe_pairs, ORACLES["q_bpe_pairs"]),
-    QuerySpec("q_bpe_encode", q_bpe_encode, ORACLES["q_bpe_encode"], True),
-    QuerySpec("q_bpe_vocab", q_bpe_vocab, ORACLES["q_bpe_vocab"]),
-    QuerySpec("q_temperature_mix", q_temperature_mix, ORACLES["q_temperature_mix"]),
-    QuerySpec("q_state_quantiles", q_state_quantiles, ORACLES["q_state_quantiles"]),
-    QuerySpec("q_backoff_logprob", q_backoff_logprob, ORACLES["q_backoff_logprob"]),
-    QuerySpec("q_bpe_packing", q_bpe_packing, ORACLES["q_bpe_packing"]),
-    QuerySpec("q_pack_materialize", q_pack_materialize, ORACLES["q_pack_materialize"]),
-    QuerySpec("q_curriculum", q_curriculum, ORACLES["q_curriculum"]),
-    # ---- oldest 34 of the r6-verified block (last driver row r6 —
-    # three rounds stale, the oldest in the registry; q_hll_distinct
-    # was displaced from the window tail by q_shard_assign) ----
-    QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
-    QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),
-    QuerySpec("q_hash_sample", q_hash_sample, ORACLES["q_hash_sample"]),
-    QuerySpec("q_tfidf_topterms", q_tfidf_topterms, ORACLES["q_tfidf_topterms"], True),
-    QuerySpec("q_embed_dedup", q_embed_dedup, ORACLES["q_embed_dedup"]),
-    QuerySpec("q_domain_cap", q_domain_cap, ORACLES["q_domain_cap"]),
-    QuerySpec("q_cosine_pairs", q_cosine_pairs, ORACLES["q_cosine_pairs"]),
-    QuerySpec("q_join_fact_dim", q_join_fact_dim, ORACLES["q_join_fact_dim"], True),
-    QuerySpec("q_join_multiway", q_join_multiway, ORACLES["q_join_multiway"], True),
-    QuerySpec("q_simhash", q_simhash, ORACLES["q_simhash"], True),
-    QuerySpec("q_dedup_clusters", q_dedup_clusters, ORACLES["q_dedup_clusters"]),
-    QuerySpec("q_sessionize", q_sessionize, ORACLES["q_sessionize"], True),
-    QuerySpec("q_corpus_select", q_corpus_select, ORACLES["q_corpus_select"]),
-    QuerySpec("q_session_window", q_session_window, ORACLES["q_session_window"]),
-    QuerySpec("q_admission_filter", q_admission_filter, ORACLES["q_admission_filter"]),
-    QuerySpec("q_top_ngram", q_top_ngram, ORACLES["q_top_ngram"]),
-    QuerySpec("q_vocab_stats", q_vocab_stats, ORACLES["q_vocab_stats"]),
-    QuerySpec("q_edit_verify", q_edit_verify, ORACLES["q_edit_verify"]),
-    QuerySpec("q_rate_anomaly", q_rate_anomaly, ORACLES["q_rate_anomaly"]),
-    QuerySpec("q_funnel", q_funnel, ORACLES["q_funnel"]),
-    QuerySpec("q_snapshot_diff", q_snapshot_diff, ORACLES["q_snapshot_diff"]),
-    QuerySpec("q_correlation", q_correlation, ORACLES["q_correlation"]),
-    QuerySpec("q_retention", q_retention, ORACLES["q_retention"]),
-    QuerySpec("q_corpus_report", q_corpus_report, ORACLES["q_corpus_report"]),
-    QuerySpec("q_bigram_logprob", q_bigram_logprob, ORACLES["q_bigram_logprob"]),
-    # ==== driver 50-entry verification window ends here ====
-    # bpe_merges: iterative (argmax feeds the next round) — rows-only,
-    # exactness pinned by tests/test_bpe.py vs a pure-Python reference.
-    # Kept OUT of the driver window: rows-only entries must not burn
-    # gate slots (tests/test_text_multimodal.py guard).
-    QuerySpec("q_bpe_merges", q_bpe_merges, None, py_oracle=PY_ORACLES["q_bpe_merges"]),
+    # ==== driver 50-entry verification window (r11 rotation) ====
+    # Stalest oracle-backed entries first: the 4 specs parked just
+    # outside the r10 window, the r6-era queue, q_lsh_capped (new in
+    # r11 — first driver row ever), and the head of the r7/r8 block.
+    # The 50 r10-window entries (freshest artifact rows) rotate to
+    # the back of the registry.
     QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),
     QuerySpec("q_incremental_dedup", q_incremental_dedup, ORACLES["q_incremental_dedup"]),
     QuerySpec("q_dedup_exact_content", q_dedup_exact_content, ORACLES["q_dedup_exact_content"]),
     QuerySpec("q_fingerprint", q_fingerprint, ORACLES["q_fingerprint"]),
-    # ---- r11 queue head: the 8 r6-verified entries displaced from
-    # the window tail by the r10 newcomers, then the 15 remaining
-    # r6-verified entries ----
     QuerySpec("q_repetition", q_repetition, ORACLES["q_repetition"]),
     QuerySpec("q_winnow_fp", q_winnow_fp, ORACLES["q_winnow_fp"]),
     QuerySpec("q_winnow_pairs", q_winnow_pairs, ORACLES["q_winnow_pairs"]),
@@ -7293,12 +7227,6 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_orderby_ts", q_orderby_ts, ORACLES["q_orderby_ts"]),
     QuerySpec("q_topk_desc", q_topk_desc, ORACLES["q_topk_desc"], True),
     QuerySpec("q_total_count", q_total_count, ORACLES["q_total_count"]),
-    # rows-only by design (pytest quality gates, no SQL oracle):
-    QuerySpec("q_media_features", q_media_features, None, py_oracle=PY_ORACLES["q_media_features"]),
-    QuerySpec("q_media_decode", q_media_decode, None, py_oracle=PY_ORACLES["q_media_decode"]),
-    QuerySpec("q_kmeans_cells", q_kmeans_cells, None, py_oracle=PY_ORACLES["q_kmeans_cells"]),
-    QuerySpec("q_ann_ivf", q_ann_ivf, None, py_oracle=PY_ORACLES["q_ann_ivf"]),
-    # r7/r8-verified block (driver-green twice):
     QuerySpec("q_equi_depth", q_equi_depth, ORACLES["q_equi_depth"]),
     QuerySpec("q_json_extract", q_json_extract, ORACLES["q_json_extract"]),
     QuerySpec("q_dedup_exact", q_dedup_exact, ORACLES["q_dedup_exact"]),
@@ -7322,12 +7250,19 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_event_window", q_event_window, ORACLES["q_event_window"], True),
     QuerySpec("q_rollup", q_rollup, ORACLES["q_rollup"], True),
     QuerySpec("q_minhash_lsh", q_minhash_lsh, ORACLES["q_minhash_lsh"], True),
-    # not headline: the cap is opt-in scale machinery whose perf story
-    # lives in the lsh_hot_bucket probe row (BASELINE.md r11); benching
-    # it would just re-time q_minhash_lsh plus the cap overhead
     QuerySpec("q_lsh_capped", q_lsh_capped, ORACLES["q_lsh_capped"]),
     QuerySpec("q_validation", q_validation, ORACLES["q_validation"]),
     QuerySpec("q_line_dedup", q_line_dedup, ORACLES["q_line_dedup"]),
+    # ==== driver 50-entry verification window ends here ====
+    # non-SQL entries (registered PYTHON oracles, plans/py_oracles.py;
+    # kept OUT of the driver window: the SQL gate would record them
+    # rows-only and burn slots — tests/test_text_multimodal.py guard)
+    QuerySpec("q_bpe_merges", q_bpe_merges, None, py_oracle=PY_ORACLES["q_bpe_merges"]),
+    QuerySpec("q_media_features", q_media_features, None, py_oracle=PY_ORACLES["q_media_features"]),
+    QuerySpec("q_media_decode", q_media_decode, None, py_oracle=PY_ORACLES["q_media_decode"]),
+    QuerySpec("q_kmeans_cells", q_kmeans_cells, None, py_oracle=PY_ORACLES["q_kmeans_cells"]),
+    QuerySpec("q_ann_ivf", q_ann_ivf, None, py_oracle=PY_ORACLES["q_ann_ivf"]),
+    # r7/r8/r9-verified remainder (stale-first within each block):
     QuerySpec("q_scd2", q_scd2, ORACLES["q_scd2"], True),
     QuerySpec("q_split_leakage", q_split_leakage, ORACLES["q_split_leakage"]),
     QuerySpec("q_embed_norm", q_embed_norm, ORACLES["q_embed_norm"]),
@@ -7353,8 +7288,6 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_weighted_sample", q_weighted_sample, ORACLES["q_weighted_sample"]),
     QuerySpec("q_percentiles_approx", q_percentiles_approx, ORACLES["q_percentiles_approx"]),
     QuerySpec("q_bloom_contamination", q_bloom_contamination, ORACLES["q_bloom_contamination"]),
-    # ---- r9-window block (driver-green in r9 — freshest, rotates
-    # back in last) ----
     QuerySpec("q_tpch_q1", q_tpch_q1, ORACLES["q_tpch_q1"], True),
     QuerySpec("q_tpch_q2", q_tpch_q2, ORACLES["q_tpch_q2"]),
     QuerySpec("q_tpch_q3", q_tpch_q3, ORACLES["q_tpch_q3"], True),
@@ -7405,6 +7338,58 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_unpivot", q_unpivot, ORACLES["q_unpivot"]),
     QuerySpec("q_zorder", q_zorder, ORACLES["q_zorder"]),
     QuerySpec("q_triangles", q_triangles, ORACLES["q_triangles"], True),
+    # ---- r10-window block (driver-green in r10 — freshest,
+    # rotates back in last) ----
+    QuerySpec("q_winsorize", q_winsorize, ORACLES["q_winsorize"]),
+    QuerySpec("q_assoc_rules", q_assoc_rules, ORACLES["q_assoc_rules"]),
+    QuerySpec("q_benford", q_benford, ORACLES["q_benford"]),
+    QuerySpec("q_pagerank", q_pagerank, ORACLES["q_pagerank"]),
+    QuerySpec("q_json_variant", q_json_variant, ORACLES["q_json_variant"]),
+    QuerySpec("q_global_shuffle", q_global_shuffle, ORACLES["q_global_shuffle"]),
+    QuerySpec("q_fk_audit", q_fk_audit, ORACLES["q_fk_audit"]),
+    QuerySpec("q_dsir_weights", q_dsir_weights, ORACLES["q_dsir_weights"]),
+    QuerySpec("q_ppl_buckets", q_ppl_buckets, ORACLES["q_ppl_buckets"]),
+    QuerySpec("q_stream_join", q_stream_join, ORACLES["q_stream_join"]),
+    QuerySpec("q_jl_project", q_jl_project, ORACLES["q_jl_project"]),
+    QuerySpec("q_semdedup", q_semdedup, ORACLES["q_semdedup"]),
+    QuerySpec("q_hybrid_rrf", q_hybrid_rrf, ORACLES["q_hybrid_rrf"]),
+    QuerySpec("q_psi_drift", q_psi_drift, ORACLES["q_psi_drift"]),
+    QuerySpec("q_pq_recall", q_pq_recall, ORACLES["q_pq_recall"]),
+    QuerySpec("q_shard_assign", q_shard_assign, ORACLES["q_shard_assign"], True),
+    QuerySpec("q_bpe_pairs", q_bpe_pairs, ORACLES["q_bpe_pairs"]),
+    QuerySpec("q_bpe_encode", q_bpe_encode, ORACLES["q_bpe_encode"], True),
+    QuerySpec("q_bpe_vocab", q_bpe_vocab, ORACLES["q_bpe_vocab"]),
+    QuerySpec("q_temperature_mix", q_temperature_mix, ORACLES["q_temperature_mix"]),
+    QuerySpec("q_state_quantiles", q_state_quantiles, ORACLES["q_state_quantiles"]),
+    QuerySpec("q_backoff_logprob", q_backoff_logprob, ORACLES["q_backoff_logprob"]),
+    QuerySpec("q_bpe_packing", q_bpe_packing, ORACLES["q_bpe_packing"]),
+    QuerySpec("q_pack_materialize", q_pack_materialize, ORACLES["q_pack_materialize"]),
+    QuerySpec("q_curriculum", q_curriculum, ORACLES["q_curriculum"]),
+    QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
+    QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),
+    QuerySpec("q_hash_sample", q_hash_sample, ORACLES["q_hash_sample"]),
+    QuerySpec("q_tfidf_topterms", q_tfidf_topterms, ORACLES["q_tfidf_topterms"], True),
+    QuerySpec("q_embed_dedup", q_embed_dedup, ORACLES["q_embed_dedup"]),
+    QuerySpec("q_domain_cap", q_domain_cap, ORACLES["q_domain_cap"]),
+    QuerySpec("q_cosine_pairs", q_cosine_pairs, ORACLES["q_cosine_pairs"]),
+    QuerySpec("q_join_fact_dim", q_join_fact_dim, ORACLES["q_join_fact_dim"], True),
+    QuerySpec("q_join_multiway", q_join_multiway, ORACLES["q_join_multiway"], True),
+    QuerySpec("q_simhash", q_simhash, ORACLES["q_simhash"], True),
+    QuerySpec("q_dedup_clusters", q_dedup_clusters, ORACLES["q_dedup_clusters"]),
+    QuerySpec("q_sessionize", q_sessionize, ORACLES["q_sessionize"], True),
+    QuerySpec("q_corpus_select", q_corpus_select, ORACLES["q_corpus_select"]),
+    QuerySpec("q_session_window", q_session_window, ORACLES["q_session_window"]),
+    QuerySpec("q_admission_filter", q_admission_filter, ORACLES["q_admission_filter"]),
+    QuerySpec("q_top_ngram", q_top_ngram, ORACLES["q_top_ngram"]),
+    QuerySpec("q_vocab_stats", q_vocab_stats, ORACLES["q_vocab_stats"]),
+    QuerySpec("q_edit_verify", q_edit_verify, ORACLES["q_edit_verify"]),
+    QuerySpec("q_rate_anomaly", q_rate_anomaly, ORACLES["q_rate_anomaly"]),
+    QuerySpec("q_funnel", q_funnel, ORACLES["q_funnel"]),
+    QuerySpec("q_snapshot_diff", q_snapshot_diff, ORACLES["q_snapshot_diff"]),
+    QuerySpec("q_correlation", q_correlation, ORACLES["q_correlation"]),
+    QuerySpec("q_retention", q_retention, ORACLES["q_retention"]),
+    QuerySpec("q_corpus_report", q_corpus_report, ORACLES["q_corpus_report"]),
+    QuerySpec("q_bigram_logprob", q_bigram_logprob, ORACLES["q_bigram_logprob"]),
 ]
 
 
