@@ -1480,3 +1480,66 @@ def rrf_fusion(
         "rrf_score",
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+def data_card(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    domain_cols: list[str],
+) -> DataFrame:
+    """Release DATA CARD (new r11): the per-domain composition report a
+    dataset release ships next to its shards — document/token volume,
+    exact-duplicate rate, and the quality-classifier profile, grouped
+    by the ``domain_cols`` strata (e.g. ``[source, lang]``).
+
+    One corpus pass builds the per-doc row (token count via the shared
+    tokenizer, min-id-over-identical-text duplicate flag, the
+    zero-shuffle :func:`~.text.quality_classifier_score`); one hash
+    aggregate folds it to |strata| rows. Ratios follow the repo's
+    cross-engine rules: integer or decimal-accumulated numerators,
+    single division, 6 dp half-away rounding. The duplicate flag uses
+    a window MIN over raw ``text_col`` — at 100 TB swap the window for
+    the equivalent groupBy-min join on a content HASH
+    (:func:`~.dedup.dedup_exact_content`); semantics are identical,
+    and the card's aggregate shape is unchanged.
+    """
+    from .text import quality_classifier_score
+
+    scored = quality_classifier_score(df, text_col, id_col).select(
+        F.col(id_col), F.col("quality_score"), F.col("keep")
+    )
+    w = Window.partitionBy(text_col)
+    per_doc = (
+        df.select(
+            F.col(id_col),
+            *[F.col(c) for c in domain_cols],
+            F.size(token_array(F.col(text_col))).cast("long").alias("_nt"),
+            (F.col(id_col) != F.min(id_col).over(w))
+            .cast("long")
+            .alias("_is_dup"),
+        )
+        .join(scored, id_col)
+    )
+    cnt = F.count(F.lit(1))
+    return per_doc.groupBy(*domain_cols).agg(
+        cnt.cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("total_tokens"),
+        round_half_away(
+            F.sum("_nt").cast("double") / cnt.cast("double"), 6
+        ).alias("mean_tokens"),
+        round_half_away(
+            F.sum("_is_dup").cast("double") / cnt.cast("double"), 6
+        ).alias("dup_rate"),
+        round_half_away(
+            F.sum(F.col("quality_score").cast("decimal(38,12)"))
+            .cast("double")
+            / cnt.cast("double"),
+            6,
+        ).alias("mean_quality"),
+        round_half_away(
+            F.sum(F.col("keep").cast("long")).cast("double")
+            / cnt.cast("double"),
+            6,
+        ).alias("keep_rate"),
+    )

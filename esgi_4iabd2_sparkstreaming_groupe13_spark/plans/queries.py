@@ -5086,6 +5086,57 @@ def q_quality_score(spark, sf_dir):
     return text.quality_classifier_score(docs, "text", "doc_id")
 
 
+def q_data_card(spark, sf_dir):
+    """Release data card (new r11): per-(source, lang) composition —
+    doc/token volume, exact-duplicate rate, quality-classifier profile
+    — the report a dataset release ships next to its shards. One
+    corpus pass + one |strata|-row aggregate; oracle re-derives every
+    column (tokenizer, min-id-over-text dup flag, the full hashed
+    uni+bigram classifier CTEs, decimal-accumulated means)."""
+    return corpus.data_card(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", ["source", "lang"]
+    )
+
+
+def _data_card_oracle() -> str:
+    mean_tok = round_half_away_sql(
+        "CAST(sum(nt) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6
+    )
+    dup_rate = round_half_away_sql(
+        "CAST(sum(is_dup) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6
+    )
+    mean_q = round_half_away_sql(
+        "CAST(sum(CAST(q AS DECIMAL(38,12))) AS DOUBLE) "
+        "/ CAST(count(*) AS DOUBLE)",
+        6,
+    )
+    keep_rate = round_half_away_sql(
+        "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ CAST(count(*) AS DOUBLE)",
+        6,
+    )
+    return f"""
+WITH {_quality_score_ctes()},
+per_doc AS (
+  SELECT d.source, d.lang,
+         len({token_array_sql('d.text')}) AS nt,
+         CASE WHEN d.doc_id <> min(d.doc_id) OVER (PARTITION BY d.text)
+              THEN 1 ELSE 0 END AS is_dup,
+         coalesce(s.sc, 0.5) AS q,
+         coalesce(s.sc >= 0.5, TRUE) AS keep
+  FROM documents d LEFT JOIN scored s USING (doc_id)
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       {mean_tok} AS mean_tokens,
+       {dup_rate} AS dup_rate,
+       {mean_q} AS mean_quality,
+       {keep_rate} AS keep_rate
+FROM per_doc GROUP BY source, lang
+"""
+
+
 def _quality_score_ctes() -> str:
     """Shared CTE chain (no leading WITH) computing the linear quality
     classifier per doc: toks -> wts (literal weight array) -> feats ->
@@ -6616,6 +6667,7 @@ FROM q
 
 
 ORACLES["q_quality_score"] = _quality_score_oracle()
+ORACLES["q_data_card"] = _data_card_oracle()
 
 
 def _dsir_oracle() -> str:
@@ -7390,6 +7442,9 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_retention", q_retention, ORACLES["q_retention"]),
     QuerySpec("q_corpus_report", q_corpus_report, ORACLES["q_corpus_report"]),
     QuerySpec("q_bigram_logprob", q_bigram_logprob, ORACLES["q_bigram_logprob"]),
+    # new in r11 (queues behind the rotated window for its first
+    # driver row next rotation):
+    QuerySpec("q_data_card", q_data_card, ORACLES["q_data_card"]),
 ]
 
 

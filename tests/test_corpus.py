@@ -819,3 +819,30 @@ def test_contamination_plan_tokenizes_each_side_once(spark):
     out = corpus.benchmark_contamination(cand, bench, "text", "doc_id", n=5)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split(") == 5, plan
+
+
+def test_data_card_composition(spark):
+    """data_card (new r11): per-stratum volumes, exact-dup rate, and
+    quality profile — verified against hand-computed values on a
+    corpus with a planted duplicate."""
+    rows = [
+        (1, "alpha beta gamma", "web", "en"),
+        (2, "alpha beta gamma", "web", "en"),  # exact dup of 1
+        (3, "delta epsilon", "web", "en"),
+        (4, "zeta eta theta iota", "books", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
+    card = {
+        (r["source"], r["lang"]): r
+        for r in corpus.data_card(df, "text", "doc_id", ["source", "lang"]).collect()
+    }
+    web = card[("web", "en")]
+    assert web["n_docs"] == 3
+    assert web["total_tokens"] == 8  # 3 + 3 + 2
+    assert web["dup_rate"] == round(1 / 3, 6)
+    books = card[("books", "fr")]
+    assert books["n_docs"] == 1 and books["dup_rate"] == 0.0
+    assert books["total_tokens"] == 4
+    for r in card.values():
+        assert 0.0 <= r["mean_quality"] <= 1.0
+        assert 0.0 <= r["keep_rate"] <= 1.0
