@@ -1494,22 +1494,25 @@ def data_card(
     by the ``domain_cols`` strata (e.g. ``[source, lang]``).
 
     One corpus pass builds the per-doc row (token count via the shared
-    tokenizer, min-id-over-identical-text duplicate flag, the
+    tokenizer, min-id-over-identical-content duplicate flag, the
     zero-shuffle :func:`~.text.quality_classifier_score`); one hash
     aggregate folds it to |strata| rows. Ratios follow the repo's
     cross-engine rules: integer or decimal-accumulated numerators,
-    single division, 6 dp half-away rounding. The duplicate flag uses
-    a window MIN over raw ``text_col`` — at 100 TB swap the window for
-    the equivalent groupBy-min join on a content HASH
-    (:func:`~.dedup.dedup_exact_content`); semantics are identical,
-    and the card's aggregate shape is unchanged.
+    single division, 6 dp half-away rounding.
+
+    Scale shape: the duplicate-flag window partitions by ``md5(text)``
+    — the exchange carries a 32-char key plus the tiny projected row,
+    never the document body (the same content-hash keying as
+    :func:`~.dedup.dedup_exact_content`); the oracle partitions by the
+    identical md5 expression, so the grouping is mirrored, not merely
+    equivalent-modulo-collisions.
     """
     from .text import quality_classifier_score
 
     scored = quality_classifier_score(df, text_col, id_col).select(
         F.col(id_col), F.col("quality_score"), F.col("keep")
     )
-    w = Window.partitionBy(text_col)
+    w = Window.partitionBy(F.md5(F.col(text_col)))
     per_doc = (
         df.select(
             F.col(id_col),

@@ -5120,7 +5120,7 @@ WITH {_quality_score_ctes()},
 per_doc AS (
   SELECT d.source, d.lang,
          len({token_array_sql('d.text')}) AS nt,
-         CASE WHEN d.doc_id <> min(d.doc_id) OVER (PARTITION BY d.text)
+         CASE WHEN d.doc_id <> min(d.doc_id) OVER (PARTITION BY md5(d.text))
               THEN 1 ELSE 0 END AS is_dup,
          coalesce(s.sc, 0.5) AS q,
          coalesce(s.sc >= 0.5, TRUE) AS keep
