@@ -25,7 +25,25 @@ from pathlib import Path
 
 import pandas as pd
 
-from .dashboard import OUTPUT_DIRS, latest_batch_files, snapshot
+try:
+    from .dashboard import OUTPUT_DIRS, latest_batch_files, snapshot
+except ImportError:
+    # `streamlit run <path>` executes the file as __main__ with no
+    # parent package (docker/Dockerfile.dashboard). Depending on
+    # whether the launcher put the repo root or the package dir on
+    # sys.path, exactly one of these succeeds.
+    try:
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.dashboard import (  # type: ignore
+            OUTPUT_DIRS,
+            latest_batch_files,
+            snapshot,
+        )
+    except ImportError:
+        from dashboard import (  # type: ignore
+            OUTPUT_DIRS,
+            latest_batch_files,
+            snapshot,
+        )
 
 try:  # pragma: no cover - exercised only where streamlit is installed
     import streamlit as st

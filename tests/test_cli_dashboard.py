@@ -140,3 +140,22 @@ def test_cli_consumer_defaults_idempotent():
         ["consumer", "--input", "a", "--out", "b", "--plain-appends"]
     )
     assert args.plain_appends is True
+
+
+def test_dashboard_app_imports_without_package_context(tmp_path):
+    """docker/Dockerfile.dashboard launches the view with
+    `streamlit run <path>`, which executes the file as __main__ with no
+    parent package — the module must import in that mode too (the
+    streamlit import itself is gated, so import-time succeeds without
+    the library)."""
+    import runpy
+    import sys
+
+    path = "esgi_4iabd2_sparkstreaming_groupe13_spark/dashboard_app.py"
+    saved = list(sys.path)
+    try:
+        sys.path.insert(0, ".")  # repo root, as the docker WORKDIR has
+        mod = runpy.run_path(path, run_name="not_main")
+        assert "snapshot" in mod and "OUTPUT_DIRS" in mod
+    finally:
+        sys.path[:] = saved
