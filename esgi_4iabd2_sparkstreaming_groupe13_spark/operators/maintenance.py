@@ -413,7 +413,15 @@ def cdc_apply(
     )
     on = [s[f"_ks_{k}"].eqNullSafe(c[f"_kc_{k}"]) for k in key_cols]
     j = s.join(c, on, "full_outer")
-    deleted = F.col("_ch").isNotNull() & (F.col("_ch._op") == "D")
+    # NULL-op policy (same silent-drop class as scd2_apply's NULL
+    # is_current, VERDICT r7): `_op == "D"` is NULL for a malformed
+    # log row with a NULL op, and filter(~NULL) would drop the KEY
+    # entirely — neither deleted nor upserted. The docstring already
+    # declares op advisory ("I-vs-U never trusted"); extend that to
+    # NULL: anything not literally 'D' upserts the payload.
+    deleted = F.col("_ch").isNotNull() & F.coalesce(
+        F.col("_ch._op") == "D", F.lit(False)
+    )
     return j.filter(~deleted).select(
         *[
             F.coalesce(F.col(f"_ks_{k}"), F.col(f"_kc_{k}")).alias(k)

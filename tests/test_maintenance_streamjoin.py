@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.maintenance import (
+    cdc_apply,
     compact_directory,
 )
 from esgi_4iabd2_sparkstreaming_groupe13_spark.sources.batch import load_table
@@ -431,3 +432,22 @@ def test_cdc_apply_empty_log_is_identity(spark):
     ).limit(0)
     out = cdc_apply(snap, empty, ["k"], ["name", "bal"]).collect()
     assert [(r["k"], r["name"], r["bal"]) for r in out] == [(1, "a", 1.0)]
+
+
+def test_cdc_apply_null_op_upserts_never_drops(spark):
+    """A malformed change row with NULL op must upsert its payload
+    (op is advisory per the contract), never silently drop the key —
+    `_op == 'D'` is NULL there and an unguarded filter(~NULL) did
+    exactly that (r11 self-review find)."""
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    )
+    log = spark.createDataFrame(
+        [(1, 10, None, "a2"), (3, 11, None, "c")],
+        "k long, seq long, op string, v string",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in cdc_apply(snap, log, ["k"], ["v"]).collect()
+    }
+    assert got == {1: "a2", 2: "b", 3: "c"}
