@@ -1517,7 +1517,13 @@ def data_card(
         df.select(
             F.col(id_col),
             *[F.col(c) for c in domain_cols],
-            F.size(token_array(F.col(text_col))).cast("long").alias("_nt"),
+            # coalesce BEFORE tokenizing (same as
+            # quality_classifier_score): size() on a NULL array is -1
+            # (legacy sizeOfNull) while the DuckDB oracle's len() is
+            # NULL — a NULL-text doc must count 0 tokens in both
+            F.size(token_array(F.coalesce(F.col(text_col), F.lit(""))))
+            .cast("long")
+            .alias("_nt"),
             (F.col(id_col) != F.min(id_col).over(w))
             .cast("long")
             .alias("_is_dup"),

@@ -287,6 +287,7 @@ def verify_shards(spark: SparkSession, path: str) -> dict:
     else:
         orderings = [("_none", "_none")]
 
+    attempts: list[tuple[dict, dict | None]] = []
     checks: dict = {}
     for id_col, text_col in orderings:
         fresh = _audit_shards(spark, path, text_col, id_col)
@@ -306,14 +307,30 @@ def verify_shards(spark: SparkSession, path: str) -> dict:
         checks["ok"] = all(
             v for k, v in checks.items() if k != "mismatched_shards"
         )
-        if len(orderings) > 1:
-            column_guess = {
-                "id_col": id_col,
-                "text_col": text_col,
-                "positional": True,
-            }
+        guess = (
+            {"id_col": id_col, "text_col": text_col, "positional": True}
+            if len(orderings) > 1
+            else None
+        )
+        attempts.append((checks, guess))
         if checks["ok"]:
+            column_guess = guess
             break
+    else:
+        # No ordering passed. Report the ordering with the FEWEST
+        # mismatched shards (ADVICE r11: previously the report
+        # reflected whichever guess ran LAST, so a wrong positional
+        # guess could masquerade as wholesale corruption) and disclose
+        # every attempt so the reader sees the alternative was tried.
+        checks, column_guess = min(
+            attempts, key=lambda a: len(a[0]["mismatched_shards"])
+        )
+        if len(attempts) > 1:
+            checks["orderings_tried"] = [
+                {**g, "n_mismatched": len(c["mismatched_shards"])}
+                for c, g in attempts
+                if g is not None
+            ]
     if column_guess is not None:
         # surface WHICH ordering the report reflects, so a legacy
         # mismatch is attributable instead of opaque

@@ -1742,8 +1742,14 @@ def q_minhash_sig(spark, sf_dir):
 def q_minhash_lsh(spark, sf_dir):
     """LSH-banded near-dup pairs, exact-Jaccard-verified (t=0.9).
 
-    Oracle = exact all-pairs Jaccard ≥ t; they agree because banding
-    recall at j≥0.9 with 16×4 bands is 1 − (1−0.9⁴)¹⁶ ≈ 1 − 4e−8.
+    Oracle = full DuckDB replay of the banding + est_j-prefilter +
+    exact-verify pipeline (r12, ADVICE r11) — deterministic on any
+    corpus. The semantic claim that this equals exact all-pairs
+    Jaccard ≥ t (banding recall at j≥0.9 with 8×4 bands is
+    1 − (1−0.9⁴)⁸ ≈ 1 − 2e−4, est_j gate ≈ 1 − 2e−3 at the margin)
+    is pinned by ``test_minhash_lsh_matches_exact_pairs`` instead of
+    the gate, where a marginal pair on a regenerated corpus would be
+    a spurious deterministic failure.
     """
     return dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.9
@@ -4124,21 +4130,26 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 
-def _lsh_capped_oracle(
+def _lsh_banded_oracle(
     threshold: float,
-    cap: int,
+    cap: int | None = None,
     n_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
 ) -> str:
-    """Full DuckDB replay of the CAPPED banding pipeline (mirror of
-    ``dedup.minhash_lsh_pairs(max_bucket_size=cap)``): md5 shingle
-    ints → 32 affine minhash permutations → per-band md5 bucket keys →
-    buckets filtered to count ≤ cap → bucket self-join candidates →
-    exact-Jaccard verification. Unlike q_minhash_lsh's oracle (exact
-    all-pairs — valid because banding recall ≈ 1), this one must mirror
-    the BANDING itself: which pairs survive depends on bucket
-    geometry, not just true Jaccard."""
+    """Full DuckDB replay of the banding pipeline (mirror of
+    ``dedup.minhash_lsh_pairs``, with or without ``max_bucket_size``):
+    md5 shingle ints → 32 affine minhash permutations → per-band md5
+    bucket keys → (optional) buckets filtered to count ≤ cap → bucket
+    self-join candidates → the signature-agreement prefilter
+    (``est_j ≥ threshold − 0.15``, the engine's cheap estimator gate
+    at ``dedup.py:753`` — ADVICE r11: without it a true pair with
+    exact Jaccard ≥ t but < ceil((t−0.15)·n) agreeing minhashes would
+    pass the oracle yet be dropped by the engine) → exact-Jaccard
+    verification. A full mirror — not an exact all-pairs check — so
+    the gate stays deterministic on any corpus regeneration; the
+    semantic recall≈1 claim lives in pytest
+    (``test_minhash_lsh_matches_exact_pairs``), not the gate."""
     r = n_hashes // bands
     elems = minhash_sql_elems("hv", n_hashes, seed)
     sig_cols = ", ".join(f"({e}) AS m{i}" for i, e in enumerate(elems))
@@ -4151,6 +4162,26 @@ def _lsh_capped_oracle(
     jac = round_half_away_sql(
         "CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)", 6
     )
+    if cap is None:
+        cap_ctes = ""
+        cand_src = "buckets"
+    else:
+        cap_ctes = f""", under AS (
+  SELECT band, bkey FROM buckets GROUP BY band, bkey
+  HAVING count(*) <= {cap}
+), capped AS (
+  SELECT b.doc_id, b.band, b.bkey
+  FROM buckets b JOIN under u ON b.band = u.band AND b.bkey = u.bkey
+)"""
+        cand_src = "capped"
+    # Mirror of the engine's est_j gate: k agreeing elements of
+    # n_hashes, k/n as a double (exact — n is a power of two) compared
+    # to the same Python-float literal the engine embeds via lit().
+    est_threshold = max(threshold - 0.15, 0.0)
+    agree = " + ".join(
+        f"(CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END)"
+        for i in range(n_hashes)
+    )
     return f"""
 WITH d AS (
   SELECT doc_id, {_SHINGLES} AS shingles FROM documents
@@ -4161,23 +4192,23 @@ WITH d AS (
   SELECT doc_id, {sig_cols} FROM hs
 ), buckets AS (
 {band_selects}
-), under AS (
-  SELECT band, bkey FROM buckets GROUP BY band, bkey
-  HAVING count(*) <= {cap}
-), capped AS (
-  SELECT b.doc_id, b.band, b.bkey
-  FROM buckets b JOIN under u ON b.band = u.band AND b.bkey = u.bkey
-), cand AS (
+){cap_ctes}, cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM capped a
-  JOIN capped b ON a.band = b.band AND a.bkey = b.bkey
+  FROM {cand_src} a
+  JOIN {cand_src} b ON a.band = b.band AND a.bkey = b.bkey
              AND a.doc_id < b.doc_id
+), pref AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.id_a
+  JOIN sig y ON y.doc_id = c.id_b
+  WHERE (CAST(({agree}) AS DOUBLE) / {n_hashes}) >= {est_threshold!r}
 ), sizes AS (
   SELECT doc_id, len(shingles) AS n_sh FROM d
 ), inter AS (
   SELECT c.id_a, c.id_b,
          len(list_intersect(da.shingles, db.shingles)) AS n_inter
-  FROM cand c
+  FROM pref c
   JOIN d da ON da.doc_id = c.id_a
   JOIN d db ON db.doc_id = c.id_b
 )
@@ -5119,7 +5150,7 @@ def _data_card_oracle() -> str:
 WITH {_quality_score_ctes()},
 per_doc AS (
   SELECT d.source, d.lang,
-         len({token_array_sql('d.text')}) AS nt,
+         len({token_array_sql("coalesce(d.text, '')")}) AS nt,
          CASE WHEN d.doc_id <> min(d.doc_id) OVER (PARTITION BY md5(d.text))
               THEN 1 ELSE 0 END AS is_dup,
          coalesce(s.sc, 0.5) AS q,
@@ -6077,8 +6108,8 @@ WHERE {md5_int_sql("('wsample:' || CAST(doc_id AS VARCHAR))")} % 1000000
     "q_best_rep": _best_rep_oracle(0.9),
     "q_corpus_select": _corpus_select_oracle(0.9),
     "q_sentiment": _sentiment_oracle(),
-    "q_minhash_lsh": _jaccard_pairs_oracle(0.9),
-    "q_lsh_capped": _lsh_capped_oracle(0.9, LSH_BUCKET_CAP),
+    "q_minhash_lsh": _lsh_banded_oracle(0.9),
+    "q_lsh_capped": _lsh_banded_oracle(0.9, LSH_BUCKET_CAP),
     "q_simhash": _simhash_oracle(),
     "q_simhash_pairs": _simhash_pairs_oracle(3),
     "q_cosine_topk": _cosine_topk_oracle(5),

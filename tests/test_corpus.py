@@ -846,3 +846,24 @@ def test_data_card_composition(spark):
     for r in card.values():
         assert 0.0 <= r["mean_quality"] <= 1.0
         assert 0.0 <= r["keep_rate"] <= 1.0
+
+
+def test_data_card_null_text_counts_zero_tokens(spark):
+    """ADVICE r11: a NULL text must contribute 0 tokens — unguarded
+    size(token_array(NULL)) is -1 (legacy sizeOfNull), which silently
+    DEDUCTS from total_tokens and diverges from the DuckDB oracle's
+    NULL-skipping sum."""
+    rows = [
+        (1, "alpha beta", "web", "en"),
+        (2, None, "web", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string"
+    )
+    card = corpus.data_card(df, "text", "doc_id", ["source", "lang"]).collect()
+    assert len(card) == 1
+    r = card[0]
+    assert r["n_docs"] == 2
+    assert r["total_tokens"] == 2  # NOT 1 (2 + -1)
+    assert r["mean_tokens"] == 1.0
+    assert r["dup_rate"] == 0.0

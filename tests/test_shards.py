@@ -283,3 +283,54 @@ def test_verify_shards_legacy_manifest_tries_both_orderings(spark, tmp_path):
     checks2 = shards.verify_shards(spark, path)
     assert checks2["ok"], checks2
     assert checks2["column_guess"]["id_col"] == "body"
+
+
+def test_verify_shards_legacy_both_orderings_fail_reports_fewest(
+    spark, tmp_path
+):
+    """ADVICE r11: when NO positional ordering satisfies a legacy
+    manifest, the report must reflect the ordering with the FEWEST
+    mismatches (the plausible real corruption), not whichever guess
+    ran last, and must disclose that both orderings were tried."""
+    import json as _json
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i + 1} w{i + 2}") for i in range(20)],
+        "item_id long, body string",
+    )
+    path = str(tmp_path / "shards_legacy_bad")
+    # tokens_per_shard forced low so the export spans SEVERAL shards —
+    # with one shard both orderings tie at 1 mismatch and the
+    # fewest-mismatch selection is untestable
+    shards.export_token_shards(
+        docs,
+        path,
+        text_col="body",
+        id_col="item_id",
+        budget_tokens=5,
+        tokens_per_shard=20,
+    )
+    mpath = Path(path) / MANIFEST_NAME
+    with open(mpath) as fh:
+        m = _json.load(fh)
+    del m["id_col"], m["text_col"]
+    # corrupt ONE shard checksum: the correct ordering now has exactly
+    # one mismatch; the swapped ordering mismatches (nearly) all
+    corrupt_key = sorted(m["shards"])[0]
+    m["shards"][corrupt_key] = dict(
+        m["shards"][corrupt_key], content_checksum=-1
+    )
+    with open(mpath, "w") as fh:
+        _json.dump(m, fh)
+    checks = shards.verify_shards(spark, path)
+    assert not checks["ok"]
+    # the report reflects the fewest-mismatch ordering: only the
+    # genuinely corrupt shard, attributed under the right columns
+    assert checks["mismatched_shards"] == [corrupt_key], checks
+    assert checks["column_guess"]["id_col"] == "item_id"
+    assert checks["column_guess"]["text_col"] == "body"
+    tried = checks["orderings_tried"]
+    assert len(tried) == 2
+    by_id = {t["id_col"]: t["n_mismatched"] for t in tried}
+    assert by_id["item_id"] == 1
+    assert by_id["body"] > 1
