@@ -7,13 +7,22 @@ half-MB monolith defeats that): one file per query under `plans_md/`,
 plus a one-line-per-query index at `PLANS.md` summarizing the scan /
 join / window markers detected in each plan.
 
-Usage: PYTHONPATH=. python scripts/dump_plans.py
+Usage:
+    PYTHONPATH=. python scripts/dump_plans.py                # full rebuild
+    PYTHONPATH=. python scripts/dump_plans.py --registry-new # new entries only
+
+``--registry-new`` (VERDICT r11 item 3): dump a plan file for every
+registry entry that doesn't have one yet — headline or not — so an
+entry added mid-round is plan-auditable the round it lands, without
+re-executing the whole slate. The full rebuild preserves (re-dumps)
+any off-slate entry that was previously dumped this way.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+import sys
 
 from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.caching import (
     release_cached,
@@ -55,11 +64,81 @@ def _escape(text: str) -> str:
     )
 
 
+OFFSLATE_HEADER = [
+    "",
+    "## Off-slate registry entries (plan-dumped on first registration)",
+    "",
+    "| query | plan | markers |",
+    "|---|---|---|",
+]
+
+
+def dump_one(spark, spec) -> str:
+    """Dump one query's formatted plan to plans_md/<name>.md; returns
+    the index-table row."""
+    release_cached()  # drop the previous query's operator persists
+    df = spec.fn(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    body = [f"# {spec.name}\n\n```\n{plan.strip()}\n```\n"]
+    if spec.name in AQE_FINAL:
+        df.collect()
+        final = (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        body.append(
+            f"## {spec.name} — AQE-final executed plan "
+            "(exchange-reuse claims live here)\n\n"
+            f"```\n{final.strip()}\n```\n"
+        )
+    text = _escape("\n".join(body))
+    path = os.path.join(PLAN_DIR, f"{spec.name}.md")
+    with open(path, "w") as f:
+        f.write(text)
+    marks = [tag for needle, tag in MARKERS if needle in text]
+    return (
+        f"| {spec.name} | [{spec.name}.md]({PLAN_DIR}/{spec.name}.md) "
+        f"| {' '.join(marks) or '-'} |"
+    )
+
+
 def main() -> None:
+    registry_new = "--registry-new" in sys.argv[1:]
     spark = get_spark(
         app_name="dump_plans",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    if registry_new:
+        os.makedirs(PLAN_DIR, exist_ok=True)
+        missing = [
+            s
+            for s in QUERIES
+            if not os.path.exists(os.path.join(PLAN_DIR, f"{s.name}.md"))
+        ]
+        rows = [dump_one(spark, s) for s in missing]
+        if rows:
+            with open(INDEX) as f:
+                idx = f.read().rstrip("\n")
+            if OFFSLATE_HEADER[1] not in idx:
+                idx += "\n" + "\n".join(OFFSLATE_HEADER)
+            idx += "\n" + "\n".join(rows)
+            with open(INDEX, "w") as f:
+                f.write(idx + "\n")
+        print(f"dumped {len(rows)} new plan(s): {[s.name for s in missing]}")
+        spark.stop()
+        return
+
+    # full rebuild: headline slate + re-dump of any off-slate entry
+    # that already had a plan file (so --registry-new dumps survive)
+    prior_offslate = {
+        f[: -len(".md")]
+        for f in os.listdir(PLAN_DIR)
+        if f.endswith(".md")
+    } if os.path.isdir(PLAN_DIR) else set()
     shutil.rmtree(PLAN_DIR, ignore_errors=True)
     os.makedirs(PLAN_DIR, exist_ok=True)
     index = [
@@ -73,37 +152,15 @@ def main() -> None:
         "| query | plan | markers |",
         "|---|---|---|",
     ]
+    offslate_rows = []
     for spec in QUERIES:
-        if not spec.headline:
-            continue
-        release_cached()  # drop the previous query's operator persists
-        df = spec.fn(spark, SF_DIR)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
-        body = [f"# {spec.name}\n\n```\n{plan.strip()}\n```\n"]
-        if spec.name in AQE_FINAL:
-            df.collect()
-            final = (
-                df._jdf.queryExecution()
-                .executedPlan()
-                .toString()
-                .split("== Initial Plan ==")[0]
-            )
-            body.append(
-                f"## {spec.name} — AQE-final executed plan "
-                "(exchange-reuse claims live here)\n\n"
-                f"```\n{final.strip()}\n```\n"
-            )
-        text = _escape("\n".join(body))
-        path = os.path.join(PLAN_DIR, f"{spec.name}.md")
-        with open(path, "w") as f:
-            f.write(text)
-        marks = [tag for needle, tag in MARKERS if needle in text]
-        index.append(
-            f"| {spec.name} | [{spec.name}.md]({PLAN_DIR}/{spec.name}.md) "
-            f"| {' '.join(marks) or '-'} |"
-        )
+        if spec.headline:
+            index.append(dump_one(spark, spec))
+        elif spec.name in prior_offslate:
+            offslate_rows.append(dump_one(spark, spec))
+    if offslate_rows:
+        index.extend(OFFSLATE_HEADER)
+        index.extend(offslate_rows)
     with open(INDEX, "w") as f:
         f.write("\n".join(index) + "\n")
     print(f"wrote {INDEX} + {PLAN_DIR}/")

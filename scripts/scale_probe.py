@@ -79,7 +79,7 @@ ALL_OPS = (
     "substring_dedup quality_score embed_norm entity_match agg_state "
     "bm25 gap_fill triangles pagerank global_shuffle dsir ppl_buckets jl "
     "semdedup prep shard_assign pq_adc bpe hist_state bpe_chain backoff "
-    "profile ivf_index lsh_hot_bucket"
+    "profile ivf_index lsh_hot_bucket data_card"
 ).split()
 
 
@@ -1572,6 +1572,36 @@ def main() -> None:
         results["profile"] = {
             "t1": timed("profile 1x", _validate.profile_table(pr1)),
             "tN": timed(f"profile {factor}x", _validate.profile_table(prN)),
+        }
+
+    # --- documents: release data card (q_data_card, VERDICT r11 item
+    # 2). The axis to watch is the md5(text)-keyed duplicate-flag
+    # WINDOW exchange: id-offset copies keep text VERBATIM, so every
+    # content group grows to ~factor members — the worst case for the
+    # window's partition sizes (a real release at web scale has
+    # exactly this shape: boilerplate texts repeated millions of
+    # times). The per-partition work is a min() over ids, so the
+    # expectation is scan/exchange-bound ~linear wall; the exchange
+    # carries the 32-char md5 + the projected row, never the document
+    # body, and the |strata|-row final aggregate is constant-size.
+    if want("data_card"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import (
+            corpus as _corpus,
+        )
+
+        dc1 = load_table(spark, SF_DIR, "documents")
+        dcN = scaled(dc1, factor, ["doc_id"], 100_000_000)
+        dcN.write.mode("overwrite").parquet(f"{tmp}/dcN.parquet")
+        dcN = spark.read.parquet(f"{tmp}/dcN.parquet")
+        results["data_card"] = {
+            "t1": timed(
+                "data_card 1x",
+                _corpus.data_card(dc1, "text", "doc_id", ["source", "lang"]),
+            ),
+            "tN": timed(
+                f"data_card {factor}x",
+                _corpus.data_card(dcN, "text", "doc_id", ["source", "lang"]),
+            ),
         }
 
     # --- embeddings: persisted IVF index lifecycle (q_ivf_index,
