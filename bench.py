@@ -106,6 +106,14 @@ def main() -> None:
             # cleaner's periodic GC from its 30 min default keeps
             # executor state flat across the slate.
             "spark.cleaner.periodicGC.interval": "45s",
+            # The generated-code class cache is keyed on SOURCE text,
+            # which is identical for the same plan at any data size —
+            # but its default capacity (100 entries, static conf) is
+            # smaller than the slate's stage count, so by the time the
+            # timed loop reaches a query its warmup-compiled classes
+            # may already be evicted. Sized to hold the whole slate
+            # (56 queries × ~5-10 codegen stages).
+            "spark.sql.codegen.cache.maxEntries": "4000",
         },
     )
 
@@ -141,6 +149,37 @@ def main() -> None:
     if first is not None:
         force(first.fn(spark, sf_dir))
         release_cached()
+
+    # Per-PLAN codegen warmup (VERDICT r11 item 4, methodology change
+    # recorded in BASELINE.md r12): the slot-1 warmup above pays the
+    # JVM's first codegen compile, but each query's generated classes
+    # are still compiled+JITed on ITS first execution — the same-
+    # session steady companion showed ~45% of the one-pass total was
+    # this rep-1 inflation, i.e. the artifact measured Janino, not
+    # plans. One untimed execution of every headline query against the
+    # TINY corpus (sf0.001, ~1000× less data) compiles the identical
+    # generated sources at negligible data cost; the codegen cache
+    # (sized above) then serves the already-JITed classes to the timed
+    # loop. The timed loop itself is untouched: still one timed pass,
+    # still first execution at the bench scale factor.
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001"
+    )
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+        and os.path.isdir(warm_dir)
+        and os.path.realpath(warm_dir) != os.path.realpath(sf_dir)
+    ):
+        t0 = time.perf_counter()
+        for spec in QUERIES:
+            if spec.headline:
+                force(spec.fn(spark, warm_dir))
+                release_cached()
+        print(
+            f"# codegen warmup pass at {warm_dir}: "
+            f"{round(time.perf_counter() - t0, 1)}s (untimed)",
+            file=sys.stderr,
+        )
 
     # SPARK_GRAFT_BENCH_REPS>1 re-runs each query and reports the MIN —
     # the steady-state number (first execution pays whole-stage-codegen
