@@ -7280,72 +7280,13 @@ WHERE rk <= least(n, CAST(floor(
 """
 
 QUERIES: list[QuerySpec] = [
-    # ==== driver 50-entry verification window (r11 rotation) ====
-    # Stalest oracle-backed entries first: the 4 specs parked just
-    # outside the r10 window, the r6-era queue, q_lsh_capped (new in
-    # r11 — first driver row ever), and the head of the r7/r8 block.
-    # The 50 r10-window entries (freshest artifact rows) rotate to
-    # the back of the registry.
-    QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),
-    QuerySpec("q_incremental_dedup", q_incremental_dedup, ORACLES["q_incremental_dedup"]),
-    QuerySpec("q_dedup_exact_content", q_dedup_exact_content, ORACLES["q_dedup_exact_content"]),
-    QuerySpec("q_fingerprint", q_fingerprint, ORACLES["q_fingerprint"]),
-    QuerySpec("q_repetition", q_repetition, ORACLES["q_repetition"]),
-    QuerySpec("q_winnow_fp", q_winnow_fp, ORACLES["q_winnow_fp"]),
-    QuerySpec("q_winnow_pairs", q_winnow_pairs, ORACLES["q_winnow_pairs"]),
-    QuerySpec("q_split_assign", q_split_assign, ORACLES["q_split_assign"]),
-    QuerySpec("q_token_histogram", q_token_histogram, ORACLES["q_token_histogram"]),
-    QuerySpec("q_hll_distinct", q_hll_distinct, ORACLES["q_hll_distinct"]),
-    QuerySpec("q_hll_groups", q_hll_groups, ORACLES["q_hll_groups"]),
-    QuerySpec("q_cms_heavy", q_cms_heavy, ORACLES["q_cms_heavy"]),
-    QuerySpec("q_minhash_est", q_minhash_est, ORACLES["q_minhash_est"]),
-    QuerySpec("q_embed_quantize", q_embed_quantize, ORACLES["q_embed_quantize"]),
-    QuerySpec("q_token_packing", q_token_packing, ORACLES["q_token_packing"]),
-    QuerySpec("q_scan_project", q_scan_project, ORACLES["q_scan_project"]),
-    QuerySpec("q_filter_range", q_filter_range, ORACLES["q_filter_range"], True),
-    QuerySpec("q_null_coalesce", q_null_coalesce, ORACLES["q_null_coalesce"]),
-    QuerySpec("q_count_by_key", q_count_by_key, ORACLES["q_count_by_key"], True),
-    QuerySpec("q_union_tagged", q_union_tagged, ORACLES["q_union_tagged"], True),
-    QuerySpec("q_row_number_slice", q_row_number_slice, ORACLES["q_row_number_slice"]),
-    QuerySpec("q_orderby_ts", q_orderby_ts, ORACLES["q_orderby_ts"]),
-    QuerySpec("q_topk_desc", q_topk_desc, ORACLES["q_topk_desc"], True),
-    QuerySpec("q_total_count", q_total_count, ORACLES["q_total_count"]),
-    QuerySpec("q_equi_depth", q_equi_depth, ORACLES["q_equi_depth"]),
-    QuerySpec("q_json_extract", q_json_extract, ORACLES["q_json_extract"]),
-    QuerySpec("q_dedup_exact", q_dedup_exact, ORACLES["q_dedup_exact"]),
-    QuerySpec("q_ngram_jaccard", q_ngram_jaccard, ORACLES["q_ngram_jaccard"]),
-    QuerySpec("q_minhash_sig", q_minhash_sig, ORACLES["q_minhash_sig"]),
-    QuerySpec("q_simhash_pairs", q_simhash_pairs, ORACLES["q_simhash_pairs"]),
-    QuerySpec("q_cosine_topk", q_cosine_topk, ORACLES["q_cosine_topk"], True),
-    QuerySpec("q_cosine_lsh", q_cosine_lsh, ORACLES["q_cosine_lsh"]),
-    QuerySpec("q_lang_id", q_lang_id, ORACLES["q_lang_id"], True),
-    QuerySpec("q_quality", q_quality, ORACLES["q_quality"]),
-    QuerySpec("q_token_counts", q_token_counts, ORACLES["q_token_counts"], True),
-    QuerySpec("q_sentiment", q_sentiment, ORACLES["q_sentiment"]),
-    QuerySpec("q_stream_batch_agg", q_stream_batch_agg, ORACLES["q_stream_batch_agg"]),
-    QuerySpec("q_contamination", q_contamination, ORACLES["q_contamination"], True),
-    QuerySpec("q_pii_redact", q_pii_redact, ORACLES["q_pii_redact"]),
-    QuerySpec("q_unigram_logprob", q_unigram_logprob, ORACLES["q_unigram_logprob"], True),
-    QuerySpec("q_semi_join", q_semi_join, ORACLES["q_semi_join"]),
-    QuerySpec("q_anti_join", q_anti_join, ORACLES["q_anti_join"]),
-    QuerySpec("q_asof_join", q_asof_join, ORACLES["q_asof_join"], True),
-    QuerySpec("q_topn_per_group", q_topn_per_group, ORACLES["q_topn_per_group"], True),
-    QuerySpec("q_event_window", q_event_window, ORACLES["q_event_window"], True),
-    QuerySpec("q_rollup", q_rollup, ORACLES["q_rollup"], True),
-    QuerySpec("q_minhash_lsh", q_minhash_lsh, ORACLES["q_minhash_lsh"], True),
-    QuerySpec("q_lsh_capped", q_lsh_capped, ORACLES["q_lsh_capped"]),
-    QuerySpec("q_validation", q_validation, ORACLES["q_validation"]),
-    QuerySpec("q_line_dedup", q_line_dedup, ORACLES["q_line_dedup"]),
-    # ==== driver 50-entry verification window ends here ====
-    # non-SQL entries (registered PYTHON oracles, plans/py_oracles.py;
-    # kept OUT of the driver window: the SQL gate would record them
-    # rows-only and burn slots — tests/test_text_multimodal.py guard)
-    QuerySpec("q_bpe_merges", q_bpe_merges, None, py_oracle=PY_ORACLES["q_bpe_merges"]),
-    QuerySpec("q_media_features", q_media_features, None, py_oracle=PY_ORACLES["q_media_features"]),
-    QuerySpec("q_media_decode", q_media_decode, None, py_oracle=PY_ORACLES["q_media_decode"]),
-    QuerySpec("q_kmeans_cells", q_kmeans_cells, None, py_oracle=PY_ORACLES["q_kmeans_cells"]),
-    QuerySpec("q_ann_ivf", q_ann_ivf, None, py_oracle=PY_ORACLES["q_ann_ivf"]),
-    # r7/r8/r9-verified remainder (stale-first within each block):
+    # ==== driver 50-entry verification window (r12 rotation) ====
+    # Stalest oracle-backed entries first: q_data_card (new in r11,
+    # first driver row ever), the 25-entry r8-verified block
+    # (q_scd2 .. q_bloom_contamination), and the head of the
+    # r9-verified block (q_tpch_q1 .. q_median_exact). Zero overlap
+    # with the r11 window (those 50 rotate to the back, freshest).
+    QuerySpec("q_data_card", q_data_card, ORACLES["q_data_card"]),
     QuerySpec("q_scd2", q_scd2, ORACLES["q_scd2"], True),
     QuerySpec("q_split_leakage", q_split_leakage, ORACLES["q_split_leakage"]),
     QuerySpec("q_embed_norm", q_embed_norm, ORACLES["q_embed_norm"]),
@@ -7395,6 +7336,17 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_tpch_q22", q_tpch_q22, ORACLES["q_tpch_q22"]),
     QuerySpec("q_percentiles", q_percentiles, ORACLES["q_percentiles"], True),
     QuerySpec("q_median_exact", q_median_exact, ORACLES["q_median_exact"]),
+    # ==== driver 50-entry verification window ends here ====
+    # non-SQL entries (registered PYTHON oracles, plans/py_oracles.py;
+    # kept OUT of the driver window: the SQL gate would record them
+    # rows-only and burn slots -- tests/test_text_multimodal.py guard)
+    QuerySpec("q_bpe_merges", q_bpe_merges, None, py_oracle=PY_ORACLES["q_bpe_merges"]),
+    QuerySpec("q_media_features", q_media_features, None, py_oracle=PY_ORACLES["q_media_features"]),
+    QuerySpec("q_media_decode", q_media_decode, None, py_oracle=PY_ORACLES["q_media_decode"]),
+    QuerySpec("q_kmeans_cells", q_kmeans_cells, None, py_oracle=PY_ORACLES["q_kmeans_cells"]),
+    QuerySpec("q_ann_ivf", q_ann_ivf, None, py_oracle=PY_ORACLES["q_ann_ivf"]),
+    # remainder, stale-first: r9-verified tail, then the r10-verified
+    # block, then the r11 window (freshest, rotates back in last)
     QuerySpec("q_except_keys", q_except_keys, ORACLES["q_except_keys"]),
     QuerySpec("q_intersect_keys", q_intersect_keys, ORACLES["q_intersect_keys"]),
     QuerySpec("q_doc_embedding_join", q_doc_embedding_join, ORACLES["q_doc_embedding_join"]),
@@ -7421,8 +7373,6 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_unpivot", q_unpivot, ORACLES["q_unpivot"]),
     QuerySpec("q_zorder", q_zorder, ORACLES["q_zorder"]),
     QuerySpec("q_triangles", q_triangles, ORACLES["q_triangles"], True),
-    # ---- r10-window block (driver-green in r10 — freshest,
-    # rotates back in last) ----
     QuerySpec("q_winsorize", q_winsorize, ORACLES["q_winsorize"]),
     QuerySpec("q_assoc_rules", q_assoc_rules, ORACLES["q_assoc_rules"]),
     QuerySpec("q_benford", q_benford, ORACLES["q_benford"]),
@@ -7473,9 +7423,56 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_retention", q_retention, ORACLES["q_retention"]),
     QuerySpec("q_corpus_report", q_corpus_report, ORACLES["q_corpus_report"]),
     QuerySpec("q_bigram_logprob", q_bigram_logprob, ORACLES["q_bigram_logprob"]),
-    # new in r11 (queues behind the rotated window for its first
-    # driver row next rotation):
-    QuerySpec("q_data_card", q_data_card, ORACLES["q_data_card"]),
+    QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),
+    QuerySpec("q_incremental_dedup", q_incremental_dedup, ORACLES["q_incremental_dedup"]),
+    QuerySpec("q_dedup_exact_content", q_dedup_exact_content, ORACLES["q_dedup_exact_content"]),
+    QuerySpec("q_fingerprint", q_fingerprint, ORACLES["q_fingerprint"]),
+    QuerySpec("q_repetition", q_repetition, ORACLES["q_repetition"]),
+    QuerySpec("q_winnow_fp", q_winnow_fp, ORACLES["q_winnow_fp"]),
+    QuerySpec("q_winnow_pairs", q_winnow_pairs, ORACLES["q_winnow_pairs"]),
+    QuerySpec("q_split_assign", q_split_assign, ORACLES["q_split_assign"]),
+    QuerySpec("q_token_histogram", q_token_histogram, ORACLES["q_token_histogram"]),
+    QuerySpec("q_hll_distinct", q_hll_distinct, ORACLES["q_hll_distinct"]),
+    QuerySpec("q_hll_groups", q_hll_groups, ORACLES["q_hll_groups"]),
+    QuerySpec("q_cms_heavy", q_cms_heavy, ORACLES["q_cms_heavy"]),
+    QuerySpec("q_minhash_est", q_minhash_est, ORACLES["q_minhash_est"]),
+    QuerySpec("q_embed_quantize", q_embed_quantize, ORACLES["q_embed_quantize"]),
+    QuerySpec("q_token_packing", q_token_packing, ORACLES["q_token_packing"]),
+    QuerySpec("q_scan_project", q_scan_project, ORACLES["q_scan_project"]),
+    QuerySpec("q_filter_range", q_filter_range, ORACLES["q_filter_range"], True),
+    QuerySpec("q_null_coalesce", q_null_coalesce, ORACLES["q_null_coalesce"]),
+    QuerySpec("q_count_by_key", q_count_by_key, ORACLES["q_count_by_key"], True),
+    QuerySpec("q_union_tagged", q_union_tagged, ORACLES["q_union_tagged"], True),
+    QuerySpec("q_row_number_slice", q_row_number_slice, ORACLES["q_row_number_slice"]),
+    QuerySpec("q_orderby_ts", q_orderby_ts, ORACLES["q_orderby_ts"]),
+    QuerySpec("q_topk_desc", q_topk_desc, ORACLES["q_topk_desc"], True),
+    QuerySpec("q_total_count", q_total_count, ORACLES["q_total_count"]),
+    QuerySpec("q_equi_depth", q_equi_depth, ORACLES["q_equi_depth"]),
+    QuerySpec("q_json_extract", q_json_extract, ORACLES["q_json_extract"]),
+    QuerySpec("q_dedup_exact", q_dedup_exact, ORACLES["q_dedup_exact"]),
+    QuerySpec("q_ngram_jaccard", q_ngram_jaccard, ORACLES["q_ngram_jaccard"]),
+    QuerySpec("q_minhash_sig", q_minhash_sig, ORACLES["q_minhash_sig"]),
+    QuerySpec("q_simhash_pairs", q_simhash_pairs, ORACLES["q_simhash_pairs"]),
+    QuerySpec("q_cosine_topk", q_cosine_topk, ORACLES["q_cosine_topk"], True),
+    QuerySpec("q_cosine_lsh", q_cosine_lsh, ORACLES["q_cosine_lsh"]),
+    QuerySpec("q_lang_id", q_lang_id, ORACLES["q_lang_id"], True),
+    QuerySpec("q_quality", q_quality, ORACLES["q_quality"]),
+    QuerySpec("q_token_counts", q_token_counts, ORACLES["q_token_counts"], True),
+    QuerySpec("q_sentiment", q_sentiment, ORACLES["q_sentiment"]),
+    QuerySpec("q_stream_batch_agg", q_stream_batch_agg, ORACLES["q_stream_batch_agg"]),
+    QuerySpec("q_contamination", q_contamination, ORACLES["q_contamination"], True),
+    QuerySpec("q_pii_redact", q_pii_redact, ORACLES["q_pii_redact"]),
+    QuerySpec("q_unigram_logprob", q_unigram_logprob, ORACLES["q_unigram_logprob"], True),
+    QuerySpec("q_semi_join", q_semi_join, ORACLES["q_semi_join"]),
+    QuerySpec("q_anti_join", q_anti_join, ORACLES["q_anti_join"]),
+    QuerySpec("q_asof_join", q_asof_join, ORACLES["q_asof_join"], True),
+    QuerySpec("q_topn_per_group", q_topn_per_group, ORACLES["q_topn_per_group"], True),
+    QuerySpec("q_event_window", q_event_window, ORACLES["q_event_window"], True),
+    QuerySpec("q_rollup", q_rollup, ORACLES["q_rollup"], True),
+    QuerySpec("q_minhash_lsh", q_minhash_lsh, ORACLES["q_minhash_lsh"], True),
+    QuerySpec("q_lsh_capped", q_lsh_capped, ORACLES["q_lsh_capped"]),
+    QuerySpec("q_validation", q_validation, ORACLES["q_validation"]),
+    QuerySpec("q_line_dedup", q_line_dedup, ORACLES["q_line_dedup"]),
 ]
 
 
