@@ -1552,3 +1552,115 @@ def data_card(
             6,
         ).alias("keep_rate"),
     )
+
+
+def purge_corpus(
+    df: DataFrame,
+    removals: DataFrame,
+    text_col: str,
+    id_col: str,
+    propagate_exact: bool = True,
+) -> DataFrame:
+    """Takedown/opt-out PURGE (new r12): remove every document named in
+    ``removals`` (one column, matching ``id_col``), and — with
+    ``propagate_exact`` — every OTHER document whose exact content
+    (md5 of the text) matches a directly-removed document. A rights
+    holder's takedown names one URL/id; the verbatim mirror copies the
+    crawler also picked up must leave with it, or the release still
+    ships the content (the reason a purge pairs with the exact-dedup
+    tier, not a bare anti-join). Returns the kept corpus with the
+    original schema.
+
+    Propagation is keyed on NON-EMPTY text only: every NULL/empty doc
+    sharing the degenerate hash would otherwise vanish because one of
+    them was taken down.
+
+    Scale shape: takedown lists are tiny next to the corpus, so both
+    probes are broadcast-shaped — a broadcast anti-join on id, and a
+    broadcast anti-join on md5(text) against the (distinct) hashes of
+    the directly-removed docs. The corpus is never shuffled and the
+    text never moves; at 100 TB this is two map-side probes over one
+    scan.
+    """
+    rem_ids = removals.select(
+        removals.columns[0]
+    ).toDF(id_col).distinct()
+    kept = df.join(F.broadcast(rem_ids), id_col, "left_anti")
+    if not propagate_exact:
+        return kept
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    removed_hashes = (
+        df.join(F.broadcast(rem_ids), id_col, "left_semi")
+        .filter(F.length(txt) > 0)
+        .select(F.md5(txt).alias("_purge_h"))
+        .distinct()
+    )
+    return kept.join(
+        F.broadcast(removed_hashes),
+        F.md5(txt) == F.col("_purge_h"),
+        "left_anti",
+    )
+
+
+def purge_audit(
+    df: DataFrame,
+    removals: DataFrame,
+    text_col: str,
+    id_col: str,
+    domain_cols: list[str],
+) -> DataFrame:
+    """Per-stratum PURGE AUDIT — the report a release ships to prove a
+    takedown was honored: for each ``domain_cols`` stratum, how many
+    documents existed, how many were removed directly (named in
+    ``removals``), how many were swept by exact-content propagation
+    (verbatim copies of a removed doc, :func:`purge_corpus`
+    semantics), how many remain, and the purge rate (6 dp half-away,
+    the repo's cross-engine ratio rule).
+
+    One corpus pass: each doc is tagged direct / propagated / kept via
+    two broadcast probes (id set, removed-content hash set), then one
+    hash aggregate folds to |strata| rows.
+    """
+    rem_ids = removals.select(
+        removals.columns[0]
+    ).toDF(id_col).distinct()
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    removed_hashes = (
+        df.join(F.broadcast(rem_ids), id_col, "left_semi")
+        .filter(F.length(txt) > 0)
+        .select(F.md5(txt).alias("_purge_h"))
+        .distinct()
+    )
+    flagged = (
+        df.join(
+            F.broadcast(rem_ids.withColumn("_direct", F.lit(1))),
+            id_col,
+            "left",
+        )
+        .join(
+            F.broadcast(removed_hashes.withColumn("_hmatch", F.lit(1))),
+            F.md5(txt) == F.col("_purge_h"),
+            "left",
+        )
+        .select(
+            *[F.col(c) for c in domain_cols],
+            F.coalesce(F.col("_direct"), F.lit(0)).alias("_d"),
+            (
+                (F.coalesce(F.col("_hmatch"), F.lit(0)) == 1)
+                & F.col("_direct").isNull()
+            )
+            .cast("int")
+            .alias("_p"),
+        )
+    )
+    cnt = F.count(F.lit(1))
+    return flagged.groupBy(*domain_cols).agg(
+        cnt.cast("long").alias("n_docs"),
+        F.sum("_d").cast("long").alias("n_direct"),
+        F.sum("_p").cast("long").alias("n_propagated"),
+        (cnt - F.sum("_d") - F.sum("_p")).cast("long").alias("n_kept"),
+        round_half_away(
+            (F.sum("_d") + F.sum("_p")).cast("double") / cnt.cast("double"),
+            6,
+        ).alias("purge_rate"),
+    )

@@ -5117,6 +5117,56 @@ def q_quality_score(spark, sf_dir):
     return text.quality_classifier_score(docs, "text", "doc_id")
 
 
+#: q_purge_audit synthetic takedown list — every 41st doc id, a
+#: deterministic stand-in for an opt-out/rights-holder removal set
+#: (small next to the corpus, the operating assumption of the
+#: broadcast-shaped purge)
+PURGE_MOD = 41
+
+
+def q_purge_audit(spark, sf_dir):
+    """Takedown purge audit (new r12): per-source report of documents
+    removed directly (named in the takedown list), swept by
+    exact-content propagation (verbatim copies of a removed doc), and
+    kept — the proof-of-purge a release ships alongside its data card.
+    Oracle re-derives the direct/propagated/kept partition with the
+    same md5(coalesce(text,'')) keying and non-empty-text guard."""
+    docs = _t(spark, sf_dir, "documents")
+    removals = docs.filter(F.col("doc_id") % PURGE_MOD == 0).select("doc_id")
+    return corpus.purge_audit(docs, removals, "text", "doc_id", ["source"])
+
+
+def _purge_audit_oracle() -> str:
+    rate = round_half_away_sql(
+        "CAST(sum(dflag) + sum(pflag) AS DOUBLE) / CAST(count(*) AS DOUBLE)",
+        6,
+    )
+    return f"""
+WITH rem AS (
+  SELECT DISTINCT doc_id FROM documents WHERE doc_id % {PURGE_MOD} = 0
+), rh AS (
+  SELECT DISTINCT md5(coalesce(text, '')) AS h
+  FROM documents JOIN rem USING (doc_id)
+  WHERE len(coalesce(text, '')) > 0
+), f AS (
+  SELECT d.source,
+         CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dflag,
+         CASE WHEN r.doc_id IS NULL AND rh.h IS NOT NULL
+              THEN 1 ELSE 0 END AS pflag
+  FROM documents d
+  LEFT JOIN rem r ON d.doc_id = r.doc_id
+  LEFT JOIN rh ON md5(coalesce(d.text, '')) = rh.h
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dflag) AS BIGINT) AS n_direct,
+       CAST(sum(pflag) AS BIGINT) AS n_propagated,
+       CAST(count(*) - sum(dflag) - sum(pflag) AS BIGINT) AS n_kept,
+       {rate} AS purge_rate
+FROM f GROUP BY source
+"""
+
+
 def q_data_card(spark, sf_dir):
     """Release data card (new r11): per-(source, lang) composition —
     doc/token volume, exact-duplicate rate, quality-classifier profile
@@ -6699,6 +6749,7 @@ FROM q
 
 ORACLES["q_quality_score"] = _quality_score_oracle()
 ORACLES["q_data_card"] = _data_card_oracle()
+ORACLES["q_purge_audit"] = _purge_audit_oracle()
 
 
 def _dsir_oracle() -> str:
@@ -7473,6 +7524,9 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_lsh_capped", q_lsh_capped, ORACLES["q_lsh_capped"]),
     QuerySpec("q_validation", q_validation, ORACLES["q_validation"]),
     QuerySpec("q_line_dedup", q_line_dedup, ORACLES["q_line_dedup"]),
+    # new in r12 (queues behind the rotated window for its first
+    # driver row next rotation):
+    QuerySpec("q_purge_audit", q_purge_audit, ORACLES["q_purge_audit"]),
 ]
 
 

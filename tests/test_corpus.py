@@ -867,3 +867,48 @@ def test_data_card_null_text_counts_zero_tokens(spark):
     assert r["total_tokens"] == 2  # NOT 1 (2 + -1)
     assert r["mean_tokens"] == 1.0
     assert r["dup_rate"] == 0.0
+
+
+def test_purge_corpus_and_audit(spark):
+    """purge (new r12): direct takedown by id, exact-content
+    propagation to verbatim copies, non-empty-text guard (a NULL/empty
+    doc must never be swept because another empty doc was taken
+    down), and audit/kept-corpus consistency."""
+    rows = [
+        (1, "the infringing page", "web"),
+        (2, "the infringing page", "web"),   # verbatim copy -> propagated
+        (3, "an unrelated page", "web"),
+        (4, None, "web"),                     # empty, taken down directly
+        (5, None, "web"),                     # empty, must SURVIVE
+        (6, "livre francais", "books"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    removals = spark.createDataFrame([(1,), (4,)], "rid long")
+
+    kept = corpus.purge_corpus(df, removals, "text", "doc_id")
+    assert {r.doc_id for r in kept.collect()} == {3, 5, 6}
+
+    audit = {
+        r["source"]: r
+        for r in corpus.purge_audit(
+            df, removals, "text", "doc_id", ["source"]
+        ).collect()
+    }
+    web = audit["web"]
+    assert web["n_docs"] == 5
+    assert web["n_direct"] == 2      # ids 1, 4
+    assert web["n_propagated"] == 1  # id 2 (verbatim copy of 1)
+    assert web["n_kept"] == 2        # ids 3, 5
+    assert web["purge_rate"] == 0.6
+    books = audit["books"]
+    assert books["n_direct"] == 0 and books["n_kept"] == 1
+
+    # kept corpus and audit must agree
+    total_kept = sum(r["n_kept"] for r in audit.values())
+    assert total_kept == kept.count()
+
+    # propagate_exact=False: only the named ids leave
+    kept_direct = corpus.purge_corpus(
+        df, removals, "text", "doc_id", propagate_exact=False
+    )
+    assert {r.doc_id for r in kept_direct.collect()} == {2, 3, 5, 6}
