@@ -22,7 +22,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -560,3 +560,240 @@ def media_header_metadata(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, HEADER_SCHEMA)
+
+
+# ------------------------------------------------------------------
+# Perceptual-hash dedup (content-level media dedup, engine extension)
+# ------------------------------------------------------------------
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def _axis_cells(n: int, k: int) -> list[tuple[int, int]]:
+    """Deterministic 1-D partition of ``n`` samples into ``k`` cells.
+
+    Downsampling (n >= k): floor-boundary blocks, every sample covered
+    exactly once. Upsampling (n < k): each cell reads the single
+    nearest-floor sample, so tiny fixtures still produce 64 bits.
+    Pure-integer boundaries — byte-identical between the engine and
+    the Python oracle mirror.
+    """
+    out = []
+    for i in range(k):
+        lo = min(i * n // k, n - 1)
+        hi = min(max((i + 1) * n // k, lo + 1), n)
+        out.append((lo, hi))
+    return out
+
+
+def _pack_bits(bits: list[int]) -> int:
+    """64 bits -> signed int64 (Spark LongType two's complement)."""
+    v = 0
+    for idx, b in enumerate(bits):
+        if b:
+            v |= 1 << idx
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def phash_from_pixels(px: np.ndarray) -> int:
+    """8x8 average-hash (aHash) over the luminance plane: block-mean
+    the image onto an 8x8 grid, threshold each cell at the grid mean.
+    Classic perceptual-dedup primitive — invariant to re-encoding
+    (PNG filter choice, compression level) and robust to small pixel
+    noise, which is exactly what byte-level dedup_exact_content
+    cannot see."""
+    lum = px[:, :, : min(3, px.shape[2])].astype(np.float64).mean(axis=2)
+    h, w = lum.shape
+    cells = np.empty((8, 8), dtype=np.float64)
+    for i, (r0, r1) in enumerate(_axis_cells(h, 8)):
+        for j, (c0, c1) in enumerate(_axis_cells(w, 8)):
+            cells[i, j] = lum[r0:r1, c0:c1].mean()
+    thr = cells.mean()
+    return _pack_bits([int(cells[i, j] >= thr) for i in range(8) for j in range(8)])
+
+
+def phash_from_frames(frames: np.ndarray) -> int:
+    """64-block amplitude-profile hash for PCM audio: channel-mean to
+    mono, 64 deterministic time blocks, threshold each block's mean
+    amplitude at the global block mean. Invariant to container-level
+    re-encodes (declared sample rate, chunk layout) that change bytes
+    but not samples."""
+    mono = frames.astype(np.float64).mean(axis=1)
+    blocks = [mono[lo:hi].mean() for lo, hi in _axis_cells(mono.shape[0], 64)]
+    thr = float(np.mean(blocks))
+    return _pack_bits([int(b >= thr) for b in blocks])
+
+
+def _phash(buf: bytes) -> int:
+    """Sniff + decode + perceptual-hash one payload (PNG/WAV stdlib
+    decoders; JPEG/GIF Pillow-gated exactly like :func:`_real_feature`)."""
+    fmt = _sniff_header(buf)[0]
+    if fmt == "png":
+        return phash_from_pixels(decode_png(buf))
+    if fmt == "wav":
+        return phash_from_frames(decode_wav(buf))
+    if fmt in ("jpeg", "gif"):
+        try:
+            import io
+
+            from PIL import Image  # optional extra (absent in sandbox)
+        except ImportError as ex:
+            raise NotImplementedError(
+                f"{fmt} phash requires Pillow, which is not installed"
+            ) from ex
+        px = np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
+        return phash_from_pixels(px)
+    raise NotImplementedError(f"no decoder for sniffed format {fmt!r}")
+
+
+def media_phash(df: DataFrame, on_unsupported: str = "raise") -> DataFrame:
+    """Per-payload perceptual hash via Arrow-batched ``mapInPandas``.
+
+    The payload column is consumed INSIDE the pandas batch and never
+    survives into the output projection — downstream exchanges carry
+    (media_id, kind, 8-byte hash), not image bytes, so the dedup
+    shuffle is metadata-sized regardless of corpus payload volume.
+    ``on_unsupported`` follows :func:`extract_features`: ``"raise"``
+    (explicit gate) or ``"null"`` (audit mode — one corrupt file
+    degrades to a NULL hash instead of killing a 100 TB scan).
+    """
+    if on_unsupported not in ("raise", "null"):
+        raise ValueError("on_unsupported must be 'raise' or 'null'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    hashes.append(_phash(raw))
+                except (NotImplementedError, ValueError, zlib.error):
+                    if on_unsupported == "raise":
+                        raise
+                    hashes.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "phash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(run, PHASH_SCHEMA)
+
+
+def media_phash_dedup(
+    df: DataFrame, on_unsupported: str = "raise"
+) -> DataFrame:
+    """CONTENT-level media dedup: group payloads by perceptual hash.
+
+    Byte-level dedup (:func:`~.dedup.dedup_exact_content` on the
+    payload) misses re-encoded copies — the same pixels compressed
+    with a different PNG row filter, the same PCM samples in a
+    container declaring a different sample rate. Hashing DECODED
+    content closes that hole: one Arrow decode pass, then a single
+    exchange keyed on (kind, phash) — 8-byte keys, payloads never
+    shuffled. Output: one row per payload with its group
+    representative (min media_id — deterministic under any
+    partitioning), group size, and dup flag. NULL hashes (audit-mode
+    corrupt files) pass through ungrouped with is_dup = 0.
+    """
+    hashed = media_phash(df, on_unsupported=on_unsupported)
+    # single pass over the decode output: a filter+union shape would
+    # plan the MapInPandas decode TWICE (once per branch) — at media
+    # scale the decode IS the job, so NULL hashes are handled with
+    # conditional window expressions instead. Corrupt rows all land in
+    # the (kind, NULL) window partition; that skew is bounded by the
+    # corrupt-file count, which audit mode assumes is tiny.
+    w = Window.partitionBy("kind", "phash")
+    ok = F.col("phash").isNotNull()
+    return hashed.select(
+        "media_id",
+        "kind",
+        "phash",
+        F.when(ok, F.min("media_id").over(w))
+        .otherwise(F.col("media_id"))
+        .alias("group_rep"),
+        F.when(ok, F.count(F.lit(1)).over(w))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("group_size"),
+    ).withColumn(
+        "is_dup", (F.col("media_id") != F.col("group_rep")).cast("int")
+    )
+
+
+def synth_variant_pixels(cid: int) -> np.ndarray:
+    """Scrambled pixel content for the re-encode fixture. The plain
+    :func:`synth_media_pixels` gradient formula is too low-entropy for
+    a 64-bit aHash (distinct tiny gradients can threshold to the same
+    bit pattern); a multiplicative scramble gives ~i.i.d. cell bits so
+    distinct contents get distinct hashes. Pure-integer — mirrored by
+    the Python oracle."""
+    h, w, ch = 8 + cid % 5, 8 + cid % 7, 1 + cid % 4
+    idx = np.arange(h * w * ch, dtype=np.uint64) + np.uint64(cid * 97003 + 1)
+    v = (idx * np.uint64(2654435761)) % np.uint64(2**32)
+    return ((v >> np.uint64(16)) % np.uint64(256)).astype(np.uint8).reshape(
+        h, w, ch
+    )
+
+
+def synth_variant_frames(cid: int) -> np.ndarray:
+    """Scrambled 16-bit PCM content for the re-encode fixture (see
+    :func:`synth_variant_pixels`)."""
+    n, ch = 200 + cid % 50, 1 + cid % 2
+    idx = np.arange(n * ch, dtype=np.uint64) + np.uint64(cid * 40503 + 7)
+    v = (idx * np.uint64(2654435761)) % np.uint64(2**32)
+    samples = ((v >> np.uint64(12)) % np.uint64(65536)).astype(np.int64)
+    return (samples - 32768).astype(np.int16).reshape(n, ch)
+
+
+def synth_real_media_variants(
+    spark: SparkSession, n_contents: int = 20, variants: int = 3
+) -> DataFrame:
+    """Planted re-encode fixture: each content id is emitted
+    ``variants`` times with DIFFERENT bytes but IDENTICAL decoded
+    content — PNGs re-encoded under a different row-filter type,
+    WAVs re-containered under a different declared sample rate. Every
+    byte-level fingerprint is unique; every perceptual hash collides
+    within its content group. Even content ids -> image, odd -> audio
+    (the :func:`synth_variant_pixels` / :func:`synth_variant_frames`
+    formulas, mirrored by the Python oracle)."""
+    rows = []
+    for cid in range(n_contents):
+        if cid % 2 == 0:
+            px = synth_variant_pixels(cid)
+            payloads = [
+                _encode_png(px, filters=(v % 5,)) for v in range(variants)
+            ]
+            kind = "image"
+        else:
+            frames = synth_variant_frames(cid)
+            payloads = [
+                _encode_wav(frames, sample_rate=16000 + 1000 * v)
+                for v in range(variants)
+            ]
+            kind = "audio"
+        for v, payload in enumerate(payloads):
+            rows.append(
+                (
+                    cid * variants + v,
+                    kind,
+                    payload,
+                    "application/octet-stream",
+                    (64, 64, 0, 16000),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, "
+        "meta struct<width:int,height:int,duration_ms:long,sample_rate:int>",
+    )

@@ -362,6 +362,90 @@ def check_media_decode(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
     return _diff(expected, actual)
 
 
+_PHASH_N_CONTENTS, _PHASH_VARIANTS = 20, 3
+
+
+def _mirror_phash_bits(cells: np.ndarray) -> int:
+    """Independent bit-pack: numpy dot against powers of two (the
+    engine loops bit-by-bit in pure Python) then two's-complement fold."""
+    bits = (cells >= cells.mean()).ravel().astype(object)
+    v = int((bits * (2 ** np.arange(bits.size, dtype=object))).sum())
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def _mirror_bounds(n: int, k: int) -> list[tuple[int, int]]:
+    """Mirror of the engine's deterministic block grid, written against
+    the SPEC (floor boundaries, nearest sample on upsample) rather than
+    by calling the engine helper."""
+    out = []
+    for i in range(k):
+        lo = min(i * n // k, n - 1)
+        hi = min(max((i + 1) * n // k, lo + 1), n)
+        out.append((lo, hi))
+    return out
+
+
+def check_media_phash(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
+    """The re-encode fixture's content formulas are mirrored here and
+    perceptually hashed by an independent implementation (block grid
+    from the spec, numpy bit-pack vs the engine's Python loop), then
+    grouped in pandas — so a bug in PNG/WAV decode, the hash, OR the
+    (kind, phash) window grouping breaks the match."""
+    recs = []
+    for cid in range(_PHASH_N_CONTENTS):
+        if cid % 2 == 0:
+            h, w, ch = 8 + cid % 5, 8 + cid % 7, 1 + cid % 4
+            idx = np.arange(h * w * ch, dtype=np.uint64) + np.uint64(
+                cid * 97003 + 1
+            )
+            v = (idx * np.uint64(2654435761)) % np.uint64(2**32)
+            px = (
+                ((v >> np.uint64(16)) % np.uint64(256))
+                .astype(np.uint8)
+                .reshape(h, w, ch)
+            )
+            lum = px[:, :, : min(3, ch)].astype(np.float64).mean(axis=2)
+            cells = np.array(
+                [
+                    [
+                        lum[r0:r1, c0:c1].mean()
+                        for (c0, c1) in _mirror_bounds(lum.shape[1], 8)
+                    ]
+                    for (r0, r1) in _mirror_bounds(lum.shape[0], 8)
+                ]
+            )
+            phash = _mirror_phash_bits(cells)
+            kind = "image"
+        else:
+            n, ch = 200 + cid % 50, 1 + cid % 2
+            idx = np.arange(n * ch, dtype=np.uint64) + np.uint64(
+                cid * 40503 + 7
+            )
+            v = (idx * np.uint64(2654435761)) % np.uint64(2**32)
+            frames = (
+                (((v >> np.uint64(12)) % np.uint64(65536)).astype(np.int64) - 32768)
+                .astype(np.int16)
+                .reshape(n, ch)
+            )
+            mono = frames.astype(np.float64).mean(axis=1)
+            blocks = np.array(
+                [mono[lo:hi].mean() for (lo, hi) in _mirror_bounds(mono.shape[0], 64)]
+            )
+            phash = _mirror_phash_bits(blocks)
+            kind = "audio"
+        for vix in range(_PHASH_VARIANTS):
+            recs.append((cid * _PHASH_VARIANTS + vix, kind, phash))
+    exp = pd.DataFrame(recs, columns=["media_id", "kind", "phash"])
+    grp = exp.groupby(["kind", "phash"])["media_id"]
+    exp["group_rep"] = grp.transform("min")
+    exp["group_size"] = grp.transform("size").astype("int64")
+    exp["is_dup"] = (exp["media_id"] != exp["group_rep"]).astype("int32")
+    exp = exp.astype({"media_id": "int64", "phash": "int64"})
+    actual = spark_pdf.copy()
+    actual["is_dup"] = actual["is_dup"].astype("int32")
+    return _diff(exp, actual)
+
+
 #: name → checker, consumed by plans.queries when building QUERIES
 PY_ORACLES = {
     "q_bpe_merges": check_bpe_merges,
@@ -369,4 +453,5 @@ PY_ORACLES = {
     "q_kmeans_cells": check_kmeans_cells,
     "q_ann_ivf": check_ann_ivf,
     "q_media_decode": check_media_decode,
+    "q_media_phash": check_media_phash,
 }

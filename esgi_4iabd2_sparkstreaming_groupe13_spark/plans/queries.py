@@ -2162,6 +2162,23 @@ def q_media_decode(spark, sf_dir):
     )
 
 
+def q_media_phash(spark, sf_dir):
+    """CONTENT-level media dedup (new r12): each planted content is
+    re-encoded 3 ways — same pixels under a different PNG row filter,
+    same PCM samples under a different declared sample rate — so every
+    byte-level fingerprint is unique, yet the 8x8 aHash (decoded
+    luminance / amplitude blocks) groups the variants exactly. The
+    Python oracle mirrors the content FORMULAS and an independent hash
+    implementation, then re-derives the grouping in pandas — decode,
+    hash, and the (kind, phash) window grouping are all on the hook.
+    Scale shape: payloads are consumed inside one Arrow decode pass;
+    the dedup exchange carries (kind, 8-byte hash) only."""
+    from ..operators import multimodal
+
+    media = multimodal.synth_real_media_variants(spark, n_contents=20, variants=3)
+    return multimodal.media_phash_dedup(media)
+
+
 N_MEDIA_HEADERS = 200
 
 
@@ -7394,6 +7411,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_bpe_merges", q_bpe_merges, None, py_oracle=PY_ORACLES["q_bpe_merges"]),
     QuerySpec("q_media_features", q_media_features, None, py_oracle=PY_ORACLES["q_media_features"]),
     QuerySpec("q_media_decode", q_media_decode, None, py_oracle=PY_ORACLES["q_media_decode"]),
+    QuerySpec("q_media_phash", q_media_phash, None, py_oracle=PY_ORACLES["q_media_phash"]),
     QuerySpec("q_kmeans_cells", q_kmeans_cells, None, py_oracle=PY_ORACLES["q_kmeans_cells"]),
     QuerySpec("q_ann_ivf", q_ann_ivf, None, py_oracle=PY_ORACLES["q_ann_ivf"]),
     # remainder, stale-first: r9-verified tail, then the r10-verified
