@@ -79,7 +79,7 @@ ALL_OPS = (
     "substring_dedup quality_score embed_norm entity_match agg_state "
     "bm25 gap_fill triangles pagerank global_shuffle dsir ppl_buckets jl "
     "semdedup prep shard_assign pq_adc bpe hist_state bpe_chain backoff "
-    "profile ivf_index lsh_hot_bucket data_card"
+    "profile ivf_index lsh_hot_bucket data_card purge_audit media_phash"
 ).split()
 
 
@@ -1715,6 +1715,95 @@ def main() -> None:
                 dedup.minhash_lsh_pairs(
                     dN, "text", "doc_id", 0.9, max_bucket_size=24
                 ),
+            ),
+        }
+
+    # --- documents: takedown purge audit (q_purge_audit, new r12).
+    # Two broadcast probes (removal-id set, removed-content hash set)
+    # + one hash aggregate — NO corpus-keyed exchange at all, so the
+    # expectation is a scan-bound ~linear wall. Removals scale with
+    # the corpus (fixed 1% takedown rate): the broadcast stays
+    # corpus-proportional-small, the realistic shape (takedown lists
+    # are tiny next to the release).
+    if want("purge_audit"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import (
+            corpus as _corpus,
+        )
+
+        pa1 = load_table(spark, SF_DIR, "documents")
+        paN = scaled(pa1, factor, ["doc_id"], 100_000_000)
+        paN.write.mode("overwrite").parquet(f"{tmp}/paN.parquet")
+        paN = spark.read.parquet(f"{tmp}/paN.parquet")
+        rem1 = pa1.filter(F.col("doc_id") % 100 == 7).select("doc_id")
+        remN = paN.filter(F.col("doc_id") % 100 == 7).select("doc_id")
+        results["purge_audit"] = {
+            "t1": timed(
+                "purge_audit 1x",
+                _corpus.purge_audit(
+                    pa1, rem1, "text", "doc_id", ["source", "lang"]
+                ),
+            ),
+            "tN": timed(
+                f"purge_audit {factor}x",
+                _corpus.purge_audit(
+                    paN, remN, "text", "doc_id", ["source", "lang"]
+                ),
+            ),
+        }
+
+    # --- media: perceptual-hash dedup (q_media_phash, new r12).
+    # Payloads are synthesized IN EXECUTORS (mapInPandas encode — the
+    # driver-built registry fixture would serialize at probe scale)
+    # and parqueted so the timed pass starts from a real scan. The
+    # decode+hash is embarrassingly parallel and the dedup exchange
+    # carries (kind, 8-byte hash) only, so the expectation is ~linear
+    # wall dominated by the Arrow decode pass.
+    if want("media_phash"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import (
+            multimodal as _mm,
+        )
+        import pandas as _pd
+
+        def synth_media_distributed(n_rows: int, name: str):
+            def enc(batches):
+                for pdf in batches:
+                    ids, kinds, payloads = [], [], []
+                    for mid in pdf["id"]:
+                        mid = int(mid)
+                        cid, v = mid // 3, mid % 3
+                        if cid % 2 == 0:
+                            payloads.append(
+                                _mm._encode_png(
+                                    _mm.synth_variant_pixels(cid),
+                                    filters=(v % 5,),
+                                )
+                            )
+                            kinds.append("image")
+                        else:
+                            payloads.append(
+                                _mm._encode_wav(
+                                    _mm.synth_variant_frames(cid),
+                                    sample_rate=16000 + 1000 * v,
+                                )
+                            )
+                            kinds.append("audio")
+                        ids.append(mid)
+                    yield _pd.DataFrame(
+                        {"media_id": ids, "kind": kinds, "payload": payloads}
+                    )
+
+            spark.range(n_rows).repartition(32).mapInPandas(
+                enc, "media_id long, kind string, payload binary"
+            ).write.mode("overwrite").parquet(f"{tmp}/{name}")
+            return spark.read.parquet(f"{tmp}/{name}")
+
+        mp_base = 1_200
+        m1 = synth_media_distributed(mp_base, "media1.parquet")
+        mN = synth_media_distributed(mp_base * factor, "mediaN.parquet")
+        results["media_phash"] = {
+            "t1": timed("media_phash 1x", _mm.media_phash_dedup(m1)),
+            "tN": timed(
+                f"media_phash {factor}x", _mm.media_phash_dedup(mN)
             ),
         }
 
