@@ -797,3 +797,134 @@ def synth_real_media_variants(
         "media_id long, kind string, payload binary, mime string, "
         "meta struct<width:int,height:int,duration_ms:long,sample_rate:int>",
     )
+
+
+def media_phash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    on_unsupported: str = "raise",
+) -> DataFrame:
+    """NEAR-duplicate media pairs via banded Hamming join over the
+    perceptual hash — the scale tier above exact-phash grouping
+    (:func:`media_phash_dedup`), for copies whose content was touched
+    (crop-free edits, brightness shifts) so a few of the 64 aHash bits
+    flip.
+
+    Banding is the SimHash pigeonhole argument (``dedup.py``
+    simhash blocked pairs): the 64-bit hash splits into ``n_bands``
+    disjoint bands; any pair with Hamming distance <= ``max_hamming``
+    < ``n_bands`` has at least one band with zero flipped bits, so the
+    equi-join on (kind, band_ix, band_val) generates every true pair
+    — recall 1 by construction, verified exactly with
+    ``bit_count(xor)`` afterward. Candidate volume is O(rows x bands)
+    keyed on 16-bit band values, never all-pairs; the exchange carries
+    (kind, band, two 8-byte hashes) — payloads stay in the decode
+    stage. Output: (kind, id_a, id_b, hamming), id_a < id_b.
+    """
+    if not 0 <= max_hamming < n_bands:
+        raise ValueError("recall guarantee needs 0 <= max_hamming < n_bands")
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    # checkpoint the (metadata-sized) hash frame BEFORE the self-join:
+    # without it Spark plans the MapInPandas decode subtree once per
+    # join side — the decode is the expensive pass and must run once
+    # (same pattern as graph.connected_components' edge checkpoint)
+    hashed = (
+        media_phash(df, on_unsupported=on_unsupported)
+        .filter(F.col("phash").isNotNull())
+        .localCheckpoint()
+    )
+    bands = hashed.select(
+        "media_id",
+        "kind",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ix).alias("band_ix"),
+                        F.expr(
+                            f"shiftright(phash, {ix * width}) & {mask}"
+                        ).alias("band_val"),
+                    )
+                    for ix in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "media_id", "kind", "phash", F.col("b.band_ix"), F.col("b.band_val")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.kind") == F.col("b.kind"))
+            & (F.col("a.band_ix") == F.col("b.band_ix"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.kind").alias("kind"),
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr("bit_count(ph_a ^ ph_b)").cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("kind", "id_a", "id_b", "hamming")
+    )
+
+
+def synth_real_media_neardups(
+    spark: SparkSession, n_contents: int = 24
+) -> DataFrame:
+    """Planted NEAR-duplicate fixture: each content is emitted twice —
+    the original, and a content-level edit (images: first row
+    brightened by +8; audio: first 10 samples shifted by +3000,
+    clipped) that flips a FEW aHash bits, so exact-phash grouping
+    misses the pair while the banded Hamming tier catches those within
+    threshold. media_id = 2*cid (original) / 2*cid+1 (edited)."""
+    rows = []
+    for cid in range(n_contents):
+        if cid % 2 == 0:
+            px = synth_variant_pixels(cid)
+            edited = px.astype(np.int64).copy()
+            edited[0, :, :] = np.minimum(edited[0, :, :] + 8, 255)
+            payloads = [
+                _encode_png(px),
+                _encode_png(edited.astype(np.uint8)),
+            ]
+            kind = "image"
+        else:
+            fr = synth_variant_frames(cid)
+            edited = fr.astype(np.int64).copy()
+            edited[:10, :] = np.clip(edited[:10, :] + 3000, -32768, 32767)
+            payloads = [
+                _encode_wav(fr),
+                _encode_wav(edited.astype(np.int16)),
+            ]
+            kind = "audio"
+        for v, payload in enumerate(payloads):
+            rows.append(
+                (
+                    cid * 2 + v,
+                    kind,
+                    payload,
+                    "application/octet-stream",
+                    (64, 64, 0, 16000),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, "
+        "meta struct<width:int,height:int,duration_ms:long,sample_rate:int>",
+    )

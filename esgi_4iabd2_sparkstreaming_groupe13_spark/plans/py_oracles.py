@@ -446,6 +446,88 @@ def check_media_phash(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
     return _diff(exp, actual)
 
 
+_NEARDUP_N_CONTENTS, _NEARDUP_MAX_HAMMING = 24, 3
+
+
+def check_media_neardup(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
+    """Mirror the near-dup fixture (content formulas + the planted
+    content edits), hash with the independent implementation, then
+    BRUTE-FORCE all within-kind pairs at Hamming <= threshold — so the
+    banded join's recall guarantee is checked against an oracle that
+    never bands at all."""
+    hashes = []
+    for cid in range(_NEARDUP_N_CONTENTS):
+        if cid % 2 == 0:
+            h, w, ch = 8 + cid % 5, 8 + cid % 7, 1 + cid % 4
+            idx = np.arange(h * w * ch, dtype=np.uint64) + np.uint64(
+                cid * 97003 + 1
+            )
+            v = (idx * np.uint64(2654435761)) % np.uint64(2**32)
+            px = (
+                ((v >> np.uint64(16)) % np.uint64(256))
+                .astype(np.int64)
+                .reshape(h, w, ch)
+            )
+            edited = px.copy()
+            edited[0, :, :] = np.minimum(edited[0, :, :] + 8, 255)
+            kind = "image"
+            for vix, arr in enumerate((px, edited)):
+                lum = arr[:, :, : min(3, ch)].astype(np.float64).mean(axis=2)
+                cells = np.array(
+                    [
+                        [
+                            lum[r0:r1, c0:c1].mean()
+                            for (c0, c1) in _mirror_bounds(lum.shape[1], 8)
+                        ]
+                        for (r0, r1) in _mirror_bounds(lum.shape[0], 8)
+                    ]
+                )
+                hashes.append(
+                    (cid * 2 + vix, kind, _mirror_phash_bits(cells))
+                )
+        else:
+            n, ch = 200 + cid % 50, 1 + cid % 2
+            idx = np.arange(n * ch, dtype=np.uint64) + np.uint64(
+                cid * 40503 + 7
+            )
+            v = (idx * np.uint64(2654435761)) % np.uint64(2**32)
+            fr = (
+                (((v >> np.uint64(12)) % np.uint64(65536)).astype(np.int64) - 32768)
+                .reshape(n, ch)
+            )
+            edited = fr.copy()
+            edited[:10, :] = np.clip(edited[:10, :] + 3000, -32768, 32767)
+            kind = "audio"
+            for vix, arr in enumerate((fr, edited)):
+                mono = arr.astype(np.float64).mean(axis=1)
+                blocks = np.array(
+                    [
+                        mono[lo:hi].mean()
+                        for (lo, hi) in _mirror_bounds(mono.shape[0], 64)
+                    ]
+                )
+                hashes.append(
+                    (cid * 2 + vix, kind, _mirror_phash_bits(blocks))
+                )
+    rows = []
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            ia, ka, pa = hashes[i]
+            ib, kb, pb = hashes[j]
+            if ka != kb:
+                continue
+            d = bin((pa ^ pb) & ((1 << 64) - 1)).count("1")
+            if d <= _NEARDUP_MAX_HAMMING:
+                lo, hi = min(ia, ib), max(ia, ib)
+                rows.append((ka, lo, hi, d))
+    exp = pd.DataFrame(
+        rows, columns=["kind", "id_a", "id_b", "hamming"]
+    ).astype({"id_a": "int64", "id_b": "int64", "hamming": "int32"})
+    actual = spark_pdf.copy()
+    actual["hamming"] = actual["hamming"].astype("int32")
+    return _diff(exp, actual)
+
+
 #: name → checker, consumed by plans.queries when building QUERIES
 PY_ORACLES = {
     "q_bpe_merges": check_bpe_merges,
@@ -454,4 +536,5 @@ PY_ORACLES = {
     "q_ann_ivf": check_ann_ivf,
     "q_media_decode": check_media_decode,
     "q_media_phash": check_media_phash,
+    "q_media_neardup": check_media_neardup,
 }

@@ -2179,6 +2179,23 @@ def q_media_phash(spark, sf_dir):
     return multimodal.media_phash_dedup(media)
 
 
+def q_media_neardup(spark, sf_dir):
+    """NEAR-duplicate media pairs (new r12): each planted content is
+    emitted twice — original and a content-level edit (brightened
+    first row / shifted leading samples) that flips a FEW of the 64
+    aHash bits. Exact-phash grouping misses those pairs; the banded
+    Hamming join (4 disjoint 16-bit bands -> equi-join candidates ->
+    exact bit_count verify) recovers every pair within distance 3,
+    recall 1 by pigeonhole. The Python oracle never bands: it
+    brute-forces all within-kind pairs over mirrored content formulas
+    and an independent hash — banding recall, decode, hash, and the
+    verify filter are all on the hook."""
+    from ..operators import multimodal
+
+    media = multimodal.synth_real_media_neardups(spark, n_contents=24)
+    return multimodal.media_phash_neardup_pairs(media, max_hamming=3)
+
+
 N_MEDIA_HEADERS = 200
 
 
@@ -7412,6 +7429,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_media_features", q_media_features, None, py_oracle=PY_ORACLES["q_media_features"]),
     QuerySpec("q_media_decode", q_media_decode, None, py_oracle=PY_ORACLES["q_media_decode"]),
     QuerySpec("q_media_phash", q_media_phash, None, py_oracle=PY_ORACLES["q_media_phash"]),
+    QuerySpec("q_media_neardup", q_media_neardup, None, py_oracle=PY_ORACLES["q_media_neardup"]),
     QuerySpec("q_kmeans_cells", q_kmeans_cells, None, py_oracle=PY_ORACLES["q_kmeans_cells"]),
     QuerySpec("q_ann_ivf", q_ann_ivf, None, py_oracle=PY_ORACLES["q_ann_ivf"]),
     # remainder, stale-first: r9-verified tail, then the r10-verified

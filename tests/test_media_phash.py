@@ -119,3 +119,34 @@ def test_phash_engine_matches_oracle_mirror():
         assert po._mirror_phash_bits(cells) == multimodal.phash_from_pixels(
             multimodal.synth_variant_pixels(cid)
         )
+
+
+def test_neardup_pairs_recall_and_precision(spark):
+    media = multimodal.synth_real_media_neardups(spark, n_contents=12)
+    pdf = multimodal.media_phash_neardup_pairs(media, max_hamming=3).toPandas()
+    got = set(zip(pdf["id_a"], pdf["id_b"]))
+    planted = {(2 * c, 2 * c + 1) for c in range(12)}
+    # every planted edit flips <= 3 bits at these fixture params ->
+    # recall 1 by pigeonhole; nothing else is within distance 3
+    assert got == planted
+    assert (pdf["hamming"] <= 3).all()
+
+
+def test_neardup_tier_catches_what_exact_phash_misses(spark):
+    media = multimodal.synth_real_media_neardups(spark, n_contents=12)
+    exact = multimodal.media_phash_dedup(media).toPandas()
+    # at least one planted pair has hamming > 0 -> exact grouping
+    # splits it (group_size 1), while the near-dup tier pairs it
+    singles = set(exact[exact["group_size"] == 1]["media_id"])
+    pairs = multimodal.media_phash_neardup_pairs(media, max_hamming=3).toPandas()
+    recovered = set(pairs["id_a"]) | set(pairs["id_b"])
+    assert singles, "fixture should contain non-identical hash pairs"
+    assert singles <= recovered
+
+
+def test_neardup_parameter_validation(spark):
+    media = multimodal.synth_real_media_neardups(spark, n_contents=2)
+    with pytest.raises(ValueError):
+        multimodal.media_phash_neardup_pairs(media, max_hamming=4, n_bands=4)
+    with pytest.raises(ValueError):
+        multimodal.media_phash_neardup_pairs(media, n_bands=5)
