@@ -434,3 +434,76 @@ def cdc_apply(
             for v in value_cols
         ],
     )
+
+
+def _rha6_py(x: float) -> float:
+    """Driver-side mirror of functions.hashing.round_half_away at
+    scale 6 (floor-based half-away over the IEEE double, same ≥2^53/f
+    pass-through guard) — used for report-sized values assembled on
+    the driver."""
+    import math
+
+    f = 1e6
+    if abs(x) >= float(1 << 53) / f:
+        return x
+    return (
+        math.floor(x * f + 0.5) / f
+        if x >= 0
+        else -(math.floor(-x * f + 0.5) / f)
+    )
+
+
+def schema_drift_report(old, new):
+    """Column-level schema-evolution audit between two snapshot
+    versions of a table — the report a lake pipeline runs before
+    enabling ``mergeSchema`` reads or promoting a new producer
+    version: which columns were added / removed / kept, whether a
+    kept column's type changed, and how each side's NULL rate moved
+    (a silently nulled-out column is the classic upstream breakage
+    that type checks alone never catch).
+
+    Cost shape: one aggregate pass per side (every column's null
+    count folds into a single 1-row summary — O(columns) driver
+    materialization, never row data), so the audit over a 100 TB
+    snapshot pair is two scans. Rates use the repo's 6 dp half-away
+    rule so the report is engine-exact.
+    """
+    from pyspark.sql import functions as F
+
+    spark = old.sparkSession
+    old_types = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    new_types = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+
+    def null_rates(df):
+        aggs = [F.count(F.lit(1)).alias("__n")] + [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__z_{i}")
+            for i, c in enumerate(df.columns)
+        ]
+        row = df.agg(*aggs).collect()[0]
+        n = row["__n"]
+        return {
+            c: _rha6_py((row[f"__z_{i}"] or 0) / n) if n else 0.0
+            for i, c in enumerate(df.columns)
+        }
+
+    r_old, r_new = null_rates(old), null_rates(new)
+    rows = []
+    for c in sorted(set(old_types) | set(new_types)):
+        in_old, in_new = c in old_types, c in new_types
+        status = "kept" if in_old and in_new else ("added" if in_new else "removed")
+        rows.append(
+            (
+                c,
+                status,
+                old_types.get(c),
+                new_types.get(c),
+                int(in_old and in_new and old_types[c] != new_types[c]),
+                r_old.get(c),
+                r_new.get(c),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "col_name string, status string, type_old string, type_new string, "
+        "type_changed int, null_rate_old double, null_rate_new double",
+    )

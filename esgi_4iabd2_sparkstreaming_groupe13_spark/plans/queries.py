@@ -5170,6 +5170,58 @@ def q_purge_audit(spark, sf_dir):
     return corpus.purge_audit(docs, removals, "text", "doc_id", ["source"])
 
 
+def q_schema_drift(spark, sf_dir):
+    """Schema-evolution audit (new r12): compare the documents table
+    against a simulated producer-v2 snapshot — `source` dropped, a
+    `quality` column added, `n_chars` narrowed bigint->int, and `lang`
+    silently nulled for every 7th doc (the upstream breakage a type
+    check alone never catches). The engine derives everything from
+    df.schema + one 1-row null-count aggregate per side; the oracle
+    recomputes every null rate from the same v2 definition in SQL and
+    pins the status/type columns from the known fixture schemas."""
+    docs = _t(spark, sf_dir, "documents")
+    v2 = (
+        docs.drop("source")
+        .withColumn(
+            "lang",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(None).cast("string")
+            ).otherwise(F.col("lang")),
+        )
+        .withColumn("n_chars", F.col("n_chars").cast("int"))
+        .withColumn(
+            "quality", (F.col("doc_id") % 100).cast("double") / F.lit(100.0)
+        )
+    )
+    return maintenance.schema_drift_report(docs, v2)
+
+
+def _schema_drift_oracle() -> str:
+    def rate(z: str) -> str:
+        return round_half_away_sql(f"CAST({z} AS DOUBLE) / CAST(n AS DOUBLE)", 6)
+
+    return f"""
+WITH s AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS z_doc_id,
+         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS z_text,
+         sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS z_lang,
+         sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS z_source,
+         sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS z_nchars,
+         sum(CASE WHEN doc_id % 7 = 0 OR lang IS NULL THEN 1 ELSE 0 END) AS z_lang2
+  FROM documents
+)
+SELECT 'doc_id' AS col_name, 'kept' AS status, 'bigint' AS type_old,
+       'bigint' AS type_new, 0 AS type_changed,
+       {rate('z_doc_id')} AS null_rate_old, {rate('z_doc_id')} AS null_rate_new FROM s
+UNION ALL SELECT 'lang', 'kept', 'string', 'string', 0, {rate('z_lang')}, {rate('z_lang2')} FROM s
+UNION ALL SELECT 'n_chars', 'kept', 'bigint', 'int', 1, {rate('z_nchars')}, {rate('z_nchars')} FROM s
+UNION ALL SELECT 'quality', 'added', NULL, 'double', 0, NULL, {rate('z_doc_id')} FROM s
+UNION ALL SELECT 'source', 'removed', 'string', NULL, 0, {rate('z_source')}, NULL FROM s
+UNION ALL SELECT 'text', 'kept', 'string', 'string', 0, {rate('z_text')}, {rate('z_text')} FROM s
+"""
+
+
 def _purge_audit_oracle() -> str:
     rate = round_half_away_sql(
         "CAST(sum(dflag) + sum(pflag) AS DOUBLE) / CAST(count(*) AS DOUBLE)",
@@ -6784,6 +6836,7 @@ FROM q
 ORACLES["q_quality_score"] = _quality_score_oracle()
 ORACLES["q_data_card"] = _data_card_oracle()
 ORACLES["q_purge_audit"] = _purge_audit_oracle()
+ORACLES["q_schema_drift"] = _schema_drift_oracle()
 
 
 def _dsir_oracle() -> str:
@@ -7563,6 +7616,7 @@ QUERIES: list[QuerySpec] = [
     # new in r12 (queues behind the rotated window for its first
     # driver row next rotation):
     QuerySpec("q_purge_audit", q_purge_audit, ORACLES["q_purge_audit"]),
+    QuerySpec("q_schema_drift", q_schema_drift, ORACLES["q_schema_drift"]),
 ]
 
 

@@ -451,3 +451,50 @@ def test_cdc_apply_null_op_upserts_never_drops(spark):
         for r in cdc_apply(snap, log, ["k"], ["v"]).collect()
     }
     assert got == {1: "a2", 2: "b", 3: "c"}
+
+
+def test_schema_drift_report_statuses_and_rates(spark):
+    """added/removed/kept/type_changed plus null-rate movement — the
+    full contract over a hand-built snapshot pair (r12)."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.maintenance import (
+        schema_drift_report,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 20), (3, "c", 30), (4, "d", None)],
+        "id long, name string, amount long",
+    )
+    new = spark.createDataFrame(
+        [(1, None, 1.5), (2, None, 2.5), (3, "c", 3.5), (4, "d", 4.5)],
+        "id long, name string, score double",
+    )
+    rep = {r["col_name"]: r for r in schema_drift_report(old, new).collect()}
+    assert set(rep) == {"id", "name", "amount", "score"}
+    assert rep["amount"]["status"] == "removed"
+    assert rep["amount"]["type_new"] is None
+    assert rep["amount"]["null_rate_new"] is None
+    assert rep["amount"]["null_rate_old"] == 0.25
+    assert rep["score"]["status"] == "added"
+    assert rep["score"]["null_rate_old"] is None
+    assert rep["score"]["null_rate_new"] == 0.0
+    assert rep["name"]["status"] == "kept"
+    assert rep["name"]["null_rate_old"] == 0.25
+    assert rep["name"]["null_rate_new"] == 0.5
+    assert rep["id"]["type_changed"] == 0
+
+
+def test_schema_drift_report_type_change(spark):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.maintenance import (
+        schema_drift_report,
+    )
+
+    old = spark.createDataFrame([(1,)], "v long")
+    new = spark.createDataFrame([(1,)], "v long").selectExpr(
+        "cast(v as int) as v"
+    )
+    row = schema_drift_report(old, new).collect()[0]
+    assert (row["type_old"], row["type_new"], row["type_changed"]) == (
+        "bigint",
+        "int",
+        1,
+    )
