@@ -652,7 +652,11 @@ def _phash(buf: bytes) -> int:
     raise NotImplementedError(f"no decoder for sniffed format {fmt!r}")
 
 
-def media_phash(df: DataFrame, on_unsupported: str = "raise") -> DataFrame:
+def media_phash(
+    df: DataFrame,
+    on_unsupported: str = "raise",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
     """Per-payload perceptual hash via Arrow-batched ``mapInPandas``.
 
     The payload column is consumed INSIDE the pandas batch and never
@@ -662,9 +666,16 @@ def media_phash(df: DataFrame, on_unsupported: str = "raise") -> DataFrame:
     ``on_unsupported`` follows :func:`extract_features`: ``"raise"``
     (explicit gate) or ``"null"`` (audit mode — one corrupt file
     degrades to a NULL hash instead of killing a 100 TB scan).
+    ``extra_cols`` pass through unchanged (e.g. the event-time column
+    a streaming watermark needs, ``streaming.stateful.
+    media_dedup_within_watermark``).
     """
     if on_unsupported not in ("raise", "null"):
         raise ValueError("on_unsupported must be 'raise' or 'null'")
+    extra_cols = list(extra_cols or [])
+    out_schema = T.StructType(
+        list(PHASH_SCHEMA.fields) + [df.schema[c] for c in extra_cols]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
@@ -679,15 +690,16 @@ def media_phash(df: DataFrame, on_unsupported: str = "raise") -> DataFrame:
                     if on_unsupported == "raise":
                         raise
                     hashes.append(None)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].to_numpy(),
-                    "kind": pdf["kind"].to_numpy(),
-                    "phash": pd.array(hashes, dtype="Int64"),
-                }
-            )
+            out = {
+                "media_id": pdf["media_id"].to_numpy(),
+                "kind": pdf["kind"].to_numpy(),
+                "phash": pd.array(hashes, dtype="Int64"),
+            }
+            for c in extra_cols:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(run, PHASH_SCHEMA)
+    return df.mapInPandas(run, out_schema)
 
 
 def media_phash_dedup(

@@ -354,3 +354,39 @@ def running_stats(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+def media_dedup_within_watermark(
+    media_stream: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    on_unsupported: str = "null",
+) -> DataFrame:
+    """Streaming CONTENT-level media dedup: perceptual-hash each
+    arriving payload (Arrow ``mapInPandas`` — works unchanged on a
+    streaming DataFrame) and keep the FIRST arrival per (kind, phash)
+    within the event-time watermark. A re-encoded copy landing
+    micro-batches later (same pixels, different PNG row filter; same
+    samples, different declared sample rate) hashes identically and is
+    dropped — the streaming twin of
+    ``operators.multimodal.media_phash_dedup``.
+
+    State is bounded exactly like :func:`dedup_within_watermark`:
+    (watermark delay x arrival rate) keys of 8-byte hashes, evicted as
+    event time passes — never payload bytes, which are consumed inside
+    the decode batch. Corrupt payloads (audit default
+    ``on_unsupported='null'``) are EXCLUDED from the deduped output —
+    a NULL hash must not collapse all damaged files into one dedup
+    key; run :func:`~..operators.multimodal.media_phash` in audit mode
+    separately for the corruption report.
+    """
+    from ..operators.multimodal import media_phash
+
+    hashed = media_phash(
+        media_stream, on_unsupported=on_unsupported, extra_cols=[ts_col]
+    )
+    return (
+        hashed.filter(F.col("phash").isNotNull())
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["kind", "phash"])
+    )

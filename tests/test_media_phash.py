@@ -150,3 +150,75 @@ def test_neardup_parameter_validation(spark):
         multimodal.media_phash_neardup_pairs(media, max_hamming=4, n_bands=4)
     with pytest.raises(ValueError):
         multimodal.media_phash_neardup_pairs(media, n_bands=5)
+
+
+def test_media_dedup_within_watermark_streaming(spark, tmp_path):
+    """Streaming twin: re-encoded copies arriving in LATER micro-batches
+    (different bytes, same decoded content) must be dropped by the
+    (kind, phash) watermark dedup — one surviving row per content."""
+    import datetime
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.streaming.stateful import (
+        media_dedup_within_watermark,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    n = 8
+
+    def batch(variant: int, id_base: int):
+        rows = []
+        for cid in range(n):
+            if cid % 2 == 0:
+                payload = multimodal._encode_png(
+                    multimodal.synth_variant_pixels(cid),
+                    filters=(variant % 5,),
+                )
+                kind = "image"
+            else:
+                payload = multimodal._encode_wav(
+                    multimodal.synth_variant_frames(cid),
+                    sample_rate=16000 + 1000 * variant,
+                )
+                kind = "audio"
+            rows.append(
+                (
+                    id_base + cid,
+                    kind,
+                    payload,
+                    t0 + datetime.timedelta(seconds=60 * variant + cid),
+                )
+            )
+        return spark.createDataFrame(
+            rows, "media_id long, kind string, payload binary, ts timestamp"
+        )
+
+    src = str(tmp_path / "src")
+    batch(0, 0).coalesce(1).write.mode("overwrite").parquet(src)
+    batch(1, 1000).coalesce(1).write.mode("append").parquet(src)
+    batch(2, 2000).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "media_id long, kind string, payload binary, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # watermark >> fixture time span: parquet part files dispatch in
+    # racy mtime order, a tight watermark would drop "late" originals
+    deduped = media_dedup_within_watermark(
+        stream, ts_col="ts", watermark="30 days"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("media_dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "stream did not terminate within 600s"
+    out = spark.table("media_dedup_stream").toPandas()
+    # 3 encodings x n contents in -> n rows out, one per content
+    assert len(out) == n
+    assert out.groupby(["kind", "phash"]).size().max() == 1
