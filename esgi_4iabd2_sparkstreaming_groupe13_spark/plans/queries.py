@@ -7419,18 +7419,20 @@ WHERE rk <= least(n, CAST(floor(
 
 QUERIES: list[QuerySpec] = [
     # ==== driver 50-entry verification window (r12 rotation) ====
-    # Stalest oracle-backed entries first: the three BRAND-NEW r12
-    # entries (zero driver rows ever — q_schema_drift SQL-oracled;
-    # q_media_phash/q_media_neardup python-oracled, rows-only at the
-    # driver), q_data_card (new in r11, first driver row ever), the
-    # 25-entry r8-verified block (q_scd2 .. q_bloom_contamination),
-    # and the head of the r9-verified block (q_tpch_q1 ..). Zero
-    # overlap with the r11 window (those 50 rotate to the back,
-    # freshest); q_tpch_q22/q_percentiles/q_median_exact slide just
-    # outside and ride the next rotation.
+    # Stalest oracle-backed entries first: q_schema_drift (BRAND-NEW
+    # r12, SQL-oracled, zero driver rows ever), q_data_card (new in
+    # r11, first driver row ever), the 25-entry r8-verified block
+    # (q_scd2 .. q_bloom_contamination), and the head of the
+    # r9-verified block (q_tpch_q1 ..). Zero overlap with the r11
+    # window (those 50 rotate to the back, freshest); q_median_exact
+    # slides just outside and rides the next rotation. The other two
+    # new r12 entries (q_media_phash/q_media_neardup) are PYTHON-
+    # oracled — rows-only at the driver's SQL gate, so putting them in
+    # the window would burn verification slots (guard test in
+    # test_text_multimodal.py); they sit just past the window with the
+    # rest of the py-oracle block and are verified by
+    # scripts/oracle_check.py instead.
     QuerySpec("q_schema_drift", q_schema_drift, ORACLES["q_schema_drift"]),
-    QuerySpec("q_media_phash", q_media_phash, None, py_oracle=PY_ORACLES["q_media_phash"]),
-    QuerySpec("q_media_neardup", q_media_neardup, None, py_oracle=PY_ORACLES["q_media_neardup"]),
     QuerySpec("q_data_card", q_data_card, ORACLES["q_data_card"]),
     QuerySpec("q_scd2", q_scd2, ORACLES["q_scd2"], True),
     QuerySpec("q_split_leakage", q_split_leakage, ORACLES["q_split_leakage"]),
@@ -7488,6 +7490,8 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_bpe_merges", q_bpe_merges, None, py_oracle=PY_ORACLES["q_bpe_merges"]),
     QuerySpec("q_media_features", q_media_features, None, py_oracle=PY_ORACLES["q_media_features"]),
     QuerySpec("q_media_decode", q_media_decode, None, py_oracle=PY_ORACLES["q_media_decode"]),
+    QuerySpec("q_media_phash", q_media_phash, None, py_oracle=PY_ORACLES["q_media_phash"]),
+    QuerySpec("q_media_neardup", q_media_neardup, None, py_oracle=PY_ORACLES["q_media_neardup"]),
     QuerySpec("q_kmeans_cells", q_kmeans_cells, None, py_oracle=PY_ORACLES["q_kmeans_cells"]),
     QuerySpec("q_ann_ivf", q_ann_ivf, None, py_oracle=PY_ORACLES["q_ann_ivf"]),
     # remainder, stale-first: r9-verified tail, then the r10-verified
