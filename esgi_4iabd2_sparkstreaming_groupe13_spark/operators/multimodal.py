@@ -811,6 +811,42 @@ def synth_real_media_variants(
     )
 
 
+def _require_phash_geometry(max_hamming: int, n_bands: int) -> None:
+    if not 0 <= max_hamming < n_bands:
+        raise ValueError("recall guarantee needs 0 <= max_hamming < n_bands")
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+
+
+def _phash_bands(hashed: DataFrame, n_bands: int) -> DataFrame:
+    """Explode each 64-bit hash into ``n_bands`` disjoint bands
+    (band_ix, band_val) — the equi-join key of every banded Hamming
+    path (pair finding, index serve). One definition so two sides of
+    a cross-frame join can never band differently."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    return hashed.select(
+        "media_id",
+        "kind",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ix).alias("band_ix"),
+                        F.expr(
+                            f"shiftright(phash, {ix * width}) & {mask}"
+                        ).alias("band_val"),
+                    )
+                    for ix in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "media_id", "kind", "phash", F.col("b.band_ix"), F.col("b.band_val")
+    )
+
+
 def media_phash_neardup_pairs(
     df: DataFrame,
     max_hamming: int = 3,
@@ -834,12 +870,7 @@ def media_phash_neardup_pairs(
     (kind, band, two 8-byte hashes) — payloads stay in the decode
     stage. Output: (kind, id_a, id_b, hamming), id_a < id_b.
     """
-    if not 0 <= max_hamming < n_bands:
-        raise ValueError("recall guarantee needs 0 <= max_hamming < n_bands")
-    if 64 % n_bands:
-        raise ValueError("n_bands must divide 64")
-    width = 64 // n_bands
-    mask = (1 << width) - 1
+    _require_phash_geometry(max_hamming, n_bands)
     # checkpoint the (metadata-sized) hash frame BEFORE the self-join:
     # without it Spark plans the MapInPandas decode subtree once per
     # join side — the decode is the expensive pass and must run once
@@ -849,26 +880,7 @@ def media_phash_neardup_pairs(
         .filter(F.col("phash").isNotNull())
         .localCheckpoint()
     )
-    bands = hashed.select(
-        "media_id",
-        "kind",
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(ix).alias("band_ix"),
-                        F.expr(
-                            f"shiftright(phash, {ix * width}) & {mask}"
-                        ).alias("band_val"),
-                    )
-                    for ix in range(n_bands)
-                ]
-            )
-        ).alias("b"),
-    ).select(
-        "media_id", "kind", "phash", F.col("b.band_ix"), F.col("b.band_val")
-    )
+    bands = _phash_bands(hashed, n_bands)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -939,4 +951,146 @@ def synth_real_media_neardups(
         rows,
         "media_id long, kind string, payload binary, mime string, "
         "meta struct<width:int,height:int,duration_ms:long,sample_rate:int>",
+    )
+
+
+def _classify_incoming(
+    inc_hashed: DataFrame,
+    corpus_hashes: DataFrame,
+    max_hamming: int,
+    n_bands: int,
+) -> DataFrame:
+    """Shared decision core of the incremental media-dedup paths:
+    classify already-hashed incoming rows against a corpus hash set
+    as ``dup_exact`` (identical (kind, phash)), ``dup_near`` (within
+    ``max_hamming`` via the banded join), ``new``, or ``corrupt``
+    (NULL hash — audit-mode undecodable; surfaced, never appended).
+    Exact beats near; incoming-vs-incoming duplication is out of
+    scope by the same contract as ``dedup.incremental_dedup``."""
+    valid = inc_hashed.filter(F.col("phash").isNotNull())
+    exact_keys = (
+        corpus_hashes.select("kind", "phash")
+        .distinct()
+        .withColumn("_ex", F.lit(1))
+    )
+    a = _phash_bands(valid, n_bands).alias("a")
+    b = _phash_bands(corpus_hashes, n_bands).alias("b")
+    near_ids = (
+        a.join(
+            b,
+            (F.col("a.kind") == F.col("b.kind"))
+            & (F.col("a.band_ix") == F.col("b.band_ix"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+        .filter(F.expr(f"bit_count(ph_a ^ ph_b) <= {max_hamming}"))
+        .select("media_id")
+        .distinct()
+        .withColumn("_nr", F.lit(1))
+    )
+    return (
+        inc_hashed.join(exact_keys, ["kind", "phash"], "left")
+        .join(near_ids, "media_id", "left")
+        .select(
+            "media_id",
+            "kind",
+            "phash",
+            F.when(F.col("phash").isNull(), F.lit("corrupt"))
+            .when(F.col("_ex") == 1, F.lit("dup_exact"))
+            .when(F.col("_nr") == 1, F.lit("dup_near"))
+            .otherwise(F.lit("new"))
+            .alias("decision"),
+        )
+    )
+
+
+def incremental_media_dedup(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    on_unsupported: str = "null",
+) -> DataFrame:
+    """Incremental-ingest media dedup — the daily-crawl shape over
+    payloads instead of text (``dedup.incremental_dedup`` twin):
+    classify each INCOMING payload against an existing CORPUS as
+    ``dup_exact`` (perceptual hash already present — catches
+    re-encoded copies byte membership would miss), ``dup_near``
+    (within ``max_hamming`` aHash bits — edited copies), ``new``, or
+    ``corrupt``. Both sides decode once (metadata-sized checkpoint);
+    the cross-frame banded join carries (kind, 16-bit band) keys, so
+    candidates stay O(rows x bands). Production form that persists
+    the corpus hashes between ingests: :func:`build_media_index` +
+    :func:`incremental_media_dedup_indexed` (pytest-pinned
+    decision-equal to this self-contained form)."""
+    _require_phash_geometry(max_hamming, n_bands)
+    inc_hashed = media_phash(
+        incoming, on_unsupported=on_unsupported
+    ).localCheckpoint()
+    cor_hashed = (
+        media_phash(corpus, on_unsupported=on_unsupported)
+        .filter(F.col("phash").isNotNull())
+        .localCheckpoint()
+    )
+    return _classify_incoming(inc_hashed, cor_hashed, max_hamming, n_bands)
+
+
+def build_media_index(
+    corpus: DataFrame,
+    index_path: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    on_unsupported: str = "null",
+) -> None:
+    """FIT side of the media-dedup index lifecycle (same
+    fit-once-persist pattern as ``dedup.build_dedup_index`` and the
+    IVF quantizer): decode the corpus ONCE and persist only the
+    (media_id, kind, phash) rows — 8 bytes of hash per payload,
+    never the payloads — plus a meta table pinning the banding
+    geometry so the serve path can refuse a mismatched index."""
+    _require_phash_geometry(max_hamming, n_bands)
+    hashed = media_phash(corpus, on_unsupported=on_unsupported).filter(
+        F.col("phash").isNotNull()
+    )
+    hashed.write.mode("overwrite").parquet(f"{index_path}/hashes")
+    corpus.sparkSession.createDataFrame(
+        [(max_hamming, n_bands)], "max_hamming int, n_bands int"
+    ).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+
+def append_to_media_index(
+    admitted: DataFrame, index_path: str, on_unsupported: str = "null"
+) -> None:
+    """Fold an ingest's ADMITTED payloads into the persisted index —
+    work proportional to the admitted batch, parquet append rewrites
+    nothing. Same read-write hazard as
+    ``dedup.append_to_dedup_index``: materialize the admitted set
+    before appending, or a lazy frame derived from this index will
+    match its own newly-appended hashes on re-execution."""
+    media_phash(admitted, on_unsupported=on_unsupported).filter(
+        F.col("phash").isNotNull()
+    ).write.mode("append").parquet(f"{index_path}/hashes")
+
+
+def incremental_media_dedup_indexed(
+    incoming: DataFrame, index_path: str, on_unsupported: str = "null"
+) -> DataFrame:
+    """SERVE side: classify incoming payloads against the persisted
+    hash index — only the incoming side is decoded; the corpus
+    contributes 8-byte hash rows read from parquet. Banding geometry
+    comes from the index's meta table (a mismatched band split would
+    silently miss every near-dup, so it is pinned at build time)."""
+    spark = incoming.sparkSession
+    meta = spark.read.parquet(f"{index_path}/meta").head()
+    inc_hashed = media_phash(
+        incoming, on_unsupported=on_unsupported
+    ).localCheckpoint()
+    corpus_hashes = spark.read.parquet(f"{index_path}/hashes")
+    return _classify_incoming(
+        inc_hashed, corpus_hashes, meta.max_hamming, meta.n_bands
     )

@@ -528,6 +528,78 @@ def check_media_neardup(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
     return _diff(exp, actual)
 
 
+def _mirror_variant_phash(cid: int, perturb: bool = False) -> tuple[str, int]:
+    """(kind, phash) for a variants-fixture content id, mirrored from
+    the formulas (never the decoder) with the independent hash
+    implementation; ``perturb`` applies the planted near-dup edit."""
+    if cid % 2 == 0:
+        h, w, ch = 8 + cid % 5, 8 + cid % 7, 1 + cid % 4
+        idx = np.arange(h * w * ch, dtype=np.uint64) + np.uint64(cid * 97003 + 1)
+        v = (idx * np.uint64(2654435761)) % np.uint64(2**32)
+        px = ((v >> np.uint64(16)) % np.uint64(256)).astype(np.int64).reshape(h, w, ch)
+        if perturb:
+            px = px.copy()
+            px[0, :, :] = np.minimum(px[0, :, :] + 8, 255)
+        lum = px[:, :, : min(3, ch)].astype(np.float64).mean(axis=2)
+        cells = np.array(
+            [
+                [
+                    lum[r0:r1, c0:c1].mean()
+                    for (c0, c1) in _mirror_bounds(lum.shape[1], 8)
+                ]
+                for (r0, r1) in _mirror_bounds(lum.shape[0], 8)
+            ]
+        )
+        return "image", _mirror_phash_bits(cells)
+    n, ch = 200 + cid % 50, 1 + cid % 2
+    idx = np.arange(n * ch, dtype=np.uint64) + np.uint64(cid * 40503 + 7)
+    v = (idx * np.uint64(2654435761)) % np.uint64(2**32)
+    fr = (((v >> np.uint64(12)) % np.uint64(65536)).astype(np.int64) - 32768).reshape(n, ch)
+    if perturb:
+        fr = fr.copy()
+        fr[:10, :] = np.clip(fr[:10, :] + 3000, -32768, 32767)
+    mono = fr.astype(np.float64).mean(axis=1)
+    blocks = np.array(
+        [mono[lo:hi].mean() for (lo, hi) in _mirror_bounds(mono.shape[0], 64)]
+    )
+    return "audio", _mirror_phash_bits(blocks)
+
+
+def check_media_incremental(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
+    """Brute-force (band-free) mirror of the incremental media-dedup
+    fixture: corpus hashes from the content formulas, incoming rows
+    classified by exact set membership / min Hamming <= 3 / new, the
+    corrupt payload pinned. A banding recall bug, a decode bug, or a
+    precedence bug (exact beats near) all break the match."""
+    corpus = {}
+    for cid in range(12):
+        k, p = _mirror_variant_phash(cid)
+        corpus.setdefault(k, set()).add(p)
+    rows = []
+    inc = (
+        [(1000 + i, cid, False) for i, cid in enumerate(range(4))]
+        + [(2000 + i, cid, True) for i, cid in enumerate(range(4, 8))]
+        + [(3000 + i, cid, False) for i, cid in enumerate(range(100, 104))]
+    )
+    for mid, cid, perturb in inc:
+        k, p = _mirror_variant_phash(cid, perturb)
+        if p in corpus.get(k, set()):
+            d = "dup_exact"
+        elif any(
+            bin((p ^ q) & ((1 << 64) - 1)).count("1") <= 3
+            for q in corpus.get(k, set())
+        ):
+            d = "dup_near"
+        else:
+            d = "new"
+        rows.append((mid, k, d))
+    rows.append((4000, "image", "corrupt"))
+    exp = pd.DataFrame(rows, columns=["media_id", "kind", "decision"]).astype(
+        {"media_id": "int64"}
+    )
+    return _diff(exp, spark_pdf.copy())
+
+
 #: name → checker, consumed by plans.queries when building QUERIES
 PY_ORACLES = {
     "q_bpe_merges": check_bpe_merges,
@@ -537,4 +609,5 @@ PY_ORACLES = {
     "q_media_decode": check_media_decode,
     "q_media_phash": check_media_phash,
     "q_media_neardup": check_media_neardup,
+    "q_media_incremental": check_media_incremental,
 }

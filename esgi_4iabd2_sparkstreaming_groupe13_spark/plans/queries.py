@@ -2196,6 +2196,53 @@ def q_media_neardup(spark, sf_dir):
     return multimodal.media_phash_neardup_pairs(media, max_hamming=3)
 
 
+def q_media_incremental(spark, sf_dir):
+    """Incremental-ingest media dedup (new r12): classify an incoming
+    batch against a media corpus — re-encoded copies (same content,
+    different bytes) -> dup_exact on the perceptual hash; edited
+    copies (few aHash bits flipped) -> dup_near via the banded
+    Hamming join; unseen contents -> new; an undecodable payload ->
+    corrupt (audit mode, surfaced not appended). Both sides decode
+    once; the cross-frame join carries (kind, 16-bit band) keys. The
+    Python oracle mirrors the content formulas and brute-forces the
+    classification without banding. phash is deliberately NOT in the
+    output: the corrupt row's NULL would force pandas to float64 and
+    a 64-bit hash does not survive a 53-bit mantissa."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    def enc(cid, variant=0, perturb=False):
+        if cid % 2 == 0:
+            px = multimodal.synth_variant_pixels(cid)
+            if perturb:
+                e = px.astype(np.int64).copy()
+                e[0, :, :] = np.minimum(e[0, :, :] + 8, 255)
+                px = e.astype(np.uint8)
+            return "image", multimodal._encode_png(px, filters=(variant % 5,))
+        fr = multimodal.synth_variant_frames(cid)
+        if perturb:
+            e = fr.astype(np.int64).copy()
+            e[:10, :] = np.clip(e[:10, :] + 3000, -32768, 32767)
+            fr = e.astype(np.int16)
+        return "audio", multimodal._encode_wav(fr, sample_rate=16000 + 1000 * variant)
+
+    schema = "media_id long, kind string, payload binary"
+    corpus = spark.createDataFrame(
+        [(cid, *enc(cid)) for cid in range(12)], schema
+    )
+    inc_rows = (
+        [(1000 + i, *enc(cid, variant=1)) for i, cid in enumerate(range(4))]
+        + [(2000 + i, *enc(cid, perturb=True)) for i, cid in enumerate(range(4, 8))]
+        + [(3000 + i, *enc(cid)) for i, cid in enumerate(range(100, 104))]
+        + [(4000, "image", b"\x89PNG\r\n\x1a\n junk")]
+    )
+    incoming = spark.createDataFrame(inc_rows, schema)
+    return multimodal.incremental_media_dedup(corpus, incoming).select(
+        "media_id", "kind", "decision"
+    )
+
+
 N_MEDIA_HEADERS = 200
 
 
@@ -7492,6 +7539,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_media_decode", q_media_decode, None, py_oracle=PY_ORACLES["q_media_decode"]),
     QuerySpec("q_media_phash", q_media_phash, None, py_oracle=PY_ORACLES["q_media_phash"]),
     QuerySpec("q_media_neardup", q_media_neardup, None, py_oracle=PY_ORACLES["q_media_neardup"]),
+    QuerySpec("q_media_incremental", q_media_incremental, None, py_oracle=PY_ORACLES["q_media_incremental"]),
     QuerySpec("q_kmeans_cells", q_kmeans_cells, None, py_oracle=PY_ORACLES["q_kmeans_cells"]),
     QuerySpec("q_ann_ivf", q_ann_ivf, None, py_oracle=PY_ORACLES["q_ann_ivf"]),
     # remainder, stale-first: r9-verified tail, then the r10-verified

@@ -222,3 +222,74 @@ def test_media_dedup_within_watermark_streaming(spark, tmp_path):
     # 3 encodings x n contents in -> n rows out, one per content
     assert len(out) == n
     assert out.groupby(["kind", "phash"]).size().max() == 1
+
+
+def _enc_cid(cid, variant=0, perturb=False):
+    if cid % 2 == 0:
+        px = multimodal.synth_variant_pixels(cid)
+        if perturb:
+            e = px.astype(np.int64).copy()
+            e[0, :, :] = np.minimum(e[0, :, :] + 8, 255)
+            px = e.astype(np.uint8)
+        return "image", multimodal._encode_png(px, filters=(variant % 5,))
+    fr = multimodal.synth_variant_frames(cid)
+    if perturb:
+        e = fr.astype(np.int64).copy()
+        e[:10, :] = np.clip(e[:10, :] + 3000, -32768, 32767)
+        fr = e.astype(np.int16)
+    return "audio", multimodal._encode_wav(fr, sample_rate=16000 + 1000 * variant)
+
+
+def _inc_fixture(spark):
+    schema = "media_id long, kind string, payload binary"
+    corpus = spark.createDataFrame(
+        [(cid, *_enc_cid(cid)) for cid in range(12)], schema
+    )
+    inc = (
+        [(1000 + i, *_enc_cid(cid, variant=1)) for i, cid in enumerate(range(4))]
+        + [(2000 + i, *_enc_cid(cid, perturb=True)) for i, cid in enumerate(range(4, 8))]
+        + [(3000 + i, *_enc_cid(cid)) for i, cid in enumerate(range(100, 104))]
+        + [(4000, "image", b"\x89PNG\r\n\x1a\n junk")]
+    )
+    return corpus, spark.createDataFrame(inc, schema)
+
+
+def test_incremental_media_dedup_decisions(spark):
+    corpus, incoming = _inc_fixture(spark)
+    dec = {
+        r["media_id"]: r["decision"]
+        for r in multimodal.incremental_media_dedup(corpus, incoming).collect()
+    }
+    assert all(dec[1000 + i] == "dup_exact" for i in range(4))
+    # perturbed copies: near OR exact (a 0-bit-flip edit is exact) —
+    # never 'new'
+    assert all(dec[2000 + i] in ("dup_near", "dup_exact") for i in range(4))
+    assert any(dec[2000 + i] == "dup_near" for i in range(4))
+    assert all(dec[3000 + i] == "new" for i in range(4))
+    assert dec[4000] == "corrupt"
+
+
+def test_incremental_media_index_roundtrip(spark, tmp_path):
+    """build -> serve (decision-equal to the self-contained form) ->
+    append survivors -> re-serve (formerly-new now dup_exact)."""
+    corpus, incoming = _inc_fixture(spark)
+    idx = str(tmp_path / "media_index")
+    multimodal.build_media_index(corpus, idx)
+    self_contained = {
+        r["media_id"]: r["decision"]
+        for r in multimodal.incremental_media_dedup(corpus, incoming).collect()
+    }
+    served = {
+        r["media_id"]: r["decision"]
+        for r in multimodal.incremental_media_dedup_indexed(incoming, idx).collect()
+    }
+    assert served == self_contained
+    new_ids = [m for m, d in served.items() if d == "new"]
+    admitted = incoming.filter(F.col("media_id").isin(new_ids))
+    multimodal.append_to_media_index(admitted, idx)
+    after = {
+        r["media_id"]: r["decision"]
+        for r in multimodal.incremental_media_dedup_indexed(incoming, idx).collect()
+    }
+    assert all(after[m] == "dup_exact" for m in new_ids)
+    assert after[4000] == "corrupt"
