@@ -429,3 +429,15 @@ def bpe_encode_counts(
             F.sum("n_toks").alias("n_tokens"),
         )
     )
+
+
+def decode_tokens(toks: Column) -> Column:
+    """Inverse of the subword encoder — pure expression, valid for ANY
+    merge table: BPE merges only ever concatenate adjacent symbols, so
+    joining a word's subword tokens and stripping the WORD_END
+    sentinel must reproduce the word exactly. ``q_bpe_roundtrip``
+    stakes that contract on every distinct corpus word (an encoder
+    that dropped, duplicated, or reordered a symbol breaks it), and
+    the DuckDB oracle states the expected truth without needing the
+    merge table at all."""
+    return F.regexp_replace(F.array_join(toks, ""), WORD_END + "$", "")

@@ -5539,6 +5539,26 @@ def q_bpe_encode(spark, sf_dir):
     )
 
 
+def q_bpe_roundtrip(spark, sf_dir):
+    """Tokenizer round-trip contract (new r12): decode(encode(w))
+    must equal w for EVERY distinct corpus word — true by
+    construction for any merge table (merges only concatenate
+    adjacent symbols), so the DuckDB oracle can state the expected
+    truth (every word, ok=1) without expressing the iterative encoder
+    at all. An encoder that drops, duplicates, or reorders a symbol
+    fails the hash match; so does a tokenization drift between the
+    two engines (the word sets diverge)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = bpe.word_frequencies(docs, "text").select("word")
+    enc = bpe.encode_words(words, BPE_FIXED_MERGES)
+    return enc.select(
+        "word",
+        (bpe.decode_tokens(F.col("toks")) == F.col("word"))
+        .cast("int")
+        .alias("ok"),
+    )
+
+
 #: q_bpe_packing bin budget, in SUBWORD tokens of the frozen merge
 #: table (a trainer's bins are measured in model tokens, not words).
 BPE_PACK_BUDGET = 2048
@@ -6884,6 +6904,10 @@ ORACLES["q_quality_score"] = _quality_score_oracle()
 ORACLES["q_data_card"] = _data_card_oracle()
 ORACLES["q_purge_audit"] = _purge_audit_oracle()
 ORACLES["q_schema_drift"] = _schema_drift_oracle()
+ORACLES["q_bpe_roundtrip"] = f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS word FROM documents)
+SELECT DISTINCT word, CAST(1 AS INTEGER) AS ok FROM tok
+"""
 
 
 def _dsir_oracle() -> str:
@@ -7466,13 +7490,14 @@ WHERE rk <= least(n, CAST(floor(
 
 QUERIES: list[QuerySpec] = [
     # ==== driver 50-entry verification window (r12 rotation) ====
-    # Stalest oracle-backed entries first: q_schema_drift (BRAND-NEW
-    # r12, SQL-oracled, zero driver rows ever), q_data_card (new in
-    # r11, first driver row ever), the 25-entry r8-verified block
-    # (q_scd2 .. q_bloom_contamination), and the head of the
-    # r9-verified block (q_tpch_q1 ..). Zero overlap with the r11
-    # window (those 50 rotate to the back, freshest); q_median_exact
-    # slides just outside and rides the next rotation. The other two
+    # Stalest oracle-backed entries first: q_schema_drift and
+    # q_bpe_roundtrip (BRAND-NEW r12, SQL-oracled, zero driver rows
+    # ever), q_data_card (new in r11, first driver row ever), the
+    # 25-entry r8-verified block (q_scd2 .. q_bloom_contamination),
+    # and the head of the r9-verified block (q_tpch_q1 ..). Zero
+    # overlap with the r11 window (those 50 rotate to the back,
+    # freshest); q_percentiles and q_median_exact slide just outside
+    # and ride the next rotation. The other two
     # new r12 entries (q_media_phash/q_media_neardup) are PYTHON-
     # oracled — rows-only at the driver's SQL gate, so putting them in
     # the window would burn verification slots (guard test in
@@ -7480,6 +7505,7 @@ QUERIES: list[QuerySpec] = [
     # rest of the py-oracle block and are verified by
     # scripts/oracle_check.py instead.
     QuerySpec("q_schema_drift", q_schema_drift, ORACLES["q_schema_drift"]),
+    QuerySpec("q_bpe_roundtrip", q_bpe_roundtrip, ORACLES["q_bpe_roundtrip"]),
     QuerySpec("q_data_card", q_data_card, ORACLES["q_data_card"]),
     QuerySpec("q_scd2", q_scd2, ORACLES["q_scd2"], True),
     QuerySpec("q_split_leakage", q_split_leakage, ORACLES["q_split_leakage"]),

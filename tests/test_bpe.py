@@ -291,3 +291,46 @@ def test_fit_or_load_refuses_remote_model_path(spark, words_df):
     a remote scheme would silently refit on every call — refuse loudly."""
     with pytest.raises(ValueError, match="local-filesystem"):
         bpe.bpe_fit_or_load(spark, words_df, "s3://bucket/model", 4)
+
+
+def test_decode_tokens_roundtrip_all_words(spark, sf_dir):
+    """decode(encode(w)) == w for every distinct corpus word — and the
+    decode is a pure expression, so a symbol dropped/duplicated by the
+    encoder is the only way to fail."""
+    from pyspark.sql import functions as F
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import bpe
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = bpe.word_frequencies(docs, "text").select("word")
+    merges, _ = bpe.bpe_train(bpe.word_frequencies(docs, "text"), 12)
+    table = [
+        (r["sym_left"], r["sym_right"])
+        for r in merges.orderBy("rank").collect()
+    ]
+    enc = bpe.encode_words(words, table)
+    bad = enc.filter(
+        bpe.decode_tokens(F.col("toks")) != F.col("word")
+    ).count()
+    assert bad == 0
+
+
+def test_decode_tokens_detects_symbol_loss(spark):
+    """A corrupted token sequence (symbol dropped) must NOT round-trip."""
+    from pyspark.sql import functions as F
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [("hello", ["he", "llo</w>"]), ("world", ["w", "rld</w>"])],
+        "word string, toks array<string>",
+    )
+    got = {
+        r["word"]: r["ok"]
+        for r in df.select(
+            "word",
+            (bpe.decode_tokens(F.col("toks")) == F.col("word")).alias("ok"),
+        ).collect()
+    }
+    assert got == {"hello": True, "world": False}
