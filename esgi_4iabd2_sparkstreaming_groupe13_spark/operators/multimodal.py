@@ -673,6 +673,12 @@ def media_phash(
     if on_unsupported not in ("raise", "null"):
         raise ValueError("on_unsupported must be 'raise' or 'null'")
     extra_cols = list(extra_cols or [])
+    base = {f.name for f in PHASH_SCHEMA.fields}
+    clash = [c for c in extra_cols if c in base]
+    if clash:
+        raise ValueError(
+            f"extra_cols {clash} collide with the phash output columns"
+        )
     out_schema = T.StructType(
         list(PHASH_SCHEMA.fields) + [df.schema[c] for c in extra_cols]
     )

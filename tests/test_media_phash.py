@@ -293,3 +293,9 @@ def test_incremental_media_index_roundtrip(spark, tmp_path):
     }
     assert all(after[m] == "dup_exact" for m in new_ids)
     assert after[4000] == "corrupt"
+
+
+def test_media_phash_rejects_colliding_extra_cols(spark):
+    media = multimodal.synth_real_media_variants(spark, n_contents=2)
+    with pytest.raises(ValueError, match="collide"):
+        multimodal.media_phash(media, extra_cols=["kind"])
