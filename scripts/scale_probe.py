@@ -79,7 +79,8 @@ ALL_OPS = (
     "substring_dedup quality_score embed_norm entity_match agg_state "
     "bm25 gap_fill triangles pagerank global_shuffle dsir ppl_buckets jl "
     "semdedup prep shard_assign pq_adc bpe hist_state bpe_chain backoff "
-    "profile ivf_index lsh_hot_bucket data_card purge_audit media_phash"
+    "profile ivf_index lsh_hot_bucket data_card purge_audit media_phash "
+    "schema_drift media_incremental"
 ).split()
 
 
@@ -1806,6 +1807,110 @@ def main() -> None:
                 f"media_phash {factor}x", _mm.media_phash_dedup(mN)
             ),
         }
+
+    # --- documents: schema-evolution audit (q_schema_drift, new r12).
+    # Two 1-row null-count aggregates (one per snapshot side) — the
+    # expectation is a pure scan-bound linear wall with an O(columns)
+    # driver result regardless of corpus size.
+    if want("schema_drift"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import (
+            maintenance as _maint,
+        )
+
+        sd1 = load_table(spark, SF_DIR, "documents")
+        sdN = scaled(sd1, factor, ["doc_id"], 100_000_000)
+        sdN.write.mode("overwrite").parquet(f"{tmp}/sdN.parquet")
+        sdN = spark.read.parquet(f"{tmp}/sdN.parquet")
+
+        def drift(d):
+            v2 = (
+                d.drop("source")
+                .withColumn(
+                    "lang",
+                    F.when(
+                        F.col("doc_id") % 7 == 0,
+                        F.lit(None).cast("string"),
+                    ).otherwise(F.col("lang")),
+                )
+                .withColumn("n_chars", F.col("n_chars").cast("int"))
+            )
+            return _maint.schema_drift_report(d, v2)
+
+        results["schema_drift"] = {
+            "t1": timed("schema_drift 1x", drift(sd1)),
+            "tN": timed(f"schema_drift {factor}x", drift(sdN)),
+        }
+
+    # --- media: incremental dedup vs a persisted hash index
+    # (q_media_incremental, new r12). The corpus index grows 1x -> Nx
+    # while the incoming batch stays FIXED — the nightly-ingest
+    # contract: serve cost must track the increment (its decode +
+    # a banded join against 8-byte hash rows), not the corpus. BUILD
+    # is corpus-sized by design (one decode pass), amortized per
+    # corpus version — both are timed, like the IVF build/serve split.
+    if want("media_incremental"):
+        import shutil as _sh
+
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import (
+            multimodal as _mm2,
+        )
+        import pandas as _pd2
+
+        def synth_media_rows(n_rows: int, name: str, base: int = 0):
+            def enc(batches):
+                for pdf in batches:
+                    ids, kinds, payloads = [], [], []
+                    for mid in pdf["id"]:
+                        mid = int(mid) + base
+                        cid, v = mid // 3, mid % 3
+                        if cid % 2 == 0:
+                            payloads.append(
+                                _mm2._encode_png(
+                                    _mm2.synth_variant_pixels(cid),
+                                    filters=(v % 5,),
+                                )
+                            )
+                            kinds.append("image")
+                        else:
+                            payloads.append(
+                                _mm2._encode_wav(
+                                    _mm2.synth_variant_frames(cid),
+                                    sample_rate=16000 + 1000 * v,
+                                )
+                            )
+                            kinds.append("audio")
+                        ids.append(mid)
+                    yield _pd2.DataFrame(
+                        {"media_id": ids, "kind": kinds, "payload": payloads}
+                    )
+
+            spark.range(n_rows).repartition(32).mapInPandas(
+                enc, "media_id long, kind string, payload binary"
+            ).write.mode("overwrite").parquet(f"{tmp}/{name}")
+            return spark.read.parquet(f"{tmp}/{name}")
+
+        mi_base = 1_200
+        c1 = synth_media_rows(mi_base, "mi_c1.parquet")
+        cN = synth_media_rows(mi_base * factor, "mi_cN.parquet")
+        inc = synth_media_rows(600, "mi_inc.parquet", base=90_000_000)
+
+        def build_and_serve(corpus_df, tag):
+            idx = f"{tmp}/mi_idx_{tag}"
+            _sh.rmtree(idx, ignore_errors=True)
+            t0 = time.perf_counter()
+            _mm2.build_media_index(corpus_df, idx)
+            tb = round(time.perf_counter() - t0, 2)
+            ts = timed(
+                f"media_incremental serve {tag}",
+                _mm2.incremental_media_dedup_indexed(inc, idx),
+            )
+            print(f"# media_incremental build {tag}: {tb}s", file=sys.stderr)
+            return tb, ts
+
+        b1, s1 = build_and_serve(c1, "1x")
+        bN, sN = build_and_serve(cN, f"{factor}x")
+        results["media_incremental_build"] = {"t1": b1, "tN": bN}
+        results["media_incremental_serve"] = {"t1": s1, "tN": sN}
 
     for op, r in results.items():
         r["ratio"] = round(r["tN"] / max(r["t1"], 0.01), 1)
