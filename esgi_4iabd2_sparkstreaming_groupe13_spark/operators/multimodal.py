@@ -1100,3 +1100,59 @@ def incremental_media_dedup_indexed(
     return _classify_incoming(
         inc_hashed, corpus_hashes, meta.max_hamming, meta.n_bands
     )
+
+
+def media_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    on_unsupported: str = "null",
+) -> DataFrame:
+    """Benchmark decontamination for MEDIA (the payload-side twin of
+    the n-gram/bloom text contamination scan): flag every corpus
+    payload whose perceptual hash is within ``max_hamming`` bits of a
+    benchmark item — catching re-encoded and lightly edited benchmark
+    copies that byte comparison misses. Returns one row per
+    contaminated (corpus, benchmark) pair with the exact Hamming
+    distance, so the audit names WHICH benchmark item leaked, not
+    just that something did.
+
+    Scale shape: benchmark suites are tiny next to a training corpus
+    — their hash frame is metadata-sized — while the corpus side is
+    one Arrow decode pass; the banded equi-join keys on (kind, 16-bit
+    band) and recall is 1 for distance <= ``max_hamming`` by the
+    pigeonhole argument. Output: (media_id, kind, bench_id, hamming).
+    """
+    _require_phash_geometry(max_hamming, n_bands)
+    cor = (
+        media_phash(corpus, on_unsupported=on_unsupported)
+        .filter(F.col("phash").isNotNull())
+        .localCheckpoint()
+    )
+    ben = (
+        media_phash(benchmark, on_unsupported=on_unsupported)
+        .filter(F.col("phash").isNotNull())
+        .localCheckpoint()
+    )
+    a = _phash_bands(cor, n_bands).alias("a")
+    b = _phash_bands(ben, n_bands).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.kind") == F.col("b.kind"))
+            & (F.col("a.band_ix") == F.col("b.band_ix"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id"),
+            F.col("a.kind").alias("kind"),
+            F.col("b.media_id").alias("bench_id"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(ph_a ^ ph_b)").cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_id", "kind", "bench_id", "hamming")
+    )

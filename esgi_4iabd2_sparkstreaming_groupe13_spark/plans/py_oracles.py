@@ -600,6 +600,32 @@ def check_media_incremental(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
     return _diff(exp, spark_pdf.copy())
 
 
+def check_media_contamination(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
+    """Band-free brute-force mirror of the media decontamination
+    fixture: all within-kind corpus x benchmark pairs at Hamming <= 3
+    over formula-derived hashes."""
+    bench = [(i, *_mirror_variant_phash(200 + i)) for i in range(8)]
+    corpus = (
+        [(5000 + i, *_mirror_variant_phash(300 + i)) for i in range(12)]
+        + [(6000 + i, *_mirror_variant_phash(200 + i)) for i in range(3)]
+        + [(7000 + i, *_mirror_variant_phash(203 + i, perturb=True)) for i in range(2)]
+    )
+    rows = []
+    for mid, ck, cp in corpus:
+        for bid, bk, bp in bench:
+            if ck != bk:
+                continue
+            d = bin((cp ^ bp) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                rows.append((mid, ck, bid, d))
+    exp = pd.DataFrame(
+        rows, columns=["media_id", "kind", "bench_id", "hamming"]
+    ).astype({"media_id": "int64", "bench_id": "int64", "hamming": "int32"})
+    actual = spark_pdf.copy()
+    actual["hamming"] = actual["hamming"].astype("int32")
+    return _diff(exp, actual)
+
+
 #: name → checker, consumed by plans.queries when building QUERIES
 PY_ORACLES = {
     "q_bpe_merges": check_bpe_merges,
@@ -610,4 +636,5 @@ PY_ORACLES = {
     "q_media_phash": check_media_phash,
     "q_media_neardup": check_media_neardup,
     "q_media_incremental": check_media_incremental,
+    "q_media_contamination": check_media_contamination,
 }

@@ -2243,6 +2243,47 @@ def q_media_incremental(spark, sf_dir):
     )
 
 
+def q_media_contamination(spark, sf_dir):
+    """Benchmark decontamination for media (new r12): the corpus
+    carries planted leaks — re-encoded benchmark items (different
+    bytes, identical content) and lightly edited ones (few aHash bits
+    flipped) — among clean payloads. media_contamination names every
+    (corpus, benchmark) pair within Hamming 3 of each other with the
+    exact distance. The Python oracle brute-forces all within-kind
+    corpus x benchmark pairs over mirrored formulas without banding,
+    so banding recall and the decode are both on the hook."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    def enc(cid, variant=0, perturb=False):
+        if cid % 2 == 0:
+            px = multimodal.synth_variant_pixels(cid)
+            if perturb:
+                e = px.astype(np.int64).copy()
+                e[0, :, :] = np.minimum(e[0, :, :] + 8, 255)
+                px = e.astype(np.uint8)
+            return "image", multimodal._encode_png(px, filters=(variant % 5,))
+        fr = multimodal.synth_variant_frames(cid)
+        if perturb:
+            e = fr.astype(np.int64).copy()
+            e[:10, :] = np.clip(e[:10, :] + 3000, -32768, 32767)
+            fr = e.astype(np.int16)
+        return "audio", multimodal._encode_wav(fr, sample_rate=16000 + 1000 * variant)
+
+    schema = "media_id long, kind string, payload binary"
+    bench = spark.createDataFrame(
+        [(i, *enc(200 + i)) for i in range(8)], schema
+    )
+    corpus_rows = (
+        [(5000 + i, *enc(300 + i)) for i in range(12)]
+        + [(6000 + i, *enc(200 + i, variant=1)) for i in range(3)]
+        + [(7000 + i, *enc(203 + i, perturb=True)) for i in range(2)]
+    )
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    return multimodal.media_contamination(corpus, bench)
+
+
 N_MEDIA_HEADERS = 200
 
 
@@ -7566,6 +7607,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_media_phash", q_media_phash, None, py_oracle=PY_ORACLES["q_media_phash"]),
     QuerySpec("q_media_neardup", q_media_neardup, None, py_oracle=PY_ORACLES["q_media_neardup"]),
     QuerySpec("q_media_incremental", q_media_incremental, None, py_oracle=PY_ORACLES["q_media_incremental"]),
+    QuerySpec("q_media_contamination", q_media_contamination, None, py_oracle=PY_ORACLES["q_media_contamination"]),
     QuerySpec("q_kmeans_cells", q_kmeans_cells, None, py_oracle=PY_ORACLES["q_kmeans_cells"]),
     QuerySpec("q_ann_ivf", q_ann_ivf, None, py_oracle=PY_ORACLES["q_ann_ivf"]),
     # remainder, stale-first: r9-verified tail, then the r10-verified

@@ -299,3 +299,23 @@ def test_media_phash_rejects_colliding_extra_cols(spark):
     media = multimodal.synth_real_media_variants(spark, n_contents=2)
     with pytest.raises(ValueError, match="collide"):
         multimodal.media_phash(media, extra_cols=["kind"])
+
+
+def test_media_contamination_names_the_leaks(spark):
+    """Planted benchmark leaks (re-encoded + edited) must be named
+    with the RIGHT bench_id; clean contents must produce no pairs."""
+    bench = spark.createDataFrame(
+        [(i, *_enc_cid(200 + i)) for i in range(6)],
+        "media_id long, kind string, payload binary",
+    )
+    corpus = spark.createDataFrame(
+        [(5000 + i, *_enc_cid(300 + i)) for i in range(8)]
+        + [(6000, *_enc_cid(200, variant=2))]       # re-encode of bench 0
+        + [(7000, *_enc_cid(201, perturb=True))],   # edited copy of bench 1
+        "media_id long, kind string, payload binary",
+    )
+    pairs = multimodal.media_contamination(corpus, bench).toPandas()
+    got = {(r.media_id, r.bench_id): r.hamming for r in pairs.itertuples()}
+    assert (6000, 0) in got and got[(6000, 0)] == 0
+    assert (7000, 1) in got and got[(7000, 1)] <= 3
+    assert all(mid >= 6000 for (mid, _) in got)
