@@ -1912,6 +1912,23 @@ def main() -> None:
         results["media_incremental_build"] = {"t1": b1, "tN": bN}
         results["media_incremental_serve"] = {"t1": s1, "tN": sN}
 
+        # --- media contamination at scale (q_media_contamination,
+        # new r12): the CORPUS grows 1x -> Nx against a FIXED small
+        # benchmark — the decontamination contract. Expected: wall
+        # tracks the corpus decode (same slope as media_phash); the
+        # benchmark hash frame is metadata-sized by construction.
+        bench = synth_media_rows(64, "mi_bench.parquet", base=90_000_000)
+        results["media_contamination"] = {
+            "t1": timed(
+                "media_contamination 1x",
+                _mm2.media_contamination(c1, bench),
+            ),
+            "tN": timed(
+                f"media_contamination {factor}x",
+                _mm2.media_contamination(cN, bench),
+            ),
+        }
+
     for op, r in results.items():
         r["ratio"] = round(r["tN"] / max(r["t1"], 0.01), 1)
     print(json.dumps({"factor": factor, "results": results}))
