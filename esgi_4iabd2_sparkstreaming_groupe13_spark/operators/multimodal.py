@@ -960,6 +960,70 @@ def synth_real_media_neardups(
     )
 
 
+def media_hashes(df: DataFrame, on_unsupported: str = "raise") -> DataFrame:
+    """One decode pass emitting BOTH dedup keys per payload: the
+    64-bit perceptual hash (near-dup candidate tier) and the exact
+    decoded-content sha256 (zero-FP merge tier — see
+    :func:`content_digest` for why phash equality is not a merge
+    decision). Payload decoded once; both keys derive from the same
+    pixel/frame array."""
+    if on_unsupported not in ("raise", "null"):
+        raise ValueError("on_unsupported must be 'raise' or 'null'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct as _struct
+        import zlib
+
+        for pdf in batches:
+            hashes, digests = [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    fmt = _sniff_header(raw)[0]
+                    if fmt == "png":
+                        px = decode_png(raw)
+                        hashes.append(phash_from_pixels(px))
+                        digests.append(
+                            hashlib.sha256(
+                                b"img"
+                                + _struct.pack(">III", *px.shape)
+                                + px.tobytes()
+                            ).hexdigest()
+                        )
+                    elif fmt == "wav":
+                        fr = decode_wav(raw)
+                        hashes.append(phash_from_frames(fr))
+                        digests.append(
+                            hashlib.sha256(
+                                b"aud"
+                                + _struct.pack(">II", *fr.shape)
+                                + fr.tobytes()
+                            ).hexdigest()
+                        )
+                    else:
+                        raise NotImplementedError(
+                            f"no decoder for sniffed format {fmt!r}"
+                        )
+                except (NotImplementedError, ValueError, zlib.error):
+                    if on_unsupported == "raise":
+                        raise
+                    hashes.append(None)
+                    digests.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "phash": pd.array(hashes, dtype="Int64"),
+                    "digest": digests,
+                }
+            )
+
+    return df.mapInPandas(
+        run, "media_id long, kind string, phash long, digest string"
+    )
+
+
 def _classify_incoming(
     inc_hashed: DataFrame,
     corpus_hashes: DataFrame,
@@ -967,15 +1031,18 @@ def _classify_incoming(
     n_bands: int,
 ) -> DataFrame:
     """Shared decision core of the incremental media-dedup paths:
-    classify already-hashed incoming rows against a corpus hash set
-    as ``dup_exact`` (identical (kind, phash)), ``dup_near`` (within
-    ``max_hamming`` via the banded join), ``new``, or ``corrupt``
-    (NULL hash — audit-mode undecodable; surfaced, never appended).
-    Exact beats near; incoming-vs-incoming duplication is out of
-    scope by the same contract as ``dedup.incremental_dedup``."""
+    classify already-hashed incoming rows (phash + digest frames from
+    :func:`media_hashes`) against a corpus hash set as ``dup_exact``
+    (identical (kind, DIGEST) — the zero-FP merge key; phash equality
+    false-merges at ~1e-4 per content pair, BASELINE r12 precision
+    audit), ``dup_near`` (within ``max_hamming`` phash bits via the
+    banded join), ``new``, or ``corrupt`` (NULL hash — audit-mode
+    undecodable; surfaced, never appended). Exact beats near;
+    incoming-vs-incoming duplication is out of scope by the same
+    contract as ``dedup.incremental_dedup``."""
     valid = inc_hashed.filter(F.col("phash").isNotNull())
     exact_keys = (
-        corpus_hashes.select("kind", "phash")
+        corpus_hashes.select("kind", "digest")
         .distinct()
         .withColumn("_ex", F.lit(1))
     )
@@ -1000,7 +1067,7 @@ def _classify_incoming(
         .withColumn("_nr", F.lit(1))
     )
     return (
-        inc_hashed.join(exact_keys, ["kind", "phash"], "left")
+        inc_hashed.join(exact_keys, ["kind", "digest"], "left")
         .join(near_ids, "media_id", "left")
         .select(
             "media_id",
@@ -1035,11 +1102,11 @@ def incremental_media_dedup(
     :func:`incremental_media_dedup_indexed` (pytest-pinned
     decision-equal to this self-contained form)."""
     _require_phash_geometry(max_hamming, n_bands)
-    inc_hashed = media_phash(
+    inc_hashed = media_hashes(
         incoming, on_unsupported=on_unsupported
     ).localCheckpoint()
     cor_hashed = (
-        media_phash(corpus, on_unsupported=on_unsupported)
+        media_hashes(corpus, on_unsupported=on_unsupported)
         .filter(F.col("phash").isNotNull())
         .localCheckpoint()
     )
@@ -1060,7 +1127,7 @@ def build_media_index(
     never the payloads — plus a meta table pinning the banding
     geometry so the serve path can refuse a mismatched index."""
     _require_phash_geometry(max_hamming, n_bands)
-    hashed = media_phash(corpus, on_unsupported=on_unsupported).filter(
+    hashed = media_hashes(corpus, on_unsupported=on_unsupported).filter(
         F.col("phash").isNotNull()
     )
     hashed.write.mode("overwrite").parquet(f"{index_path}/hashes")
@@ -1078,7 +1145,7 @@ def append_to_media_index(
     ``dedup.append_to_dedup_index``: materialize the admitted set
     before appending, or a lazy frame derived from this index will
     match its own newly-appended hashes on re-execution."""
-    media_phash(admitted, on_unsupported=on_unsupported).filter(
+    media_hashes(admitted, on_unsupported=on_unsupported).filter(
         F.col("phash").isNotNull()
     ).write.mode("append").parquet(f"{index_path}/hashes")
 
@@ -1093,10 +1160,16 @@ def incremental_media_dedup_indexed(
     silently miss every near-dup, so it is pinned at build time)."""
     spark = incoming.sparkSession
     meta = spark.read.parquet(f"{index_path}/meta").head()
-    inc_hashed = media_phash(
+    inc_hashed = media_hashes(
         incoming, on_unsupported=on_unsupported
     ).localCheckpoint()
     corpus_hashes = spark.read.parquet(f"{index_path}/hashes")
+    if "digest" not in corpus_hashes.columns:
+        raise ValueError(
+            "media index at %r predates the digest-keyed exact tier "
+            "(r12 precision audit) — rebuild it with build_media_index"
+            % index_path
+        )
     return _classify_incoming(
         inc_hashed, corpus_hashes, meta.max_hamming, meta.n_bands
     )

@@ -565,16 +565,49 @@ def _mirror_variant_phash(cid: int, perturb: bool = False) -> tuple[str, int]:
     return "audio", _mirror_phash_bits(blocks)
 
 
+def _mirror_variant_digest(cid: int, perturb: bool = False) -> str:
+    """Exact decoded-content digest mirrored from the FORMULAS (never
+    the decoder): sha256 over the shape-prefixed pixel/PCM bytes,
+    byte-identical to the engine's media_hashes digest."""
+    import hashlib
+    import struct as _struct
+
+    if cid % 2 == 0:
+        h, w, ch = 8 + cid % 5, 8 + cid % 7, 1 + cid % 4
+        idx = np.arange(h * w * ch, dtype=np.uint64) + np.uint64(cid * 97003 + 1)
+        v = (idx * np.uint64(2654435761)) % np.uint64(2**32)
+        px = ((v >> np.uint64(16)) % np.uint64(256)).astype(np.int64).reshape(h, w, ch)
+        if perturb:
+            px = px.copy()
+            px[0, :, :] = np.minimum(px[0, :, :] + 8, 255)
+        arr = px.astype(np.uint8)
+        head = b"img" + _struct.pack(">III", *arr.shape)
+    else:
+        n, ch = 200 + cid % 50, 1 + cid % 2
+        idx = np.arange(n * ch, dtype=np.uint64) + np.uint64(cid * 40503 + 7)
+        v = (idx * np.uint64(2654435761)) % np.uint64(2**32)
+        fr = (((v >> np.uint64(12)) % np.uint64(65536)).astype(np.int64) - 32768).reshape(n, ch)
+        if perturb:
+            fr = fr.copy()
+            fr[:10, :] = np.clip(fr[:10, :] + 3000, -32768, 32767)
+        arr = fr.astype(np.int16)
+        head = b"aud" + _struct.pack(">II", *arr.shape)
+    return hashlib.sha256(head + arr.tobytes()).hexdigest()
+
+
 def check_media_incremental(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
     """Brute-force (band-free) mirror of the incremental media-dedup
-    fixture: corpus hashes from the content formulas, incoming rows
-    classified by exact set membership / min Hamming <= 3 / new, the
-    corrupt payload pinned. A banding recall bug, a decode bug, or a
-    precedence bug (exact beats near) all break the match."""
-    corpus = {}
+    fixture. dup_exact is keyed on the DECODED-CONTENT DIGEST (the
+    r12 precision audit: phash equality false-merges — and an edited
+    copy whose aHash happens not to move is NEAR, not exact);
+    dup_near is min phash Hamming <= 3 among non-exact. A banding
+    recall bug, a decode bug, a digest bug, or a precedence bug all
+    break the match."""
+    corpus_digests, corpus_hashes = {}, {}
     for cid in range(12):
         k, p = _mirror_variant_phash(cid)
-        corpus.setdefault(k, set()).add(p)
+        corpus_hashes.setdefault(k, set()).add(p)
+        corpus_digests.setdefault(k, set()).add(_mirror_variant_digest(cid))
     rows = []
     inc = (
         [(1000 + i, cid, False) for i, cid in enumerate(range(4))]
@@ -583,11 +616,12 @@ def check_media_incremental(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
     )
     for mid, cid, perturb in inc:
         k, p = _mirror_variant_phash(cid, perturb)
-        if p in corpus.get(k, set()):
+        dg = _mirror_variant_digest(cid, perturb)
+        if dg in corpus_digests.get(k, set()):
             d = "dup_exact"
         elif any(
             bin((p ^ q) & ((1 << 64) - 1)).count("1") <= 3
-            for q in corpus.get(k, set())
+            for q in corpus_hashes.get(k, set())
         ):
             d = "dup_near"
         else:

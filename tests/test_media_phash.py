@@ -261,10 +261,10 @@ def test_incremental_media_dedup_decisions(spark):
         for r in multimodal.incremental_media_dedup(corpus, incoming).collect()
     }
     assert all(dec[1000 + i] == "dup_exact" for i in range(4))
-    # perturbed copies: near OR exact (a 0-bit-flip edit is exact) —
-    # never 'new'
-    assert all(dec[2000 + i] in ("dup_near", "dup_exact") for i in range(4))
-    assert any(dec[2000 + i] == "dup_near" for i in range(4))
+    # perturbed copies: the content CHANGED, so the digest-keyed exact
+    # tier must never claim dup_exact — even when the edit flips zero
+    # aHash bits (the r12 precision-audit fix); all land dup_near
+    assert all(dec[2000 + i] == "dup_near" for i in range(4))
     assert all(dec[3000 + i] == "new" for i in range(4))
     assert dec[4000] == "corrupt"
 
@@ -366,3 +366,37 @@ def test_media_content_dedup_groups_reencodes(spark):
     assert len(out) == 24
     assert (out["group_size"] == 3).all()
     assert sorted(out["group_rep"].unique()) == [i * 3 for i in range(8)]
+
+
+def test_incremental_exact_tier_is_digest_keyed(spark):
+    """The zero-FP exact-tier claim, on a REAL phash collision:
+    corpus content 106 and incoming content 1730 share the exact
+    64-bit aHash but differ in pixels — the digest-keyed exact tier
+    must classify the incoming row dup_near (phash distance 0 makes
+    it a candidate), NEVER dup_exact."""
+    schema = "media_id long, kind string, payload binary"
+    corpus = spark.createDataFrame(
+        [(0, "image", multimodal._encode_png(multimodal.synth_variant_pixels(106)))],
+        schema,
+    )
+    incoming = spark.createDataFrame(
+        [(1, "image", multimodal._encode_png(multimodal.synth_variant_pixels(1730)))],
+        schema,
+    )
+    row = multimodal.incremental_media_dedup(corpus, incoming).collect()[0]
+    assert row["decision"] == "dup_near"
+
+
+def test_indexed_serve_refuses_pre_digest_index(spark, tmp_path):
+    corpus, incoming = _inc_fixture(spark)
+    idx = str(tmp_path / "old_index")
+    multimodal.build_media_index(corpus, idx)
+    # simulate a pre-r12 index: strip the digest column in place
+    legacy = spark.read.parquet(f"{idx}/hashes").drop("digest")
+    legacy.write.mode("overwrite").parquet(f"{idx}/hashes_legacy")
+    import shutil
+
+    shutil.rmtree(f"{idx}/hashes")
+    shutil.move(f"{idx}/hashes_legacy", f"{idx}/hashes")
+    with pytest.raises(ValueError, match="digest"):
+        multimodal.incremental_media_dedup_indexed(incoming, idx).collect()
