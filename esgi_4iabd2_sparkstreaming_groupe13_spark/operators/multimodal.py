@@ -310,7 +310,7 @@ def _real_feature(buf: bytes) -> list[float] | None:
     fmt = _sniff_header(buf)[0]
     if fmt == "png":
         px = decode_png(buf)
-        lum = px[:, :, : min(3, px.shape[2])].mean(axis=2)
+        lum = px[:, :, : _lum_planes(px.shape[2])].mean(axis=2)
         hist = np.bincount(
             (lum.astype(np.int64) >> 5).ravel(), minlength=8
         ).astype(np.float64)
@@ -601,6 +601,14 @@ def _pack_bits(bits: list[int]) -> int:
     return v - (1 << 64) if v >= 1 << 63 else v
 
 
+def _lum_planes(ch: int) -> int:
+    """Color planes contributing to luminance: 2-channel gray+alpha
+    and 4-channel RGBA drop the trailing ALPHA plane — an alpha edit
+    must not move a CONTENT hash (r13, was inconsistently averaging
+    alpha into 2-channel luminance only). 1/3-channel use all."""
+    return 1 if ch <= 2 else 3
+
+
 def phash_from_pixels(px: np.ndarray) -> int:
     """8x8 average-hash (aHash) over the luminance plane: block-mean
     the image onto an 8x8 grid, threshold each cell at the grid mean.
@@ -608,7 +616,7 @@ def phash_from_pixels(px: np.ndarray) -> int:
     (PNG filter choice, compression level) and robust to small pixel
     noise, which is exactly what byte-level dedup_exact_content
     cannot see."""
-    lum = px[:, :, : min(3, px.shape[2])].astype(np.float64).mean(axis=2)
+    lum = px[:, :, : _lum_planes(px.shape[2])].astype(np.float64).mean(axis=2)
     h, w = lum.shape
     cells = np.empty((8, 8), dtype=np.float64)
     for i, (r0, r1) in enumerate(_axis_cells(h, 8)):
@@ -630,14 +638,20 @@ def phash_from_frames(frames: np.ndarray) -> int:
     return _pack_bits([int(b >= thr) for b in blocks])
 
 
-def _phash(buf: bytes) -> int:
-    """Sniff + decode + perceptual-hash one payload (PNG/WAV stdlib
-    decoders; JPEG/GIF Pillow-gated exactly like :func:`_real_feature`)."""
+def _decode_content(buf: bytes) -> tuple[str, np.ndarray]:
+    """Sniff + decode one payload to its canonical content array:
+    ``('img', HxWxC uint8 pixels)`` or ``('aud', NxC int16 frames)``.
+    PNG/WAV via the stdlib-only decoders; JPEG/GIF Pillow-gated
+    (converted to RGB so hashes and digests see PIXELS, not codec
+    bytes). The ONE decode entry point shared by :func:`_phash`,
+    :func:`content_digest`, and :func:`media_hashes` — so no hash
+    tier can ever support a format another tier calls corrupt (r13,
+    closes the jpeg/gif capability gap in the digest paths)."""
     fmt = _sniff_header(buf)[0]
     if fmt == "png":
-        return phash_from_pixels(decode_png(buf))
+        return "img", decode_png(buf)
     if fmt == "wav":
-        return phash_from_frames(decode_wav(buf))
+        return "aud", decode_wav(buf)
     if fmt in ("jpeg", "gif"):
         try:
             import io
@@ -645,11 +659,17 @@ def _phash(buf: bytes) -> int:
             from PIL import Image  # optional extra (absent in sandbox)
         except ImportError as ex:
             raise NotImplementedError(
-                f"{fmt} phash requires Pillow, which is not installed"
+                f"{fmt} decode requires Pillow, which is not installed"
             ) from ex
-        px = np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
-        return phash_from_pixels(px)
+        return "img", np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
     raise NotImplementedError(f"no decoder for sniffed format {fmt!r}")
+
+
+def _phash(buf: bytes) -> int:
+    """Sniff + decode + perceptual-hash one payload (PNG/WAV stdlib
+    decoders; JPEG/GIF Pillow-gated exactly like :func:`_real_feature`)."""
+    tag, arr = _decode_content(buf)
+    return phash_from_pixels(arr) if tag == "img" else phash_from_frames(arr)
 
 
 def media_phash(
@@ -667,8 +687,8 @@ def media_phash(
     (explicit gate) or ``"null"`` (audit mode — one corrupt file
     degrades to a NULL hash instead of killing a 100 TB scan).
     ``extra_cols`` pass through unchanged (e.g. the event-time column
-    a streaming watermark needs, ``streaming.stateful.
-    media_dedup_within_watermark``).
+    a streaming watermark needs — the streaming dedup itself rides
+    :func:`media_hashes` for its digest key).
     """
     if on_unsupported not in ("raise", "null"):
         raise ValueError("on_unsupported must be 'raise' or 'null'")
@@ -824,17 +844,23 @@ def _require_phash_geometry(max_hamming: int, n_bands: int) -> None:
         raise ValueError("n_bands must divide 64")
 
 
-def _phash_bands(hashed: DataFrame, n_bands: int) -> DataFrame:
+def _phash_bands(
+    hashed: DataFrame, n_bands: int, extra: list[str] | None = None
+) -> DataFrame:
     """Explode each 64-bit hash into ``n_bands`` disjoint bands
     (band_ix, band_val) — the equi-join key of every banded Hamming
     path (pair finding, index serve). One definition so two sides of
-    a cross-frame join can never band differently."""
+    a cross-frame join can never band differently. ``extra`` columns
+    ride along (the contamination audit carries the content digest to
+    confirm Hamming-0 candidates as exact)."""
+    extra = list(extra or [])
     width = 64 // n_bands
     mask = (1 << width) - 1
     return hashed.select(
         "media_id",
         "kind",
         "phash",
+        *extra,
         F.explode(
             F.array(
                 *[
@@ -849,7 +875,12 @@ def _phash_bands(hashed: DataFrame, n_bands: int) -> DataFrame:
             )
         ).alias("b"),
     ).select(
-        "media_id", "kind", "phash", F.col("b.band_ix"), F.col("b.band_val")
+        "media_id",
+        "kind",
+        "phash",
+        *extra,
+        F.col("b.band_ix"),
+        F.col("b.band_val"),
     )
 
 
@@ -858,6 +889,7 @@ def media_phash_neardup_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     on_unsupported: str = "raise",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """NEAR-duplicate media pairs via banded Hamming join over the
     perceptual hash — the scale tier above exact-phash grouping
@@ -875,8 +907,26 @@ def media_phash_neardup_pairs(
     keyed on 16-bit band values, never all-pairs; the exchange carries
     (kind, band, two 8-byte hashes) — payloads stay in the decode
     stage. Output: (kind, id_a, id_b, hamming), id_a < id_b.
+
+    ``max_bucket_size`` (r13) is the HOT-BUCKET guard, the exact twin
+    of ``dedup.minhash_lsh_pairs``'s r11 cap: the self-join emits
+    |bucket|^2 candidates per (kind, band, value) key, and the r13
+    100x probe measured the output QUADRATIC in contents on
+    low-resolution fixtures (1.88M pairs at 40k contents — the aHash
+    FP floor compounding with bucket size). Buckets above the cap are
+    excluded from candidate generation (count aggregate + semi-join on
+    the join key); a true pair is missed only if EVERY band it shares
+    is over-cap — by construction the giant near-identical cluster,
+    which belongs in the exact digest tier
+    (:func:`media_content_dedup`), not pairwise Hamming. None
+    (default) preserves the uncapped recall-1 parity semantics.
     """
     _require_phash_geometry(max_hamming, n_bands)
+    if max_bucket_size is not None and max_bucket_size < 2:
+        raise ValueError(
+            f"max_bucket_size must be >= 2 (a pair needs both members "
+            f"in the bucket), got {max_bucket_size}"
+        )
     # checkpoint the (metadata-sized) hash frame BEFORE the self-join:
     # without it Spark plans the MapInPandas decode subtree once per
     # join side — the decode is the expensive pass and must run once
@@ -887,6 +937,16 @@ def media_phash_neardup_pairs(
         .localCheckpoint()
     )
     bands = _phash_bands(hashed, n_bands)
+    if max_bucket_size is not None:
+        under_cap = (
+            bands.groupBy("kind", "band_ix", "band_val")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= F.lit(int(max_bucket_size)))
+            .drop("_bn")
+        )
+        bands = bands.join(
+            under_cap, ["kind", "band_ix", "band_val"], "left_semi"
+        ).localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -960,19 +1020,36 @@ def synth_real_media_neardups(
     )
 
 
-def media_hashes(df: DataFrame, on_unsupported: str = "raise") -> DataFrame:
+def media_hashes(
+    df: DataFrame,
+    on_unsupported: str = "raise",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
     """One decode pass emitting BOTH dedup keys per payload: the
     64-bit perceptual hash (near-dup candidate tier) and the exact
     decoded-content sha256 (zero-FP merge tier — see
     :func:`content_digest` for why phash equality is not a merge
     decision). Payload decoded once; both keys derive from the same
-    pixel/frame array."""
+    pixel/frame array. ``extra_cols`` pass through unchanged (the
+    event-time column a streaming watermark needs — same contract as
+    :func:`media_phash`)."""
     if on_unsupported not in ("raise", "null"):
         raise ValueError("on_unsupported must be 'raise' or 'null'")
+    extra_cols = list(extra_cols or [])
+    base = {"media_id", "kind", "phash", "digest"}
+    clash = [c for c in extra_cols if c in base]
+    if clash:
+        raise ValueError(
+            f"extra_cols {clash} collide with the media_hashes output columns"
+        )
+    out_schema = T.StructType(
+        T.StructType.fromDDL(
+            "media_id long, kind string, phash long, digest string"
+        ).fields
+        + [df.schema[c] for c in extra_cols]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-        import struct as _struct
         import zlib
 
         for pdf in batches:
@@ -980,48 +1057,29 @@ def media_hashes(df: DataFrame, on_unsupported: str = "raise") -> DataFrame:
             for payload in pdf["payload"]:
                 raw = bytes(payload) if payload is not None else b""
                 try:
-                    fmt = _sniff_header(raw)[0]
-                    if fmt == "png":
-                        px = decode_png(raw)
-                        hashes.append(phash_from_pixels(px))
-                        digests.append(
-                            hashlib.sha256(
-                                b"img"
-                                + _struct.pack(">III", *px.shape)
-                                + px.tobytes()
-                            ).hexdigest()
-                        )
-                    elif fmt == "wav":
-                        fr = decode_wav(raw)
-                        hashes.append(phash_from_frames(fr))
-                        digests.append(
-                            hashlib.sha256(
-                                b"aud"
-                                + _struct.pack(">II", *fr.shape)
-                                + fr.tobytes()
-                            ).hexdigest()
-                        )
-                    else:
-                        raise NotImplementedError(
-                            f"no decoder for sniffed format {fmt!r}"
-                        )
+                    tag, arr = _decode_content(raw)
+                    hashes.append(
+                        phash_from_pixels(arr)
+                        if tag == "img"
+                        else phash_from_frames(arr)
+                    )
+                    digests.append(_digest_of(tag, arr))
                 except (NotImplementedError, ValueError, zlib.error):
                     if on_unsupported == "raise":
                         raise
                     hashes.append(None)
                     digests.append(None)
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].to_numpy(),
-                    "kind": pdf["kind"].to_numpy(),
-                    "phash": pd.array(hashes, dtype="Int64"),
-                    "digest": digests,
-                }
-            )
+            out = {
+                "media_id": pdf["media_id"].to_numpy(),
+                "kind": pdf["kind"].to_numpy(),
+                "phash": pd.array(hashes, dtype="Int64"),
+                "digest": digests,
+            }
+            for c in extra_cols:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(
-        run, "media_id long, kind string, phash long, digest string"
-    )
+    return df.mapInPandas(run, out_schema)
 
 
 def _classify_incoming(
@@ -1092,10 +1150,10 @@ def incremental_media_dedup(
     """Incremental-ingest media dedup — the daily-crawl shape over
     payloads instead of text (``dedup.incremental_dedup`` twin):
     classify each INCOMING payload against an existing CORPUS as
-    ``dup_exact`` (perceptual hash already present — catches
-    re-encoded copies byte membership would miss), ``dup_near``
-    (within ``max_hamming`` aHash bits — edited copies), ``new``, or
-    ``corrupt``. Both sides decode once (metadata-sized checkpoint);
+    ``dup_exact`` (decoded-content DIGEST already present — catches
+    re-encoded copies byte membership would miss, with zero false
+    merges; r12 precision audit), ``dup_near`` (within ``max_hamming``
+    aHash bits — edited copies), ``new``, or ``corrupt``. Both sides decode once (metadata-sized checkpoint);
     the cross-frame banded join carries (kind, 16-bit band) keys, so
     candidates stay O(rows x bands). Production form that persists
     the corpus hashes between ingests: :func:`build_media_index` +
@@ -1195,21 +1253,30 @@ def media_contamination(
     — their hash frame is metadata-sized — while the corpus side is
     one Arrow decode pass; the banded equi-join keys on (kind, 16-bit
     band) and recall is 1 for distance <= ``max_hamming`` by the
-    pigeonhole argument. Output: (media_id, kind, bench_id, hamming).
+    pigeonhole argument.
+
+    Output: (media_id, kind, bench_id, hamming, confidence) where
+    ``confidence`` is ``'exact'`` — Hamming 0 AND decoded-content
+    digests match, a digest-confirmed leak safe to delete on — or
+    ``'candidate'`` — phash proximity only, carrying the measured
+    ~1e-4 aHash false-positive floor (BASELINE r12 precision audit),
+    i.e. flag-for-review, never auto-delete. Both hashes come out of
+    the same single decode pass (:func:`media_hashes`), so the
+    confirmation column costs no extra decode.
     """
     _require_phash_geometry(max_hamming, n_bands)
     cor = (
-        media_phash(corpus, on_unsupported=on_unsupported)
+        media_hashes(corpus, on_unsupported=on_unsupported)
         .filter(F.col("phash").isNotNull())
         .localCheckpoint()
     )
     ben = (
-        media_phash(benchmark, on_unsupported=on_unsupported)
+        media_hashes(benchmark, on_unsupported=on_unsupported)
         .filter(F.col("phash").isNotNull())
         .localCheckpoint()
     )
-    a = _phash_bands(cor, n_bands).alias("a")
-    b = _phash_bands(ben, n_bands).alias("b")
+    a = _phash_bands(cor, n_bands, extra=["digest"]).alias("a")
+    b = _phash_bands(ben, n_bands, extra=["digest"]).alias("b")
     return (
         a.join(
             b,
@@ -1223,11 +1290,19 @@ def media_contamination(
             F.col("b.media_id").alias("bench_id"),
             F.col("a.phash").alias("ph_a"),
             F.col("b.phash").alias("ph_b"),
+            (F.col("a.digest") == F.col("b.digest")).alias("same_content"),
         )
         .distinct()
         .withColumn("hamming", F.expr("bit_count(ph_a ^ ph_b)").cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("media_id", "kind", "bench_id", "hamming")
+        .withColumn(
+            "confidence",
+            F.when(
+                (F.col("hamming") == 0) & F.col("same_content"),
+                F.lit("exact"),
+            ).otherwise(F.lit("candidate")),
+        )
+        .select("media_id", "kind", "bench_id", "hamming", "confidence")
     )
 
 
@@ -1242,20 +1317,27 @@ def content_digest(buf: bytes) -> str:
     ~2e-4 per-content-pair false-positive rate on low-resolution
     content (BASELINE.md r12) — fine for near-dup CANDIDATES, wrong
     for exact-merge decisions at web scale. Re-encode dedup keys on
-    this digest instead."""
+    this digest instead. JPEG/GIF ride the same Pillow-gated decode
+    as the phash tier (:func:`_decode_content`) — the digest is over
+    the converted RGB array."""
+    tag, arr = _decode_content(buf)
+    return _digest_of(tag, arr)
+
+
+def _digest_of(tag: str, arr: np.ndarray) -> str:
+    """sha256 of the shape-prefixed content array — shared by
+    :func:`content_digest`, :func:`media_hashes`, and
+    :func:`media_content_dedup` so the exact-merge key can never
+    drift between the single- and dual-key paths."""
     import hashlib
     import struct as _struct
 
-    fmt = _sniff_header(buf)[0]
-    if fmt == "png":
-        px = decode_png(buf)
-        head = b"img" + _struct.pack(">III", *px.shape)
-        return hashlib.sha256(head + px.tobytes()).hexdigest()
-    if fmt == "wav":
-        fr = decode_wav(buf)
-        head = b"aud" + _struct.pack(">II", *fr.shape)
-        return hashlib.sha256(head + fr.tobytes()).hexdigest()
-    raise NotImplementedError(f"no decoder for sniffed format {fmt!r}")
+    head = (
+        b"img" + _struct.pack(">III", *arr.shape)
+        if tag == "img"
+        else b"aud" + _struct.pack(">II", *arr.shape)
+    )
+    return hashlib.sha256(head + arr.tobytes()).hexdigest()
 
 
 def media_content_dedup(

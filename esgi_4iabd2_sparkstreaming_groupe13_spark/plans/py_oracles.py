@@ -337,7 +337,7 @@ def check_media_decode(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
                 np.arange(h), np.arange(w), np.arange(ch), indexing="ij"
             )
             px = ((mid * 7 + y * 13 + x * 3 + c * 29) % 256).astype(np.uint8)
-            lum = px[:, :, : min(3, ch)].mean(axis=2)
+            lum = px[:, :, : (1 if ch <= 2 else 3)].mean(axis=2)
             hist = np.bincount(
                 (lum.astype(np.int64) >> 5).ravel(), minlength=8
             ).astype(np.float64)
@@ -404,7 +404,7 @@ def check_media_phash(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
                 .astype(np.uint8)
                 .reshape(h, w, ch)
             )
-            lum = px[:, :, : min(3, ch)].astype(np.float64).mean(axis=2)
+            lum = px[:, :, : (1 if ch <= 2 else 3)].astype(np.float64).mean(axis=2)
             cells = np.array(
                 [
                     [
@@ -472,7 +472,7 @@ def check_media_neardup(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
             edited[0, :, :] = np.minimum(edited[0, :, :] + 8, 255)
             kind = "image"
             for vix, arr in enumerate((px, edited)):
-                lum = arr[:, :, : min(3, ch)].astype(np.float64).mean(axis=2)
+                lum = arr[:, :, : (1 if ch <= 2 else 3)].astype(np.float64).mean(axis=2)
                 cells = np.array(
                     [
                         [
@@ -540,7 +540,7 @@ def _mirror_variant_phash(cid: int, perturb: bool = False) -> tuple[str, int]:
         if perturb:
             px = px.copy()
             px[0, :, :] = np.minimum(px[0, :, :] + 8, 255)
-        lum = px[:, :, : min(3, ch)].astype(np.float64).mean(axis=2)
+        lum = px[:, :, : (1 if ch <= 2 else 3)].astype(np.float64).mean(axis=2)
         cells = np.array(
             [
                 [
@@ -637,23 +637,43 @@ def check_media_incremental(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
 def check_media_contamination(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
     """Band-free brute-force mirror of the media decontamination
     fixture: all within-kind corpus x benchmark pairs at Hamming <= 3
-    over formula-derived hashes."""
-    bench = [(i, *_mirror_variant_phash(200 + i)) for i in range(8)]
+    over formula-derived hashes, tagged 'exact' only when Hamming is 0
+    AND the formula-derived content digests match (the r13 confidence
+    column — a digest bug or a mislabeled candidate breaks the
+    match)."""
+    bench = [
+        (i, *_mirror_variant_phash(200 + i), _mirror_variant_digest(200 + i))
+        for i in range(8)
+    ]
     corpus = (
-        [(5000 + i, *_mirror_variant_phash(300 + i)) for i in range(12)]
-        + [(6000 + i, *_mirror_variant_phash(200 + i)) for i in range(3)]
-        + [(7000 + i, *_mirror_variant_phash(203 + i, perturb=True)) for i in range(2)]
+        [
+            (5000 + i, *_mirror_variant_phash(300 + i), _mirror_variant_digest(300 + i))
+            for i in range(12)
+        ]
+        + [
+            (6000 + i, *_mirror_variant_phash(200 + i), _mirror_variant_digest(200 + i))
+            for i in range(3)
+        ]
+        + [
+            (
+                7000 + i,
+                *_mirror_variant_phash(203 + i, perturb=True),
+                _mirror_variant_digest(203 + i, perturb=True),
+            )
+            for i in range(2)
+        ]
     )
     rows = []
-    for mid, ck, cp in corpus:
-        for bid, bk, bp in bench:
+    for mid, ck, cp, cdg in corpus:
+        for bid, bk, bp, bdg in bench:
             if ck != bk:
                 continue
             d = bin((cp ^ bp) & ((1 << 64) - 1)).count("1")
             if d <= 3:
-                rows.append((mid, ck, bid, d))
+                conf = "exact" if d == 0 and cdg == bdg else "candidate"
+                rows.append((mid, ck, bid, d, conf))
     exp = pd.DataFrame(
-        rows, columns=["media_id", "kind", "bench_id", "hamming"]
+        rows, columns=["media_id", "kind", "bench_id", "hamming", "confidence"]
     ).astype({"media_id": "int64", "bench_id": "int64", "hamming": "int32"})
     actual = spark_pdf.copy()
     actual["hamming"] = actual["hamming"].astype("int32")

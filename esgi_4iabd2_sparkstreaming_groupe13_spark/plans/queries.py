@@ -2199,7 +2199,8 @@ def q_media_neardup(spark, sf_dir):
 def q_media_incremental(spark, sf_dir):
     """Incremental-ingest media dedup (new r12): classify an incoming
     batch against a media corpus — re-encoded copies (same content,
-    different bytes) -> dup_exact on the perceptual hash; edited
+    different bytes) -> dup_exact on the decoded-content digest (the
+    zero-FP merge key, r12 precision audit); edited
     copies (few aHash bits flipped) -> dup_near via the banded
     Hamming join; unseen contents -> new; an undecodable payload ->
     corrupt (audit mode, surfaced not appended). Both sides decode
@@ -2249,9 +2250,12 @@ def q_media_contamination(spark, sf_dir):
     bytes, identical content) and lightly edited ones (few aHash bits
     flipped) — among clean payloads. media_contamination names every
     (corpus, benchmark) pair within Hamming 3 of each other with the
-    exact distance. The Python oracle brute-forces all within-kind
-    corpus x benchmark pairs over mirrored formulas without banding,
-    so banding recall and the decode are both on the hook."""
+    exact distance and a confidence tag: 'exact' (digest-confirmed —
+    deletable) vs 'candidate' (phash proximity only — carries the
+    ~1e-4 aHash FP floor, flag-for-review; r13). The Python oracle
+    brute-forces all within-kind corpus x benchmark pairs over
+    mirrored formulas without banding, so banding recall, the decode,
+    and the digest confirmation are all on the hook."""
     import numpy as np
 
     from ..operators import multimodal

@@ -362,31 +362,36 @@ def media_dedup_within_watermark(
     watermark: str = "2 hours",
     on_unsupported: str = "null",
 ) -> DataFrame:
-    """Streaming CONTENT-level media dedup: perceptual-hash each
-    arriving payload (Arrow ``mapInPandas`` — works unchanged on a
-    streaming DataFrame) and keep the FIRST arrival per (kind, phash)
-    within the event-time watermark. A re-encoded copy landing
-    micro-batches later (same pixels, different PNG row filter; same
-    samples, different declared sample rate) hashes identically and is
-    dropped — the streaming twin of
-    ``operators.multimodal.media_phash_dedup``.
+    """Streaming CONTENT-level media dedup: hash each arriving payload
+    (one Arrow ``mapInPandas`` decode pass — works unchanged on a
+    streaming DataFrame) and keep the FIRST arrival per
+    (kind, decoded-content DIGEST) within the event-time watermark. A
+    re-encoded copy landing micro-batches later (same pixels,
+    different PNG row filter; same samples, different declared sample
+    rate) digests identically and is dropped, while two DISTINCT
+    contents that happen to share a perceptual hash (the measured
+    ~1e-4 aHash collision floor, BASELINE r12 precision audit) both
+    survive — the streaming twin of
+    ``operators.multimodal.media_content_dedup``, keyed exactly like
+    the batch exact tier since r13. The phash rides along in the
+    output as the near-dup CANDIDATE key for downstream banded joins.
 
     State is bounded exactly like :func:`dedup_within_watermark`:
-    (watermark delay x arrival rate) keys of 8-byte hashes, evicted as
-    event time passes — never payload bytes, which are consumed inside
-    the decode batch. Corrupt payloads (audit default
+    (watermark delay x arrival rate) keys of 32-byte digests, evicted
+    as event time passes — never payload bytes, which are consumed
+    inside the decode batch. Corrupt payloads (audit default
     ``on_unsupported='null'``) are EXCLUDED from the deduped output —
-    a NULL hash must not collapse all damaged files into one dedup
+    a NULL digest must not collapse all damaged files into one dedup
     key; run :func:`~..operators.multimodal.media_phash` in audit mode
     separately for the corruption report.
     """
-    from ..operators.multimodal import media_phash
+    from ..operators.multimodal import media_hashes
 
-    hashed = media_phash(
+    hashed = media_hashes(
         media_stream, on_unsupported=on_unsupported, extra_cols=[ts_col]
     )
     return (
-        hashed.filter(F.col("phash").isNotNull())
+        hashed.filter(F.col("digest").isNotNull())
         .withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["kind", "phash"])
+        .dropDuplicatesWithinWatermark(["kind", "digest"])
     )

@@ -80,7 +80,8 @@ ALL_OPS = (
     "bm25 gap_fill triangles pagerank global_shuffle dsir ppl_buckets jl "
     "semdedup prep shard_assign pq_adc bpe hist_state bpe_chain backoff "
     "profile ivf_index lsh_hot_bucket data_card purge_audit media_phash "
-    "schema_drift media_incremental"
+    "schema_drift media_incremental media_contamination media_neardup "
+    "media_prep"
 ).split()
 
 
@@ -1848,7 +1849,9 @@ def main() -> None:
     # a banded join against 8-byte hash rows), not the corpus. BUILD
     # is corpus-sized by design (one decode pass), amortized per
     # corpus version — both are timed, like the IVF build/serve split.
-    if want("media_incremental"):
+    if want(
+        "media_incremental", "media_contamination", "media_neardup", "media_prep"
+    ):
         import shutil as _sh
 
         from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import (
@@ -1894,6 +1897,8 @@ def main() -> None:
         cN = synth_media_rows(mi_base * factor, "mi_cN.parquet")
         inc = synth_media_rows(600, "mi_inc.parquet", base=90_000_000)
 
+    if want("media_incremental"):
+
         def build_and_serve(corpus_df, tag):
             idx = f"{tmp}/mi_idx_{tag}"
             _sh.rmtree(idx, ignore_errors=True)
@@ -1912,11 +1917,13 @@ def main() -> None:
         results["media_incremental_build"] = {"t1": b1, "tN": bN}
         results["media_incremental_serve"] = {"t1": s1, "tN": sN}
 
-        # --- media contamination at scale (q_media_contamination,
-        # new r12): the CORPUS grows 1x -> Nx against a FIXED small
-        # benchmark — the decontamination contract. Expected: wall
-        # tracks the corpus decode (same slope as media_phash); the
-        # benchmark hash frame is metadata-sized by construction.
+    # --- media contamination at scale (q_media_contamination, new
+    # r12; own want() gate since r13): the CORPUS grows 1x -> Nx
+    # against a FIXED small benchmark — the decontamination contract.
+    # Expected: wall tracks the corpus decode (same slope as
+    # media_phash); the benchmark hash frame is metadata-sized by
+    # construction.
+    if want("media_contamination"):
         bench = synth_media_rows(64, "mi_bench.parquet", base=90_000_000)
         results["media_contamination"] = {
             "t1": timed(
@@ -1927,6 +1934,93 @@ def main() -> None:
                 f"media_contamination {factor}x",
                 _mm2.media_contamination(cN, bench),
             ),
+        }
+
+    # --- media banded-Hamming near-dup SELF-JOIN at scale
+    # (q_media_neardup; the one r12 entry without its own probe row —
+    # VERDICT r12 #3). The corpus is 3 re-encodes per content, so
+    # every content contributes a within-threshold (Hamming-0) triple
+    # plus the documented aHash FP floor; the axis under test is
+    # band-bucket blowup in the self-join as contents grow 1x -> Nx
+    # (the text-LSH hot-bucket lesson, r3 simhash). Expected: wall
+    # tracks decode + the banded exchange; output rows stay
+    # O(contents x 3 + FP floor), never quadratic.
+    if want("media_neardup"):
+        results["media_neardup"] = {
+            "t1": timed(
+                "media_neardup 1x",
+                _mm2.media_phash_neardup_pairs(c1, max_hamming=3),
+            ),
+            "tN": timed(
+                f"media_neardup {factor}x",
+                _mm2.media_phash_neardup_pairs(cN, max_hamming=3),
+            ),
+            # the r13 hot-bucket cap: bounds the |bucket|^2 candidate
+            # term that makes the uncapped output quadratic on
+            # low-resolution content (the measured aHash FP floor)
+            "tN_capped": timed(
+                f"media_neardup {factor}x capped",
+                _mm2.media_phash_neardup_pairs(
+                    cN, max_hamming=3, max_bucket_size=64
+                ),
+            ),
+        }
+
+    # --- composed media pipeline end-to-end (VERDICT r12 #6): one
+    # chained run decode -> dual hashes -> digest-exact dedup ->
+    # contamination-tag the survivors against a fixed benchmark, with
+    # count+checksum equality asserted across TWO independent forces
+    # of the composed plan at every probed scale — composition is
+    # where the AQE reader-coalescing row-loss class hid (r9).
+    if want("media_prep"):
+        bench_p = synth_media_rows(64, "mp_bench.parquet", base=90_000_000)
+
+        def run_media_prep(corpus_df, label):
+            t0 = time.perf_counter()
+            deduped = _mm2.media_content_dedup(
+                corpus_df, on_unsupported="null"
+            )
+            survivors = corpus_df.join(
+                deduped.filter(F.col("is_dup") == 0).select("media_id"),
+                "media_id",
+            )
+            flagged = _mm2.media_contamination(survivors, bench_p)
+            out = survivors.select("media_id", "kind").join(
+                flagged.select("media_id", "confidence").distinct(),
+                "media_id",
+                "left",
+            )
+
+            def force_sig(frame):
+                row = frame.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.bit_xor(
+                        F.xxhash64(F.struct(*frame.columns))
+                    ).alias("ck"),
+                ).collect()[0]
+                return row["n"], row["ck"]
+
+            sig1 = force_sig(out)
+            sig2 = force_sig(out)
+            assert sig1 == sig2, (
+                f"{label}: composed media pipeline unstable across "
+                f"forces {sig1} vs {sig2}"
+            )
+            dt = round(time.perf_counter() - t0, 2)
+            print(
+                f"# {label} total (chain + 2 forces): {dt}s "
+                f"rows={sig1[0]}",
+                file=sys.stderr,
+            )
+            return dt, sig1[0]
+
+        tp1, rows1 = run_media_prep(c1, "media_prep 1x")
+        tpN, rowsN = run_media_prep(cN, f"media_prep {factor}x")
+        results["media_prep"] = {
+            "t1": tp1,
+            "tN": tpN,
+            "rows_1x": rows1,
+            "rows_Nx": rowsN,
         }
 
     for op, r in results.items():

@@ -150,12 +150,52 @@ def test_neardup_parameter_validation(spark):
         multimodal.media_phash_neardup_pairs(media, max_hamming=4, n_bands=4)
     with pytest.raises(ValueError):
         multimodal.media_phash_neardup_pairs(media, n_bands=5)
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        multimodal.media_phash_neardup_pairs(media, max_bucket_size=1)
+
+
+def test_neardup_hot_bucket_cap(spark):
+    """The r13 hot-bucket guard: with a generous cap the planted pair
+    set is unchanged (parity with uncapped); a cap below the planted
+    cluster size excludes that cluster's pairs while keeping small
+    groups — the minhash_lsh_pairs r11 semantics on the media tier."""
+    media = multimodal.synth_real_media_neardups(spark, n_contents=12)
+    base = multimodal.media_phash_neardup_pairs(media, max_hamming=3)
+    capped = multimodal.media_phash_neardup_pairs(
+        media, max_hamming=3, max_bucket_size=1000
+    )
+    key = lambda df: {
+        (r.kind, r.id_a, r.id_b, r.hamming) for r in df.collect()
+    }
+    pairs = key(base)
+    assert pairs and key(capped) == pairs
+    # a giant near-identical cluster: 40 re-encodes of ONE content all
+    # share every band value -> one 40-deep bucket per band; cap 8
+    # excludes the cluster entirely (its B^2 ~ 1600 candidate pairs
+    # belong in the exact digest tier)
+    px = multimodal.synth_variant_pixels(3)
+    cluster = spark.createDataFrame(
+        [
+            (i, "image", multimodal._encode_png(px, filters=(i % 5,)))
+            for i in range(40)
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    big = multimodal.media_phash_neardup_pairs(cluster, max_hamming=3)
+    small = multimodal.media_phash_neardup_pairs(
+        cluster, max_hamming=3, max_bucket_size=8
+    )
+    assert big.count() == 40 * 39 // 2
+    assert small.count() == 0
 
 
 def test_media_dedup_within_watermark_streaming(spark, tmp_path):
     """Streaming twin: re-encoded copies arriving in LATER micro-batches
     (different bytes, same decoded content) must be dropped by the
-    (kind, phash) watermark dedup — one surviving row per content."""
+    (kind, digest) watermark dedup — one surviving row per content.
+    The planted aHash-collision pair (contents 106/1730: distinct
+    pixels, identical phash) must BOTH survive — the r13 digest rekey
+    that the r12 phash-keyed stream measurably got wrong."""
     import datetime
 
     from esgi_4iabd2_sparkstreaming_groupe13_spark.streaming.stateful import (
@@ -164,10 +204,14 @@ def test_media_dedup_within_watermark_streaming(spark, tmp_path):
 
     t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
     n = 8
+    # contents 0..n-1 arrive as 3 re-encodes each; the collision pair
+    # arrives once each (same phash, different content digest)
+    collision_cids = [106, 1730]
 
     def batch(variant: int, id_base: int):
         rows = []
-        for cid in range(n):
+        cids = list(range(n)) + (collision_cids if variant == 0 else [])
+        for slot, cid in enumerate(cids):
             if cid % 2 == 0:
                 payload = multimodal._encode_png(
                     multimodal.synth_variant_pixels(cid),
@@ -182,10 +226,10 @@ def test_media_dedup_within_watermark_streaming(spark, tmp_path):
                 kind = "audio"
             rows.append(
                 (
-                    id_base + cid,
+                    id_base + slot,
                     kind,
                     payload,
-                    t0 + datetime.timedelta(seconds=60 * variant + cid),
+                    t0 + datetime.timedelta(seconds=60 * variant + slot),
                 )
             )
         return spark.createDataFrame(
@@ -219,9 +263,14 @@ def test_media_dedup_within_watermark_streaming(spark, tmp_path):
     )
     assert q.awaitTermination(600), "stream did not terminate within 600s"
     out = spark.table("media_dedup_stream").toPandas()
-    # 3 encodings x n contents in -> n rows out, one per content
-    assert len(out) == n
-    assert out.groupby(["kind", "phash"]).size().max() == 1
+    # 3 encodings x n contents + 2 collision singletons in ->
+    # n + 2 rows out: one per DISTINCT content, zero content loss
+    assert len(out) == n + len(collision_cids)
+    assert out.groupby(["kind", "digest"]).size().max() == 1
+    # the collision pair shares a phash yet both rows survive —
+    # exactly what the phash-keyed r12 stream dropped
+    img = out[out["kind"] == "image"]
+    assert img.groupby("phash").size().max() == 2
 
 
 def _enc_cid(cid, variant=0, perturb=False):
@@ -303,21 +352,31 @@ def test_media_phash_rejects_colliding_extra_cols(spark):
 
 def test_media_contamination_names_the_leaks(spark):
     """Planted benchmark leaks (re-encoded + edited) must be named
-    with the RIGHT bench_id; clean contents must produce no pairs."""
+    with the RIGHT bench_id and confidence tier; clean contents must
+    produce no pairs. The aHash-collision plant (corpus content 1730
+    vs bench content 106 — Hamming 0, DIFFERENT content) must come
+    back 'candidate', never 'exact' (r13 confidence column)."""
     bench = spark.createDataFrame(
-        [(i, *_enc_cid(200 + i)) for i in range(6)],
+        [(i, *_enc_cid(200 + i)) for i in range(6)]
+        + [(6, "image", multimodal._encode_png(multimodal.synth_variant_pixels(106)))],
         "media_id long, kind string, payload binary",
     )
     corpus = spark.createDataFrame(
         [(5000 + i, *_enc_cid(300 + i)) for i in range(8)]
         + [(6000, *_enc_cid(200, variant=2))]       # re-encode of bench 0
-        + [(7000, *_enc_cid(201, perturb=True))],   # edited copy of bench 1
+        + [(7000, *_enc_cid(201, perturb=True))]    # edited copy of bench 1
+        + [(8000, "image", multimodal._encode_png(multimodal.synth_variant_pixels(1730)))],
         "media_id long, kind string, payload binary",
     )
     pairs = multimodal.media_contamination(corpus, bench).toPandas()
-    got = {(r.media_id, r.bench_id): r.hamming for r in pairs.itertuples()}
-    assert (6000, 0) in got and got[(6000, 0)] == 0
-    assert (7000, 1) in got and got[(7000, 1)] <= 3
+    got = {
+        (r.media_id, r.bench_id): (r.hamming, r.confidence)
+        for r in pairs.itertuples()
+    }
+    assert got[(6000, 0)] == (0, "exact")           # digest-confirmed leak
+    ham, conf = got[(7000, 1)]
+    assert ham <= 3 and conf == "candidate"         # edited copy: near tier
+    assert got[(8000, 6)] == (0, "candidate")       # phash collision: NOT exact
     assert all(mid >= 6000 for (mid, _) in got)
 
 
