@@ -7534,88 +7534,20 @@ WHERE rk <= least(n, CAST(floor(
 """
 
 QUERIES: list[QuerySpec] = [
-    # ==== driver 50-entry verification window (r12 rotation) ====
-    # Stalest oracle-backed entries first: q_schema_drift and
-    # q_bpe_roundtrip (BRAND-NEW r12, SQL-oracled, zero driver rows
-    # ever), q_data_card (new in r11, first driver row ever), the
-    # 25-entry r8-verified block (q_scd2 .. q_bloom_contamination),
-    # and the head of the r9-verified block (q_tpch_q1 ..). Zero
-    # overlap with the r11 window (those 50 rotate to the back,
-    # freshest); q_percentiles and q_median_exact slide just outside
-    # and ride the next rotation. The other two
-    # new r12 entries (q_media_phash/q_media_neardup) are PYTHON-
-    # oracled — rows-only at the driver's SQL gate, so putting them in
-    # the window would burn verification slots (guard test in
-    # test_text_multimodal.py); they sit just past the window with the
-    # rest of the py-oracle block and are verified by
-    # scripts/oracle_check.py instead.
-    QuerySpec("q_schema_drift", q_schema_drift, ORACLES["q_schema_drift"]),
-    QuerySpec("q_bpe_roundtrip", q_bpe_roundtrip, ORACLES["q_bpe_roundtrip"]),
-    QuerySpec("q_data_card", q_data_card, ORACLES["q_data_card"]),
-    QuerySpec("q_scd2", q_scd2, ORACLES["q_scd2"], True),
-    QuerySpec("q_split_leakage", q_split_leakage, ORACLES["q_split_leakage"]),
-    QuerySpec("q_embed_norm", q_embed_norm, ORACLES["q_embed_norm"]),
-    QuerySpec("q_prefix_jaccard", q_prefix_jaccard, ORACLES["q_prefix_jaccard"], True),
-    QuerySpec("q_transitions", q_transitions, ORACLES["q_transitions"]),
-    QuerySpec("q_corpus_drift", q_corpus_drift, ORACLES["q_corpus_drift"], True),
-    QuerySpec("q_decayed", q_decayed, ORACLES["q_decayed"]),
-    QuerySpec("q_hll_rolling", q_hll_rolling, ORACLES["q_hll_rolling"], True),
-    QuerySpec("q_gopher", q_gopher, ORACLES["q_gopher"]),
-    QuerySpec("q_funnel_window", q_funnel_window, ORACLES["q_funnel_window"]),
-    QuerySpec("q_grouping_sets", q_grouping_sets, ORACLES["q_grouping_sets"]),
-    QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
-    QuerySpec("q_pivot_status", q_pivot_status, ORACLES["q_pivot_status"]),
-    QuerySpec("q_sliding_window", q_sliding_window, ORACLES["q_sliding_window"]),
-    QuerySpec("q_interval_join", q_interval_join, ORACLES["q_interval_join"]),
-    QuerySpec("q_asof_forward", q_asof_forward, ORACLES["q_asof_forward"]),
-    QuerySpec("q_global_index", q_global_index, ORACLES["q_global_index"], True),
-    QuerySpec("q_ann_recall", q_ann_recall, ORACLES["q_ann_recall"]),
-    QuerySpec("q_ann_quantized_recall", q_ann_quantized_recall, ORACLES["q_ann_quantized_recall"]),
-    QuerySpec("q_doc_chunks", q_doc_chunks, ORACLES["q_doc_chunks"]),
-    QuerySpec("q_embed_centroid", q_embed_centroid, ORACLES["q_embed_centroid"]),
-    QuerySpec("q_containment", q_containment, ORACLES["q_containment"]),
-    QuerySpec("q_weighted_sample", q_weighted_sample, ORACLES["q_weighted_sample"]),
-    QuerySpec("q_percentiles_approx", q_percentiles_approx, ORACLES["q_percentiles_approx"]),
-    QuerySpec("q_bloom_contamination", q_bloom_contamination, ORACLES["q_bloom_contamination"]),
-    QuerySpec("q_tpch_q1", q_tpch_q1, ORACLES["q_tpch_q1"], True),
-    QuerySpec("q_tpch_q2", q_tpch_q2, ORACLES["q_tpch_q2"]),
-    QuerySpec("q_tpch_q3", q_tpch_q3, ORACLES["q_tpch_q3"], True),
-    QuerySpec("q_tpch_q4", q_tpch_q4, ORACLES["q_tpch_q4"], True),
-    QuerySpec("q_tpch_q5", q_tpch_q5, ORACLES["q_tpch_q5"], True),
-    QuerySpec("q_tpch_q6", q_tpch_q6, ORACLES["q_tpch_q6"], True),
-    QuerySpec("q_tpch_q7", q_tpch_q7, ORACLES["q_tpch_q7"], True),
-    QuerySpec("q_tpch_q8", q_tpch_q8, ORACLES["q_tpch_q8"], True),
-    QuerySpec("q_tpch_q9", q_tpch_q9, ORACLES["q_tpch_q9"]),
-    QuerySpec("q_tpch_q10", q_tpch_q10, ORACLES["q_tpch_q10"], True),
-    QuerySpec("q_tpch_q11", q_tpch_q11, ORACLES["q_tpch_q11"], True),
-    QuerySpec("q_tpch_q12", q_tpch_q12, ORACLES["q_tpch_q12"], True),
-    QuerySpec("q_tpch_q13", q_tpch_q13, ORACLES["q_tpch_q13"], True),
-    QuerySpec("q_tpch_q14", q_tpch_q14, ORACLES["q_tpch_q14"], True),
-    QuerySpec("q_tpch_q15", q_tpch_q15, ORACLES["q_tpch_q15"]),
-    QuerySpec("q_tpch_q16", q_tpch_q16, ORACLES["q_tpch_q16"]),
-    QuerySpec("q_tpch_q17", q_tpch_q17, ORACLES["q_tpch_q17"], True),
-    QuerySpec("q_tpch_q18", q_tpch_q18, ORACLES["q_tpch_q18"], True),
-    QuerySpec("q_tpch_q19", q_tpch_q19, ORACLES["q_tpch_q19"], True),
-    QuerySpec("q_tpch_q20", q_tpch_q20, ORACLES["q_tpch_q20"]),
-    QuerySpec("q_tpch_q21", q_tpch_q21, ORACLES["q_tpch_q21"]),
-    QuerySpec("q_tpch_q22", q_tpch_q22, ORACLES["q_tpch_q22"]),
+    # ==== driver 50-entry verification window (r13 rotation) ====
+    # Stalest oracle-backed entries first: q_purge_audit (new r12,
+    # zero driver rows ever — queued for exactly this rotation),
+    # q_percentiles and q_median_exact (named in the r12 rotation
+    # comment as sliding just outside), then the r9-verified tail
+    # block (q_except_keys .. q_state_quantiles). Zero overlap with
+    # the r12 window (its 50 rotate to the back, freshest). The
+    # py-oracled block stays just past the window — the driver's SQL
+    # gate would record those rows-only and burn verification slots
+    # (guard test in test_text_multimodal.py); scripts/oracle_check.py
+    # verifies them instead.
+    QuerySpec("q_purge_audit", q_purge_audit, ORACLES["q_purge_audit"]),
     QuerySpec("q_percentiles", q_percentiles, ORACLES["q_percentiles"], True),
     QuerySpec("q_median_exact", q_median_exact, ORACLES["q_median_exact"]),
-    # ==== driver 50-entry verification window ends here ====
-    # non-SQL entries (registered PYTHON oracles, plans/py_oracles.py;
-    # kept OUT of the driver window: the SQL gate would record them
-    # rows-only and burn slots -- tests/test_text_multimodal.py guard)
-    QuerySpec("q_bpe_merges", q_bpe_merges, None, py_oracle=PY_ORACLES["q_bpe_merges"]),
-    QuerySpec("q_media_features", q_media_features, None, py_oracle=PY_ORACLES["q_media_features"]),
-    QuerySpec("q_media_decode", q_media_decode, None, py_oracle=PY_ORACLES["q_media_decode"]),
-    QuerySpec("q_media_phash", q_media_phash, None, py_oracle=PY_ORACLES["q_media_phash"]),
-    QuerySpec("q_media_neardup", q_media_neardup, None, py_oracle=PY_ORACLES["q_media_neardup"]),
-    QuerySpec("q_media_incremental", q_media_incremental, None, py_oracle=PY_ORACLES["q_media_incremental"]),
-    QuerySpec("q_media_contamination", q_media_contamination, None, py_oracle=PY_ORACLES["q_media_contamination"]),
-    QuerySpec("q_kmeans_cells", q_kmeans_cells, None, py_oracle=PY_ORACLES["q_kmeans_cells"]),
-    QuerySpec("q_ann_ivf", q_ann_ivf, None, py_oracle=PY_ORACLES["q_ann_ivf"]),
-    # remainder, stale-first: r9-verified tail, then the r10-verified
-    # block, then the r11 window (freshest, rotates back in last)
     QuerySpec("q_except_keys", q_except_keys, ORACLES["q_except_keys"]),
     QuerySpec("q_intersect_keys", q_intersect_keys, ORACLES["q_intersect_keys"]),
     QuerySpec("q_doc_embedding_join", q_doc_embedding_join, ORACLES["q_doc_embedding_join"]),
@@ -7663,6 +7595,19 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_bpe_vocab", q_bpe_vocab, ORACLES["q_bpe_vocab"]),
     QuerySpec("q_temperature_mix", q_temperature_mix, ORACLES["q_temperature_mix"]),
     QuerySpec("q_state_quantiles", q_state_quantiles, ORACLES["q_state_quantiles"]),
+    # ==== driver 50-entry verification window ends here ====
+    # non-SQL entries (registered PYTHON oracles, plans/py_oracles.py)
+    QuerySpec("q_bpe_merges", q_bpe_merges, None, py_oracle=PY_ORACLES["q_bpe_merges"]),
+    QuerySpec("q_media_features", q_media_features, None, py_oracle=PY_ORACLES["q_media_features"]),
+    QuerySpec("q_media_decode", q_media_decode, None, py_oracle=PY_ORACLES["q_media_decode"]),
+    QuerySpec("q_media_phash", q_media_phash, None, py_oracle=PY_ORACLES["q_media_phash"]),
+    QuerySpec("q_media_neardup", q_media_neardup, None, py_oracle=PY_ORACLES["q_media_neardup"]),
+    QuerySpec("q_media_incremental", q_media_incremental, None, py_oracle=PY_ORACLES["q_media_incremental"]),
+    QuerySpec("q_media_contamination", q_media_contamination, None, py_oracle=PY_ORACLES["q_media_contamination"]),
+    QuerySpec("q_kmeans_cells", q_kmeans_cells, None, py_oracle=PY_ORACLES["q_kmeans_cells"]),
+    QuerySpec("q_ann_ivf", q_ann_ivf, None, py_oracle=PY_ORACLES["q_ann_ivf"]),
+    # remainder, stale-first: rest of the r10/r11-verified blocks,
+    # then the r12 window (freshest, rotates back in last)
     QuerySpec("q_backoff_logprob", q_backoff_logprob, ORACLES["q_backoff_logprob"]),
     QuerySpec("q_bpe_packing", q_bpe_packing, ORACLES["q_bpe_packing"]),
     QuerySpec("q_pack_materialize", q_pack_materialize, ORACLES["q_pack_materialize"]),
@@ -7742,9 +7687,56 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_lsh_capped", q_lsh_capped, ORACLES["q_lsh_capped"]),
     QuerySpec("q_validation", q_validation, ORACLES["q_validation"]),
     QuerySpec("q_line_dedup", q_line_dedup, ORACLES["q_line_dedup"]),
-    # new in r12 (queues behind the rotated window for its first
-    # driver row next rotation):
-    QuerySpec("q_purge_audit", q_purge_audit, ORACLES["q_purge_audit"]),
+    QuerySpec("q_schema_drift", q_schema_drift, ORACLES["q_schema_drift"]),
+    QuerySpec("q_bpe_roundtrip", q_bpe_roundtrip, ORACLES["q_bpe_roundtrip"]),
+    QuerySpec("q_data_card", q_data_card, ORACLES["q_data_card"]),
+    QuerySpec("q_scd2", q_scd2, ORACLES["q_scd2"], True),
+    QuerySpec("q_split_leakage", q_split_leakage, ORACLES["q_split_leakage"]),
+    QuerySpec("q_embed_norm", q_embed_norm, ORACLES["q_embed_norm"]),
+    QuerySpec("q_prefix_jaccard", q_prefix_jaccard, ORACLES["q_prefix_jaccard"], True),
+    QuerySpec("q_transitions", q_transitions, ORACLES["q_transitions"]),
+    QuerySpec("q_corpus_drift", q_corpus_drift, ORACLES["q_corpus_drift"], True),
+    QuerySpec("q_decayed", q_decayed, ORACLES["q_decayed"]),
+    QuerySpec("q_hll_rolling", q_hll_rolling, ORACLES["q_hll_rolling"], True),
+    QuerySpec("q_gopher", q_gopher, ORACLES["q_gopher"]),
+    QuerySpec("q_funnel_window", q_funnel_window, ORACLES["q_funnel_window"]),
+    QuerySpec("q_grouping_sets", q_grouping_sets, ORACLES["q_grouping_sets"]),
+    QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
+    QuerySpec("q_pivot_status", q_pivot_status, ORACLES["q_pivot_status"]),
+    QuerySpec("q_sliding_window", q_sliding_window, ORACLES["q_sliding_window"]),
+    QuerySpec("q_interval_join", q_interval_join, ORACLES["q_interval_join"]),
+    QuerySpec("q_asof_forward", q_asof_forward, ORACLES["q_asof_forward"]),
+    QuerySpec("q_global_index", q_global_index, ORACLES["q_global_index"], True),
+    QuerySpec("q_ann_recall", q_ann_recall, ORACLES["q_ann_recall"]),
+    QuerySpec("q_ann_quantized_recall", q_ann_quantized_recall, ORACLES["q_ann_quantized_recall"]),
+    QuerySpec("q_doc_chunks", q_doc_chunks, ORACLES["q_doc_chunks"]),
+    QuerySpec("q_embed_centroid", q_embed_centroid, ORACLES["q_embed_centroid"]),
+    QuerySpec("q_containment", q_containment, ORACLES["q_containment"]),
+    QuerySpec("q_weighted_sample", q_weighted_sample, ORACLES["q_weighted_sample"]),
+    QuerySpec("q_percentiles_approx", q_percentiles_approx, ORACLES["q_percentiles_approx"]),
+    QuerySpec("q_bloom_contamination", q_bloom_contamination, ORACLES["q_bloom_contamination"]),
+    QuerySpec("q_tpch_q1", q_tpch_q1, ORACLES["q_tpch_q1"], True),
+    QuerySpec("q_tpch_q2", q_tpch_q2, ORACLES["q_tpch_q2"]),
+    QuerySpec("q_tpch_q3", q_tpch_q3, ORACLES["q_tpch_q3"], True),
+    QuerySpec("q_tpch_q4", q_tpch_q4, ORACLES["q_tpch_q4"], True),
+    QuerySpec("q_tpch_q5", q_tpch_q5, ORACLES["q_tpch_q5"], True),
+    QuerySpec("q_tpch_q6", q_tpch_q6, ORACLES["q_tpch_q6"], True),
+    QuerySpec("q_tpch_q7", q_tpch_q7, ORACLES["q_tpch_q7"], True),
+    QuerySpec("q_tpch_q8", q_tpch_q8, ORACLES["q_tpch_q8"], True),
+    QuerySpec("q_tpch_q9", q_tpch_q9, ORACLES["q_tpch_q9"]),
+    QuerySpec("q_tpch_q10", q_tpch_q10, ORACLES["q_tpch_q10"], True),
+    QuerySpec("q_tpch_q11", q_tpch_q11, ORACLES["q_tpch_q11"], True),
+    QuerySpec("q_tpch_q12", q_tpch_q12, ORACLES["q_tpch_q12"], True),
+    QuerySpec("q_tpch_q13", q_tpch_q13, ORACLES["q_tpch_q13"], True),
+    QuerySpec("q_tpch_q14", q_tpch_q14, ORACLES["q_tpch_q14"], True),
+    QuerySpec("q_tpch_q15", q_tpch_q15, ORACLES["q_tpch_q15"]),
+    QuerySpec("q_tpch_q16", q_tpch_q16, ORACLES["q_tpch_q16"]),
+    QuerySpec("q_tpch_q17", q_tpch_q17, ORACLES["q_tpch_q17"], True),
+    QuerySpec("q_tpch_q18", q_tpch_q18, ORACLES["q_tpch_q18"], True),
+    QuerySpec("q_tpch_q19", q_tpch_q19, ORACLES["q_tpch_q19"], True),
+    QuerySpec("q_tpch_q20", q_tpch_q20, ORACLES["q_tpch_q20"]),
+    QuerySpec("q_tpch_q21", q_tpch_q21, ORACLES["q_tpch_q21"]),
+    QuerySpec("q_tpch_q22", q_tpch_q22, ORACLES["q_tpch_q22"]),
 ]
 
 
