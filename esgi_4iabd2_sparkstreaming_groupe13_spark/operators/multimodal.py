@@ -1395,3 +1395,194 @@ def media_content_dedup(
     ).withColumn(
         "is_dup", (F.col("media_id") != F.col("group_rep")).cast("int")
     )
+
+
+MEDIA_QUALITY_SCHEMA = (
+    "media_id long, kind string, decoded int, "
+    "width int, height int, lum_mean double, lum_std double, "
+    "n_frames int, n_channels int, clip_ratio double, "
+    "silence_ratio double, dc_offset double"
+)
+
+#: (name, FAIL condition over the metrics columns). The media twin of
+#: text.GOPHER_RULES: decode once in Python, gate in JVM SQL — the
+#: thresholds live in a re-tunable rule table, never in the decode.
+MEDIA_QUALITY_RULES: list[tuple[str, str]] = [
+    ("corrupt", "decoded = 0"),
+    ("too_small", "kind = 'image' AND (width < 4 OR height < 4)"),
+    (
+        "extreme_aspect",
+        "kind = 'image' AND (width > 8 * height OR height > 8 * width)",
+    ),
+    ("flat_image", "kind = 'image' AND lum_std < 2.0"),
+    ("too_short_audio", "kind = 'audio' AND n_frames < 16"),
+    ("clipped_audio", "kind = 'audio' AND clip_ratio > 0.05"),
+    ("silent_audio", "kind = 'audio' AND silence_ratio > 0.9"),
+]
+
+#: int16 magnitude at/above which a sample counts as clipped, and
+#: at/below which it counts as silence (≈ −40 dBFS). Module constants
+#: so the Python oracle mirrors the exact integers, not a formula.
+CLIP_MAG = 32256
+SILENCE_MAG = 327
+
+
+def media_quality_features(
+    df: DataFrame, on_unsupported: str = "null"
+) -> DataFrame:
+    """Per-payload CONTENT quality metrics — the media analog of
+    ``text.quality_features``: one Arrow ``mapInPandas`` decode pass
+    (:func:`_decode_content`, the same entry point as every hash
+    tier) emitting cheap deterministic signals the rule gate
+    (:func:`media_quality_report`) thresholds JVM-side.
+
+    Images: dimensions plus luminance mean/std over the alpha-free
+    plane (:func:`_lum_planes`) — a near-zero std is a flat color
+    card, the classic decode-junk signature. Audio: frame/channel
+    counts, clipping ratio (|s| >= ``CLIP_MAG``), silence ratio
+    (|s| <= ``SILENCE_MAG``), DC offset (mean sample / 32768).
+    Undecodable payloads get ``decoded = 0`` with NULL metrics
+    (``on_unsupported='null'``, the audit default) or raise
+    (``'raise'``). Metrics are population statistics in float64 —
+    bit-reproducible, mirrored by the q_media_quality Python oracle.
+
+    Scale shape: payloads are consumed inside the decode batch; the
+    output is a fixed-width metrics row per payload, so everything
+    downstream of the decode exchanges metadata, never media bytes.
+    """
+    if on_unsupported not in ("raise", "null"):
+        raise ValueError("on_unsupported must be 'raise' or 'null'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                base = {
+                    "media_id": int(mid),
+                    "kind": kind,
+                    "decoded": 0,
+                    "width": None,
+                    "height": None,
+                    "lum_mean": None,
+                    "lum_std": None,
+                    "n_frames": None,
+                    "n_channels": None,
+                    "clip_ratio": None,
+                    "silence_ratio": None,
+                    "dc_offset": None,
+                }
+                try:
+                    tag, arr = _decode_content(raw)
+                except (NotImplementedError, ValueError, zlib.error):
+                    if on_unsupported == "raise":
+                        raise
+                    rows.append(base)
+                    continue
+                base["decoded"] = 1
+                if tag == "img":
+                    lum = (
+                        arr[:, :, : _lum_planes(arr.shape[2])]
+                        .astype(np.float64)
+                        .mean(axis=2)
+                    )
+                    base.update(
+                        width=int(arr.shape[1]),
+                        height=int(arr.shape[0]),
+                        lum_mean=float(lum.mean()),
+                        lum_std=float(lum.std()),
+                    )
+                else:
+                    s = arr.astype(np.float64)
+                    base.update(
+                        n_frames=int(arr.shape[0]),
+                        n_channels=int(arr.shape[1]),
+                        clip_ratio=float((np.abs(s) >= CLIP_MAG).mean()),
+                        silence_ratio=float((np.abs(s) <= SILENCE_MAG).mean()),
+                        dc_offset=float(s.mean() / 32768.0),
+                    )
+                rows.append(base)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, MEDIA_QUALITY_SCHEMA)
+
+
+def media_quality_report(
+    df: DataFrame,
+    rules: list[tuple[str, str]] | None = None,
+    on_unsupported: str = "null",
+) -> DataFrame:
+    """Rule-based media quality FILTER REPORT — the payload-side twin
+    of ``text.gopher_filter_report``: every payload gets a pass/fail
+    verdict per named rule over the single-decode-pass signals, so a
+    100 TB media prep run keeps an EXPLAINABLE verdict table (which
+    rule dropped which file) and thresholds re-tune without
+    re-decoding. Returns ``(media_id, kind, passes, n_failed,
+    failed_rules)`` with failed_rules comma-joined in fixed rule
+    order (engine-neutral — the gate comparator cannot sort arrays).
+
+    ``rules`` is a ``(name, FAIL-condition-sql)`` list over the
+    :data:`MEDIA_QUALITY_SCHEMA` columns; defaults to
+    :data:`MEDIA_QUALITY_RULES`. NULL metric columns (a rule probing
+    the other kind, or an undecodable payload) never fire a rule —
+    conditions are null-coalesced to false, and undecodable payloads
+    fail the explicit ``corrupt`` rule instead.
+    """
+    q = media_quality_features(df, on_unsupported=on_unsupported)
+    rule_list = MEDIA_QUALITY_RULES if rules is None else rules
+    conds = [
+        (name, F.coalesce(F.expr(sql), F.lit(False)))
+        for name, sql in rule_list
+    ]
+    n_failed = sum((c.cast("int") for _, c in conds), F.lit(0))
+    failed = F.concat_ws(
+        ",", *[F.when(c, F.lit(name)) for name, c in conds]
+    )
+    return q.select(
+        "media_id",
+        "kind",
+        (n_failed == 0).alias("passes"),
+        n_failed.cast("long").alias("n_failed"),
+        failed.alias("failed_rules"),
+    )
+
+
+def synth_media_quality_fixture(spark: SparkSession) -> DataFrame:
+    """Planted quality-violation fixture for the media gate: clean
+    payloads (scrambled variants — high-entropy, unclipped) plus one
+    payload per rule violation, each with a known media_id so the
+    oracle pins rule->row exactly. IDs: 0-9 clean, 100 flat image,
+    101 tiny image, 102 extreme aspect, 110 clipped audio,
+    111 silent audio, 112 too-short audio, 120 corrupt."""
+    rows = []
+    for cid in range(10):
+        if cid % 2 == 0:
+            rows.append(
+                (cid, "image", _encode_png(synth_variant_pixels(cid)))
+            )
+        else:
+            rows.append(
+                (cid, "audio", _encode_wav(synth_variant_frames(cid)))
+            )
+    flat = np.full((16, 16, 3), 128, dtype=np.uint8)
+    rows.append((100, "image", _encode_png(flat)))
+    tiny = synth_variant_pixels(2)[:2, :3, :]
+    rows.append((101, "image", _encode_png(np.ascontiguousarray(tiny))))
+    wide = np.tile(synth_variant_pixels(4)[:2, :, :], (1, 12, 1))[:2, :32, :]
+    rows.append((102, "image", _encode_png(np.ascontiguousarray(wide))))
+    clipped = np.where(
+        synth_variant_frames(1) >= 0, 32767, -32768
+    ).astype(np.int16)
+    rows.append((110, "audio", _encode_wav(clipped)))
+    silent = np.zeros((64, 1), dtype=np.int16)
+    rows.append((111, "audio", _encode_wav(silent)))
+    short = synth_variant_frames(3)[:8, :]
+    rows.append((112, "audio", _encode_wav(np.ascontiguousarray(short))))
+    rows.append((120, "image", b"\x89PNG\r\n\x1a\n junk"))
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )

@@ -634,6 +634,99 @@ def check_media_incremental(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
     return _diff(exp, spark_pdf.copy())
 
 
+def _mirror_variant_arrays(cid: int):
+    """(kind, content array) for a variants-fixture content id,
+    mirrored from the formulas (never the decoder)."""
+    if cid % 2 == 0:
+        h, w, ch = 8 + cid % 5, 8 + cid % 7, 1 + cid % 4
+        idx = np.arange(h * w * ch, dtype=np.uint64) + np.uint64(cid * 97003 + 1)
+        v = (idx * np.uint64(2654435761)) % np.uint64(2**32)
+        return "image", (
+            ((v >> np.uint64(16)) % np.uint64(256))
+            .astype(np.int64)
+            .reshape(h, w, ch)
+        )
+    n, ch = 200 + cid % 50, 1 + cid % 2
+    idx = np.arange(n * ch, dtype=np.uint64) + np.uint64(cid * 40503 + 7)
+    v = (idx * np.uint64(2654435761)) % np.uint64(2**32)
+    return "audio", (
+        ((v >> np.uint64(12)) % np.uint64(65536)).astype(np.int64) - 32768
+    ).reshape(n, ch)
+
+
+def check_media_quality(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
+    """Independent mirror of the media quality gate: recompute every
+    metric from the FIXTURE FORMULAS (never the engine's decoder or
+    rule expressions) and re-apply the rule table in plain Python —
+    a decode bug, a metric bug, a null-handling bug, or a rule
+    precedence bug all break the match. IDs follow
+    synth_media_quality_fixture."""
+
+    def image_metrics(px):
+        ch = px.shape[2]
+        lum = px[:, :, : (1 if ch <= 2 else 3)].astype(np.float64).mean(axis=2)
+        return {
+            "width": px.shape[1],
+            "height": px.shape[0],
+            "lum_std": float(lum.std()),
+        }
+
+    def audio_metrics(fr):
+        s = fr.astype(np.float64)
+        return {
+            "n_frames": fr.shape[0],
+            "clip_ratio": float((np.abs(s) >= 32256).mean()),
+            "silence_ratio": float((np.abs(s) <= 327).mean()),
+        }
+
+    def verdict(kind, m, decoded=True):
+        failed = []
+        if not decoded:
+            failed.append("corrupt")
+        elif kind == "image":
+            if m["width"] < 4 or m["height"] < 4:
+                failed.append("too_small")
+            if m["width"] > 8 * m["height"] or m["height"] > 8 * m["width"]:
+                failed.append("extreme_aspect")
+            if m["lum_std"] < 2.0:
+                failed.append("flat_image")
+        else:
+            if m["n_frames"] < 16:
+                failed.append("too_short_audio")
+            if m["clip_ratio"] > 0.05:
+                failed.append("clipped_audio")
+            if m["silence_ratio"] > 0.9:
+                failed.append("silent_audio")
+        # fixed rule order: corrupt, too_small, extreme_aspect,
+        # flat_image, too_short_audio, clipped_audio, silent_audio —
+        # the per-kind checks above already emit in that order
+        return (len(failed) == 0, len(failed), ",".join(failed))
+
+    rows = []
+    for cid in range(10):
+        kind, arr = _mirror_variant_arrays(cid)
+        m = image_metrics(arr) if kind == "image" else audio_metrics(arr)
+        rows.append((cid, kind, *verdict(kind, m)))
+    rows.append((100, "image", *verdict("image", image_metrics(np.full((16, 16, 3), 128, dtype=np.int64)))))
+    _, a2 = _mirror_variant_arrays(2)
+    rows.append((101, "image", *verdict("image", image_metrics(a2[:2, :3, :]))))
+    _, a4 = _mirror_variant_arrays(4)
+    wide = np.tile(a4[:2, :, :], (1, 12, 1))[:2, :32, :]
+    rows.append((102, "image", *verdict("image", image_metrics(wide))))
+    _, f1 = _mirror_variant_arrays(1)
+    clipped = np.where(f1 >= 0, 32767, -32768)
+    rows.append((110, "audio", *verdict("audio", audio_metrics(clipped))))
+    rows.append((111, "audio", *verdict("audio", audio_metrics(np.zeros((64, 1), dtype=np.int64)))))
+    _, f3 = _mirror_variant_arrays(3)
+    rows.append((112, "audio", *verdict("audio", audio_metrics(f3[:8, :]))))
+    rows.append((120, "image", *verdict("image", None, decoded=False)))
+    exp = pd.DataFrame(
+        rows,
+        columns=["media_id", "kind", "passes", "n_failed", "failed_rules"],
+    ).astype({"media_id": "int64", "n_failed": "int64"})
+    return _diff(exp, spark_pdf.copy())
+
+
 def check_media_contamination(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
     """Band-free brute-force mirror of the media decontamination
     fixture: all within-kind corpus x benchmark pairs at Hamming <= 3
@@ -691,4 +784,5 @@ PY_ORACLES = {
     "q_media_neardup": check_media_neardup,
     "q_media_incremental": check_media_incremental,
     "q_media_contamination": check_media_contamination,
+    "q_media_quality": check_media_quality,
 }

@@ -2288,6 +2288,23 @@ def q_media_contamination(spark, sf_dir):
     return multimodal.media_contamination(corpus, bench)
 
 
+def q_media_quality(spark, sf_dir):
+    """Media quality FILTER REPORT (new r13) — the payload-side twin
+    of the gopher text gate: one Arrow decode pass emits per-payload
+    content metrics (luminance spread, clipping/silence ratios,
+    geometry), then a re-tunable rule table gates JVM-side. The
+    fixture plants one violation per rule (flat color card, tiny /
+    extreme-aspect image, clipped / silent / too-short audio, corrupt
+    payload) among clean high-entropy payloads; the Python oracle
+    recomputes every metric from the fixture FORMULAS and re-applies
+    the rules in plain Python, so decode, metric, null-handling, and
+    rule-order bugs all break the match."""
+    from ..operators import multimodal
+
+    fx = multimodal.synth_media_quality_fixture(spark)
+    return multimodal.media_quality_report(fx)
+
+
 N_MEDIA_HEADERS = 200
 
 
@@ -7604,6 +7621,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_media_neardup", q_media_neardup, None, py_oracle=PY_ORACLES["q_media_neardup"]),
     QuerySpec("q_media_incremental", q_media_incremental, None, py_oracle=PY_ORACLES["q_media_incremental"]),
     QuerySpec("q_media_contamination", q_media_contamination, None, py_oracle=PY_ORACLES["q_media_contamination"]),
+    QuerySpec("q_media_quality", q_media_quality, None, py_oracle=PY_ORACLES["q_media_quality"]),
     QuerySpec("q_kmeans_cells", q_kmeans_cells, None, py_oracle=PY_ORACLES["q_kmeans_cells"]),
     QuerySpec("q_ann_ivf", q_ann_ivf, None, py_oracle=PY_ORACLES["q_ann_ivf"]),
     # remainder, stale-first: rest of the r10/r11-verified blocks,

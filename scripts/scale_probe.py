@@ -81,7 +81,7 @@ ALL_OPS = (
     "semdedup prep shard_assign pq_adc bpe hist_state bpe_chain backoff "
     "profile ivf_index lsh_hot_bucket data_card purge_audit media_phash "
     "schema_drift media_incremental media_contamination media_neardup "
-    "media_prep"
+    "media_prep media_quality"
 ).split()
 
 
@@ -1850,7 +1850,11 @@ def main() -> None:
     # is corpus-sized by design (one decode pass), amortized per
     # corpus version — both are timed, like the IVF build/serve split.
     if want(
-        "media_incremental", "media_contamination", "media_neardup", "media_prep"
+        "media_incremental",
+        "media_contamination",
+        "media_neardup",
+        "media_prep",
+        "media_quality",
     ):
         import shutil as _sh
 
@@ -1972,15 +1976,34 @@ def main() -> None:
     # count+checksum equality asserted across TWO independent forces
     # of the composed plan at every probed scale — composition is
     # where the AQE reader-coalescing row-loss class hid (r9).
+    # --- media quality gate at scale (q_media_quality, new r13):
+    # per-payload metric decode + JVM rule gating over corpus 1x -> Nx.
+    # Expected: decode-bound (same slope as media_phash) — the rule
+    # expressions are whole-stage-codegen projections on the
+    # fixed-width metrics frame.
+    if want("media_quality"):
+        results["media_quality"] = {
+            "t1": timed(
+                "media_quality 1x", _mm2.media_quality_report(c1)
+            ),
+            "tN": timed(
+                f"media_quality {factor}x", _mm2.media_quality_report(cN)
+            ),
+        }
+
     if want("media_prep"):
         bench_p = synth_media_rows(64, "mp_bench.parquet", base=90_000_000)
 
         def run_media_prep(corpus_df, label):
             t0 = time.perf_counter()
-            deduped = _mm2.media_content_dedup(
+            passed = _mm2.media_quality_report(
                 corpus_df, on_unsupported="null"
+            ).filter(F.col("passes")).select("media_id")
+            gated = corpus_df.join(passed, "media_id")
+            deduped = _mm2.media_content_dedup(
+                gated, on_unsupported="null"
             )
-            survivors = corpus_df.join(
+            survivors = gated.join(
                 deduped.filter(F.col("is_dup") == 0).select("media_id"),
                 "media_id",
             )

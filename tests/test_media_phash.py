@@ -459,3 +459,55 @@ def test_indexed_serve_refuses_pre_digest_index(spark, tmp_path):
     shutil.move(f"{idx}/hashes_legacy", f"{idx}/hashes")
     with pytest.raises(ValueError, match="digest"):
         multimodal.incremental_media_dedup_indexed(incoming, idx).collect()
+
+
+def test_media_quality_report_verdicts(spark):
+    """One planted violation per rule; clean payloads all pass; the
+    corrupt payload fails ONLY the corrupt rule (NULL metrics must
+    not fire the threshold rules)."""
+    fx = multimodal.synth_media_quality_fixture(spark)
+    rep = {
+        r.media_id: (r.passes, r.failed_rules)
+        for r in multimodal.media_quality_report(fx).collect()
+    }
+    for cid in range(10):
+        assert rep[cid] == (True, ""), rep[cid]
+    assert rep[100] == (False, "flat_image")
+    assert rep[101] == (False, "too_small")
+    assert rep[102] == (False, "too_small,extreme_aspect")
+    assert rep[110] == (False, "clipped_audio")
+    assert rep[111] == (False, "silent_audio")
+    assert rep[112] == (False, "too_short_audio")
+    assert rep[120] == (False, "corrupt")
+
+
+def test_media_quality_custom_and_empty_rules(spark):
+    """Same rule-list contract as text.gopher_filter_report: an
+    explicit empty list means 'no rules — everything passes', and a
+    custom rule table replaces (not extends) the defaults."""
+    fx = multimodal.synth_media_quality_fixture(spark).filter(
+        "media_id IN (0, 100)"
+    )
+    all_pass = multimodal.media_quality_report(fx, rules=[]).collect()
+    assert all(r.passes for r in all_pass)
+    custom = {
+        r.media_id: r.failed_rules
+        for r in multimodal.media_quality_report(
+            fx, rules=[("bright", "kind = 'image' AND lum_mean > 100")]
+        ).collect()
+    }
+    assert custom[100] == "bright"  # flat gray card, lum_mean 128
+
+
+def test_media_quality_features_raise_mode(spark):
+    fx = spark.createDataFrame(
+        [(0, "image", b"\x89PNG\r\n\x1a\n junk")],
+        "media_id long, kind string, payload binary",
+    )
+    import py4j.protocol
+    from pyspark.errors import PythonException
+
+    with pytest.raises((PythonException, py4j.protocol.Py4JJavaError)):
+        multimodal.media_quality_features(fx, on_unsupported="raise").collect()
+    with pytest.raises(ValueError):
+        multimodal.media_quality_features(fx, on_unsupported="bogus")
