@@ -1586,3 +1586,170 @@ def synth_media_quality_fixture(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         rows, "media_id long, kind string, payload binary"
     )
+
+
+MEDIA_PROFILE_SCHEMA = (
+    "media_id long, kind string, decoded int, phash long, digest string, "
+    "width int, height int, lum_mean double, lum_std double, "
+    "n_frames int, n_channels int, clip_ratio double, "
+    "silence_ratio double, dc_offset double"
+)
+
+
+def media_profile(df: DataFrame, on_unsupported: str = "null") -> DataFrame:
+    """EVERY per-payload signal from ONE decode pass: both dedup keys
+    (perceptual hash + decoded-content digest, :func:`media_hashes`)
+    and the full quality-metric row (:func:`media_quality_features`).
+
+    At media scale the decode is the job — a pipeline that calls the
+    gate and the hash tiers separately decodes the corpus twice, so
+    the composed form (:func:`prep_media`) profiles once and every
+    downstream stage (rule gating, digest dedup, banded
+    contamination) is a JVM-side projection/join over this
+    fixed-width metadata frame. Payloads never leave the decode
+    batch. Column semantics are IDENTICAL to the single-purpose
+    operators (pytest-pinned), so oracles and thresholds transfer.
+    """
+    if on_unsupported not in ("raise", "null"):
+        raise ValueError("on_unsupported must be 'raise' or 'null'")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                base = dict.fromkeys(
+                    (
+                        "phash", "digest", "width", "height", "lum_mean",
+                        "lum_std", "n_frames", "n_channels", "clip_ratio",
+                        "silence_ratio", "dc_offset",
+                    )
+                )
+                base.update(media_id=int(mid), kind=kind, decoded=0)
+                try:
+                    tag, arr = _decode_content(raw)
+                except (NotImplementedError, ValueError, zlib.error):
+                    if on_unsupported == "raise":
+                        raise
+                    rows.append(base)
+                    continue
+                base["decoded"] = 1
+                base["digest"] = _digest_of(tag, arr)
+                if tag == "img":
+                    base["phash"] = phash_from_pixels(arr)
+                    lum = (
+                        arr[:, :, : _lum_planes(arr.shape[2])]
+                        .astype(np.float64)
+                        .mean(axis=2)
+                    )
+                    base.update(
+                        width=int(arr.shape[1]),
+                        height=int(arr.shape[0]),
+                        lum_mean=float(lum.mean()),
+                        lum_std=float(lum.std()),
+                    )
+                else:
+                    base["phash"] = phash_from_frames(arr)
+                    s = arr.astype(np.float64)
+                    base.update(
+                        n_frames=int(arr.shape[0]),
+                        n_channels=int(arr.shape[1]),
+                        clip_ratio=float((np.abs(s) >= CLIP_MAG).mean()),
+                        silence_ratio=float((np.abs(s) <= SILENCE_MAG).mean()),
+                        dc_offset=float(s.mean() / 32768.0),
+                    )
+                rows.append(base)
+            out = pd.DataFrame(rows)
+            out["phash"] = out["phash"].astype("Int64")
+            yield out
+
+    return df.mapInPandas(run, MEDIA_PROFILE_SCHEMA)
+
+
+def prep_media(
+    corpus: DataFrame,
+    benchmark: DataFrame | None = None,
+    rules: list[tuple[str, str]] | None = None,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """End-to-end media prep — the payload-side twin of
+    ``pipeline.prep_corpus``: quality gate -> exact (digest) dedup ->
+    benchmark decontamination tagging, with the corpus decoded
+    EXACTLY ONCE (:func:`media_profile`; the benchmark, tiny by
+    contract, decodes once too).
+
+    Returns one row per ADMITTED payload (quality-passing, first of
+    its (kind, digest) group): ``(media_id, kind, phash, digest,
+    contamination)`` where contamination is ``'exact'`` /
+    ``'candidate'`` (:func:`media_contamination` semantics) or NULL
+    for unflagged rows — exact rows are the digest-confirmed leaks a
+    caller deletes, candidates carry the documented aHash FP floor
+    and route to review.
+
+    Scale shape: one Arrow decode of each side; everything after is
+    JVM projections and joins over fixed-width metadata — the gate is
+    a codegen filter, the dedup window keys on 32-byte digests, and
+    the banded contamination join carries (kind, 16-bit band) keys
+    with the benchmark side broadcast-sized.
+    """
+    _require_phash_geometry(max_hamming, n_bands)
+    prof = media_profile(corpus, on_unsupported="null").localCheckpoint()
+    rule_list = MEDIA_QUALITY_RULES if rules is None else rules
+    fail_any = F.lit(False)
+    for _, sql in rule_list:
+        fail_any = fail_any | F.coalesce(F.expr(sql), F.lit(False))
+    passed = prof.filter(~fail_any).filter(F.col("decoded") == 1)
+    w = Window.partitionBy("kind", "digest").orderBy("media_id")
+    admitted = (
+        passed.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("media_id", "kind", "phash", "digest")
+    )
+    if benchmark is None:
+        return admitted.withColumn(
+            "contamination", F.lit(None).cast("string")
+        )
+    ben = (
+        media_hashes(benchmark, on_unsupported="null")
+        .filter(F.col("phash").isNotNull())
+        .localCheckpoint()
+    )
+    a = _phash_bands(admitted, n_bands, extra=["digest"]).alias("a")
+    b = _phash_bands(ben, n_bands, extra=["digest"]).alias("b")
+    flags = (
+        a.join(
+            b,
+            (F.col("a.kind") == F.col("b.kind"))
+            & (F.col("a.band_ix") == F.col("b.band_ix"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+            (F.col("a.digest") == F.col("b.digest")).alias("same_content"),
+        )
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(ph_a ^ ph_b)").cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("media_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("hamming") == 0) & F.col("same_content"), 2
+                ).otherwise(1)
+            ).alias("_lvl")
+        )
+        .select(
+            "media_id",
+            F.when(F.col("_lvl") == 2, F.lit("exact"))
+            .otherwise(F.lit("candidate"))
+            .alias("contamination"),
+        )
+    )
+    return admitted.join(flags, "media_id", "left")

@@ -773,6 +773,47 @@ def check_media_contamination(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]
     return _diff(exp, actual)
 
 
+def check_media_prep(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
+    """Formula-mirrored end-to-end reference for the fused media prep
+    pipeline: recompute gate verdicts, digest-keyed keep-first dedup,
+    and contamination tags in plain Python over the mirrored content
+    formulas — no banding, no decoder, no engine rule expressions."""
+    # corpus: quality fixture (ids 0-9 clean; 100.. planted fails;
+    # 120 corrupt) + id 200 = re-encode of content 0. Quality fails
+    # and the corrupt row never reach dedup; id 200 shares content 0's
+    # digest and loses keep-first to id 0.
+    admitted = []
+    for cid in range(10):
+        k, p = _mirror_variant_phash(cid)
+        admitted.append((cid, k, p, _mirror_variant_digest(cid)))
+    # benchmark: re-encode of content 2 (same digest, Hamming 0 ->
+    # exact) and unrelated audio content 501
+    bench = [
+        _mirror_variant_phash(2) + (_mirror_variant_digest(2),),
+        _mirror_variant_phash(501) + (_mirror_variant_digest(501),),
+    ]
+    rows = []
+    for mid, kind, ph, dg in admitted:
+        tag = None
+        lvl = 0
+        for bk, bp, bdg in bench:
+            if bk != kind:
+                continue
+            d = bin((ph ^ bp) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                lvl = max(lvl, 2 if d == 0 and dg == bdg else 1)
+        if lvl:
+            tag = "exact" if lvl == 2 else "candidate"
+        rows.append((mid, kind, ph, dg, tag))
+    exp = pd.DataFrame(
+        rows,
+        columns=["media_id", "kind", "phash", "digest", "contamination"],
+    ).astype({"media_id": "int64", "phash": "int64"})
+    actual = spark_pdf.copy()
+    actual["phash"] = actual["phash"].astype("int64")
+    return _diff(exp, actual)
+
+
 #: name → checker, consumed by plans.queries when building QUERIES
 PY_ORACLES = {
     "q_bpe_merges": check_bpe_merges,
@@ -785,4 +826,5 @@ PY_ORACLES = {
     "q_media_incremental": check_media_incremental,
     "q_media_contamination": check_media_contamination,
     "q_media_quality": check_media_quality,
+    "q_media_prep": check_media_prep,
 }

@@ -2305,6 +2305,56 @@ def q_media_quality(spark, sf_dir):
     return multimodal.media_quality_report(fx)
 
 
+def q_media_prep(spark, sf_dir):
+    """End-to-end media prep (new r13): ONE corpus decode feeds the
+    quality gate, the digest-exact dedup, and the benchmark
+    decontamination tagging (operators.multimodal.prep_media — the
+    payload twin of pipeline.prep_corpus). Fixture: the quality
+    fixture's clean+planted rows, a re-encoded duplicate of content 0,
+    and a benchmark holding a re-encode of corpus content 2 (an exact
+    leak) plus an unrelated item. Expected: quality violations and the
+    dup are gone; content 2 is tagged 'exact'; everything else passes
+    untagged. The Python oracle mirrors formulas end to end —
+    metrics, rules, digests, phashes, banding recall, and the
+    confidence decision are all on the hook in one composed check."""
+    from ..operators import multimodal
+
+    corpus = multimodal.synth_media_quality_fixture(spark).unionByName(
+        spark.createDataFrame(
+            [
+                (
+                    200,
+                    "image",
+                    multimodal._encode_png(
+                        multimodal.synth_variant_pixels(0), filters=(2,)
+                    ),
+                )
+            ],
+            "media_id long, kind string, payload binary",
+        )
+    )
+    bench = spark.createDataFrame(
+        [
+            (
+                0,
+                "image",
+                multimodal._encode_png(
+                    multimodal.synth_variant_pixels(2), filters=(4,)
+                ),
+            ),
+            (
+                1,
+                "audio",
+                multimodal._encode_wav(
+                    multimodal.synth_variant_frames(501)
+                ),
+            ),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    return multimodal.prep_media(corpus, bench)
+
+
 N_MEDIA_HEADERS = 200
 
 
@@ -7622,6 +7672,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_media_incremental", q_media_incremental, None, py_oracle=PY_ORACLES["q_media_incremental"]),
     QuerySpec("q_media_contamination", q_media_contamination, None, py_oracle=PY_ORACLES["q_media_contamination"]),
     QuerySpec("q_media_quality", q_media_quality, None, py_oracle=PY_ORACLES["q_media_quality"]),
+    QuerySpec("q_media_prep", q_media_prep, None, py_oracle=PY_ORACLES["q_media_prep"]),
     QuerySpec("q_kmeans_cells", q_kmeans_cells, None, py_oracle=PY_ORACLES["q_kmeans_cells"]),
     QuerySpec("q_ann_ivf", q_ann_ivf, None, py_oracle=PY_ORACLES["q_ann_ivf"]),
     # remainder, stale-first: rest of the r10/r11-verified blocks,

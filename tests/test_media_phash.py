@@ -511,3 +511,91 @@ def test_media_quality_features_raise_mode(spark):
         multimodal.media_quality_features(fx, on_unsupported="raise").collect()
     with pytest.raises(ValueError):
         multimodal.media_quality_features(fx, on_unsupported="bogus")
+
+
+def test_media_profile_matches_single_purpose_operators(spark):
+    """One decode pass, identical semantics: profile columns must be
+    row-for-row equal to media_hashes and media_quality_features on
+    the same fixture (incl. the corrupt payload's NULL row)."""
+    fx = multimodal.synth_media_quality_fixture(spark)
+    prof = multimodal.media_profile(fx).toPandas().set_index("media_id")
+    hashes = (
+        multimodal.media_hashes(fx, on_unsupported="null")
+        .toPandas()
+        .set_index("media_id")
+    )
+    qual = (
+        multimodal.media_quality_features(fx)
+        .toPandas()
+        .set_index("media_id")
+    )
+    assert prof["phash"].equals(hashes["phash"])
+    assert prof["digest"].equals(hashes["digest"])
+    for col in (
+        "decoded", "width", "height", "lum_mean", "lum_std", "n_frames",
+        "n_channels", "clip_ratio", "silence_ratio", "dc_offset",
+    ):
+        assert prof[col].equals(qual[col]), col
+
+
+def test_prep_media_equals_stage_composition(spark):
+    """The fused pipeline (one corpus decode) must return exactly the
+    rows of the stage-by-stage composition: quality gate ->
+    digest-dedup keep-first -> contamination tags."""
+    corpus = multimodal.synth_media_quality_fixture(spark)
+    # add a re-encode dup of content 0 and a benchmark leak of content 2
+    extra = spark.createDataFrame(
+        [
+            (
+                200,
+                "image",
+                multimodal._encode_png(
+                    multimodal.synth_variant_pixels(0), filters=(2,)
+                ),
+            )
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    corpus = corpus.unionByName(extra)
+    bench = spark.createDataFrame(
+        [
+            (
+                0,
+                "image",
+                multimodal._encode_png(
+                    multimodal.synth_variant_pixels(2), filters=(4,)
+                ),
+            ),
+            (
+                1,
+                "image",
+                multimodal._encode_png(multimodal.synth_variant_pixels(1730)),
+            ),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    got = multimodal.prep_media(corpus, bench).toPandas()
+    # stage-by-stage reference
+    rep = multimodal.media_quality_report(corpus)
+    gated = corpus.join(
+        rep.filter("passes").select("media_id"), "media_id"
+    )
+    ded = multimodal.media_content_dedup(gated, on_unsupported="null")
+    keep = set(
+        ded.filter("is_dup = 0").toPandas()["media_id"].tolist()
+    )
+    flags = {
+        r.media_id: r.confidence
+        for r in multimodal.media_contamination(gated, bench).collect()
+    }
+    assert set(got["media_id"]) == keep
+    for r in got.itertuples():
+        assert flags.get(r.media_id) == (
+            None if r.contamination is None else r.contamination
+        )
+    # the planted semantics themselves:
+    ids = set(got["media_id"])
+    assert 200 not in ids and 0 in ids          # re-encode dup dropped
+    assert not ids & {100, 101, 102, 110, 111, 112, 120}  # gate fails out
+    by_id = got.set_index("media_id")["contamination"]
+    assert by_id[2] == "exact"                  # digest-confirmed leak

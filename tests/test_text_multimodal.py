@@ -119,6 +119,7 @@ def test_driver_gate_window_is_fully_oracle_backed():
         "q_media_incremental",  # index-lifecycle classify (r12)
         "q_media_contamination",  # benchmark media decontamination (r12)
         "q_media_quality",  # media quality gate (r13)
+        "q_media_prep",  # fused end-to-end media prep (r13)
     }
     # r11: every non-SQL entry carries a registered PYTHON oracle —
     # zero unchecked registry entries (VERDICT r10 item 2)
