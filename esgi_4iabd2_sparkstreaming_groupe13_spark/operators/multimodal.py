@@ -1276,7 +1276,11 @@ def media_contamination(
         .localCheckpoint()
     )
     a = _phash_bands(cor, n_bands, extra=["digest"]).alias("a")
-    b = _phash_bands(ben, n_bands, extra=["digest"]).alias("b")
+    # benchmark suites are tiny BY CONTRACT (docstring above): force
+    # the broadcast so the corpus side never shuffles on the band key
+    # even before AQE sees runtime sizes — at 100 TB the corpus-side
+    # exchange this avoids is the whole cost of the join
+    b = F.broadcast(_phash_bands(ben, n_bands, extra=["digest"])).alias("b")
     return (
         a.join(
             b,
@@ -1720,7 +1724,7 @@ def prep_media(
         .localCheckpoint()
     )
     a = _phash_bands(admitted, n_bands, extra=["digest"]).alias("a")
-    b = _phash_bands(ben, n_bands, extra=["digest"]).alias("b")
+    b = F.broadcast(_phash_bands(ben, n_bands, extra=["digest"])).alias("b")
     flags = (
         a.join(
             b,
@@ -1752,4 +1756,6 @@ def prep_media(
             .alias("contamination"),
         )
     )
-    return admitted.join(flags, "media_id", "left")
+    # flags is bounded by |contaminated| <= |admitted ∩ bench-adjacent|
+    # — benchmark-sized by contract, so broadcast the tag join too
+    return admitted.join(F.broadcast(flags), "media_id", "left")
