@@ -1723,9 +1723,25 @@ def prep_media(
         .filter(F.col("phash").isNotNull())
         .localCheckpoint()
     )
-    a = _phash_bands(admitted, n_bands, extra=["digest"]).alias("a")
-    b = F.broadcast(_phash_bands(ben, n_bands, extra=["digest"])).alias("b")
-    flags = (
+    flags = _contamination_tags(admitted, ben, max_hamming, n_bands)
+    # flags is bounded by |contaminated| <= |admitted ∩ bench-adjacent|
+    # — benchmark-sized by contract, so broadcast the tag join too
+    return admitted.join(F.broadcast(flags), "media_id", "left")
+
+
+def _contamination_tags(
+    rows: DataFrame, ben_hashed: DataFrame, max_hamming: int, n_bands: int
+) -> DataFrame:
+    """(media_id, contamination) tags for every row of ``rows``
+    (needs media_id/kind/phash/digest) within ``max_hamming`` of a
+    benchmark item — 'exact' iff some Hamming-0 match also matches
+    the content digest. Shared by :func:`prep_media` and
+    :func:`prep_media_incremental`; benchmark side broadcast."""
+    a = _phash_bands(rows, n_bands, extra=["digest"]).alias("a")
+    b = F.broadcast(
+        _phash_bands(ben_hashed, n_bands, extra=["digest"])
+    ).alias("b")
+    return (
         a.join(
             b,
             (F.col("a.kind") == F.col("b.kind"))
@@ -1756,6 +1772,81 @@ def prep_media(
             .alias("contamination"),
         )
     )
-    # flags is bounded by |contaminated| <= |admitted ∩ bench-adjacent|
-    # — benchmark-sized by contract, so broadcast the tag join too
-    return admitted.join(F.broadcast(flags), "media_id", "left")
+
+
+def prep_media_incremental(
+    incoming: DataFrame,
+    index_path: str,
+    benchmark: DataFrame | None = None,
+    rules: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Nightly-ingest form of :func:`prep_media`: profile the INCOMING
+    batch once, gate it, classify it against the PERSISTED hash index
+    (:func:`build_media_index` — the corpus contributes 8-byte-hash +
+    digest rows read from parquet, never a decode), and tag the
+    admitted rows against a benchmark. Per-ingest work tracks the
+    increment, not the corpus.
+
+    Output: one row per incoming payload ``(media_id, kind, decision,
+    contamination)`` with decision precedence ``corrupt`` >
+    ``quality_fail`` > ``dup_exact`` (digest in index) > ``dup_near``
+    (within banded Hamming) > ``new``; contamination is non-NULL only
+    for ``new`` rows ('exact'/'candidate',
+    :func:`media_contamination` semantics). The caller appends the
+    ``new`` payloads via :func:`append_to_media_index` — kept outside
+    this operator so a failed downstream publish never half-poisons
+    the index (same read-write contract as
+    ``dedup.append_to_dedup_index``)."""
+    spark = incoming.sparkSession
+    meta = spark.read.parquet(f"{index_path}/meta").head()
+    corpus_hashes = spark.read.parquet(f"{index_path}/hashes")
+    if "digest" not in corpus_hashes.columns:
+        raise ValueError(
+            "media index at %r predates the digest-keyed exact tier "
+            "(r12 precision audit) — rebuild it with build_media_index"
+            % index_path
+        )
+    prof = media_profile(incoming, on_unsupported="null").localCheckpoint()
+    rule_list = MEDIA_QUALITY_RULES if rules is None else rules
+    fail_any = F.lit(False)
+    for _, sql in rule_list:
+        fail_any = fail_any | F.coalesce(F.expr(sql), F.lit(False))
+    cls = _classify_incoming(
+        prof.select("media_id", "kind", "phash", "digest"),
+        corpus_hashes,
+        meta.max_hamming,
+        meta.n_bands,
+    )
+    decided = (
+        cls.join(
+            prof.filter((F.col("decoded") == 1) & fail_any)
+            .select("media_id")
+            .withColumn("_qf", F.lit(1)),
+            "media_id",
+            "left",
+        )
+        .select(
+            "media_id",
+            "kind",
+            F.when(F.col("decision") == "corrupt", F.lit("corrupt"))
+            .when(F.col("_qf") == 1, F.lit("quality_fail"))
+            .otherwise(F.col("decision"))
+            .alias("decision"),
+        )
+    )
+    if benchmark is None:
+        return decided.withColumn(
+            "contamination", F.lit(None).cast("string")
+        )
+    ben = (
+        media_hashes(benchmark, on_unsupported="null")
+        .filter(F.col("phash").isNotNull())
+        .localCheckpoint()
+    )
+    new_rows = decided.filter(F.col("decision") == "new").join(
+        prof.select("media_id", "phash", "digest"), "media_id"
+    ).select("media_id", "kind", "phash", "digest")
+    flags = _contamination_tags(
+        new_rows, ben, meta.max_hamming, meta.n_bands
+    )
+    return decided.join(F.broadcast(flags), "media_id", "left")

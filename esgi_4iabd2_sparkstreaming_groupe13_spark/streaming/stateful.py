@@ -395,3 +395,20 @@ def media_dedup_within_watermark(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["kind", "digest"])
     )
+
+
+def media_quality_gate_stream(
+    media_stream: DataFrame,
+    rules: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Streaming media quality gate: the batch rule table
+    (``operators.multimodal.media_quality_report``) applied per
+    micro-batch — ``mapInPandas`` decode + codegen rule projection are
+    both stream-safe and STATELESS, so this composes with any
+    downstream watermark/dedup stage and needs no state store at all.
+    Emits the same explainable verdict row per arriving payload as the
+    batch gate (pytest pins stream==batch on a planted-violation
+    corpus split across micro-batches)."""
+    from ..operators.multimodal import media_quality_report
+
+    return media_quality_report(media_stream, rules=rules)

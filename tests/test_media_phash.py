@@ -599,3 +599,93 @@ def test_prep_media_equals_stage_composition(spark):
     assert not ids & {100, 101, 102, 110, 111, 112, 120}  # gate fails out
     by_id = got.set_index("media_id")["contamination"]
     assert by_id[2] == "exact"                  # digest-confirmed leak
+
+
+def test_media_quality_gate_stream_matches_batch(spark, tmp_path):
+    """The streaming gate (stateless decode + rule projection) must
+    emit exactly the batch verdicts when the planted-violation fixture
+    arrives split across micro-batches."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.streaming.stateful import (
+        media_quality_gate_stream,
+    )
+
+    fx = multimodal.synth_media_quality_fixture(spark)
+    src = str(tmp_path / "src")
+    fx.filter("media_id < 10").coalesce(1).write.mode("overwrite").parquet(src)
+    fx.filter("media_id >= 10").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("media_id long, kind string, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        media_quality_gate_stream(stream)
+        .writeStream.format("memory")
+        .queryName("media_gate_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600)
+    got = (
+        spark.table("media_gate_stream")
+        .toPandas()
+        .sort_values("media_id", ignore_index=True)
+    )
+    want = (
+        multimodal.media_quality_report(fx)
+        .toPandas()
+        .sort_values("media_id", ignore_index=True)
+    )
+    assert got.equals(want)
+
+
+def test_prep_media_incremental_decisions(spark, tmp_path):
+    """Nightly-ingest shape: gate + classify-vs-persisted-index +
+    contamination tags, one incoming decode. Planted: a re-encode of
+    an indexed content (dup_exact), an edited copy (dup_near), a clean
+    unseen content (new, untagged), an unseen content that re-encodes
+    a benchmark item (new + exact), a flat image (quality_fail), and
+    a corrupt payload (corrupt beats quality_fail)."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.multimodal import (
+        build_media_index,
+        prep_media_incremental,
+    )
+
+    schema = "media_id long, kind string, payload binary"
+    corpus = spark.createDataFrame(
+        [(cid, *_enc_cid(cid)) for cid in range(8)], schema
+    )
+    idx = str(tmp_path / "idx")
+    build_media_index(corpus, idx)
+    incoming = spark.createDataFrame(
+        [
+            (1000, *_enc_cid(0, variant=1)),           # re-encode -> dup_exact
+            (1001, *_enc_cid(4, perturb=True)),        # edited -> dup_near
+            (1002, *_enc_cid(300)),                    # unseen clean -> new
+            (1003, *_enc_cid(501, variant=2)),         # unseen, = bench item
+            (
+                1004,
+                "image",
+                multimodal._encode_png(
+                    np.full((16, 16, 3), 99, dtype=np.uint8)
+                ),
+            ),                                          # flat -> quality_fail
+            (1005, "image", b"\x89PNG\r\n\x1a\n junk"),  # corrupt
+        ],
+        schema,
+    )
+    bench = spark.createDataFrame(
+        [(0, *_enc_cid(501))], schema
+    )
+    got = {
+        r.media_id: (r.decision, r.contamination)
+        for r in prep_media_incremental(incoming, idx, bench).collect()
+    }
+    assert got[1000] == ("dup_exact", None)
+    assert got[1001] == ("dup_near", None)
+    assert got[1002] == ("new", None)
+    assert got[1003] == ("new", "exact")
+    assert got[1004] == ("quality_fail", None)
+    assert got[1005] == ("corrupt", None)
