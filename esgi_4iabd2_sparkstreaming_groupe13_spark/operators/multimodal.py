@@ -1431,6 +1431,32 @@ CLIP_MAG = 32256
 SILENCE_MAG = 327
 
 
+def _metrics_of(tag: str, arr: np.ndarray) -> dict:
+    """Quality metrics for one decoded content array — shared by
+    :func:`media_quality_features` and :func:`media_profile` so the
+    two paths can never drift (the r12 lesson from the digest tier)."""
+    if tag == "img":
+        lum = (
+            arr[:, :, : _lum_planes(arr.shape[2])]
+            .astype(np.float64)
+            .mean(axis=2)
+        )
+        return {
+            "width": int(arr.shape[1]),
+            "height": int(arr.shape[0]),
+            "lum_mean": float(lum.mean()),
+            "lum_std": float(lum.std()),
+        }
+    s = arr.astype(np.float64)
+    return {
+        "n_frames": int(arr.shape[0]),
+        "n_channels": int(arr.shape[1]),
+        "clip_ratio": float((np.abs(s) >= CLIP_MAG).mean()),
+        "silence_ratio": float((np.abs(s) <= SILENCE_MAG).mean()),
+        "dc_offset": float(s.mean() / 32768.0),
+    }
+
+
 def media_quality_features(
     df: DataFrame, on_unsupported: str = "null"
 ) -> DataFrame:
@@ -1488,27 +1514,7 @@ def media_quality_features(
                     rows.append(base)
                     continue
                 base["decoded"] = 1
-                if tag == "img":
-                    lum = (
-                        arr[:, :, : _lum_planes(arr.shape[2])]
-                        .astype(np.float64)
-                        .mean(axis=2)
-                    )
-                    base.update(
-                        width=int(arr.shape[1]),
-                        height=int(arr.shape[0]),
-                        lum_mean=float(lum.mean()),
-                        lum_std=float(lum.std()),
-                    )
-                else:
-                    s = arr.astype(np.float64)
-                    base.update(
-                        n_frames=int(arr.shape[0]),
-                        n_channels=int(arr.shape[1]),
-                        clip_ratio=float((np.abs(s) >= CLIP_MAG).mean()),
-                        silence_ratio=float((np.abs(s) <= SILENCE_MAG).mean()),
-                        dc_offset=float(s.mean() / 32768.0),
-                    )
+                base.update(_metrics_of(tag, arr))
                 rows.append(base)
             yield pd.DataFrame(rows)
 
@@ -1643,29 +1649,12 @@ def media_profile(df: DataFrame, on_unsupported: str = "null") -> DataFrame:
                     continue
                 base["decoded"] = 1
                 base["digest"] = _digest_of(tag, arr)
-                if tag == "img":
-                    base["phash"] = phash_from_pixels(arr)
-                    lum = (
-                        arr[:, :, : _lum_planes(arr.shape[2])]
-                        .astype(np.float64)
-                        .mean(axis=2)
-                    )
-                    base.update(
-                        width=int(arr.shape[1]),
-                        height=int(arr.shape[0]),
-                        lum_mean=float(lum.mean()),
-                        lum_std=float(lum.std()),
-                    )
-                else:
-                    base["phash"] = phash_from_frames(arr)
-                    s = arr.astype(np.float64)
-                    base.update(
-                        n_frames=int(arr.shape[0]),
-                        n_channels=int(arr.shape[1]),
-                        clip_ratio=float((np.abs(s) >= CLIP_MAG).mean()),
-                        silence_ratio=float((np.abs(s) <= SILENCE_MAG).mean()),
-                        dc_offset=float(s.mean() / 32768.0),
-                    )
+                base["phash"] = (
+                    phash_from_pixels(arr)
+                    if tag == "img"
+                    else phash_from_frames(arr)
+                )
+                base.update(_metrics_of(tag, arr))
                 rows.append(base)
             out = pd.DataFrame(rows)
             out["phash"] = out["phash"].astype("Int64")
