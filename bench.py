@@ -189,9 +189,18 @@ def main() -> None:
     # local runs with REPS=3.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     timings: dict[str, float] = {}
-    for spec in QUERIES:
-        if not spec.headline:
-            continue
+    # FIXED alphabetical execution order (r13 methodology change,
+    # recorded in BASELINE.md): the timed loop used to follow registry
+    # order, which the driver-window rotation reshuffles every round —
+    # and in-slate neighbor effects (page cache, JIT, executor
+    # storage) move individual queries up to ~3x (measured r13:
+    # q_agg_state 0.77 s in the r12 slate order, 2.55 s in the r13
+    # order, 1.26 s isolated — same code, same corpus). Alphabetical
+    # order decouples the bench artifact from the rotation so
+    # cross-round per-query ratios compare like against like.
+    for spec in sorted(
+        (s for s in QUERIES if s.headline), key=lambda s: s.name
+    ):
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()

@@ -689,3 +689,88 @@ def test_prep_media_incremental_decisions(spark, tmp_path):
     assert got[1003] == ("new", "exact")
     assert got[1004] == ("quality_fail", None)
     assert got[1005] == ("corrupt", None)
+
+
+# ---------------------------------------------------------------------
+# property-based parity: engine pure functions vs oracle mirrors on
+# RANDOM content (no Spark round-trip — these run in milliseconds and
+# cover shapes the deterministic fixtures never reach)
+# ---------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra import numpy as hnp
+
+
+@st.composite
+def _pixel_arrays(draw):
+    h = draw(st.integers(1, 24))
+    w = draw(st.integers(1, 24))
+    ch = draw(st.integers(1, 4))
+    return draw(
+        hnp.arrays(np.uint8, (h, w, ch), elements=st.integers(0, 255))
+    )
+
+
+@st.composite
+def _frame_arrays(draw):
+    n = draw(st.integers(1, 400))
+    ch = draw(st.integers(1, 2))
+    return draw(
+        hnp.arrays(
+            np.int16, (n, ch), elements=st.integers(-32768, 32767)
+        )
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(_pixel_arrays())
+def test_phash_engine_equals_mirror_on_random_pixels(px):
+    """phash_from_pixels vs the oracle's independent bit-pack/grid
+    mirror must agree on ARBITRARY uint8 arrays — every channel count,
+    non-divisible grid shapes, constant images."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.plans import py_oracles as po
+
+    ch = px.shape[2]
+    lum = px[:, :, : (1 if ch <= 2 else 3)].astype(np.float64).mean(axis=2)
+    cells = np.array(
+        [
+            [
+                lum[r0:r1, c0:c1].mean()
+                for (c0, c1) in po._mirror_bounds(lum.shape[1], 8)
+            ]
+            for (r0, r1) in po._mirror_bounds(lum.shape[0], 8)
+        ]
+    )
+    assert po._mirror_phash_bits(cells) == multimodal.phash_from_pixels(px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_pixel_arrays())
+def test_digest_roundtrips_png_encode_on_random_pixels(px):
+    """content_digest(encode(px)) must equal the digest of the raw
+    array under EVERY PNG filter type — decode correctness and digest
+    canonicalization on arbitrary content."""
+    want = multimodal._digest_of("img", px)
+    for f in range(5):
+        got = multimodal.content_digest(multimodal._encode_png(px, filters=(f,)))
+        assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(_frame_arrays())
+def test_audio_metrics_match_definition_on_random_frames(fr):
+    """_metrics_of audio signals vs their plain-numpy definitions on
+    arbitrary PCM, including all-clipped and all-silent extremes."""
+    m = multimodal._metrics_of("aud", fr)
+    s = fr.astype(np.float64)
+    assert m["n_frames"] == fr.shape[0]
+    assert m["clip_ratio"] == float((np.abs(s) >= multimodal.CLIP_MAG).mean())
+    assert m["silence_ratio"] == float(
+        (np.abs(s) <= multimodal.SILENCE_MAG).mean()
+    )
+    assert m["dc_offset"] == float(s.mean() / 32768.0)
+    # WAV round-trip: digest of encode(fr) equals digest of fr
+    assert multimodal.content_digest(
+        multimodal._encode_wav(fr)
+    ) == multimodal._digest_of("aud", fr)
