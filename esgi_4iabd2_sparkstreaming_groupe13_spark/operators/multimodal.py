@@ -1692,6 +1692,62 @@ def prep_media(
     """
     _require_phash_geometry(max_hamming, n_bands)
     prof = media_profile(corpus, on_unsupported="null").localCheckpoint()
+    return prep_media_from_profile(
+        prof,
+        benchmark,
+        rules=rules,
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+    )
+
+
+def build_media_profile(corpus: DataFrame, profile_path: str) -> None:
+    """Persist the one-decode-per-corpus-version profile
+    (:func:`media_profile`) as a parquet table — the generalization of
+    :func:`build_media_index` to EVERY per-payload signal. A corpus
+    version decodes exactly once; gate sweeps with re-tuned
+    thresholds, dedup passes, contamination audits against new
+    benchmarks, and banded near-dup scans all read this fixed-width
+    metadata table with ZERO further decode (at media scale the
+    decode is the dominant cost, so re-tuning a threshold must not
+    re-pay it)."""
+    media_profile(corpus, on_unsupported="null").write.mode(
+        "overwrite"
+    ).parquet(profile_path)
+
+
+def prep_media_from_profile(
+    profile: DataFrame | str,
+    benchmark: DataFrame | None = None,
+    rules: list[tuple[str, str]] | None = None,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """:func:`prep_media` semantics over an ALREADY-PROFILED corpus —
+    pass the live :func:`media_profile` frame or a
+    :func:`build_media_profile` parquet path; no payload is touched.
+    Pytest-pinned row-equal to :func:`prep_media` on the same corpus.
+    """
+    _require_phash_geometry(max_hamming, n_bands)
+    if isinstance(profile, str):
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "prep_media_from_profile(path) needs an active SparkSession"
+            )
+        prof = spark.read.parquet(profile)
+    else:
+        prof = profile
+    missing = [
+        c
+        for c in ("media_id", "kind", "decoded", "phash", "digest")
+        if c not in prof.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"profile is missing media_profile columns {missing} — "
+            "build it with build_media_profile/media_profile"
+        )
     rule_list = MEDIA_QUALITY_RULES if rules is None else rules
     fail_any = F.lit(False)
     for _, sql in rule_list:

@@ -774,3 +774,50 @@ def test_audio_metrics_match_definition_on_random_frames(fr):
     assert multimodal.content_digest(
         multimodal._encode_wav(fr)
     ) == multimodal._digest_of("aud", fr)
+
+
+def test_prep_media_from_persisted_profile(spark, tmp_path):
+    """build_media_profile -> prep_media_from_profile(path) must be
+    row-equal to prep_media on the same corpus (decode paid once per
+    corpus version; a threshold re-tune re-reads metadata only), and
+    a pre-profile table is refused by name."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.multimodal import (
+        build_media_profile,
+        prep_media,
+        prep_media_from_profile,
+    )
+
+    corpus = multimodal.synth_media_quality_fixture(spark)
+    bench = spark.createDataFrame(
+        [
+            (
+                0,
+                "image",
+                multimodal._encode_png(
+                    multimodal.synth_variant_pixels(2), filters=(4,)
+                ),
+            )
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    path = str(tmp_path / "profile")
+    build_media_profile(corpus, path)
+    key = lambda df: sorted(
+        (r.media_id, r.kind, r.phash, r.digest, r.contamination)
+        for r in df.collect()
+    )
+    assert key(prep_media_from_profile(path, bench)) == key(
+        prep_media(corpus, bench)
+    )
+    # re-tuned rules re-read the profile only (no payload column even
+    # exists there): under a rule table that fires on nothing in this
+    # fixture, the formerly gate-failed decodable rows are admitted
+    relaxed = prep_media_from_profile(
+        path, None, rules=[("dark", "kind = 'image' AND lum_mean < 50")]
+    )
+    ids = {r.media_id for r in relaxed.collect()}
+    assert {100, 110, 111} <= ids and 120 not in ids
+    # refuse a non-profile table
+    corpus.select("media_id", "kind").write.parquet(str(tmp_path / "bad"))
+    with pytest.raises(ValueError, match="missing media_profile columns"):
+        prep_media_from_profile(str(tmp_path / "bad"))
