@@ -936,6 +936,58 @@ def media_phash_neardup_pairs(
         .filter(F.col("phash").isNotNull())
         .localCheckpoint()
     )
+    return _neardup_pairs_from_hashed(
+        hashed, max_hamming, n_bands, max_bucket_size
+    )
+
+
+def media_neardup_pairs_from_profile(
+    profile: DataFrame | str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """:func:`media_phash_neardup_pairs` over an already-profiled
+    corpus (:func:`build_media_profile` path or live
+    :func:`media_profile` frame) — the banded self-join reads 8-byte
+    hashes from the fixed-width table, ZERO decode. Pytest-pinned
+    pair-equal to the payload form."""
+    if isinstance(profile, str):
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "media_neardup_pairs_from_profile(path) needs an active "
+                "SparkSession"
+            )
+        profile = spark.read.parquet(profile)
+    missing = [
+        c for c in ("media_id", "kind", "phash") if c not in profile.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"profile is missing media_profile columns {missing} — "
+            "build it with build_media_profile/media_profile"
+        )
+    _require_phash_geometry(max_hamming, n_bands)
+    if max_bucket_size is not None and max_bucket_size < 2:
+        raise ValueError(
+            f"max_bucket_size must be >= 2 (a pair needs both members "
+            f"in the bucket), got {max_bucket_size}"
+        )
+    hashed = profile.filter(F.col("phash").isNotNull()).select(
+        "media_id", "kind", "phash"
+    )
+    return _neardup_pairs_from_hashed(
+        hashed, max_hamming, n_bands, max_bucket_size
+    )
+
+
+def _neardup_pairs_from_hashed(
+    hashed: DataFrame,
+    max_hamming: int,
+    n_bands: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
     bands = _phash_bands(hashed, n_bands)
     if max_bucket_size is not None:
         under_cap = (

@@ -821,3 +821,23 @@ def test_prep_media_from_persisted_profile(spark, tmp_path):
     corpus.select("media_id", "kind").write.parquet(str(tmp_path / "bad"))
     with pytest.raises(ValueError, match="missing media_profile columns"):
         prep_media_from_profile(str(tmp_path / "bad"))
+
+
+def test_media_neardup_pairs_from_profile(spark, tmp_path):
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.multimodal import (
+        build_media_profile,
+        media_neardup_pairs_from_profile,
+    )
+
+    media = multimodal.synth_real_media_neardups(spark, n_contents=12)
+    path = str(tmp_path / "profile")
+    build_media_profile(media, path)
+    key = lambda df: sorted(
+        (r.kind, r.id_a, r.id_b, r.hamming) for r in df.collect()
+    )
+    assert key(media_neardup_pairs_from_profile(path)) == key(
+        multimodal.media_phash_neardup_pairs(media, max_hamming=3)
+    )
+    with pytest.raises(ValueError, match="missing media_profile columns"):
+        media.select("media_id").write.parquet(str(tmp_path / "bad"))
+        media_neardup_pairs_from_profile(str(tmp_path / "bad"))
