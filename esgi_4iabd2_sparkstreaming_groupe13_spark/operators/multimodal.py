@@ -517,13 +517,76 @@ def _sniff_header(buf: bytes):
                 return "wav", None, None, _checked(sr), _checked(ch)
             i += 8 + clen + (clen & 1)  # chunks are word-aligned
         return "wav", None, None, None, None
+    if len(buf) >= 12 and buf[4:8] == b"ftyp":
+        # MP4 / ISO-BMFF (r13: the video kind's header audit — REAL
+        # stdlib parsing like PNG/JPEG/WAV; frame decode stays
+        # env-stubbed): a box stream [u32 size][fourcc][payload...].
+        # Walk top-level boxes to moov -> trak -> tkhd; the track's
+        # presentation width/height are 16.16 fixed-point at the END
+        # of tkhd (after version/flags, times, ids, and the 36-byte
+        # matrix — offset differs between tkhd v0 and v1 because v1
+        # widens the times to 64-bit). Truncation or a malformed size
+        # degrades to NULL dims, never throws.
+        def _box(lo: int, hi: int, name: bytes):
+            i = lo
+            while i + 8 <= hi:
+                size = int.from_bytes(buf[i : i + 4], "big")
+                if size < 8:
+                    return None  # malformed size would loop forever
+                if buf[i + 4 : i + 8] == name:
+                    return i + 8, min(i + size, hi)
+                i += size
+            return None
+
+        span = _box(0, len(buf), b"moov")
+        if span:
+            span = _box(span[0], span[1], b"trak")
+        if span:
+            span = _box(span[0], span[1], b"tkhd")
+        if span:
+            lo, hi = span
+            if hi > lo:
+                off = lo + (88 if buf[lo] == 1 else 76)
+                if off + 8 <= hi:
+                    w = int.from_bytes(buf[off : off + 4], "big") >> 16
+                    h = int.from_bytes(buf[off + 4 : off + 8], "big") >> 16
+                    return "mp4", _checked(w), _checked(h), None, None
+        return "mp4", None, None, None, None
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        # AVI (RIFF form): the avih main header lives inside nested
+        # LIST chunks (RIFF -> LIST hdrl -> avih); dwWidth/dwHeight
+        # are little-endian u32 at payload offsets 32/36. Same
+        # word-aligned chunk walk as WAV, recursing into LIST bodies.
+        def _avih(lo: int, hi: int):
+            i = lo
+            while i + 8 <= hi:
+                cid = buf[i : i + 4]
+                clen = int.from_bytes(buf[i + 4 : i + 8], "little")
+                if cid == b"avih":
+                    return i + 8, min(i + 8 + clen, hi)
+                if cid == b"LIST" and i + 12 <= hi:
+                    found = _avih(i + 12, min(i + 8 + clen, hi))
+                    if found:
+                        return found
+                i += 8 + clen + (clen & 1)
+            return None
+
+        span = _avih(12, len(buf))
+        if span and span[1] - span[0] >= 40:
+            lo = span[0]
+            w = int.from_bytes(buf[lo + 32 : lo + 36], "little")
+            h = int.from_bytes(buf[lo + 36 : lo + 40], "little")
+            return "avi", _checked(w), _checked(h), None, None
+        return "avi", None, None, None, None
     return "unknown", None, None, None, None
 
 
 def media_header_metadata(df: DataFrame) -> DataFrame:
     """REAL (not stubbed) media metadata extraction: magic-byte format
-    sniffing + header-field parsing for PNG / GIF / JPEG / WAV over the
-    opaque ``payload`` binary column, via Arrow-batched ``mapInPandas``.
+    sniffing + header-field parsing for PNG / GIF / JPEG / WAV and the
+    VIDEO containers MP4 (ISO-BMFF box walk to tkhd) and AVI (RIFF
+    LIST walk to avih) over the opaque ``payload`` binary column, via
+    Arrow-batched ``mapInPandas``.
 
     Unlike :func:`extract_features`'s decode step, this path needs no
     codec library — container headers are fixed-layout byte fields —

@@ -2355,6 +2355,66 @@ def q_media_prep(spark, sf_dir):
     return multimodal.prep_media(corpus, bench)
 
 
+N_VIDEO_HEADERS = 160
+
+
+def q_video_headers(spark, sf_dir):
+    """REAL video-container metadata extraction (new r13), the video
+    twin of q_media_headers: spec-valid MP4 (ftyp + moov/trak/tkhd
+    box tree, 16.16 fixed-point track dims) and AVI (RIFF LIST hdrl /
+    avih main header) files are synthesized JVM-side with pure hex
+    expressions — dimensions derived from the id — parsed back by
+    media_header_metadata's box/chunk walking, and the DuckDB oracle
+    predicts every field from the same formulas. No codec library:
+    the "what resolutions are in this video crawl" audit is
+    fixed-layout byte fields; frame DECODE remains env-stubbed."""
+    from ..operators import multimodal
+
+    ids = spark.range(N_VIDEO_HEADERS).select(F.col("id").alias("media_id"))
+    w = 320 + F.col("media_id") % 1017
+    h = 180 + (F.col("media_id") * 7) % 1017
+    matrix_hex = (
+        "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 + "40000000"
+    )
+    mp4_hex = F.concat(
+        F.lit(
+            "00000010" + "66747970" + "69736f6d" + "00000000"  # ftyp isom
+            + "0000006c" + "6d6f6f76"                            # moov (108)
+            + "00000064" + "7472616b"                            # trak (100)
+            + "0000005c" + "746b6864"                            # tkhd (92)
+            + "00000000"                                         # v0 + flags
+            + "00000000" * 2                                     # c/m time
+            + "00000001" + "00000000"                            # track, rsvd
+            + "00000000"                                         # duration
+            + "00000000" * 2                                     # reserved 8B
+            + "00000000" * 2                                     # layer/alt/vol/rsvd
+            + matrix_hex
+        ),
+        _be32_hex(w * 65536),
+        _be32_hex(h * 65536),
+    )
+    avi_hex = F.concat(
+        F.lit("52494646"),
+        _le_hex(F.lit(80), 4),
+        F.lit("41564920" + "4c495354"),
+        _le_hex(F.lit(68), 4),
+        F.lit("6864726c" + "61766968"),
+        _le_hex(F.lit(56), 4),
+        F.lit("00" * 32),
+        _le_hex(w, 4),
+        _le_hex(h, 4),
+        F.lit("00" * 16),
+    )
+    media = ids.select(
+        "media_id",
+        F.to_binary(
+            F.when(F.col("media_id") % 2 == 0, mp4_hex).otherwise(avi_hex),
+            F.lit("hex"),
+        ).alias("payload"),
+    )
+    return multimodal.media_header_metadata(media)
+
+
 N_MEDIA_HEADERS = 200
 
 
@@ -6950,6 +7010,17 @@ GROUP BY label, i
     # predicts every parsed header field from the same id formulas the
     # Spark side used to SYNTHESIZE the payload bytes — a parser
     # regression on any planted PNG/WAV header flips the hash
+    "q_video_headers": f"""
+SELECT media_id,
+       CASE WHEN media_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS format,
+       CAST(320 + media_id % 1017 AS INTEGER) AS width,
+       CAST(180 + (media_id * 7) % 1017 AS INTEGER) AS height,
+       CAST(NULL AS INTEGER) AS sample_rate,
+       CAST(NULL AS INTEGER) AS channels,
+       CAST(CASE WHEN media_id % 2 = 0 THEN 124 ELSE 88 END AS BIGINT)
+         AS n_bytes
+FROM range({N_VIDEO_HEADERS}) t(media_id)
+""",
     "q_media_headers": f"""
 SELECT media_id,
        CASE WHEN media_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
@@ -7806,6 +7877,9 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_tpch_q20", q_tpch_q20, ORACLES["q_tpch_q20"]),
     QuerySpec("q_tpch_q21", q_tpch_q21, ORACLES["q_tpch_q21"]),
     QuerySpec("q_tpch_q22", q_tpch_q22, ORACLES["q_tpch_q22"]),
+    # new in r13 (queues behind the rotated window for its first
+    # driver row in a future rotation):
+    QuerySpec("q_video_headers", q_video_headers, ORACLES["q_video_headers"]),
 ]
 
 

@@ -841,3 +841,98 @@ def test_media_neardup_pairs_from_profile(spark, tmp_path):
     with pytest.raises(ValueError, match="missing media_profile columns"):
         media.select("media_id").write.parquet(str(tmp_path / "bad"))
         media_neardup_pairs_from_profile(str(tmp_path / "bad"))
+
+
+def test_jpeg_pillow_gate_in_digest_paths(spark):
+    """ADVICE r12 #1 closure: the shared _decode_content entry point
+    means the DIGEST tiers treat JPEG exactly like the phash tier —
+    NotImplementedError (actionable Pillow message) in strict mode,
+    audit-mode NULLs in media_hashes / corrupt in the profile —
+    never a silent wrong digest."""
+    import struct
+
+    jpeg = (
+        b"\xff\xd8\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", 4, 4)
+        + b"\x01\x11\x00"
+    )
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed — gate not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        multimodal.content_digest(jpeg)
+    df = spark.createDataFrame(
+        [(0, "image", jpeg)], "media_id long, kind string, payload binary"
+    )
+    hashed = multimodal.media_hashes(df, on_unsupported="null").collect()[0]
+    assert hashed.phash is None and hashed.digest is None
+    prof = multimodal.media_profile(df).collect()[0]
+    assert prof.decoded == 0 and prof.digest is None
+
+
+def _mk_mp4(w, h, version=0):
+    import struct
+
+    be32 = lambda v: struct.pack(">I", v)
+    matrix = (
+        be32(0x00010000) + be32(0) * 3 + be32(0x00010000) + be32(0) * 3
+        + be32(0x40000000)
+    )
+    if version == 0:
+        payload = (
+            b"\x00\x00\x00\x00" + b"\x00" * 8 + be32(1) + be32(0)
+            + b"\x00" * 4 + b"\x00" * 8 + b"\x00" * 8 + matrix
+            + be32(w << 16) + be32(h << 16)
+        )
+    else:
+        payload = (
+            b"\x01\x00\x00\x00" + b"\x00" * 16 + be32(1) + be32(0)
+            + b"\x00" * 8 + b"\x00" * 8 + b"\x00" * 8 + matrix
+            + be32(w << 16) + be32(h << 16)
+        )
+    tkhd = be32(8 + len(payload)) + b"tkhd" + payload
+    trak = be32(8 + len(tkhd)) + b"trak" + tkhd
+    moov = be32(8 + len(trak)) + b"moov" + trak
+    return be32(16) + b"ftyp" + b"isom" + be32(0) + moov
+
+
+def _mk_avi(w, h):
+    import struct
+
+    le32 = lambda v: struct.pack("<I", v)
+    avih = b"avih" + le32(56) + b"\x00" * 32 + le32(w) + le32(h) + b"\x00" * 16
+    lst = b"LIST" + le32(4 + len(avih)) + b"hdrl" + avih
+    return b"RIFF" + le32(4 + len(lst)) + b"AVI " + lst
+
+
+def test_video_header_parsing():
+    """MP4 (tkhd v0 AND v1 — the 64-bit-times layout shifts the dims
+    by 12 bytes) and AVI (nested LIST walk to avih) parse real
+    hand-built containers; truncation degrades to NULL dims, never
+    throws; video decode stays env-stubbed (NotImplementedError)."""
+    assert multimodal._sniff_header(_mk_mp4(640, 360)) == (
+        "mp4", 640, 360, None, None,
+    )
+    assert multimodal._sniff_header(_mk_mp4(1920, 1080, version=1)) == (
+        "mp4", 1920, 1080, None, None,
+    )
+    assert multimodal._sniff_header(_mk_avi(320, 240)) == (
+        "avi", 320, 240, None, None,
+    )
+    assert multimodal._sniff_header(_mk_mp4(640, 360)[:40])[0] == "mp4"
+    assert multimodal._sniff_header(_mk_mp4(640, 360)[:40])[1] is None
+    assert multimodal._sniff_header(_mk_avi(320, 240)[:30]) == (
+        "avi", None, None, None, None,
+    )
+    # a malformed zero box size must not loop forever
+    import struct
+    evil = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 0)
+    evil += struct.pack(">I", 0) + b"moov"
+    assert multimodal._sniff_header(evil)[1] is None
+    with pytest.raises(NotImplementedError):
+        multimodal.content_digest(_mk_mp4(640, 360))
