@@ -2010,3 +2010,45 @@ def prep_media_incremental(
         new_rows, ben, meta.max_hamming, meta.n_bands
     )
     return decided.join(F.broadcast(flags), "media_id", "left")
+
+
+#: sniffed container format -> media kind, the JVM-side mapping the
+#: mislabel audit applies on top of media_header_metadata
+FORMAT_TO_KIND = {
+    "png": "image",
+    "gif": "image",
+    "jpeg": "image",
+    "wav": "audio",
+    "mp4": "video",
+    "avi": "video",
+}
+
+
+def media_mislabel_audit(df: DataFrame) -> DataFrame:
+    """Declared-vs-sniffed kind audit — the crawl-hygiene check on top
+    of :func:`media_header_metadata`: web corpora routinely carry
+    payloads whose DECLARED kind (mime label, file extension, upstream
+    metadata) lies about the bytes, and every decode-stage operator in
+    this package dispatches on ``kind``, so a mislabeled row fails (or
+    worse, silently nulls) downstream. One O(header-bytes) sniff pass,
+    then the format->kind mapping and the mismatch flag are pure
+    codegen expressions. Output: (media_id, declared_kind, format,
+    inferred_kind, mismatch) — unknown containers count as mismatches
+    (they cannot satisfy ANY declared kind).
+    """
+    headers = media_header_metadata(df.select("media_id", "payload"))
+    kind_map = F.create_map(
+        *[F.lit(x) for kv in FORMAT_TO_KIND.items() for x in kv]
+    )
+    return (
+        df.select("media_id", F.col("kind").alias("declared_kind"))
+        .join(headers.select("media_id", "format"), "media_id")
+        .withColumn(
+            "inferred_kind",
+            F.coalesce(kind_map[F.col("format")], F.lit("unknown")),
+        )
+        .withColumn(
+            "mismatch",
+            (F.col("inferred_kind") != F.col("declared_kind")).cast("int"),
+        )
+    )

@@ -2355,6 +2355,73 @@ def q_media_prep(spark, sf_dir):
     return multimodal.prep_media(corpus, bench)
 
 
+def _png_hex_expr(w, h):
+    """Spec-valid PNG signature+IHDR as a hex expression."""
+    return F.concat(
+        F.lit("89504e470d0a1a0a" + "0000000d" + "49484452"),
+        _be32_hex(w),
+        _be32_hex(h),
+        F.lit("0802000000"),
+    )
+
+
+def _wav_hex_expr(sr, ch):
+    """Spec-valid RIFF/WAVE fmt header as a hex expression."""
+    return F.concat(
+        F.lit("52494646"),
+        _le_hex(F.lit(36), 4),
+        F.lit("57415645" + "666d7420"),
+        _le_hex(F.lit(16), 4),
+        _le_hex(F.lit(1), 2),
+        _le_hex(ch, 2),
+        _le_hex(sr, 4),
+        _le_hex(sr * ch * 2, 4),
+        _le_hex(ch * 2, 2),
+        _le_hex(F.lit(16), 2),
+    )
+
+
+def _mp4_hex_expr(w, h):
+    """Spec-valid minimal MP4 box tree (ftyp + moov/trak/tkhd v0,
+    16.16 fixed-point dims) as a hex expression."""
+    matrix_hex = (
+        "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 + "40000000"
+    )
+    return F.concat(
+        F.lit(
+            "00000010" + "66747970" + "69736f6d" + "00000000"
+            + "0000006c" + "6d6f6f76"
+            + "00000064" + "7472616b"
+            + "0000005c" + "746b6864"
+            + "00000000"
+            + "00000000" * 2
+            + "00000001" + "00000000"
+            + "00000000"
+            + "00000000" * 2
+            + "00000000" * 2
+            + matrix_hex
+        ),
+        _be32_hex(w * 65536),
+        _be32_hex(h * 65536),
+    )
+
+
+def _avi_hex_expr(w, h):
+    """Spec-valid minimal AVI (RIFF LIST hdrl / avih) hex expression."""
+    return F.concat(
+        F.lit("52494646"),
+        _le_hex(F.lit(80), 4),
+        F.lit("41564920" + "4c495354"),
+        _le_hex(F.lit(68), 4),
+        F.lit("6864726c" + "61766968"),
+        _le_hex(F.lit(56), 4),
+        F.lit("00" * 32),
+        _le_hex(w, 4),
+        _le_hex(h, 4),
+        F.lit("00" * 16),
+    )
+
+
 N_VIDEO_HEADERS = 160
 
 
@@ -2373,38 +2440,8 @@ def q_video_headers(spark, sf_dir):
     ids = spark.range(N_VIDEO_HEADERS).select(F.col("id").alias("media_id"))
     w = 320 + F.col("media_id") % 1017
     h = 180 + (F.col("media_id") * 7) % 1017
-    matrix_hex = (
-        "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 + "40000000"
-    )
-    mp4_hex = F.concat(
-        F.lit(
-            "00000010" + "66747970" + "69736f6d" + "00000000"  # ftyp isom
-            + "0000006c" + "6d6f6f76"                            # moov (108)
-            + "00000064" + "7472616b"                            # trak (100)
-            + "0000005c" + "746b6864"                            # tkhd (92)
-            + "00000000"                                         # v0 + flags
-            + "00000000" * 2                                     # c/m time
-            + "00000001" + "00000000"                            # track, rsvd
-            + "00000000"                                         # duration
-            + "00000000" * 2                                     # reserved 8B
-            + "00000000" * 2                                     # layer/alt/vol/rsvd
-            + matrix_hex
-        ),
-        _be32_hex(w * 65536),
-        _be32_hex(h * 65536),
-    )
-    avi_hex = F.concat(
-        F.lit("52494646"),
-        _le_hex(F.lit(80), 4),
-        F.lit("41564920" + "4c495354"),
-        _le_hex(F.lit(68), 4),
-        F.lit("6864726c" + "61766968"),
-        _le_hex(F.lit(56), 4),
-        F.lit("00" * 32),
-        _le_hex(w, 4),
-        _le_hex(h, 4),
-        F.lit("00" * 16),
-    )
+    mp4_hex = _mp4_hex_expr(w, h)
+    avi_hex = _avi_hex_expr(w, h)
     media = ids.select(
         "media_id",
         F.to_binary(
@@ -2434,6 +2471,50 @@ def _le_hex(col, n_bytes: int):
         for i in range(n_bytes)
     ]
     return F.concat(*parts)
+
+
+N_MISLABEL = 120
+
+
+def q_media_mislabel(spark, sf_dir):
+    """Declared-vs-sniffed kind audit (new r13): payloads cycle
+    png/wav/mp4/avi by id%4 (true kinds image/audio/video/video), and
+    every 5th row DECLARES the next kind in the (image, audio, video)
+    cycle instead of its true one — the mislabeled-crawl fixture. The
+    engine sniffs real container headers and flags mismatches; the
+    DuckDB oracle predicts format, inferred kind, and the flag from
+    the same id formulas, so a sniff bug, a mapping bug, or a flag
+    bug all break the hash."""
+    from ..operators import multimodal
+
+    ids = spark.range(N_MISLABEL).select(F.col("id").alias("media_id"))
+    w = 320 + F.col("media_id") % 1017
+    h = 180 + (F.col("media_id") * 7) % 1017
+    sr = 8000 + (F.col("media_id") % 5) * 8000
+    payload_hex = (
+        F.when(F.col("media_id") % 4 == 0, _png_hex_expr(w, h))
+        .when(F.col("media_id") % 4 == 1, _wav_hex_expr(sr, F.lit(2)))
+        .when(F.col("media_id") % 4 == 2, _mp4_hex_expr(w, h))
+        .otherwise(_avi_hex_expr(w, h))
+    )
+    true_kind = (
+        F.when(F.col("media_id") % 4 == 0, F.lit("image"))
+        .when(F.col("media_id") % 4 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    wrong_kind = (
+        F.when(true_kind == "image", F.lit("audio"))
+        .when(true_kind == "audio", F.lit("video"))
+        .otherwise(F.lit("image"))
+    )
+    media = ids.select(
+        "media_id",
+        F.when(F.col("media_id") % 5 == 0, wrong_kind)
+        .otherwise(true_kind)
+        .alias("kind"),
+        F.to_binary(payload_hex, F.lit("hex")).alias("payload"),
+    )
+    return multimodal.media_mislabel_audit(media)
 
 
 def q_media_headers(spark, sf_dir):
@@ -7010,6 +7091,26 @@ GROUP BY label, i
     # predicts every parsed header field from the same id formulas the
     # Spark side used to SYNTHESIZE the payload bytes — a parser
     # regression on any planted PNG/WAV header flips the hash
+    "q_media_mislabel": f"""
+WITH base AS (
+  SELECT media_id,
+         CASE media_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+              WHEN 2 THEN 'mp4' ELSE 'avi' END AS format,
+         CASE media_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS inferred_kind
+  FROM range({N_MISLABEL}) t(media_id)
+)
+SELECT media_id,
+       CASE WHEN media_id % 5 = 0 THEN
+         CASE inferred_kind WHEN 'image' THEN 'audio'
+              WHEN 'audio' THEN 'video' ELSE 'image' END
+       ELSE inferred_kind END AS declared_kind,
+       format,
+       inferred_kind,
+       CAST(CASE WHEN media_id % 5 = 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS mismatch
+FROM base
+""",
     "q_video_headers": f"""
 SELECT media_id,
        CASE WHEN media_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS format,
@@ -7880,6 +7981,7 @@ QUERIES: list[QuerySpec] = [
     # new in r13 (queues behind the rotated window for its first
     # driver row in a future rotation):
     QuerySpec("q_video_headers", q_video_headers, ORACLES["q_video_headers"]),
+    QuerySpec("q_media_mislabel", q_media_mislabel, ORACLES["q_media_mislabel"]),
 ]
 
 

@@ -936,3 +936,33 @@ def test_video_header_parsing():
     assert multimodal._sniff_header(evil)[1] is None
     with pytest.raises(NotImplementedError):
         multimodal.content_digest(_mk_mp4(640, 360))
+
+
+def test_media_mislabel_audit(spark):
+    """Declared-vs-sniffed audit: a wav declared 'image' and an mp4
+    declared 'audio' are flagged; correct labels are not; an unknown
+    container mismatches EVERY declared kind."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.multimodal import (
+        media_mislabel_audit,
+    )
+
+    rows = [
+        (0, "image", multimodal._encode_png(multimodal.synth_variant_pixels(0))),
+        (1, "image", multimodal._encode_wav(multimodal.synth_variant_frames(1))),
+        (2, "audio", _mk_mp4(640, 360)),
+        (3, "video", _mk_avi(320, 240)),
+        (4, "image", b"\x00\x01\x02 not a container"),
+    ]
+    out = {
+        r.media_id: (r.format, r.inferred_kind, r.mismatch)
+        for r in media_mislabel_audit(
+            spark.createDataFrame(
+                rows, "media_id long, kind string, payload binary"
+            )
+        ).collect()
+    }
+    assert out[0] == ("png", "image", 0)
+    assert out[1] == ("wav", "audio", 1)
+    assert out[2] == ("mp4", "video", 1)
+    assert out[3] == ("avi", "video", 0)
+    assert out[4] == ("unknown", "unknown", 1)
