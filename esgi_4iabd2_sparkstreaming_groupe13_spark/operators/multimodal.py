@@ -1517,7 +1517,7 @@ def media_content_dedup(
 
 
 MEDIA_QUALITY_SCHEMA = (
-    "media_id long, kind string, decoded int, "
+    "media_id long, kind string, decoded int, decode_err string, "
     "width int, height int, lum_mean double, lum_std double, "
     "n_frames int, n_channels int, clip_ratio double, "
     "silence_ratio double, dc_offset double"
@@ -1527,7 +1527,12 @@ MEDIA_QUALITY_SCHEMA = (
 #: text.GOPHER_RULES: decode once in Python, gate in JVM SQL — the
 #: thresholds live in a re-tunable rule table, never in the decode.
 MEDIA_QUALITY_RULES: list[tuple[str, str]] = [
-    ("corrupt", "decoded = 0"),
+    # corrupt = a SUPPORTED container whose bytes fail to decode;
+    # unsupported = a format this build has no decoder for (video,
+    # jpeg/gif without Pillow) — at crawl scale the two are different
+    # actions (delete vs route-elsewhere), so they are different rules
+    ("corrupt", "decode_err = 'corrupt'"),
+    ("unsupported", "decode_err = 'unsupported'"),
     ("too_small", "kind = 'image' AND (width < 4 OR height < 4)"),
     (
         "extreme_aspect",
@@ -1611,6 +1616,7 @@ def media_quality_features(
                     "media_id": int(mid),
                     "kind": kind,
                     "decoded": 0,
+                    "decode_err": None,
                     "width": None,
                     "height": None,
                     "lum_mean": None,
@@ -1623,9 +1629,18 @@ def media_quality_features(
                 }
                 try:
                     tag, arr = _decode_content(raw)
-                except (NotImplementedError, ValueError, zlib.error):
+                except NotImplementedError:
+                    # a format this build has no decoder for — NOT
+                    # damaged bytes (different crawl-triage action)
                     if on_unsupported == "raise":
                         raise
+                    base["decode_err"] = "unsupported"
+                    rows.append(base)
+                    continue
+                except (ValueError, zlib.error):
+                    if on_unsupported == "raise":
+                        raise
+                    base["decode_err"] = "corrupt"
                     rows.append(base)
                     continue
                 base["decoded"] = 1
@@ -1682,7 +1697,8 @@ def synth_media_quality_fixture(spark: SparkSession) -> DataFrame:
     payload per rule violation, each with a known media_id so the
     oracle pins rule->row exactly. IDs: 0-9 clean, 100 flat image,
     101 tiny image, 102 extreme aspect, 110 clipped audio,
-    111 silent audio, 112 too-short audio, 120 corrupt."""
+    111 silent audio, 112 too-short audio, 120 corrupt (damaged PNG),
+    121 unsupported (valid MP4 — no video decoder in this build)."""
     rows = []
     for cid in range(10):
         if cid % 2 == 0:
@@ -1707,14 +1723,22 @@ def synth_media_quality_fixture(spark: SparkSession) -> DataFrame:
     rows.append((111, "audio", _encode_wav(silent)))
     short = synth_variant_frames(3)[:8, :]
     rows.append((112, "audio", _encode_wav(np.ascontiguousarray(short))))
-    rows.append((120, "image", b"\x89PNG\r\n\x1a\n junk"))
+    # 120: structurally a PNG (signature + IHDR parse fine) with its
+    # IDAT bytes damaged — the decode (zlib inflate) fails: 'corrupt'
+    damaged = bytearray(_encode_png(synth_variant_pixels(6)))
+    damaged[45:53] = b"\xde\xad\xbe\xef\xde\xad\xbe\xef"
+    rows.append((120, "image", bytes(damaged)))
+    rows.append(
+        (121, "video", b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00")
+    )
     return spark.createDataFrame(
         rows, "media_id long, kind string, payload binary"
     )
 
 
 MEDIA_PROFILE_SCHEMA = (
-    "media_id long, kind string, decoded int, phash long, digest string, "
+    "media_id long, kind string, decoded int, decode_err string, "
+    "phash long, digest string, "
     "width int, height int, lum_mean double, lum_std double, "
     "n_frames int, n_channels int, clip_ratio double, "
     "silence_ratio double, dc_offset double"
@@ -1749,17 +1773,24 @@ def media_profile(df: DataFrame, on_unsupported: str = "null") -> DataFrame:
                 raw = bytes(payload) if payload is not None else b""
                 base = dict.fromkeys(
                     (
-                        "phash", "digest", "width", "height", "lum_mean",
-                        "lum_std", "n_frames", "n_channels", "clip_ratio",
-                        "silence_ratio", "dc_offset",
+                        "decode_err", "phash", "digest", "width", "height",
+                        "lum_mean", "lum_std", "n_frames", "n_channels",
+                        "clip_ratio", "silence_ratio", "dc_offset",
                     )
                 )
                 base.update(media_id=int(mid), kind=kind, decoded=0)
                 try:
                     tag, arr = _decode_content(raw)
-                except (NotImplementedError, ValueError, zlib.error):
+                except NotImplementedError:
                     if on_unsupported == "raise":
                         raise
+                    base["decode_err"] = "unsupported"
+                    rows.append(base)
+                    continue
+                except (ValueError, zlib.error):
+                    if on_unsupported == "raise":
+                        raise
+                    base["decode_err"] = "corrupt"
                     rows.append(base)
                     continue
                 base["decoded"] = 1

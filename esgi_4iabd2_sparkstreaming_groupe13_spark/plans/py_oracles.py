@@ -679,10 +679,10 @@ def check_media_quality(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
             "silence_ratio": float((np.abs(s) <= 327).mean()),
         }
 
-    def verdict(kind, m, decoded=True):
+    def verdict(kind, m, decode_err=None):
         failed = []
-        if not decoded:
-            failed.append("corrupt")
+        if decode_err is not None:
+            failed.append(decode_err)
         elif kind == "image":
             if m["width"] < 4 or m["height"] < 4:
                 failed.append("too_small")
@@ -697,9 +697,10 @@ def check_media_quality(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
                 failed.append("clipped_audio")
             if m["silence_ratio"] > 0.9:
                 failed.append("silent_audio")
-        # fixed rule order: corrupt, too_small, extreme_aspect,
-        # flat_image, too_short_audio, clipped_audio, silent_audio —
-        # the per-kind checks above already emit in that order
+        # fixed rule order: corrupt, unsupported, too_small,
+        # extreme_aspect, flat_image, too_short_audio, clipped_audio,
+        # silent_audio — a decode_err row fails exactly its own rule
+        # and the per-kind checks emit in table order
         return (len(failed) == 0, len(failed), ",".join(failed))
 
     rows = []
@@ -719,7 +720,8 @@ def check_media_quality(spark_pdf: pd.DataFrame, sf_dir: str) -> list[str]:
     rows.append((111, "audio", *verdict("audio", audio_metrics(np.zeros((64, 1), dtype=np.int64)))))
     _, f3 = _mirror_variant_arrays(3)
     rows.append((112, "audio", *verdict("audio", audio_metrics(f3[:8, :]))))
-    rows.append((120, "image", *verdict("image", None, decoded=False)))
+    rows.append((120, "image", *verdict("image", None, decode_err="corrupt")))
+    rows.append((121, "video", *verdict("video", None, decode_err="unsupported")))
     exp = pd.DataFrame(
         rows,
         columns=["media_id", "kind", "passes", "n_failed", "failed_rules"],

@@ -478,7 +478,8 @@ def test_media_quality_report_verdicts(spark):
     assert rep[110] == (False, "clipped_audio")
     assert rep[111] == (False, "silent_audio")
     assert rep[112] == (False, "too_short_audio")
-    assert rep[120] == (False, "corrupt")
+    assert rep[120] == (False, "corrupt")       # damaged PNG bytes
+    assert rep[121] == (False, "unsupported")   # valid MP4, no decoder
 
 
 def test_media_quality_custom_and_empty_rules(spark):
@@ -532,8 +533,8 @@ def test_media_profile_matches_single_purpose_operators(spark):
     assert prof["phash"].equals(hashes["phash"])
     assert prof["digest"].equals(hashes["digest"])
     for col in (
-        "decoded", "width", "height", "lum_mean", "lum_std", "n_frames",
-        "n_channels", "clip_ratio", "silence_ratio", "dc_offset",
+        "decoded", "decode_err", "width", "height", "lum_mean", "lum_std",
+        "n_frames", "n_channels", "clip_ratio", "silence_ratio", "dc_offset",
     ):
         assert prof[col].equals(qual[col]), col
 
