@@ -2294,8 +2294,9 @@ def q_media_quality(spark, sf_dir):
     content metrics (luminance spread, clipping/silence ratios,
     geometry), then a re-tunable rule table gates JVM-side. The
     fixture plants one violation per rule (flat color card, tiny /
-    extreme-aspect image, clipped / silent / too-short audio, corrupt
-    payload) among clean high-entropy payloads; the Python oracle
+    extreme-aspect image, clipped / silent / too-short audio, a
+    damaged-IDAT PNG for 'corrupt', a valid MP4 for 'unsupported')
+    among clean high-entropy payloads; the Python oracle
     recomputes every metric from the fixture FORMULAS and re-applies
     the rules in plain Python, so decode, metric, null-handling, and
     rule-order bugs all break the match."""
