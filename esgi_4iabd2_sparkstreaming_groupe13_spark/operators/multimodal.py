@@ -1886,13 +1886,14 @@ def prep_media_from_profile(
         prof = profile
     missing = [
         c
-        for c in ("media_id", "kind", "decoded", "phash", "digest")
+        for c in ("media_id", "kind", "decoded", "decode_err", "phash", "digest")
         if c not in prof.columns
     ]
     if missing:
         raise ValueError(
             f"profile is missing media_profile columns {missing} — "
-            "build it with build_media_profile/media_profile"
+            "build (or REBUILD, if it predates the corrupt/unsupported "
+            "split) with build_media_profile/media_profile"
         )
     rule_list = MEDIA_QUALITY_RULES if rules is None else rules
     fail_any = F.lit(False)

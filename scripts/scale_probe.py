@@ -81,7 +81,7 @@ ALL_OPS = (
     "semdedup prep shard_assign pq_adc bpe hist_state bpe_chain backoff "
     "profile ivf_index lsh_hot_bucket data_card purge_audit media_phash "
     "schema_drift media_incremental media_contamination media_neardup "
-    "media_prep media_quality"
+    "media_prep media_quality header_audit"
 ).split()
 
 
@@ -1937,6 +1937,50 @@ def main() -> None:
             "tN": timed(
                 f"media_contamination {factor}x",
                 _mm2.media_contamination(cN, bench),
+            ),
+        }
+
+    # --- container-header audit throughput (q_media_headers /
+    # q_video_headers / q_media_mislabel family): sniff+parse is
+    # O(header bytes) per row regardless of format — synthesize 6
+    # formats' worth of spec-valid headers 1x -> Nx and time the one
+    # mapInPandas pass. Expected: linear-at-worst in rows, flat per
+    # row (the 100 TB ingest-audit contract: scan-bound, no decode).
+    if want("header_audit"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import (
+            multimodal as _mmh,
+        )
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.plans.queries import (
+            _avi_hex_expr,
+            _mp4_hex_expr,
+            _png_hex_expr,
+            _wav_hex_expr,
+        )
+
+        def synth_headers(n_rows: int, name: str):
+            ids = spark.range(n_rows).select(F.col("id").alias("media_id"))
+            w = 320 + F.col("media_id") % 1017
+            h = 180 + (F.col("media_id") * 7) % 1017
+            sr = 8000 + (F.col("media_id") % 5) * 8000
+            hexpr = (
+                F.when(F.col("media_id") % 4 == 0, _png_hex_expr(w, h))
+                .when(F.col("media_id") % 4 == 1, _wav_hex_expr(sr, F.lit(2)))
+                .when(F.col("media_id") % 4 == 2, _mp4_hex_expr(w, h))
+                .otherwise(_avi_hex_expr(w, h))
+            )
+            ids.select(
+                "media_id",
+                F.to_binary(hexpr, F.lit("hex")).alias("payload"),
+            ).repartition(32).write.mode("overwrite").parquet(f"{tmp}/{name}")
+            return spark.read.parquet(f"{tmp}/{name}")
+
+        hd_base = 20_000
+        h1 = synth_headers(hd_base, "hdr1.parquet")
+        hN = synth_headers(hd_base * factor, "hdrN.parquet")
+        results["header_audit"] = {
+            "t1": timed("header_audit 1x", _mmh.media_header_metadata(h1)),
+            "tN": timed(
+                f"header_audit {factor}x", _mmh.media_header_metadata(hN)
             ),
         }
 
