@@ -967,3 +967,39 @@ def test_media_mislabel_audit(spark):
     assert out[2] == ("mp4", "video", 1)
     assert out[3] == ("avi", "video", 0)
     assert out[4] == ("unknown", "unknown", 1)
+
+
+def test_media_index_double_append_is_decision_idempotent(spark, tmp_path):
+    """append_to_media_index is a plain parquet append — NOT
+    physically idempotent under a retried job. This pins why that is
+    SAFE: classification is membership (exact digest) + banded
+    distinct (near), so duplicate index rows can never flip any
+    decision — the crash-replay contract for the media index is
+    set-semantics, not a ledger."""
+    corpus, incoming = _inc_fixture(spark)
+    idx = str(tmp_path / "idx")
+    multimodal.build_media_index(corpus, idx)
+    before = {
+        r.media_id: r.decision
+        for r in multimodal.incremental_media_dedup_indexed(
+            incoming, idx
+        ).collect()
+    }
+    new_ids = [m for m, d in before.items() if d == "new"]
+    admitted = incoming.filter(F.col("media_id").isin(new_ids))
+    # the "crashed after append, job retried" scenario: same admitted
+    # batch appended TWICE
+    multimodal.append_to_media_index(admitted, idx)
+    multimodal.append_to_media_index(admitted, idx)
+    hashes = spark.read.parquet(f"{idx}/hashes")
+    assert hashes.count() > hashes.dropDuplicates(["kind", "digest"]).count()
+    after = {
+        r.media_id: r.decision
+        for r in multimodal.incremental_media_dedup_indexed(
+            incoming, idx
+        ).collect()
+    }
+    assert all(after[m] == "dup_exact" for m in new_ids)
+    assert all(
+        after[m] == before[m] for m in before if m not in new_ids
+    )
