@@ -556,20 +556,29 @@ def _sniff_header(buf: bytes):
         # AVI (RIFF form): the avih main header lives inside nested
         # LIST chunks (RIFF -> LIST hdrl -> avih); dwWidth/dwHeight
         # are little-endian u32 at payload offsets 32/36. Same
-        # word-aligned chunk walk as WAV, recursing into LIST bodies.
+        # word-aligned chunk walk as WAV, descending into LIST bodies
+        # depth-first via an EXPLICIT continuation stack — a crafted
+        # ~12KB payload can nest ~1000 LIST headers, and Python
+        # recursion there would break the never-throws contract for
+        # the whole audit pass (ADVICE r13).
         def _avih(lo: int, hi: int):
+            pending = []  # deferred (resume_at, hi) sibling spans
             i = lo
-            while i + 8 <= hi:
-                cid = buf[i : i + 4]
-                clen = int.from_bytes(buf[i + 4 : i + 8], "little")
-                if cid == b"avih":
-                    return i + 8, min(i + 8 + clen, hi)
-                if cid == b"LIST" and i + 12 <= hi:
-                    found = _avih(i + 12, min(i + 8 + clen, hi))
-                    if found:
-                        return found
-                i += 8 + clen + (clen & 1)
-            return None
+            while True:
+                while i + 8 <= hi:
+                    cid = buf[i : i + 4]
+                    clen = int.from_bytes(buf[i + 4 : i + 8], "little")
+                    if cid == b"avih":
+                        return i + 8, min(i + 8 + clen, hi)
+                    nxt = i + 8 + clen + (clen & 1)
+                    if cid == b"LIST" and i + 12 <= hi:
+                        pending.append((nxt, hi))
+                        i, hi = i + 12, min(i + 8 + clen, hi)
+                        continue
+                    i = nxt
+                if not pending:
+                    return None
+                i, hi = pending.pop()
 
         span = _avih(12, len(buf))
         if span and span[1] - span[0] >= 40:
@@ -636,6 +645,29 @@ PHASH_SCHEMA = T.StructType(
         T.StructField("phash", T.LongType(), True),
     ]
 )
+
+#: Algorithm version of the perceptual hash — bumped whenever a change
+#: moves hash VALUES for any input (v1: pre-r13 luminance averaged
+#: alpha into 2-channel gray+alpha; v2: r13 `_lum_planes` drops the
+#: alpha plane for 2- and 4-channel images). Persisted artifacts
+#: (`build_media_index` meta, `build_media_profile` `_phash_meta`)
+#: record it, and every serve/read path refuses a mismatch: an index
+#: built under one version mixed with incoming hashes from another
+#: SILENTLY loses near-dup recall on alpha-carrying images (ADVICE
+#: r13) — the digest tier is unaffected, which makes the recall loss
+#: invisible without this guard.
+PHASH_VERSION = 2
+
+#: Production default for the banded-Hamming hot-bucket cap
+#: (VERDICT r13 item 2). The r13 100x probe measured UNCAPPED pair
+#: output ~quadratic in contents on low-resolution fixtures (1.88M
+#: pairs at 40k contents — the aHash FP floor compounding with bucket
+#: depth); a >64-deep band bucket is by construction a giant
+#: near-identical cluster that belongs in the exact digest tier
+#: (`media_content_dedup`), not pairwise Hamming. Pass
+#: ``max_bucket_size=None`` for the explicit UNCAPPED escape
+#: (recall-1 parity semantics — what the registry/oracle entry uses).
+DEFAULT_PHASH_BUCKET_CAP = 64
 
 
 def _axis_cells(n: int, k: int) -> list[tuple[int, int]]:
@@ -952,7 +984,7 @@ def media_phash_neardup_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     on_unsupported: str = "raise",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_PHASH_BUCKET_CAP,
 ) -> DataFrame:
     """NEAR-duplicate media pairs via banded Hamming join over the
     perceptual hash — the scale tier above exact-phash grouping
@@ -981,8 +1013,11 @@ def media_phash_neardup_pairs(
     the join key); a true pair is missed only if EVERY band it shares
     is over-cap — by construction the giant near-identical cluster,
     which belongs in the exact digest tier
-    (:func:`media_content_dedup`), not pairwise Hamming. None
-    (default) preserves the uncapped recall-1 parity semantics.
+    (:func:`media_content_dedup`), not pairwise Hamming. The cap is ON
+    by default in this production entry point
+    (:data:`DEFAULT_PHASH_BUCKET_CAP`, VERDICT r13 item 2); pass
+    ``max_bucket_size=None`` for the explicit uncapped recall-1
+    parity semantics (what the oracle-checked registry entry does).
     """
     _require_phash_geometry(max_hamming, n_bands)
     if max_bucket_size is not None and max_bucket_size < 2:
@@ -1008,13 +1043,19 @@ def media_neardup_pairs_from_profile(
     profile: DataFrame | str,
     max_hamming: int = 3,
     n_bands: int = 4,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_PHASH_BUCKET_CAP,
 ) -> DataFrame:
     """:func:`media_phash_neardup_pairs` over an already-profiled
     corpus (:func:`build_media_profile` path or live
     :func:`media_profile` frame) — the banded self-join reads 8-byte
     hashes from the fixed-width table, ZERO decode. Pytest-pinned
-    pair-equal to the payload form."""
+    pair-equal to the payload form. Hot-bucket cap ON by default
+    (:data:`DEFAULT_PHASH_BUCKET_CAP`); ``max_bucket_size=None`` is
+    the uncapped escape. A persisted profile carries the
+    ``_phash_meta`` version table — a pre-versioning or mismatched
+    profile is refused (its hashes would silently lose near-dup
+    recall against current-version semantics, ADVICE r13)."""
+    live = not isinstance(profile, str)
     if isinstance(profile, str):
         spark = SparkSession.getActiveSession()
         if spark is None:
@@ -1022,7 +1063,8 @@ def media_neardup_pairs_from_profile(
                 "media_neardup_pairs_from_profile(path) needs an active "
                 "SparkSession"
             )
-        profile = spark.read.parquet(profile)
+        path = profile
+        profile = spark.read.parquet(path)
     missing = [
         c for c in ("media_id", "kind", "phash") if c not in profile.columns
     ]
@@ -1031,6 +1073,8 @@ def media_neardup_pairs_from_profile(
             f"profile is missing media_profile columns {missing} — "
             "build it with build_media_profile/media_profile"
         )
+    if not live:
+        _require_profile_phash_version(profile.sparkSession, path)
     _require_phash_geometry(max_hamming, n_bands)
     if max_bucket_size is not None and max_bucket_size < 2:
         raise ValueError(
@@ -1040,6 +1084,14 @@ def media_neardup_pairs_from_profile(
     hashed = profile.filter(F.col("phash").isNotNull()).select(
         "media_id", "kind", "phash"
     )
+    if live:
+        # a LIVE media_profile frame still carries the mapInPandas
+        # decode subtree; checkpoint the metadata-sized hash frame or
+        # the self-join (and the under-cap aggregate) re-plans the
+        # decode once per consumer — the exact multi-decode trap the
+        # payload form's checkpoint avoids (ADVICE r13). Parquet-backed
+        # profiles skip it: the scan is already decode-free.
+        hashed = hashed.localCheckpoint()
     return _neardup_pairs_from_hashed(
         hashed, max_hamming, n_bands, max_bucket_size
     )
@@ -1305,8 +1357,59 @@ def build_media_index(
     )
     hashed.write.mode("overwrite").parquet(f"{index_path}/hashes")
     corpus.sparkSession.createDataFrame(
-        [(max_hamming, n_bands)], "max_hamming int, n_bands int"
+        [(max_hamming, n_bands, PHASH_VERSION)],
+        "max_hamming int, n_bands int, phash_version int",
     ).write.mode("overwrite").parquet(f"{index_path}/meta")
+
+
+def _require_index_phash_version(spark: SparkSession, index_path: str):
+    """Read the index meta row and refuse a phash-version mismatch —
+    mixing hashes computed under different `_lum_planes` semantics
+    silently loses near-dup recall on alpha-carrying images (the
+    digest tier masks it, ADVICE r13). Same refuse-stale-artifact
+    pattern as the digest-column guard. Returns the meta row."""
+    meta_df = spark.read.parquet(f"{index_path}/meta")
+    if "phash_version" not in meta_df.columns:
+        raise ValueError(
+            "media index at %r predates phash versioning (r14) — its "
+            "hash semantics are unknowable; rebuild it with "
+            "build_media_index" % index_path
+        )
+    meta = meta_df.head()
+    if meta.phash_version != PHASH_VERSION:
+        raise ValueError(
+            "media index at %r was built with phash_version %d but this "
+            "engine computes phash_version %d — near-dup recall would "
+            "silently degrade on alpha-carrying images; rebuild it with "
+            "build_media_index"
+            % (index_path, meta.phash_version, PHASH_VERSION)
+        )
+    return meta
+
+
+def _require_profile_phash_version(spark: SparkSession, profile_path: str):
+    """The profile-table twin of :func:`_require_index_phash_version`:
+    `build_media_profile` persists a `_phash_meta` side table (the
+    underscore prefix keeps it invisible to the parquet scan of the
+    profile itself); readers refuse a profile whose hashes were
+    computed under different phash semantics."""
+    meta_path = f"{profile_path}/_phash_meta"
+    try:
+        meta_df = spark.read.parquet(meta_path)
+    except Exception as ex:  # pre-r14 profile: no version table at all
+        raise ValueError(
+            "media profile at %r carries no _phash_meta version table "
+            "(predates r14 phash versioning) — rebuild it with "
+            "build_media_profile" % profile_path
+        ) from ex
+    meta = meta_df.head()
+    if meta.phash_version != PHASH_VERSION:
+        raise ValueError(
+            "media profile at %r was built with phash_version %d but "
+            "this engine computes phash_version %d — rebuild it with "
+            "build_media_profile"
+            % (profile_path, meta.phash_version, PHASH_VERSION)
+        )
 
 
 def append_to_media_index(
@@ -1317,7 +1420,11 @@ def append_to_media_index(
     nothing. Same read-write hazard as
     ``dedup.append_to_dedup_index``: materialize the admitted set
     before appending, or a lazy frame derived from this index will
-    match its own newly-appended hashes on re-execution."""
+    match its own newly-appended hashes on re-execution. Refuses a
+    version-mismatched index — appending current-version hashes into
+    an old-version table is exactly the silent recall-loss mix the
+    phash_version guard exists for (ADVICE r13)."""
+    _require_index_phash_version(admitted.sparkSession, index_path)
     media_hashes(admitted, on_unsupported=on_unsupported).filter(
         F.col("phash").isNotNull()
     ).write.mode("append").parquet(f"{index_path}/hashes")
@@ -1330,9 +1437,10 @@ def incremental_media_dedup_indexed(
     hash index — only the incoming side is decoded; the corpus
     contributes 8-byte hash rows read from parquet. Banding geometry
     comes from the index's meta table (a mismatched band split would
-    silently miss every near-dup, so it is pinned at build time)."""
+    silently miss every near-dup, so it is pinned at build time — and
+    so is the phash algorithm version, same argument)."""
     spark = incoming.sparkSession
-    meta = spark.read.parquet(f"{index_path}/meta").head()
+    meta = _require_index_phash_version(spark, index_path)
     inc_hashed = media_hashes(
         incoming, on_unsupported=on_unsupported
     ).localCheckpoint()
@@ -1856,10 +1964,19 @@ def build_media_profile(corpus: DataFrame, profile_path: str) -> None:
     benchmarks, and banded near-dup scans all read this fixed-width
     metadata table with ZERO further decode (at media scale the
     decode is the dominant cost, so re-tuning a threshold must not
-    re-pay it)."""
+    re-pay it).
+
+    Alongside the rows, a ``_phash_meta`` side table pins
+    :data:`PHASH_VERSION` (the underscore prefix hides it from the
+    parquet scan of the profile itself, like ``_SUCCESS``): profile
+    readers refuse a version mismatch rather than silently mixing
+    hash semantics (ADVICE r13)."""
     media_profile(corpus, on_unsupported="null").write.mode(
         "overwrite"
     ).parquet(profile_path)
+    corpus.sparkSession.createDataFrame(
+        [(PHASH_VERSION,)], "phash_version int"
+    ).write.mode("overwrite").parquet(f"{profile_path}/_phash_meta")
 
 
 def prep_media_from_profile(
@@ -1895,6 +2012,8 @@ def prep_media_from_profile(
             "build (or REBUILD, if it predates the corrupt/unsupported "
             "split) with build_media_profile/media_profile"
         )
+    if isinstance(profile, str):
+        _require_profile_phash_version(prof.sparkSession, profile)
     rule_list = MEDIA_QUALITY_RULES if rules is None else rules
     fail_any = F.lit(False)
     for _, sql in rule_list:
@@ -1990,7 +2109,7 @@ def prep_media_incremental(
     the index (same read-write contract as
     ``dedup.append_to_dedup_index``)."""
     spark = incoming.sparkSession
-    meta = spark.read.parquet(f"{index_path}/meta").head()
+    meta = _require_index_phash_version(spark, index_path)
     corpus_hashes = spark.read.parquet(f"{index_path}/hashes")
     if "digest" not in corpus_hashes.columns:
         raise ValueError(

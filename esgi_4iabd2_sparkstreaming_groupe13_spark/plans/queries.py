@@ -2193,7 +2193,12 @@ def q_media_neardup(spark, sf_dir):
     from ..operators import multimodal
 
     media = multimodal.synth_real_media_neardups(spark, n_contents=24)
-    return multimodal.media_phash_neardup_pairs(media, max_hamming=3)
+    # max_bucket_size=None: the ORACLE entry keeps the uncapped
+    # recall-1 parity semantics; production callers get the r14
+    # DEFAULT_PHASH_BUCKET_CAP default (VERDICT r13 item 2)
+    return multimodal.media_phash_neardup_pairs(
+        media, max_hamming=3, max_bucket_size=None
+    )
 
 
 def q_media_incremental(spark, sf_dir):

@@ -1997,11 +1997,15 @@ def main() -> None:
         results["media_neardup"] = {
             "t1": timed(
                 "media_neardup 1x",
-                _mm2.media_phash_neardup_pairs(c1, max_hamming=3),
+                _mm2.media_phash_neardup_pairs(
+                    c1, max_hamming=3, max_bucket_size=None
+                ),
             ),
             "tN": timed(
                 f"media_neardup {factor}x",
-                _mm2.media_phash_neardup_pairs(cN, max_hamming=3),
+                _mm2.media_phash_neardup_pairs(
+                    cN, max_hamming=3, max_bucket_size=None
+                ),
             ),
             # the r13 hot-bucket cap: bounds the |bucket|^2 candidate
             # term that makes the uncapped output quadratic on

@@ -1003,3 +1003,166 @@ def test_media_index_double_append_is_decision_idempotent(spark, tmp_path):
     assert all(
         after[m] == before[m] for m in before if m not in new_ids
     )
+
+
+def test_avi_deeply_nested_lists_never_throw():
+    """ADVICE r13 (medium): a crafted ~12KB payload of ~1200 nested
+    LIST headers used to blow Python's recursion limit in the avih
+    walk — RecursionError is in no audit path's caught-exception list,
+    so ONE adversarial file would kill a whole 100TB header scan even
+    in on_unsupported='null' mode. The walk is now an explicit-stack
+    DFS (same traversal order); the deepest-nested avih is still
+    found, and pure nesting with no avih degrades to NULL dims."""
+    import struct
+
+    le32 = lambda v: struct.pack("<I", v)
+    avih = (
+        b"avih" + le32(56) + b"\x00" * 32 + le32(320) + le32(240)
+        + b"\x00" * 16
+    )
+    body = avih
+    for _ in range(1200):
+        body = b"LIST" + le32(4 + len(body)) + b"hdrl" + body
+    buf = b"RIFF" + le32(4 + len(body)) + b"AVI " + body
+    assert multimodal._sniff_header(buf) == ("avi", 320, 240, None, None)
+    # no avih anywhere: the walk must exhaust every level and NULL out
+    body = b"JUNK" + le32(4) + b"\x00" * 4
+    for _ in range(1200):
+        body = b"LIST" + le32(4 + len(body)) + b"hdrl" + body
+    buf = b"RIFF" + le32(4 + len(body)) + b"AVI " + body
+    assert multimodal._sniff_header(buf) == ("avi", None, None, None, None)
+    # deferred-continuation case: avih is a SIBLING after an exhausted
+    # nested LIST — the explicit stack must resume the outer span
+    junk = b"JUNK" + le32(4) + b"\x00" * 4
+    nested = b"LIST" + le32(4 + len(junk)) + b"strl" + junk
+    hdrl_body = nested + avih
+    hdrl = b"LIST" + le32(4 + len(hdrl_body)) + b"hdrl" + hdrl_body
+    buf = b"RIFF" + le32(4 + len(hdrl)) + b"AVI " + hdrl
+    assert multimodal._sniff_header(buf) == ("avi", 320, 240, None, None)
+
+
+def test_neardup_default_cap_in_production_entry_points(spark):
+    """VERDICT r13 item 2: the production entry points default to the
+    documented hot-bucket cap (DEFAULT_PHASH_BUCKET_CAP); None is the
+    explicit uncapped escape and what the oracle registry entry
+    passes. Planted-pair parity holds under the default — true
+    near-dup clusters are tiny — while a >cap near-identical cluster
+    is excluded by default (it belongs in the exact digest tier) and
+    returned in full by the escape."""
+    media = multimodal.synth_real_media_neardups(spark, n_contents=8)
+    key = lambda df: {
+        (r.kind, r.id_a, r.id_b, r.hamming) for r in df.collect()
+    }
+    dflt = key(multimodal.media_phash_neardup_pairs(media, max_hamming=3))
+    uncapped = key(
+        multimodal.media_phash_neardup_pairs(
+            media, max_hamming=3, max_bucket_size=None
+        )
+    )
+    assert dflt and dflt == uncapped
+    n = multimodal.DEFAULT_PHASH_BUCKET_CAP + 6
+    px = multimodal.synth_variant_pixels(5)
+    cluster = spark.createDataFrame(
+        [
+            (i, "image", multimodal._encode_png(px, filters=(i % 5,)))
+            for i in range(n)
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    assert (
+        multimodal.media_phash_neardup_pairs(cluster, max_hamming=3).count()
+        == 0
+    )
+    assert multimodal.media_phash_neardup_pairs(
+        cluster, max_hamming=3, max_bucket_size=None
+    ).count() == n * (n - 1) // 2
+    # the from_profile twin (LIVE frame path) shares the default
+    assert multimodal.media_neardup_pairs_from_profile(
+        multimodal.media_profile(cluster)
+    ).count() == 0
+
+
+def test_neardup_from_live_profile_matches_payload_form(spark):
+    """ADVICE r13 (low): the LIVE-frame form of
+    media_neardup_pairs_from_profile now localCheckpoints the hash
+    frame (the parquet form never needed it) so the self-join cannot
+    re-plan the mapInPandas decode per side — and the result is
+    pair-identical to the payload form."""
+    media = multimodal.synth_real_media_neardups(spark, n_contents=10)
+    key = lambda df: sorted(
+        (r.kind, r.id_a, r.id_b, r.hamming) for r in df.collect()
+    )
+    live = multimodal.media_neardup_pairs_from_profile(
+        multimodal.media_profile(media, on_unsupported="null")
+    )
+    assert key(live) == key(
+        multimodal.media_phash_neardup_pairs(
+            media, max_hamming=3, on_unsupported="null"
+        )
+    )
+
+
+def test_index_phash_version_guard(spark, tmp_path):
+    """ADVICE r13 (low): persisted hash artifacts pin PHASH_VERSION —
+    an index built under other `_lum_planes` semantics mixed with
+    current-version incoming hashes silently loses near-dup recall on
+    alpha-carrying images (dup_exact is digest-keyed and masks it).
+    Serve AND append refuse pre-versioning and mismatched indexes,
+    mirroring the r12 digest-column rebuild guard."""
+    import shutil
+
+    corpus, incoming = _inc_fixture(spark)
+    idx = str(tmp_path / "idx")
+    multimodal.build_media_index(corpus, idx)
+    assert (
+        spark.read.parquet(f"{idx}/meta").head().phash_version
+        == multimodal.PHASH_VERSION
+    )
+    multimodal.incremental_media_dedup_indexed(incoming, idx).collect()
+    # pre-r14 index: meta row without the version column
+    legacy = spark.read.parquet(f"{idx}/meta").drop("phash_version")
+    legacy.write.mode("overwrite").parquet(f"{idx}/meta_legacy")
+    shutil.rmtree(f"{idx}/meta")
+    shutil.move(f"{idx}/meta_legacy", f"{idx}/meta")
+    with pytest.raises(ValueError, match="predates phash versioning"):
+        multimodal.incremental_media_dedup_indexed(incoming, idx).collect()
+    # version number from a different algorithm generation
+    spark.createDataFrame(
+        [(3, 4, multimodal.PHASH_VERSION + 1)],
+        "max_hamming int, n_bands int, phash_version int",
+    ).write.mode("overwrite").parquet(f"{idx}/meta")
+    with pytest.raises(ValueError, match="phash_version"):
+        multimodal.incremental_media_dedup_indexed(incoming, idx).collect()
+    with pytest.raises(ValueError, match="phash_version"):
+        multimodal.append_to_media_index(incoming, idx)
+    with pytest.raises(ValueError, match="phash_version"):
+        multimodal.prep_media_incremental(incoming, idx).collect()
+
+
+def test_profile_phash_version_guard(spark, tmp_path):
+    """Profile twin of the index version guard: build_media_profile
+    persists `_phash_meta` (underscore prefix = invisible to the
+    profile's own parquet scan); path-based readers refuse a missing
+    or mismatched version table. LIVE frames skip the check — their
+    hashes are current-version by construction."""
+    import shutil
+
+    media = multimodal.synth_real_media_neardups(spark, n_contents=4)
+    path = str(tmp_path / "prof")
+    multimodal.build_media_profile(media, path)
+    # the side table must not leak into the profile scan itself
+    assert "phash_version" not in spark.read.parquet(path).columns
+    multimodal.media_neardup_pairs_from_profile(path).collect()
+    multimodal.prep_media_from_profile(path).collect()
+    spark.createDataFrame(
+        [(multimodal.PHASH_VERSION + 1,)], "phash_version int"
+    ).write.mode("overwrite").parquet(f"{path}/_phash_meta")
+    with pytest.raises(ValueError, match="phash_version"):
+        multimodal.media_neardup_pairs_from_profile(path)
+    with pytest.raises(ValueError, match="phash_version"):
+        multimodal.prep_media_from_profile(path)
+    shutil.rmtree(f"{path}/_phash_meta")
+    with pytest.raises(ValueError, match="_phash_meta"):
+        multimodal.media_neardup_pairs_from_profile(path)
+    with pytest.raises(ValueError, match="_phash_meta"):
+        multimodal.prep_media_from_profile(path)
