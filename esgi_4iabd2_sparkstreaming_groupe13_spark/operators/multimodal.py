@@ -1853,7 +1853,11 @@ MEDIA_PROFILE_SCHEMA = (
 )
 
 
-def media_profile(df: DataFrame, on_unsupported: str = "null") -> DataFrame:
+def media_profile(
+    df: DataFrame,
+    on_unsupported: str = "null",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
     """EVERY per-payload signal from ONE decode pass: both dedup keys
     (perceptual hash + decoded-content digest, :func:`media_hashes`)
     and the full quality-metric row (:func:`media_quality_features`).
@@ -1866,9 +1870,23 @@ def media_profile(df: DataFrame, on_unsupported: str = "null") -> DataFrame:
     fixed-width metadata frame. Payloads never leave the decode
     batch. Column semantics are IDENTICAL to the single-purpose
     operators (pytest-pinned), so oracles and thresholds transfer.
+    ``extra_cols`` pass through unchanged (the event-time column the
+    streaming twin's watermark needs — same contract as
+    :func:`media_hashes`).
     """
     if on_unsupported not in ("raise", "null"):
         raise ValueError("on_unsupported must be 'raise' or 'null'")
+    extra_cols = list(extra_cols or [])
+    base_schema = T.StructType.fromDDL(MEDIA_PROFILE_SCHEMA)
+    clash = [c for c in extra_cols if c in set(base_schema.fieldNames())]
+    if clash:
+        raise ValueError(
+            f"extra_cols {clash} collide with the media_profile "
+            "output columns"
+        )
+    out_schema = T.StructType(
+        base_schema.fields + [df.schema[c] for c in extra_cols]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
@@ -1911,10 +1929,23 @@ def media_profile(df: DataFrame, on_unsupported: str = "null") -> DataFrame:
                 base.update(_metrics_of(tag, arr))
                 rows.append(base)
             out = pd.DataFrame(rows)
-            out["phash"] = out["phash"].astype("Int64")
+            # NEVER let pd.DataFrame infer the phash dtype: a single
+            # None (corrupt row) in the batch makes the column float64
+            # and silently rounds every 64-bit hash to its 53-bit
+            # mantissa (multiples of 1024 at phash magnitudes) BEFORE
+            # astype could see it — a partitioning-dependent corruption
+            # caught by the r14 fused-stream equivalence test, where
+            # one coalesced micro-batch put corrupt and clean rows in
+            # the same Arrow batch. pd.array from the Python ints is
+            # exact.
+            out["phash"] = pd.array(
+                [r["phash"] for r in rows], dtype="Int64"
+            )
+            for c in extra_cols:  # 1:1 with input rows, order preserved
+                out[c] = pdf[c].to_numpy()
             yield out
 
-    return df.mapInPandas(run, MEDIA_PROFILE_SCHEMA)
+    return df.mapInPandas(run, out_schema)
 
 
 def prep_media(

@@ -412,3 +412,121 @@ def media_quality_gate_stream(
     from ..operators.multimodal import media_quality_report
 
     return media_quality_report(media_stream, rules=rules)
+
+
+def media_prep_stream(
+    media_stream: DataFrame,
+    benchmark: DataFrame | None = None,
+    rules: list[tuple[str, str]] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """FUSED streaming media prep (VERDICT r13 item 3) — the streaming
+    twin of ``operators.multimodal.prep_media``: quality gate ->
+    watermark digest dedup -> benchmark contamination tag, with each
+    micro-batch decoded EXACTLY ONCE. The r13 stage-by-stage streaming
+    twins (:func:`media_dedup_within_watermark` after
+    :func:`media_quality_gate_stream`) each ran their own
+    ``mapInPandas`` decode — the same multi-decode cost the batch side
+    removed with the fused ``prep_media`` (−42% on the composed 100x
+    chain).
+
+    Plan shape: ONE Arrow decode pass
+    (``media_profile(extra_cols=[ts_col])`` — the event-time column
+    rides through the decode batch) emits hashes + quality metrics;
+    the rule gate is a codegen projection over that frame; the
+    contamination tag is a JVM-side ``F.exists`` scan over the
+    driver-collected benchmark hashes embedded as a LITERAL array of
+    structs (benchmark suites are metadata-sized BY CONTRACT — the
+    same argument that broadcasts them in batch
+    ``media_contamination``; brute-force ``bit_count(xor)`` over all
+    bench hashes per row is exactly the banded join's recall-1
+    result, stays inside whole-stage codegen, and adds NO second
+    Python stage and NO stream aggregation — the plan keeps exactly
+    one Python pass and one stateful operator per micro-batch).
+    Payloads never leave the decode batch; state is (watermark x
+    arrival-rate) 32-byte digests.
+
+    Output: one row per ADMITTED first-arrival payload ``(media_id,
+    kind, phash, digest, contamination, <ts_col>)`` — ``prep_media``'s
+    admitted contract with representative = FIRST ARRIVAL in stream
+    time rather than min media_id (pytest pins stream==batch on a
+    fixture whose arrival order makes the two coincide).
+    ``contamination`` is 'exact' / 'candidate' / NULL with batch
+    semantics: 'exact' needs Hamming 0 AND a digest match.
+    """
+    from ..operators.multimodal import (
+        MEDIA_QUALITY_RULES,
+        media_hashes,
+        media_profile,
+    )
+
+    prof = media_profile(
+        media_stream, on_unsupported="null", extra_cols=[ts_col]
+    )
+    rule_list = MEDIA_QUALITY_RULES if rules is None else rules
+    fail_any = F.lit(False)
+    for _, sql in rule_list:
+        fail_any = fail_any | F.coalesce(F.expr(sql), F.lit(False))
+    gated = prof.filter(~fail_any).filter(F.col("decoded") == 1).select(
+        "media_id", "kind", "phash", "digest", ts_col
+    )
+
+    if benchmark is None:
+        tagged = gated.withColumn(
+            "contamination", F.lit(None).cast("string")
+        )
+    else:
+        # static + tiny by contract: one decode of the benchmark at
+        # plan-construction time, hashes pinned into the plan as a
+        # literal array — the tag is then pure whole-stage codegen
+        bench_rows = (
+            media_hashes(benchmark, on_unsupported="null")
+            .filter(F.col("phash").isNotNull())
+            .select("kind", "phash", "digest")
+            .collect()
+        )
+        if not bench_rows:
+            tagged = gated.withColumn(
+                "contamination", F.lit(None).cast("string")
+            )
+        else:
+            bench_lit = F.array(
+                *[
+                    F.struct(
+                        F.lit(r.kind).alias("kind"),
+                        F.lit(int(r.phash)).alias("phash"),
+                        F.lit(r.digest).alias("digest"),
+                    )
+                    for r in bench_rows
+                ]
+            )
+
+            def _near(b):
+                return (b["kind"] == F.col("kind")) & (
+                    F.bit_count(b["phash"].bitwiseXOR(F.col("phash")))
+                    <= F.lit(max_hamming)
+                )
+
+            def _exact(b):
+                return (
+                    (b["kind"] == F.col("kind"))
+                    & (b["phash"] == F.col("phash"))
+                    & (b["digest"] == F.col("digest"))
+                )
+
+            tagged = gated.withColumn(
+                "contamination",
+                F.when(F.exists(bench_lit, _exact), F.lit("exact"))
+                .when(F.exists(bench_lit, _near), F.lit("candidate"))
+                .otherwise(F.lit(None).cast("string")),
+            )
+
+    return (
+        tagged.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["kind", "digest"])
+        .select(
+            "media_id", "kind", "phash", "digest", "contamination", ts_col
+        )
+    )

@@ -1166,3 +1166,118 @@ def test_profile_phash_version_guard(spark, tmp_path):
         multimodal.media_neardup_pairs_from_profile(path)
     with pytest.raises(ValueError, match="_phash_meta"):
         multimodal.prep_media_from_profile(path)
+
+
+def test_media_prep_stream_fused_matches_batch(spark, tmp_path):
+    """VERDICT r13 item 3: the FUSED streaming media prep (one decode
+    per micro-batch feeding gate + watermark dedup + contamination
+    tag) is content-equivalent to batch prep_media on the same corpus
+    — same admitted (kind, phash, digest, contamination) set; the
+    representative differs only by contract (first arrival vs min
+    media_id). Planted: re-encoded cross-batch duplicates (dedup),
+    every quality-violation row of the gate fixture (gate), one
+    benchmark re-encode ('exact' tag) and one benchmark edited copy
+    ('candidate' tag)."""
+    import datetime
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.multimodal import (
+        prep_media,
+    )
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.streaming.stateful import (
+        media_prep_stream,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    fixture = [
+        (r.media_id, r.kind, bytes(r.payload))
+        for r in multimodal.synth_media_quality_fixture(spark).collect()
+    ]
+    # batch 0: the quality fixture; batch 1: re-encodes of the clean
+    # contents (same decoded content, different bytes, higher ids)
+    b0 = [
+        (mid, kind, payload, t0 + datetime.timedelta(seconds=i))
+        for i, (mid, kind, payload) in enumerate(fixture)
+    ]
+    b1 = [
+        (
+            1000 + cid,
+            *_enc_cid(cid, variant=1),
+            t0 + datetime.timedelta(seconds=120 + cid),
+        )
+        for cid in range(10)
+    ]
+    sschema = "media_id long, kind string, payload binary, ts timestamp"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b0, sschema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(b1, sschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    bench = spark.createDataFrame(
+        [
+            (0, *_enc_cid(2, variant=3)),        # same content as cid 2
+            (1, *_enc_cid(4, perturb=True)),     # edited copy of cid 4
+        ],
+        "media_id long, kind string, payload binary",
+    )
+
+    stream = (
+        spark.readStream.schema(sschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        media_prep_stream(stream, bench, watermark="30 days")
+        .writeStream.format("memory")
+        .queryName("media_prep_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "stream did not terminate within 600s"
+    got = spark.table("media_prep_stream_t").toPandas()
+
+    corpus = spark.createDataFrame(
+        [(mid, kind, payload) for (mid, kind, payload, _) in b0]
+        + [(mid, kind, payload) for (mid, kind, payload, _) in b1],
+        "media_id long, kind string, payload binary",
+    )
+    want = prep_media(corpus, bench).toPandas()
+
+    key = lambda pdf: sorted(
+        (r.kind, int(r.phash), r.digest, r.contamination or "")
+        for r in pdf.itertuples()
+    )
+    assert key(got) == key(want)
+    # one admitted row per distinct content, despite the re-encodes
+    assert got.groupby(["kind", "digest"]).size().max() == 1
+    tag_of = {
+        d: (c or None)
+        for d, c in zip(want["digest"], want["contamination"])
+    }
+    exact_digest = multimodal.content_digest(_enc_cid(2)[1])
+    assert tag_of[exact_digest] == "exact"
+    cand_digest = multimodal.content_digest(_enc_cid(4)[1])
+    assert tag_of[cand_digest] == "candidate"
+
+
+def test_media_profile_phash_exact_with_nulls_in_batch(spark):
+    """r14 regression pin (found by the fused-stream equivalence
+    test): a corrupt payload sharing ONE Arrow batch with clean
+    payloads must not perturb the clean rows' phash.
+    pd.DataFrame's dtype inference turned the None-carrying phash
+    column float64 and silently rounded every 64-bit hash to its
+    53-bit mantissa (multiples of 1024 at phash magnitudes) before
+    the Int64 cast. Partitioning-dependent before the fix — batch
+    jobs dodged it whenever corrupt rows landed in their own
+    partition, which is why 192 oracles never saw it."""
+    clean = multimodal._encode_wav(multimodal.synth_variant_frames(3))
+    df = spark.createDataFrame(
+        [(3, "audio", clean), (99, "image", b"\x89PNG\r\n\x1a\n junk")],
+        "media_id long, kind string, payload binary",
+    ).coalesce(1)
+    got = {r.media_id: r.phash for r in multimodal.media_profile(df).collect()}
+    assert got[3] == multimodal._phash(clean)  # bit-exact, not ±512
+    assert got[99] is None
