@@ -242,6 +242,13 @@ def main() -> None:
                 "reps": reps,
                 "unpinned": os.environ.get("SPARK_GRAFT_UNPIN_LOCAL") == "1",
                 "load_avg_start": _LOAD_AVG_START,
+                # r14 (VERDICT r13 item 5): a capture that started on a
+                # busy machine carries its own caveat — the r13 driver
+                # artifact ran at load 11.6 and overstated one-pass cost
+                # ~30%; the r14 quiet bracket measured a 2.2x per-query
+                # swing from load alone. Threshold cpus/4: below it the
+                # measured run-to-run band (±10-25%) holds.
+                "high_load": _LOAD_AVG_START > (os.cpu_count() or 32) / 4,
                 **stream_stats,
             }
         )

@@ -7779,17 +7779,69 @@ WHERE rk <= least(n, CAST(floor(
 """
 
 QUERIES: list[QuerySpec] = [
-    # ==== driver 50-entry verification window (r13 rotation) ====
-    # Stalest oracle-backed entries first: q_purge_audit (new r12,
-    # zero driver rows ever — queued for exactly this rotation),
-    # q_percentiles and q_median_exact (named in the r12 rotation
-    # comment as sliding just outside), then the r9-verified tail
-    # block (q_except_keys .. q_state_quantiles). Zero overlap with
-    # the r12 window (its 50 rotate to the back, freshest). The
-    # py-oracled block stays just past the window — the driver's SQL
-    # gate would record those rows-only and burn verification slots
-    # (guard test in test_text_multimodal.py); scripts/oracle_check.py
-    # verifies them instead.
+    # ==== driver 50-entry verification window (r14 rotation) ====
+    # Stalest oracle-backed entries first: the two r13 newcomers that
+    # have NEVER had a driver row (q_video_headers, q_media_mislabel
+    # — VERDICT r13 item 6 names them), then the 29 entries last
+    # driver-verified in ROUND 10, then the 19 alphabetically-first
+    # of the round-11 block. Zero overlap with the r13 AND r12
+    # windows (verified by set intersection at rotation time). The
+    # py-oracled rows-only block stays out of the window (guard test
+    # in test_text_multimodal.py); scripts/oracle_check.py verifies
+    # the whole registry every round regardless.
+    QuerySpec("q_media_mislabel", q_media_mislabel, ORACLES["q_media_mislabel"]),
+    QuerySpec("q_video_headers", q_video_headers, ORACLES["q_video_headers"]),
+    QuerySpec("q_admission_filter", q_admission_filter, ORACLES["q_admission_filter"]),
+    QuerySpec("q_backoff_logprob", q_backoff_logprob, ORACLES["q_backoff_logprob"]),
+    QuerySpec("q_bigram_logprob", q_bigram_logprob, ORACLES["q_bigram_logprob"]),
+    QuerySpec("q_bpe_packing", q_bpe_packing, ORACLES["q_bpe_packing"]),
+    QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),
+    QuerySpec("q_corpus_report", q_corpus_report, ORACLES["q_corpus_report"]),
+    QuerySpec("q_corpus_select", q_corpus_select, ORACLES["q_corpus_select"]),
+    QuerySpec("q_correlation", q_correlation, ORACLES["q_correlation"]),
+    QuerySpec("q_cosine_pairs", q_cosine_pairs, ORACLES["q_cosine_pairs"]),
+    QuerySpec("q_curriculum", q_curriculum, ORACLES["q_curriculum"]),
+    QuerySpec("q_dedup_clusters", q_dedup_clusters, ORACLES["q_dedup_clusters"]),
+    QuerySpec("q_domain_cap", q_domain_cap, ORACLES["q_domain_cap"]),
+    QuerySpec("q_edit_verify", q_edit_verify, ORACLES["q_edit_verify"]),
+    QuerySpec("q_embed_dedup", q_embed_dedup, ORACLES["q_embed_dedup"]),
+    QuerySpec("q_funnel", q_funnel, ORACLES["q_funnel"]),
+    QuerySpec("q_hash_sample", q_hash_sample, ORACLES["q_hash_sample"]),
+    QuerySpec("q_join_fact_dim", q_join_fact_dim, ORACLES["q_join_fact_dim"], True),
+    QuerySpec("q_join_multiway", q_join_multiway, ORACLES["q_join_multiway"], True),
+    QuerySpec("q_pack_materialize", q_pack_materialize, ORACLES["q_pack_materialize"]),
+    QuerySpec("q_rate_anomaly", q_rate_anomaly, ORACLES["q_rate_anomaly"]),
+    QuerySpec("q_retention", q_retention, ORACLES["q_retention"]),
+    QuerySpec("q_session_window", q_session_window, ORACLES["q_session_window"]),
+    QuerySpec("q_sessionize", q_sessionize, ORACLES["q_sessionize"], True),
+    QuerySpec("q_simhash", q_simhash, ORACLES["q_simhash"], True),
+    QuerySpec("q_snapshot_diff", q_snapshot_diff, ORACLES["q_snapshot_diff"]),
+    QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
+    QuerySpec("q_tfidf_topterms", q_tfidf_topterms, ORACLES["q_tfidf_topterms"], True),
+    QuerySpec("q_top_ngram", q_top_ngram, ORACLES["q_top_ngram"]),
+    QuerySpec("q_vocab_stats", q_vocab_stats, ORACLES["q_vocab_stats"]),
+    QuerySpec("q_anti_join", q_anti_join, ORACLES["q_anti_join"]),
+    QuerySpec("q_asof_join", q_asof_join, ORACLES["q_asof_join"], True),
+    QuerySpec("q_cms_heavy", q_cms_heavy, ORACLES["q_cms_heavy"]),
+    QuerySpec("q_contamination", q_contamination, ORACLES["q_contamination"], True),
+    QuerySpec("q_cosine_lsh", q_cosine_lsh, ORACLES["q_cosine_lsh"]),
+    QuerySpec("q_cosine_topk", q_cosine_topk, ORACLES["q_cosine_topk"], True),
+    QuerySpec("q_count_by_key", q_count_by_key, ORACLES["q_count_by_key"], True),
+    QuerySpec("q_dedup_exact", q_dedup_exact, ORACLES["q_dedup_exact"]),
+    QuerySpec("q_dedup_exact_content", q_dedup_exact_content, ORACLES["q_dedup_exact_content"]),
+    QuerySpec("q_embed_quantize", q_embed_quantize, ORACLES["q_embed_quantize"]),
+    QuerySpec("q_equi_depth", q_equi_depth, ORACLES["q_equi_depth"]),
+    QuerySpec("q_event_window", q_event_window, ORACLES["q_event_window"], True),
+    QuerySpec("q_filter_range", q_filter_range, ORACLES["q_filter_range"], True),
+    QuerySpec("q_fingerprint", q_fingerprint, ORACLES["q_fingerprint"]),
+    QuerySpec("q_hll_distinct", q_hll_distinct, ORACLES["q_hll_distinct"]),
+    QuerySpec("q_hll_groups", q_hll_groups, ORACLES["q_hll_groups"]),
+    QuerySpec("q_incremental_dedup", q_incremental_dedup, ORACLES["q_incremental_dedup"]),
+    QuerySpec("q_json_extract", q_json_extract, ORACLES["q_json_extract"]),
+    QuerySpec("q_lang_id", q_lang_id, ORACLES["q_lang_id"], True),
+    # ==== behind the window: r11-, r12-, r13-verified blocks in
+    # prior registry order (freshest driver rows last); next
+    # rotation pulls from the FRONT of this tail ====
     QuerySpec("q_purge_audit", q_purge_audit, ORACLES["q_purge_audit"]),
     QuerySpec("q_percentiles", q_percentiles, ORACLES["q_percentiles"], True),
     QuerySpec("q_median_exact", q_median_exact, ORACLES["q_median_exact"]),
@@ -7840,8 +7892,6 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_bpe_vocab", q_bpe_vocab, ORACLES["q_bpe_vocab"]),
     QuerySpec("q_temperature_mix", q_temperature_mix, ORACLES["q_temperature_mix"]),
     QuerySpec("q_state_quantiles", q_state_quantiles, ORACLES["q_state_quantiles"]),
-    # ==== driver 50-entry verification window ends here ====
-    # non-SQL entries (registered PYTHON oracles, plans/py_oracles.py)
     QuerySpec("q_bpe_merges", q_bpe_merges, None, py_oracle=PY_ORACLES["q_bpe_merges"]),
     QuerySpec("q_media_features", q_media_features, None, py_oracle=PY_ORACLES["q_media_features"]),
     QuerySpec("q_media_decode", q_media_decode, None, py_oracle=PY_ORACLES["q_media_decode"]),
@@ -7853,82 +7903,32 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_media_prep", q_media_prep, None, py_oracle=PY_ORACLES["q_media_prep"]),
     QuerySpec("q_kmeans_cells", q_kmeans_cells, None, py_oracle=PY_ORACLES["q_kmeans_cells"]),
     QuerySpec("q_ann_ivf", q_ann_ivf, None, py_oracle=PY_ORACLES["q_ann_ivf"]),
-    # remainder, stale-first: rest of the r10/r11-verified blocks,
-    # then the r12 window (freshest, rotates back in last)
-    QuerySpec("q_backoff_logprob", q_backoff_logprob, ORACLES["q_backoff_logprob"]),
-    QuerySpec("q_bpe_packing", q_bpe_packing, ORACLES["q_bpe_packing"]),
-    QuerySpec("q_pack_materialize", q_pack_materialize, ORACLES["q_pack_materialize"]),
-    QuerySpec("q_curriculum", q_curriculum, ORACLES["q_curriculum"]),
-    QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
-    QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),
-    QuerySpec("q_hash_sample", q_hash_sample, ORACLES["q_hash_sample"]),
-    QuerySpec("q_tfidf_topterms", q_tfidf_topterms, ORACLES["q_tfidf_topterms"], True),
-    QuerySpec("q_embed_dedup", q_embed_dedup, ORACLES["q_embed_dedup"]),
-    QuerySpec("q_domain_cap", q_domain_cap, ORACLES["q_domain_cap"]),
-    QuerySpec("q_cosine_pairs", q_cosine_pairs, ORACLES["q_cosine_pairs"]),
-    QuerySpec("q_join_fact_dim", q_join_fact_dim, ORACLES["q_join_fact_dim"], True),
-    QuerySpec("q_join_multiway", q_join_multiway, ORACLES["q_join_multiway"], True),
-    QuerySpec("q_simhash", q_simhash, ORACLES["q_simhash"], True),
-    QuerySpec("q_dedup_clusters", q_dedup_clusters, ORACLES["q_dedup_clusters"]),
-    QuerySpec("q_sessionize", q_sessionize, ORACLES["q_sessionize"], True),
-    QuerySpec("q_corpus_select", q_corpus_select, ORACLES["q_corpus_select"]),
-    QuerySpec("q_session_window", q_session_window, ORACLES["q_session_window"]),
-    QuerySpec("q_admission_filter", q_admission_filter, ORACLES["q_admission_filter"]),
-    QuerySpec("q_top_ngram", q_top_ngram, ORACLES["q_top_ngram"]),
-    QuerySpec("q_vocab_stats", q_vocab_stats, ORACLES["q_vocab_stats"]),
-    QuerySpec("q_edit_verify", q_edit_verify, ORACLES["q_edit_verify"]),
-    QuerySpec("q_rate_anomaly", q_rate_anomaly, ORACLES["q_rate_anomaly"]),
-    QuerySpec("q_funnel", q_funnel, ORACLES["q_funnel"]),
-    QuerySpec("q_snapshot_diff", q_snapshot_diff, ORACLES["q_snapshot_diff"]),
-    QuerySpec("q_correlation", q_correlation, ORACLES["q_correlation"]),
-    QuerySpec("q_retention", q_retention, ORACLES["q_retention"]),
-    QuerySpec("q_corpus_report", q_corpus_report, ORACLES["q_corpus_report"]),
-    QuerySpec("q_bigram_logprob", q_bigram_logprob, ORACLES["q_bigram_logprob"]),
     QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),
-    QuerySpec("q_incremental_dedup", q_incremental_dedup, ORACLES["q_incremental_dedup"]),
-    QuerySpec("q_dedup_exact_content", q_dedup_exact_content, ORACLES["q_dedup_exact_content"]),
-    QuerySpec("q_fingerprint", q_fingerprint, ORACLES["q_fingerprint"]),
     QuerySpec("q_repetition", q_repetition, ORACLES["q_repetition"]),
     QuerySpec("q_winnow_fp", q_winnow_fp, ORACLES["q_winnow_fp"]),
     QuerySpec("q_winnow_pairs", q_winnow_pairs, ORACLES["q_winnow_pairs"]),
     QuerySpec("q_split_assign", q_split_assign, ORACLES["q_split_assign"]),
     QuerySpec("q_token_histogram", q_token_histogram, ORACLES["q_token_histogram"]),
-    QuerySpec("q_hll_distinct", q_hll_distinct, ORACLES["q_hll_distinct"]),
-    QuerySpec("q_hll_groups", q_hll_groups, ORACLES["q_hll_groups"]),
-    QuerySpec("q_cms_heavy", q_cms_heavy, ORACLES["q_cms_heavy"]),
     QuerySpec("q_minhash_est", q_minhash_est, ORACLES["q_minhash_est"]),
-    QuerySpec("q_embed_quantize", q_embed_quantize, ORACLES["q_embed_quantize"]),
     QuerySpec("q_token_packing", q_token_packing, ORACLES["q_token_packing"]),
     QuerySpec("q_scan_project", q_scan_project, ORACLES["q_scan_project"]),
-    QuerySpec("q_filter_range", q_filter_range, ORACLES["q_filter_range"], True),
     QuerySpec("q_null_coalesce", q_null_coalesce, ORACLES["q_null_coalesce"]),
-    QuerySpec("q_count_by_key", q_count_by_key, ORACLES["q_count_by_key"], True),
     QuerySpec("q_union_tagged", q_union_tagged, ORACLES["q_union_tagged"], True),
     QuerySpec("q_row_number_slice", q_row_number_slice, ORACLES["q_row_number_slice"]),
     QuerySpec("q_orderby_ts", q_orderby_ts, ORACLES["q_orderby_ts"]),
     QuerySpec("q_topk_desc", q_topk_desc, ORACLES["q_topk_desc"], True),
     QuerySpec("q_total_count", q_total_count, ORACLES["q_total_count"]),
-    QuerySpec("q_equi_depth", q_equi_depth, ORACLES["q_equi_depth"]),
-    QuerySpec("q_json_extract", q_json_extract, ORACLES["q_json_extract"]),
-    QuerySpec("q_dedup_exact", q_dedup_exact, ORACLES["q_dedup_exact"]),
     QuerySpec("q_ngram_jaccard", q_ngram_jaccard, ORACLES["q_ngram_jaccard"]),
     QuerySpec("q_minhash_sig", q_minhash_sig, ORACLES["q_minhash_sig"]),
     QuerySpec("q_simhash_pairs", q_simhash_pairs, ORACLES["q_simhash_pairs"]),
-    QuerySpec("q_cosine_topk", q_cosine_topk, ORACLES["q_cosine_topk"], True),
-    QuerySpec("q_cosine_lsh", q_cosine_lsh, ORACLES["q_cosine_lsh"]),
-    QuerySpec("q_lang_id", q_lang_id, ORACLES["q_lang_id"], True),
     QuerySpec("q_quality", q_quality, ORACLES["q_quality"]),
     QuerySpec("q_token_counts", q_token_counts, ORACLES["q_token_counts"], True),
     QuerySpec("q_sentiment", q_sentiment, ORACLES["q_sentiment"]),
     QuerySpec("q_stream_batch_agg", q_stream_batch_agg, ORACLES["q_stream_batch_agg"]),
-    QuerySpec("q_contamination", q_contamination, ORACLES["q_contamination"], True),
     QuerySpec("q_pii_redact", q_pii_redact, ORACLES["q_pii_redact"]),
     QuerySpec("q_unigram_logprob", q_unigram_logprob, ORACLES["q_unigram_logprob"], True),
     QuerySpec("q_semi_join", q_semi_join, ORACLES["q_semi_join"]),
-    QuerySpec("q_anti_join", q_anti_join, ORACLES["q_anti_join"]),
-    QuerySpec("q_asof_join", q_asof_join, ORACLES["q_asof_join"], True),
     QuerySpec("q_topn_per_group", q_topn_per_group, ORACLES["q_topn_per_group"], True),
-    QuerySpec("q_event_window", q_event_window, ORACLES["q_event_window"], True),
     QuerySpec("q_rollup", q_rollup, ORACLES["q_rollup"], True),
     QuerySpec("q_minhash_lsh", q_minhash_lsh, ORACLES["q_minhash_lsh"], True),
     QuerySpec("q_lsh_capped", q_lsh_capped, ORACLES["q_lsh_capped"]),
@@ -7984,11 +7984,8 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_tpch_q20", q_tpch_q20, ORACLES["q_tpch_q20"]),
     QuerySpec("q_tpch_q21", q_tpch_q21, ORACLES["q_tpch_q21"]),
     QuerySpec("q_tpch_q22", q_tpch_q22, ORACLES["q_tpch_q22"]),
-    # new in r13 (queues behind the rotated window for its first
-    # driver row in a future rotation):
-    QuerySpec("q_video_headers", q_video_headers, ORACLES["q_video_headers"]),
-    QuerySpec("q_media_mislabel", q_media_mislabel, ORACLES["q_media_mislabel"]),
 ]
+
 
 
 HEADLINE_QUERIES = [q.name for q in QUERIES if q.headline]
