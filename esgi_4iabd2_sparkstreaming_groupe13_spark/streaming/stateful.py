@@ -421,6 +421,7 @@ def media_prep_stream(
     ts_col: str = "ts",
     watermark: str = "2 hours",
     max_hamming: int = 3,
+    decode_partitions: int | None = None,
 ) -> DataFrame:
     """FUSED streaming media prep (VERDICT r13 item 3) — the streaming
     twin of ``operators.multimodal.prep_media``: quality gate ->
@@ -462,6 +463,15 @@ def media_prep_stream(
         media_profile,
     )
 
+    if decode_partitions is not None:
+        # a micro-batch arriving as FEW source splits (the common
+        # file-source case: one NDJSON/parquet file per trigger)
+        # otherwise decodes on as few cores — and the decode is the
+        # whole cost of this pipeline. The shuffle moves payload bytes
+        # ONCE per micro-batch and buys decode parallelism = cluster
+        # width; measured 1273 -> 2196 payloads/s on a 4x4000
+        # single-file-per-trigger stream on local[32] (BASELINE r14).
+        media_stream = media_stream.repartition(decode_partitions)
     prof = media_profile(
         media_stream, on_unsupported="null", extra_cols=[ts_col]
     )
