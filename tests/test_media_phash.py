@@ -1281,3 +1281,65 @@ def test_media_profile_phash_exact_with_nulls_in_batch(spark):
     got = {r.media_id: r.phash for r in multimodal.media_profile(df).collect()}
     assert got[3] == multimodal._phash(clean)  # bit-exact, not ±512
     assert got[99] is None
+
+
+def test_media_prep_stream_restart_resumes_without_dups(spark, tmp_path):
+    """Crash-replay contract for the fused stream: drain two files,
+    'crash' (stop), land two more files, restart over the SAME
+    checkpoint — the final admitted set must equal a one-shot drain
+    (no re-emitted rows from replayed batches, dedup state recovered
+    from the state store, cross-crash duplicates still dropped)."""
+    import datetime
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.streaming.stateful import (
+        media_prep_stream,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    sschema = "media_id long, kind string, payload binary, ts timestamp"
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+
+    def wave(variant, id_base):
+        rows = [
+            (
+                id_base + cid,
+                *_enc_cid(cid, variant=variant),
+                t0 + datetime.timedelta(seconds=60 * variant + cid),
+            )
+            for cid in range(6)
+        ]
+        spark.createDataFrame(rows, sschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(sschema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            media_prep_stream(stream, watermark="30 days")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600)
+        return spark.read.parquet(out).toPandas()
+
+    wave(0, 0)
+    wave(1, 1000)  # re-encodes of wave-0 contents -> dups
+    drain()
+    wave(2, 2000)  # more re-encodes: dups ACROSS the crash boundary
+    wave(0, 3000)  # byte-identical replicas of wave 0
+    total = drain()
+    assert len(total) == 6
+    assert total.groupby(["kind", "digest"]).size().max() == 1
+    # recovered state, not wave-2 arrivals, must own the contents:
+    # every representative is a wave-0 id (first arrival pre-crash)
+    assert set(total["media_id"]) == set(range(6))
