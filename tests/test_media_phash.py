@@ -1343,3 +1343,31 @@ def test_media_prep_stream_restart_resumes_without_dups(spark, tmp_path):
     # recovered state, not wave-2 arrivals, must own the contents:
     # every representative is a wave-0 id (first arrival pre-crash)
     assert set(total["media_id"]) == set(range(6))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=512))
+def test_sniff_header_never_throws_on_random_bytes(buf):
+    """_sniff_header's never-throws contract, fuzzed on raw random
+    bytes (the r13 AVI RecursionError showed crafted containers can
+    break it even when random bytes don't — this pins the base
+    contract; test_avi_deeply_nested_lists_never_throw pins the
+    adversarial-structure case)."""
+    out = multimodal._sniff_header(buf)
+    assert isinstance(out, tuple) and len(out) == 5
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=256), st.sampled_from(
+    [b"\x89PNG\r\n\x1a\n", b"GIF89a", b"\xff\xd8", b"RIFF", b"LIST",
+     b"RIFFxxxxWAVE", b"RIFFxxxxAVI ", b"\x00\x00\x00\x10ftyp"]
+))
+def test_sniff_header_never_throws_on_magic_prefixed_garbage(tail, magic):
+    """Same contract with every recognized magic prefix stapled onto
+    random garbage — forces the format-specific walkers (JPEG marker
+    stream, RIFF chunk list, ISO-BMFF box walk, AVI LIST descent)
+    down their parse loops on inputs that lie about their lengths."""
+    out = multimodal._sniff_header(magic + tail)
+    assert isinstance(out, tuple) and len(out) == 5
+    for v in out[1:]:
+        assert v is None or (isinstance(v, int) and 0 <= v <= 2**31 - 1)
