@@ -384,6 +384,10 @@ def media_dedup_within_watermark(
     a NULL digest must not collapse all damaged files into one dedup
     key; run :func:`~..operators.multimodal.media_phash` in audit mode
     separately for the corruption report.
+
+    Composing this stage with the streaming quality gate decodes every
+    payload twice — use :func:`media_prep_stream` (r14) for the fused
+    gate + dedup + contamination chain at ONE decode per micro-batch.
     """
     from ..operators.multimodal import media_hashes
 
@@ -408,7 +412,10 @@ def media_quality_gate_stream(
     downstream watermark/dedup stage and needs no state store at all.
     Emits the same explainable verdict row per arriving payload as the
     batch gate (pytest pins stream==batch on a planted-violation
-    corpus split across micro-batches)."""
+    corpus split across micro-batches). Composing this stage with the
+    watermark dedup decodes every payload twice — use
+    :func:`media_prep_stream` (r14) for the fused chain at ONE decode
+    per micro-batch."""
     from ..operators.multimodal import media_quality_report
 
     return media_quality_report(media_stream, rules=rules)
