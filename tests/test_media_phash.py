@@ -1340,9 +1340,12 @@ def test_media_prep_stream_restart_resumes_without_dups(spark, tmp_path):
     total = drain()
     assert len(total) == 6
     assert total.groupby(["kind", "digest"]).size().max() == 1
-    # recovered state, not wave-2 arrivals, must own the contents:
-    # every representative is a wave-0 id (first arrival pre-crash)
-    assert set(total["media_id"]) == set(range(6))
+    # recovered state, not post-crash arrivals, must own the contents:
+    # every representative is a PRE-crash id (wave 0 or 1 — parquet
+    # part files dispatch in racy mtime order within a drain, so the
+    # winner between those two waves is not pinned; see the watermark
+    # comment in test_media_dedup_within_watermark_streaming)
+    assert set(total["media_id"]) <= set(range(6)) | set(range(1000, 1006))
 
 
 @settings(max_examples=200, deadline=None)
