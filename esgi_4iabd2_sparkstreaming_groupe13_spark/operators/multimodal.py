@@ -22,6 +22,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1046,10 +1047,17 @@ def media_neardup_pairs_from_profile(
     max_bucket_size: int | None = DEFAULT_PHASH_BUCKET_CAP,
 ) -> DataFrame:
     """:func:`media_phash_neardup_pairs` over an already-profiled
-    corpus (:func:`build_media_profile` path or live
-    :func:`media_profile` frame) — the banded self-join reads 8-byte
-    hashes from the fixed-width table, ZERO decode. Pytest-pinned
-    pair-equal to the payload form. Hot-bucket cap ON by default
+    corpus — EAGER on a live :func:`media_profile` frame: the full
+    decode runs AT CALL TIME (``localCheckpoint`` of the hash frame,
+    see below), so this "builder" blocks for one corpus decode and the
+    checkpointed hashes live in executor-local storage (non-fault-
+    tolerant: a lost executor fails the downstream query instead of
+    recomputing — acceptable for the metadata-sized hash frame, and
+    re-calling rebuilds it; ADVICE r14). Parquet-backed profiles
+    (:func:`build_media_profile` path) stay lazy — the scan is
+    decode-free. The banded self-join reads 8-byte hashes from the
+    fixed-width table, ZERO decode. Pytest-pinned pair-equal to the
+    payload form. Hot-bucket cap ON by default
     (:data:`DEFAULT_PHASH_BUCKET_CAP`); ``max_bucket_size=None`` is
     the uncapped escape. A persisted profile carries the
     ``_phash_meta`` version table — a pre-versioning or mismatched
@@ -1396,7 +1404,15 @@ def _require_profile_phash_version(spark: SparkSession, profile_path: str):
     meta_path = f"{profile_path}/_phash_meta"
     try:
         meta_df = spark.read.parquet(meta_path)
-    except Exception as ex:  # pre-r14 profile: no version table at all
+    except AnalysisException as ex:
+        # ONLY the missing-table case means "predates r14 versioning" —
+        # a transient IO/permission error on a perfectly valid profile
+        # must propagate unchanged, not misdiagnose as stale and invite
+        # discarding an expensive-to-recompute artifact (ADVICE r14)
+        cond = getattr(ex, "getCondition", None)
+        cond = str(cond() or "") if cond is not None else ""
+        if "PATH_NOT_FOUND" not in cond and "does not exist" not in str(ex):
+            raise
         raise ValueError(
             "media profile at %r carries no _phash_meta version table "
             "(predates r14 phash versioning) — rebuild it with "

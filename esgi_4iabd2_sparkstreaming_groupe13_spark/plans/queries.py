@@ -7779,130 +7779,17 @@ WHERE rk <= least(n, CAST(floor(
 """
 
 QUERIES: list[QuerySpec] = [
-    # ==== driver 50-entry verification window (r14 rotation) ====
-    # Stalest oracle-backed entries first: the two r13 newcomers that
-    # have NEVER had a driver row (q_video_headers, q_media_mislabel
-    # — VERDICT r13 item 6 names them), then the 29 entries last
-    # driver-verified in ROUND 10, then the 19 alphabetically-first
-    # of the round-11 block. Zero overlap with the r13 AND r12
-    # windows (verified by set intersection at rotation time). The
-    # py-oracled rows-only block stays out of the window (guard test
-    # in test_text_multimodal.py); scripts/oracle_check.py verifies
-    # the whole registry every round regardless.
-    QuerySpec("q_media_mislabel", q_media_mislabel, ORACLES["q_media_mislabel"]),
-    QuerySpec("q_video_headers", q_video_headers, ORACLES["q_video_headers"]),
-    QuerySpec("q_admission_filter", q_admission_filter, ORACLES["q_admission_filter"]),
-    QuerySpec("q_backoff_logprob", q_backoff_logprob, ORACLES["q_backoff_logprob"]),
-    QuerySpec("q_bigram_logprob", q_bigram_logprob, ORACLES["q_bigram_logprob"]),
-    QuerySpec("q_bpe_packing", q_bpe_packing, ORACLES["q_bpe_packing"]),
-    QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),
-    QuerySpec("q_corpus_report", q_corpus_report, ORACLES["q_corpus_report"]),
-    QuerySpec("q_corpus_select", q_corpus_select, ORACLES["q_corpus_select"]),
-    QuerySpec("q_correlation", q_correlation, ORACLES["q_correlation"]),
-    QuerySpec("q_cosine_pairs", q_cosine_pairs, ORACLES["q_cosine_pairs"]),
-    QuerySpec("q_curriculum", q_curriculum, ORACLES["q_curriculum"]),
-    QuerySpec("q_dedup_clusters", q_dedup_clusters, ORACLES["q_dedup_clusters"]),
-    QuerySpec("q_domain_cap", q_domain_cap, ORACLES["q_domain_cap"]),
-    QuerySpec("q_edit_verify", q_edit_verify, ORACLES["q_edit_verify"]),
-    QuerySpec("q_embed_dedup", q_embed_dedup, ORACLES["q_embed_dedup"]),
-    QuerySpec("q_funnel", q_funnel, ORACLES["q_funnel"]),
-    QuerySpec("q_hash_sample", q_hash_sample, ORACLES["q_hash_sample"]),
-    QuerySpec("q_join_fact_dim", q_join_fact_dim, ORACLES["q_join_fact_dim"], True),
-    QuerySpec("q_join_multiway", q_join_multiway, ORACLES["q_join_multiway"], True),
-    QuerySpec("q_pack_materialize", q_pack_materialize, ORACLES["q_pack_materialize"]),
-    QuerySpec("q_rate_anomaly", q_rate_anomaly, ORACLES["q_rate_anomaly"]),
-    QuerySpec("q_retention", q_retention, ORACLES["q_retention"]),
-    QuerySpec("q_session_window", q_session_window, ORACLES["q_session_window"]),
-    QuerySpec("q_sessionize", q_sessionize, ORACLES["q_sessionize"], True),
-    QuerySpec("q_simhash", q_simhash, ORACLES["q_simhash"], True),
-    QuerySpec("q_snapshot_diff", q_snapshot_diff, ORACLES["q_snapshot_diff"]),
-    QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
-    QuerySpec("q_tfidf_topterms", q_tfidf_topterms, ORACLES["q_tfidf_topterms"], True),
-    QuerySpec("q_top_ngram", q_top_ngram, ORACLES["q_top_ngram"]),
-    QuerySpec("q_vocab_stats", q_vocab_stats, ORACLES["q_vocab_stats"]),
-    QuerySpec("q_anti_join", q_anti_join, ORACLES["q_anti_join"]),
-    QuerySpec("q_asof_join", q_asof_join, ORACLES["q_asof_join"], True),
-    QuerySpec("q_cms_heavy", q_cms_heavy, ORACLES["q_cms_heavy"]),
-    QuerySpec("q_contamination", q_contamination, ORACLES["q_contamination"], True),
-    QuerySpec("q_cosine_lsh", q_cosine_lsh, ORACLES["q_cosine_lsh"]),
-    QuerySpec("q_cosine_topk", q_cosine_topk, ORACLES["q_cosine_topk"], True),
-    QuerySpec("q_count_by_key", q_count_by_key, ORACLES["q_count_by_key"], True),
-    QuerySpec("q_dedup_exact", q_dedup_exact, ORACLES["q_dedup_exact"]),
-    QuerySpec("q_dedup_exact_content", q_dedup_exact_content, ORACLES["q_dedup_exact_content"]),
-    QuerySpec("q_embed_quantize", q_embed_quantize, ORACLES["q_embed_quantize"]),
-    QuerySpec("q_equi_depth", q_equi_depth, ORACLES["q_equi_depth"]),
-    QuerySpec("q_event_window", q_event_window, ORACLES["q_event_window"], True),
-    QuerySpec("q_filter_range", q_filter_range, ORACLES["q_filter_range"], True),
-    QuerySpec("q_fingerprint", q_fingerprint, ORACLES["q_fingerprint"]),
-    QuerySpec("q_hll_distinct", q_hll_distinct, ORACLES["q_hll_distinct"]),
-    QuerySpec("q_hll_groups", q_hll_groups, ORACLES["q_hll_groups"]),
-    QuerySpec("q_incremental_dedup", q_incremental_dedup, ORACLES["q_incremental_dedup"]),
-    QuerySpec("q_json_extract", q_json_extract, ORACLES["q_json_extract"]),
-    QuerySpec("q_lang_id", q_lang_id, ORACLES["q_lang_id"], True),
-    # ==== behind the window: r11-, r12-, r13-verified blocks in
-    # prior registry order (freshest driver rows last); next
-    # rotation pulls from the FRONT of this tail ====
-    QuerySpec("q_purge_audit", q_purge_audit, ORACLES["q_purge_audit"]),
-    QuerySpec("q_percentiles", q_percentiles, ORACLES["q_percentiles"], True),
-    QuerySpec("q_median_exact", q_median_exact, ORACLES["q_median_exact"]),
-    QuerySpec("q_except_keys", q_except_keys, ORACLES["q_except_keys"]),
-    QuerySpec("q_intersect_keys", q_intersect_keys, ORACLES["q_intersect_keys"]),
-    QuerySpec("q_doc_embedding_join", q_doc_embedding_join, ORACLES["q_doc_embedding_join"]),
-    QuerySpec("q_amount_stats", q_amount_stats, ORACLES["q_amount_stats"], True),
-    QuerySpec("q_window_frames", q_window_frames, ORACLES["q_window_frames"], True),
-    QuerySpec("q_rolling_sum", q_rolling_sum, ORACLES["q_rolling_sum"]),
-    QuerySpec("q_date_parts", q_date_parts, ORACLES["q_date_parts"]),
-    QuerySpec("q_substring_dedup", q_substring_dedup, ORACLES["q_substring_dedup"], True),
-    QuerySpec("q_span_strip", q_span_strip, ORACLES["q_span_strip"]),
-    QuerySpec("q_quality_score", q_quality_score, ORACLES["q_quality_score"], True),
-    QuerySpec("q_entity_match", q_entity_match, ORACLES["q_entity_match"], True),
-    QuerySpec("q_entity_clusters", q_entity_clusters, ORACLES["q_entity_clusters"]),
-    QuerySpec("q_agg_state", q_agg_state, ORACLES["q_agg_state"], True),
-    QuerySpec("q_overlap", q_overlap, ORACLES["q_overlap"]),
-    QuerySpec("q_cdc", q_cdc, ORACLES["q_cdc"]),
-    QuerySpec("q_ivf_index", q_ivf_index, ORACLES["q_ivf_index"], True),
-    QuerySpec("q_skew_lag", q_skew_lag, ORACLES["q_skew_lag"], True),
-    QuerySpec("q_skew_running", q_skew_running, ORACLES["q_skew_running"]),
-    QuerySpec("q_best_rep", q_best_rep, ORACLES["q_best_rep"], True),
-    QuerySpec("q_mix", q_mix, ORACLES["q_mix"], True),
-    QuerySpec("q_profile", q_profile, ORACLES["q_profile"], True),
-    QuerySpec("q_bm25", q_bm25, ORACLES["q_bm25"], True),
-    QuerySpec("q_gap_fill", q_gap_fill, ORACLES["q_gap_fill"], True),
-    QuerySpec("q_unpivot", q_unpivot, ORACLES["q_unpivot"]),
-    QuerySpec("q_zorder", q_zorder, ORACLES["q_zorder"]),
-    QuerySpec("q_triangles", q_triangles, ORACLES["q_triangles"], True),
-    QuerySpec("q_winsorize", q_winsorize, ORACLES["q_winsorize"]),
-    QuerySpec("q_assoc_rules", q_assoc_rules, ORACLES["q_assoc_rules"]),
-    QuerySpec("q_benford", q_benford, ORACLES["q_benford"]),
-    QuerySpec("q_pagerank", q_pagerank, ORACLES["q_pagerank"]),
-    QuerySpec("q_json_variant", q_json_variant, ORACLES["q_json_variant"]),
-    QuerySpec("q_global_shuffle", q_global_shuffle, ORACLES["q_global_shuffle"]),
-    QuerySpec("q_fk_audit", q_fk_audit, ORACLES["q_fk_audit"]),
-    QuerySpec("q_dsir_weights", q_dsir_weights, ORACLES["q_dsir_weights"]),
-    QuerySpec("q_ppl_buckets", q_ppl_buckets, ORACLES["q_ppl_buckets"]),
-    QuerySpec("q_stream_join", q_stream_join, ORACLES["q_stream_join"]),
-    QuerySpec("q_jl_project", q_jl_project, ORACLES["q_jl_project"]),
-    QuerySpec("q_semdedup", q_semdedup, ORACLES["q_semdedup"]),
-    QuerySpec("q_hybrid_rrf", q_hybrid_rrf, ORACLES["q_hybrid_rrf"]),
-    QuerySpec("q_psi_drift", q_psi_drift, ORACLES["q_psi_drift"]),
-    QuerySpec("q_pq_recall", q_pq_recall, ORACLES["q_pq_recall"]),
-    QuerySpec("q_shard_assign", q_shard_assign, ORACLES["q_shard_assign"], True),
-    QuerySpec("q_bpe_pairs", q_bpe_pairs, ORACLES["q_bpe_pairs"]),
-    QuerySpec("q_bpe_encode", q_bpe_encode, ORACLES["q_bpe_encode"], True),
-    QuerySpec("q_bpe_vocab", q_bpe_vocab, ORACLES["q_bpe_vocab"]),
-    QuerySpec("q_temperature_mix", q_temperature_mix, ORACLES["q_temperature_mix"]),
-    QuerySpec("q_state_quantiles", q_state_quantiles, ORACLES["q_state_quantiles"]),
-    QuerySpec("q_bpe_merges", q_bpe_merges, None, py_oracle=PY_ORACLES["q_bpe_merges"]),
-    QuerySpec("q_media_features", q_media_features, None, py_oracle=PY_ORACLES["q_media_features"]),
-    QuerySpec("q_media_decode", q_media_decode, None, py_oracle=PY_ORACLES["q_media_decode"]),
-    QuerySpec("q_media_phash", q_media_phash, None, py_oracle=PY_ORACLES["q_media_phash"]),
-    QuerySpec("q_media_neardup", q_media_neardup, None, py_oracle=PY_ORACLES["q_media_neardup"]),
-    QuerySpec("q_media_incremental", q_media_incremental, None, py_oracle=PY_ORACLES["q_media_incremental"]),
-    QuerySpec("q_media_contamination", q_media_contamination, None, py_oracle=PY_ORACLES["q_media_contamination"]),
-    QuerySpec("q_media_quality", q_media_quality, None, py_oracle=PY_ORACLES["q_media_quality"]),
-    QuerySpec("q_media_prep", q_media_prep, None, py_oracle=PY_ORACLES["q_media_prep"]),
-    QuerySpec("q_kmeans_cells", q_kmeans_cells, None, py_oracle=PY_ORACLES["q_kmeans_cells"]),
-    QuerySpec("q_ann_ivf", q_ann_ivf, None, py_oracle=PY_ORACLES["q_ann_ivf"]),
+    # ==== driver 50-entry verification window (r15 rotation) ====
+    # Stalest oracle-backed entries first (VERDICT r14 item 2): the
+    # 31 SQL-oracled entries whose last driver row is ROUND 11
+    # (q_media_headers .. q_line_dedup), then the 19 registry-first
+    # of the round-12-verified block (q_schema_drift ..
+    # q_asof_forward). Zero overlap with the r14 AND r13 windows
+    # (verified by set intersection against CORRECTNESS_r14/r13.json
+    # at rotation time). The py-oracled rows-only block stays out of
+    # the window (guard test in test_text_multimodal.py);
+    # scripts/oracle_check.py verifies the whole registry every
+    # round regardless.
     QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),
     QuerySpec("q_repetition", q_repetition, ORACLES["q_repetition"]),
     QuerySpec("q_winnow_fp", q_winnow_fp, ORACLES["q_winnow_fp"]),
@@ -7953,6 +7840,21 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_sliding_window", q_sliding_window, ORACLES["q_sliding_window"]),
     QuerySpec("q_interval_join", q_interval_join, ORACLES["q_interval_join"]),
     QuerySpec("q_asof_forward", q_asof_forward, ORACLES["q_asof_forward"]),
+    # ==== behind the window: py-oracled rows-only block, then the
+    # remaining r12-, r13-, r14-verified blocks in prior registry
+    # order (freshest driver rows last); next rotation pulls the
+    # stalest SQL-oracled from the front ====
+    QuerySpec("q_bpe_merges", q_bpe_merges, None, py_oracle=PY_ORACLES["q_bpe_merges"]),
+    QuerySpec("q_media_features", q_media_features, None, py_oracle=PY_ORACLES["q_media_features"]),
+    QuerySpec("q_media_decode", q_media_decode, None, py_oracle=PY_ORACLES["q_media_decode"]),
+    QuerySpec("q_media_phash", q_media_phash, None, py_oracle=PY_ORACLES["q_media_phash"]),
+    QuerySpec("q_media_neardup", q_media_neardup, None, py_oracle=PY_ORACLES["q_media_neardup"]),
+    QuerySpec("q_media_incremental", q_media_incremental, None, py_oracle=PY_ORACLES["q_media_incremental"]),
+    QuerySpec("q_media_contamination", q_media_contamination, None, py_oracle=PY_ORACLES["q_media_contamination"]),
+    QuerySpec("q_media_quality", q_media_quality, None, py_oracle=PY_ORACLES["q_media_quality"]),
+    QuerySpec("q_media_prep", q_media_prep, None, py_oracle=PY_ORACLES["q_media_prep"]),
+    QuerySpec("q_kmeans_cells", q_kmeans_cells, None, py_oracle=PY_ORACLES["q_kmeans_cells"]),
+    QuerySpec("q_ann_ivf", q_ann_ivf, None, py_oracle=PY_ORACLES["q_ann_ivf"]),
     QuerySpec("q_global_index", q_global_index, ORACLES["q_global_index"], True),
     QuerySpec("q_ann_recall", q_ann_recall, ORACLES["q_ann_recall"]),
     QuerySpec("q_ann_quantized_recall", q_ann_quantized_recall, ORACLES["q_ann_quantized_recall"]),
@@ -7984,6 +7886,106 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_tpch_q20", q_tpch_q20, ORACLES["q_tpch_q20"]),
     QuerySpec("q_tpch_q21", q_tpch_q21, ORACLES["q_tpch_q21"]),
     QuerySpec("q_tpch_q22", q_tpch_q22, ORACLES["q_tpch_q22"]),
+    QuerySpec("q_purge_audit", q_purge_audit, ORACLES["q_purge_audit"]),
+    QuerySpec("q_percentiles", q_percentiles, ORACLES["q_percentiles"], True),
+    QuerySpec("q_median_exact", q_median_exact, ORACLES["q_median_exact"]),
+    QuerySpec("q_except_keys", q_except_keys, ORACLES["q_except_keys"]),
+    QuerySpec("q_intersect_keys", q_intersect_keys, ORACLES["q_intersect_keys"]),
+    QuerySpec("q_doc_embedding_join", q_doc_embedding_join, ORACLES["q_doc_embedding_join"]),
+    QuerySpec("q_amount_stats", q_amount_stats, ORACLES["q_amount_stats"], True),
+    QuerySpec("q_window_frames", q_window_frames, ORACLES["q_window_frames"], True),
+    QuerySpec("q_rolling_sum", q_rolling_sum, ORACLES["q_rolling_sum"]),
+    QuerySpec("q_date_parts", q_date_parts, ORACLES["q_date_parts"]),
+    QuerySpec("q_substring_dedup", q_substring_dedup, ORACLES["q_substring_dedup"], True),
+    QuerySpec("q_span_strip", q_span_strip, ORACLES["q_span_strip"]),
+    QuerySpec("q_quality_score", q_quality_score, ORACLES["q_quality_score"], True),
+    QuerySpec("q_entity_match", q_entity_match, ORACLES["q_entity_match"], True),
+    QuerySpec("q_entity_clusters", q_entity_clusters, ORACLES["q_entity_clusters"]),
+    QuerySpec("q_agg_state", q_agg_state, ORACLES["q_agg_state"], True),
+    QuerySpec("q_overlap", q_overlap, ORACLES["q_overlap"]),
+    QuerySpec("q_cdc", q_cdc, ORACLES["q_cdc"]),
+    QuerySpec("q_ivf_index", q_ivf_index, ORACLES["q_ivf_index"], True),
+    QuerySpec("q_skew_lag", q_skew_lag, ORACLES["q_skew_lag"], True),
+    QuerySpec("q_skew_running", q_skew_running, ORACLES["q_skew_running"]),
+    QuerySpec("q_best_rep", q_best_rep, ORACLES["q_best_rep"], True),
+    QuerySpec("q_mix", q_mix, ORACLES["q_mix"], True),
+    QuerySpec("q_profile", q_profile, ORACLES["q_profile"], True),
+    QuerySpec("q_bm25", q_bm25, ORACLES["q_bm25"], True),
+    QuerySpec("q_gap_fill", q_gap_fill, ORACLES["q_gap_fill"], True),
+    QuerySpec("q_unpivot", q_unpivot, ORACLES["q_unpivot"]),
+    QuerySpec("q_zorder", q_zorder, ORACLES["q_zorder"]),
+    QuerySpec("q_triangles", q_triangles, ORACLES["q_triangles"], True),
+    QuerySpec("q_winsorize", q_winsorize, ORACLES["q_winsorize"]),
+    QuerySpec("q_assoc_rules", q_assoc_rules, ORACLES["q_assoc_rules"]),
+    QuerySpec("q_benford", q_benford, ORACLES["q_benford"]),
+    QuerySpec("q_pagerank", q_pagerank, ORACLES["q_pagerank"]),
+    QuerySpec("q_json_variant", q_json_variant, ORACLES["q_json_variant"]),
+    QuerySpec("q_global_shuffle", q_global_shuffle, ORACLES["q_global_shuffle"]),
+    QuerySpec("q_fk_audit", q_fk_audit, ORACLES["q_fk_audit"]),
+    QuerySpec("q_dsir_weights", q_dsir_weights, ORACLES["q_dsir_weights"]),
+    QuerySpec("q_ppl_buckets", q_ppl_buckets, ORACLES["q_ppl_buckets"]),
+    QuerySpec("q_stream_join", q_stream_join, ORACLES["q_stream_join"]),
+    QuerySpec("q_jl_project", q_jl_project, ORACLES["q_jl_project"]),
+    QuerySpec("q_semdedup", q_semdedup, ORACLES["q_semdedup"]),
+    QuerySpec("q_hybrid_rrf", q_hybrid_rrf, ORACLES["q_hybrid_rrf"]),
+    QuerySpec("q_psi_drift", q_psi_drift, ORACLES["q_psi_drift"]),
+    QuerySpec("q_pq_recall", q_pq_recall, ORACLES["q_pq_recall"]),
+    QuerySpec("q_shard_assign", q_shard_assign, ORACLES["q_shard_assign"], True),
+    QuerySpec("q_bpe_pairs", q_bpe_pairs, ORACLES["q_bpe_pairs"]),
+    QuerySpec("q_bpe_encode", q_bpe_encode, ORACLES["q_bpe_encode"], True),
+    QuerySpec("q_bpe_vocab", q_bpe_vocab, ORACLES["q_bpe_vocab"]),
+    QuerySpec("q_temperature_mix", q_temperature_mix, ORACLES["q_temperature_mix"]),
+    QuerySpec("q_state_quantiles", q_state_quantiles, ORACLES["q_state_quantiles"]),
+    QuerySpec("q_media_mislabel", q_media_mislabel, ORACLES["q_media_mislabel"]),
+    QuerySpec("q_video_headers", q_video_headers, ORACLES["q_video_headers"]),
+    QuerySpec("q_admission_filter", q_admission_filter, ORACLES["q_admission_filter"]),
+    QuerySpec("q_backoff_logprob", q_backoff_logprob, ORACLES["q_backoff_logprob"]),
+    QuerySpec("q_bigram_logprob", q_bigram_logprob, ORACLES["q_bigram_logprob"]),
+    QuerySpec("q_bpe_packing", q_bpe_packing, ORACLES["q_bpe_packing"]),
+    QuerySpec("q_case_buckets", q_case_buckets, ORACLES["q_case_buckets"]),
+    QuerySpec("q_corpus_report", q_corpus_report, ORACLES["q_corpus_report"]),
+    QuerySpec("q_corpus_select", q_corpus_select, ORACLES["q_corpus_select"]),
+    QuerySpec("q_correlation", q_correlation, ORACLES["q_correlation"]),
+    QuerySpec("q_cosine_pairs", q_cosine_pairs, ORACLES["q_cosine_pairs"]),
+    QuerySpec("q_curriculum", q_curriculum, ORACLES["q_curriculum"]),
+    QuerySpec("q_dedup_clusters", q_dedup_clusters, ORACLES["q_dedup_clusters"]),
+    QuerySpec("q_domain_cap", q_domain_cap, ORACLES["q_domain_cap"]),
+    QuerySpec("q_edit_verify", q_edit_verify, ORACLES["q_edit_verify"]),
+    QuerySpec("q_embed_dedup", q_embed_dedup, ORACLES["q_embed_dedup"]),
+    QuerySpec("q_funnel", q_funnel, ORACLES["q_funnel"]),
+    QuerySpec("q_hash_sample", q_hash_sample, ORACLES["q_hash_sample"]),
+    QuerySpec("q_join_fact_dim", q_join_fact_dim, ORACLES["q_join_fact_dim"], True),
+    QuerySpec("q_join_multiway", q_join_multiway, ORACLES["q_join_multiway"], True),
+    QuerySpec("q_pack_materialize", q_pack_materialize, ORACLES["q_pack_materialize"]),
+    QuerySpec("q_rate_anomaly", q_rate_anomaly, ORACLES["q_rate_anomaly"]),
+    QuerySpec("q_retention", q_retention, ORACLES["q_retention"]),
+    QuerySpec("q_session_window", q_session_window, ORACLES["q_session_window"]),
+    QuerySpec("q_sessionize", q_sessionize, ORACLES["q_sessionize"], True),
+    QuerySpec("q_simhash", q_simhash, ORACLES["q_simhash"], True),
+    QuerySpec("q_snapshot_diff", q_snapshot_diff, ORACLES["q_snapshot_diff"]),
+    QuerySpec("q_string_funcs", q_string_funcs, ORACLES["q_string_funcs"]),
+    QuerySpec("q_tfidf_topterms", q_tfidf_topterms, ORACLES["q_tfidf_topterms"], True),
+    QuerySpec("q_top_ngram", q_top_ngram, ORACLES["q_top_ngram"]),
+    QuerySpec("q_vocab_stats", q_vocab_stats, ORACLES["q_vocab_stats"]),
+    QuerySpec("q_anti_join", q_anti_join, ORACLES["q_anti_join"]),
+    QuerySpec("q_asof_join", q_asof_join, ORACLES["q_asof_join"], True),
+    QuerySpec("q_cms_heavy", q_cms_heavy, ORACLES["q_cms_heavy"]),
+    QuerySpec("q_contamination", q_contamination, ORACLES["q_contamination"], True),
+    QuerySpec("q_cosine_lsh", q_cosine_lsh, ORACLES["q_cosine_lsh"]),
+    QuerySpec("q_cosine_topk", q_cosine_topk, ORACLES["q_cosine_topk"], True),
+    QuerySpec("q_count_by_key", q_count_by_key, ORACLES["q_count_by_key"], True),
+    QuerySpec("q_dedup_exact", q_dedup_exact, ORACLES["q_dedup_exact"]),
+    QuerySpec("q_dedup_exact_content", q_dedup_exact_content, ORACLES["q_dedup_exact_content"]),
+    QuerySpec("q_embed_quantize", q_embed_quantize, ORACLES["q_embed_quantize"]),
+    QuerySpec("q_equi_depth", q_equi_depth, ORACLES["q_equi_depth"]),
+    QuerySpec("q_event_window", q_event_window, ORACLES["q_event_window"], True),
+    QuerySpec("q_filter_range", q_filter_range, ORACLES["q_filter_range"], True),
+    QuerySpec("q_fingerprint", q_fingerprint, ORACLES["q_fingerprint"]),
+    QuerySpec("q_hll_distinct", q_hll_distinct, ORACLES["q_hll_distinct"]),
+    QuerySpec("q_hll_groups", q_hll_groups, ORACLES["q_hll_groups"]),
+    QuerySpec("q_incremental_dedup", q_incremental_dedup, ORACLES["q_incremental_dedup"]),
+    QuerySpec("q_json_extract", q_json_extract, ORACLES["q_json_extract"]),
+    QuerySpec("q_lang_id", q_lang_id, ORACLES["q_lang_id"], True),
 ]
 
 

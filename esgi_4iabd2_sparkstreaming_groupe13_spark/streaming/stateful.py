@@ -421,6 +421,16 @@ def media_quality_gate_stream(
     return media_quality_report(media_stream, rules=rules)
 
 
+DEFAULT_BENCH_LITERAL_MAX = 512
+"""Largest benchmark (hash count) embedded as a plan literal by
+:func:`media_prep_stream`; above it the tag switches to a broadcast
+stream-static join carrying the same array in broadcast DATA instead
+of plan text (ADVICE r14: a multi-thousand-entry literal bloats every
+micro-batch plan and risks Janino method limits). Both paths compute
+the identical tag — pytest-pinned — so the threshold is a plan-shape
+crossover, not a semantics knob."""
+
+
 def media_prep_stream(
     media_stream: DataFrame,
     benchmark: DataFrame | None = None,
@@ -428,7 +438,8 @@ def media_prep_stream(
     ts_col: str = "ts",
     watermark: str = "2 hours",
     max_hamming: int = 3,
-    decode_partitions: int | None = None,
+    decode_partitions: int | None | str = "auto",
+    bench_literal_max: int = DEFAULT_BENCH_LITERAL_MAX,
 ) -> DataFrame:
     """FUSED streaming media prep (VERDICT r13 item 3) — the streaming
     twin of ``operators.multimodal.prep_media``: quality gate ->
@@ -445,22 +456,45 @@ def media_prep_stream(
     rides through the decode batch) emits hashes + quality metrics;
     the rule gate is a codegen projection over that frame; the
     contamination tag is a JVM-side ``F.exists`` scan over the
-    driver-collected benchmark hashes embedded as a LITERAL array of
-    structs (benchmark suites are metadata-sized BY CONTRACT — the
-    same argument that broadcasts them in batch
-    ``media_contamination``; brute-force ``bit_count(xor)`` over all
-    bench hashes per row is exactly the banded join's recall-1
-    result, stays inside whole-stage codegen, and adds NO second
-    Python stage and NO stream aggregation — the plan keeps exactly
-    one Python pass and one stateful operator per micro-batch).
-    Payloads never leave the decode batch; state is (watermark x
-    arrival-rate) 32-byte digests.
+    driver-collected benchmark hashes (brute-force ``bit_count(xor)``
+    over all bench hashes per row is exactly the banded join's
+    recall-1 result, stays JVM-side, and adds NO second Python stage
+    and NO stream aggregation — the plan keeps exactly one Python
+    pass and one stateful operator per micro-batch). Up to
+    ``bench_literal_max`` hashes the array is embedded as a plan
+    LITERAL (zero extra operators, whole-stage codegen); above it the
+    same array rides a one-row BROADCAST stream-static join so plan
+    size stays O(1) in the benchmark (ADVICE r14 — a 100k-hash
+    literal would bloat every micro-batch plan; per-row tag cost is
+    O(|bench|) on either path, so a genuinely huge benchmark belongs
+    in the batch banded join of ``media_contamination``). Payloads
+    never leave the decode batch; state is (watermark x arrival-rate)
+    32-byte digests.
+
+    ``decode_partitions="auto"`` (default since r15) repartitions each
+    micro-batch to ``sparkContext.defaultParallelism`` before the
+    decode: a micro-batch arriving as FEW source splits (the common
+    file-source case — one NDJSON/parquet file per trigger, the
+    reference's own S2 shape) otherwise decodes on as few cores, and
+    decode is the whole cost of this pipeline. The shuffle moves
+    payload bytes ONCE per micro-batch and buys decode parallelism =
+    cluster width (measured 2.2k -> 8.4k payloads/s on a
+    single-file-per-trigger stream on local[32], BASELINE r14/r15).
+    Pass ``None`` to keep the source's own split count (pre-r15
+    behavior; right when the source already delivers >= cluster-width
+    splits and the extra shuffle of payload bytes would only cost),
+    or an explicit int to pin the width (e.g. bytes-per-task sizing:
+    payloads are MB-scale, so ~32-64 MB of payload per task is a good
+    target when you know the arrival rate).
 
     Output: one row per ADMITTED first-arrival payload ``(media_id,
     kind, phash, digest, contamination, <ts_col>)`` — ``prep_media``'s
     admitted contract with representative = FIRST ARRIVAL in stream
     time rather than min media_id (pytest pins stream==batch on a
-    fixture whose arrival order makes the two coincide).
+    fixture whose arrival order makes the two coincide, AND pins the
+    contract itself on a fixture where they DIVERGE: the
+    (kind, phash, digest, contamination) set stays equal while the
+    representative id differs — VERDICT r14 item 5).
     ``contamination`` is 'exact' / 'candidate' / NULL with batch
     semantics: 'exact' needs Hamming 0 AND a digest match.
     """
@@ -470,15 +504,17 @@ def media_prep_stream(
         media_profile,
     )
 
+    if decode_partitions == "auto":
+        decode_partitions = (
+            media_stream.sparkSession.sparkContext.defaultParallelism
+        )
+    elif isinstance(decode_partitions, str):
+        raise ValueError(
+            "decode_partitions must be 'auto', None, or an int — got "
+            f"{decode_partitions!r}"
+        )
     if decode_partitions is not None:
-        # a micro-batch arriving as FEW source splits (the common
-        # file-source case: one NDJSON/parquet file per trigger)
-        # otherwise decodes on as few cores — and the decode is the
-        # whole cost of this pipeline. The shuffle moves payload bytes
-        # ONCE per micro-batch and buys decode parallelism = cluster
-        # width; measured 1273 -> 2196 payloads/s on a 4x4000
-        # single-file-per-trigger stream on local[32] (BASELINE r14).
-        media_stream = media_stream.repartition(decode_partitions)
+        media_stream = media_stream.repartition(int(decode_partitions))
     prof = media_profile(
         media_stream, on_unsupported="null", extra_cols=[ts_col]
     )
@@ -509,16 +545,6 @@ def media_prep_stream(
                 "contamination", F.lit(None).cast("string")
             )
         else:
-            bench_lit = F.array(
-                *[
-                    F.struct(
-                        F.lit(r.kind).alias("kind"),
-                        F.lit(int(r.phash)).alias("phash"),
-                        F.lit(r.digest).alias("digest"),
-                    )
-                    for r in bench_rows
-                ]
-            )
 
             def _near(b):
                 return (b["kind"] == F.col("kind")) & (
@@ -533,12 +559,56 @@ def media_prep_stream(
                     & (b["digest"] == F.col("digest"))
                 )
 
-            tagged = gated.withColumn(
-                "contamination",
-                F.when(F.exists(bench_lit, _exact), F.lit("exact"))
-                .when(F.exists(bench_lit, _near), F.lit("candidate"))
-                .otherwise(F.lit(None).cast("string")),
-            )
+            def _tag(arr):
+                return (
+                    F.when(F.exists(arr, _exact), F.lit("exact"))
+                    .when(F.exists(arr, _near), F.lit("candidate"))
+                    .otherwise(F.lit(None).cast("string"))
+                )
+
+            if len(bench_rows) <= bench_literal_max:
+                # metadata-sized: pin the hashes straight into the plan
+                bench_lit = F.array(
+                    *[
+                        F.struct(
+                            F.lit(r.kind).alias("kind"),
+                            F.lit(int(r.phash)).alias("phash"),
+                            F.lit(r.digest).alias("digest"),
+                        )
+                        for r in bench_rows
+                    ]
+                )
+                tagged = gated.withColumn("contamination", _tag(bench_lit))
+            else:
+                # big benchmark: the SAME array rides broadcast DATA —
+                # a one-row static frame equi-joined (stream-static
+                # broadcast, supported in append streams) on a constant
+                # key, so the micro-batch plan stays O(1) in |bench|
+                spark = media_stream.sparkSession
+                bench_arr_df = (
+                    spark.createDataFrame(
+                        [
+                            (r.kind, int(r.phash), r.digest)
+                            for r in bench_rows
+                        ],
+                        schema="kind string, phash long, digest string",
+                    )
+                    .agg(
+                        F.collect_list(
+                            F.struct("kind", "phash", "digest")
+                        ).alias("_bench")
+                    )
+                    .withColumn("_bj", F.lit(1))
+                    # pin the 1-row array: stream-static re-scans the
+                    # static side every micro-batch otherwise
+                    .localCheckpoint()
+                )
+                tagged = (
+                    gated.withColumn("_bj", F.lit(1))
+                    .join(F.broadcast(bench_arr_df), "_bj", "left")
+                    .withColumn("contamination", _tag(F.col("_bench")))
+                    .drop("_bj", "_bench")
+                )
 
     return (
         tagged.withWatermark(ts_col, watermark)

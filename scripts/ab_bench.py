@@ -10,6 +10,18 @@ compared at fixed corpus + fixed script:
 
 Prints one JSON line {"tree": ..., "reps": N, "queries": {name:
 {"min": s, "all": [...]}}, "load_avg_start": ...}.
+
+WARMUP A/B PROTOCOL (VERDICT r14 item 6 — binding for any cross-tree
+or warm-vs-unwarmed claim on this VM): the box is BIMODAL — identical
+back-to-back REPS=3 slates have read 45.8 s and 71.7 s from the same
+tree at low start load, and a single interleaved pair inverted a real
+1.4x warmup effect in the r14 session. The only citable number is
+MIN-PER-ARM OVER >= 2 INTERLEAVED PAIRS run at load < 2 with nothing
+else on the machine: A B A B (each arm a full REPS>=3 invocation of
+this script), then per-query min across that arm's invocations.
+Single-pair deltas, whatever their direction, are noise-bound and
+must not be recorded as verdicts. BASELINE.md's standing
+"measurement rules" paragraph points here.
 """
 
 from __future__ import annotations

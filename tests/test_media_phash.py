@@ -1166,6 +1166,20 @@ def test_profile_phash_version_guard(spark, tmp_path):
         multimodal.media_neardup_pairs_from_profile(path)
     with pytest.raises(ValueError, match="_phash_meta"):
         multimodal.prep_media_from_profile(path)
+    # ADVICE r14: only the MISSING-table case means "predates
+    # versioning" — a corrupt/unreadable meta table (stand-in for
+    # transient IO trouble on a perfectly valid profile) must
+    # propagate the original error, NOT misdiagnose as stale and
+    # invite discarding an expensive-to-recompute profile
+    import os
+
+    os.makedirs(f"{path}/_phash_meta", exist_ok=True)
+    with open(f"{path}/_phash_meta/part-00000.parquet", "wb") as fh:
+        fh.write(b"not a parquet file")
+    with pytest.raises(Exception) as exc_info:
+        multimodal.media_neardup_pairs_from_profile(path)
+    assert not isinstance(exc_info.value, ValueError)
+    assert "predates" not in str(exc_info.value)
 
 
 def test_media_prep_stream_fused_matches_batch(spark, tmp_path):
@@ -1374,3 +1388,183 @@ def test_sniff_header_never_throws_on_magic_prefixed_garbage(tail, magic):
     assert isinstance(out, tuple) and len(out) == 5
     for v in out[1:]:
         assert v is None or (isinstance(v, int) and 0 <= v <= 2**31 - 1)
+
+
+def test_media_prep_stream_broadcast_bench_matches_literal(spark, tmp_path):
+    """VERDICT r14 item 3 / ADVICE r14: above ``bench_literal_max``
+    the contamination tag switches from a plan-literal array to a
+    broadcast stream-static join carrying the same array in broadcast
+    data. Forcing the broadcast path (``bench_literal_max=0``) on the
+    planted-contamination corpus must produce the identical admitted
+    (kind, phash, digest, contamination) set as batch prep_media —
+    and therefore as the literal path, which the fused-equivalence
+    test pins against the same batch oracle."""
+    import datetime
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.multimodal import (
+        prep_media,
+    )
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.streaming.stateful import (
+        media_prep_stream,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    sschema = "media_id long, kind string, payload binary, ts timestamp"
+    rows = [
+        (cid, *_enc_cid(cid), t0 + datetime.timedelta(seconds=cid))
+        for cid in range(8)
+    ] + [
+        (1000 + cid, *_enc_cid(cid, variant=2),
+         t0 + datetime.timedelta(seconds=120 + cid))
+        for cid in range(4)
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, sschema).coalesce(1).write.parquet(src)
+    bench = spark.createDataFrame(
+        [
+            (0, *_enc_cid(1, variant=3)),     # re-encode of cid 1 -> exact
+            (1, *_enc_cid(2, perturb=True)),  # edited copy of cid 2 -> candidate
+        ],
+        "media_id long, kind string, payload binary",
+    )
+
+    stream = (
+        spark.readStream.schema(sschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        media_prep_stream(
+            stream, bench, watermark="30 days", bench_literal_max=0
+        )
+        .writeStream.format("memory")
+        .queryName("media_prep_bcast_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600)
+    got = spark.table("media_prep_bcast_t").toPandas()
+    corpus = spark.createDataFrame(
+        [(mid, kind, payload) for (mid, kind, payload, _) in rows],
+        "media_id long, kind string, payload binary",
+    )
+    want = prep_media(corpus, bench).toPandas()
+    key = lambda pdf: sorted(
+        (r.kind, int(r.phash), r.digest, r.contamination or "")
+        for r in pdf.itertuples()
+    )
+    assert key(got) == key(want)
+    tags = set(got["contamination"].dropna())
+    assert tags == {"exact", "candidate"}
+
+
+def test_media_prep_stream_first_arrival_diverges_from_min_id(spark, tmp_path):
+    """VERDICT r14 item 5: the fused stream's representative is FIRST
+    ARRIVAL while batch prep_media elects min media_id. On a fixture
+    where a HIGH id arrives strictly before a low-id re-encode of the
+    same content (two drains over one checkpoint pin the order), the
+    documented contract is: (kind, phash, digest, contamination)-set
+    equality with batch, while the representative id column DIVERGES
+    (stream keeps the early high id, batch elects the low id)."""
+    import datetime
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.multimodal import (
+        prep_media,
+    )
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.streaming.stateful import (
+        media_prep_stream,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    sschema = "media_id long, kind string, payload binary, ts timestamp"
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(sschema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            media_prep_stream(stream, watermark="30 days")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600)
+        return spark.read.parquet(out).toPandas()
+
+    # wave A: HIGH ids 500..503 arrive first (separate drain pins order)
+    wave_a = [
+        (500 + cid, *_enc_cid(cid), t0 + datetime.timedelta(seconds=cid))
+        for cid in range(4)
+    ]
+    spark.createDataFrame(wave_a, sschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    # wave B: LOW-id re-encodes of the same contents arrive later
+    wave_b = [
+        (cid, *_enc_cid(cid, variant=1),
+         t0 + datetime.timedelta(seconds=60 + cid))
+        for cid in range(4)
+    ]
+    spark.createDataFrame(wave_b, sschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got = drain()
+
+    corpus = spark.createDataFrame(
+        [(m, k, p) for (m, k, p, _) in wave_a + wave_b],
+        "media_id long, kind string, payload binary",
+    )
+    want = prep_media(corpus).toPandas()
+    key = lambda pdf: sorted(
+        (r.kind, int(r.phash), r.digest, r.contamination or "")
+        for r in pdf.itertuples()
+    )
+    assert key(got) == key(want)                      # content contract holds
+    assert set(got["media_id"]) == set(range(500, 504))  # first arrival wins
+    assert set(want["media_id"]) == set(range(4))        # batch: min id wins
+    assert set(got["media_id"]).isdisjoint(set(want["media_id"]))
+
+
+def test_media_prep_stream_decode_partitions_modes(spark, tmp_path):
+    """decode_partitions contract (VERDICT r14 item 1): 'auto'
+    (default) repartitions the micro-batch to defaultParallelism
+    before the decode, None keeps the source's split count, an int
+    pins the width, anything else raises. Checked on the analyzed
+    plan — no stream execution needed."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.streaming.stateful import (
+        media_prep_stream,
+    )
+
+    sschema = "media_id long, kind string, payload binary, ts timestamp"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(0, *_enc_cid(0), None)], sschema
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(sschema).parquet(src)
+
+    def n_repart(df):
+        plan = df._jdf.queryExecution().analyzed().toString()
+        return plan.count("Repartition")
+
+    auto = media_prep_stream(stream)
+    assert n_repart(auto) == 1
+    assert (
+        f"Repartition {spark.sparkContext.defaultParallelism}"
+        in auto._jdf.queryExecution().analyzed().toString()
+    )
+    off = media_prep_stream(stream, decode_partitions=None)
+    assert n_repart(off) == 0
+    pinned = media_prep_stream(stream, decode_partitions=7)
+    assert "Repartition 7" in pinned._jdf.queryExecution().analyzed().toString()
+    with pytest.raises(ValueError, match="decode_partitions"):
+        media_prep_stream(stream, decode_partitions="all")
