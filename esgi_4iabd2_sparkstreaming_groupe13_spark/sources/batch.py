@@ -14,6 +14,8 @@ ReadSchema/PushedFilters).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -50,7 +52,18 @@ def load_trip_csv(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver testdata table (TESTDATA.md) as a DataFrame."""
+    """Load one driver testdata table (TESTDATA.md) as a DataFrame.
+
+    ``SPARK_GRAFT_INPUT_PARTITIONS=N`` (env) round-robin-repartitions
+    every table after the scan — a real input-parallelism knob for
+    split-starved inputs, and the ADVERSARIAL lever of the
+    partition-invariance gate (r15,
+    ``tests/test_partition_invariance.py``): round-robin scatters
+    rows across N partitions in a layout unrelated to the file order,
+    so any operator whose result depends on physical row
+    placement/arrival order (the r14 float64-phash class of bug)
+    diverges under the gate's checksum comparison. Unset = scan
+    splits as-is (production default)."""
     if name in TS_NANO_COLUMNS:
         # runtime-settable; needed when the caller's session didn't go
         # through our factory (e.g. the driver's own SparkSession)
@@ -64,6 +77,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
         elif dtype == "timestamp_ntz":  # TIMESTAMP(MICROS, utc=false)
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    n_parts = os.environ.get("SPARK_GRAFT_INPUT_PARTITIONS")
+    if n_parts:
+        df = df.repartition(int(n_parts))
     return df
 
 
