@@ -243,6 +243,142 @@ def sessionize_batch_oracle(events: DataFrame, gap_seconds: int = 1800) -> DataF
     )
 
 
+def sessionize_tws(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """:func:`sessionize` on Spark 4's ``transformWithStateInPandas``
+    (the successor stateful API) — same output contract, pytest-pinned
+    equal to the ``applyInPandasWithState`` form and the batch oracle.
+
+    Why keep both: ``transformWithState`` is the forward-looking scale
+    path — typed state variables (ListState here; the buffer is a
+    first-class list, not a re-serialized blob), MULTIPLE independent
+    timers per key, state TTL, and first-class RocksDB state-store
+    integration with state schema evolution. The legacy form stays as
+    the parity/compat twin. REQUIRES the RocksDB state store provider
+    (set ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...state.RocksDBStateStoreProvider`` before starting the query —
+    Spark enforces this for transformWithState); the
+    ``applyInPandasWithState`` twin runs on any provider.
+
+    Semantics (identical to :func:`sessionize`): events buffer in
+    per-key ListState; a session emits ``final=True`` exactly once,
+    when the watermark passes ``session_end + gap``; quiet keys flush
+    via an event-time timer registered at the earliest open session's
+    close point. Timers are REPLACED on every invocation (delete +
+    re-register) so each key holds at most one pending timer.
+
+    ALSO requires ``protobuf`` (PySpark's transformWithState state
+    server speaks protobuf between the JVM and the Python workers) —
+    absent on this sandbox, so the runtime path is environment-gated
+    exactly like the Kafka socket and Pillow decodes: the operator
+    preflights the import and raises with guidance instead of letting
+    the query die with an opaque
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE at start; the
+    pytest is skip-primed and runs wherever protobuf exists."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as ex:
+        raise RuntimeError(
+            "sessionize_tws needs the 'protobuf' package: PySpark's "
+            "transformWithState Python state server is protobuf-based "
+            "and its worker crashes at query start without it. Install "
+            "protobuf, or use sessionize() — the applyInPandasWithState "
+            "twin with identical output."
+        ) from ex
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    gap_us = gap_seconds * 1_000_000
+
+    class Proc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._buf = handle.getListState("buf", "t bigint")
+
+        def _evaluate(
+            self, user_id: int, new_times: list[int], wm_ms: int
+        ) -> Iterator[pd.DataFrame]:
+            buf = (
+                [r[0] for r in self._buf.get()]
+                if self._buf.exists()
+                else []
+            )
+            buf.extend(new_times)
+            if not buf:
+                self._buf.clear()
+                return
+            buf.sort()
+            wm_us = wm_ms * 1000
+            sessions = _split_sessions(buf, gap_us)
+            closed = [s for s in sessions if s[1] + gap_us < wm_us]
+            open_ = [s for s in sessions if s[1] + gap_us >= wm_us]
+            remaining = [
+                t
+                for t in buf
+                if not any(s[0] <= t <= s[1] for s in closed)
+            ]
+            for tm in list(self._handle.listTimers()):
+                self._handle.deleteTimer(tm)
+            if remaining:
+                self._buf.clear()
+                self._buf.put([(t,) for t in remaining])
+                earliest_close_ms = (
+                    min(s[1] for s in open_) // 1000
+                    + gap_seconds * 1000
+                    + 1
+                )
+                self._handle.registerTimer(
+                    max(earliest_close_ms, wm_ms + 1)
+                )
+            else:
+                self._buf.clear()
+            if closed:
+                yield _emit(user_id, closed, True)
+
+        def handleInputRows(
+            self, key: tuple, rows, timerValues: TimerValues
+        ) -> Iterator[pd.DataFrame]:
+            new_times: list[int] = []
+            for pdf in rows:
+                new_times.extend(
+                    int(v.value // 1000) for v in pd.to_datetime(pdf["ts"])
+                )
+            yield from self._evaluate(
+                key[0], new_times, timerValues.getCurrentWatermarkInMs()
+            )
+
+        def handleExpiredTimer(
+            self,
+            key: tuple,
+            timerValues: TimerValues,
+            expiredTimerInfo: ExpiredTimerInfo,
+        ) -> Iterator[pd.DataFrame]:
+            yield from self._evaluate(
+                key[0], [], timerValues.getCurrentWatermarkInMs()
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            Proc(),
+            outputStructType=SESSION_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame,
     keys: list[str],
