@@ -1568,3 +1568,78 @@ def test_media_prep_stream_decode_partitions_modes(spark, tmp_path):
     assert "Repartition 7" in pinned._jdf.queryExecution().analyzed().toString()
     with pytest.raises(ValueError, match="decode_partitions"):
         media_prep_stream(stream, decode_partitions="all")
+
+
+def test_media_prep_stream_broadcast_bench_survives_restart(spark, tmp_path):
+    """r15: the broadcast contamination path adds a localCheckpointed
+    one-row static frame to the streaming plan — prove checkpoint
+    recovery still works through it: drain, stop, land new files
+    (including a benchmark re-encode), restart on the SAME checkpoint
+    with a RE-BUILT plan (fresh collect + localCheckpoint, the
+    documented restart shape). Admitted set must stay dup-free across
+    the crash and the late benchmark hit must carry its tag."""
+    import datetime
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.streaming.stateful import (
+        media_prep_stream,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    sschema = "media_id long, kind string, payload binary, ts timestamp"
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    bench = spark.createDataFrame(
+        [(0, *_enc_cid(2, variant=3))],  # same content as cid 2
+        "media_id long, kind string, payload binary",
+    )
+
+    def drain():
+        stream = (
+            spark.readStream.schema(sschema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            media_prep_stream(
+                stream, bench, watermark="30 days", bench_literal_max=0
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600)
+        return spark.read.parquet(out).toPandas()
+
+    wave0 = [
+        (cid, *_enc_cid(cid), t0 + datetime.timedelta(seconds=cid))
+        for cid in range(4)  # cids 0..3: includes bench content cid 2
+    ]
+    spark.createDataFrame(wave0, sschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    first = drain()
+    assert set(first["media_id"]) == set(range(4))
+    # 'crash'; then re-encodes of cids 0..3 (dups across the boundary)
+    # plus two genuinely new contents, one of them the bench content
+    # re-encoded again (stays deduped: digest matches admitted cid 2)
+    wave1 = [
+        (100 + cid, *_enc_cid(cid, variant=1),
+         t0 + datetime.timedelta(seconds=60 + cid))
+        for cid in range(4)
+    ] + [
+        (200 + cid, *_enc_cid(10 + cid),
+         t0 + datetime.timedelta(seconds=120 + cid))
+        for cid in range(2)
+    ]
+    spark.createDataFrame(wave1, sschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    total = drain()
+    assert len(total) == 6  # 4 originals + 2 new contents, zero dups
+    assert total.groupby(["kind", "digest"]).size().max() == 1
+    tag_of = dict(zip(total["media_id"], total["contamination"]))
+    assert tag_of[2] == "exact"  # pre-crash hit kept its tag
+    assert set(total["media_id"]) == set(range(4)) | {200, 201}
