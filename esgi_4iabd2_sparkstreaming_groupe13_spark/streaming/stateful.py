@@ -278,16 +278,7 @@ def sessionize_tws(
     the query die with an opaque
     STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE at start; the
     pytest is skip-primed and runs wherever protobuf exists."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError as ex:
-        raise RuntimeError(
-            "sessionize_tws needs the 'protobuf' package: PySpark's "
-            "transformWithState Python state server is protobuf-based "
-            "and its worker crashes at query start without it. Install "
-            "protobuf, or use sessionize() — the applyInPandasWithState "
-            "twin with identical output."
-        ) from ex
+    _require_tws_protobuf("sessionize_tws", "sessionize()")
     from pyspark.sql.streaming.stateful_processor import (
         ExpiredTimerInfo,
         StatefulProcessor,
@@ -407,6 +398,24 @@ def dedup_within_watermark(
     )
 
 
+def _require_tws_protobuf(op_name: str, fallback: str) -> None:
+    """Preflight for the transformWithState operators: PySpark's TWS
+    Python state server speaks protobuf (StateMessage_pb2) and its
+    driver worker crashes at query start with an opaque
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE when the package is
+    missing (root-caused live on this sandbox, r15). Fail fast at
+    plan construction with guidance instead."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as ex:
+        raise RuntimeError(
+            f"{op_name} needs the 'protobuf' package: PySpark's "
+            "transformWithState Python state server is protobuf-based "
+            "and its worker crashes at query start without it. Install "
+            f"protobuf, or use {fallback} — the executable twin."
+        ) from ex
+
+
 #: running per-key aggregate state for ``running_stats``
 _RUNNING_STATE_SCHEMA = "n bigint, total double, last_us bigint"
 
@@ -477,8 +486,10 @@ def running_stats(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     needs ``google.protobuf`` at runtime (StateMessage_pb2), which
     this sandbox lacks — the e2e test importorskips on it (same
     posture as the Kafka source) and the executed stateful path here
-    remains ``sessionize``'s applyInPandasWithState.
+    remains ``sessionize``'s applyInPandasWithState. Fails fast at
+    plan construction with guidance when protobuf is absent (r15).
     """
+    _require_tws_protobuf("running_stats", "agg_state/maintain_agg_state")
     prepared = events.select(
         F.col("user_id"),
         F.col("value").cast("double").alias("value"),
