@@ -383,3 +383,191 @@ def rolling_distinct_hll(
         .alias("day"),
         round_half_away(est, 3).alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta sketch (fixed-threshold KMV, r15): the mergeable distinct
+# sketch that — unlike HLL — supports INTERSECTION estimates, because
+# its state is an actual uniform hash SAMPLE of the key universe
+# rather than register maxima. θ is fixed at 1/THETA_DENOM of the
+# 60-bit md5 space: a key is sampled iff md5_int(key) < 2^60/DENOM,
+# so |sample| ~ Binomial(n_distinct, 1/DENOM) and
+# est = DENOM · |sample| is unbiased with rsd ≈ sqrt((DENOM-1)/n).
+# Set algebra transfers to the samples verbatim (the sampled
+# sub-universe is itself uniform): |A∩B| ≈ DENOM·|S_A ∩ S_B| on the
+# HASH values — which also makes the estimator bit-reproducible in
+# DuckDB (md5 + integer arithmetic only).
+#
+# Scale shape: ONE distinct-aggregate over sub-threshold hashes —
+# the shuffle carries ~n/DENOM 8-byte hash rows per group, no
+# windows, no collect, map-side combinable, and sketches of shards
+# union trivially. At 10^9 distinct keys per group the sample is
+# ~16M hashes (DENOM=64) — executor-sized, with rsd ~0.01%.
+# ---------------------------------------------------------------------------
+
+THETA_DENOM = 64
+THETA_THRESHOLD = (1 << 60) // THETA_DENOM
+
+
+def theta_sample(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """The sketch state: distinct (group, hash) pairs below θ."""
+    h = md5_int(
+        F.concat(F.lit("theta:"), F.col(key_col).cast("string"))
+    )
+    return (
+        df.select(F.col(group_col).alias("grp"), h.alias("h"))
+        .filter(F.col("h") < F.lit(THETA_THRESHOLD))
+        .distinct()
+    )
+
+
+def theta_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Production estimator: per-group distinct estimate from the
+    θ-sample alone (no exact pass). Integer output — the estimate is
+    DENOM · |sample| exactly."""
+    return (
+        theta_sample(df, group_col, key_col)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_sampled",
+            (F.col("n_sampled") * F.lit(THETA_DENOM)).alias("est_distinct"),
+        )
+    )
+
+
+def theta_distinct_checked(
+    df: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """Registry gate form (HLL-checked pattern): the estimate NEXT TO
+    the exact count with the 3σ envelope asserted as a column —
+    σ = sqrt(n·(1−p)/p) = sqrt(n·(DENOM−1)) for p = 1/DENOM, plus one
+    DENOM of slack for sampling granularity. sqrt is IEEE-correctly-
+    rounded in both engines, so the flag is bit-reproducible."""
+    groups = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count_distinct(F.col(key_col)).alias("exact_distinct")
+    )
+    est = (
+        theta_sample(df, group_col, key_col)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    envelope = F.lit(3.0) * F.sqrt(
+        F.col("exact_distinct").cast("double")
+        * F.lit(float(THETA_DENOM - 1))
+    ) + F.lit(float(THETA_DENOM))
+    joined = groups.join(est, "grp", "left").select(
+        F.col("grp").alias(group_col),
+        F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+        (
+            F.coalesce(F.col("n_sampled"), F.lit(0))
+            * F.lit(THETA_DENOM)
+        ).alias("est_distinct"),
+        "exact_distinct",
+    )
+    return joined.withColumn(
+        "within_envelope",
+        F.abs(
+            F.col("est_distinct").cast("double")
+            - F.col("exact_distinct").cast("double")
+        )
+        <= envelope,
+    )
+
+
+def theta_overlap_checked(
+    df: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """Pairwise audience overlap — the operation HLL cannot do.
+    For every group pair (a < b): intersection/union/Jaccard
+    estimates from the θ-samples, with the exact intersection and the
+    3σ envelope asserted alongside (gate form). The estimate side
+    joins DENOM-times-smaller hash samples; only the CHECK computes
+    exact intersections (drop it in production and the plan never
+    touches full key sets).
+
+    est_jaccard is a ratio of two integers (sampled |∩| / sampled
+    |∪|) → rounded with round_half_away for cross-engine
+    bit-equality; NULL when the sampled union is empty."""
+    from ..functions.hashing import round_half_away
+
+    s = theta_sample(df, group_col, key_col).localCheckpoint()
+    counts = s.groupBy("grp").agg(F.count(F.lit(1)).alias("n_s"))
+    # group list from the FULL table, not the sample — every pair
+    # must appear even when a small group sampled zero hashes
+    gs = (
+        df.select(F.col(group_col).alias("grp"))
+        .distinct()
+        .join(counts, "grp", "left")
+        .select("grp", F.coalesce(F.col("n_s"), F.lit(0)).alias("n_s"))
+    )
+    pairs = (
+        # groups x groups: group cardinality is segment-sized by
+        # contract (event types, tenants) — broadcast the right side
+        gs.alias("a")
+        .crossJoin(F.broadcast(gs.alias("b")))
+        .filter(F.col("a.grp") < F.col("b.grp"))
+        .select(
+            F.col("a.grp").alias("type_a"),
+            F.col("b.grp").alias("type_b"),
+            F.col("a.n_s").alias("n_a"),
+            F.col("b.n_s").alias("n_b"),
+        )
+    )
+    inter = (
+        s.alias("x")
+        .join(s.alias("y"), F.col("x.h") == F.col("y.h"))
+        .filter(F.col("x.grp") < F.col("y.grp"))
+        .groupBy(
+            F.col("x.grp").alias("type_a"), F.col("y.grp").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    keys = df.select(
+        F.col(group_col).alias("grp"), F.col(key_col).alias("k")
+    ).distinct()
+    exact_inter = (
+        keys.alias("x")
+        .join(keys.alias("y"), F.col("x.k") == F.col("y.k"))
+        .filter(F.col("x.grp") < F.col("y.grp"))
+        .groupBy(
+            F.col("x.grp").alias("type_a"), F.col("y.grp").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    out = (
+        pairs.join(inter, ["type_a", "type_b"], "left")
+        .join(exact_inter, ["type_a", "type_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+        .withColumn(
+            "exact_intersection",
+            F.coalesce(F.col("exact_intersection"), F.lit(0)),
+        )
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    )
+    envelope = F.lit(3.0) * F.sqrt(
+        F.col("exact_intersection").cast("double")
+        * F.lit(float(THETA_DENOM - 1))
+    ) + F.lit(float(THETA_DENOM))
+    return out.select(
+        "type_a",
+        "type_b",
+        (F.col("n_inter") * F.lit(THETA_DENOM)).alias("est_intersection"),
+        "exact_intersection",
+        F.when(
+            F.col("n_union") > 0,
+            round_half_away(
+                F.col("n_inter").cast("double")
+                / F.col("n_union").cast("double"),
+                6,
+            ),
+        ).alias("est_jaccard"),
+        (
+            F.abs(
+                (F.col("n_inter") * F.lit(THETA_DENOM)).cast("double")
+                - F.col("exact_intersection").cast("double")
+            )
+            <= envelope
+        ).alias("within_envelope"),
+    )

@@ -248,6 +248,32 @@ def q_hll_groups(spark, sf_dir):
     )
 
 
+def q_theta_distinct(spark, sf_dir):
+    """Theta-sketch distinct gate (r15): distinct customers per order
+    priority from the fixed-threshold KMV sample (md5 < 2^60/DENOM),
+    the mergeable sketch whose state is a uniform key sample — checked
+    form carries the exact count and the 3σ envelope boolean. Unlike
+    the HLL gate, EVERY column (sample size, estimate, exact,
+    envelope) is bit-reproduced by the DuckDB oracle — md5 + integer
+    arithmetic only. See sketches.theta_distinct_checked."""
+    return sketches.theta_distinct_checked(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey"
+    )
+
+
+def q_theta_overlap(spark, sf_dir):
+    """Theta-sketch audience overlap (r15): pairwise order-priority
+    customer intersection/Jaccard estimates from the θ-samples — the
+    set operation HLL registers cannot express (priority audiences
+    overlap at ~0.76 Jaccard in the fixture, non-degenerate); exact
+    intersection + 3σ envelope asserted alongside (gate form).
+    Estimate-side joins carry DENOM-times-smaller hash samples only.
+    See sketches.theta_overlap_checked."""
+    return sketches.theta_overlap_checked(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey"
+    )
+
+
 def q_cms_heavy(spark, sf_dir):
     """Count-Min sketch heavy hitters with the CMS guarantee as a
     hash-matched contract: top-20 exact tokens, each asserting
@@ -6660,6 +6686,79 @@ FROM packed GROUP BY bin_id
         "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
         "TRUE AS within_rsd FROM events GROUP BY 1"
     ),
+    # theta sketch (r15): md5-portable, so the WHOLE estimator —
+    # sample size, integer estimate, exact count, 3σ envelope — is
+    # recomputed bit-identically (stronger than the HLL bound-only
+    # contract, same md5_int reduction as the MinHash family)
+    "q_theta_distinct": f"""
+WITH s AS (
+  SELECT DISTINCT o_orderpriority AS grp,
+         (('0x' || substr(md5('theta:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT) AS h
+  FROM orders
+),
+samp AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_sampled
+  FROM s WHERE h < {sketches.THETA_THRESHOLD} GROUP BY grp
+),
+ex AS (
+  SELECT o_orderpriority AS grp,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+  FROM orders GROUP BY 1
+)
+SELECT ex.grp AS o_orderpriority,
+       CAST(coalesce(samp.n_sampled, 0) AS BIGINT) AS n_sampled,
+       CAST(coalesce(samp.n_sampled, 0) * {sketches.THETA_DENOM} AS BIGINT) AS est_distinct,
+       ex.exact_distinct,
+       abs(CAST(coalesce(samp.n_sampled, 0) * {sketches.THETA_DENOM} AS DOUBLE)
+           - CAST(ex.exact_distinct AS DOUBLE))
+         <= 3.0 * sqrt(CAST(ex.exact_distinct AS DOUBLE) * {float(sketches.THETA_DENOM - 1)}) + {float(sketches.THETA_DENOM)}
+         AS within_envelope
+FROM ex LEFT JOIN samp USING (grp)
+""",
+    "q_theta_overlap": f"""
+WITH s AS (
+  SELECT DISTINCT o_orderpriority AS grp,
+         (('0x' || substr(md5('theta:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT) AS h
+  FROM orders
+  WHERE (('0x' || substr(md5('theta:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT) < {sketches.THETA_THRESHOLD}
+),
+c AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_s FROM s GROUP BY grp),
+g AS (
+  SELECT DISTINCT o_orderpriority AS grp FROM orders
+),
+gc AS (
+  SELECT g.grp, CAST(coalesce(c.n_s, 0) AS BIGINT) AS n_s
+  FROM g LEFT JOIN c USING (grp)
+),
+p AS (
+  SELECT a.grp AS type_a, b.grp AS type_b, a.n_s AS n_a, b.n_s AS n_b
+  FROM gc a, gc b WHERE a.grp < b.grp
+),
+i AS (
+  SELECT x.grp AS type_a, y.grp AS type_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM s x JOIN s y ON x.h = y.h AND x.grp < y.grp GROUP BY 1, 2
+),
+k AS (SELECT DISTINCT o_orderpriority AS grp, o_custkey AS kk FROM orders),
+ei AS (
+  SELECT x.grp AS type_a, y.grp AS type_b,
+         CAST(count(*) AS BIGINT) AS exact_intersection
+  FROM k x JOIN k y ON x.kk = y.kk AND x.grp < y.grp GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b,
+       CAST(coalesce(i.n_inter, 0) * {sketches.THETA_DENOM} AS BIGINT) AS est_intersection,
+       CAST(coalesce(ei.exact_intersection, 0) AS BIGINT) AS exact_intersection,
+       CASE WHEN (p.n_a + p.n_b - coalesce(i.n_inter, 0)) > 0 THEN
+         {round_half_away_sql("(CAST(coalesce(i.n_inter, 0) AS DOUBLE) / CAST(p.n_a + p.n_b - coalesce(i.n_inter, 0) AS DOUBLE))", 6)}
+       END AS est_jaccard,
+       abs(CAST(coalesce(i.n_inter, 0) * {sketches.THETA_DENOM} AS DOUBLE)
+           - CAST(coalesce(ei.exact_intersection, 0) AS DOUBLE))
+         <= 3.0 * sqrt(CAST(coalesce(ei.exact_intersection, 0) AS DOUBLE) * {float(sketches.THETA_DENOM - 1)}) + {float(sketches.THETA_DENOM)}
+         AS within_envelope
+FROM p
+LEFT JOIN i USING (type_a, type_b)
+LEFT JOIN ei USING (type_a, type_b)
+""",
     # same contract pattern for the CMS gate: DuckDB recomputes the
     # exact top-20 token counts; the sketch bound boolean must be TRUE
     "q_cms_heavy": f"""
@@ -7780,16 +7879,21 @@ WHERE rk <= least(n, CAST(floor(
 
 QUERIES: list[QuerySpec] = [
     # ==== driver 50-entry verification window (r15 rotation) ====
-    # Stalest oracle-backed entries first (VERDICT r14 item 2): the
-    # 31 SQL-oracled entries whose last driver row is ROUND 11
-    # (q_media_headers .. q_line_dedup), then the 19 registry-first
+    # NEW r15 queries first (q_theta_distinct, q_theta_overlap — no
+    # driver row yet, the rotation convention for newcomers), then
+    # the stalest oracle-backed entries (VERDICT r14 item 2): the 31
+    # SQL-oracled entries whose last driver row is ROUND 11
+    # (q_media_headers .. q_line_dedup), then the 17 registry-first
     # of the round-12-verified block (q_schema_drift ..
-    # q_asof_forward). Zero overlap with the r14 AND r13 windows
-    # (verified by set intersection against CORRECTNESS_r14/r13.json
-    # at rotation time). The py-oracled rows-only block stays out of
-    # the window (guard test in test_text_multimodal.py);
-    # scripts/oracle_check.py verifies the whole registry every
-    # round regardless.
+    # q_sliding_window; the newcomers displaced q_interval_join and
+    # q_asof_forward to the tail front). Zero overlap with the r14
+    # AND r13 windows (verified by set intersection against
+    # CORRECTNESS_r14/r13.json at rotation time). The py-oracled
+    # rows-only block stays out of the window (guard test in
+    # test_text_multimodal.py); scripts/oracle_check.py verifies the
+    # whole registry every round regardless.
+    QuerySpec("q_theta_distinct", q_theta_distinct, ORACLES["q_theta_distinct"]),
+    QuerySpec("q_theta_overlap", q_theta_overlap, ORACLES["q_theta_overlap"]),
     QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),
     QuerySpec("q_repetition", q_repetition, ORACLES["q_repetition"]),
     QuerySpec("q_winnow_fp", q_winnow_fp, ORACLES["q_winnow_fp"]),
@@ -7838,12 +7942,12 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_cube", q_cube, ORACLES["q_cube"]),
     QuerySpec("q_pivot_status", q_pivot_status, ORACLES["q_pivot_status"]),
     QuerySpec("q_sliding_window", q_sliding_window, ORACLES["q_sliding_window"]),
-    QuerySpec("q_interval_join", q_interval_join, ORACLES["q_interval_join"]),
-    QuerySpec("q_asof_forward", q_asof_forward, ORACLES["q_asof_forward"]),
     # ==== behind the window: py-oracled rows-only block, then the
     # remaining r12-, r13-, r14-verified blocks in prior registry
     # order (freshest driver rows last); next rotation pulls the
     # stalest SQL-oracled from the front ====
+    QuerySpec("q_interval_join", q_interval_join, ORACLES["q_interval_join"]),
+    QuerySpec("q_asof_forward", q_asof_forward, ORACLES["q_asof_forward"]),
     QuerySpec("q_bpe_merges", q_bpe_merges, None, py_oracle=PY_ORACLES["q_bpe_merges"]),
     QuerySpec("q_media_features", q_media_features, None, py_oracle=PY_ORACLES["q_media_features"]),
     QuerySpec("q_media_decode", q_media_decode, None, py_oracle=PY_ORACLES["q_media_decode"]),

@@ -60,6 +60,7 @@ GATED = [
     "q_cosine_topk",
     "q_embed_quantize",
     "q_hll_groups",
+    "q_theta_overlap",
     "q_cms_heavy",
     "q_state_quantiles",
     "q_tpch_q1",

@@ -230,3 +230,67 @@ def test_rolling_hll_accuracy_vs_exact(spark, sf_dir):
             )
         )
         assert abs(e - exact) <= max(0.15 * exact, 3.0), (day_s, e, exact)
+
+
+def test_theta_sketch_estimates_and_algebra(spark):
+    """r15 theta sketch: on a PLANTED universe large enough to sample
+    (80k keys split into two groups with a known 50% overlap), the
+    distinct and intersection estimates land inside their 3σ
+    envelopes, the envelope booleans say so, and the sketch obeys its
+    definition (est = DENOM · |sample| exactly; sample = keys whose
+    md5 falls under θ — verified on a hand-computed row)."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.sketches import (
+        THETA_DENOM,
+        theta_distinct,
+        theta_distinct_checked,
+        theta_overlap_checked,
+    )
+
+    # group A: keys 0..59999; group B: 30000..89999 -> |∩| = 30000,
+    # |A| = |B| = 60000, jaccard = 1/3
+    df = spark.range(0, 60000).selectExpr("'A' AS grp", "id AS k").union(
+        spark.range(30000, 90000).selectExpr("'B' AS grp", "id AS k")
+    )
+    got = {
+        r.grp: r
+        for r in theta_distinct_checked(df, "grp", "k").collect()
+    }
+    for g in ("A", "B"):
+        r = got[g]
+        assert r.exact_distinct == 60000
+        assert r.est_distinct == r.n_sampled * THETA_DENOM
+        assert r.within_envelope
+        assert abs(r.est_distinct - 60000) <= 3 * (63 * 60000) ** 0.5 + 64
+    # production (no-exact) form agrees with the checked estimates
+    prod = {r.grp: r for r in theta_distinct(df, "grp", "k").collect()}
+    for g in ("A", "B"):
+        assert prod[g].est_distinct == got[g].est_distinct
+    ov = theta_overlap_checked(df, "grp", "k").collect()
+    assert len(ov) == 1
+    o = ov[0]
+    assert (o.type_a, o.type_b) == ("A", "B")
+    assert o.exact_intersection == 30000
+    assert o.within_envelope
+    assert abs(o.est_intersection - 30000) <= 3 * (63 * 30000) ** 0.5 + 64
+    # jaccard estimate within a loose band around the true 1/3
+    assert 0.25 <= float(o.est_jaccard) <= 0.42
+
+
+def test_theta_sketch_is_mergeable(spark):
+    """The sketch state (sub-θ hash sample) of a union equals the
+    union of the states — shard sketches fold with a plain DISTINCT,
+    no re-scan of the shards."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.sketches import (
+        theta_sample,
+    )
+
+    shard1 = spark.range(0, 20000).selectExpr("'A' AS grp", "id AS k")
+    shard2 = spark.range(15000, 40000).selectExpr("'A' AS grp", "id AS k")
+    whole = shard1.union(shard2)
+    merged = theta_sample(shard1, "grp", "k").union(
+        theta_sample(shard2, "grp", "k")
+    ).distinct()
+    direct = theta_sample(whole, "grp", "k")
+    a = {(r.grp, r.h) for r in merged.collect()}
+    b = {(r.grp, r.h) for r in direct.collect()}
+    assert a == b and a
