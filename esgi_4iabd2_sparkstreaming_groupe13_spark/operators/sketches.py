@@ -424,15 +424,25 @@ def theta_sample(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
 def theta_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     """Production estimator: per-group distinct estimate from the
     θ-sample alone (no exact pass). Integer output — the estimate is
-    DENOM · |sample| exactly."""
-    return (
+    DENOM · |sample| exactly. Groups whose sample is empty (true
+    distinct ≲ DENOM) still emit a row with estimate 0 — the group
+    list costs one distinct over the group column, not the keys."""
+    counts = (
         theta_sample(df, group_col, key_col)
         .groupBy("grp")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        df.select(F.col(group_col).alias("grp"))
+        .distinct()
+        .join(counts, "grp", "left")
         .select(
             F.col("grp").alias(group_col),
-            "n_sampled",
-            (F.col("n_sampled") * F.lit(THETA_DENOM)).alias("est_distinct"),
+            F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+            (
+                F.coalesce(F.col("n_sampled"), F.lit(0))
+                * F.lit(THETA_DENOM)
+            ).alias("est_distinct"),
         )
     )
 

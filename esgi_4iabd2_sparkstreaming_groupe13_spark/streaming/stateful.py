@@ -678,9 +678,9 @@ def media_prep_stream(
             "contamination", F.lit(None).cast("string")
         )
     else:
-        # static + tiny by contract: one decode of the benchmark at
-        # plan-construction time, hashes pinned into the plan as a
-        # literal array — the tag is then pure whole-stage codegen
+        # one decode of the benchmark at plan-construction time; the
+        # hashes then ride the plan as a literal array (<= threshold,
+        # pure whole-stage codegen) or broadcast data (above it)
         bench_rows = (
             media_hashes(benchmark, on_unsupported="null")
             .filter(F.col("phash").isNotNull())
