@@ -486,22 +486,12 @@ def theta_distinct_checked(
     )
 
 
-def theta_overlap_checked(
+def _theta_overlap_core(
     df: DataFrame, group_col: str, key_col: str
 ) -> DataFrame:
-    """Pairwise audience overlap — the operation HLL cannot do.
-    For every group pair (a < b): intersection/union/Jaccard
-    estimates from the θ-samples, with the exact intersection and the
-    3σ envelope asserted alongside (gate form). The estimate side
-    joins DENOM-times-smaller hash samples; only the CHECK computes
-    exact intersections (drop it in production and the plan never
-    touches full key sets).
-
-    est_jaccard is a ratio of two integers (sampled |∩| / sampled
-    |∪|) → rounded with round_half_away for cross-engine
-    bit-equality; NULL when the sampled union is empty."""
-    from ..functions.hashing import round_half_away
-
+    """Shared estimate side of the overlap forms: (type_a, type_b,
+    n_a, n_b, n_inter, n_union) per group pair, computed entirely
+    from the θ-samples."""
     s = theta_sample(df, group_col, key_col).localCheckpoint()
     counts = s.groupBy("grp").agg(F.count(F.lit(1)).alias("n_s"))
     # group list from the FULL table, not the sample — every pair
@@ -534,6 +524,53 @@ def theta_overlap_checked(
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    return (
+        pairs.join(inter, ["type_a", "type_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    )
+
+
+def _est_jaccard_col():
+    from ..functions.hashing import round_half_away
+
+    return F.when(
+        F.col("n_union") > 0,
+        round_half_away(
+            F.col("n_inter").cast("double")
+            / F.col("n_union").cast("double"),
+            6,
+        ),
+    ).alias("est_jaccard")
+
+
+def theta_overlap(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Production pairwise audience overlap — the operation HLL cannot
+    do. For every group pair (a < b): intersection / union / Jaccard
+    estimates computed ENTIRELY from the θ-samples: the joins carry
+    DENOM-times-smaller 8-byte hash sets, the plan never touches full
+    key sets."""
+    return _theta_overlap_core(df, group_col, key_col).select(
+        "type_a",
+        "type_b",
+        (F.col("n_inter") * F.lit(THETA_DENOM)).alias("est_intersection"),
+        (F.col("n_union") * F.lit(THETA_DENOM)).alias("est_union"),
+        _est_jaccard_col(),
+    )
+
+
+def theta_overlap_checked(
+    df: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """:func:`theta_overlap` in gate form: the exact intersection and
+    the 3σ envelope asserted alongside the estimates. Only the CHECK
+    computes exact intersections over full key sets — drop it in
+    production (:func:`theta_overlap`).
+
+    est_jaccard is a ratio of two integers (sampled |∩| / sampled
+    |∪|) → rounded with round_half_away for cross-engine
+    bit-equality; NULL when the sampled union is empty."""
+    core = _theta_overlap_core(df, group_col, key_col)
     keys = df.select(
         F.col(group_col).alias("grp"), F.col(key_col).alias("k")
     ).distinct()
@@ -546,15 +583,9 @@ def theta_overlap_checked(
         )
         .agg(F.count(F.lit(1)).alias("exact_intersection"))
     )
-    out = (
-        pairs.join(inter, ["type_a", "type_b"], "left")
-        .join(exact_inter, ["type_a", "type_b"], "left")
-        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
-        .withColumn(
-            "exact_intersection",
-            F.coalesce(F.col("exact_intersection"), F.lit(0)),
-        )
-        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    out = core.join(exact_inter, ["type_a", "type_b"], "left").withColumn(
+        "exact_intersection",
+        F.coalesce(F.col("exact_intersection"), F.lit(0)),
     )
     envelope = F.lit(3.0) * F.sqrt(
         F.col("exact_intersection").cast("double")
@@ -565,14 +596,7 @@ def theta_overlap_checked(
         "type_b",
         (F.col("n_inter") * F.lit(THETA_DENOM)).alias("est_intersection"),
         "exact_intersection",
-        F.when(
-            F.col("n_union") > 0,
-            round_half_away(
-                F.col("n_inter").cast("double")
-                / F.col("n_union").cast("double"),
-                6,
-            ),
-        ).alias("est_jaccard"),
+        _est_jaccard_col(),
         (
             F.abs(
                 (F.col("n_inter") * F.lit(THETA_DENOM)).cast("double")

@@ -81,7 +81,7 @@ ALL_OPS = (
     "semdedup prep shard_assign pq_adc bpe hist_state bpe_chain backoff "
     "profile ivf_index lsh_hot_bucket data_card purge_audit media_phash "
     "schema_drift media_incremental media_contamination media_neardup "
-    "media_prep media_quality header_audit"
+    "media_prep media_quality header_audit theta"
 ).split()
 
 
@@ -2085,6 +2085,43 @@ def main() -> None:
 
     for op, r in results.items():
         r["ratio"] = round(r["tN"] / max(r["t1"], 0.01), 1)
+    # --- orders: theta sketch distinct + overlap (r15) ---
+    # o_custkey offset per copy -> distinct keys grow factor x while
+    # the 5 priority groups stay fixed. Expectation: the sketch scan
+    # is one hash filter + distinct over rows (linear); the overlap
+    # join carries only the DENOM-times-smaller hash samples, so the
+    # estimate side never sees full key sets (production forms — the
+    # checked gates' exact pass is test-scale machinery by contract).
+    if want("theta"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import (
+            sketches as _sk,
+        )
+
+        orders1 = load_table(spark, SF_DIR, "orders").select(
+            "o_orderpriority", "o_custkey"
+        )
+        ordersN = scaled(orders1, factor, ["o_custkey"], 10_000_000)
+        results["theta_distinct"] = {
+            "t1": timed(
+                "theta_distinct 1x",
+                _sk.theta_distinct(orders1, "o_orderpriority", "o_custkey"),
+            ),
+            "tN": timed(
+                f"theta_distinct {factor}x",
+                _sk.theta_distinct(ordersN, "o_orderpriority", "o_custkey"),
+            ),
+        }
+        results["theta_overlap"] = {
+            "t1": timed(
+                "theta_overlap 1x",
+                _sk.theta_overlap(orders1, "o_orderpriority", "o_custkey"),
+            ),
+            "tN": timed(
+                f"theta_overlap {factor}x",
+                _sk.theta_overlap(ordersN, "o_orderpriority", "o_custkey"),
+            ),
+        }
+
     print(json.dumps({"factor": factor, "results": results}))
     spark.stop()
 
