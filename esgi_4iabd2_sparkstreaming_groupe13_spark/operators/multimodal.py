@@ -1411,7 +1411,16 @@ def _require_profile_phash_version(spark: SparkSession, profile_path: str):
         # discarding an expensive-to-recompute artifact (ADVICE r14)
         cond = getattr(ex, "getCondition", None)
         cond = str(cond() or "") if cond is not None else ""
-        if "PATH_NOT_FOUND" not in cond and "does not exist" not in str(ex):
+        if cond:
+            # error-condition API available: trust it exclusively —
+            # only PATH_NOT_FOUND means the side table is absent
+            if "PATH_NOT_FOUND" not in cond:
+                raise
+        elif "Path does not exist" not in str(ex):
+            # pre-condition-API fallback: match Spark's path-specific
+            # phrasing, not any 'does not exist' (a column/view
+            # resolution error must propagate, not read as "stale
+            # profile" — ADVICE r15)
             raise
         raise ValueError(
             "media profile at %r carries no _phash_meta version table "

@@ -34,6 +34,7 @@ from ..functions.hashing import (
     affine_hash,
     hash_params,
     md5_int,
+    round_half_away,
     token_array,
 )
 
@@ -408,17 +409,39 @@ def rolling_distinct_hll(
 THETA_DENOM = 64
 THETA_THRESHOLD = (1 << 60) // THETA_DENOM
 
+#: ceiling on the group count the overlap forms will crossJoin —
+#: pairs are O(G²); beyond segment-sized group columns (event types,
+#: tenants) the caller must raise the cap EXPLICITLY (or pass None)
+#: rather than discover a silent quadratic broadcast at scale
+THETA_MAX_GROUPS = 1024
+
 
 def theta_sample(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
-    """The sketch state: distinct (group, hash) pairs below θ."""
-    h = md5_int(
-        F.concat(F.lit("theta:"), F.col(key_col).cast("string"))
-    )
+    """The sketch state: distinct (group, hash) pairs below θ.
+
+    Cross-engine parity precondition (same rule as ``md5_int``
+    callers elsewhere): ``key_col`` is hashed via Spark's
+    cast-to-string, so the DuckDB oracle bit-reproduces estimates
+    only for key types whose Spark string cast matches DuckDB's
+    VARCHAR cast — integers and strings do; double / timestamp /
+    decimal renderings differ between engines (``1.0`` vs ``1``,
+    fractional-second padding). Hash such keys through an explicit,
+    engine-agreed formatting first (e.g. ``date_format`` /
+    ``format_number``) before calling the theta forms (ADVICE r15)."""
     return (
-        df.select(F.col(group_col).alias("grp"), h.alias("h"))
+        df.select(
+            F.col(group_col).alias("grp"), _theta_hash(key_col).alias("h")
+        )
         .filter(F.col("h") < F.lit(THETA_THRESHOLD))
         .distinct()
     )
+
+
+def _theta_hash(key_col: str):
+    """The ONE key→60-bit-hash mapping shared by every theta form
+    (fixed-θ and capped-KMV): diverging hashes would make their
+    states non-foldable and their estimates incomparable."""
+    return md5_int(F.concat(F.lit("theta:"), F.col(key_col).cast("string")))
 
 
 def theta_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
@@ -487,18 +510,46 @@ def theta_distinct_checked(
 
 
 def _theta_overlap_core(
-    df: DataFrame, group_col: str, key_col: str
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    max_groups: int | None = THETA_MAX_GROUPS,
 ) -> DataFrame:
     """Shared estimate side of the overlap forms: (type_a, type_b,
     n_a, n_b, n_inter, n_union) per group pair, computed entirely
-    from the θ-samples."""
+    from the θ-samples.
+
+    The θ-sample is ``localCheckpoint``-ed EAGERLY at plan
+    construction (same trade as the media-profile hash frames, and
+    for the same reason: without it Spark re-derives the sample scan
+    per join side). Eager means this call blocks on the sampling
+    scan, and executor-local checkpoint blocks are NOT fault-tolerant
+    — lose an executor and the query fails rather than recomputes.
+    Group count is guarded at ``max_groups`` before the G×G pair
+    build (the group list is persisted and counted — one scan, reused
+    by the pair build); pass ``None`` to waive for a column known
+    segment-sized (ADVICE r15)."""
+    from .caching import track_persist
+
     s = theta_sample(df, group_col, key_col).localCheckpoint()
     counts = s.groupBy("grp").agg(F.count(F.lit(1)).alias("n_s"))
     # group list from the FULL table, not the sample — every pair
     # must appear even when a small group sampled zero hashes
+    g_list = track_persist(
+        df.select(F.col(group_col).alias("grp")).distinct()
+    )
+    if max_groups is not None:
+        n_g = g_list.count()
+        if n_g > max_groups:
+            raise ValueError(
+                f"theta_overlap: {n_g} distinct groups in "
+                f"{group_col!r} exceeds max_groups={max_groups} — the "
+                "pairwise form builds O(G²) broadcast pairs; raise "
+                "max_groups explicitly (or pass None) only if that "
+                "quadratic output surface is intended"
+            )
     gs = (
-        df.select(F.col(group_col).alias("grp"))
-        .distinct()
+        g_list
         .join(counts, "grp", "left")
         .select("grp", F.coalesce(F.col("n_s"), F.lit(0)).alias("n_s"))
     )
@@ -544,13 +595,23 @@ def _est_jaccard_col():
     ).alias("est_jaccard")
 
 
-def theta_overlap(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+def theta_overlap(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    max_groups: int | None = THETA_MAX_GROUPS,
+) -> DataFrame:
     """Production pairwise audience overlap — the operation HLL cannot
     do. For every group pair (a < b): intersection / union / Jaccard
     estimates computed ENTIRELY from the θ-samples: the joins carry
     DENOM-times-smaller 8-byte hash sets, the plan never touches full
-    key sets."""
-    return _theta_overlap_core(df, group_col, key_col).select(
+    key sets.
+
+    Blocks at plan construction (the θ-sample is eagerly
+    localCheckpoint-ed, non-fault-tolerant executor-local blocks) and
+    refuses group columns above ``max_groups`` — pairs are O(G²) by
+    contract; see :func:`_theta_overlap_core` (ADVICE r15)."""
+    return _theta_overlap_core(df, group_col, key_col, max_groups).select(
         "type_a",
         "type_b",
         (F.col("n_inter") * F.lit(THETA_DENOM)).alias("est_intersection"),
@@ -560,7 +621,10 @@ def theta_overlap(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
 
 
 def theta_overlap_checked(
-    df: DataFrame, group_col: str, key_col: str
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    max_groups: int | None = THETA_MAX_GROUPS,
 ) -> DataFrame:
     """:func:`theta_overlap` in gate form: the exact intersection and
     the 3σ envelope asserted alongside the estimates. Only the CHECK
@@ -569,8 +633,12 @@ def theta_overlap_checked(
 
     est_jaccard is a ratio of two integers (sampled |∩| / sampled
     |∪|) → rounded with round_half_away for cross-engine
-    bit-equality; NULL when the sampled union is empty."""
-    core = _theta_overlap_core(df, group_col, key_col)
+    bit-equality; NULL when the sampled union is empty.
+
+    Same plan-construction behavior as :func:`theta_overlap`: eager
+    non-fault-tolerant localCheckpoint of the θ-sample, and the
+    ``max_groups`` refusal before the O(G²) pair build (ADVICE r15)."""
+    core = _theta_overlap_core(df, group_col, key_col, max_groups)
     keys = df.select(
         F.col(group_col).alias("grp"), F.col(key_col).alias("k")
     ).distinct()
@@ -604,4 +672,215 @@ def theta_overlap_checked(
             )
             <= envelope
         ).alias("within_envelope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capped-KMV theta (adaptive θ, r16): the BOUNDED-STATE variant of the
+# theta family. The fixed-θ sample above grows as n_distinct/DENOM —
+# executor-sized up to ~10^9 keys per group, but a 10^11-key group at
+# the 100 TB tier would carry a ~1.6 G-row sample. The capped form
+# keeps only the k SMALLEST distinct hashes per group: θ adapts to the
+# k-th minimum, state is O(k) per group at ANY cardinality, and the
+# sketch stays mergeable ("k smallest of the union"). Estimator:
+#   n_sampled < k  →  every distinct hash is in the sample: est exact
+#   n_sampled = k  →  est = (k−1) · 2^60 / h_(k)   (classic KMV)
+# rsd ≈ 1/√(k−2). Everything is md5 + integer top-k + one IEEE
+# division, so — like the fixed form — every output column is
+# bit-reproducible in DuckDB (row_number over distinct hashes).
+#
+# Scale shape: the build is a two-level top-k. Stage 1 (mapInPandas,
+# Arrow-batched) holds a k-bounded max-heap per group per input
+# partition — O(groups × k) memory, no shuffle — and emits ≤ k rows
+# per (group, partition). Stage 2 ranks that reduced frame (≤
+# partitions × groups × k rows) with one per-group window. The full
+# distinct key set is never shuffled — the data-sized work stays in
+# the partial stage, exactly the partial-combine property that makes
+# the fixed form scale, now with frozen state.
+# ---------------------------------------------------------------------------
+
+#: default cap: rsd ≈ 1/√198 ≈ 7.1%, 8-byte hashes → 1.6 KB of state
+#: per group at any key cardinality
+THETA_K = 200
+
+
+def _capped_partial(k: int):
+    """Closure factory for the stage-1 mapInPandas partial: per input
+    partition, the k smallest DISTINCT hashes per group via a bounded
+    max-heap (membership set kept in lockstep so duplicate hashes
+    within a partition cannot occupy two heap slots). State is
+    O(groups × k) per partition however many rows stream through."""
+    import pandas as pd
+
+    def partial(batches):
+        import heapq
+
+        heaps: dict = {}   # grp -> max-heap (negated) of ≤ k hashes
+        members: dict = {}  # grp -> set of hashes currently in heap
+        for pdf in batches:
+            for g, h in zip(pdf["grp"].tolist(), pdf["h"].tolist()):
+                hp = heaps.get(g)
+                if hp is None:
+                    hp = []
+                    heaps[g] = hp
+                    members[g] = set()
+                m = members[g]
+                h = int(h)
+                if h in m:
+                    continue
+                if len(hp) < k:
+                    heapq.heappush(hp, -h)
+                    m.add(h)
+                elif h < -hp[0]:
+                    evicted = -heapq.heappushpop(hp, -h)
+                    m.discard(evicted)
+                    m.add(h)
+        grps = []
+        hs = []
+        for g, hp in heaps.items():
+            for neg in hp:
+                grps.append(g)
+                hs.append(-neg)
+        # hashes are < 2^60 (> 2^53): build the column as explicit
+        # int64, never let pandas infer (the r14 float64 lesson —
+        # inference can silently round to the 53-bit mantissa)
+        yield pd.DataFrame(
+            {
+                "grp": pd.Series(grps, dtype="object"),
+                "h": pd.array(hs, dtype="Int64"),
+            }
+        )
+
+    return partial
+
+
+def theta_sample_capped(
+    df: DataFrame, group_col: str, key_col: str, k: int = THETA_K
+) -> DataFrame:
+    """Bounded sketch state: the k smallest distinct theta-hashes per
+    group, as ``(grp, h, rk)`` with ``rk`` the 1-based rank by hash.
+    Layout-independent by construction (the k smallest of a set do not
+    depend on partitioning — stage 1 only PREFILTERS; stage 2 computes
+    the true top-k after a cross-partition DISTINCT). Same key→hash
+    mapping and string-cast parity precondition as
+    :func:`theta_sample`. NULL keys hash to NULL and are excluded (not
+    members of the distinct set — the :func:`theta_sample` rule)."""
+    proj = df.select(
+        F.col(group_col).alias("grp"), _theta_hash(key_col).alias("h")
+    ).filter(F.col("h").isNotNull())
+    partial = proj.mapInPandas(_capped_partial(int(k)), proj.schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        partial.distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.lit(int(k)))
+    )
+
+
+def theta_capped_merge(k: int, *samples: DataFrame) -> DataFrame:
+    """Merge capped sketches: k smallest of the union of the samples —
+    the whole merge rule, which is why the state stays O(k) through
+    any merge tree (shards → days → corpus). Input is sketch-sized;
+    raw data is never re-touched."""
+    if not samples:
+        raise ValueError("theta_capped_merge needs at least one sample")
+    unioned = samples[0].select("grp", "h")
+    for s in samples[1:]:
+        unioned = unioned.unionByName(s.select("grp", "h"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        unioned.distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.lit(int(k)))
+    )
+
+
+def _theta_capped_agg(sample: DataFrame, k: int) -> DataFrame:
+    """(grp, n_sampled, theta_k) from a capped sample: θ is the k-th
+    minimum when the sketch is saturated, else the full 2^60 hash
+    space (nothing was excluded — the sample IS the distinct set)."""
+    return sample.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.when(
+            F.count(F.lit(1)) >= F.lit(int(k)), F.max("h")
+        )
+        .otherwise(F.lit(1 << 60))
+        .alias("theta_k"),
+    )
+
+
+def _theta_capped_est(k: int):
+    """The KMV estimate column over (n_sampled, theta_k): exact below
+    saturation, (k−1)·2^60/h_k at saturation. (k−1)·2^60 is ONE
+    python-computed double literal (exactly representable — k−1 well
+    under 2^53) and h_k casts to double identically in both engines,
+    so the single IEEE division is bit-reproducible."""
+    num = float((int(k) - 1) * (1 << 60))
+    return F.when(
+        F.col("n_sampled") < F.lit(int(k)),
+        F.col("n_sampled").cast("double"),
+    ).otherwise(F.lit(num) / F.col("theta_k").cast("double"))
+
+
+def theta_distinct_capped(
+    df: DataFrame, group_col: str, key_col: str, k: int = THETA_K
+) -> DataFrame:
+    """Production bounded-state estimator: per-group distinct estimate
+    from the capped sample alone. Groups whose keys are all NULL still
+    emit a row (n_sampled 0, estimate 0.0) — group list from the full
+    table, the :func:`theta_distinct` rule."""
+    agg = _theta_capped_agg(
+        theta_sample_capped(df, group_col, key_col, k), k
+    )
+    est = round_half_away(_theta_capped_est(k), 3)
+    return (
+        df.select(F.col(group_col).alias("grp"))
+        .distinct()
+        .join(agg, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+            F.coalesce(F.col("theta_k"), F.lit(1 << 60)).alias("theta_k"),
+            F.coalesce(est, F.lit(0.0)).alias("est_distinct"),
+        )
+    )
+
+
+def theta_distinct_capped_checked(
+    df: DataFrame, group_col: str, key_col: str, k: int = THETA_K
+) -> DataFrame:
+    """Gate form: estimate NEXT TO the exact count with the 3σ
+    envelope asserted — σ ≈ exact/√(k−2) for the KMV estimator, plus
+    2.0 slack for rounding granularity; below saturation the estimate
+    is exact and the envelope trivially true. Every column (rank
+    arithmetic, θ, the one IEEE division, the envelope boolean) is
+    bit-reproduced by the DuckDB oracle."""
+    groups = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count_distinct(F.col(key_col)).alias("exact_distinct")
+    )
+    agg = _theta_capped_agg(
+        theta_sample_capped(df, group_col, key_col, k), k
+    )
+    est = round_half_away(_theta_capped_est(k), 3)
+    rel = 3.0 / math.sqrt(int(k) - 2)
+    joined = groups.join(agg, "grp", "left").select(
+        F.col("grp").alias(group_col),
+        F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+        F.coalesce(F.col("theta_k"), F.lit(1 << 60)).alias("theta_k"),
+        F.coalesce(est, F.lit(0.0)).alias("est_distinct"),
+        "exact_distinct",
+    )
+    envelope = F.lit(rel) * F.col("exact_distinct").cast("double") + F.lit(
+        2.0
+    )
+    return joined.withColumn(
+        "within_envelope",
+        F.abs(
+            F.col("est_distinct") - F.col("exact_distinct").cast("double")
+        )
+        <= envelope,
     )

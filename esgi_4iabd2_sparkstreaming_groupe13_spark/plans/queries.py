@@ -27,6 +27,7 @@ surface (joins, rollup, event-time windows, dedup/similarity/text).
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -270,6 +271,23 @@ def q_theta_overlap(spark, sf_dir):
     Estimate-side joins carry DENOM-times-smaller hash samples only.
     See sketches.theta_overlap_checked."""
     return sketches.theta_overlap_checked(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey"
+    )
+
+
+def q_theta_capped(spark, sf_dir):
+    """Capped-KMV theta distinct gate (r16): the BOUNDED-STATE member
+    of the theta family — k smallest distinct key-hashes per group, θ
+    adapts to the k-th minimum, state O(k) per group at ANY key
+    cardinality (the fixed-θ sample grows as n/64; this one is frozen
+    at k = 200 rows, the property a 10^11-key group at 100 TB needs).
+    At sf0.01 every priority group saturates (distinct ≈ 1300 > k) so
+    the driver gate exercises the true KMV estimation path
+    ((k−1)·2^60/h_k), while sf0.001 (~130 < k) pins the exact
+    sub-saturation branch. Every column — rank arithmetic, θ, the one
+    IEEE division, the 3σ envelope boolean — is bit-reproduced by the
+    DuckDB oracle. See sketches.theta_distinct_capped_checked."""
+    return sketches.theta_distinct_capped_checked(
         _t(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey"
     )
 
@@ -6759,6 +6777,50 @@ FROM p
 LEFT JOIN i USING (type_a, type_b)
 LEFT JOIN ei USING (type_a, type_b)
 """,
+    # capped-KMV theta (r16): the k-th-minimum is deterministic
+    # integer top-k DuckDB replays with row_number over distinct
+    # hashes; the estimate is ONE IEEE division of python-computed
+    # double literals — every column bit-reproduced, like the fixed
+    # form
+    "q_theta_capped": f"""
+WITH d AS (
+  SELECT DISTINCT o_orderpriority AS grp,
+         (('0x' || substr(md5('theta:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT) AS h
+  FROM orders WHERE o_custkey IS NOT NULL
+),
+r AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk FROM d
+),
+s AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_sampled,
+         CASE WHEN count(*) >= {sketches.THETA_K} THEN max(h)
+              ELSE {1 << 60} END AS theta_k
+  FROM r WHERE rk <= {sketches.THETA_K} GROUP BY grp
+),
+ex AS (
+  SELECT o_orderpriority AS grp,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+  FROM orders GROUP BY 1
+),
+est AS (
+  SELECT ex.grp,
+         CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+         CAST(coalesce(s.theta_k, {1 << 60}) AS BIGINT) AS theta_k,
+         CASE WHEN coalesce(s.n_sampled, 0) < {sketches.THETA_K}
+              THEN CAST(coalesce(s.n_sampled, 0) AS DOUBLE)
+              ELSE {float((sketches.THETA_K - 1) * (1 << 60))} / CAST(s.theta_k AS DOUBLE)
+         END AS est_raw,
+         ex.exact_distinct
+  FROM ex LEFT JOIN s USING (grp)
+)
+SELECT grp AS o_orderpriority, n_sampled, theta_k,
+       {round_half_away_sql("est_raw", 3)} AS est_distinct,
+       exact_distinct,
+       abs({round_half_away_sql("est_raw", 3)} - CAST(exact_distinct AS DOUBLE))
+         <= {3.0 / math.sqrt(sketches.THETA_K - 2)} * CAST(exact_distinct AS DOUBLE) + 2.0
+         AS within_envelope
+FROM est
+""",
     # same contract pattern for the CMS gate: DuckDB recomputes the
     # exact top-20 token counts; the sketch bound boolean must be TRUE
     "q_cms_heavy": f"""
@@ -7892,6 +7954,7 @@ QUERIES: list[QuerySpec] = [
     # rows-only block stays out of the window (guard test in
     # test_text_multimodal.py); scripts/oracle_check.py verifies the
     # whole registry every round regardless.
+    QuerySpec("q_theta_capped", q_theta_capped, ORACLES["q_theta_capped"]),
     QuerySpec("q_theta_distinct", q_theta_distinct, ORACLES["q_theta_distinct"]),
     QuerySpec("q_theta_overlap", q_theta_overlap, ORACLES["q_theta_overlap"]),
     QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),

@@ -81,7 +81,7 @@ ALL_OPS = (
     "semdedup prep shard_assign pq_adc bpe hist_state bpe_chain backoff "
     "profile ivf_index lsh_hot_bucket data_card purge_audit media_phash "
     "schema_drift media_incremental media_contamination media_neardup "
-    "media_prep media_quality header_audit theta"
+    "media_prep media_quality header_audit theta theta_capped"
 ).split()
 
 
@@ -2083,8 +2083,6 @@ def main() -> None:
             "rows_Nx": rowsN,
         }
 
-    for op, r in results.items():
-        r["ratio"] = round(r["tN"] / max(r["t1"], 0.01), 1)
     # --- orders: theta sketch distinct + overlap (r15) ---
     # o_custkey offset per copy -> distinct keys grow factor x while
     # the 5 priority groups stay fixed. Expectation: the sketch scan
@@ -2122,6 +2120,49 @@ def main() -> None:
             ),
         }
 
+    # --- orders: capped-KMV theta (r16) --- the done-bar row: wall
+    # time AND sketch state measured side by side with the fixed-θ
+    # form. Expectation: capped state frozen at groups×k rows at any
+    # factor (the fixed-θ sample grows ~factor×); wall grows with the
+    # scan (the partial top-k is one pass, no data-sized shuffle).
+    if want("theta_capped"):
+        from esgi_4iabd2_sparkstreaming_groupe13_spark.operators import (
+            sketches as _sk,
+        )
+
+        orders1 = load_table(spark, SF_DIR, "orders").select(
+            "o_orderpriority", "o_custkey"
+        )
+        ordersN = scaled(orders1, factor, ["o_custkey"], 10_000_000)
+        results["theta_capped"] = {
+            "t1": timed(
+                "theta_distinct_capped 1x",
+                _sk.theta_distinct_capped(
+                    orders1, "o_orderpriority", "o_custkey"
+                ),
+            ),
+            "tN": timed(
+                f"theta_distinct_capped {factor}x",
+                _sk.theta_distinct_capped(
+                    ordersN, "o_orderpriority", "o_custkey"
+                ),
+            ),
+            "state_rows_capped_1x": _sk.theta_sample_capped(
+                orders1, "o_orderpriority", "o_custkey"
+            ).count(),
+            "state_rows_capped_Nx": _sk.theta_sample_capped(
+                ordersN, "o_orderpriority", "o_custkey"
+            ).count(),
+            "state_rows_fixed_1x": _sk.theta_sample(
+                orders1, "o_orderpriority", "o_custkey"
+            ).count(),
+            "state_rows_fixed_Nx": _sk.theta_sample(
+                ordersN, "o_orderpriority", "o_custkey"
+            ).count(),
+        }
+
+    for op, r in results.items():
+        r["ratio"] = round(r["tN"] / max(r["t1"], 0.01), 1)
     print(json.dumps({"factor": factor, "results": results}))
     spark.stop()
 

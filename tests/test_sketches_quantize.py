@@ -294,3 +294,101 @@ def test_theta_sketch_is_mergeable(spark):
     a = {(r.grp, r.h) for r in merged.collect()}
     b = {(r.grp, r.h) for r in direct.collect()}
     assert a == b and a
+
+
+def test_theta_capped_estimate_both_branches(spark):
+    """r16 capped-KMV theta: below saturation the sketch IS the
+    distinct set (estimate exact); at saturation the KMV estimator
+    (k−1)·2^60/h_k lands inside its 3σ envelope on a planted 60k-key
+    group; θ equals the k-th smallest hash by definition."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.sketches import (
+        THETA_K,
+        theta_distinct_capped,
+        theta_distinct_capped_checked,
+        theta_sample_capped,
+    )
+
+    # group S: 50 keys (< k, exact branch); group L: 60k keys
+    df = spark.range(0, 50).selectExpr("'S' AS grp", "id AS k").union(
+        spark.range(0, 60000).selectExpr("'L' AS grp", "id + 1000000 AS k")
+    )
+    got = {
+        r.grp: r
+        for r in theta_distinct_capped_checked(df, "grp", "k").collect()
+    }
+    s = got["S"]
+    assert s.n_sampled == 50
+    assert s.theta_k == 1 << 60
+    assert s.est_distinct == 50.0
+    assert s.within_envelope
+    lg = got["L"]
+    assert lg.n_sampled == THETA_K
+    assert lg.theta_k < 1 << 60
+    assert lg.within_envelope
+    assert abs(lg.est_distinct - 60000) <= 3.0 / (THETA_K - 2) ** 0.5 * 60000 + 2.0
+    # theta IS the k-th smallest sampled hash
+    ks = (
+        theta_sample_capped(df, "grp", "k")
+        .filter("grp = 'L'")
+        .orderBy("rk")
+        .collect()
+    )
+    assert len(ks) == THETA_K
+    assert ks[-1].h == lg.theta_k
+    assert [r.rk for r in ks] == list(range(1, THETA_K + 1))
+    # production form agrees with the checked estimates
+    prod = {r.grp: r for r in theta_distinct_capped(df, "grp", "k").collect()}
+    for g in ("S", "L"):
+        assert prod[g].est_distinct == got[g].est_distinct
+        assert prod[g].theta_k == got[g].theta_k
+
+
+def test_theta_capped_state_is_bounded_and_mergeable(spark):
+    """The r16 done-bar properties: (a) sketch-of-shards merged with
+    "k smallest of the union" equals sketch-of-whole BIT-EXACTLY;
+    (b) state stays frozen at k rows per group however many distinct
+    keys stream in (the fixed-θ sample grows as n/64 on the same
+    data — measured side by side)."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.sketches import (
+        theta_capped_merge,
+        theta_sample,
+        theta_sample_capped,
+    )
+
+    k = 64
+    shard1 = spark.range(0, 30000).selectExpr("'A' AS grp", "id AS k")
+    shard2 = spark.range(20000, 70000).selectExpr("'A' AS grp", "id AS k")
+    whole = shard1.union(shard2)
+    merged = theta_capped_merge(
+        k,
+        theta_sample_capped(shard1, "grp", "k", k),
+        theta_sample_capped(shard2, "grp", "k", k),
+    )
+    direct = theta_sample_capped(whole, "grp", "k", k)
+    a = sorted((r.grp, r.h, r.rk) for r in merged.collect())
+    b = sorted((r.grp, r.h, r.rk) for r in direct.collect())
+    assert a == b and len(a) == k
+    # bounded vs growing: same 70k-key group, capped state = k rows,
+    # fixed-θ state ~ 70000/64 ≈ 1094 rows
+    fixed_n = theta_sample(whole, "grp", "k").count()
+    assert fixed_n > 10 * k
+
+
+def test_theta_overlap_refuses_unbounded_group_columns(spark):
+    """ADVICE r15: the overlap forms build O(G²) broadcast pairs —
+    a group column above max_groups must refuse loudly at plan time,
+    and the escape hatch (None) must still work."""
+    import pytest
+
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.sketches import (
+        theta_overlap,
+    )
+
+    df = spark.range(0, 40).selectExpr(
+        "CAST(id % 20 AS STRING) AS grp", "id AS k"
+    )
+    with pytest.raises(ValueError, match="max_groups"):
+        theta_overlap(df, "grp", "k", max_groups=10)
+    # at or under the cap (and with the cap waived) the plan builds
+    assert theta_overlap(df, "grp", "k", max_groups=20).count() == 190
+    assert theta_overlap(df, "grp", "k", max_groups=None).count() == 190
