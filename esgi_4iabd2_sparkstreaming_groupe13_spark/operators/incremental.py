@@ -561,3 +561,230 @@ def _fold_state(
         else:
             os.rename(tmp, target)
     return True
+
+
+#: Theta-state value column (after the key columns): the capped-KMV
+#: sample itself — a sorted ``array<long>`` of ≤ k hashes.
+THETA_STATE_COLS = ["t_sample"]
+
+
+def build_theta_state(
+    df: DataFrame, keys: list[str], distinct_col: str, k: int | None = None
+) -> DataFrame:
+    """Per-key capped-KMV theta sample as a mergeable STATE column:
+    the k smallest distinct theta-hashes of ``distinct_col``, packed
+    into a sorted ``array<long>`` — ≤ 8·k bytes per key at ANY key
+    cardinality (the bounded-state r16 companion to the HLL registers:
+    registers answer distinct-within, the θ-sample additionally
+    answers distinct-ACROSS via :func:`theta_state_overlap`, the
+    direct intersection estimator inclusion–exclusion can't give).
+
+    Same key→hash mapping as every theta form
+    (``sketches._theta_hash``), so a persisted state stays foldable
+    with any other theta sketch of the same column. NULL distinct
+    values contribute nothing (not members); keys whose values are
+    all NULL keep an empty sample. Build is distinct + one per-key
+    top-k window over the SLICE being folded — increments are
+    batch-sized by contract (the one-shot corpus-scale form with the
+    bounded-heap partial is ``sketches.theta_sample_capped``)."""
+    from pyspark.sql import Window
+
+    from .sketches import THETA_K, _theta_hash
+
+    k = THETA_K if k is None else int(k)
+    proj = (
+        df.select(
+            *[F.col(c) for c in keys], _theta_hash(distinct_col).alias("_h")
+        )
+        .filter(F.col("_h").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy(*keys).orderBy("_h")
+    packed = (
+        proj.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.lit(k))
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("_h")).alias("t_sample"))
+    )
+    return (
+        df.select(*[F.col(c) for c in keys])
+        .distinct()
+        .join(packed, keys, "left")
+        .select(
+            *keys,
+            F.coalesce(
+                F.col("t_sample"), F.array().cast("array<long>")
+            ).alias("t_sample"),
+        )
+    )
+
+
+def merge_theta_states(*states: DataFrame, k: int | None = None) -> DataFrame:
+    """Merge theta states: k smallest of the union per key — the whole
+    rule, which is why state stays O(k) through any merge tree. Input
+    is keys-sized (≤ k hashes per key per state); raw data is never
+    re-touched. Keys present in any input survive the merge even with
+    empty samples."""
+    from pyspark.sql import Window
+
+    from .sketches import THETA_K
+
+    k = THETA_K if k is None else int(k)
+    if not states:
+        raise ValueError("merge_theta_states needs at least one state")
+    unioned = states[0]
+    for s in states[1:]:
+        unioned = unioned.unionByName(s)
+    keys = [c for c in unioned.columns if c not in THETA_STATE_COLS]
+    w = Window.partitionBy(*keys).orderBy("_h")
+    packed = (
+        unioned.select(*keys, F.explode("t_sample").alias("_h"))
+        .distinct()
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.lit(k))
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("_h")).alias("t_sample"))
+    )
+    return (
+        unioned.select(*keys)
+        .distinct()
+        .join(packed, keys, "left")
+        .select(
+            *keys,
+            F.coalesce(
+                F.col("t_sample"), F.array().cast("array<long>")
+            ).alias("t_sample"),
+        )
+    )
+
+
+def _theta_cols(sample_col, k: int):
+    """(n_sampled, theta_k, est) expressions over a sample-array
+    column — the ONE estimator definition shared by finalize and
+    overlap: θ is the k-th minimum when saturated else the full 2^60
+    space; est is exact below saturation, (k−1)·2^60/θ above (the
+    ``sketches._theta_capped_est`` formula re-expressed over arrays,
+    same python-literal numerator so the IEEE division is
+    bit-identical cross-engine)."""
+    n = F.size(sample_col)
+    theta = F.when(
+        n >= F.lit(k), F.element_at(sample_col, k)
+    ).otherwise(F.lit(1 << 60))
+    num = float((k - 1) * (1 << 60))
+    est = F.when(n < F.lit(k), n.cast("double")).otherwise(
+        F.lit(num) / theta.cast("double")
+    )
+    return n, theta, est
+
+
+def finalize_theta_state(state: DataFrame, k: int | None = None) -> DataFrame:
+    """Readable distinct estimates from a theta state: per key —
+    sample size, the adaptive θ, and the KMV estimate (rounded 3 dp
+    engine-exactly). Narrow per-row projection; no shuffle."""
+    from .sketches import THETA_K
+
+    k = THETA_K if k is None else int(k)
+    keys = [c for c in state.columns if c not in THETA_STATE_COLS]
+    n, theta, est = _theta_cols(F.col("t_sample"), k)
+    return state.select(
+        *keys,
+        n.cast("long").alias("n_sampled"),
+        theta.alias("theta_k"),
+        round_half_away(est, 3).alias("est_distinct"),
+    )
+
+
+def theta_state_overlap(state: DataFrame, k: int | None = None) -> DataFrame:
+    """Pairwise distinct-set INTERSECTION estimates straight from a
+    theta STATE table (single key column) — the operation
+    :func:`state_overlap`'s HLL registers can only approximate by
+    inclusion–exclusion (three compounding estimates, negative
+    readings possible). Theta samples intersect DIRECTLY: restrict
+    both samples to the shared threshold θ_min = min(θ_a, θ_b) — below
+    it BOTH samples hold every key-hash of their sets — intersect, and
+    scale by 2^60/θ_min. One unbiased estimate, never negative.
+
+    Work is |slices|² × k array cells — metadata-sized at any corpus
+    scale. Returns (slice_a, slice_b, theta_min, n_common,
+    est_intersection), slice_a < slice_b, estimate rounded 3 dp
+    engine-exactly."""
+    from .sketches import THETA_K
+
+    k = THETA_K if k is None else int(k)
+    keys = [c for c in state.columns if c not in THETA_STATE_COLS]
+    if len(keys) != 1:
+        raise ValueError(
+            f"theta_state_overlap needs a single-key state, got keys={keys}"
+        )
+    kc = keys[0]
+    a = state.select(
+        F.col(kc).alias("slice_a"), F.col("t_sample").alias("sa")
+    )
+    b = state.select(
+        F.col(kc).alias("slice_b"), F.col("t_sample").alias("sb")
+    )
+    _, ta, _ = _theta_cols(F.col("sa"), k)
+    _, tb, _ = _theta_cols(F.col("sb"), k)
+    paired = (
+        a.crossJoin(b)
+        .filter(F.col("slice_a") < F.col("slice_b"))
+        .withColumn("theta_min", F.least(ta, tb))
+    )
+    common = F.size(
+        F.filter(
+            F.array_intersect(F.col("sa"), F.col("sb")),
+            _below(F.col("theta_min")),
+        )
+    )
+    est = (common.cast("double") * F.lit(float(1 << 60))) / F.col(
+        "theta_min"
+    ).cast("double")
+    return paired.select(
+        "slice_a",
+        "slice_b",
+        "theta_min",
+        common.cast("long").alias("n_common"),
+        round_half_away(est, 3).alias("est_intersection"),
+    )
+
+
+def _below(threshold):
+    # closure factory, not a default-arg lambda (PySpark arity gotcha)
+    def f(h):
+        return h < threshold
+
+    return f
+
+
+def maintain_theta_state(
+    batch_df: DataFrame,
+    keys: list[str],
+    distinct_col: str,
+    state_path: str,
+    batch_id: int,
+    k: int | None = None,
+) -> bool:
+    """Fold one batch's theta sample into the persisted state table,
+    exactly once — the same ledger + two-rename swap loop as
+    :func:`maintain_agg_state`. (Unlike counts, a replayed theta fold
+    would actually be HARMLESS — "k smallest of the union" is
+    idempotent — but the ledger still vetoes it: replays should be
+    visible no-ops, not silent re-scans.) Returns False on a detected
+    replay."""
+    from functools import partial
+
+    from .sketches import THETA_K
+
+    k = THETA_K if k is None else int(k)
+    batch_state = build_theta_state(batch_df, keys, distinct_col, k)
+    return _fold_state(
+        batch_df.sparkSession,
+        batch_state,
+        partial(_merge_theta_pair, k),
+        state_path,
+        batch_id,
+    )
+
+
+def _merge_theta_pair(k: int, s1: DataFrame, s2: DataFrame) -> DataFrame:
+    return merge_theta_states(s1, s2, k=k)

@@ -292,6 +292,48 @@ def q_theta_capped(spark, sf_dir):
     )
 
 
+def q_theta_state(spark, sf_dir):
+    """Theta sketch in the mergeable-state family (r16, VERDICT item
+    4): orders split into two slices (o_orderkey parity), each built
+    into a per-priority capped-KMV state (sorted array of ≤ k
+    smallest distinct customer-hashes), merged ("k smallest of the
+    union"), finalized — the
+    finalize(merge(build(A), build(B))) == direct-one-pass property
+    the oracle computes from the full table. The distinct-count
+    refresh path whose state is O(k) per key at any cardinality —
+    raw data touched once per slice, merges touch only keys×k
+    hashes. See incremental.build_theta_state."""
+    from ..operators import incremental
+
+    o = _t(spark, sf_dir, "orders")
+    a = incremental.build_theta_state(
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        ["o_orderpriority"], "o_custkey",
+    )
+    b = incremental.build_theta_state(
+        o.filter(F.col("o_orderkey") % 2 == 1),
+        ["o_orderpriority"], "o_custkey",
+    )
+    return incremental.finalize_theta_state(
+        incremental.merge_theta_states(a, b)
+    )
+
+
+def q_theta_state_overlap(spark, sf_dir):
+    """Direct intersection estimates from theta STATE only (r16): the
+    upgrade over q_overlap's HLL inclusion–exclusion — samples below
+    the shared θ_min intersect directly (one unbiased estimate, never
+    negative, vs three compounding register estimates). Metadata-sized
+    work: |slices|² × k array cells; raw orders touched once at
+    state-build time. See incremental.theta_state_overlap."""
+    from ..operators import incremental
+
+    state = incremental.build_theta_state(
+        _t(spark, sf_dir, "orders"), ["o_orderpriority"], "o_custkey"
+    )
+    return incremental.theta_state_overlap(state)
+
+
 def q_cms_heavy(spark, sf_dir):
     """Count-Min sketch heavy hitters with the CMS guarantee as a
     hash-matched contract: top-20 exact tokens, each asserting
@@ -6821,6 +6863,84 @@ SELECT grp AS o_orderpriority, n_sampled, theta_k,
          AS within_envelope
 FROM est
 """,
+    # theta STATE family (r16): merge == one-pass by construction
+    # ("k smallest of the union"), so the oracle computes the DIRECT
+    # top-k from the full table — the same refresh-property pattern
+    # as _agg_state_oracle
+    "q_theta_state": f"""
+WITH d AS (
+  SELECT DISTINCT o_orderpriority AS grp,
+         (('0x' || substr(md5('theta:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT) AS h
+  FROM orders WHERE o_custkey IS NOT NULL
+),
+r AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk FROM d
+),
+s AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_sampled,
+         CASE WHEN count(*) >= {sketches.THETA_K} THEN max(h)
+              ELSE {1 << 60} END AS theta_k
+  FROM r WHERE rk <= {sketches.THETA_K} GROUP BY grp
+),
+g AS (SELECT DISTINCT o_orderpriority AS grp FROM orders)
+SELECT g.grp AS o_orderpriority,
+       CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+       CAST(coalesce(s.theta_k, {1 << 60}) AS BIGINT) AS theta_k,
+       {round_half_away_sql(
+           f"CASE WHEN coalesce(s.n_sampled, 0) < {sketches.THETA_K} "
+           f"THEN CAST(coalesce(s.n_sampled, 0) AS DOUBLE) "
+           f"ELSE {float((sketches.THETA_K - 1) * (1 << 60))} / CAST(s.theta_k AS DOUBLE) END",
+           3,
+       )} AS est_distinct
+FROM g LEFT JOIN s USING (grp)
+""",
+    # overlap-from-theta-state (r16): both samples restricted to the
+    # shared theta_min hold EVERY key-hash of their sets below it, so
+    # the pairwise intersection count scales by 2^60/theta_min — one
+    # unbiased estimate, directly replayable as integer top-k + one
+    # IEEE multiply-divide
+    "q_theta_state_overlap": f"""
+WITH d AS (
+  SELECT DISTINCT o_orderpriority AS grp,
+         (('0x' || substr(md5('theta:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT) AS h
+  FROM orders WHERE o_custkey IS NOT NULL
+),
+r AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk FROM d
+),
+sm AS (SELECT grp, h FROM r WHERE rk <= {sketches.THETA_K}),
+t0 AS (
+  SELECT grp, CASE WHEN count(*) >= {sketches.THETA_K} THEN max(h)
+              ELSE {1 << 60} END AS theta
+  FROM sm GROUP BY grp
+),
+g AS (SELECT DISTINCT o_orderpriority AS grp FROM orders),
+t AS (
+  SELECT g.grp, CAST(coalesce(t0.theta, {1 << 60}) AS BIGINT) AS theta
+  FROM g LEFT JOIN t0 USING (grp)
+),
+p AS (
+  SELECT a.grp AS slice_a, b.grp AS slice_b,
+         least(a.theta, b.theta) AS theta_min
+  FROM t a, t b WHERE a.grp < b.grp
+),
+i AS (
+  SELECT x.grp AS slice_a, y.grp AS slice_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM sm x
+  JOIN sm y ON x.h = y.h AND x.grp < y.grp
+  JOIN p ON p.slice_a = x.grp AND p.slice_b = y.grp
+  WHERE x.h < p.theta_min
+  GROUP BY 1, 2
+)
+SELECT p.slice_a, p.slice_b, p.theta_min,
+       CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+       {round_half_away_sql(
+           f"(CAST(coalesce(i.n_common, 0) AS DOUBLE) * {float(1 << 60)}) / CAST(p.theta_min AS DOUBLE)",
+           3,
+       )} AS est_intersection
+FROM p LEFT JOIN i USING (slice_a, slice_b)
+""",
     # same contract pattern for the CMS gate: DuckDB recomputes the
     # exact top-20 token counts; the sketch bound boolean must be TRUE
     "q_cms_heavy": f"""
@@ -7955,6 +8075,12 @@ QUERIES: list[QuerySpec] = [
     # test_text_multimodal.py); scripts/oracle_check.py verifies the
     # whole registry every round regardless.
     QuerySpec("q_theta_capped", q_theta_capped, ORACLES["q_theta_capped"]),
+    QuerySpec("q_theta_state", q_theta_state, ORACLES["q_theta_state"]),
+    QuerySpec(
+        "q_theta_state_overlap",
+        q_theta_state_overlap,
+        ORACLES["q_theta_state_overlap"],
+    ),
     QuerySpec("q_theta_distinct", q_theta_distinct, ORACLES["q_theta_distinct"]),
     QuerySpec("q_theta_overlap", q_theta_overlap, ORACLES["q_theta_overlap"]),
     QuerySpec("q_media_headers", q_media_headers, ORACLES["q_media_headers"]),

@@ -305,3 +305,97 @@ def test_hist_quantiles_rejects_out_of_domain_q(spark):
     for bad in ([1.5], [0.0], [-0.1], [0.5, 2.0]):
         with pytest.raises(ValueError, match=r"\(0, 1\]"):
             inc.hist_quantiles(state, bad, 0.0, 1.0, 4)
+
+
+# --- theta state family (r16): bounded-state distinct + direct
+# intersection from state ---
+
+
+def test_theta_state_merge_equals_one_pass_bitexact(spark):
+    """finalize(merge(build shards)) == finalize(build(whole)) and the
+    raw state arrays agree bit-exactly — "k smallest of the union" is
+    the whole merge rule. Small k (8) so saturation actually happens
+    on a 300-key planted set."""
+    df = spark.range(0, 300).selectExpr(
+        "CASE WHEN id % 3 = 0 THEN 'x' ELSE 'y' END AS k", "id AS u"
+    )
+    parts = [df.filter(F.col("u") % 4 == i) for i in range(4)]
+    merged = inc.merge_theta_states(
+        *[inc.build_theta_state(p, ["k"], "u", 8) for p in parts], k=8
+    )
+    direct = inc.build_theta_state(df, ["k"], "u", 8)
+    m = {r["k"]: r["t_sample"] for r in merged.collect()}
+    d = {r["k"]: r["t_sample"] for r in direct.collect()}
+    assert m == d
+    assert all(len(v) == 8 for v in d.values())  # saturated at k
+    fm = {r["k"]: r for r in inc.finalize_theta_state(merged, 8).collect()}
+    fd = {r["k"]: r for r in inc.finalize_theta_state(direct, 8).collect()}
+    for kk in fd:
+        assert fm[kk] == fd[kk]
+        assert fm[kk]["theta_k"] == d[kk][7]
+
+
+def test_theta_state_empty_and_subsaturated_keys(spark):
+    """A key whose distinct values are all NULL keeps an EMPTY sample
+    (est 0.0); a key below saturation estimates exactly."""
+    df = spark.createDataFrame(
+        [("a", "u1"), ("a", "u2"), ("a", "u1"), ("b", None)],
+        ["k", "u"],
+    )
+    st = inc.build_theta_state(df, ["k"], "u", 8)
+    rows = {r["k"]: r for r in inc.finalize_theta_state(st, 8).collect()}
+    assert rows["b"]["n_sampled"] == 0
+    assert rows["b"]["est_distinct"] == 0.0
+    assert rows["b"]["theta_k"] == 1 << 60
+    assert rows["a"]["n_sampled"] == 2
+    assert rows["a"]["est_distinct"] == 2.0
+
+
+def test_theta_state_overlap_direct_intersection(spark):
+    """Planted 60k-key universe with known 50% overlap: the direct
+    intersection estimate from STATE ONLY lands within 3σ of truth
+    (σ ≈ |∩|/√(k−2) for the restricted-sample estimator), and the
+    estimate is never negative by construction."""
+    df = spark.range(0, 60000).selectExpr("'A' AS s", "id AS u").union(
+        spark.range(30000, 90000).selectExpr("'B' AS s", "id AS u")
+    )
+    k = 256
+    state = inc.build_theta_state(df, ["s"], "u", k)
+    out = inc.theta_state_overlap(state, k).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["slice_a"], r["slice_b"]) == ("A", "B")
+    assert r["est_intersection"] >= 0.0
+    assert abs(r["est_intersection"] - 30000) <= 3.0 / (k - 2) ** 0.5 * 30000 + 64
+
+
+def test_maintain_theta_state_replay_idempotent(spark, tmp_path):
+    """Same exactly-once ledger loop as the agg/hist states: a
+    replayed batch is a visible no-op (returns False, state
+    unchanged), and the folded state equals a from-scratch build."""
+    path = str(tmp_path / "thetastate")
+    df = spark.range(0, 500).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'p' ELSE 'q' END AS k", "id AS u"
+    )
+    b1 = df.filter(F.col("u") < 300)
+    b2 = df.filter(F.col("u") >= 300)
+    assert inc.maintain_theta_state(b1, ["k"], "u", path, batch_id=1, k=16)
+    assert inc.maintain_theta_state(b2, ["k"], "u", path, batch_id=2, k=16)
+    before = {
+        r["k"]: r["t_sample"]
+        for r in spark.read.parquet(os.path.join(path, "state")).collect()
+    }
+    assert (
+        inc.maintain_theta_state(b1, ["k"], "u", path, batch_id=1, k=16)
+        is False
+    )
+    after = {
+        r["k"]: r["t_sample"]
+        for r in spark.read.parquet(os.path.join(path, "state")).collect()
+    }
+    assert before == after
+    direct = {
+        r["k"]: r["t_sample"]
+        for r in inc.build_theta_state(df, ["k"], "u", 16).collect()
+    }
+    assert after == direct
