@@ -292,6 +292,40 @@ def q_theta_capped(spark, sf_dir):
     )
 
 
+def q_theta_distinct_prod(spark, sf_dir):
+    """PRODUCTION theta distinct (r16, VERDICT item 5): the shape a
+    deployment runs — estimate from the θ-sample alone, NO exact pass
+    (the checked gate q_theta_distinct carries an exact
+    count_distinct by design and must stay out of the bench slate).
+    Headline: its bench row is the sketch's actual cost envelope.
+    Still fully oracle-checked — the estimate is deterministic
+    integer arithmetic DuckDB replays."""
+    return sketches.theta_distinct(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey"
+    )
+
+
+def q_theta_overlap_prod(spark, sf_dir):
+    """PRODUCTION theta audience overlap (r16, VERDICT item 5): the
+    no-exact-pass shape — pairwise intersection/union/Jaccard
+    estimates where every join carries only the 64×-smaller 8-byte
+    hash samples. Headline bench row; deterministic, oracle-checked."""
+    return sketches.theta_overlap(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey"
+    )
+
+
+def q_theta_capped_prod(spark, sf_dir):
+    """PRODUCTION capped-KMV distinct (r16): the bounded-state shape —
+    bounded-heap mapInPandas partial + top-k window, no exact pass.
+    Output is identical to q_theta_state's finalize (same estimator
+    over the same data), so it shares that oracle; what this entry
+    adds is the BENCH row for the one-shot O(k)-state path."""
+    return sketches.theta_distinct_capped(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey"
+    )
+
+
 def q_theta_state(spark, sf_dir):
     """Theta sketch in the mergeable-state family (r16, VERDICT item
     4): orders split into two slices (o_orderkey parity), each built
@@ -6941,6 +6975,54 @@ SELECT p.slice_a, p.slice_b, p.theta_min,
        )} AS est_intersection
 FROM p LEFT JOIN i USING (slice_a, slice_b)
 """,
+    # production theta forms (r16, VERDICT item 5): the no-exact-pass
+    # shapes a deployment runs, benched as headline rows — estimates
+    # are still deterministic integer arithmetic, so they stay fully
+    # hash-matched
+    "q_theta_distinct_prod": f"""
+WITH s AS (
+  SELECT DISTINCT o_orderpriority AS grp,
+         (('0x' || substr(md5('theta:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT) AS h
+  FROM orders
+  WHERE (('0x' || substr(md5('theta:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT) < {sketches.THETA_THRESHOLD}
+),
+c AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_sampled FROM s GROUP BY grp),
+g AS (SELECT DISTINCT o_orderpriority AS grp FROM orders)
+SELECT g.grp AS o_orderpriority,
+       CAST(coalesce(c.n_sampled, 0) AS BIGINT) AS n_sampled,
+       CAST(coalesce(c.n_sampled, 0) * {sketches.THETA_DENOM} AS BIGINT) AS est_distinct
+FROM g LEFT JOIN c USING (grp)
+""",
+    "q_theta_overlap_prod": f"""
+WITH s AS (
+  SELECT DISTINCT o_orderpriority AS grp,
+         (('0x' || substr(md5('theta:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT) AS h
+  FROM orders
+  WHERE (('0x' || substr(md5('theta:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT) < {sketches.THETA_THRESHOLD}
+),
+c AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_s FROM s GROUP BY grp),
+g AS (SELECT DISTINCT o_orderpriority AS grp FROM orders),
+gc AS (
+  SELECT g.grp, CAST(coalesce(c.n_s, 0) AS BIGINT) AS n_s
+  FROM g LEFT JOIN c USING (grp)
+),
+p AS (
+  SELECT a.grp AS type_a, b.grp AS type_b, a.n_s AS n_a, b.n_s AS n_b
+  FROM gc a, gc b WHERE a.grp < b.grp
+),
+i AS (
+  SELECT x.grp AS type_a, y.grp AS type_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM s x JOIN s y ON x.h = y.h AND x.grp < y.grp GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b,
+       CAST(coalesce(i.n_inter, 0) * {sketches.THETA_DENOM} AS BIGINT) AS est_intersection,
+       CAST((p.n_a + p.n_b - coalesce(i.n_inter, 0)) * {sketches.THETA_DENOM} AS BIGINT) AS est_union,
+       CASE WHEN (p.n_a + p.n_b - coalesce(i.n_inter, 0)) > 0 THEN
+         {round_half_away_sql("(CAST(coalesce(i.n_inter, 0) AS DOUBLE) / CAST(p.n_a + p.n_b - coalesce(i.n_inter, 0) AS DOUBLE))", 6)}
+       END AS est_jaccard
+FROM p LEFT JOIN i USING (type_a, type_b)
+""",
     # same contract pattern for the CMS gate: DuckDB recomputes the
     # exact top-20 token counts; the sketch bound boolean must be TRUE
     "q_cms_heavy": f"""
@@ -7470,6 +7552,12 @@ SELECT doc_id,
 FROM q
 """
 
+
+#: q_theta_capped_prod computes the IDENTICAL output to q_theta_state
+#: (same estimator, same data — merge==one-pass is the state family's
+#: defining property); the entry exists for its bench row (the
+#: bounded-heap one-shot path), so it shares the oracle verbatim.
+ORACLES["q_theta_capped_prod"] = ORACLES["q_theta_state"]
 
 ORACLES["q_quality_score"] = _quality_score_oracle()
 ORACLES["q_data_card"] = _data_card_oracle()
@@ -8080,6 +8168,26 @@ QUERIES: list[QuerySpec] = [
         "q_theta_state_overlap",
         q_theta_state_overlap,
         ORACLES["q_theta_state_overlap"],
+    ),
+    # production theta forms: headline=True — bench rows for the
+    # shapes a deployment runs (no exact pass; VERDICT r15 item 5)
+    QuerySpec(
+        "q_theta_distinct_prod",
+        q_theta_distinct_prod,
+        ORACLES["q_theta_distinct_prod"],
+        True,
+    ),
+    QuerySpec(
+        "q_theta_overlap_prod",
+        q_theta_overlap_prod,
+        ORACLES["q_theta_overlap_prod"],
+        True,
+    ),
+    QuerySpec(
+        "q_theta_capped_prod",
+        q_theta_capped_prod,
+        ORACLES["q_theta_capped_prod"],
+        True,
     ),
     QuerySpec("q_theta_distinct", q_theta_distinct, ORACLES["q_theta_distinct"]),
     QuerySpec("q_theta_overlap", q_theta_overlap, ORACLES["q_theta_overlap"]),
