@@ -8148,20 +8148,15 @@ WHERE rk <= least(n, CAST(floor(
 """
 
 QUERIES: list[QuerySpec] = [
-    # ==== driver 50-entry verification window (r15 rotation) ====
-    # NEW r15 queries first (q_theta_distinct, q_theta_overlap — no
-    # driver row yet, the rotation convention for newcomers), then
-    # the stalest oracle-backed entries (VERDICT r14 item 2): the 31
-    # SQL-oracled entries whose last driver row is ROUND 11
-    # (q_media_headers .. q_line_dedup), then the 17 registry-first
-    # of the round-12-verified block (q_schema_drift ..
-    # q_sliding_window; the newcomers displaced q_interval_join and
-    # q_asof_forward to the tail front). Zero overlap with the r14
-    # AND r13 windows (verified by set intersection against
-    # CORRECTNESS_r14/r13.json at rotation time). The py-oracled
-    # rows-only block stays out of the window (guard test in
-    # test_text_multimodal.py); scripts/oracle_check.py verifies the
-    # whole registry every round regardless.
+    # The driver's 50-entry verification window is QUERIES[:50]. Since
+    # r16 the rotation is expressed EXPLICITLY as DRIVER_WINDOW (the
+    # names list below this literal) and applied by the reorder at
+    # module end — the catalog order here stays stable across rounds,
+    # and each rotation is a one-list diff auditable against the
+    # CORRECTNESS_r{N}.json artifacts. The py-oracled rows-only block
+    # stays out of the window (guard test in test_text_multimodal.py);
+    # scripts/oracle_check.py verifies the whole registry every round
+    # regardless.
     QuerySpec("q_theta_capped", q_theta_capped, ORACLES["q_theta_capped"]),
     QuerySpec("q_theta_state", q_theta_state, ORACLES["q_theta_state"]),
     QuerySpec(
@@ -8389,6 +8384,74 @@ QUERIES: list[QuerySpec] = [
     QuerySpec("q_lang_id", q_lang_id, ORACLES["q_lang_id"], True),
 ]
 
+
+#: ==== driver 50-entry verification window (r16 rotation) ====
+#: Newcomers first (the six r16 theta entries — no driver row yet),
+#: then the stalest SQL-oracled entries: 13 whose last driver row
+#: is ROUND 12 (the TPC-H block among them) and 31 last seen ROUND
+#: 13. Zero overlap with the r15 AND r14 windows (verified by set
+#: intersection against CORRECTNESS_r15/r14.json at rotation time).
+DRIVER_WINDOW: list[str] = [
+    "q_theta_capped",
+    "q_theta_state",
+    "q_theta_state_overlap",
+    "q_theta_distinct_prod",
+    "q_theta_overlap_prod",
+    "q_theta_capped_prod",
+    "q_ann_quantized_recall",
+    "q_ann_recall",
+    "q_asof_forward",
+    "q_bloom_contamination",
+    "q_containment",
+    "q_doc_chunks",
+    "q_embed_centroid",
+    "q_global_index",
+    "q_interval_join",
+    "q_percentiles_approx",
+    "q_tpch_q1",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q2",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_weighted_sample",
+    "q_agg_state",
+    "q_amount_stats",
+    "q_assoc_rules",
+    "q_benford",
+    "q_best_rep",
+    "q_bm25",
+    "q_bpe_encode",
+    "q_bpe_pairs",
+    "q_bpe_vocab",
+    "q_cdc",
+    "q_date_parts",
+]
+
+_BY_NAME = {q.name: q for q in QUERIES}
+assert len(DRIVER_WINDOW) == 50 and len(set(DRIVER_WINDOW)) == 50
+assert all(n in _BY_NAME for n in DRIVER_WINDOW)
+#: the rotation itself: window entries first (catalog order is
+#: preserved within the remainder)
+QUERIES = [_BY_NAME[n] for n in DRIVER_WINDOW] + [
+    q for q in QUERIES if q.name not in set(DRIVER_WINDOW)
+]
 
 
 HEADLINE_QUERIES = [q.name for q in QUERIES if q.headline]
