@@ -61,6 +61,11 @@ GATED = [
     "q_embed_quantize",
     "q_hll_groups",
     "q_theta_overlap",
+    # r16: the capped-KMV build runs a per-PARTITION bounded-heap
+    # partial (mapInPandas) — the exact class this gate exists for:
+    # the partial's output depends on layout, the final top-k must not
+    "q_theta_capped",
+    "q_theta_state_overlap",
     "q_cms_heavy",
     "q_state_quantiles",
     "q_tpch_q1",
