@@ -181,3 +181,89 @@ def serve_hist_quantiles(
         hi,
         n_bins,
     )
+
+
+def theta_rollup_batch(
+    keys: list[str],
+    distinct_col: str,
+    state_path: str,
+    k: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` body for the THETA rollup (r16): each
+    micro-batch folds its capped-KMV sample into the persisted
+    per-key state of
+    :func:`..operators.incremental.maintain_theta_state` — same
+    ledger-vetoed exactly-once contract as :func:`rollup_batch`.
+    (Here the merge is actually idempotent — "k smallest of the
+    union" — so the veto guards visibility, not correctness: replays
+    surface as False returns instead of silent re-scans.) State is
+    O(k) per key over the stream's WHOLE history at any key
+    cardinality — the all-time distinct-users rollup, plus the
+    direct pairwise overlap :func:`serve_theta_overlap`, at
+    per-batch cost."""
+    from ..operators.incremental import maintain_theta_state
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        maintain_theta_state(
+            batch_df, keys, distinct_col, state_path, batch_id, k=k
+        )
+
+    return process
+
+
+def start_theta_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    keys: list[str] | None = None,
+    distinct_col: str = "user_id",
+    k: int | None = None,
+    max_files_per_trigger: int | None = 1,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming distinct/overlap maintenance: the all-time
+    per-key distinct estimate (and pairwise audience overlap) served
+    from keys × k hashes of state — never by rescanning events."""
+    stream = create_file_stream(
+        spark, input_dir, ROLLUP_STREAM_SCHEMA, "json", max_files_per_trigger
+    )
+    writer = stream.writeStream.foreachBatch(
+        theta_rollup_batch(
+            keys or ["event_type"], distinct_col, state_path, k
+        )
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def serve_theta_rollup(
+    spark: SparkSession, state_path: str, k: int | None = None
+) -> DataFrame:
+    """Distinct-estimate dashboard read straight from the persisted
+    theta state — keys-sized scan, zero raw-event IO."""
+    import os
+
+    from ..operators.incremental import finalize_theta_state
+
+    return finalize_theta_state(
+        spark.read.parquet(os.path.join(state_path, "state")), k
+    )
+
+
+def serve_theta_overlap(
+    spark: SparkSession, state_path: str, k: int | None = None
+) -> DataFrame:
+    """Pairwise audience-overlap read from the SAME persisted state —
+    the question the HLL rollup cannot answer directly; |slices|² × k
+    array cells of work."""
+    import os
+
+    from ..operators.incremental import theta_state_overlap
+
+    return theta_state_overlap(
+        spark.read.parquet(os.path.join(state_path, "state")), k
+    )

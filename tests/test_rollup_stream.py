@@ -171,3 +171,71 @@ def test_hist_stream_equals_batch_quantiles(spark, tmp_path):
     assert served[("click", 0.5)][0] == 1
     ledger = spark.read.parquet(os.path.join(state_path, "ledger"))
     assert ledger.count() == 3
+
+
+def test_theta_stream_equals_batch_and_restart(spark, tmp_path):
+    """r16 theta rollup: (a) streamed state == from-scratch build over
+    all events (k smallest of the union, bit-exact); (b) restart over
+    the same checkpoint re-folds nothing (ledger unchanged, state
+    unchanged); (c) the overlap serve answers from state only."""
+    src = tmp_path / "src"
+    _write_batches(src)
+    state_path = str(tmp_path / "tstate")
+    ckpt = str(tmp_path / "tckpt")
+    q = rollup.start_theta_rollup(
+        spark, str(src), state_path, ckpt, k=8, available_now=True
+    )
+    q.awaitTermination(120)
+    served = {
+        r["event_type"]: r
+        for r in rollup.serve_theta_rollup(spark, state_path, 8).collect()
+    }
+    direct = {
+        r["event_type"]: r
+        for r in inc.finalize_theta_state(
+            inc.build_theta_state(
+                _all_events(spark), ["event_type"], "user_id", 8
+            ),
+            8,
+        ).collect()
+    }
+    assert served.keys() == direct.keys() == {"view", "click", "purchase"}
+    for kk in direct:
+        assert served[kk] == direct[kk], kk
+    # fixture truth: view saw u1,u2,u3; click u1; purchase u2 — all
+    # below k=8, so estimates are exact
+    assert served["view"]["est_distinct"] == 3.0
+    assert served["click"]["est_distinct"] == 1.0
+    ledger_before = (
+        spark.read.parquet(os.path.join(state_path, "ledger")).count()
+    )
+    state_before = sorted(
+        (r["event_type"], tuple(r["t_sample"]))
+        for r in spark.read.parquet(
+            os.path.join(state_path, "state")
+        ).collect()
+    )
+    # restart over the same checkpoint: nothing new to fold
+    q2 = rollup.start_theta_rollup(
+        spark, str(src), state_path, ckpt, k=8, available_now=True
+    )
+    q2.awaitTermination(120)
+    assert (
+        spark.read.parquet(os.path.join(state_path, "ledger")).count()
+        == ledger_before
+    )
+    state_after = sorted(
+        (r["event_type"], tuple(r["t_sample"]))
+        for r in spark.read.parquet(
+            os.path.join(state_path, "state")
+        ).collect()
+    )
+    assert state_after == state_before
+    # overlap from state only: view∩click = {u1}, view∩purchase = {u2}
+    ov = {
+        (r["slice_a"], r["slice_b"]): r
+        for r in rollup.serve_theta_overlap(spark, state_path, 8).collect()
+    }
+    assert ov[("click", "view")]["est_intersection"] == 1.0
+    assert ov[("purchase", "view")]["est_intersection"] == 1.0
+    assert ov[("click", "purchase")]["est_intersection"] == 0.0
