@@ -531,10 +531,11 @@ def _theta_overlap_core(
     segment-sized (ADVICE r15)."""
     from .caching import track_persist
 
-    s = theta_sample(df, group_col, key_col).localCheckpoint()
-    counts = s.groupBy("grp").agg(F.count(F.lit(1)).alias("n_s"))
     # group list from the FULL table, not the sample — every pair
-    # must appear even when a small group sampled zero hashes
+    # must appear even when a small group sampled zero hashes. The
+    # guard runs BEFORE the sample checkpoint pays its scan: refusal
+    # must be the cheap path (one column-pruned distinct, persisted
+    # and reused by the pair build).
     g_list = track_persist(
         df.select(F.col(group_col).alias("grp")).distinct()
     )
@@ -548,6 +549,8 @@ def _theta_overlap_core(
                 "max_groups explicitly (or pass None) only if that "
                 "quadratic output surface is intended"
             )
+    s = theta_sample(df, group_col, key_col).localCheckpoint()
+    counts = s.groupBy("grp").agg(F.count(F.lit(1)).alias("n_s"))
     gs = (
         g_list
         .join(counts, "grp", "left")
