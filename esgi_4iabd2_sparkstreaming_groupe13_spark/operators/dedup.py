@@ -597,26 +597,35 @@ def _signatures_from_shingles(
     the shingle scan once and fan both consumers off the persisted
     frame.
 
-    Shape: explode + ``n_hashes`` MIN aggregates, NOT
-    ``array_min(transform(hs, perm_i))`` columns. The column
-    formulation projects ``hs = transform(shingles, md5_int)`` and
-    references it once per permutation — CollapseProject inlines the
-    md5 transform into every usage (Catalyst does not CSE across
-    sibling higher-order lambdas), md5-ing each shingle n_hashes
-    times. Here md5 lives in the Project BELOW the aggregate (an
-    Aggregate is never collapsed into its child Project), so each
-    shingle is hashed exactly once and every per-permutation op is a
-    codegen'd affine-mod-min; partial aggregation keeps the shuffle at
-    one row per doc. Same (id, signature) output, bit-identical."""
-    hashed = sh.select(F.col(id_col), F.explode_outer("shingles").alias("_s")).select(
-        F.col(id_col), md5_int(F.col("_s")).alias("_h")
-    )
-    aggs = [
-        F.min(affine_hash(F.col("_h"), a, b)).alias(f"_m{i}")
+    Shape (r16 optimization round): ZERO-SHUFFLE narrow projection —
+    ``hs = transform(shingles, md5_int)`` in one Project, then the
+    ``n_hashes`` ``array_min(transform(hs, perm_i))`` columns in a
+    SIBLING Project above it. The historical worry about this column
+    formulation (CollapseProject inlining the md5 transform into every
+    permutation, md5-ing each shingle n_hashes times) does not apply
+    on Spark 4.x: ``CollapseProject`` only merges adjacent Projects
+    when an alias is referenced at most once or is cheap
+    (``spark.sql.optimizer.collapseProjectAlwaysInline`` defaults
+    false), and ``_hs`` is referenced ``n_hashes`` times — the plan
+    keeps two Projects and each shingle is md5-hashed exactly once
+    (plan-asserted by ``test_minhash_signature_plan_single_md5``).
+    vs the previous explode + n_hashes-MIN-aggregates shape this drops
+    the per-doc hash aggregate and its Exchange outright (guide §2.4)
+    — signatures become a narrow map over the shingle scan. Same
+    (id, signature) output, bit-identical: array_min over the
+    per-shingle affine permutation equals MIN over the exploded rows,
+    and both yield NULL signature elements for empty/NULL shingle
+    arrays (explode_outer emitted a NULL row; array_min of an empty or
+    NULL array is NULL)."""
+    hs = F.transform(F.col("shingles"), lambda s: md5_int(s))
+    step1 = sh.select(F.col(id_col), hs.alias("_hs"))
+    mins = [
+        F.array_min(
+            F.transform(F.col("_hs"), lambda x: affine_hash(x, a, b))
+        ).alias(f"_m{i}")
         for i, (a, b) in enumerate(hash_params(n_hashes, seed))
     ]
-    mins = hashed.groupBy(id_col).agg(*aggs)
-    return mins.select(
+    return step1.select(F.col(id_col), *mins).select(
         F.col(id_col),
         F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("signature"),
     )
@@ -1718,7 +1727,15 @@ def duplicated_spans(
     """
     from pyspark.sql import Window
 
-    sh = _token_shingle_positions(df, text_col, id_col, k)
+    # Persisted: BOTH consumers below (the duplicate-key aggregate and
+    # the position semi-join probe) read this frame — without the
+    # persist each side re-ran the tokenize+explode+md5 scan, i.e. the
+    # whole corpus was read and every k-gram hashed TWICE (measured
+    # 2.3-3.1 s at sf0.1, ~half of it the second scan; guide §5:
+    # recompute cost ≫ storage pressure — the frame is (id, start,
+    # 16-byte hash), never the text). track_persist registers it for
+    # release_cached() so harnesses drop it after the consuming action.
+    sh = track_persist(_token_shingle_positions(df, text_col, id_col, k))
     dup_keys = (
         sh.groupBy("shash")
         .agg(F.count(F.lit(1)).alias("_n"))

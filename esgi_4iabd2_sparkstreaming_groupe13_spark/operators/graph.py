@@ -124,7 +124,15 @@ def connected_components(
                 .cast("long")
                 .alias("_chg"),
             )
-            .localCheckpoint()
+            # LAZY checkpoint (r16 optimization round): eager=True ran
+            # one job to materialize the blocks and a SECOND job for
+            # the convergence probe below — the probe itself is the
+            # first action, so letting IT materialize the checkpoint
+            # halves the per-iteration job count (the dominant cost of
+            # the loop is fixed per-job overhead, not data). Blocks are
+            # identical once materialized; lineage truncation is the
+            # same.
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.agg(F.sum("_chg")).first()[0] or 0
         labels = new_labels.drop("_chg")

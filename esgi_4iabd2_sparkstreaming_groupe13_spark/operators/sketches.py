@@ -448,24 +448,37 @@ def theta_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     """Production estimator: per-group distinct estimate from the
     θ-sample alone (no exact pass). Integer output — the estimate is
     DENOM · |sample| exactly. Groups whose sample is empty (true
-    distinct ≲ DENOM) still emit a row with estimate 0 — the group
-    list costs one distinct over the group column, not the keys."""
-    counts = (
-        theta_sample(df, group_col, key_col)
-        .groupBy("grp")
-        .agg(F.count(F.lit(1)).alias("n_sampled"))
-    )
+    distinct ≲ DENOM) still emit a row with estimate 0.
+
+    ONE scan, ONE aggregate (r16 optimization round, guide §2.4): the
+    sub-threshold hash is nulled instead of filtered, so
+    ``count(DISTINCT h)`` — which ignores NULLs — is exactly
+    |θ-sample| while every group still emits a row. The previous
+    shape scanned the base table twice (sample pass + full-table
+    group-list distinct) and joined the two; this is the same output
+    from a single distinct-aggregate whose shuffle carries the
+    (grp, sampled-hash) pairs plus one null row per group.
+
+    NULL-group parity: the old join-on-grp shape could never match a
+    NULL group key (SQL null-join semantics), so a NULL group always
+    reported n_sampled 0 — the hash is additionally nulled for NULL
+    groups here to reproduce that exactly."""
+    h = _theta_hash(key_col)
     return (
-        df.select(F.col(group_col).alias("grp"))
-        .distinct()
-        .join(counts, "grp", "left")
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.when(
+                F.col(group_col).isNotNull()
+                & (h < F.lit(THETA_THRESHOLD)),
+                h,
+            ).alias("h"),
+        )
+        .groupBy("grp")
+        .agg(F.count_distinct(F.col("h")).alias("n_sampled"))
         .select(
             F.col("grp").alias(group_col),
-            F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
-            (
-                F.coalesce(F.col("n_sampled"), F.lit(0))
-                * F.lit(THETA_DENOM)
-            ).alias("est_distinct"),
+            F.col("n_sampled"),
+            (F.col("n_sampled") * F.lit(THETA_DENOM)).alias("est_distinct"),
         )
     )
 
@@ -526,21 +539,33 @@ def _theta_overlap_core(
     scan, and executor-local checkpoint blocks are NOT fault-tolerant
     — lose an executor and the query fails rather than recomputes.
     Group count is guarded at ``max_groups`` before the G×G pair
-    build (the group list is persisted and counted — one scan, reused
-    by the pair build); pass ``None`` to waive for a column known
-    segment-sized (ADVICE r15)."""
-    from .caching import track_persist
+    build; pass ``None`` to waive for a column known segment-sized
+    (ADVICE r15).
 
-    # group list from the FULL table, not the sample — every pair
-    # must appear even when a small group sampled zero hashes. The
-    # guard runs BEFORE the sample checkpoint pays its scan: refusal
-    # must be the cheap path (one column-pruned distinct, persisted
-    # and reused by the pair build).
-    g_list = track_persist(
-        df.select(F.col(group_col).alias("grp")).distinct()
+    ONE scan (r16 optimization round, guide §2.4): the sub-threshold
+    hash is NULLED instead of filtered, so the checkpointed distinct
+    frame carries both the θ-sample (rows with non-null h) AND the
+    full group list (every group contributes at least one row — a
+    (grp, NULL) row when none of its keys sampled). The previous
+    shape paid a second full-table scan for the group-list distinct
+    and joined it back; now group list, per-group sample counts
+    (``count(h)`` ignores NULLs) and the intersection join all read
+    the one checkpointed sketch-sized frame. Trade recorded here: the
+    ``max_groups`` refusal previously ran before the sampling scan
+    (cheap-refusal path) — it now runs after the checkpoint has paid
+    that scan. Refusal is the error path; the success path saves a
+    full scan of the base table every call."""
+    h = _theta_hash(key_col)
+    s_all = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.when(h < F.lit(THETA_THRESHOLD), h).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint()
     )
     if max_groups is not None:
-        n_g = g_list.count()
+        n_g = s_all.select("grp").distinct().count()
         if n_g > max_groups:
             raise ValueError(
                 f"theta_overlap: {n_g} distinct groups in "
@@ -549,13 +574,8 @@ def _theta_overlap_core(
                 "max_groups explicitly (or pass None) only if that "
                 "quadratic output surface is intended"
             )
-    s = theta_sample(df, group_col, key_col).localCheckpoint()
-    counts = s.groupBy("grp").agg(F.count(F.lit(1)).alias("n_s"))
-    gs = (
-        g_list
-        .join(counts, "grp", "left")
-        .select("grp", F.coalesce(F.col("n_s"), F.lit(0)).alias("n_s"))
-    )
+    s = s_all.filter(F.col("h").isNotNull())
+    gs = s_all.groupBy("grp").agg(F.count(F.col("h")).alias("n_s"))
     pairs = (
         # groups x groups: group cardinality is segment-sized by
         # contract (event types, tenants) — broadcast the right side
@@ -709,50 +729,50 @@ THETA_K = 200
 
 def _capped_partial(k: int):
     """Closure factory for the stage-1 mapInPandas partial: per input
-    partition, the k smallest DISTINCT hashes per group via a bounded
-    max-heap (membership set kept in lockstep so duplicate hashes
-    within a partition cannot occupy two heap slots). State is
-    O(groups × k) per partition however many rows stream through."""
+    partition, the k smallest DISTINCT hashes per group. State is
+    O(groups × k) per partition however many rows stream through.
+
+    VECTORIZED (r16 optimization round, guide §4.2): the original
+    body walked every row in interpreted Python (``for g, h in
+    zip(...)`` over a per-group heap) — the classic row-loop-inside-
+    an-Arrow-operator shape the guide calls out. This version folds
+    each Arrow batch with three vectorized pandas ops (concat →
+    drop_duplicates → per-group head-k over a sort), so per-batch
+    cost is C-speed O((state+batch)·log) instead of a Python dict/heap
+    transition per row. State between batches stays the bounded
+    ≤ k-rows-per-group frame, so memory is identical to the heap
+    form. Emits the same (grp, h) set per partition: the k smallest
+    distinct hashes per group — stage 2's cross-partition distinct +
+    rank is unchanged."""
     import pandas as pd
 
     def partial(batches):
-        import heapq
-
-        heaps: dict = {}   # grp -> max-heap (negated) of ≤ k hashes
-        members: dict = {}  # grp -> set of hashes currently in heap
+        state: pd.DataFrame | None = None
         for pdf in batches:
-            for g, h in zip(pdf["grp"].tolist(), pdf["h"].tolist()):
-                hp = heaps.get(g)
-                if hp is None:
-                    hp = []
-                    heaps[g] = hp
-                    members[g] = set()
-                m = members[g]
-                h = int(h)
-                if h in m:
-                    continue
-                if len(hp) < k:
-                    heapq.heappush(hp, -h)
-                    m.add(h)
-                elif h < -hp[0]:
-                    evicted = -heapq.heappushpop(hp, -h)
-                    m.discard(evicted)
-                    m.add(h)
-        grps = []
-        hs = []
-        for g, hp in heaps.items():
-            for neg in hp:
-                grps.append(g)
-                hs.append(-neg)
-        # hashes are < 2^60 (> 2^53): build the column as explicit
-        # int64, never let pandas infer (the r14 float64 lesson —
-        # inference can silently round to the 53-bit mantissa)
-        yield pd.DataFrame(
-            {
-                "grp": pd.Series(grps, dtype="object"),
-                "h": pd.array(hs, dtype="Int64"),
-            }
-        )
+            cur = pdf[["grp", "h"]]
+            allf = (
+                cur
+                if state is None
+                else pd.concat([state, cur], ignore_index=True)
+            )
+            # h arrives as Arrow int64 (the JVM filtered NULLs) and
+            # every op below is value-preserving on int64 — the column
+            # never passes through float64 (the r14 53-bit-mantissa
+            # lesson). dropna=False: a NULL GROUP is a real group key
+            # here (the heap form kept None dict keys); sort is on
+            # exact integers after (grp, h) dedup, so head(k) is the
+            # exact per-group k smallest.
+            allf = allf.drop_duplicates()
+            allf = allf.sort_values("h", kind="stable")
+            state = allf.groupby("grp", sort=False, dropna=False).head(k)
+        if state is None:
+            state = pd.DataFrame(
+                {
+                    "grp": pd.Series([], dtype="object"),
+                    "h": pd.array([], dtype="Int64"),
+                }
+            )
+        yield state
 
     return partial
 

@@ -1206,3 +1206,19 @@ def test_lsh_cap_validation(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="max_bucket_size"):
         dedup.minhash_lsh_pairs(df, "text", "doc_id", 0.9, max_bucket_size=1)
+
+
+def test_minhash_signature_plan_single_md5(docs):
+    """The r16 zero-shuffle signature formulation relies on
+    CollapseProject NOT inlining the shared md5 transform into every
+    permutation (it is referenced n_hashes times, which is exactly the
+    non-inline condition while collapseProjectAlwaysInline stays
+    false). Pin that: the optimized plan must contain exactly ONE md5
+    call — if a Spark upgrade ever starts inlining, this fails before
+    the bench silently pays a 32x hash blowup — and no Exchange (the
+    aggregate-free shape is the point of the change)."""
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", n_hashes=32)
+    plan = sigs._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("md5") == 1, plan
+    physical = sigs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in physical, physical

@@ -130,11 +130,17 @@ def test_profile_table_stats(spark):
     assert out["id"]["n_distinct"] == 4 and out["id"]["n_nulls"] == 0
 
 
-def test_profile_table_single_scan(spark):
-    """The profiler's contract: ONE aggregate job over one scan no
-    matter how many columns — the plan holds a single source relation
-    (the count-distinct Expand is below the aggregate, not a second
-    scan)."""
+def test_profile_table_split_aggregate_plan(spark):
+    """The profiler's r16 plan contract (optimization round, guide
+    §7.2): the count-distinct Expand path and the string-buffered
+    min/max live in SEPARATE sibling aggregates. A fused aggregate
+    planned the whole ×(N+1)-expanded table as a SortAggregate chain
+    (string buffers disqualify HashAggregate) — two full sorts of the
+    expanded data. The split keeps every aggregate over the Expand a
+    HashAggregate and gives the string pass its own expand-free,
+    sort-free aggregate; the two 1-row results recombine via a cross
+    join. Cost: one extra column-pruned scan of the source — pinned
+    here as exactly two source relations."""
     from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.validate import (
         profile_table,
     )
@@ -143,8 +149,17 @@ def test_profile_table_single_scan(spark):
         "id", "id * 2 AS a", "CAST(id AS STRING) AS s"
     )
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Range (0, 100") == 1
+    # two pruned scans: the distinct+numeric pass and the string pass
+    assert plan.count("Range (0, 100") == 2
     assert "Expand" in plan  # multi-distinct rides the standard Expand
+    # the expensive (expanded) path must never fall back to
+    # SortAggregate: everything between the Expand and its final
+    # 1-row result is hash-aggregable
+    assert "HashAggregate" in plan
+    # string min/max no longer ride the Expand: no Sort anywhere in
+    # the plan (the string aggregate has no grouping keys, so even its
+    # SortAggregate plans without a physical Sort)
+    assert "+- Sort " not in plan, plan
 
 
 def test_benford_audit_digits_and_shares(spark):
