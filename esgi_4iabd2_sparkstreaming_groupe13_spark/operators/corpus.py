@@ -287,28 +287,40 @@ def benchmark_contamination(
         )
         .distinct()
     )
-    exploded = cand_grams.select(
-        F.col(id_col), F.explode(F.col("_grams")).alias("_gram")
+    # ONE candidate pass (r16 optimization round, guide §2.4): the
+    # gram-set size rides the explode as a carried column and the
+    # semi-probe becomes a broadcast LEFT join counted conditionally,
+    # so totals + shared collapse into one aggregate — the previous
+    # shape tokenized every candidate TWICE (once for the probe
+    # explode, once for the totals projection) and joined the two
+    # back. explode_outer keeps sub-n-token docs as a NULL-gram row
+    # (NULL never matches the broadcast set → n_shared 0, n_grams 0 —
+    # the same 0/0/0.0 report as before); bench_set is distinct, so
+    # the left join preserves row counts and the conditional sum
+    # equals the old semi-join count exactly.
+    ex = cand_grams.select(
+        F.col(id_col),
+        F.size(F.col("_grams")).cast("long").alias("n_grams"),
+        F.explode_outer(F.col("_grams")).alias("_gram"),
     )
-    shared = (
-        exploded.join(F.broadcast(bench_set), "_gram", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("_n_shared"))
-    )
-    totals = cand_grams.select(
-        F.col(id_col), F.size("_grams").cast("long").alias("n_grams")
+    probed = ex.join(
+        F.broadcast(bench_set.withColumn("_hit", F.lit(1))), "_gram", "left"
     )
     return (
-        totals.join(shared, id_col, "left")
+        probed.groupBy(F.col(id_col), F.col("n_grams"))
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_shared")
+        )
         .select(
             F.col(id_col),
             F.col("n_grams"),
-            F.coalesce(F.col("_n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            F.col("n_shared"),
             round_half_away(
                 F.when(
                     F.col("n_grams") > 0,
-                    F.coalesce(F.col("_n_shared"), F.lit(0)).cast("double")
-                    / F.col("n_grams"),
+                    F.col("n_shared").cast("double") / F.col("n_grams"),
                 ).otherwise(F.lit(0.0)),
                 6,
             ).alias("contamination"),

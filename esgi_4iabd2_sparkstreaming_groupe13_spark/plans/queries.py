@@ -797,10 +797,21 @@ def q_tpch_q11(spark, sf_dir):
         agg.decimal_sum(revenue_expr(), scale=6, precision=28).alias("part_rev")
     )
     # exact global total / distinct-part count — a deterministic mean
-    # (double `avg` would depend on partition reduction order)
-    total = li.agg(
-        agg.decimal_sum(revenue_expr(), scale=6, precision=28).alias("total_rev"),
-        F.countDistinct("l_partkey").alias("n_parts"),
+    # (double `avg` would depend on partition reduction order).
+    # r16 optimization round (guide §2.4): derived FROM per_part, not
+    # from a second full lineitem scan — the per-group sums are EXACT
+    # decimals, so the sum of group sums is bit-identical to the
+    # one-pass total (decimal addition is associative; an overflow
+    # would raise, not wobble), cast back to the original
+    # decimal(28,6) so every downstream comparison sees the same type.
+    # n_parts = count of non-null group keys == countDistinct on the
+    # base table (NULL partkeys group but don't count, both ways).
+    # The two consumers of per_part share one groupBy exchange via
+    # AQE exchange reuse (plan-asserted in plans/r16/), replacing the
+    # old subquery side's full scan + two-phase countDistinct.
+    total = per_part.agg(
+        F.sum("part_rev").cast("decimal(28,6)").alias("total_rev"),
+        F.count(F.col("l_partkey")).alias("n_parts"),
     )
     return (
         per_part.crossJoin(F.broadcast(total))

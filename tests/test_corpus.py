@@ -912,3 +912,35 @@ def test_purge_corpus_and_audit(spark):
         df, removals, "text", "doc_id", propagate_exact=False
     )
     assert {r.doc_id for r in kept_direct.collect()} == {2, 3, 5, 6}
+
+
+def test_kmeans_assignment_tie_prefers_min_cell(spark):
+    """r16 literal-centroid rewrite: when two centroids score the SAME
+    similarity for a vector, assignment must pick the SMALLER cell_id
+    (the old Window row_number(desc sim, asc cell_id) semantics, now
+    an array_max over (sim, -cell_id) structs). Two planted duplicate
+    centroids force exact ties for every member of their cluster."""
+    from esgi_4iabd2_sparkstreaming_groupe13_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_fit,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(5)]
+        + [(10 + i, [0.0, 1.0]) for i in range(5)],
+        ["vec_id", "embedding"],
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        ["cell_id", "cvec"],
+    )
+    _, assigned = ivf_assign(emb, 0, centroids=cents)
+    got = {r["vec_id"]: r["cell_id"] for r in assigned.collect()}
+    # [0,1] vectors tie between cells 0 and 2 → must take 0
+    for i in range(5):
+        assert got[10 + i] == 0, got
+        assert got[i] == 1, got
+    # and a fit over duplicate-heavy data still converges
+    cents2, iters, shift = kmeans_fit(emb, 2, max_iterations=4)
+    assert cents2.count() == 2 and iters >= 1
