@@ -542,19 +542,37 @@ def _theta_overlap_core(
     build; pass ``None`` to waive for a column known segment-sized
     (ADVICE r15).
 
-    ONE scan (r16 optimization round, guide §2.4): the sub-threshold
-    hash is NULLED instead of filtered, so the checkpointed distinct
-    frame carries both the θ-sample (rows with non-null h) AND the
-    full group list (every group contributes at least one row — a
-    (grp, NULL) row when none of its keys sampled). The previous
-    shape paid a second full-table scan for the group-list distinct
-    and joined it back; now group list, per-group sample counts
-    (``count(h)`` ignores NULLs) and the intersection join all read
-    the one checkpointed sketch-sized frame. Trade recorded here: the
-    ``max_groups`` refusal previously ran before the sampling scan
-    (cheap-refusal path) — it now runs after the checkpoint has paid
-    that scan. Refusal is the error path; the success path saves a
-    full scan of the base table every call."""
+    ONE sampling scan (r16 optimization round, guide §2.4): the
+    sub-threshold hash is NULLED instead of filtered, so the
+    checkpointed distinct frame carries both the θ-sample (rows with
+    non-null h) AND the full group list (every group contributes at
+    least one row — a (grp, NULL) row when none of its keys sampled).
+    The previous shape paid a second full-table scan for the
+    group-list distinct and joined it back; now group list, per-group
+    sample counts (``count(h)`` ignores NULLs) and the intersection
+    join all read the one checkpointed sketch-sized frame.
+
+    Cheap refusal restored (r17, VERDICT r16 item 6): the
+    ``max_groups`` guard runs BEFORE the sampling scan, on a distinct
+    count pruned to ``group_col`` alone — a caller handing a
+    too-wide column pays one single-column map-side-combined scan and
+    gets the ValueError, never the full (grp, hash) materialization
+    (the bc353d3 property the r16 single-scan rewrite had undone).
+    The success path pays that pruned pre-scan too; it reads one
+    column and partial-aggregates to G rows, which at any scale is
+    cheaper than the full-width sample scan it precedes."""
+    if max_groups is not None:
+        n_g = (
+            df.select(F.col(group_col).alias("grp")).distinct().count()
+        )
+        if n_g > max_groups:
+            raise ValueError(
+                f"theta_overlap: {n_g} distinct groups in "
+                f"{group_col!r} exceeds max_groups={max_groups} — the "
+                "pairwise form builds O(G²) broadcast pairs; raise "
+                "max_groups explicitly (or pass None) only if that "
+                "quadratic output surface is intended"
+            )
     h = _theta_hash(key_col)
     s_all = (
         df.select(
@@ -564,16 +582,6 @@ def _theta_overlap_core(
         .distinct()
         .localCheckpoint()
     )
-    if max_groups is not None:
-        n_g = s_all.select("grp").distinct().count()
-        if n_g > max_groups:
-            raise ValueError(
-                f"theta_overlap: {n_g} distinct groups in "
-                f"{group_col!r} exceeds max_groups={max_groups} — the "
-                "pairwise form builds O(G²) broadcast pairs; raise "
-                "max_groups explicitly (or pass None) only if that "
-                "quadratic output surface is intended"
-            )
     s = s_all.filter(F.col("h").isNotNull())
     gs = s_all.groupBy("grp").agg(F.count(F.col("h")).alias("n_s"))
     pairs = (

@@ -803,12 +803,15 @@ def test_ngram_lambda_binding_tokenizes_once(spark):
 
 
 def test_contamination_plan_tokenizes_each_side_once(spark):
-    """Same pin at the operator level. The printed logical plan is a
-    TREE (shared subtrees repeat per consumer branch), so the
-    known-good shape shows 5 split() occurrences — one per branch
-    referencing a gram pipeline, each evaluated once per row. The
-    re-inlined regression multiplies every one of those by the three
-    in-lambda references: measured 15. Pin the good count exactly."""
+    """Same pin at the operator level. Since the r16 one-pass rewrite
+    (explode_outer + broadcast-left-join + conditional sum) the
+    candidate side is tokenized in ONE branch and the benchmark side
+    in one branch, so the printed logical plan (a TREE — shared
+    subtrees repeat per consumer branch) shows exactly 2 split()
+    occurrences. The pre-r16 two-pass shape showed 5 (candidates
+    tokenized twice + join-back); the re-inlined lambda regression
+    multiplies each by the in-lambda references (measured 15). Pin the
+    good count exactly so either regression trips this."""
     cand = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog")],
         "doc_id long, text string",
@@ -818,7 +821,7 @@ def test_contamination_plan_tokenizes_each_side_once(spark):
     )
     out = corpus.benchmark_contamination(cand, bench, "text", "doc_id", n=5)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("split(") == 5, plan
+    assert plan.count("split(") == 2, plan
 
 
 def test_data_card_composition(spark):
