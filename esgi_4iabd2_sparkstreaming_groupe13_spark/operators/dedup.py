@@ -597,35 +597,34 @@ def _signatures_from_shingles(
     the shingle scan once and fan both consumers off the persisted
     frame.
 
-    Shape (r16 optimization round): ZERO-SHUFFLE narrow projection —
-    ``hs = transform(shingles, md5_int)`` in one Project, then the
-    ``n_hashes`` ``array_min(transform(hs, perm_i))`` columns in a
-    SIBLING Project above it. The historical worry about this column
-    formulation (CollapseProject inlining the md5 transform into every
-    permutation, md5-ing each shingle n_hashes times) does not apply
-    on Spark 4.x: ``CollapseProject`` only merges adjacent Projects
-    when an alias is referenced at most once or is cheap
-    (``spark.sql.optimizer.collapseProjectAlwaysInline`` defaults
-    false), and ``_hs`` is referenced ``n_hashes`` times — the plan
-    keeps two Projects and each shingle is md5-hashed exactly once
-    (plan-asserted by ``test_minhash_signature_plan_single_md5``).
-    vs the previous explode + n_hashes-MIN-aggregates shape this drops
-    the per-doc hash aggregate and its Exchange outright (guide §2.4)
-    — signatures become a narrow map over the shingle scan. Same
-    (id, signature) output, bit-identical: array_min over the
-    per-shingle affine permutation equals MIN over the exploded rows,
-    and both yield NULL signature elements for empty/NULL shingle
-    arrays (explode_outer emitted a NULL row; array_min of an empty or
-    NULL array is NULL)."""
-    hs = F.transform(F.col("shingles"), lambda s: md5_int(s))
-    step1 = sh.select(F.col(id_col), hs.alias("_hs"))
-    mins = [
-        F.array_min(
-            F.transform(F.col("_hs"), lambda x: affine_hash(x, a, b))
-        ).alias(f"_m{i}")
+    Shape: explode + ``n_hashes`` MIN aggregates, NOT
+    ``array_min(transform(hs, perm_i))`` columns. r16 briefly shipped
+    the column formulation (zero-shuffle narrow projection); the r17
+    A/B reverted it on evidence: min-per-arm over two interleaved
+    REPS=3 pairs at sf0.1 read 3.25 s vs 2.63 s (array form 1.24x
+    slower), and the 100x scale probe (500 k docs) read 67.9–187.6 s
+    vs 40.3 s — the per-permutation ``transform`` materializes a full
+    intermediate hash array per signature element (32 allocations of a
+    ~500-element array PER DOC), which costs far more than the one-
+    row-per-doc shuffle it saves; the MIN aggregate tracks each
+    permutation in a codegen'd scalar buffer with no allocation at
+    all. md5 lives in the Project BELOW the aggregate (an Aggregate is
+    never collapsed into its child Project), so each shingle is hashed
+    exactly once, and partial aggregation keeps the shuffle at one row
+    per doc — at 100 TB the exchange carries |docs| signature rows,
+    nothing shingle-sized. Same (id, signature) output, bit-identical:
+    MIN over exploded rows equals array_min over the per-shingle
+    permutation, and explode_outer's NULL row for empty/NULL shingle
+    arrays yields NULL signature elements either way."""
+    hashed = sh.select(
+        F.col(id_col), F.explode_outer("shingles").alias("_s")
+    ).select(F.col(id_col), md5_int(F.col("_s")).alias("_h"))
+    aggs = [
+        F.min(affine_hash(F.col("_h"), a, b)).alias(f"_m{i}")
         for i, (a, b) in enumerate(hash_params(n_hashes, seed))
     ]
-    return step1.select(F.col(id_col), *mins).select(
+    mins = hashed.groupBy(id_col).agg(*aggs)
+    return mins.select(
         F.col(id_col),
         F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("signature"),
     )
@@ -677,6 +676,19 @@ def minhash_lsh_pairs(
     docs × bands, not quadratic in docs) → 4. exact-Jaccard
     verification on the candidates only.
 
+    Shape note (r17 optimization round): an alternative that carries
+    the signature + band-key array through the bucket join (deduping
+    by first-collision-band instead of ``distinct()``, est-j inside
+    the join — 4 fewer exchanges) was implemented and MEASURED
+    SLOWER at scale: 67.8–78.6 s vs 33.6–40.3 s at the 100x probe
+    (500 k docs), tie at sf0.1. Two structural reasons, recorded so
+    it is not re-tried: (a) the banded shuffle is docs×bands rows —
+    widening each from ~80 B to ~600 B dominates every byte saved on
+    the pair side; (b) a TRUE near-dup pair at j≥0.9 collides in
+    ~b·j^r ≈ 5–6 of 8 bands, so the early ``distinct()`` collapses
+    ~6x band multiplicity BEFORE the signature joins — removing it
+    makes the downstream joins process that multiplicity instead.
+    The thin-banding shape below is the scale-correct one.
     Output (id_a, id_b, jaccard) has precision 1.0 w.r.t. the
     threshold; recall is the standard banding S-curve
     ``1 - (1 - j^r)^b``. Defaults (32 hashes, 8 bands × 4 rows) give
@@ -717,10 +729,12 @@ def minhash_lsh_pairs(
     # One shingle scan shared by signatures AND exact verification;
     # signatures persisted separately: consumed by banding and by the
     # signature-estimate prefilter. Without these persists the
-    # md5-over-every-shingle pipeline recomputes once per consumer.
-    # track_persist registers the frames so caching.release_cached()
-    # (called at query entry and by the harnesses) drops them once the
-    # consuming action is done — no session-lifetime storage leak.
+    # md5-over-every-shingle pipeline recomputes once per consumer
+    # (AQE's exchange reuse does not canonicalize the two bucket-join
+    # sides here — measured r17). track_persist registers the frames
+    # so caching.release_cached() (called at query entry and by the
+    # harnesses) drops them once the consuming action is done — no
+    # session-lifetime storage leak.
     sh = track_persist(with_shingles(df, text_col, id_col, n, max_chars))
     sigs = track_persist(_signatures_from_shingles(sh, id_col, n_hashes, seed))
 

@@ -50,14 +50,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     evdir = "/tmp/spark-events-probe"
     os.makedirs(evdir, exist_ok=True)
-    for f in glob.glob(evdir + "/*"):
-        os.remove(f)
+    import shutil
+    shutil.rmtree(evdir, ignore_errors=True)
+    os.makedirs(evdir, exist_ok=True)
     extra = {
         "spark.ui.showConsoleProgress": "false",
         "spark.cleaner.periodicGC.interval": "45s",
         "spark.sql.codegen.cache.maxEntries": "4000",
         "spark.eventLog.enabled": "true",
         "spark.eventLog.dir": evdir,
+        "spark.eventLog.compress": "false",
+        "spark.eventLog.rolling.enabled": "false",
     }
     if os.environ.get("GC_LOG") == "1":
         extra["spark.driver.extraJavaOptions"] = (
@@ -106,7 +109,7 @@ def main() -> None:
     spark.stop()
 
     # ---- parse the event log: job group -> stages -> task metrics ----
-    evfiles = glob.glob(evdir + "/*")
+    evfiles = [f for f in glob.glob(evdir + "/**/*", recursive=True) if os.path.isfile(f) and "appstatus" not in os.path.basename(f)]
     job_group_of_job: dict[int, str] = {}
     stages_of_job: dict[int, list[int]] = {}
     stage_metrics: dict[int, dict] = {}

@@ -1209,16 +1209,18 @@ def test_lsh_cap_validation(spark):
 
 
 def test_minhash_signature_plan_single_md5(docs):
-    """The r16 zero-shuffle signature formulation relies on
-    CollapseProject NOT inlining the shared md5 transform into every
-    permutation (it is referenced n_hashes times, which is exactly the
-    non-inline condition while collapseProjectAlwaysInline stays
-    false). Pin that: the optimized plan must contain exactly ONE md5
-    call — if a Spark upgrade ever starts inlining, this fails before
-    the bench silently pays a 32x hash blowup — and no Exchange (the
-    aggregate-free shape is the point of the change)."""
+    """Signature shape pin (r17: reverted to explode + MIN aggregates
+    after the A/B + 100x scale probe showed the r16 array_min column
+    formulation 1.24x/1.7x+ slower — see _signatures_from_shingles).
+    Two properties guard the fast shape: (1) exactly ONE md5 call in
+    the optimized plan — md5 must live in the Project below the
+    aggregate, never inlined per permutation (the 32x hash blowup
+    regression); (2) the physical plan aggregates with a PARTIAL +
+    final HashAggregate pair, so the exchange carries one combined row
+    per doc, not the exploded shingle stream."""
     sigs = dedup.minhash_signatures(docs, "text", "doc_id", n_hashes=32)
     plan = sigs._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("md5") == 1, plan
     physical = sigs._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in physical, physical
+    assert physical.count("HashAggregate") == 2, physical
+    assert "partial_min" in physical, physical
