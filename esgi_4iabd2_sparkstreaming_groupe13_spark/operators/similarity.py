@@ -792,6 +792,21 @@ def kmeans_fit(
             .otherwise(F.col("_v"))
             .alias("_v"),
         )
+    # r17 (guide §2.5 input skew, §5 caching): every seeding round and
+    # every Lloyd iteration scans `src` once — and a single-file input
+    # arrives as ONE partition, so the whole per-round assignment
+    # pipeline (k higher-order cosine folds per row + posexplode +
+    # partial aggregate) ran in ONE task (measured: a 1.8-2.0 s
+    # single-task stage per round, ~80% of fit wall at sf0.1). Fan the
+    # rows out to the cluster parallelism (a no-op on a well-split
+    # production table) and persist the normalized frame so the ~15
+    # rounds of a fit re-read cached rows instead of re-scanning and
+    # re-normalizing. The persist is function-scoped: released in the
+    # finally below, never escapes into the caller's session.
+    para = embeddings.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < para:
+        src = src.repartition(para)
+    src = src.persist()
     # r16 optimization round (guide §2.4, §5): centroids are k×dim
     # doubles — metadata-sized, the same class as this function's
     # per-iteration scalar probes — so each round they live as a
@@ -890,6 +905,7 @@ def kmeans_fit(
         ]
     )
     if not seed_rows:  # empty input: empty model, same as the old path
+        src.unpersist()
         return spark.createDataFrame([], cents_schema), 1, 0.0
     cents_py: list[tuple[int, list[float]]] = [
         (0, [float(x) for x in seed_rows[0]["_v"]])
@@ -925,25 +941,32 @@ def kmeans_fit(
         assigned = _with_matrix(src, cents_py).select(
             (-best["_nc"]).cast("int").alias("cell_id"), F.col("_v")
         )
-        dims = assigned.select("cell_id", F.posexplode("_v").alias("pos", "x"))
-        # decimal accumulation: the mean of each (cell, dim) is exact
-        # and therefore independent of partition reduction order
-        means = dims.groupBy("cell_id", "pos").agg(
+        # ONE per-cell aggregate with a decimal sum column PER
+        # DIMENSION (r17, guide §2.4) — the dimensionality is known
+        # from the seed vector, so the old posexplode → (cell, pos)
+        # aggregate → (cell) collect_list re-assembly (two exchanges +
+        # a sort per round) collapses into a single k-row aggregate.
+        # Exact same arithmetic: decimal accumulation keeps each mean
+        # reduction-order-free, the per-dim divisor counts exactly the
+        # rows posexplode would have emitted for that pos (size > i —
+        # NULL elements included, short vectors excluded), and the
+        # double division is the same sum.cast(double)/count op.
+        dim = len(cents_py[0][1])
+        mean_cols = [
             (
-                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("m")
-        )
+                F.sum(F.col("_v")[i].cast("decimal(28,12)")).cast("double")
+                / F.count(F.when(F.size(F.col("_v")) > i, F.lit(1)))
+            ).alias(f"_m{i}")
+            for i in range(dim)
+        ]
         raw = (
-            means.groupBy("cell_id")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "m"))
-                ).alias("_pm")
-            )
+            assigned.groupBy("cell_id")
+            .agg(*mean_cols)
             .select(
                 "cell_id",
-                F.transform("_pm", lambda s: s["m"]).alias("_raw"),
+                F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias(
+                    "_raw"
+                ),
             )
         )
         if l2:
@@ -971,6 +994,7 @@ def kmeans_fit(
     cents = spark.createDataFrame(
         [(cid, v) for cid, v in cents_py], cents_schema
     )
+    src.unpersist()
     return cents, iterations, shift
 
 
