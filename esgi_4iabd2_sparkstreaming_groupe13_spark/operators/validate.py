@@ -243,7 +243,19 @@ def profile_table(
             str_aggs.append(F.min(col).alias(f"_pt_{i}_mins"))
             str_aggs.append(F.max(col).alias(f"_pt_{i}_maxs"))
         # other dtypes (arrays, structs, binary): counts only
-    row = df.agg(*aggs)
+    # r17 (guide §2.5 input skew): the expanded count-distinct pass
+    # multiplies the scan ×(N+1) through its partial HashAggregate —
+    # on a single-split input that whole expansion ran in ONE task
+    # (measured: q_profile max_task 1.38 s ≈ half its wall). Fan the
+    # expensive branch out to cluster parallelism when under-split
+    # (no-op on a well-split production table); the string min/max
+    # branch stays on the raw pruned scan — it is one narrow
+    # partial+final pass with nothing to parallelize at this width.
+    exp_src = df
+    para = df.sparkSession.sparkContext.defaultParallelism
+    if exp_src.rdd.getNumPartitions() < para:
+        exp_src = exp_src.repartition(para)
+    row = exp_src.agg(*aggs)
     if str_aggs:
         row = row.crossJoin(df.agg(*str_aggs))
 
